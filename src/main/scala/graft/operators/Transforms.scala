@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-table column transforms — the reference's `Transform` surface
+  * (`core/transform.go:3-6`: configure once, then mutate-or-drop each
+  * message) re-expressed as composable `DataFrame => DataFrame`
+  * functions. Narrow operations only: no shuffle, fully codegen'd,
+  * so they cost a projection regardless of data volume.
+  *
+  * Reference operators covered:
+  *  - rename-column  (`transforms/trans_rename_column.go:62-74`)
+  *  - delete-column  (`transforms/trans_delete_column.go:37-47`)
+  *  - drop-hook      (`transforms/transforms.go:63-71` — a transform
+  *    returning true drops the message; here an explicit predicate)
+  *  - column mapper  (`core/meta.go:38-104` — source→target column
+  *    list, positional or same-name)
+  *  - delete-sign    (`outputs/starrocks/starrocks_utils.go:39-69` —
+  *    virtual 0/1 op column for primary-key stream loads)
+  *  - table routing  (`metas/routers.go:48-60` — keep only routed
+  *    (db, table) pairs)
+  */
+object Transforms {
+
+  /** Rename columns `(from -> to)*`. Missing sources are a no-op,
+    * matching the reference's silent skip on absent columns. */
+  def renameColumn(pairs: (String, String)*): DataFrame => DataFrame = df =>
+    pairs.foldLeft(df) { case (d, (from, to)) =>
+      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    }
+
+  /** Drop columns (reference delete-column transform). */
+  def deleteColumn(cols: String*): DataFrame => DataFrame =
+    df => df.drop(cols: _*)
+
+  /** The reference's drop-if-true hook: rows where `pred` is true are
+    * REMOVED from the stream. */
+  def dropWhere(pred: Column): DataFrame => DataFrame =
+    df => df.filter(!pred)
+
+  /** Keep-side filter (general WHERE — absent in the reference, free
+    * in Spark; declared so configs can express it). */
+  def keepWhere(pred: Column): DataFrame => DataFrame =
+    df => df.filter(pred)
+
+  /** Positional source→target column mapping: select the source
+    * columns in order and alias each to the target name
+    * (`core/meta.go:78-104` map-mapper semantics; same-name mapping is
+    * the degenerate case src==tgt). */
+  def columnMapper(src: Seq[String], tgt: Seq[String]): DataFrame => DataFrame = {
+    require(src.length == tgt.length, s"mapper arity: $src vs $tgt")
+    df => df.select(src.zip(tgt).map { case (s, t) => col(s).as(t) }: _*)
+  }
+
+  /** Virtual `_delete_sign_` column: 1 for deletes, 0 otherwise —
+    * the StarRocks/Doris primary-key-model convention. */
+  def deleteSign(opCol: Column, deleteOp: String = "delete"): Column =
+    when(opCol === deleteOp, lit(1)).otherwise(lit(0))
+
+  /** Append the delete-sign column under its reference name. */
+  def withDeleteSign(opCol: String = "op"): DataFrame => DataFrame =
+    df => df.withColumn("_delete_sign_", deleteSign(col(opCol)))
+
+  /** Table-routing predicate over a changelog envelope: keep only
+    * events whose (db, table) has a route. On a cluster this filter
+    * sits directly on the source scan so unrouted tables are pruned
+    * before any shuffle. */
+  def routeTables(routes: Set[(String, String)],
+                  dbCol: String = "db", tableCol: String = "table"): DataFrame => DataFrame = {
+    val pred = routes.toSeq
+      .map { case (d, t) => col(dbCol) === d && col(tableCol) === t }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    df => df.filter(pred)
+  }
+
+  /** Chain transforms in order — the reference's IterateTransforms
+    * fold (`transforms/transforms.go:63-71`). */
+  def chain(ts: (DataFrame => DataFrame)*): DataFrame => DataFrame =
+    df => ts.foldLeft(df)((d, t) => t(d))
+}

@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.{Compactor, Transforms}
+
+/** Batch-verifiable versions of the reference's CDC dataflow
+  * operators (SURVEY §2), exercised over the `events` table so the
+  * DuckDB oracle can check them. The same `DataFrame => DataFrame`
+  * combinators run inside the streaming pipeline (graft.streaming).
+  *
+  * `events.ts` is nanosecond parquet; we read it as Long ns
+  * (`spark.sql.legacy.parquet.nanosAsLong=true` set by Verify/Bench)
+  * — integer nanosecond math is exact on both engines, which makes
+  * every time comparison oracle-stable.
+  */
+object CdcQueries {
+  private val OutD = DecimalType(38, 6)
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ≙ rename-column transform (trans_rename_column.go:62-74)
+    "cdc_rename_column" -> ((s, dir) =>
+      Transforms.chain(
+        Transforms.renameColumn("value" -> "amount", "user_id" -> "uid"))(
+        events(s, dir))
+        .select(col("event_id"), col("uid"), col("amount"))
+        .orderBy(col("event_id"))),
+
+    // ≙ delete-column transform (trans_delete_column.go:37-47)
+    "cdc_delete_column" -> ((s, dir) =>
+      Transforms.deleteColumn("props", "ts")(events(s, dir))
+        .orderBy(col("event_id"))),
+
+    // ≙ table-routing predicate (metas/routers.go:48-60): keep only
+    // routed kinds — the filter sits on the scan (pushed to parquet).
+    "cdc_route_filter" -> ((s, dir) =>
+      Transforms.keepWhere(col("event_type").isin("purchase", "signup"))(
+        events(s, dir))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))),
+
+    // ≙ drop-if-true transform hook (transforms/transforms.go:63-71)
+    "cdc_drop_hook" -> ((s, dir) =>
+      Transforms.dropWhere(col("value") < 50.0)(events(s, dir))
+        .select(col("event_id"), col("value"))
+        .orderBy(col("event_id"))),
+
+    // ≙ positional column mapper (core/meta.go:78-104)
+    "cdc_column_mapper" -> ((s, dir) =>
+      Transforms.columnMapper(
+        Seq("event_id", "user_id", "event_type", "value"),
+        Seq("id", "uid", "etype", "amount"))(events(s, dir))
+        .orderBy(col("id"))),
+
+    // ≙ _delete_sign_ virtual column (starrocks_utils.go:39-69);
+    // 'error' events stand in for deletes.
+    "cdc_delete_sign" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("_delete_sign_",
+          Transforms.deleteSign(col("event_type"), deleteOp = "error"))
+        .select(col("event_id"), col("event_type"), col("_delete_sign_"))
+        .orderBy(col("event_id"))),
+
+    // ≙ last-event-per-key compaction replacing run-splitting
+    // (outputs/mysql/mysql.go:172-202) — window implementation.
+    "cdc_compact_window" -> ((s, dir) =>
+      Transforms.chain(
+        Transforms.deleteColumn("props", "ts"),
+        Compactor.lastEventPerKey(Seq("user_id"), col("event_id")))(
+        events(s, dir))
+        .orderBy(col("user_id"))),
+
+    // same semantics via max_by hash-aggregate (the 100 TB plan: no
+    // per-partition sort, map-side partial agg) — same oracle.
+    "cdc_compact_agg" -> ((s, dir) =>
+      Transforms.chain(
+        Transforms.deleteColumn("props", "ts"),
+        Compactor.lastEventPerKeyAgg(Seq("user_id"), "event_id"))(
+        events(s, dir))
+        .orderBy(col("user_id"))),
+
+    // ≙ JSON row serialization for stream-load/Kafka payloads
+    // (outputs/starrocks/starrocks_utils.go:39-69, to_json path)
+    "cdc_json_format" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"), col("user_id")))
+            .as("payload"))
+        .orderBy(col("event_id"))),
+
+    // ≙ pk-hash partition assignment (outputs/kafka/kafka.go:161-170)
+    // — deterministic modulo form for the oracle; the production
+    // partitioner uses xxhash64 (graft.functions.PkHash).
+    "cdc_partition_assign" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          pmod(col("user_id"), lit(8)).as("part_id"))
+        .orderBy(col("event_id"))),
+
+    // event-time tumbling aggregate (streaming window analog, batch
+    // verified): per-hour, per-type counts and value sums.
+    "cdc_hourly_rollup" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("hr", timestamp_micros(expr("ts div 1000")))
+        // TIMESTAMP_NTZ output: DuckDB timestamps are tz-naive; under
+        // a UTC session the wall-clock values are identical.
+        .groupBy(date_trunc("hour", col("hr")).cast("timestamp_ntz").as("hr"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(OutD).as("sum_value"))
+        .orderBy(col("hr"), col("event_type"))),
+
+    // sessionization: 30-min-gap sessions per user via lag() —
+    // integer ns math, exact on both engines.
+    "cdc_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts") - col("prev_ts") > lit(1800000000000L), 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "cdc_rename_column" ->
+      """SELECT event_id, user_id AS uid, value AS amount
+        |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_delete_column" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_route_filter" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_type IN ('purchase', 'signup') ORDER BY event_id""".stripMargin,
+    "cdc_drop_hook" ->
+      """SELECT event_id, value FROM events
+        |WHERE NOT (value < 50.0) ORDER BY event_id""".stripMargin,
+    "cdc_column_mapper" ->
+      """SELECT event_id AS id, user_id AS uid, event_type AS etype,
+        | value AS amount FROM events ORDER BY id""".stripMargin,
+    "cdc_delete_sign" ->
+      """SELECT event_id, event_type,
+        | CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS "_delete_sign_"
+        |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_compact_window" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+        |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "cdc_compact_agg" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+        |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "cdc_json_format" ->
+      """SELECT event_id,
+        | to_json(struct_pack(event_id := event_id, event_type := event_type,
+        |   user_id := user_id)) AS payload
+        |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_partition_assign" ->
+      """SELECT event_id, user_id, user_id % 8 AS part_id
+        |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_hourly_rollup" ->
+      """SELECT date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000)) AS hr,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+    "cdc_sessionize" ->
+      """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+        | COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT user_id, ts, event_id,
+        |          lag(ts) OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id) AS prev_ts
+        |        FROM events) x) y
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

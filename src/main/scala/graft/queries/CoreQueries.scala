@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Relational query layer over the TPC-H-ish testdata.
+  *
+  * The reference engine has no joins/aggregations/windows/sorts/set
+  * ops (SURVEY §2 marks them Absent) — in the Spark engine they are
+  * Catalyst built-ins, declared here so the optimizer owns the
+  * physical strategy (broadcast vs shuffle join, partial aggregation,
+  * AQE). Numeric outputs are computed in DECIMAL: decimal arithmetic
+  * is exact and associativity-proof, so results are deterministic
+  * under any partitioning / shuffle order — double sums are not.
+  */
+object CoreQueries {
+  // The testdata's doubles are 2-decimal money; casting at the data's
+  // true scale keeps the cast 9 orders of magnitude away from any
+  // rounding boundary, so Spark (HALF_UP on shortest-repr) and DuckDB
+  // (scaled-double round) agree exactly. Scale-4 casts were observed
+  // to diverge by 1 ulp on FP near-ties.
+  private val D = DecimalType(18, 2)     // exact money/quantity intermediate
+  private val OutD = DecimalType(38, 6)  // fixed output scale: always an UPcast (exact) — DuckDB truncates on downcast, Spark rounds
+  private val F = DecimalType(4, 2)      // 1±discount/tax factors
+
+  private def dec(c: Column): Column = c.cast(D)
+  private def one: Column = lit(1.0).cast(F)
+  private def discF: Column = one - col("l_discount").cast(F)
+  private def taxF: Column = one + col("l_tax").cast(F)
+
+  // shared oracle SQL fragments (DuckDB dialect = ANSI here)
+  private val sqlDisc = "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+  private val sqlTax = "(CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+  private val sqlPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ≙ TPC-H Q1: full-scan hash aggregate; partial agg map-side, 6
+    // groups — shuffle is O(partitions), not O(rows).
+    "q1_pricing_summary" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast(OutD).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast(OutD).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * discF).cast(OutD).as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * discF * taxF).cast(OutD).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ≙ TPC-H Q3 shape: selective dim filter broadcast into the fact
+    // join, then top-k. customer is ~1.5% of lineitem → broadcast.
+    "q3_segment_topk" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * discF).cast(OutD).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ≙ TPC-H Q5 shape: star join, small dims broadcast, one shuffle
+    // for the final 25-group aggregate.
+    "q5_region_nation_revenue" -> ((s, dir) => {
+      val region = Tables.load(s, dir, "region")
+      val nation = Tables.load(s, dir, "nation")
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * discF).cast(OutD).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // global top-k: Spark's TakeOrderedAndProject — per-partition
+    // heaps, no full sort, no full shuffle.
+    "q_topk_orders" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // ranking window: latest order per customer.
+    "q_window_latest_order" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // analytic window with running frame; DECIMAL keeps the running
+    // sum exact regardless of the engine's frame evaluation strategy.
+    "q_window_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(D)).over(w).cast(OutD).as("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // distinct aggregate: suppliers per part (expand + two-phase agg).
+    "q_distinct_suppliers" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("l_partkey"))),
+
+    // set op: EXCEPT (customers that never ordered, key-only form).
+    "q_setop_except" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer").select(col("c_custkey"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"))
+      c.except(o).orderBy(col("c_custkey"))
+    }),
+
+    // set op: INTERSECT (finished ∩ urgent orders).
+    "q_setop_intersect" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+        .intersect(
+          o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey")))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // anti join ≙ NOT EXISTS (broadcast of the build side at scale).
+    "q_anti_join" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // semi join ≙ EXISTS.
+    "q_semi_join" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // rollup: grouping-set aggregate; NULL group markers coalesced to
+    // 'ALL' so null-ordering differences can't bite the oracle.
+    "q_rollup_counts" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast(OutD).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))),
+
+    // correlated-scalar shape: orders above their customer's average
+    // (expressed as join against a pre-aggregated subquery — the plan
+    // Catalyst would decorrelate to anyway).
+    "q_above_avg_orders" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val avgs = o.groupBy(col("o_custkey").as("k"))
+        .agg(avg(col("o_totalprice")).as("avg_price"))
+      o.join(broadcast(avgs), col("o_custkey") === col("k"))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_qty,
+         | CAST(SUM($sqlPrice) AS DECIMAL(38,6)) AS sum_base_price,
+         | CAST(SUM($sqlPrice * $sqlDisc) AS DECIMAL(38,6)) AS sum_disc_price,
+         | CAST(SUM($sqlPrice * $sqlDisc * $sqlTax) AS DECIMAL(38,6)) AS sum_charge,
+         | COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_segment_topk" ->
+      s"""SELECT o_orderkey, o_orderdate,
+         | CAST(SUM($sqlPrice * $sqlDisc) AS DECIMAL(38,6)) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY o_orderkey, o_orderdate
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_region_nation_revenue" ->
+      s"""SELECT r_name, n_name,
+         | CAST(SUM($sqlPrice * $sqlDisc) AS DECIMAL(38,6)) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_window_latest_order" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_window_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6))
+        |   AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_distinct_suppliers" ->
+      """SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+        | COUNT(*) AS n_items
+        |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    "q_setop_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+    "q_setop_intersect" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_rollup_counts" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        | coalesce(l_linestatus, 'ALL') AS ls,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_above_avg_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |JOIN (SELECT o_custkey AS k, AVG(o_totalprice) AS avg_price
+        |      FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.k
+        |WHERE o_totalprice > avg_price
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}
