@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis primitives for large-scale training-data pipelines
+  * (SURVEY §7.6). All are pure narrow column expressions — codegen'd,
+  * no shuffle, no UDFs — so they cost a projection at any scale.
+  *
+  * Cross-engine determinism notes (oracle parity):
+  *  - token hashing routes through md5 (identical across engines)
+  *    rather than xxhash/murmur (engine-specific seeds);
+  *  - ratios are double divisions of exact integers (IEEE-identical
+  *    everywhere).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer; trim first so trailing separators don't
+    * produce empty tokens. */
+  def tokens(text: Column): Column = split(trim(text), " +")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Document fingerprint: canonical md5 of the normalized text.
+    * (The reference hashes rows with Go hashstructure,
+    * outputs/kafka/kafka_utils.go:258-276; md5 is the cross-engine
+    * equivalent for content identity.) */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** 60-bit stable token hash: first 15 hex chars of md5, base-16.
+    * Fits a signed long; identical in any engine with md5. */
+  def tokenHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast(LongType)
+
+  /** Stopword list used by quality scoring / language id. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
+
+  /** Count of stopword tokens. */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(stopwords: _*)))
+
+  /** Stopword ratio — double division of exact ints. */
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / tokenCount(text).cast("double")
+
+  /** Mean token length (chars, excluding separators). */
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(trim(text), " ", "")).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** N-gram (word-shingle) array, 1-indexed element_at. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ts = tokens(text)
+    transform(sequence(lit(1), size(ts) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*))
+  }
+
+  /** Language-id heuristic: marker-word lookup, first match wins.
+    * A real pipeline would use character-n-gram profiles; the marker
+    * chain is the deterministic, oracle-checkable core of that
+    * approach. */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    when(array_contains(ts, "der") || array_contains(ts, "und"), "de")
+      .when(array_contains(ts, "le") || array_contains(ts, "la"), "fr")
+      .when(array_contains(ts, "el") || array_contains(ts, "los"), "es")
+      .when(array_contains(ts, "the") || array_contains(ts, "a"), "en")
+      .otherwise("und")
+  }
+
+  /** Composite quality score in [0,2]: stopword ratio (fluency
+    * proxy) + non-degenerate-length band bonus. Deterministic double
+    * math. */
+  def qualityScore(text: Column): Column =
+    stopwordRatio(text) +
+      when(tokenCount(text).between(5, 500), lit(1.0)).otherwise(lit(0.0))
+}

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §7.6).
+  *
+  * Scale design: every variant reduces to (narrow projection) →
+  * (shuffle on a dedup key) → (bounded join). Nothing materializes
+  * O(n²): candidate pairs only form inside hash buckets (band
+  * signature / simhash / shingle), which is the standard LSH route
+  * to near-dup detection at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup by content: first (min-id) row wins per distinct
+    * key. One hash-partition shuffle on the content key; map-side
+    * partial aggregation keeps it linear. */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup on a fingerprint (md5 of normalized content) — the
+    * at-scale variant: the 32-char digest shuffles instead of the
+    * full document body. */
+  def exactByFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash permutation constants (fixed, mirrored in oracle SQL). */
+  val MinhashA: Seq[Long] = Seq(937L, 1447L, 2357L, 3499L, 4523L, 5881L, 6761L, 7919L)
+  val MinhashB: Seq[Long] = Seq(11L, 97L, 181L, 271L, 367L, 457L, 569L, 653L)
+  val MinhashP: Long = 2147483647L // 2^31-1
+
+  /** Per-document MinHash signature (k = 8) over distinct tokens.
+    * explode → hash → groupBy(doc) with k min-aggregates: one
+    * shuffle, partial mins map-side. */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("t"))
+      .select(col(idCol), (tokenHash(col("t")) % MinhashP).as("hp"))
+    val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("hp") + lit(b)) % MinhashP).as(s"m$i")
+    }
+    tok.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: band the k=8 signature into 4
+    * bands of 2 rows; docs sharing any band's values become a
+    * candidate pair. The join key is (band, sig) — candidates form
+    * only within buckets, never across the full corpus. */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sig = minhashSignatures(df, textCol, idCol)
+    val bands = (0 until 4).map { b =>
+      sig.select(col(idCol), lit(b).as("band"),
+        col(s"m${2 * b}").as("x"), col(s"m${2 * b + 1}").as("y"))
+    }.reduce(_ unionByName _)
+    val l = bands.toDF("a", "band", "x", "y")
+    val r = bands.toDF("b", "band", "x", "y")
+    l.join(r, l("band") === r("band") && l("x") === r("x") &&
+        l("y") === r("y") && l("a") < r("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** SimHash (16-bit) over distinct token hashes: per-bit ±1 vote,
+    * sign-aggregated. Computed as 16 conditional sums in ONE
+    * groupBy — no row blowup, fully codegen'd. */
+  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
+    val tok = df
+      .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("t"))
+      .select(col(idCol), tokenHash(col("t")).as("h"))
+    val votes = (0 until bits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sh = (0 until bits).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col(idCol), sh.as("simhash"))
+  }
+
+  /** SimHash dup groups: identical fingerprints bucket together. */
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhash(df, textCol, idCol)
+      .groupBy(col("simhash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+
+  /** N-gram Jaccard near-dup pairs: distinct word-3-gram shingles,
+    * inverted-index self-join on shingle, similarity from exact
+    * intersection/union counts. `minJaccard` prunes the output;
+    * the shingle join bounds the candidate space. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("s"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val l = sh.toDF("a", "s")
+    val r = sh.toDF("b", "s")
+    val inter = l.join(r, l("s") === r("s") && l("a") < r("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.toDF("a", "n_a")), "a")
+      .join(broadcast(sizes.toDF("b", "n_b")), "b")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("n_inter"), col("n_a"), col("n_b"),
+        col("jaccard"))
+  }
+
+  /** Embedding cosine near-dup pairs; see Similarity.cosine for the
+    * exact-parity formula. `queryPred` bounds the left side so the
+    * pair space is (bounded q) × corpus, not corpus². */
+  def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
+                           threshold: Double, queryPred: Column): DataFrame = {
+    import Similarity.{dot, norm}
+    val l = df.filter(queryPred).select(col(idCol).as("a"),
+      col(vecCol).as("va"), norm(col(vecCol)).as("na"))
+    val r = df.select(col(idCol).as("b"),
+      col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
+    l.crossJoin(r).filter(col("a") < col("b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`Array[Float]`), SURVEY §7.6.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k, the correctness
+  *    baseline. Cost is |Q|×|C|; fine when the query set is bounded.
+  *  - [[signBucketTopK]] — LSH by hyperplane-sign bucket (here the
+  *    axis-aligned first `bits` dimensions, i.e. fixed hyperplanes —
+  *    deterministic and oracle-checkable). Candidates form only
+  *    within a bucket: cost |Q|×|C|/2^bits expected. The 100 TB
+  *    shape: bucket is a shuffle key, so each bucket's candidates
+  *    co-locate on one executor.
+  */
+object Similarity {
+
+  /** Double dot product of two float-array columns — left-to-right
+    * fold, the same IEEE sequence DuckDB's list_dot_product runs. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm. */
+  def norm(x: Column): Column = sqrt(dot(x, x))
+
+  /** Cosine similarity, computed in double as
+    * dot/(sqrt(na)*sqrt(nb)) — mirrored exactly in oracle SQL via
+    * list_dot_product, so both engines run the same IEEE sequence. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors per query (cosine), self-pairs excluded.
+    * Norms are precomputed per side BEFORE the join — |Q|+|C| norm
+    * evaluations instead of |Q|×|C|, identical values. */
+  def bruteForceTopK(corpus: DataFrame, vecCol: String, idCol: String,
+                     queryPred: Column, k: Int): DataFrame = {
+    val q = corpus.filter(queryPred).select(col(idCol).as("qid"),
+      col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("nid"),
+      col(vecCol).as("nv"), norm(col(vecCol)).as("nn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    q.crossJoin(c).filter(col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
+  /** Sign bucket over the first `bits` dimensions: bit i set iff
+    * vec[i] > 0. Fixed axis-aligned hyperplanes — deterministic in
+    * any engine (random-rotation planes would improve recall but
+    * can't be oracle-checked). */
+  def signBucket(vec: Column, bits: Int = 8): Column =
+    (0 until bits).map { i =>
+      when(element_at(vec, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH top-k: candidates restricted to the query's sign bucket.
+    * Equi-join on the bucket id — a hash join, NOT a cross join, so
+    * the candidate space shrinks 2^bits-fold. */
+  def signBucketTopK(corpus: DataFrame, vecCol: String, idCol: String,
+                     queryPred: Column, k: Int, bits: Int = 8): DataFrame = {
+    val bucketed = corpus.select(col(idCol), col(vecCol),
+      signBucket(col(vecCol), bits).as("bucket"), norm(col(vecCol)).as("nrm"))
+    val q = bucketed.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("bucket"),
+        col("nrm").as("qn"))
+    val c = bucketed
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"), col("bucket"),
+        col("nrm").as("nn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    q.join(c, Seq("bucket")).filter(col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Dedup
+
+/** Deduplication queries over `documents` / `embeddings`
+  * (SURVEY §7.6). Query-side predicates bound the candidate space so
+  * the declared work is constant across scale factors where the
+  * algorithm would otherwise be corpus². */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val sqlToks = "string_split_regex(trim(text), ' +')"
+
+  // 60-bit md5 token hash, DuckDB form (mirrors TextFunctions.tokenHash)
+  private val sqlTokHash =
+    "CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup on md5 fingerprint — shuffles the 32-char digest,
+    // not the document bodies.
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactByFingerprint(docs(s, dir), "text", "doc_id")
+        .orderBy(col("fp"))),
+
+    // MinHash (k=8) + LSH banding (4 bands × 2): candidate pairs
+    // share at least one band bucket.
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashCandidates(
+        docs(s, dir).filter(col("doc_id") < 500), "text", "doc_id")
+        .orderBy(col("a"), col("b"))),
+
+    // 16-bit SimHash groups (identical fingerprint = near-dup bucket)
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashCandidates(docs(s, dir), "text", "doc_id")
+        .orderBy(col("simhash"))),
+
+    // word-3-gram Jaccard ≥ 0.5 via inverted-index shingle join
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        docs(s, dir).filter(col("doc_id") < 3000), "text", "doc_id")
+        .orderBy(col("a"), col("b"))),
+
+    // embedding-cosine near-dup pairs (≥ 0.35), bounded query side
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(
+        Tables.load(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.35, queryPred = col("vec_id") < 300)
+        .orderBy(col("a"), col("b")))
+  )
+
+  private def minhashMins(h: String): String =
+    Dedup.MinhashA.zip(Dedup.MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a*$h+$b)%${Dedup.MinhashP}) AS m$i"
+    }.mkString(",\n   ")
+
+  private val simhashVotes: String = (0 until 16).map { i =>
+    s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i"
+  }.mkString(",\n   ")
+
+  private val simhashCombine: String = (0 until 16).map { i =>
+    s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END"
+  }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS keep_id,
+        | COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest($sqlToks) AS t
+         |  FROM documents WHERE doc_id < 500),
+         |h AS (SELECT doc_id, $sqlTokHash % ${Dedup.MinhashP} AS hp FROM tok),
+         |m AS (SELECT doc_id,
+         |   ${minhashMins("hp")}
+         | FROM h GROUP BY doc_id),
+         |bands AS (
+         | SELECT doc_id, 0 AS band, m0 AS x, m1 AS y FROM m UNION ALL
+         | SELECT doc_id, 1, m2, m3 FROM m UNION ALL
+         | SELECT doc_id, 2, m4, m5 FROM m UNION ALL
+         | SELECT doc_id, 3, m6, m7 FROM m)
+         |SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_bands
+         |FROM bands l JOIN bands r
+         |  ON l.band = r.band AND l.x = r.x AND l.y = r.y
+         | AND l.doc_id < r.doc_id
+         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest($sqlToks) AS t FROM documents),
+         |h AS (SELECT doc_id, $sqlTokHash AS h FROM tok),
+         |v AS (SELECT doc_id,
+         |   $simhashVotes
+         | FROM h GROUP BY doc_id),
+         |sh AS (SELECT doc_id, $simhashCombine AS simhash FROM v)
+         |SELECT simhash, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+         |FROM sh GROUP BY simhash HAVING COUNT(*) > 1
+         |ORDER BY simhash""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks
+         |           FROM documents WHERE doc_id < 3000),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    toks[CAST(i AS INTEGER)+1] || ' ' || toks[CAST(i AS INTEGER)+2]
+         |      || ' ' || toks[CAST(i AS INTEGER)+3] AS s
+         |  FROM d, unnest(range(0, len(toks)-2)) AS t(i)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
+         |  FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, n_inter, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+         |    AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a
+         |JOIN sizes sb ON sb.doc_id = b
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+         |      >= 0.5
+         |ORDER BY a, b""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings)
+        |SELECT l.vec_id AS a, r.vec_id AS b,
+        |  list_dot_product(l.v, r.v) / (l.nrm * r.nrm) AS cos
+        |FROM e l JOIN e r ON l.vec_id < r.vec_id
+        |WHERE l.vec_id < 300
+        |  AND list_dot_product(l.v, r.v) / (l.nrm * r.nrm) >= 0.35
+        |ORDER BY a, b""".stripMargin
+  )
+}

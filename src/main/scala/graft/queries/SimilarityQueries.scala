@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Similarity
+
+/** ANN similarity-search queries over `embeddings` (SURVEY §7.6).
+  * Outputs are (qid, nid, rank) — integer-only, so rank order (not
+  * float formatting) is what the oracle checks. */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // DuckDB-side cosine, same IEEE sequence as Similarity.cosine
+  private val sqlNorm =
+    """sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                      CAST(embedding AS DOUBLE[])))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact brute-force cosine top-5 for the first 100 vectors
+    "ann_bruteforce_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(emb(s, dir), "embedding", "vec_id",
+        queryPred = col("vec_id") < 100, k = 5)
+        .orderBy(col("qid"), col("rank"))),
+
+    // LSH variant: sign bucket on dims 1..8, top-5 within bucket
+    "ann_signbucket_topk" -> ((s, dir) =>
+      Similarity.signBucketTopK(emb(s, dir), "embedding", "vec_id",
+        queryPred = col("vec_id") < 100, k = 5, bits = 8)
+        .orderBy(col("qid"), col("rank")))
+  )
+
+  private val sqlBucket: String = (0 until 8).map { i =>
+    s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END"
+  }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "ann_bruteforce_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $sqlNorm AS nrm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 100),
+         |ranked AS (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored)
+         |SELECT qid, nid, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+    "ann_signbucket_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $sqlNorm AS nrm,
+         |    $sqlBucket AS bucket
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 100),
+         |ranked AS (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored)
+         |SELECT qid, nid, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin
+  )
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.ops.Multimodal
+
+/** Text-analysis + multimodal-plumbing queries over `documents`
+  * (SURVEY §7.6). */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // oracle-side tokenizer, mirrored from TextFunctions.tokens
+  private val sqlToks = "string_split_regex(trim(text), ' +')"
+  private val sqlStop = "('the', 'a', 'of', 'and', 'in')"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // token counting + quality-signal ratios (ints + IEEE-exact
+    // double divisions)
+    "text_token_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.stopwordCount(col("text")).as("n_stop"),
+        TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+        TextFunctions.meanTokenLen(col("text")).as("mean_tok_len"))
+        .orderBy(col("doc_id"))),
+
+    // md5 content fingerprint (rolling-hash stand-in; cross-engine)
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // marker-word language id vs the labeled lang column
+    "text_langid" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // composite quality score
+    "text_quality" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // multimodal: blob + decoded metadata (decode = marked STUB, the
+    // schema/plumbing is the contract under test)
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.withMedia(docs(s, dir), "text")
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          col("media.mime").as("mime"),
+          col("media.width").as("width"),
+          col("media.height").as("height"),
+          col("media.n_frames").as("n_frames"))
+        .orderBy(col("doc_id"))),
+
+    // multimodal: frame sampling (stride 4) + per-frame STUB feature
+    "multimodal_framesample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.withMedia(docs(s, dir).filter(col("doc_id") < 200), "text"))
+        .select(col("doc_id"), col("frame_idx"),
+          Multimodal.frameFeature(col("payload"), col("frame_idx"))
+            .as("frame_fp"))
+        .orderBy(col("doc_id"), col("frame_idx")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_token_stats" ->
+      s"""SELECT doc_id,
+         | len($sqlToks) AS n_tokens,
+         | len(list_filter($sqlToks, t -> t IN $sqlStop)) AS n_stop,
+         | CAST(len(list_filter($sqlToks, t -> t IN $sqlStop)) AS DOUBLE)
+         |   / CAST(len($sqlToks) AS DOUBLE) AS stop_ratio,
+         | CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+         |   / CAST(len($sqlToks) AS DOUBLE) AS mean_tok_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, lang,
+         | CASE
+         |  WHEN list_contains($sqlToks, 'der') OR list_contains($sqlToks, 'und') THEN 'de'
+         |  WHEN list_contains($sqlToks, 'le') OR list_contains($sqlToks, 'la') THEN 'fr'
+         |  WHEN list_contains($sqlToks, 'el') OR list_contains($sqlToks, 'los') THEN 'es'
+         |  WHEN list_contains($sqlToks, 'the') OR list_contains($sqlToks, 'a') THEN 'en'
+         |  ELSE 'und' END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         | CAST(len(list_filter($sqlToks, t -> t IN $sqlStop)) AS DOUBLE)
+         |   / CAST(len($sqlToks) AS DOUBLE)
+         | + CASE WHEN len($sqlToks) BETWEEN 5 AND 500
+         |        THEN 1.0 ELSE 0.0 END AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        | octet_length(CAST(text AS BLOB)) AS n_bytes,
+        | CASE WHEN octet_length(CAST(text AS BLOB)) % 3 = 0 THEN 'image/png'
+        |      WHEN octet_length(CAST(text AS BLOB)) % 3 = 1 THEN 'audio/wav'
+        |      ELSE 'video/mp4' END AS mime,
+        | CAST(64 + octet_length(CAST(text AS BLOB)) % 576 AS INTEGER) AS width,
+        | CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 448 AS INTEGER) AS height,
+        | CAST(1 + octet_length(CAST(text AS BLOB)) % 16 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_framesample" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    1 + octet_length(CAST(text AS BLOB)) % 16 AS n_frames
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |  md5(text || ':' || CAST(f AS VARCHAR)) AS frame_fp
+        |FROM m, unnest(range(0, n_frames, 4)) AS t(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

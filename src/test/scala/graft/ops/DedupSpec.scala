@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted duplicates: 1≡2 exact, 3 near-dup of 1 (one word changed),
+  // 4 unrelated
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "the quick brown fox jumps over the lazy cat again and again"),
+    (4L, "completely different content about spark query engines here now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(corpus, "text", "doc_id")
+      .select($"keep_id", $"n_copies").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("fingerprint dedup is case/whitespace-insensitive") {
+    val df = Seq((1L, "Hello World"), (2L, "  hello world "), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactByFingerprint(df, "text", "doc_id")
+    assert(out.count() == 2)
+    assert(out.filter($"n_copies" === 2).select($"keep_id").as[Long].head() == 1L)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashCandidates(corpus, "text", "doc_id")
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dup must collide in all bands")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not be a candidate")
+  }
+
+  test("simhash groups exact dups") {
+    val sh = Dedup.simhash(corpus, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(4L))
+  }
+
+  test("ngram jaccard: exact pair = 1.0, near pair high, unrelated absent") {
+    val out = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+      minJaccard = 0.3)
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) > 0.5 && out((1L, 3L)) < 1.0)
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding cosine pairs find planted near-dup") {
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),  // near 1
+      (3L, Array(0.0f, 1.0f, 0.0f))    // orthogonal
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingCosinePairs(vs, "embedding", "vec_id",
+      threshold = 0.9, queryPred = lit(true))
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+}

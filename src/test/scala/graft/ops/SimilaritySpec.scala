@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f)),
+    (3L, Array(0.0f, 1.0f)),
+    (4L, Array(-1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val out = Similarity.bruteForceTopK(vecs, "embedding", "vec_id",
+      queryPred = col("vec_id") === 1, k = 3)
+      .orderBy("rank").select($"nid").as[Long].collect().toSeq
+    assert(out == Seq(2L, 3L, 4L))
+  }
+
+  test("signBucket groups by sign pattern of leading dims") {
+    val b = vecs.select($"vec_id",
+      Similarity.signBucket($"embedding", bits = 2).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b(1L) == 1L)   // +,0  -> bit0 only
+    assert(b(2L) == 3L)   // +,+  -> bits 0,1
+    assert(b(3L) == 2L)   // 0,+  -> bit1 only
+    assert(b(4L) == 0L)   // -,0  -> none
+  }
+
+  test("signBucketTopK only returns same-bucket neighbors") {
+    val out = Similarity.signBucketTopK(vecs, "embedding", "vec_id",
+      queryPred = col("vec_id") === 1, k = 5, bits = 2)
+      .select($"nid").as[Long].collect().toSeq
+    assert(out.isEmpty) // vec 1 is alone in bucket 1
+  }
+
+  test("cosine matches analytic value") {
+    val c = vecs.filter($"vec_id" === 1).crossJoin(
+        vecs.filter($"vec_id" === 3).select($"embedding".as("e2")))
+      .select(Similarity.cosine($"embedding", $"e2")).as[Double].head()
+    assert(math.abs(c) < 1e-12)
+  }
+}
