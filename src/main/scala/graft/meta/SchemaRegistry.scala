@@ -1,0 +1,126 @@
+package graft.meta
+
+import scala.collection.concurrent.TrieMap
+
+/** Versioned schema registry ≙ `inputs/mysql/mysql_meta.go:88-133`:
+  * every DDL-driven mutation bumps the version and RETAINS all
+  * historical versions, keyed `(db, table, version)`, so in-flight
+  * events pinned to an older `tableVersion` still decode
+  * (≙ `outputs/kafka/kafka.go:135-140`).
+  *
+  * Plain driver-side state — schemas are control-plane metadata, not
+  * data. Thread-safe via TrieMap (streaming listener threads may
+  * evolve schemas while queries read them).
+  */
+final class SchemaRegistry {
+  import DdlStatement._
+
+  private val byVersion = TrieMap.empty[(String, String, Int), TableDef]
+  private val latest = TrieMap.empty[(String, String), Int]
+
+  def register(t: TableDef): TableDef = {
+    byVersion.put((t.schema, t.name, t.version), t)
+    latest.updateWith((t.schema, t.name)) {
+      case Some(v) if v >= t.version => Some(v)
+      case _ => Some(t.version)
+    }
+    t
+  }
+
+  def get(db: String, table: String, version: Int): Option[TableDef] =
+    byVersion.get((db, table, version))
+
+  def current(db: String, table: String): Option[TableDef] =
+    latest.get((db, table)).flatMap(v => byVersion.get((db, table, v)))
+
+  def currentVersion(db: String, table: String): Option[Int] =
+    latest.get((db, table))
+
+  def tables: Seq[TableDef] =
+    latest.keys.toSeq.sorted.flatMap { case (d, t) => current(d, t) }
+
+  def drop(db: String, table: String): Unit = {
+    latest.remove((db, table))
+    byVersion.keys.filter(k => k._1 == db && k._2 == table)
+      .foreach(byVersion.remove)
+  }
+
+  /** Apply one parsed DDL statement against the current version of
+    * its table, registering a bumped new version
+    * (≙ `metas/mysql_ddl_parse.go:99-376` + version bump at
+    * `inputs/mysql/mysql_meta.go:116-123`). Unknown/unroutable
+    * tables are ignored, as is DDL for shadow tables. */
+  def applyDdl(db: String, stmt: DdlStatement): Option[TableDef] = {
+    if (DdlParser.isShadowTable(stmt.table)) return None
+    stmt match {
+      case CreateTable(t, cols, ifNotExists) =>
+        if (ifNotExists && current(db, t).isDefined) current(db, t)
+        else Some(register(TableDef(db, t, cols)))
+      case CreateTableLike(t, src) =>
+        current(db, src).map(s => register(TableDef(db, t, s.columns)))
+      case CreateTableAsSelect(_, _) =>
+        None // schema depends on the SELECT; reference also only flags it
+      case DropTable(t) => drop(db, t); None
+      case TruncateTable(t) => current(db, t) // schema unchanged
+      case RenameTable(t, to) =>
+        current(db, t).map { cur =>
+          drop(db, t)
+          register(cur.copy(name = to, version = cur.version + 1))
+        }
+      case AddColumn(t, c, pos) =>
+        evolve(db, t)(cols => insertAt(cols.filterNot(_.name == c.name), c, pos))
+      case DropColumn(t, name) =>
+        evolve(db, t)(_.filterNot(_.name.equalsIgnoreCase(name)))
+      case ModifyColumn(t, c, pos) =>
+        evolve(db, t) { cols =>
+          val prevPk = cols.find(_.name.equalsIgnoreCase(c.name))
+            .exists(_.isPrimaryKey)
+          val merged = c.copy(isPrimaryKey = c.isPrimaryKey || prevPk)
+          pos match {
+            case Default => // plain MODIFY keeps the original position
+              cols.map(x => if (x.name.equalsIgnoreCase(c.name)) merged else x)
+            case p =>
+              insertAt(cols.filterNot(_.name.equalsIgnoreCase(c.name)), merged, p)
+          }
+        }
+      case ChangeColumn(t, from, c, pos) =>
+        evolve(db, t) { cols =>
+          val prevPk = cols.find(_.name.equalsIgnoreCase(from))
+            .exists(_.isPrimaryKey)
+          val merged = c.copy(isPrimaryKey = c.isPrimaryKey || prevPk)
+          val without = cols.filterNot(_.name.equalsIgnoreCase(from))
+          pos match {
+            case Default =>
+              cols.map(x => if (x.name.equalsIgnoreCase(from)) merged else x)
+            case p => insertAt(without, merged, p)
+          }
+        }
+      case RenameColumn(t, from, to) =>
+        evolve(db, t)(_.map(c =>
+          if (c.name.equalsIgnoreCase(from)) c.copy(name = to) else c))
+    }
+  }
+
+  /** Parse + apply a raw DDL string. Returns affected tables. */
+  def applySql(sql: String, defaultDb: String): Seq[TableDef] =
+    DdlParser.parse(sql, defaultDb) match {
+      case Some((db, stmts)) => stmts.flatMap(applyDdl(db, _))
+      case None => Nil
+    }
+
+  private def evolve(db: String, table: String)(
+      f: Seq[ColumnDef] => Seq[ColumnDef]): Option[TableDef] =
+    current(db, table).map { cur =>
+      register(cur.copy(columns = f(cur.columns), version = cur.version + 1))
+    }
+
+  private def insertAt(cols: Seq[ColumnDef], c: ColumnDef,
+      pos: DdlStatement.Pos): Seq[ColumnDef] = pos match {
+    case First => c +: cols
+    case After(a) =>
+      val i = cols.indexWhere(_.name.equalsIgnoreCase(a))
+      if (i < 0) cols :+ c
+      else (cols.take(i + 1) :+ c) ++ cols.drop(i + 1)
+    case Default => cols :+ c
+  }
+}
