@@ -97,12 +97,20 @@ object Dedup {
     * the shingle join bounds the candidate space. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    // Join on a 64-bit hash of the shingle, not the string: long
+    // shuffle keys beat variable-length strings, and the (bounded)
+    // shingle table is computed once and cached instead of 3× for
+    // the two join sides + the size table. Collision odds across
+    // ~10^5 distinct shingles are ~1e-12 — the DuckDB oracle joins
+    // on the raw string and agrees.
     val sh = df.select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), n))).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("sh"))
+      .cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val l = sh.toDF("a", "s")
-    val r = sh.toDF("b", "s")
-    val inter = l.join(r, l("s") === r("s") && l("a") < r("b"))
+    val l = sh.toDF("a", "sh")
+    val r = sh.toDF("b", "sh")
+    val inter = l.join(r, l("sh") === r("sh") && l("a") < r("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
     inter
       .join(broadcast(sizes.toDF("a", "n_a")), "a")
