@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Second relational batch: outer joins, cube, subqueries, string /
+  * date scalar functions, conditional expressions, additional window
+  * functions — coverage for operator families the reference lacks
+  * entirely but any replacement engine must provide (SURVEY §2
+  * "Absent" rows). */
+object Core2Queries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // left outer join + null-skipping COUNT(col)
+    "q_left_join_counts" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // full outer join of two pre-aggregates, null-coalesced
+    "q_full_outer_nation" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+      val supp = Tables.load(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+      cust.withColumnRenamed("nk", "cnk")
+        .join(supp.withColumnRenamed("nk", "snk"),
+          col("cnk") === col("snk"), "full_outer")
+        .select(coalesce(col("cnk"), col("snk")).as("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nk"))
+    }),
+
+    // CUBE grouping sets with null markers coalesced
+    "q_cube_status_prio" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"), col("n"))
+        .orderBy(col("st"), col("prio"))),
+
+    // scalar string functions (all codegen'd builtins)
+    "q_string_funcs" -> ((s, dir) =>
+      Tables.load(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 5).as("prefix"),
+          length(col("p_name")).as("name_len"),
+          regexp_replace(col("p_type"), " ", "_").as("type_us"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey"))),
+
+    // scalar date functions over TIMESTAMP_NTZ
+    "q_date_funcs" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          // both engines emit DATE for the truncated month (Spark's
+          // date_trunc returns LTZ timestamp, DuckDB returns DATE)
+          date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+        .orderBy(col("o_orderkey"))),
+
+    // CASE bands + aggregate
+    "q_case_bands" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(when(col("o_totalprice") < 50000.0, "low")
+          .when(col("o_totalprice") < 150000.0, "mid")
+          .otherwise("high").as("band"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n"))
+        .orderBy(col("band"))),
+
+    // IN-subquery (Catalyst plans a left-semi join)
+    "q_in_subquery" -> ((s, dir) => {
+      val machinery = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey"))
+      Tables.load(s, dir, "orders")
+        .join(machinery, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // cross join (explicit cartesian, small dims)
+    "q_cross_join" -> ((s, dir) => {
+      val r1 = Tables.load(s, dir, "region").select(col("r_name").as("a"))
+      val r2 = Tables.load(s, dir, "region").select(col("r_name").as("b"))
+      r1.crossJoin(r2).orderBy(col("a"), col("b"))
+    }),
+
+    // UNION ALL with a source discriminator
+    "q_union_all" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(lit("cust").as("src"), col("c_custkey").as("key"))
+      val sup = Tables.load(s, dir, "supplier")
+        .select(lit("supp").as("src"), col("s_suppkey").as("key"))
+      c.unionByName(sup).orderBy(col("src"), col("key"))
+    }),
+
+    // rank vs dense_rank with real ties (priority strings)
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderpriority"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // first/last value over an unbounded frame
+    "q_window_firstlast" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // HAVING (post-aggregate filter)
+    "q_having" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 40)
+        .orderBy(col("l_partkey")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_left_join_counts" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_full_outer_nation" ->
+      """SELECT coalesce(c.nk, s.nk) AS nk,
+        | coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        |      FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+        |           FROM supplier GROUP BY 1) s ON c.nk = s.nk
+        |ORDER BY nk""".stripMargin,
+    "q_cube_status_prio" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        | coalesce(o_orderpriority, 'ALL') AS prio, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY st, prio""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+        | substring(p_name, 1, 5) AS prefix, length(p_name) AS name_len,
+        | replace(p_type, ' ', '_') AS type_us,
+        | p_brand || '#' || p_type AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y,
+        | CAST(month(o_orderdate) AS INTEGER) AS m,
+        | CAST(day(o_orderdate) AS INTEGER) AS d,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS mon
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_case_bands" ->
+      """SELECT CASE WHEN o_totalprice < 50000.0 THEN 'low'
+        |  WHEN o_totalprice < 150000.0 THEN 'mid' ELSE 'high' END AS band,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY band""".stripMargin,
+    "q_in_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'MACHINERY')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_cross_join" ->
+      """SELECT r1.r_name AS a, r2.r_name AS b
+        |FROM region r1 CROSS JOIN region r2 ORDER BY a, b""".stripMargin,
+    "q_union_all" ->
+      """SELECT 'cust' AS src, c_custkey AS key FROM customer
+        |UNION ALL SELECT 'supp' AS src, s_suppkey AS key FROM supplier
+        |ORDER BY src, key""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority)
+        |   AS rnk,
+        | dense_rank() OVER (PARTITION BY o_orderstatus
+        |   ORDER BY o_orderpriority) AS drnk
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_window_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_orderkey) OVER w AS first_ok,
+        | last_value(o_orderkey) OVER w AS last_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_having" ->
+      """SELECT l_partkey, COUNT(*) AS n FROM lineitem
+        |GROUP BY l_partkey HAVING COUNT(*) > 40
+        |ORDER BY l_partkey""".stripMargin
+  )
+}
