@@ -1,0 +1,229 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.cdc.ChangeEvent
+
+/** DataSource V2 changelog source — the engine's analog of the
+  * reference's binlog tailer (`inputs/mysql/mysql_replication.go:
+  * 38-65` + GTID position tracking, `inputs/mysql/mysql_position.go`).
+  *
+  * Reads JSON-lines changelog files (one ChangeEvent per line, with a
+  * monotone `seq`) and serves them to Structured Streaming in
+  * `(startSeq, endSeq]` micro-batches. The `seq` high-watermark IS
+  * the offset — checkpointed by the engine exactly like the
+  * reference persists its GTID set (resume-from-checkpoint replaces
+  * the bbolt meta.db). `maxEventsPerTrigger` gives the bounded-
+  * channel backpressure (≙ channel cap 10240, `app/server.go:81`).
+  *
+  * A production deployment would swap the file tail for a binlog
+  * client connection inside the same MicroBatchStream contract; the
+  * offset/commit/partition plumbing here is the real thing.
+  *
+  * Usage:
+  * {{{
+  * spark.readStream.format("graft-changelog")
+  *   .option("path", dir).option("maxEventsPerTrigger", "1000").load()
+  * }}}
+  */
+class ChangelogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-changelog"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangeEvent.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new ChangelogTable(properties.get("path"),
+      Option(properties.get("maxEventsPerTrigger")).map(_.toLong))
+}
+
+final class ChangelogTable(path: String, maxPerTrigger: Option[Long])
+  extends Table with SupportsRead {
+
+  require(path != null, "option 'path' is required")
+
+  override def name(): String = s"changelog($path)"
+  override def schema(): StructType = ChangeEvent.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = ChangeEvent.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new ChangelogMicroBatchStream(path, maxPerTrigger)
+      override def toBatch: Batch = new ChangelogBatch(path)
+    }
+}
+
+/** Offset = highest `seq` served (inclusive) — the GTID-set analog. */
+final case class SeqOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
+}
+
+final class ChangelogMicroBatchStream(path: String, maxPerTrigger: Option[Long])
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  private def maxSeqOnDisk: Long = ChangelogFiles.maxSeq(path)
+
+  /** Trigger.AvailableNow: snapshot the tail watermark once; batches
+    * then drain up to it (in maxPerTrigger slices) and the query
+    * terminates — the reference's "catch up then exit" replay mode. */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(maxSeqOnDisk)
+
+  override def initialOffset(): Offset = SeqOffset(-1L)
+
+  override def latestOffset(): Offset = SeqOffset(maxSeqOnDisk)
+
+  override def reportLatestOffset(): Offset = SeqOffset(maxSeqOnDisk)
+
+  /** Admission control: serve at most maxEventsPerTrigger seqs per
+    * batch (seqs are dense in this source). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[SeqOffset].seq
+    val max = availableNowTarget.getOrElse(maxSeqOnDisk)
+    maxPerTrigger match {
+      case Some(m) => SeqOffset(math.min(from + m, max))
+      case None => SeqOffset(max)
+    }
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SeqOffset].seq
+    val e = end.asInstanceOf[SeqOffset].seq
+    ChangelogFiles.list(path).map(f =>
+      ChangelogPartition(f, s, e): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangelogReaderFactory
+
+  /** ≙ position persisted after flush — the engine's commit log
+    * already made the offset durable; files are immutable so there
+    * is nothing to release. */
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+final class ChangelogBatch(path: String) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    ChangelogFiles.list(path).map(f =>
+      ChangelogPartition(f, Long.MinValue, Long.MaxValue): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangelogReaderFactory
+}
+
+/** One partition per changelog file; the reader filters the
+  * (startSeq, endSeq] range. Files are the unit of parallelism —
+  * a sharded deployment writes one file per source shard. */
+final case class ChangelogPartition(file: String, startSeq: Long, endSeq: Long)
+  extends InputPartition
+
+final class ChangelogReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ChangelogReader(p.asInstanceOf[ChangelogPartition])
+}
+
+final class ChangelogReader(p: ChangelogPartition)
+  extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val toCatalyst =
+    CatalystTypeConverters.createToCatalystConverter(ChangeEvent.schema)
+  private val stream = Files.lines(Paths.get(p.file))
+  private val lines = stream.iterator().asScala.filter(_.nonEmpty)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (lines.hasNext) {
+      val m = mapper.readValue(lines.next(), classOf[JMap[String, Object]])
+      val seq = m.get("seq").toString.toLong
+      if (seq > p.startSeq && seq <= p.endSeq) {
+        current = convert(m, seq)
+        return true
+      }
+    }
+    false
+  }
+
+  private def asMap(o: Object): Map[String, String] = o match {
+    case null => null
+    case jm: JMap[_, _] => jm.asScala.map { case (k, v) =>
+      k.toString -> (if (v == null) null else v.toString)
+    }.toMap
+    case _ => null
+  }
+
+  private def convert(m: JMap[String, Object], seq: Long): InternalRow = {
+    val ts = m.get("ts") match {
+      case null => null
+      case n: Number => new java.sql.Timestamp(n.longValue())
+      case s => java.sql.Timestamp.valueOf(s.toString)
+    }
+    val ext = org.apache.spark.sql.Row(
+      m.get("db").toString, m.get("table").toString, m.get("op").toString,
+      ts, Option(m.get("pos")).map(_.toString).orNull, seq,
+      m.get("tableVersion") match {
+        case null => 0
+        case n: Number => n.intValue()
+      },
+      asMap(m.get("after")), asMap(m.get("before")))
+    toCatalyst(ext).asInstanceOf[InternalRow]
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = stream.close()
+}
+
+object ChangelogFiles {
+  def list(path: String): Seq[String] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) Nil
+    else if (Files.isRegularFile(p)) Seq(p.toString)
+    else Files.list(p).iterator().asScala
+      .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".jsonl"))
+      .map(_.toString).toSeq.sorted
+  }
+
+  private val mapper = new ObjectMapper()
+
+  /** Scan the tail watermark. Changelog files are append-only; the
+    * max seq is the source's "current GTID". */
+  def maxSeq(path: String): Long = {
+    var max = -1L
+    list(path).foreach { f =>
+      Files.lines(Paths.get(f)).iterator().asScala
+        .filter(_.nonEmpty).foreach { line =>
+          val m = mapper.readValue(line, classOf[JMap[String, Object]])
+          val s = m.get("seq").toString.toLong
+          if (s > max) max = s
+        }
+    }
+    max
+  }
+}

@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+class ChangelogSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeLog(dir: String, name: String, events: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name),
+      events.mkString("\n").getBytes("UTF-8"))
+
+  private def line(seq: Long, op: String, id: Int, k: Int,
+      table: String = "t1"): String =
+    s"""{"db":"db1","table":"$table","op":"$op","ts":${1700000000000L + seq},""" +
+      s""""pos":"gtid:$seq","seq":$seq,"tableVersion":0,""" +
+      s""""after":{"id":"$id","k":"$k"},"before":null}"""
+
+  test("batch read parses the envelope") {
+    val dir = Files.createTempDirectory("clog").toString
+    writeLog(dir, "a.jsonl", Seq(line(0, "insert", 1, 10),
+      line(1, "update", 1, 11), line(2, "delete", 2, 0)))
+    val df = spark.read.format("graft-changelog").option("path", dir).load()
+    assert(df.count() == 3)
+    val r = df.orderBy("seq")
+      .select($"db", $"table", $"op", $"seq", $"pos", expr("after['k']"))
+      .as[(String, String, String, Long, String, String)].collect()
+    assert(r(0) == ("db1", "t1", "insert", 0L, "gtid:0", "10"))
+    assert(r(2)._3 == "delete")
+  }
+
+  test("streaming: all events delivered once; offsets advance") {
+    val dir = Files.createTempDirectory("clog").toString
+    val ckpt = Files.createTempDirectory("clog-ckpt").toString
+    writeLog(dir, "a.jsonl", (0 until 20).map(i => line(i, "insert", i, i)))
+
+    val seen = collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-changelog")
+      .option("path", dir).option("maxEventsPerTrigger", "7").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen ++= b.select("seq").as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).collect() }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(seen.sorted.toSeq == (0L until 20L), s"got $seen")
+
+    // append more events, restart from checkpoint: only the new ones
+    writeLog(dir, "b.jsonl", (20 until 25).map(i => line(i, "insert", i, i)))
+    seen.clear()
+    val q2 = spark.readStream.format("graft-changelog")
+      .option("path", dir).option("maxEventsPerTrigger", "7").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen ++= b.select("seq").as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).collect() }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(seen.sorted.toSeq == (20L until 25L),
+      s"checkpoint resume must not replay: $seen")
+  }
+
+  test("maxEventsPerTrigger bounds each micro-batch (backpressure)") {
+    val dir = Files.createTempDirectory("clog").toString
+    val ckpt = Files.createTempDirectory("clog-ckpt").toString
+    writeLog(dir, "a.jsonl", (0 until 10).map(i => line(i, "insert", i, i)))
+    val sizes = collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-changelog")
+      .option("path", dir).option("maxEventsPerTrigger", "4").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes.synchronized { sizes += b.count() }; ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(sizes.forall(_ <= 4), s"batch sizes: $sizes")
+    assert(sizes.sum == 10)
+  }
+}
