@@ -1,0 +1,48 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sinks.ParquetUpsertSink
+
+/** Plugin registry ≙ `registry/registry.go:30-66`: (kind, name) →
+  * configurable factory. Spark already provides this for sources
+  * (DataSource V2 `format(name)` — graft-changelog registers there);
+  * this registry covers the sink side plus config-driven pipeline
+  * assembly (≙ `app/server.go:26-92`).
+  */
+object Registry {
+
+  type SinkFactory = Map[String, String] => Pipeline.BatchSink
+  type SourceFactory = (SparkSession, Map[String, String]) => DataFrame
+
+  private val sinks = TrieMap.empty[String, SinkFactory]
+  private val sources = TrieMap.empty[String, SourceFactory]
+
+  def registerSink(name: String)(f: SinkFactory): Unit = sinks.put(name, f)
+  def registerSource(name: String)(f: SourceFactory): Unit = sources.put(name, f)
+
+  def sink(name: String, conf: Map[String, String]): Pipeline.BatchSink =
+    sinks.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown sink: $name"))(conf)
+
+  def source(name: String, spark: SparkSession,
+      conf: Map[String, String]): DataFrame =
+    sources.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown source: $name"))(spark, conf)
+
+  def sinkNames: Set[String] = sinks.keySet.toSet
+  def sourceNames: Set[String] = sources.keySet.toSet
+
+  // built-ins (≙ inputs/init.go, outputs/init.go registrations)
+  registerSink("parquet-upsert") { conf =>
+    new ParquetUpsertSink(conf("dir"))
+  }
+  registerSource("changelog") { (spark, conf) =>
+    val r = spark.readStream.format("graft-changelog")
+      .option("path", conf("path"))
+    conf.get("maxEventsPerTrigger")
+      .map(m => r.option("maxEventsPerTrigger", m)).getOrElse(r).load()
+  }
+}
