@@ -20,8 +20,15 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Double dot product of two float-array columns — left-to-right
-    * fold, the same IEEE sequence DuckDB's list_dot_product runs. */
-  def dot(x: Column, y: Column): Column =
+    * fold, the same IEEE sequence DuckDB's list_dot_product runs.
+    * Resolves to the codegen'd native [[graft.functions.DotProduct]]
+    * expression (registered by GraftExtensions — all engine sessions
+    * enable it). */
+  def dot(x: Column, y: Column): Column = call_function("dot_product", x, y)
+
+  /** Reference implementation via higher-order functions — same
+    * values as [[dot]] (kept for cross-checking the native kernel). */
+  def dotHof(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
