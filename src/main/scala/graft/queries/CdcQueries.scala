@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.meta.{ColumnDef, TableDef}
 import graft.operators.{Compactor, Transforms}
+import graft.sinks.Formats
 
 /** Batch-verifiable versions of the reference's CDC dataflow
   * operators (SURVEY §2), exercised over the `events` table so the
@@ -118,6 +120,43 @@ object CdcQueries {
           sum(col("value").cast(DecimalType(18, 2))).cast(OutD).as("sum_value"))
         .orderBy(col("hr"), col("event_type"))),
 
+    // ≙ StarRocks/Doris stream-load payload through the REAL sink
+    // formatter (Formats.streamLoadJson): data columns + the
+    // _delete_sign_ virtual column as one JSON row per record.
+    "cdc_streamload_format" -> ((s, dir) => {
+      val t = TableDef("app", "events", Seq(
+        ColumnDef("event_id", "bigint", isPrimaryKey = true),
+        ColumnDef("user_id", "bigint"),
+        ColumnDef("value", "double")))
+      val batch = events(s, dir)
+        .withColumn("op",
+          when(col("event_type") === "error", "delete").otherwise("insert"))
+      Formats.streamLoadJson(batch, t)
+        .withColumn("row_id",
+          get_json_object(col("row_json"), "$.event_id").cast("long"))
+        .orderBy(col("row_id"))
+    }),
+
+    // ≙ Kafka `json` format through the real formatter
+    // (Formats.kafkaJson) over a constructed envelope.
+    "cdc_kafka_json_format" -> ((s, dir) => {
+      val env = events(s, dir).select(
+        lit("app").as("db"),
+        lit("events").as("table"),
+        when(col("event_type") === "error", "delete").otherwise("insert")
+          .as("op"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        concat(lit("seq:"), col("event_id")).as("pos"),
+        col("event_id").as("seq"),
+        map(lit("event_id"), col("event_id").cast("string"),
+          lit("user_id"), col("user_id").cast("string")).as("after"),
+        map(lit("event_id"), col("event_id").cast("string")).as("before"))
+      Formats.kafkaJson(env)
+        .withColumn("row_id",
+          get_json_object(col("value"), "$.data.event_id").cast("long"))
+        .orderBy(col("row_id"))
+    }),
+
     // sessionization: 30-min-gap sessions per user via lag() —
     // integer ns math, exact on both engines.
     "cdc_sessionize" -> ((s, dir) => {
@@ -178,6 +217,25 @@ object CdcQueries {
         | event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+    "cdc_streamload_format" ->
+      """SELECT to_json(struct_pack(
+        |   event_id := event_id, user_id := user_id, value := value,
+        |   "_delete_sign_" := CASE WHEN event_type = 'error'
+        |                           THEN 1 ELSE 0 END)) AS row_json,
+        | event_id AS row_id
+        |FROM events ORDER BY row_id""".stripMargin,
+    "cdc_kafka_json_format" ->
+      """SELECT to_json(struct_pack(
+        |   database := 'app', "table" := 'events',
+        |   type := CASE WHEN event_type = 'error'
+        |                THEN 'delete' ELSE 'insert' END,
+        |   ts := CAST(floor(epoch(make_timestamp(epoch_ns(ts) // 1000)))
+        |              AS BIGINT),
+        |   data := MAP {'event_id': CAST(event_id AS VARCHAR),
+        |                'user_id': CAST(user_id AS VARCHAR)},
+        |   old := MAP {'event_id': CAST(event_id AS VARCHAR)})) AS value,
+        | event_id AS row_id
+        |FROM events ORDER BY row_id""".stripMargin,
     "cdc_sessionize" ->
       """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
         | COUNT(*) AS n_events
