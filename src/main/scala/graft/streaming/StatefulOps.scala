@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators — capabilities SURVEY §2 lists as
+  * newly *available* on Spark (the reference has no event-time,
+  * watermarks, windows, or keyed state at all):
+  *
+  *  - watermarked streaming dedup (at-least-once → effectively-once
+  *    by event id within the lateness bound),
+  *  - event-time tumbling/sliding aggregates,
+  *  - custom keyed state via flatMapGroupsWithState (gap-based
+  *    sessionization, the streaming twin of CdcQueries'
+  *    cdc_sessionize batch query).
+  *
+  * At scale, all three shuffle once on their key and keep state in
+  * the state store — for 100 TB streams configure the RocksDB state
+  * store provider so state spills off-heap
+  * (`spark.sql.streaming.stateStore.providerClass`).
+  */
+object StatefulOps {
+
+  /** Drop duplicate events by `idCols` arriving within the watermark
+    * delay (replay suppression for at-least-once sources). */
+  def streamingDedup(df: DataFrame, idCols: Seq[String],
+      eventTimeCol: String, delay: String): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Event-time tumbling counts per group. */
+  def windowedCounts(df: DataFrame, eventTimeCol: String, groupCol: String,
+      windowLen: String, delay: String): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), windowLen), col(groupCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col(groupCol), col("n"))
+
+  final case class UserEvent(userId: Long, tsMs: Long)
+  final case class SessionSummary(userId: Long, nSessions: Int, nEvents: Long)
+  final case class SessState(lastTsMs: Long, nSessions: Int, nEvents: Long)
+
+  /** Gap-based sessionization with explicit keyed state
+    * (flatMapGroupsWithState): a new session starts when the gap to
+    * the previous event exceeds `gapMs`. Emits the running summary
+    * per key each batch (update mode). */
+  def sessionSummaries(events: Dataset[UserEvent], gapMs: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessState, SessionSummary](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[SessState]) =>
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0, 0L))
+          batch.toSeq.sortBy(_.tsMs).foreach { e =>
+            val newSession =
+              st.lastTsMs == Long.MinValue || e.tsMs - st.lastTsMs > gapMs
+            st = SessState(e.tsMs,
+              st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+          }
+          state.update(st)
+          Iterator.single(SessionSummary(userId, st.nSessions, st.nEvents))
+      }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+class StatefulOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamingDedup suppresses replayed ids within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val deduped = StatefulOps.streamingDedup(
+      mem.toDF().toDF("id", "ts"), Seq("id"), "ts", "10 minutes")
+    val t0 = 1700000000000L
+    mem.addData((1L, new Timestamp(t0)), (1L, new Timestamp(t0 + 1000)),
+      (2L, new Timestamp(t0 + 2000)), (2L, new Timestamp(t0 + 3000)),
+      (3L, new Timestamp(t0 + 4000)))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_out").select($"id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("windowedCounts groups by event-time tumbling window") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val counts = StatefulOps.windowedCounts(
+      mem.toDF().toDF("kind", "ts"), "ts", "kind", "1 hour", "1 minute")
+    val q = counts.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    val h0 = 1700000000000L - (1700000000000L % 3600000L)
+    mem.addData(
+      ("a", new Timestamp(h0 + 60000)), ("a", new Timestamp(h0 + 120000)),
+      ("b", new Timestamp(h0 + 60000)),
+      ("a", new Timestamp(h0 + 3600000 + 60000)))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("win_out")
+      .select($"win_start", $"kind", $"n")
+      .as[(Timestamp, String, Long)].collect()
+      .map { case (w, k, n) => (w.getTime, k, n) }.toSet
+    assert(out == Set((h0, "a", 2L), (h0, "b", 1L),
+      (h0 + 3600000L, "a", 1L)))
+  }
+
+  test("sessionSummaries tracks gap-based sessions across batches") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[StatefulOps.UserEvent]
+    val sums = StatefulOps.sessionSummaries(mem.toDS(), gapMs = 60000L)
+    val q = sums.writeStream.format("memory").queryName("sess_out")
+      .outputMode("update").start()
+    val t0 = 1700000000000L
+    // user 1: two events close together (1 session), user 2: one
+    mem.addData(StatefulOps.UserEvent(1, t0),
+      StatefulOps.UserEvent(1, t0 + 1000), StatefulOps.UserEvent(2, t0))
+    q.processAllAvailable()
+    // next batch: user 1 after a gap -> second session; state carries
+    mem.addData(StatefulOps.UserEvent(1, t0 + 10 * 60000))
+    q.processAllAvailable(); q.stop()
+    val m = spark.table("sess_out").as[StatefulOps.SessionSummary]
+      .collect().groupBy(_.userId).map { case (u, rows) =>
+        u -> rows.maxBy(_.nEvents) }
+    assert(m(1L).nSessions == 2 && m(1L).nEvents == 3)
+    assert(m(2L).nSessions == 1 && m(2L).nEvents == 1)
+  }
+}
