@@ -37,11 +37,10 @@ class PipelineSpec extends SparkSpec {
     val route = Pipeline.Route("db1", "t1", target,
       transforms = Seq(Transforms.dropWhere(col("op") === "replace")))
 
-    val q = Pipeline.start(mem.toDF(), Seq(route), sink, ckpt,
-      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-
     // batch 1: FIXTURES A.5 — same-key insert→update→delete→insert,
-    // a second key ending deleted, an unrouted table, a replace drop
+    // a second key ending deleted, an unrouted table, a replace drop.
+    // Data added BEFORE start: AvailableNow snapshots its target
+    // offset at query start.
     mem.addData(
       ev("insert", 1, 1, 10, "a"),
       ev("update", 2, 1, 11, "a2"),
@@ -51,6 +50,8 @@ class PipelineSpec extends SparkSpec {
       ev("delete", 6, 2, 0, ""),
       ev("insert", 7, 9, 99, "unrouted", table = "t_other"),
       ev("replace", 8, 3, 30, "dropped-by-transform"))
+    val q = Pipeline.start(mem.toDF(), Seq(route), sink, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
     q.processAllAvailable()
     q.stop()
 
@@ -59,9 +60,9 @@ class PipelineSpec extends SparkSpec {
     assert(state1.toSeq == Seq((1L, 12, "a3")))
 
     // batch 2 (restart from checkpoint): update key 1, re-insert key 2
+    mem.addData(ev("update", 9, 1, 13, "a4"), ev("insert", 10, 2, 21, "b2"))
     val q2 = Pipeline.start(mem.toDF(), Seq(route), sink, ckpt,
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    mem.addData(ev("update", 9, 1, 13, "a4"), ev("insert", 10, 2, 21, "b2"))
     q2.processAllAvailable()
     q2.stop()
 
