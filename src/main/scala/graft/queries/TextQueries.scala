@@ -52,6 +52,22 @@ object TextQueries {
         TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    // BPE-ish regex token counting (word pieces / numbers / symbols)
+    "text_bpe_tokens" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe"))
+        .orderBy(col("doc_id"))),
+
+    // polynomial rolling-hash fingerprint via the native codegen
+    // expression (graft.functions.RollingHash)
+    "text_rolling_fp" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        call_function("rolling_hash", col("text")).as("rfp"))
+        .orderBy(col("doc_id"))),
+
     // multimodal: blob + decoded metadata (decode = marked STUB, the
     // schema/plumbing is the contract under test)
     "multimodal_meta" -> ((s, dir) =>
@@ -103,6 +119,19 @@ object TextQueries {
          | + CASE WHEN len($sqlToks) BETWEEN 5 AND 500
          |        THEN 1.0 ELSE 0.0 END AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |      AS INTEGER) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_rolling_fp" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(0::BIGINT,
+        |     list_transform(regexp_extract_all(text, '.'),
+        |                    c -> unicode(c)::BIGINT)),
+        |   (h, b) -> (h * 131 + b) % 2147483647) AS rfp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         | octet_length(CAST(text AS BLOB)) AS n_bytes,
