@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.meta.SchemaRegistry
+
+/** Runtime schema evolution — SURVEY §3.2 / §7.5.2, the reference's
+  * hardest semantic (binlog QueryEvent → parse → versioned registry
+  * update; DML pinned to `tableVersion`).
+  *
+  * The engine's envelope design makes this cheaper than the
+  * stop/restart protocol the survey anticipated: the STREAMING
+  * schema is the fixed generic envelope (maps), so DDL never changes
+  * the streaming query's schema — it only changes the per-batch
+  * projection built inside `foreachBatch`. Evolution is therefore:
+  *
+  *  1. DDL events (`op = "ddl"`, statement in `after["sql"]`) are
+  *     applied to the SchemaRegistry in seq order at the top of each
+  *     batch (driver-side, control-plane);
+  *  2. DML rows project through the schema version they're PINNED to
+  *     (`tableVersion`), per version group, then union-by-name onto
+  *     the latest shape (missing new columns → null) — exactly the
+  *     reference's version-resolved serialization
+  *     (`outputs/kafka/kafka.go:135-140`), generalized.
+  */
+object SchemaEvolution {
+
+  val DdlOp = "ddl"
+
+  /** Apply any DDL rows in the batch to the registry (seq order).
+    * Returns the number applied. Driver-side: DDL frequency is
+    * human-scale, the collect is a few rows. */
+  def applyDdl(batch: DataFrame, registry: SchemaRegistry): Int = {
+    val stmts = batch.filter(col("op") === DdlOp)
+      .select(col("db"), col("after").getItem("sql").as("sql"), col("seq"))
+      .orderBy(col("seq"))
+      .collect()
+    stmts.foreach(r => registry.applySql(r.getString(1), r.getString(0)))
+    stmts.length
+  }
+
+  /** Route + type a batch with version-pinned decoding: each
+    * tableVersion group projects through ITS schema version, then
+    * all groups align onto the current shape via unionByName with
+    * null-fill. */
+  def routedVersioned(batch: DataFrame, db: String, table: String,
+      registry: SchemaRegistry): DataFrame = {
+    val routed = batch.filter(col("db") === db && col("table") === table &&
+      col("op") =!= DdlOp)
+    val current = registry.current(db, table).getOrElse(
+      return routed.select(col("op"), col("seq"), col("pos")))
+    val versions = routed.select(col("tableVersion")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val frames = versions.toSeq.map { v =>
+      val t = registry.get(db, table, v).getOrElse(current)
+      val typedCols = t.columns.map { c =>
+        col("after").getItem(c.name).cast(c.sparkType).as(c.name)
+      }
+      routed.filter(col("tableVersion") === v)
+        .select(typedCols ++ Seq(col("op"), col("seq"), col("pos")): _*)
+    }
+    val unified = frames.reduceOption(
+      _.unionByName(_, allowMissingColumns = true))
+      .getOrElse(routed.select(col("op"), col("seq"), col("pos")))
+    // align to the current column order, null-filling columns that
+    // no present version carries
+    val cols = current.columnNames.map(n =>
+      if (unified.columns.contains(n)) col(n)
+      else lit(null).cast(current.column(n).get.sparkType).as(n))
+    unified.select(cols ++ Seq(col("op"), col("seq"), col("pos")): _*)
+  }
+
+  /** foreachBatch body with evolution: DDL first, then per-table
+    * version-pinned routing → compaction → sink. */
+  def processBatch(batch: DataFrame, registry: SchemaRegistry,
+      tables: Seq[(String, String)], sink: Pipeline.BatchSink,
+      batchId: Long): Unit = {
+    batch.persist()
+    try {
+      applyDdl(batch, registry)
+      tables.foreach { case (db, table) =>
+        registry.current(db, table).foreach { t =>
+          val typed = routedVersioned(batch, db, table, registry)
+          sink.write(Pipeline.compacted(typed, t), t, batchId)
+        }
+      }
+    } finally batch.unpersist()
+  }
+}
