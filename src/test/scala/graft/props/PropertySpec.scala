@@ -1,0 +1,109 @@
+package graft.props
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+// top-level so Spark can synthesize an Encoder without an outer scope
+case class Ev(id: Long, seq: Long, op: String, v: Int)
+
+import graft.SparkSpec
+import graft.meta.SchemaRegistry
+import graft.operators.Compactor
+
+/** Property tests (SURVEY §5.1): random changelog sequences vs the
+  * naive sequential-replay model, and random DDL programs vs a
+  * column-list model. Raw ScalaCheck generators sampled with fixed
+  * seeds (the scalatest bridge isn't in the offline cache). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAllSamples[T](gen: Gen[T], n: Int)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private val evGen: Gen[List[Ev]] = for {
+    n <- Gen.choose(1, 60)
+    evs <- Gen.listOfN(n, for {
+      id <- Gen.choose(1L, 6L)
+      op <- Gen.oneOf("insert", "update", "delete")
+      v <- Gen.choose(0, 100)
+    } yield (id, op, v))
+  } yield evs.zipWithIndex.map { case ((id, op, v), i) =>
+    Ev(id, i.toLong, op, v)
+  }
+
+  test("compaction ≡ naive sequential replay (random changelogs)") {
+    forAllSamples(evGen, 15) { evs =>
+      // model: replay in seq order, last state per key, drop deleted
+      val model = evs.sortBy(_.seq).foldLeft(Map.empty[Long, Ev]) {
+        (m, e) => m + (e.id -> e)
+      }.filter(_._2.op != "delete").view.mapValues(e => (e.seq, e.v)).toMap
+
+      val df = evs.toDF()
+      val engine = Compactor.dropDeleted()(
+        Compactor.lastEventPerKeyAgg(Seq("id"), "seq")(df))
+        .select($"id", $"seq", $"v").as[(Long, Long, Int)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(engine == model)
+
+      // window implementation agrees with agg implementation
+      val win = Compactor.dropDeleted()(
+        Compactor.lastEventPerKey(Seq("id"), $"seq")(df))
+        .select($"id", $"seq", $"v").as[(Long, Long, Int)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(win == model)
+
+      // idempotent under replay (at-least-once duplication)
+      val dup = Compactor.dropDeleted()(
+        Compactor.lastEventPerKeyAgg(Seq("id"), "seq")(df.union(df)))
+        .select($"id", $"seq", $"v").as[(Long, Long, Int)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(dup == model)
+    }
+  }
+
+  private sealed trait Op
+  private case class Add(name: String, after: Option[String]) extends Op
+  private case class Drop(name: String) extends Op
+  private case class Rename(from: String, to: String) extends Op
+
+  test("random DDL programs ≡ column-list model") {
+    val names = (0 until 12).map(i => s"c$i")
+    val opGen: Gen[Op] = Gen.oneOf(
+      for {
+        n <- Gen.oneOf(names); a <- Gen.option(Gen.oneOf(names))
+      } yield Add(n, a),
+      Gen.oneOf(names).map(Drop(_)),
+      for { f <- Gen.oneOf(names); t <- Gen.oneOf(names) } yield Rename(f, t))
+
+    forAllSamples(Gen.listOfN(25, opGen), 30) { ops =>
+      val reg = new SchemaRegistry
+      reg.applySql("CREATE TABLE t (id INT PRIMARY KEY)", "db")
+      var model = Vector("id")
+      ops.foreach {
+        case Add(n, after) if !model.contains(n) =>
+          // mirror engine semantics: AFTER an absent col appends
+          val pos = after match {
+            case Some(a) if model.contains(a) => model.indexOf(a) + 1
+            case Some(_) => model.size
+            case None => model.size
+          }
+          model = (model.take(pos) :+ n) ++ model.drop(pos)
+          val posSql = after.map(a => s" AFTER $a").getOrElse("")
+          reg.applySql(s"ALTER TABLE t ADD COLUMN $n INT$posSql", "db")
+        case Add(_, _) => // engine dedups same-name adds; skip in model
+        case Drop(n) if model.contains(n) && n != "id" =>
+          model = model.filterNot(_ == n)
+          reg.applySql(s"ALTER TABLE t DROP COLUMN $n", "db")
+        case Drop(_) =>
+        case Rename(f, t)
+          if model.contains(f) && !model.contains(t) && f != "id" =>
+          model = model.map(c => if (c == f) t else c)
+          reg.applySql(s"ALTER TABLE t RENAME COLUMN $f TO $t", "db")
+        case Rename(_, _) =>
+      }
+      assert(reg.current("db", "t").get.columnNames == model)
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.meta.{ColumnDef, TableDef}
+
+class BucketedUpsertSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val target = TableDef("db1", "t1", Seq(
+    ColumnDef("id", "bigint", isPrimaryKey = true),
+    ColumnDef("v", "int")))
+
+  private def batch(rows: (Long, Int, String, Long)*) =
+    rows.toSeq.toDF("id", "v", "op", "seq")
+      .withColumn("pos", org.apache.spark.sql.functions.lit("g"))
+
+  test("upsert/delete merge across batches, bucket layout on disk") {
+    val dir = Files.createTempDirectory("bucket-sink").toString
+    val sink = new BucketedUpsertSink(dir, buckets = 4)
+
+    sink.write(batch((1L, 10, "insert", 1), (2L, 20, "insert", 2),
+      (3L, 30, "insert", 3)), target, 0)
+    sink.write(batch((2L, 21, "update", 4), (3L, 0, "delete", 5),
+      (4L, 40, "insert", 6)), target, 1)
+
+    val state = sink.read(target).select($"id", $"v")
+      .as[(Long, Int)].collect().sortBy(_._1)
+    assert(state.toSeq == Seq((1L, 10), (2L, 21), (4L, 40)))
+
+    // bucket dirs exist
+    val bucketDirs = Files.list(Paths.get(s"$dir/db1.t1")).iterator()
+    assert(bucketDirs.hasNext)
+  }
+
+  test("untouched buckets are not rewritten") {
+    val dir = Files.createTempDirectory("bucket-sink2").toString
+    val sink = new BucketedUpsertSink(dir, buckets = 16)
+    // spread keys across many buckets
+    sink.write(batch((1 to 50).map(i =>
+      (i.toLong, i, "insert", i.toLong)): _*), target, 0)
+    val mtimes = Files.list(Paths.get(s"$dir/db1.t1")).iterator()
+    val before = new java.util.HashMap[String, Long]()
+    mtimes.forEachRemaining(p =>
+      before.put(p.getFileName.toString, Files.getLastModifiedTime(p).toMillis))
+    Thread.sleep(1100)
+    // single-key batch: only key 1's bucket should change
+    sink.write(batch((1L, 99, "update", 100)), target, 1)
+    var changed = 0
+    Files.list(Paths.get(s"$dir/db1.t1")).iterator().forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("bucket=") &&
+        Files.getLastModifiedTime(p).toMillis != before.get(n)) changed += 1
+    }
+    assert(changed <= 2, s"expected ~1 touched bucket dir, got $changed")
+    val v = sink.read(target).filter($"id" === 1).select($"v").as[Int].head()
+    assert(v == 99)
+  }
+}
