@@ -130,6 +130,37 @@ object Core2Queries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // SQL frontend: the same engine drives spark.sql over registered
+    // views (q3 restated in SQL text)
+    "q_sql_frontend" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'HOUSEHOLD'
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // JSON scalar extraction from the events props column
+    "q_json_extract" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id"))),
+
+    // PIVOT (conditional aggregation): order counts by priority ×
+    // status
+    "q_pivot_status" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority"))),
+
     // HAVING (post-aggregate filter)
     "q_having" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -201,6 +232,22 @@ object Core2Queries {
         |  ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_sql_frontend" ->
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'HOUSEHOLD'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        | COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+        | COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+        | COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_having" ->
       """SELECT l_partkey, COUNT(*) AS n FROM lineitem
         |GROUP BY l_partkey HAVING COUNT(*) > 40
