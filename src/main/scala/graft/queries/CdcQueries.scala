@@ -157,6 +157,30 @@ object CdcQueries {
         .orderBy(col("row_id"))
     }),
 
+    // ≙ Aliyun-DTS-Canal envelope through the real formatter
+    // (Formats.canalJson) — sqlType/mysqlType codes, pkNames,
+    // stringified data; emit-ts pinned for determinism.
+    "cdc_canal_format" -> ((s, dir) => {
+      val t = TableDef("app", "events", Seq(
+        ColumnDef("event_id", "bigint", isPrimaryKey = true),
+        ColumnDef("user_id", "bigint")))
+      val env = events(s, dir).select(
+        lit("app").as("db"),
+        lit("events").as("table"),
+        when(col("event_type") === "error", "delete").otherwise("insert")
+          .as("op"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        concat(lit("gtid:"), col("event_id")).as("pos"),
+        col("event_id").as("seq"),
+        map(lit("event_id"), col("event_id").cast("string"),
+          lit("user_id"), col("user_id").cast("string")).as("after"),
+        map(lit("event_id"), col("event_id").cast("string")).as("before"))
+      Formats.canalJson(env, t, emitTsMs = lit(1700000000000L))
+        .withColumn("row_id",
+          get_json_object(col("value"), "$.id").cast("long"))
+        .orderBy(col("row_id"))
+    }),
+
     // sessionization: 30-min-gap sessions per user via lag() —
     // integer ns math, exact on both engines.
     "cdc_sessionize" -> ((s, dir) => {
@@ -234,6 +258,26 @@ object CdcQueries {
         |   data := MAP {'event_id': CAST(event_id AS VARCHAR),
         |                'user_id': CAST(user_id AS VARCHAR)},
         |   old := MAP {'event_id': CAST(event_id AS VARCHAR)})) AS value,
+        | event_id AS row_id
+        |FROM events ORDER BY row_id""".stripMargin,
+    "cdc_canal_format" ->
+      """SELECT to_json(struct_pack(
+        |   id := event_id,
+        |   database := 'app', "table" := 'events',
+        |   gtid := ['gtid:' || CAST(event_id AS VARCHAR)],
+        |   pkNames := ['event_id'],
+        |   isDdl := false,
+        |   type := CASE WHEN event_type = 'error'
+        |                THEN 'DELETE' ELSE 'INSERT' END,
+        |   es := CAST(floor(epoch(make_timestamp(epoch_ns(ts) // 1000)))
+        |              AS BIGINT) * 1000,
+        |   ts := 1700000000000,
+        |   sql := '',
+        |   sqlType := MAP {'event_id': -5, 'user_id': -5},
+        |   mysqlType := MAP {'event_id': 'bigint', 'user_id': 'bigint'},
+        |   data := [MAP {'event_id': CAST(event_id AS VARCHAR),
+        |                 'user_id': CAST(user_id AS VARCHAR)}],
+        |   old := [MAP {'event_id': CAST(event_id AS VARCHAR)}])) AS value,
         | event_id AS row_id
         |FROM events ORDER BY row_id""".stripMargin,
     "cdc_sessionize" ->

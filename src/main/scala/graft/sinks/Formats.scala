@@ -80,8 +80,11 @@ object Formats {
 
   /** Aliyun-DTS-Canal envelope ≙ `aliyunDtsCanalFormat.formatMsg`
     * (`outputs/kafka/kafka_utils.go:116-256`): stringified row data,
-    * per-column sqlType/mysqlType, pkNames, monotone id. */
-  def canalJson(envelope: DataFrame, t: TableDef): DataFrame = {
+    * per-column sqlType/mysqlType, pkNames, monotone id.
+    * `emitTsMs` defaults to wall-clock (reference behavior); inject a
+    * deterministic column for replayable/oracle-checked output. */
+  def canalJson(envelope: DataFrame, t: TableDef,
+      emitTsMs: Column = unix_timestamp(current_timestamp()) * 1000): DataFrame = {
     val sqlTypes = map(t.columns.flatMap(c =>
       Seq(lit(c.name), lit(jdbcTypeCode(c.rawType)))): _*)
     val mysqlTypes = map(t.columns.flatMap(c =>
@@ -97,7 +100,7 @@ object Formats {
         lit(false).as("isDdl"),
         upper(col("op")).as("type"),
         (unix_timestamp(col("ts")) * 1000).as("es"),
-        (unix_timestamp(current_timestamp()) * 1000).as("ts"),
+        emitTsMs.as("ts"),
         lit("").as("sql"),
         sqlTypes.as("sqlType"),
         mysqlTypes.as("mysqlType"),
