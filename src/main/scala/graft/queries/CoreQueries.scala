@@ -184,8 +184,12 @@ object CoreQueries {
     // Catalyst would decorrelate to anyway).
     "q_above_avg_orders" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
+      // exact decimal sum ÷ count, then one double division: the
+      // double avg() is partition-order-dependent in its last ulp,
+      // which can flip `price > avg` on degenerate groups.
       val avgs = o.groupBy(col("o_custkey").as("k"))
-        .agg(avg(col("o_totalprice")).as("avg_price"))
+        .agg((sum(dec(col("o_totalprice"))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_price"))
       o.join(broadcast(avgs), col("o_custkey") === col("k"))
         .filter(col("o_totalprice") > col("avg_price"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -268,7 +272,9 @@ object CoreQueries {
         |ORDER BY rf, ls""".stripMargin,
     "q_above_avg_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
-        |JOIN (SELECT o_custkey AS k, AVG(o_totalprice) AS avg_price
+        |JOIN (SELECT o_custkey AS k,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS avg_price
         |      FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.k
         |WHERE o_totalprice > avg_price
         |ORDER BY o_orderkey""".stripMargin
