@@ -58,20 +58,24 @@ final case class PipelineConfig(
     * declaration order, then the positional column mapper
     * (≙ core/meta.go:38-104 ordering: transforms rewrite the column
     * list before the mapper zip). Target schemas resolve from the
-    * registry (≙ output LoadMeta). */
+    * registry (≙ output LoadMeta); when a SOURCE schema is also
+    * registered, the envelope projects onto it first so transforms
+    * see the source's column names. The mapper preserves the
+    * pipeline's op/seq/pos metadata columns. */
   def routes(registry: SchemaRegistry): Seq[Pipeline.Route] =
     routers.map { r =>
       val target = registry.current(r.targetDb, r.targetTable).getOrElse(
         throw new IllegalArgumentException(
           s"no schema registered for ${r.targetDb}.${r.targetTable}"))
+      val source = registry.current(r.sourceDb, r.sourceTable)
       val matched = transforms.filter(t =>
         t.matchDb == r.sourceDb && t.matchTable == r.sourceTable)
       val mapper: Seq[DataFrame => DataFrame] =
         if (r.sourceColumns.nonEmpty)
-          Seq(Transforms.columnMapper(r.sourceColumns, r.targetColumns))
+          Seq(Transforms.envelopeColumnMapper(r.sourceColumns, r.targetColumns))
         else Nil
       Pipeline.Route(r.sourceDb, r.sourceTable, target,
-        matched.map(_.toFn) ++ mapper)
+        matched.map(_.toFn) ++ mapper, source = source)
     }
 }
 

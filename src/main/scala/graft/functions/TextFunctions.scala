@@ -49,11 +49,16 @@ object TextFunctions {
     length(regexp_replace(trim(text), " ", "")).cast("double") /
       tokenCount(text).cast("double")
 
-  /** N-gram (word-shingle) array, 1-indexed element_at. */
+  /** N-gram (word-shingle) array, 1-indexed element_at. Documents
+    * shorter than n tokens yield an EMPTY array — without the guard,
+    * sequence(1, size-n+1) would descend through 0 and
+    * element_at(ts, 0) throws. */
   def shingles(text: Column, n: Int = 3): Column = {
     val ts = tokens(text)
-    transform(sequence(lit(1), size(ts) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*))
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*)))
   }
 
   /** Language-id heuristic: marker-word lookup, first match wins.

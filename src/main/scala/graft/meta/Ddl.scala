@@ -123,8 +123,18 @@ object DdlParser {
       case Some(p) => After(unq(p.split("\\s+")(1)))
     }
 
+  // index/constraint ALTER clauses must not fall through to AddRe —
+  // `ADD INDEX idx (c)` would otherwise parse as a phantom column
+  private val alterNoiseRe =
+    ("""(?is)^\s*(?:ADD\s+(?:PRIMARY\s+KEY|(?:UNIQUE\s+)?(?:INDEX|KEY)|""" +
+      """CONSTRAINT|FULLTEXT|SPATIAL|FOREIGN\s+KEY|CHECK)|""" +
+      """DROP\s+(?:PRIMARY\s+KEY|INDEX|KEY|CONSTRAINT|FOREIGN\s+KEY)|""" +
+      """ALTER\s+(?:COLUMN\s+)?[`\w]+\s+SET|ENGINE|AUTO_INCREMENT|""" +
+      """CHARACTER\s+SET|CONVERT|COMMENT|ROW_FORMAT).*$""").r
+
   private def parseAlterClause(table: String, clause: String): Option[DdlStatement] =
     clause match {
+      case alterNoiseRe() => None // index/constraint/option clause — no schema effect
       case AddRe(name, typ, pos) =>
         Some(AddColumn(table, colDef(unq(name), typ), parsePos(pos)))
       case ModifyRe(name, typ, pos) =>

@@ -68,7 +68,8 @@ final class SchemaRegistry {
           register(cur.copy(name = to, version = cur.version + 1))
         }
       case AddColumn(t, c, pos) =>
-        evolve(db, t)(cols => insertAt(cols.filterNot(_.name == c.name), c, pos))
+        evolve(db, t)(cols =>
+          insertAt(cols.filterNot(_.name.equalsIgnoreCase(c.name)), c, pos))
       case DropColumn(t, name) =>
         evolve(db, t)(_.filterNot(_.name.equalsIgnoreCase(name)))
       case ModifyColumn(t, c, pos) =>

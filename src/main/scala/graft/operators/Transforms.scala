@@ -53,6 +53,20 @@ object Transforms {
     df => df.select(src.zip(tgt).map { case (s, t) => col(s).as(t) }: _*)
   }
 
+  /** Column mapper for envelope-shaped frames: maps data columns
+    * positionally but carries the pipeline metadata columns
+    * (op/seq/pos) through — a bare [[columnMapper]] would drop them
+    * and break compaction/sinks downstream. */
+  def envelopeColumnMapper(src: Seq[String], tgt: Seq[String],
+      meta: Seq[String] = Seq("op", "seq", "pos")): DataFrame => DataFrame = {
+    require(src.length == tgt.length, s"mapper arity: $src vs $tgt")
+    df => {
+      val kept = meta.filter(df.columns.contains)
+      df.select(src.zip(tgt).map { case (s, t) => col(s).as(t) } ++
+        kept.map(col): _*)
+    }
+  }
+
   /** Virtual `_delete_sign_` column: 1 for deletes, 0 otherwise —
     * the StarRocks/Doris primary-key-model convention. */
   def deleteSign(opCol: Column, deleteOp: String = "delete"): Column =

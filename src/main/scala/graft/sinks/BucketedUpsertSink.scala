@@ -58,17 +58,33 @@ final class BucketedUpsertSink(rootDir: String, buckets: Int = 64)
             existing.unionByName(bucketed, allowMissingColumns = true))
         }
       val finalState = merged.filter(col("op") =!= "delete")
-      val rows = finalState.collect() // materialize before overwrite
-      val out = spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), finalState.schema)
-      // rewrite ONLY the touched bucket dirs (dynamic overwrite)
-      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try out.write.mode(SaveMode.Overwrite)
-        .partitionBy("bucket").parquet(dir)
-      finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      // distributed write to a staging dir (never through the
+      // driver), then swap ONLY the touched bucket dirs. A touched
+      // bucket with no surviving rows has no staged dir and its
+      // target dir is removed — deletes can't resurrect.
+      val staging = s"$dir.staging-$batchId"
+      finalState.write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(staging)
+      touched.foreach { b =>
+        val src = Paths.get(s"$staging/bucket=$b")
+        val dst = Paths.get(s"$dir/bucket=$b")
+        deleteRecursively(dst)
+        if (Files.exists(src)) {
+          Files.createDirectories(dst.getParent)
+          Files.move(src, dst)
+        }
+      }
+      deleteRecursively(Paths.get(staging))
     } finally bucketed.unpersist()
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
 
   def read(t: TableDef): DataFrame =
     org.apache.spark.sql.SparkSession.active.read.parquet(tableDir(t))

@@ -205,24 +205,46 @@ object ChangelogFiles {
     val p = Paths.get(path)
     if (!Files.exists(p)) Nil
     else if (Files.isRegularFile(p)) Seq(p.toString)
-    else Files.list(p).iterator().asScala
-      .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".jsonl"))
-      .map(_.toString).toSeq.sorted
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".jsonl"))
+        .map(_.toString).toVector.sorted
+      finally s.close()
+    }
   }
 
   private val mapper = new ObjectMapper()
 
-  /** Scan the tail watermark. Changelog files are append-only; the
-    * max seq is the source's "current GTID". */
+  // (file, size) -> max seq; changelog files are append-only, so a
+  // file whose size hasn't changed keeps its cached watermark. This
+  // makes the per-trigger latestOffset() cost proportional to NEW
+  // bytes, not total log size (the naive rescan is quadratic over a
+  // stream's lifetime).
+  private val tailCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  /** Scan the tail watermark. The max seq is the source's
+    * "current GTID". */
   def maxSeq(path: String): Long = {
     var max = -1L
     list(path).foreach { f =>
-      Files.lines(Paths.get(f)).iterator().asScala
-        .filter(_.nonEmpty).foreach { line =>
-          val m = mapper.readValue(line, classOf[JMap[String, Object]])
-          val s = m.get("seq").toString.toLong
-          if (s > max) max = s
-        }
+      val size = Files.size(Paths.get(f))
+      val cached = tailCache.get(f)
+      val fileMax = cached match {
+        case Some((sz, m)) if sz == size => m
+        case _ =>
+          val stream = Files.lines(Paths.get(f))
+          val m =
+            try stream.iterator().asScala.filter(_.nonEmpty).foldLeft(-1L) {
+              (acc, line) =>
+                val o = mapper.readValue(line, classOf[JMap[String, Object]])
+                math.max(acc, o.get("seq").toString.toLong)
+            } finally stream.close()
+          tailCache.put(f, (size, m))
+          m
+      }
+      if (fileMax > max) max = fileMax
     }
     max
   }

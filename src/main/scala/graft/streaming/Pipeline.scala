@@ -28,12 +28,21 @@ import graft.operators.{Compactor, Transforms}
 object Pipeline {
 
   /** One route: (db, table) → target table meta + column transforms
-    * (≙ a `[[routers]]` TOML entry + its transform list). */
+    * (≙ a `[[routers]]` TOML entry + its transform list).
+    *
+    * `source` is the SOURCE table's schema when it differs from the
+    * target (rename/mapper configs): the envelope is projected onto
+    * the source's columns first, transforms then rename/drop/remap,
+    * and the result must land on the target's shape — the
+    * reference's order (transforms rewrite the column list BEFORE
+    * the mapper zips it, `transforms/transforms.go:22-55` →
+    * `core/meta.go:78-104`). When None, source shape = target shape. */
   final case class Route(
       db: String,
       table: String,
       target: TableDef,
-      transforms: Seq[DataFrame => DataFrame] = Nil)
+      transforms: Seq[DataFrame => DataFrame] = Nil,
+      source: Option[TableDef] = None)
 
   /** Per-table batch sink (JDBC upsert / stream-load / Kafka /
     * parquet). Receives a routed, typed, compacted batch. */
@@ -46,7 +55,8 @@ object Pipeline {
     * op/seq/pos metadata. The filter sits on the scan; the cast is a
     * narrow projection. */
   def routed(envelope: DataFrame, r: Route): DataFrame = {
-    val typedCols = r.target.columns.map { c =>
+    val shape = r.source.getOrElse(r.target)
+    val typedCols = shape.columns.map { c =>
       col("after").getItem(c.name).cast(c.sparkType).as(c.name)
     }
     envelope
@@ -104,7 +114,10 @@ object Pipeline {
     while (attempt < tries) {
       try return f
       catch {
-        case e: Throwable =>
+        // NonFatal only: retrying InterruptedException would delay
+        // streaming shutdown and re-run sink side effects after
+        // cancellation; VM errors must propagate immediately.
+        case scala.util.control.NonFatal(e) =>
           last = e
           attempt += 1
           if (attempt < tries) Thread.sleep(backoffMs * attempt)

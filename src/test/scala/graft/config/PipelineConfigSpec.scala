@@ -97,6 +97,43 @@ class PipelineConfigSpec extends SparkSpec {
     assert(row == (1L, 10, "p"))
   }
 
+  test("source schema registered: transforms see SOURCE names, land on target shape") {
+    val registry = new SchemaRegistry
+    // source: (id, k, c, pad); target after rename k->k_1, drop c_1
+    registry.applySql(
+      "CREATE TABLE sysbenchts.sbtest1 (id BIGINT PRIMARY KEY, k INT, c VARCHAR(120), pad VARCHAR(60))",
+      "sysbenchts")
+    registry.applySql(
+      "CREATE TABLE tgt.sbtest1 (id BIGINT PRIMARY KEY, k_1 INT, pad VARCHAR(60))",
+      "tgt")
+    val routes = PipelineConfig.fromToml(sample).routes(registry)
+    assert(routes.head.source.get.columnNames == Seq("id", "k", "c", "pad"))
+
+    val logDir = Files.createTempDirectory("cfg3-log").toString
+    Files.write(Paths.get(logDir, "s.jsonl"), Seq(
+      """{"db":"sysbenchts","table":"sbtest1","op":"insert","ts":1700000000000,"pos":"g:0","seq":0,"tableVersion":0,"after":{"id":"7","k":"70","c":"dropme","pad":"pp"},"before":null}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    val sinkDir = Files.createTempDirectory("cfg3-sink").toString
+    val ckpt = Files.createTempDirectory("cfg3-ckpt").toString
+    val q = Pipeline.start(
+      Registry.source("changelog", spark, Map("path" -> logDir)),
+      routes, new ParquetUpsertSink(sinkDir), ckpt,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val out = spark.read.parquet(s"$sinkDir/tgt.sbtest1")
+    val row = out.select($"id", $"k_1", $"pad")
+      .as[(Long, Int, String)].collect().head
+    assert(row == (7L, 70, "pp"))
+  }
+
+  test("envelopeColumnMapper keeps op/seq/pos") {
+    val df = Seq((1L, 2L, "insert", 3L, "g")).toDF("a", "b", "op", "seq", "pos")
+    val out = graft.operators.Transforms
+      .envelopeColumnMapper(Seq("a", "b"), Seq("x", "y"))(df)
+    assert(out.columns.toSeq == Seq("x", "y", "op", "seq", "pos"))
+  }
+
   test("unknown transform type fails loudly") {
     val bad = TransformSpec("explode-everything", "a", "b", Map.empty)
     intercept[IllegalArgumentException] { bad.toFn }

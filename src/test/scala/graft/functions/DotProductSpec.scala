@@ -29,6 +29,13 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
+  test("mismatched lengths yield null — native and HOF agree") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val r = df.select(Similarity.dot($"a", $"b").as("n"),
+      Similarity.dotHof($"a", $"b").as("h")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("null arrays yield null") {
     val df = Seq((Option.empty[Array[Float]], Option(Array(1.0f))))
       .toDF("a", "b")

@@ -55,4 +55,11 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.shingles($"text", 3)).as[Seq[String]].head()
     assert(sh == Seq("the quick brown", "quick brown fox"))
   }
+
+  test("shingles of short documents are empty, not an error") {
+    val sh = Seq((1L, "two words"), (2L, "one"), (3L, ""))
+      .toDF("id", "text")
+      .select(TextFunctions.shingles($"text", 3)).as[Seq[String]].collect()
+    assert(sh.forall(_.isEmpty))
+  }
 }

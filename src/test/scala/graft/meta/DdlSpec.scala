@@ -132,6 +132,30 @@ class DdlSpec extends AnyFunSuite {
     }
   }
 
+  test("ADD INDEX / constraint / option clauses have no schema effect") {
+    val reg = freshRegistry
+    val before = reg.current("db", "sbtest1").get
+    Seq(
+      "ALTER TABLE sbtest1 ADD INDEX idx_k (k)",
+      "ALTER TABLE sbtest1 ADD UNIQUE KEY uk (c)",
+      "ALTER TABLE sbtest1 ADD CONSTRAINT fk FOREIGN KEY (k) REFERENCES o(id)",
+      "ALTER TABLE sbtest1 ADD PRIMARY KEY (id)",
+      "ALTER TABLE sbtest1 DROP INDEX idx_k",
+      "ALTER TABLE sbtest1 AUTO_INCREMENT = 100"
+    ).foreach { sql =>
+      reg.applySql(sql, "db")
+      assert(reg.current("db", "sbtest1").get.columns == before.columns,
+        s"schema must not change for: $sql")
+    }
+  }
+
+  test("ADD COLUMN dedups case-insensitively (MySQL name semantics)") {
+    val reg = freshRegistry
+    reg.applySql("ALTER TABLE sbtest1 ADD COLUMN K BIGINT", "db")
+    val names = reg.current("db", "sbtest1").get.columnNames
+    assert(names.count(_.equalsIgnoreCase("k")) == 1, s"got $names")
+  }
+
   test("BEGIN and unsupported statements parse to None") {
     assert(DdlParser.parse("BEGIN", "db").isEmpty)
     assert(DdlParser.parse("SET NAMES utf8", "db").isEmpty)

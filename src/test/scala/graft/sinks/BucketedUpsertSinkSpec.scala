@@ -34,6 +34,21 @@ class BucketedUpsertSinkSpec extends SparkSpec {
     assert(bucketDirs.hasNext)
   }
 
+  test("deleting every key in a bucket removes the bucket (no resurrection)") {
+    val dir = Files.createTempDirectory("bucket-sink3").toString
+    val sink = new BucketedUpsertSink(dir, buckets = 4)
+    sink.write(batch((1L, 10, "insert", 1)), target, 0)
+    assert(sink.read(target).count() == 1)
+    sink.write(batch((1L, 0, "delete", 2)), target, 1)
+    // the only populated bucket must be gone from disk (an empty
+    // table dir can't be parquet-read, so assert at the fs level)
+    val remaining = Files.list(Paths.get(s"$dir/db1.t1")).iterator()
+    var bucketDirs = 0
+    remaining.forEachRemaining(p =>
+      if (p.getFileName.toString.startsWith("bucket=")) bucketDirs += 1)
+    assert(bucketDirs == 0, "deleted row resurrected in a bucket dir")
+  }
+
   test("untouched buckets are not rewritten") {
     val dir = Files.createTempDirectory("bucket-sink2").toString
     val sink = new BucketedUpsertSink(dir, buckets = 16)
