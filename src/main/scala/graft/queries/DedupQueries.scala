@@ -47,6 +47,29 @@ object DedupQueries {
         docs(s, dir).filter(col("doc_id") < 3000), "text", "doc_id")
         .orderBy(col("a"), col("b"))),
 
+    // composite training-data prep: quality filter → exact dedup
+    // (keep first) → join to embeddings → per-language corpus stats.
+    // The end-to-end shape a 100 TB pretraining pipeline runs, as
+    // one declarative plan: every stage is pushdown/prune-friendly.
+    "pipe_training_prep" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val quality = docs
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .filter(col("q") >= 1.0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      val kept = quality
+        .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      kept.join(emb, kept("doc_id") === emb("vec_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // embedding-cosine near-dup pairs (≥ 0.35), bounded query side
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(
@@ -124,6 +147,25 @@ object DedupQueries {
          |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
          |      >= 0.5
          |ORDER BY a, b""".stripMargin,
+    "pipe_training_prep" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    md5(lower(trim(text))) AS fp
+         |  FROM documents
+         |  WHERE CAST(len(list_filter($sqlToks,
+         |          t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
+         |        / CAST(len($sqlToks) AS DOUBLE)
+         |      + CASE WHEN len($sqlToks) BETWEEN 5 AND 500
+         |             THEN 1.0 ELSE 0.0 END >= 1.0),
+         |kept AS (
+         |  SELECT doc_id, lang, n_chars FROM (
+         |    SELECT doc_id, lang, n_chars,
+         |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |    FROM q) x WHERE rn = 1)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM kept JOIN embeddings ON vec_id = doc_id
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
