@@ -157,6 +157,23 @@ object CdcQueries {
         .orderBy(col("row_id"))
     }),
 
+    // as-of (point-in-time) join: each event enriched with the
+    // latest signup value at-or-before its timestamp, per user —
+    // composed from one keyed sort (graft.ops.AsOfJoin), no
+    // range-explosion. Oracle = DuckDB's native ASOF JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        col("event_id"), col("user_id"), col("ts"))
+      val signups = events(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"),
+          col("value").as("signup_value"))
+      graft.ops.AsOfJoin.asOf(ev, signups, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", payload = Seq("signup_value"))
+        .select(col("event_id"), col("user_id"), col("signup_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ≙ Aliyun-DTS-Canal envelope through the real formatter
     // (Formats.canalJson) — sqlType/mysqlType codes, pkNames,
     // stringified data; emit-ts pinned for determinism.
@@ -260,6 +277,13 @@ object CdcQueries {
         |   old := MAP {'event_id': CAST(event_id AS VARCHAR)})) AS value,
         | event_id AS row_id
         |FROM events ORDER BY row_id""".stripMargin,
+    "q_asof_join" ->
+      """SELECT event_id, e.user_id AS user_id, signup_value
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts, value AS signup_value
+        |   FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY event_id""".stripMargin,
     "cdc_canal_format" ->
       """SELECT to_json(struct_pack(
         |   id := event_id,
