@@ -1,19 +1,16 @@
 package graft.config
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
 
 import graft.meta.SchemaRegistry
 import graft.operators.Transforms
 import graft.streaming.Pipeline
 
 /** TOML-shaped pipeline configuration ≙ `config/config.go:10-53` +
-  * the sample deployments (`docs/mysql-to-*-sample.toml`): an
-  * [input] block, [[routers]] with optional positional
-  * columns-mapper, [[transforms]] matched by (schema, table), and an
-  * [output] block. [[Toml]] is a dependency-free subset parser
-  * (sections, array-of-tables, string/int/bool/list values) — the
-  * subset the reference's samples actually use.
+  * the sample deployments (`docs/mysql-to-*-sample.toml`). Both the
+  * reference's nested layout (`[[transforms]]` + `[transforms.config]`,
+  * `[[output.config.routers]]` + `[output.config.routers.columns-mapper]`)
+  * and a flat layout (`[[routers]]`, inline transform params) parse.
   */
 final case class TransformSpec(
     kind: String,
@@ -29,7 +26,11 @@ final case class TransformSpec(
     * config→function construction. */
   def toFn: DataFrame => DataFrame = kind match {
     case "rename-column" =>
-      Transforms.renameColumn(strList("columns").zip(strList("rename-as")): _*)
+      val from = strList("columns")
+      val to = strList("rename-as")
+      require(from.length == to.length,
+        s"rename-column arity: columns=$from rename-as=$to")
+      Transforms.renameColumn(from.zip(to): _*)
     case "delete-column" =>
       Transforms.deleteColumn(strList("columns"): _*)
     case "filter" =>
@@ -82,13 +83,24 @@ final case class PipelineConfig(
 object PipelineConfig {
 
   def fromToml(text: String): PipelineConfig = {
-    val doc = Toml.parse(text)
-    def tables(name: String): Seq[Map[String, Any]] =
-      doc.getOrElse(name, Nil).asInstanceOf[Seq[Map[String, Any]]]
-    def table(name: String): Map[String, Any] =
-      tables(name).headOption.getOrElse(Map.empty)
+    val tree = Toml.parseTree(text)
 
-    val routers = tables("routers").map { m =>
+    def asMap(v: Any): Map[String, Any] = v match {
+      case m: Map[String @unchecked, Any @unchecked] => m
+      case _ => Map.empty
+    }
+    def strList(m: Map[String, Any], key: String): Seq[String] =
+      m.get(key).collect { case s: Seq[Any @unchecked] =>
+        s.map(_.toString)
+      }.getOrElse(Nil)
+
+    // routers: flat [[routers]] OR nested [[output.config.routers]];
+    // per-router columns-mapper from the nested subtable or inline
+    val routerTables =
+      Toml.tablesAt(tree, "routers") ++
+        Toml.tablesAt(tree, "output.config.routers")
+    val routers = routerTables.map { m =>
+      val mapper = asMap(m.getOrElse("columns-mapper", Map.empty))
       RouterSpec(
         sourceDb = m.getOrElse("source-schema", "").toString,
         sourceTable = m.getOrElse("source-table", "").toString,
@@ -96,90 +108,28 @@ object PipelineConfig {
           m.getOrElse("source-schema", "")).toString,
         targetTable = m.getOrElse("target-table",
           m.getOrElse("source-table", "")).toString,
-        sourceColumns = m.get("source-columns")
-          .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Nil),
-        targetColumns = m.get("target-columns")
-          .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Nil))
+        sourceColumns =
+          strList(m, "source-columns") ++ strList(mapper, "source-columns"),
+        targetColumns =
+          strList(m, "target-columns") ++ strList(mapper, "target-columns"))
     }
-    val transforms = tables("transforms").map { m =>
+    if (routerTables.isEmpty)
+      throw new IllegalArgumentException(
+        "config declares no routers ([[routers]] or [[output.config.routers]])")
+
+    // transforms: params inline OR under the [transforms.config] subtable
+    val transforms = Toml.tablesAt(tree, "transforms").map { m =>
+      val p = m ++ asMap(m.getOrElse("config", Map.empty))
       TransformSpec(
         kind = m.getOrElse("type", "").toString,
-        matchDb = m.getOrElse("match-schema", "").toString,
-        matchTable = m.getOrElse("match-table", "").toString,
-        params = m)
-    }
-    PipelineConfig(table("input"), table("output"), routers, transforms)
-  }
-}
-
-/** Minimal TOML subset parser: `[section]`, `[[array-of-tables]]`,
-  * `key = "string" | 123 | true | [ list ]`, `#` comments. */
-object Toml {
-
-  def parse(text: String): Map[String, Seq[Map[String, Any]]] = {
-    val out = collection.mutable.LinkedHashMap
-      .empty[String, Vector[Map[String, Any]]]
-    var current: Option[String] = None
-
-    def put(k: String, v: Any): Unit = current.foreach { sec =>
-      val tabs = out(sec)
-      out(sec) = tabs.init :+ (tabs.last + (k -> v))
+        matchDb = p.getOrElse("match-schema", "").toString,
+        matchTable = p.getOrElse("match-table", "").toString,
+        params = p)
     }
 
-    text.linesIterator.map(stripComment).map(_.trim).filter(_.nonEmpty)
-      .foreach { line =>
-        if (line.startsWith("[[") && line.endsWith("]]")) {
-          val sec = line.substring(2, line.length - 2).trim
-          out(sec) = out.getOrElse(sec, Vector.empty) :+ Map.empty[String, Any]
-          current = Some(sec)
-        } else if (line.startsWith("[") && line.endsWith("]")) {
-          val sec = line.substring(1, line.length - 1).trim
-          out(sec) = out.getOrElse(sec, Vector.empty) :+ Map.empty[String, Any]
-          current = Some(sec)
-        } else line.split("=", 2) match {
-          case Array(k, v) => put(k.trim, parseValue(v.trim))
-          case _ =>
-        }
-      }
-    out.toMap
-  }
-
-  private def stripComment(line: String): String = {
-    var inStr = false
-    val sb = new StringBuilder
-    for (c <- line) {
-      if (c == '"') inStr = !inStr
-      if (c == '#' && !inStr) return sb.toString
-      sb += c
-    }
-    sb.toString
-  }
-
-  private[config] def parseValue(v: String): Any = v match {
-    case s if s.startsWith("\"") && s.endsWith("\"") && s.length >= 2 =>
-      s.substring(1, s.length - 1)
-    case s if s.startsWith("[") && s.endsWith("]") =>
-      splitList(s.substring(1, s.length - 1)).map(parseValue)
-    case "true" => true
-    case "false" => false
-    case s if s.matches("-?\\d+") => s.toLong
-    case s if s.matches("-?\\d+\\.\\d+") => s.toDouble
-    case s => s
-  }
-
-  private def splitList(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var depth = 0
-    var inStr = false
-    s.foreach {
-      case '"' => inStr = !inStr; cur += '"'
-      case '[' if !inStr => depth += 1; cur += '['
-      case ']' if !inStr => depth -= 1; cur += ']'
-      case ',' if !inStr && depth == 0 => out += cur.toString; cur.clear()
-      case c => cur += c
-    }
-    if (cur.nonEmpty) out += cur.toString
-    out.result().map(_.trim).filter(_.nonEmpty)
+    PipelineConfig(
+      asMap(tree.getOrElse("input", Map.empty)),
+      asMap(tree.getOrElse("output", Map.empty)),
+      routers, transforms)
   }
 }

@@ -17,6 +17,15 @@ final class SchemaRegistry {
 
   private val byVersion = TrieMap.empty[(String, String, Int), TableDef]
   private val latest = TrieMap.empty[(String, String), Int]
+  // column-rename lineage: (db, table, newVersion) -> (from -> to),
+  // so version-pinned frames can be re-labeled onto newer shapes
+  private val renames = TrieMap.empty[(String, String, Int), Map[String, String]]
+
+  /** High-watermark of applied DDL sequence numbers — foreachBatch is
+    * at-least-once, so a replayed batch must not re-apply its DDL
+    * (each application bumps versions and would desynchronize
+    * tableVersion pinning). */
+  @volatile var ddlWatermark: Long = -1L
 
   def register(t: TableDef): TableDef = {
     byVersion.put((t.schema, t.name, t.version), t)
@@ -85,7 +94,7 @@ final class SchemaRegistry {
           }
         }
       case ChangeColumn(t, from, c, pos) =>
-        evolve(db, t) { cols =>
+        val out = evolve(db, t) { cols =>
           val prevPk = cols.find(_.name.equalsIgnoreCase(from))
             .exists(_.isPrimaryKey)
           val merged = c.copy(isPrimaryKey = c.isPrimaryKey || prevPk)
@@ -96,11 +105,27 @@ final class SchemaRegistry {
             case p => insertAt(without, merged, p)
           }
         }
+        if (!from.equalsIgnoreCase(c.name))
+          out.foreach(n => renames.put((db, t, n.version), Map(from -> c.name)))
+        out
       case RenameColumn(t, from, to) =>
-        evolve(db, t)(_.map(c =>
+        val out = evolve(db, t)(_.map(c =>
           if (c.name.equalsIgnoreCase(from)) c.copy(name = to) else c))
+        out.foreach(n => renames.put((db, t, n.version), Map(from -> to)))
+        out
     }
   }
+
+  /** Translate a column name from an older schema version to its
+    * name at `toVersion`, following recorded renames (CHANGE COLUMN
+    * lineage is recorded the same way). */
+  def nameAt(db: String, table: String, fromVersion: Int, toVersion: Int,
+      name: String): String =
+    ((fromVersion + 1) to toVersion).foldLeft(name) { (n, v) =>
+      renames.get((db, table, v)).flatMap(_.collectFirst {
+        case (f, t) if f.equalsIgnoreCase(n) => t
+      }).getOrElse(n)
+    }
 
   /** Parse + apply a raw DDL string. Returns affected tables. */
   def applySql(sql: String, defaultDb: String): Seq[TableDef] =

@@ -33,29 +33,40 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val collisions = payload.filter(leftCols.contains)
+    require(collisions.isEmpty,
+      s"payload columns collide with left columns: $collisions — alias them first")
+    // The payload is carried as ONE struct so the whole latest right
+    // row wins atomically — per-column last(ignoreNulls) would mix
+    // fields from different right versions whenever a later row sets
+    // a column back to null.
+    def payloadStruct(f: String => Column): Column =
+      struct(payload.map(c => f(c).as(c)): _*)
+    val nullPayload = lit(null).cast(
+      org.apache.spark.sql.types.StructType(payload.map(c =>
+        org.apache.spark.sql.types.StructField(c, right.schema(c).dataType))))
     // side: right=0 sorts before left=1 at equal ts (tie visible)
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .select((keys ++ Seq("__ts", "__side")).map(col) ++
-        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) :+
+        nullPayload.as("__p"): _*)
     val r = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select((keys ++ Seq("__ts", "__side")).map(col) ++
         leftCols.filterNot(keys.contains).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
-        payload.map(c => col(c).as(s"__r_$c")): _*)
+          lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) :+
+        payloadStruct(col).as("__p"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"__c_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
+    l.unionByName(r)
+      .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select(keys.map(col) ++
         leftCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
-        payload.map(c => col(s"__c_$c").as(c)): _*)
+        payload.map(c => col("__c").getField(c).as(c)): _*)
   }
 }

@@ -2,6 +2,8 @@ package graft.sinks
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
@@ -40,6 +42,10 @@ final class BucketedUpsertSink(rootDir: String, buckets: Int = 64)
     val spark = batch.sparkSession
     val dir = tableDir(t)
     val pks = t.pkColumns.map(_.name)
+    require(pks.nonEmpty,
+      s"${t.schema}.${t.name}: BucketedUpsertSink requires primary keys " +
+        "(pk-less tables have no upsert identity — use an append sink)")
+    recoverInterruptedSwap(dir)
     val bucketed = withBucket(batch, t).persist()
     try {
       val touched = bucketed.select(col("bucket")).distinct()
@@ -65,17 +71,51 @@ final class BucketedUpsertSink(rootDir: String, buckets: Int = 64)
       val staging = s"$dir.staging-$batchId"
       finalState.write.mode(SaveMode.Overwrite)
         .partitionBy("bucket").parquet(staging)
+      // crash-safe swap: move the old bucket ASIDE (restorable),
+      // move the staged one in, then drop the aside copy. A crash
+      // between steps leaves either the old dir, or the aside copy
+      // that recoverInterruptedSwap restores on replay — pre-batch
+      // state is never destroyed before its replacement is in place.
       touched.foreach { b =>
         val src = Paths.get(s"$staging/bucket=$b")
         val dst = Paths.get(s"$dir/bucket=$b")
-        deleteRecursively(dst)
+        val aside = Paths.get(s"$dir/.aside-bucket=$b")
+        deleteRecursively(aside)
+        if (Files.exists(dst)) Files.move(dst, aside)
         if (Files.exists(src)) {
           Files.createDirectories(dst.getParent)
           Files.move(src, dst)
         }
+        deleteRecursively(aside)
       }
       deleteRecursively(Paths.get(staging))
     } finally bucketed.unpersist()
+  }
+
+  /** Replay recovery: an `.aside-bucket=` dir whose real bucket is
+    * missing means a swap died between move-aside and move-in —
+    * restore it (the batch will be re-merged); otherwise the swap
+    * completed and the aside copy is garbage. Stale staging dirs are
+    * removed wholesale. */
+  private def recoverInterruptedSwap(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) return
+    val s = Files.list(p)
+    try s.iterator().asScala.toVector.foreach { f =>
+      val n = f.getFileName.toString
+      if (n.startsWith(".aside-bucket=")) {
+        val real = Paths.get(dir, n.stripPrefix(".aside-"))
+        if (!Files.exists(real)) Files.move(f, real)
+        else deleteRecursively(f)
+      }
+    } finally s.close()
+    val parent = p.getParent
+    val base = p.getFileName.toString
+    val siblings = Files.list(parent)
+    try siblings.iterator().asScala.toVector.foreach { f =>
+      if (f.getFileName.toString.startsWith(s"$base.staging-"))
+        deleteRecursively(f)
+    } finally siblings.close()
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

@@ -35,8 +35,12 @@ final class ParquetUpsertSink(rootDir: String) extends BatchSink {
     val merged =
       if (Files.exists(Paths.get(p))) {
         val existing = spark.read.parquet(p)
-        Compactor.lastEventPerKeyAgg(pks, "seq")(
-          existing.unionByName(batch, allowMissingColumns = true))
+        val unioned = existing.unionByName(batch, allowMissingColumns = true)
+        // pk-less tables have no upsert identity: append-only (the
+        // compactor's groupBy() over zero keys would collapse the
+        // whole table to one row)
+        if (pks.isEmpty) unioned
+        else Compactor.lastEventPerKeyAgg(pks, "seq")(unioned)
       } else batch
     val finalState = merged.filter(col("op") =!= "delete")
     // materialize before overwriting the path being read

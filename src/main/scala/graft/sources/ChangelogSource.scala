@@ -115,8 +115,12 @@ final class ChangelogMicroBatchStream(path: String, maxPerTrigger: Option[Long])
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SeqOffset].seq
     val e = end.asInstanceOf[SeqOffset].seq
-    ChangelogFiles.list(path).map(f =>
-      ChangelogPartition(f, s, e): InputPartition).toArray
+    // prune files that can't contain the range: append-only files
+    // whose cached tail watermark is at or below the batch start
+    // hold only already-served seqs.
+    ChangelogFiles.list(path)
+      .filter(f => ChangelogFiles.fileMaxSeq(f) > s)
+      .map(f => ChangelogPartition(f, s, e): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -163,7 +167,11 @@ final class ChangelogReader(p: ChangelogPartition)
     while (lines.hasNext) {
       val m = mapper.readValue(lines.next(), classOf[JMap[String, Object]])
       val seq = m.get("seq").toString.toLong
-      if (seq > p.startSeq && seq <= p.endSeq) {
+      // seqs are monotone within an append-only file: past the range
+      // end nothing further can match — stop instead of parsing the
+      // rest of the log.
+      if (seq > p.endSeq) return false
+      if (seq > p.startSeq) {
         current = convert(m, seq)
         return true
       }
@@ -183,7 +191,14 @@ final class ChangelogReader(p: ChangelogPartition)
     val ts = m.get("ts") match {
       case null => null
       case n: Number => new java.sql.Timestamp(n.longValue())
-      case s => java.sql.Timestamp.valueOf(s.toString)
+      case s =>
+        val str = s.toString
+        // accept both 'yyyy-MM-dd HH:mm:ss[.f]' and ISO-8601
+        try java.sql.Timestamp.valueOf(str)
+        catch {
+          case _: IllegalArgumentException =>
+            java.sql.Timestamp.from(java.time.Instant.parse(str))
+        }
     }
     val ext = org.apache.spark.sql.Row(
       m.get("db").toString, m.get("table").toString, m.get("op").toString,
@@ -224,28 +239,26 @@ object ChangelogFiles {
   private val tailCache =
     scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
 
+  /** Per-file tail watermark, cached by (path, size). */
+  def fileMaxSeq(f: String): Long = {
+    val size = Files.size(Paths.get(f))
+    tailCache.get(f) match {
+      case Some((sz, m)) if sz == size => m
+      case _ =>
+        val stream = Files.lines(Paths.get(f))
+        val m =
+          try stream.iterator().asScala.filter(_.nonEmpty).foldLeft(-1L) {
+            (acc, line) =>
+              val o = mapper.readValue(line, classOf[JMap[String, Object]])
+              math.max(acc, o.get("seq").toString.toLong)
+          } finally stream.close()
+        tailCache.put(f, (size, m))
+        m
+    }
+  }
+
   /** Scan the tail watermark. The max seq is the source's
     * "current GTID". */
-  def maxSeq(path: String): Long = {
-    var max = -1L
-    list(path).foreach { f =>
-      val size = Files.size(Paths.get(f))
-      val cached = tailCache.get(f)
-      val fileMax = cached match {
-        case Some((sz, m)) if sz == size => m
-        case _ =>
-          val stream = Files.lines(Paths.get(f))
-          val m =
-            try stream.iterator().asScala.filter(_.nonEmpty).foldLeft(-1L) {
-              (acc, line) =>
-                val o = mapper.readValue(line, classOf[JMap[String, Object]])
-                math.max(acc, o.get("seq").toString.toLong)
-            } finally stream.close()
-          tailCache.put(f, (size, m))
-          m
-      }
-      if (fileMax > max) max = fileMax
-    }
-    max
-  }
+  def maxSeq(path: String): Long =
+    list(path).foldLeft(-1L)((acc, f) => math.max(acc, fileMaxSeq(f)))
 }

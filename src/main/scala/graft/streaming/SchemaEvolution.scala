@@ -36,7 +36,14 @@ object SchemaEvolution {
       .select(col("db"), col("after").getItem("sql").as("sql"), col("seq"))
       .orderBy(col("seq"))
       .collect()
-    stmts.foreach(r => registry.applySql(r.getString(1), r.getString(0)))
+      // foreachBatch is at-least-once: skip DDL at or below the
+      // registry's applied watermark so a replayed batch can't bump
+      // versions twice and desync tableVersion pinning.
+      .filter(_.getLong(2) > registry.ddlWatermark)
+    stmts.foreach { r =>
+      registry.applySql(r.getString(1), r.getString(0))
+      registry.ddlWatermark = r.getLong(2)
+    }
     stmts.length
   }
 
@@ -54,8 +61,13 @@ object SchemaEvolution {
       .collect().map(_.getInt(0)).sorted
     val frames = versions.toSeq.map { v =>
       val t = registry.get(db, table, v).getOrElse(current)
+      // decode with the PINNED version's names, but LABEL each column
+      // with its name at the current version (rename lineage) — else
+      // a renamed column's pre-rename rows would null out under
+      // unionByName.
       val typedCols = t.columns.map { c =>
-        col("after").getItem(c.name).cast(c.sparkType).as(c.name)
+        col("after").getItem(c.name).cast(c.sparkType)
+          .as(registry.nameAt(db, table, v, current.version, c.name))
       }
       routed.filter(col("tableVersion") === v)
         .select(typedCols ++ Seq(col("op"), col("seq"), col("pos")): _*)

@@ -134,6 +134,80 @@ class PipelineConfigSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("x", "y", "op", "seq", "pos"))
   }
 
+  test("parses the reference's NESTED sample layout verbatim") {
+    // exact structure of docs/mysql-to-starrocks-sample.toml
+    val refSample =
+      """name = "mysql2starrocks"
+        |
+        |[input]
+        |type = "mysql"
+        |
+        |[input.config.source]
+        |host = "127.0.0.1"
+        |port = 3306
+        |
+        |[[transforms]]
+        |type = "rename-column"
+        |[transforms.config]
+        |match-schema = "sysbenchts"
+        |match-table = "sbtest1"
+        |columns = ["k", "c"]
+        |rename-as = ["k_1", "c_1"]
+        |
+        |[[transforms]]
+        |type = "delete-column"
+        |[transforms.config]
+        |match-schema = "sysbenchts"
+        |match-table = "sbtest1"
+        |columns = ["c_1"]
+        |
+        |[output]
+        |type = "starrocks"
+        |
+        |[output.config.target]
+        |host = "127.0.0.1"
+        |port = 9030
+        |
+        |[[output.config.routers]]
+        |source-schema = "sysbenchts"
+        |source-table = "sbtest1"
+        |target-schema = "sr_test"
+        |target-table = "ods_sbtest1"
+        |
+        |[[output.config.routers]]
+        |source-schema = "sysbenchts"
+        |source-table = "sbtest2"
+        |target-schema = "sr_test"
+        |target-table = "ods_sbtest2"
+        |[output.config.routers.columns-mapper]
+        |source-columns = []
+        |target-columns = []
+        |""".stripMargin
+    val cfg = PipelineConfig.fromToml(refSample)
+    assert(cfg.input("type") == "mysql")
+    assert(cfg.output("type") == "starrocks")
+    assert(cfg.routers.size == 2)
+    assert(cfg.routers.head ==
+      RouterSpec("sysbenchts", "sbtest1", "sr_test", "ods_sbtest1", Nil, Nil))
+    assert(cfg.routers(1).targetTable == "ods_sbtest2")
+    assert(cfg.transforms.size == 2)
+    assert(cfg.transforms.head.matchDb == "sysbenchts")
+    assert(cfg.transforms.head.params("columns") == Seq("k", "c"))
+    assert(cfg.transforms(1).kind == "delete-column")
+  }
+
+  test("config without routers fails loudly") {
+    intercept[IllegalArgumentException] {
+      PipelineConfig.fromToml("[input]\ntype = \"mysql\"\n")
+    }
+  }
+
+  test("rename-column with mismatched arity fails loudly") {
+    val bad = TransformSpec("rename-column", "a", "b",
+      Map("columns" -> Seq("a", "b"), "rename-as" -> Seq("a_1")))
+    intercept[IllegalArgumentException] { bad.toFn }
+  }
+
   test("unknown transform type fails loudly") {
     val bad = TransformSpec("explode-everything", "a", "b", Map.empty)
     intercept[IllegalArgumentException] { bad.toFn }

@@ -25,6 +25,27 @@ class AsOfJoinSpec extends SparkSpec {
       "e5" -> None))          // no right rows for key 3
   }
 
+  test("whole latest right row wins atomically — a later NULL is not " +
+    "papered over by an older value") {
+    val left = Seq((1L, 10L, "e")).toDF("k", "ts", "name")
+    val right = Seq(
+      (1L, 1L, Option(5), Option(10)),
+      (1L, 2L, Option.empty[Int], Option(20)) // a cleared, b updated
+    ).toDF("k", "rts", "a", "b")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts", Seq("a", "b"))
+      .select($"a", $"b").as[(Option[Int], Option[Int])].collect().head
+    // per-column carry would resurrect a=5 from the older row
+    assert(out == (None, Some(20)))
+  }
+
+  test("payload name colliding with a left column is rejected") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "ts", "v")
+    val right = Seq((1L, 5L, "y")).toDF("k", "rts", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts", Seq("v"))
+    }
+  }
+
   test("left columns and row count are preserved (left-outer semantics)") {
     val left = Seq((1L, 10L, 1.5), (1L, 20L, 2.5)).toDF("k", "ts", "x")
     val right = Seq((1L, 5L, 9.9)).toDF("k", "rts", "v")

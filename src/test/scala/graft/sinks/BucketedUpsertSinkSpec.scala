@@ -49,6 +49,36 @@ class BucketedUpsertSinkSpec extends SparkSpec {
     assert(bucketDirs == 0, "deleted row resurrected in a bucket dir")
   }
 
+  test("pk-less table is rejected loudly") {
+    val dir = Files.createTempDirectory("bucket-sink4").toString
+    val sink = new BucketedUpsertSink(dir, buckets = 4)
+    val noPk = graft.meta.TableDef("db1", "nopk",
+      Seq(graft.meta.ColumnDef("x", "int")))
+    intercept[IllegalArgumentException] {
+      sink.write(batch((1L, 1, "insert", 1)), noPk, 0)
+    }
+  }
+
+  test("interrupted swap recovers: aside dir restored on next write") {
+    val dir = Files.createTempDirectory("bucket-sink5").toString
+    val sink = new BucketedUpsertSink(dir, buckets = 4)
+    sink.write(batch((1L, 10, "insert", 1)), target, 0)
+    // simulate a crash mid-swap: bucket dir moved aside, not replaced
+    val tdir = Paths.get(s"$dir/db1.t1")
+    val bucket = Files.list(tdir).iterator()
+    var bname: String = null
+    bucket.forEachRemaining(p =>
+      if (p.getFileName.toString.startsWith("bucket=")) bname = p.getFileName.toString)
+    Files.move(Paths.get(s"$dir/db1.t1/$bname"),
+      Paths.get(s"$dir/db1.t1/.aside-$bname"))
+    // next write (different key) must restore the aside bucket first
+    sink.write(batch((2L, 20, "insert", 2)), target, 1)
+    val state = sink.read(target).select($"id", $"v")
+      .as[(Long, Int)].collect().sortBy(_._1)
+    assert(state.toSeq == Seq((1L, 10), (2L, 20)),
+      "pre-crash state must survive an interrupted swap")
+  }
+
   test("untouched buckets are not rewritten") {
     val dir = Files.createTempDirectory("bucket-sink2").toString
     val sink = new BucketedUpsertSink(dir, buckets = 16)

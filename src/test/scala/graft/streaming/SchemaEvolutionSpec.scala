@@ -83,8 +83,24 @@ class SchemaEvolutionSpec extends SparkSpec {
 
     val state = spark.read.parquet(s"$sinkDir/db1.t1")
       .select($"id", $"k9").as[(Long, Option[Int])].collect().sortBy(_._1)
-    // v0 row decoded under old name k, aligned onto k9 as null;
-    // v1 row carries k9=20
-    assert(state.toSeq == Seq((1L, None), (2L, Some(20))))
+    // rename lineage: the v0 row's `k` value lands under `k9` — the
+    // same physical column, not a null-out
+    assert(state.toSeq == Seq((1L, Some(10)), (2L, Some(20))))
+  }
+
+  test("replayed batch does not re-apply DDL (at-least-once idempotence)") {
+    val registry = new SchemaRegistry
+    registry.applySql("CREATE TABLE t1 (id BIGINT PRIMARY KEY, k INT)", "db1")
+    val batch = Seq(
+      ("db1", "t1", "ddl", new java.sql.Timestamp(0L), "g:1", 1L, 0,
+        Map("sql" -> "ALTER TABLE t1 ADD COLUMN c VARCHAR(10)"),
+        null.asInstanceOf[Map[String, String]])
+    ).toDF("db", "table", "op", "ts", "pos", "seq", "tableVersion",
+      "after", "before")
+    assert(SchemaEvolution.applyDdl(batch, registry) == 1)
+    assert(registry.current("db1", "t1").get.version == 1)
+    // replay the same batch: no new version
+    assert(SchemaEvolution.applyDdl(batch, registry) == 0)
+    assert(registry.current("db1", "t1").get.version == 1)
   }
 }
