@@ -161,6 +161,22 @@ object Core2Queries {
           coalesce(col("P"), lit(0L)).as("n_p"))
         .orderBy(col("o_orderpriority"))),
 
+    // range (band) join: non-equi condition against a small broadcast
+    // side — the plan is BroadcastNestedLoopJoin, the right shape for
+    // a bounded band table at any fact size
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("p0", 0.0, 50.0), ("p1", 50.0, 100.0),
+        ("p2", 100.0, 150.0), ("p3", 150.0, 1e9))
+        .toDF("band", "lo", "hi")
+      Tables.load(s, dir, "events")
+        .join(broadcast(bands),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .select(col("event_id"), col("band"))
+        .orderBy(col("event_id"))
+    }),
+
     // HAVING (post-aggregate filter)
     "q_having" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -248,6 +264,13 @@ object Core2Queries {
         | COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_range_join" ->
+      """SELECT event_id, band FROM events e
+        |JOIN (VALUES ('p0', 0.0, 50.0), ('p1', 50.0, 100.0),
+        |             ('p2', 100.0, 150.0), ('p3', 150.0, 1000000000.0))
+        |  AS b(band, lo, hi)
+        |  ON e.value >= b.lo AND e.value < b.hi
+        |ORDER BY event_id""".stripMargin,
     "q_having" ->
       """SELECT l_partkey, COUNT(*) AS n FROM lineitem
         |GROUP BY l_partkey HAVING COUNT(*) > 40
