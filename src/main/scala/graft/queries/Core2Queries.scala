@@ -161,6 +161,16 @@ object Core2Queries {
           coalesce(col("P"), lit(0L)).as("n_p"))
         .orderBy(col("o_orderpriority"))),
 
+    // exact interpolated percentiles (sort-based, not approx —
+    // matches DuckDB quantile_cont bit-for-bit on these inputs)
+    "q_percentiles" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
+        .orderBy(col("l_returnflag"))),
+
     // range (band) join: non-equi condition against a small broadcast
     // side — the plan is BroadcastNestedLoopJoin, the right shape for
     // a bounded band table at any fact size
@@ -264,6 +274,12 @@ object Core2Queries {
         | COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS med_qty,
+        | quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        | quantile_cont(l_extendedprice, 0.75) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_range_join" ->
       """SELECT event_id, band FROM events e
         |JOIN (VALUES ('p0', 0.0, 50.0), ('p1', 50.0, 100.0),
