@@ -58,6 +58,46 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
+  /** IVF (inverted-file) top-k: vectors are assigned to the cell of
+    * their nearest centroid, and search probes only the query's
+    * cell. Centroids here are the first `nCells` corpus vectors —
+    * deterministic (oracle-checkable); a production pipeline swaps
+    * in k-means centroids, which changes ONLY the centroid frame,
+    * not the plan shape. Assignment is |C|×nCells narrow work; the
+    * probe is an equi-join on cell — the same shuffle-key shape as
+    * [[signBucketTopK]], so it scales the same way.
+    */
+  def ivfTopK(corpus: DataFrame, vecCol: String, idCol: String,
+      queryPred: Column, k: Int, nCells: Int = 16): DataFrame = {
+    val centroids = corpus.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        norm(col(vecCol)).as("cn"))
+    val base = corpus.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"))
+    // nearest-centroid assignment: argmax cosine, ties to lowest cid
+    val aw = Window.partitionBy(col(idCol))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = base.crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        dot(col(vecCol), col("cvec")) / (col("nrm") * col("cn")))
+      .withColumn("crn", row_number().over(aw))
+      .filter(col("crn") === 1)
+      .select(col(idCol), col(vecCol), col("nrm"), col("cid").as("cell"))
+    val q = assigned.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val c = assigned
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"),
+        col("nrm").as("nn"), col("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    q.join(c, Seq("cell")).filter(col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
   /** Sign bucket over the first `bits` dimensions: bit i set iff
     * vec[i] > 0. Fixed axis-aligned hyperplanes — deterministic in
     * any engine (random-rotation planes would improve recall but

@@ -31,6 +31,13 @@ object SimilarityQueries {
     "ann_signbucket_topk" -> ((s, dir) =>
       Similarity.signBucketTopK(emb(s, dir), "embedding", "vec_id",
         queryPred = col("vec_id") < 100, k = 5, bits = 8)
+        .orderBy(col("qid"), col("rank"))),
+
+    // IVF variant: nearest-centroid cells (deterministic seed
+    // centroids), probe only the query's cell
+    "ann_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), "embedding", "vec_id",
+        queryPred = col("vec_id") < 100, k = 5, nCells = 16)
         .orderBy(col("qid"), col("rank")))
   )
 
@@ -47,6 +54,32 @@ object SimilarityQueries {
          |  SELECT q.vec_id AS qid, c.vec_id AS nid,
          |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
          |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 100),
+         |ranked AS (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored)
+         |SELECT qid, nid, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $sqlNorm AS nrm
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS cid, v AS cvec, nrm AS cn FROM e
+         |  WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, v, nrm, cid AS cell FROM (
+         |    SELECT e.vec_id, e.v, e.nrm, cent.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, cent.cvec)
+         |                   / (e.nrm * cent.cn) DESC, cent.cid) AS crn
+         |    FROM e CROSS JOIN cent) x WHERE crn = 1),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM assigned q JOIN assigned c
+         |    ON q.cell = c.cell AND q.vec_id <> c.vec_id
          |  WHERE q.vec_id < 100),
          |ranked AS (
          |  SELECT qid, nid,
