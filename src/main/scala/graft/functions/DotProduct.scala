@@ -22,7 +22,12 @@ case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // Always nullable: mismatched array lengths yield NULL regardless of
+  // input nullability. Deriving from the children would let
+  // nullSafeCodeGen emit isNull as a literal `false` lvalue (Janino
+  // compile error → codegen fallback) and break the interpreted
+  // contract (same pattern as Spark's ElementAt).
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {

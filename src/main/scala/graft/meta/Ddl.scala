@@ -92,11 +92,18 @@ object DdlParser {
           p match {
             case m(a, b) =>
               val (db, t) = qual(a, defaultDb)
-              (db, RenameTable(t, qual(b, defaultDb)._2))
+              val (tdb, tt) = qual(b, defaultDb)
+              (db, tdb, RenameTable(t, tt))
             case _ => return None
           }
         }
-        pairs.headOption.map(h => (h._1, pairs.map(_._2)))
+        // parse() reports one db per statement, so a multi-pair rename
+        // spanning databases (or moving a table across them) can't be
+        // represented — reject it explicitly rather than silently
+        // applying every pair against the first pair's db.
+        val dbs = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        if (dbs.size > 1) None
+        else pairs.headOption.map(h => (h._1, pairs.map(_._3)))
       case AlterRe(tbl, clauses) =>
         val (db, t) = qual(tbl, defaultDb)
         val stmts = splitTopLevel(clauses, ',').flatMap(parseAlterClause(t, _))

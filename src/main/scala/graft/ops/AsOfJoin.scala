@@ -29,9 +29,16 @@ object AsOfJoin {
     * @param leftTs    event-time column name on the left
     * @param rightTs   event-time column name on the right
     * @param payload   right-side columns to carry (null when no
-    *                  right row is at-or-before the left row) */
+    *                  right row is at-or-before the left row)
+    * @param rightTiebreak optional right-side column (e.g. a seq)
+    *                  ordering right rows that share (key, ts): the
+    *                  highest value wins. Without it, equal-ts right
+    *                  rows have no deterministic winner across
+    *                  runs/partitionings (same role as the order
+    *                  column in Compactor.lastEventPerKey). */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, payload: Seq[String],
+      rightTiebreak: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val collisions = payload.filter(leftCols.contains)
     require(collisions.isEmpty,
@@ -46,21 +53,29 @@ object AsOfJoin {
       org.apache.spark.sql.types.StructType(payload.map(c =>
         org.apache.spark.sql.types.StructField(c, right.schema(c).dataType))))
     // side: right=0 sorts before left=1 at equal ts (tie visible)
+    val tbType = rightTiebreak.map(c => right.schema(c).dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .select((keys ++ Seq("__ts", "__side")).map(col) ++
+      .withColumn("__tb", lit(null).cast(tbType))
+      .select((keys ++ Seq("__ts", "__side", "__tb")).map(col) ++
         leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) :+
         nullPayload.as("__p"): _*)
     val r = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
-      .select((keys ++ Seq("__ts", "__side")).map(col) ++
+      .withColumn("__tb",
+        rightTiebreak.map(col).getOrElse(lit(null).cast(tbType)))
+      .select((keys ++ Seq("__ts", "__side", "__tb")).map(col) ++
         leftCols.filterNot(keys.contains).map(c =>
           lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) :+
         payloadStruct(col).as("__p"): _*)
+    // __tb last: side still dominates at equal ts; among right rows
+    // sharing (key, ts), ascending tiebreaker makes the highest value
+    // the `last` — i.e. the winner — deterministically.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))

@@ -54,10 +54,13 @@ object Dedup {
     * only within buckets, never across the full corpus. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val sig = minhashSignatures(df, textCol, idCol)
+    // cache: bands feeds BOTH sides of the self-join below; without it
+    // Spark recomputes the whole tokenize→explode→8-way min-agg lineage
+    // twice (same pattern as ngramJaccardPairs' cached shingle table).
     val bands = (0 until 4).map { b =>
       sig.select(col(idCol), lit(b).as("band"),
         col(s"m${2 * b}").as("x"), col(s"m${2 * b + 1}").as("y"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).cache()
     val l = bands.toDF("a", "band", "x", "y")
     val r = bands.toDF("b", "band", "x", "y")
     l.join(r, l("band") === r("band") && l("x") === r("x") &&

@@ -35,10 +35,10 @@ object Multimodal {
     * documents table's text stands in for media bytes). */
   def asBlob(c: Column): Column = c.cast(BinaryType)
 
-  /** STUB decode ??? — deterministic fake in lieu of a codec: derives
-    * mime/width/height/frame-count from the byte length. A real
-    * implementation decodes the payload header. The SIGNATURE and
-    * output schema are the real contract. */
+  /** STUB decode ??? — deterministic fake for OPAQUE (non-media) test
+    * blobs: derives mime/width/height/frame-count from the byte
+    * length. Real media headers take the [[headerDecode]] path —
+    * see [[decode]]. */
   def fakeDecode(blob: Column): Column = {
     val n = length(blob)
     struct(
@@ -50,10 +50,92 @@ object Multimodal {
       (lit(1) + pmod(n, lit(16))).cast(IntegerType).as("n_frames"))
   }
 
+  // ---- real header parsing (pure byte math over BinaryType: substring
+  // + hex + conv — all codegen'd built-ins, no UDF, no codec deps) ----
+
+  /** Unsigned byte at 1-based position `pos`. */
+  private def u8(blob: Column, pos: Column): Column =
+    conv(hex(substring(blob, pos, lit(1))), 16, 10).cast(LongType)
+  private def u8(blob: Column, pos: Int): Column = u8(blob, lit(pos))
+
+  /** Big-endian u32 at 1-based `pos` (PNG uses network order). */
+  private def beU32(blob: Column, pos: Int): Column =
+    conv(hex(substring(blob, pos, 4)), 16, 10).cast(LongType)
+
+  /** Little-endian u16/u32 at 1-based `pos` (RIFF/WAV order). */
+  private def leU16(blob: Column, pos: Int): Column =
+    u8(blob, pos) + u8(blob, pos + 1) * 256L
+  private def leU32(blob: Column, pos: Int): Column =
+    u8(blob, pos) + u8(blob, pos + 1) * 256L +
+      u8(blob, pos + 2) * 65536L + u8(blob, pos + 3) * 16777216L
+
+  /** PNG: 8-byte signature 89 50 4E 47 0D 0A 1A 0A. */
+  def isPng(blob: Column): Column =
+    hex(substring(blob, 1, 8)) === "89504E470D0A1A0A"
+
+  /** WAV: "RIFF" …size… "WAVE". */
+  def isWav(blob: Column): Column =
+    hex(substring(blob, 1, 4)) === "52494646" &&
+      hex(substring(blob, 9, 4)) === "57415645"
+
+  /** Schema of [[headerDecode]]'s parsed-header struct. */
+  val headerSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType)))
+
+  /** REAL header decode — no stub, no codec dependency:
+    *
+    *  - PNG: width/height are the big-endian u32s at IHDR offsets
+    *    16/20 (the IHDR chunk is mandated to come first by the spec).
+    *  - WAV: channels (fmt offset 22), sample rate (24), block align
+    *    (32) and data-chunk size (40) in the canonical 44-byte
+    *    RIFF/fmt/data layout; n_frames = data bytes / block align
+    *    (samples per channel). Non-canonical chunk orders (LIST
+    *    before data, etc.) would need a chunk walk — out of scope for
+    *    a header probe.
+    *
+    * Anything else: application/octet-stream with null fields. */
+  def headerDecode(blob: Column): Column = {
+    val nullI = lit(null).cast(IntegerType)
+    val pngW = beU32(blob, 17).cast(IntegerType)
+    val pngH = beU32(blob, 21).cast(IntegerType)
+    val wavCh = leU16(blob, 23).cast(IntegerType)
+    val wavSr = leU32(blob, 25).cast(IntegerType)
+    val wavBlockAlign = leU16(blob, 33)
+    val wavDataBytes = leU32(blob, 41)
+    val wavFrames = (wavDataBytes / wavBlockAlign).cast(IntegerType)
+    struct(
+      when(isPng(blob), "image/png")
+        .when(isWav(blob), "audio/wav")
+        .otherwise("application/octet-stream").as("mime"),
+      when(isPng(blob), pngW).otherwise(nullI).as("width"),
+      when(isPng(blob), pngH).otherwise(nullI).as("height"),
+      when(isPng(blob), lit(1)).when(isWav(blob), wavFrames)
+        .otherwise(nullI).as("n_frames"),
+      when(isWav(blob), wavSr).otherwise(nullI).as("sample_rate"),
+      when(isWav(blob), wavCh).otherwise(nullI).as("channels"))
+  }
+
+  /** Production decode: REAL header parse for recognized media
+    * signatures; the deterministic fake only for opaque (text-as-
+    * blob) fixtures. */
+  def decode(blob: Column): Column =
+    when(isPng(blob) || isWav(blob), {
+      val h = headerDecode(blob)
+      struct(h.getField("mime").as("mime"),
+        h.getField("width").as("width"),
+        h.getField("height").as("height"),
+        h.getField("n_frames").as("n_frames"))
+    }).otherwise(fakeDecode(blob))
+
   /** Attach blob + decoded metadata to a DataFrame. */
   def withMedia(df: DataFrame, srcCol: String): DataFrame =
     df.withColumn("payload", asBlob(col(srcCol)))
-      .withColumn("media", fakeDecode(col("payload")))
+      .withColumn("media", decode(col("payload")))
 
   /** Frame sampling: one output row per sampled frame index, stride
     * `every`. posexplode of a bounded sequence — row expansion is

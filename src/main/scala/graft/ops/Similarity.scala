@@ -74,15 +74,19 @@ object Similarity {
         norm(col(vecCol)).as("cn"))
     val base = corpus.select(col(idCol), col(vecCol),
       norm(col(vecCol)).as("nrm"))
-    // nearest-centroid assignment: argmax cosine, ties to lowest cid
-    val aw = Window.partitionBy(col(idCol))
-      .orderBy(col("ccos").desc, col("cid"))
+    // nearest-centroid assignment: argmax cosine, ties to lowest cid —
+    // as ONE hash aggregate (max over a (ccos, -cid, payload) struct),
+    // not a window: map-side partial agg, no |C|×nCells shuffle sort.
+    // Struct comparison is lexicographic, and (ccos, -cid) is unique
+    // per (id, cid), so the payload fields never decide the max.
     val assigned = base.crossJoin(broadcast(centroids))
       .withColumn("ccos",
         dot(col(vecCol), col("cvec")) / (col("nrm") * col("cn")))
-      .withColumn("crn", row_number().over(aw))
-      .filter(col("crn") === 1)
-      .select(col(idCol), col(vecCol), col("nrm"), col("cid").as("cell"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"),
+        col(vecCol).as("v"), col("nrm").as("n"))).as("best"))
+      .select(col(idCol), col("best.v").as(vecCol), col("best.n").as("nrm"),
+        (-col("best.ncid")).as("cell"))
     val q = assigned.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qv"),
         col("nrm").as("qn"), col("cell"))

@@ -21,8 +21,6 @@ import graft.sinks.Formats
   * every time comparison oracle-stable.
   */
 object CdcQueries {
-  private val OutD = DecimalType(38, 6)
-
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
@@ -117,7 +115,10 @@ object CdcQueries {
         .groupBy(date_trunc("hour", col("hr")).cast("timestamp_ntz").as("hr"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 2))).cast(OutD).as("sum_value"))
+          // exact decimal sum, then one DECIMAL→DOUBLE cast: IEEE-nearest
+          // in both engines, so the driver hash matches (raw DECIMAL
+          // rendering differs between Spark and DuckDB).
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
         .orderBy(col("hr"), col("event_type"))),
 
     // ≙ StarRocks/Doris stream-load payload through the REAL sink
@@ -256,7 +257,7 @@ object CdcQueries {
     "cdc_hourly_rollup" ->
       """SELECT date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000)) AS hr,
         | event_type, COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_value
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
     "cdc_streamload_format" ->
       """SELECT to_json(struct_pack(
@@ -297,7 +298,8 @@ object CdcQueries {
         |              AS BIGINT) * 1000,
         |   ts := 1700000000000,
         |   sql := '',
-        |   sqlType := MAP {'event_id': -5, 'user_id': -5},
+        |   serverId := '',
+        |   sqlType := MAP {'event_id': 8, 'user_id': 8},
         |   mysqlType := MAP {'event_id': 'bigint', 'user_id': 'bigint'},
         |   data := [MAP {'event_id': CAST(event_id AS VARCHAR),
         |                 'user_id': CAST(user_id AS VARCHAR)}],

@@ -24,7 +24,12 @@ object CoreQueries {
   // (scaled-double round) agree exactly. Scale-4 casts were observed
   // to diverge by 1 ulp on FP near-ties.
   private val D = DecimalType(18, 2)     // exact money/quantity intermediate
-  private val OutD = DecimalType(38, 6)  // fixed output scale: always an UPcast (exact) — DuckDB truncates on downcast, Spark rounds
+  // Final output columns are cast DECIMAL→DOUBLE: the aggregation stays
+  // exact (decimal, associativity-proof under any shuffle order) and the
+  // single final conversion is IEEE-nearest in both Spark and DuckDB, so
+  // the rendered value is bit-identical across engines. Emitting DECIMAL
+  // directly hash-mismatched in the driver gate (scale/trailing-zero
+  // rendering differs between engines) even when values were equal.
   private val F = DecimalType(4, 2)      // 1±discount/tax factors
 
   private def dec(c: Column): Column = c.cast(D)
@@ -45,10 +50,10 @@ object CoreQueries {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).cast(OutD).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast(OutD).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * discF).cast(OutD).as("sum_disc_price"),
-          sum(dec(col("l_extendedprice")) * discF * taxF).cast(OutD).as("sum_charge"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * discF).cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * discF * taxF).cast("double").as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -66,7 +71,7 @@ object CoreQueries {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(sum(dec(col("l_extendedprice")) * discF).cast(OutD).as("revenue"))
+        .agg(sum(dec(col("l_extendedprice")) * discF).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -87,7 +92,7 @@ object CoreQueries {
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(dec(col("l_extendedprice")) * discF).cast(OutD).as("revenue"))
+        .agg(sum(dec(col("l_extendedprice")) * discF).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -119,7 +124,7 @@ object CoreQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.load(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(D)).over(w).cast(OutD).as("running_spend"))
+          sum(col("o_totalprice").cast(D)).over(w).cast("double").as("running_spend"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
@@ -172,7 +177,7 @@ object CoreQueries {
       Tables.load(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).cast(OutD).as("sum_qty"))
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -190,7 +195,10 @@ object CoreQueries {
       val avgs = o.groupBy(col("o_custkey").as("k"))
         .agg((sum(dec(col("o_totalprice"))).cast("double") /
           count(lit(1)).cast("double")).as("avg_price"))
-      o.join(broadcast(avgs), col("o_custkey") === col("k"))
+      // No broadcast hint: avgs is O(|customer|) — data-proportional, so
+      // a forced broadcast OOMs at 100× scale. AQE broadcasts while the
+      // frame is actually small and shuffles otherwise.
+      o.join(avgs, col("o_custkey") === col("k"))
         .filter(col("o_totalprice") > col("avg_price"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
@@ -200,16 +208,16 @@ object CoreQueries {
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_qty,
-         | CAST(SUM($sqlPrice) AS DECIMAL(38,6)) AS sum_base_price,
-         | CAST(SUM($sqlPrice * $sqlDisc) AS DECIMAL(38,6)) AS sum_disc_price,
-         | CAST(SUM($sqlPrice * $sqlDisc * $sqlTax) AS DECIMAL(38,6)) AS sum_charge,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         | CAST(SUM($sqlPrice) AS DOUBLE) AS sum_base_price,
+         | CAST(SUM($sqlPrice * $sqlDisc) AS DOUBLE) AS sum_disc_price,
+         | CAST(SUM($sqlPrice * $sqlDisc * $sqlTax) AS DOUBLE) AS sum_charge,
          | COUNT(*) AS count_order
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_segment_topk" ->
       s"""SELECT o_orderkey, o_orderdate,
-         | CAST(SUM($sqlPrice * $sqlDisc) AS DECIMAL(38,6)) AS revenue
+         | CAST(SUM($sqlPrice * $sqlDisc) AS DOUBLE) AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -218,7 +226,7 @@ object CoreQueries {
          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q5_region_nation_revenue" ->
       s"""SELECT r_name, n_name,
-         | CAST(SUM($sqlPrice * $sqlDisc) AS DECIMAL(38,6)) AS revenue
+         | CAST(SUM($sqlPrice * $sqlDisc) AS DOUBLE) AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -239,7 +247,7 @@ object CoreQueries {
       """SELECT o_custkey, o_orderkey,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6))
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |   AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_distinct_suppliers" ->
@@ -267,7 +275,7 @@ object CoreQueries {
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         | coalesce(l_linestatus, 'ALL') AS ls,
         | COUNT(*) AS n,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_qty
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
     "q_above_avg_orders" ->

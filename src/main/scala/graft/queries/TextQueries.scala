@@ -87,7 +87,54 @@ object TextQueries {
         .select(col("doc_id"), col("frame_idx"),
           Multimodal.frameFeature(col("payload"), col("frame_idx"))
             .as("frame_fp"))
-        .orderBy(col("doc_id"), col("frame_idx")))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // multimodal: REAL header decode. Each row constructs genuine
+    // PNG (signature + IHDR) or canonical WAV (RIFF/fmt/data) header
+    // BYTES from doc_id arithmetic, and Multimodal.headerDecode
+    // parses them back — big/little-endian byte math over BinaryType.
+    // The oracle computes the expected fields directly from doc_id
+    // and never parses, so agreement proves the parser.
+    "multimodal_real_header" -> ((s, dir) => {
+      def hex2(c: org.apache.spark.sql.Column) =
+        lpad(hex(c.cast("long")), 2, "0")
+      def be32(c: org.apache.spark.sql.Column) =
+        lpad(hex(c.cast("long")), 8, "0")
+      def le16(c: org.apache.spark.sql.Column) =
+        concat(hex2(pmod(c, lit(256))), hex2(floor(c / 256)))
+      def le32(c: org.apache.spark.sql.Column) =
+        concat(hex2(pmod(c, lit(256))), hex2(pmod(floor(c / 256), lit(256))),
+          hex2(pmod(floor(c / 65536), lit(256))),
+          hex2(pmod(floor(c / 16777216), lit(256))))
+      val id = col("doc_id")
+      val w = pmod(id, lit(512)) + 16
+      val h = pmod(id * 3, lit(384)) + 16
+      // PNG: signature, IHDR length 13, "IHDR", w, h, bit depth 8,
+      // color 6, compression/filter/interlace 0, CRC placeholder
+      val pngHex = concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        be32(w), be32(h), lit("0806000000" + "00000000"))
+      val ch = lit(1) + floor(pmod(id, lit(4)) / 2)
+      val sr = lit(8000) + pmod(id, lit(8)) * 1000
+      val blockAlign = ch * 2 // 16-bit samples
+      val nSamp = lit(100) + pmod(id, lit(50))
+      val dataBytes = nSamp * blockAlign
+      // canonical 44-byte WAV header: RIFF size, WAVE, fmt(16, PCM),
+      // channels, sample rate, byte rate, block align, bits, data size
+      val wavHex = concat(lit("52494646"), le32(dataBytes + 36),
+        lit("57415645" + "666D7420" + "10000000" + "0100"),
+        le16(ch), le32(sr), le32(sr * blockAlign), le16(blockAlign),
+        lit("1000" + "64617461"), le32(dataBytes))
+      val blob = unhex(when(pmod(id, lit(2)) === 0, pngHex).otherwise(wavHex))
+      val m = Multimodal.headerDecode(blob)
+      docs(s, dir).select(id,
+        m.getField("mime").as("mime"),
+        m.getField("width").as("width"),
+        m.getField("height").as("height"),
+        m.getField("n_frames").as("n_frames"),
+        m.getField("sample_rate").as("sample_rate"),
+        m.getField("channels").as("channels"))
+        .orderBy(id)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -150,6 +197,21 @@ object TextQueries {
         |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
         |  md5(text || ':' || CAST(f AS VARCHAR)) AS frame_fp
         |FROM m, unnest(range(0, n_frames, 4)) AS t(f)
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "multimodal_real_header" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+        |      ELSE 'audio/wav' END AS mime,
+        | CASE WHEN doc_id % 2 = 0
+        |      THEN CAST(doc_id % 512 + 16 AS INTEGER) END AS width,
+        | CASE WHEN doc_id % 2 = 0
+        |      THEN CAST((doc_id * 3) % 384 + 16 AS INTEGER) END AS height,
+        | CASE WHEN doc_id % 2 = 0 THEN CAST(1 AS INTEGER)
+        |      ELSE CAST(100 + doc_id % 50 AS INTEGER) END AS n_frames,
+        | CASE WHEN doc_id % 2 = 1
+        |      THEN CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) END AS sample_rate,
+        | CASE WHEN doc_id % 2 = 1
+        |      THEN CAST(1 + (doc_id % 4) // 2 AS INTEGER) END AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -52,29 +52,42 @@ object Formats {
         col("after").as("data"),
         col("before").as("old"))).as("value"))
 
-  /** JDBC type codes for the canal envelope, from the table's raw
-    * MySQL types (≙ the sqlType map in
-    * `outputs/kafka/kafka_utils.go:116-256`). */
-  def jdbcTypeCode(rawType: String): Int = {
+  /** Canal-envelope type code + normalized mysqlType name, matching
+    * the reference's Aliyun/MySQL-protocol table EXACTLY
+    * (`outputs/kafka/kafka_utils.go:128-230`): tinyint 1, smallint 2,
+    * int 3, float 4, double 5, timestamp 7, bigint 8, mediumint 9,
+    * date 10, time 11, datetime 12, *text 15, bit 16, json 245,
+    * decimal 246, enum 247, set 248, binary/blob 252, varchar 253,
+    * char 254. `year` has NO sqlType entry in the reference (the map
+    * key is simply absent) — modeled as None here. A consumer decoding
+    * against the reference's envelope reads these codes, so JDBC
+    * java.sql.Types values (round 1) were a wrong-output bug. */
+  def canalType(rawType: String): (Option[Int], String) = {
     val base = rawType.toLowerCase.takeWhile(c => c.isLetter)
     base match {
-      case "tinyint" => -6
-      case "smallint" => 5
-      case "mediumint" | "int" | "integer" | "year" => 4
-      case "bigint" => -5
-      case "float" => 7
-      case "double" | "real" => 8
-      case "decimal" | "numeric" => 3
-      case "char" => 1
-      case "varchar" | "enum" | "set" | "json" => 12
-      case "text" | "tinytext" | "mediumtext" | "longtext" => 2005
-      case "date" => 91
-      case "time" => 92
-      case "datetime" | "timestamp" => 93
-      case "bit" => -7
-      case "binary" => -2
-      case "varbinary" | "blob" | "tinyblob" | "mediumblob" | "longblob" => -3
-      case _ => 12
+      case "tinyint" => (Some(1), "tinyint")
+      case "smallint" => (Some(2), "smallint")
+      case "mediumint" => (Some(9), "mediumint")
+      case "bigint" => (Some(8), "bigint")
+      case "int" | "integer" => (Some(3), "int")
+      case "year" => (None, "year")
+      case "float" => (Some(4), "float")
+      case "double" | "real" => (Some(5), "double")
+      case "enum" => (Some(247), "enum")
+      case "set" => (Some(248), "set")
+      case t if t.endsWith("text") => (Some(15), "text")
+      case "char" => (Some(254), "char")
+      case "datetime" => (Some(12), "datetime")
+      case "timestamp" => (Some(7), "timestamp")
+      case "date" => (Some(10), "date")
+      case "time" => (Some(11), "time")
+      case "bit" => (Some(16), "bit")
+      case "json" => (Some(245), "json")
+      case "decimal" | "numeric" => (Some(246), "decimal")
+      case "binary" => (Some(252), "binary")
+      case t if t.endsWith("blob") || t == "varbinary" => (Some(252), "blob")
+      // reference TypeString fallthrough: varchar 253
+      case _ => (Some(253), "varchar")
     }
   }
 
@@ -85,10 +98,13 @@ object Formats {
     * deterministic column for replayable/oracle-checked output. */
   def canalJson(envelope: DataFrame, t: TableDef,
       emitTsMs: Column = unix_timestamp(current_timestamp()) * 1000): DataFrame = {
-    val sqlTypes = map(t.columns.flatMap(c =>
-      Seq(lit(c.name), lit(jdbcTypeCode(c.rawType)))): _*)
+    // year columns are omitted from sqlType (reference parity); every
+    // column appears in mysqlType with its normalized base name.
+    val sqlTypes = map(t.columns.flatMap { c =>
+      canalType(c.rawType)._1.toSeq.flatMap(code => Seq(lit(c.name), lit(code)))
+    }: _*)
     val mysqlTypes = map(t.columns.flatMap(c =>
-      Seq(lit(c.name), lit(c.rawType))): _*)
+      Seq(lit(c.name), lit(canalType(c.rawType)._2))): _*)
     val pkNames = array(t.pkColumns.map(c => lit(c.name)): _*)
     envelope.select(
       to_json(struct(
@@ -102,6 +118,7 @@ object Formats {
         (unix_timestamp(col("ts")) * 1000).as("es"),
         emitTsMs.as("ts"),
         lit("").as("sql"),
+        lit("").as("serverId"),
         sqlTypes.as("sqlType"),
         mysqlTypes.as("mysqlType"),
         array(col("after")).as("data"),

@@ -2,6 +2,8 @@ package graft.sinks
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
@@ -20,9 +22,10 @@ import graft.streaming.Pipeline.BatchSink
   *
   * At 100 TB this shape is exactly a Delta/Iceberg MERGE INTO; the
   * read-union-rewrite here is the dependency-free equivalent for a
-  * plain parquet dir, with the state partitioned by pk-hash bucket
-  * so only touched buckets would need rewriting in a real lake
-  * layout.
+  * plain parquet dir. [[BucketedUpsertSink]] is the same contract
+  * with touched-bucket-only rewrites (batch-proportional cost) —
+  * prefer it for large tables; this sink rewrites the whole table
+  * per batch but never materializes it on the driver.
   */
 final class ParquetUpsertSink(rootDir: String) extends BatchSink {
 
@@ -31,6 +34,7 @@ final class ParquetUpsertSink(rootDir: String) extends BatchSink {
   override def write(batch: DataFrame, t: TableDef, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val p = path(t)
+    recoverInterruptedSwap(p)
     val pks = t.pkColumns.map(_.name)
     val merged =
       if (Files.exists(Paths.get(p))) {
@@ -43,14 +47,50 @@ final class ParquetUpsertSink(rootDir: String) extends BatchSink {
         else Compactor.lastEventPerKeyAgg(pks, "seq")(unioned)
       } else batch
     val finalState = merged.filter(col("op") =!= "delete")
-    // materialize before overwriting the path being read
-    val rows = finalState.collect()
-    val out = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        java.util.Arrays.asList(rows: _*)),
-      finalState.schema)
-    out.write.mode(SaveMode.Overwrite).parquet(p)
+    // Distributed write to a staging dir (executors write in
+    // parallel; nothing flows through the driver), then a crash-safe
+    // move-aside swap: the dir still being read is never overwritten
+    // in place, and pre-batch state survives until its replacement
+    // is fully in position (same protocol as BucketedUpsertSink).
+    val staging = Paths.get(s"$p.staging-$batchId")
+    finalState.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val target = Paths.get(p)
+    val aside = Paths.get(s"$p.aside")
+    deleteRecursively(aside)
+    if (Files.exists(target)) Files.move(target, aside)
+    Files.move(staging, target)
+    deleteRecursively(aside)
   }
+
+  /** Replay recovery: an `.aside` dir whose real table dir is missing
+    * means a swap died between move-aside and move-in — restore it
+    * (the batch re-merges idempotently); stale staging dirs are
+    * dropped. */
+  private def recoverInterruptedSwap(p: String): Unit = {
+    val target = Paths.get(p)
+    val aside = Paths.get(s"$p.aside")
+    if (Files.exists(aside)) {
+      if (!Files.exists(target)) Files.move(aside, target)
+      else deleteRecursively(aside)
+    }
+    val parent = target.toAbsolutePath.getParent
+    if (parent != null && Files.exists(parent)) {
+      val base = target.getFileName.toString
+      val s = Files.list(parent)
+      try s.iterator().asScala.toVector.foreach { f =>
+        if (f.getFileName.toString.startsWith(s"$base.staging-"))
+          deleteRecursively(f)
+      } finally s.close()
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
 
   def read(t: TableDef): DataFrame =
     org.apache.spark.sql.SparkSession.active.read.parquet(path(t))

@@ -20,7 +20,10 @@ import graft.meta.TableDef
   */
 object SqlGen {
 
-  private def q(id: String): String = s"`$id`"
+  // Identifiers flow in from parsed upstream DDL (untrusted replication
+  // stream): escape embedded backticks by doubling (MySQL convention) so
+  // a hostile name can't break out of the quote and inject SQL.
+  private def q(id: String): String = s"`${id.replace("`", "``")}`"
 
   /** Multi-row INSERT … ON DUPLICATE KEY UPDATE
     * (≙ generateBulkInsertOnDuplicateKeyUpdateSQL,

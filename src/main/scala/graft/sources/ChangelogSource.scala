@@ -47,9 +47,13 @@ class ChangelogSource extends TableProvider with DataSourceRegister {
     ChangeEvent.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new ChangelogTable(properties.get("path"),
-      Option(properties.get("maxEventsPerTrigger")).map(_.toLong))
+      properties: JMap[String, String]): Table = {
+    // DataFrameReader options are case-insensitive per the DSv2
+    // contract — wrap before lookup so .option("PATH", …) works.
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ChangelogTable(opts.get("path"),
+      Option(opts.get("maxEventsPerTrigger")).map(_.toLong))
+  }
 }
 
 final class ChangelogTable(path: String, maxPerTrigger: Option[Long])

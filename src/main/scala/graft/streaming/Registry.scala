@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.sinks.ParquetUpsertSink
+import graft.sinks.{BucketedUpsertSink, JdbcUpsertSink, ParquetUpsertSink, StreamLoadSink}
 
 /** Plugin registry ≙ `registry/registry.go:30-66`: (kind, name) →
   * configurable factory. Spark already provides this for sources
@@ -35,9 +35,35 @@ object Registry {
   def sinkNames: Set[String] = sinks.keySet.toSet
   def sourceNames: Set[String] = sources.keySet.toSet
 
-  // built-ins (≙ inputs/init.go, outputs/init.go registrations)
+  // built-ins (≙ inputs/init.go, outputs/init.go registrations).
+  // The scale-safe bucketed sink is ALSO registered under the generic
+  // name so default pipeline wiring gets touched-bucket-only rewrites;
+  // the whole-table variant stays available explicitly.
   registerSink("parquet-upsert") { conf =>
+    new BucketedUpsertSink(conf("dir"),
+      conf.get("buckets").map(_.toInt).getOrElse(64))
+  }
+  registerSink("parquet-upsert-flat") { conf =>
     new ParquetUpsertSink(conf("dir"))
+  }
+  registerSink("bucketed-upsert") { conf =>
+    new BucketedUpsertSink(conf("dir"),
+      conf.get("buckets").map(_.toInt).getOrElse(64))
+  }
+  // network sinks under the reference's plugin names (outputs/init.go)
+  registerSink("mysql") { conf =>
+    val (url, user, pass) =
+      (conf("url"), conf.getOrElse("user", "root"), conf.getOrElse("password", ""))
+    new JdbcUpsertSink(() =>
+      java.sql.DriverManager.getConnection(url, user, pass))
+  }
+  registerSink("starrocks") { conf =>
+    new StreamLoadSink(conf("url"), conf.getOrElse("user", "root"),
+      conf.getOrElse("password", ""), doris = false)
+  }
+  registerSink("doris") { conf =>
+    new StreamLoadSink(conf("url"), conf.getOrElse("user", "root"),
+      conf.getOrElse("password", ""), doris = true)
   }
   registerSource("changelog") { (spark, conf) =>
     val r = spark.readStream.format("graft-changelog")

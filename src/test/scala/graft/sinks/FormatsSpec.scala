@@ -47,21 +47,41 @@ class FormatsSpec extends SparkSpec {
     assert(v.contains(""""ts":1700000000"""))
   }
 
-  test("canalJson has sqlType/mysqlType/pkNames and stringified data") {
+  test("canalJson has sqlType/mysqlType/pkNames/serverId and stringified data") {
     val v = Formats.canalJson(envelope, t).as[String].collect().head
     assert(v.contains(""""pkNames":["id"]"""))
-    assert(v.contains(""""sqlType":{"id":-5,"k":4,"c":12}"""))
-    assert(v.contains(""""mysqlType":{"id":"bigint","k":"int","c":"varchar(120)"}"""))
+    // Aliyun/MySQL-protocol codes (kafka_utils.go:128-230), not JDBC
+    assert(v.contains(""""sqlType":{"id":8,"k":3,"c":253}"""))
+    assert(v.contains(""""mysqlType":{"id":"bigint","k":"int","c":"varchar"}"""))
     assert(v.contains(""""type":"INSERT""""))
     assert(v.contains(""""isDdl":false"""))
+    assert(v.contains(""""serverId":"""""))
   }
 
-  test("jdbcTypeCode maps the reference's type table") {
-    assert(Formats.jdbcTypeCode("bigint") == -5)
-    assert(Formats.jdbcTypeCode("varchar(64)") == 12)
-    assert(Formats.jdbcTypeCode("datetime") == 93)
-    assert(Formats.jdbcTypeCode("decimal(18,4)") == 3)
-    assert(Formats.jdbcTypeCode("blob") == -3)
+  test("canalType maps the reference's Aliyun/MySQL code table") {
+    assert(Formats.canalType("tinyint(1)") == (Some(1), "tinyint"))
+    assert(Formats.canalType("smallint") == (Some(2), "smallint"))
+    assert(Formats.canalType("int(11)") == (Some(3), "int"))
+    assert(Formats.canalType("float") == (Some(4), "float"))
+    assert(Formats.canalType("double") == (Some(5), "double"))
+    assert(Formats.canalType("timestamp") == (Some(7), "timestamp"))
+    assert(Formats.canalType("bigint(20)") == (Some(8), "bigint"))
+    assert(Formats.canalType("mediumint") == (Some(9), "mediumint"))
+    assert(Formats.canalType("date") == (Some(10), "date"))
+    assert(Formats.canalType("time") == (Some(11), "time"))
+    assert(Formats.canalType("datetime") == (Some(12), "datetime"))
+    assert(Formats.canalType("longtext") == (Some(15), "text"))
+    assert(Formats.canalType("bit(1)") == (Some(16), "bit"))
+    assert(Formats.canalType("json") == (Some(245), "json"))
+    assert(Formats.canalType("decimal(18,4)") == (Some(246), "decimal"))
+    assert(Formats.canalType("enum('a','b')") == (Some(247), "enum"))
+    assert(Formats.canalType("set('x')") == (Some(248), "set"))
+    assert(Formats.canalType("blob") == (Some(252), "blob"))
+    assert(Formats.canalType("binary(16)") == (Some(252), "binary"))
+    assert(Formats.canalType("varchar(64)") == (Some(253), "varchar"))
+    assert(Formats.canalType("char(8)") == (Some(254), "char"))
+    // year: present in mysqlType, ABSENT from sqlType (reference parity)
+    assert(Formats.canalType("year") == (None, "year"))
   }
 
   test("withKafkaKey: partition = hash % n, key = hash string") {

@@ -22,7 +22,10 @@ def canon(v):
     if v is None:
         return None
     if isinstance(v, Decimal):
-        return ("dec", str(v.normalize()))
+        # NO normalize(): the driver hashes the exact-scale rendering, so
+        # DECIMAL(38,6) "1.500000" != DECIMAL(18,2) "1.50". Normalizing here
+        # hid 6 real driver failures in round 1.
+        return ("dec", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
