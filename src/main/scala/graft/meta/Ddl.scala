@@ -99,10 +99,15 @@ object DdlParser {
         }
         // parse() reports one db per statement, so a multi-pair rename
         // spanning databases (or moving a table across them) can't be
-        // represented — reject it explicitly rather than silently
-        // applying every pair against the first pair's db.
+        // represented. Silently dropping it would leave the registry
+        // diverged from upstream with no signal — throw so operators
+        // notice (a None here becomes Nil in SchemaRegistry.applySql,
+        // i.e. an invisible no-op).
         val dbs = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-        if (dbs.size > 1) None
+        if (dbs.size > 1) throw new UnsupportedOperationException(
+          s"cross-database RENAME TABLE is not supported (databases: " +
+            s"${dbs.mkString(", ")}) — the schema registry would go stale; " +
+            "split the rename per database or re-bootstrap the registry")
         else pairs.headOption.map(h => (h._1, pairs.map(_._3)))
       case AlterRe(tbl, clauses) =>
         val (db, t) = qual(tbl, defaultDb)

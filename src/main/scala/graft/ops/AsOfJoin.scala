@@ -35,7 +35,14 @@ object AsOfJoin {
     *                  highest value wins. Without it, equal-ts right
     *                  rows have no deterministic winner across
     *                  runs/partitionings (same role as the order
-    *                  column in Compactor.lastEventPerKey). */
+    *                  column in Compactor.lastEventPerKey).
+    *                  NULL semantics: the ascending sort is
+    *                  nulls-first, so a null-tiebreak row always
+    *                  loses to any non-null one at equal (key, ts),
+    *                  and rows whose tiebreak is null remain
+    *                  non-deterministic among THEMSELVES — full
+    *                  determinism requires the column to be non-null
+    *                  (e.g. coalesce a surrogate seq in first). */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
       rightTiebreak: Option[String] = None): DataFrame = {

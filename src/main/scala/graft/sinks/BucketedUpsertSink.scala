@@ -45,6 +45,7 @@ final class BucketedUpsertSink(rootDir: String, buckets: Int = 64)
     require(pks.nonEmpty,
       s"${t.schema}.${t.name}: BucketedUpsertSink requires primary keys " +
         "(pk-less tables have no upsert identity — use an append sink)")
+    rejectFlatLayout(dir, t)
     recoverInterruptedSwap(dir)
     val bucketed = withBucket(batch, t).persist()
     try {
@@ -90,6 +91,28 @@ final class BucketedUpsertSink(rootDir: String, buckets: Int = 64)
       }
       deleteRecursively(Paths.get(staging))
     } finally bucketed.unpersist()
+  }
+
+  /** A target dir holding top-level parquet files is state from the
+    * FLAT [[ParquetUpsertSink]] layout. Merging over it would silently
+    * ignore every pre-existing row (this sink only reads bucket=&lt;b&gt;/
+    * subdirs) — wrong table state with no error — so fail loudly and
+    * name the migration path instead. */
+  private def rejectFlatLayout(dir: String, t: TableDef): Unit = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) return
+    val s = Files.list(p)
+    val flat =
+      try s.iterator().asScala.exists { f =>
+        val n = f.getFileName.toString
+        n.endsWith(".parquet") && !Files.isDirectory(f)
+      } finally s.close()
+    if (flat) throw new IllegalStateException(
+      s"${t.schema}.${t.name}: $dir holds non-bucketed (flat ParquetUpsertSink) " +
+        "state, which this sink's bucket=<b>/ reads would silently ignore. " +
+        "Either keep the table on the 'parquet-upsert' sink, or migrate once: " +
+        "read the flat dir and re-write it through BucketedUpsertSink into a " +
+        "fresh directory.")
   }
 
   /** Replay recovery: an `.aside-bucket=` dir whose real bucket is

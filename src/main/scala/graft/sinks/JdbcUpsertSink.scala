@@ -38,9 +38,29 @@ final class JdbcUpsertSink(
     // ≙ `outputs/mysql/mysql.go:130-132`: pk-less tables unsupported
     require(pks.nonEmpty,
       s"${t.schema}.${t.name}: JDBC upsert sink requires primary keys")
+    // Upserts run before deletes within a chunk, so correctness needs
+    // ONE event per key. Don't trust the scaladoc contract: compact
+    // defensively when the batch carries the monotone `seq` (a no-op
+    // shuffle on an already-compacted micro-batch), else verify
+    // key-uniqueness and fail loudly — feeding an uncompacted frame
+    // through would silently reorder delete-then-insert sequences
+    // (the ordering the reference preserves via run-splitting,
+    // `outputs/mysql/mysql.go:172-202`).
+    val safe =
+      if (batch.columns.contains("seq"))
+        graft.operators.Compactor.lastEventPerKeyAgg(pks, "seq")(batch)
+      else {
+        import org.apache.spark.sql.functions.{col, count, lit}
+        val dups = batch.groupBy(pks.map(col): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+        require(dups == 0,
+          s"${t.schema}.${t.name}: batch has multiple events per key and no " +
+            "'seq' column to compact on — compact upstream or add 'seq'")
+        batch
+      }
     val (cf, tt, mx, rt, bo) =
       (connect, t, maxRowsPerStatement, retries, retryBackoffMs)
-    batch.foreachPartition { (rows: Iterator[Row]) =>
+    safe.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val conn = cf()
         try {

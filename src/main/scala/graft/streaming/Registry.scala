@@ -36,14 +36,16 @@ object Registry {
   def sourceNames: Set[String] = sources.keySet.toSet
 
   // built-ins (≙ inputs/init.go, outputs/init.go registrations).
-  // The scale-safe bucketed sink is ALSO registered under the generic
-  // name so default pipeline wiring gets touched-bucket-only rewrites;
-  // the whole-table variant stays available explicitly.
+  // 'parquet-upsert' keeps its original FLAT on-disk layout: state
+  // written under that name by earlier deployments must stay visible
+  // on resume (rebinding the name to the bucketed layout would
+  // silently exclude pre-existing flat state from merges). The flat
+  // sink's write path is fully distributed (staging-dir swap, no
+  // driver materialization); the bucketed sink — the large-table
+  // scale path with touched-bucket-only rewrites — is its own name,
+  // and refuses to run over a flat layout (fails loudly rather than
+  // ignoring invisible state).
   registerSink("parquet-upsert") { conf =>
-    new BucketedUpsertSink(conf("dir"),
-      conf.get("buckets").map(_.toInt).getOrElse(64))
-  }
-  registerSink("parquet-upsert-flat") { conf =>
     new ParquetUpsertSink(conf("dir"))
   }
   registerSink("bucketed-upsert") { conf =>
