@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, RollingHash}
+import graft.functions.{ByteAtU8, DotProduct, RollingHash}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst
   * surface (SURVEY §7.4). Enable with:
@@ -23,6 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 2, "dot_product(a, b) takes 2 arguments")
         DotProduct(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("byte_at_u8"),
+      new ExpressionInfo(classOf[ByteAtU8].getName, "byte_at_u8"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "byte_at_u8(blob, pos) takes 2 arguments")
+        ByteAtU8(exprs.head, exprs(1))
       }))
     e.injectFunction((
       new FunctionIdentifier("rolling_hash"),

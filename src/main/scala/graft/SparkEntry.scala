@@ -23,12 +23,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ §7.6
     * extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ Core2Queries.queries ++ CdcQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries
+    CoreQueries.queries ++ Core2Queries.queries ++ Core3Queries.queries ++
+      CdcQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ Core2Queries.oracle ++ CdcQueries.oracle ++
-      TextQueries.oracle ++ DedupQueries.oracle ++ SimilarityQueries.oracle
+    CoreQueries.oracle ++ Core2Queries.oracle ++ Core3Queries.oracle ++
+      CdcQueries.oracle ++ TextQueries.oracle ++ DedupQueries.oracle ++
+      SimilarityQueries.oracle
 }

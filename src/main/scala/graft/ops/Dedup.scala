@@ -97,19 +97,39 @@ object Dedup {
   /** N-gram Jaccard near-dup pairs: distinct word-3-gram shingles,
     * inverted-index self-join on shingle, similarity from exact
     * intersection/union counts. `minJaccard` prunes the output;
-    * the shingle join bounds the candidate space. */
+    * the shingle join bounds the candidate space.
+    *
+    * `maxDocFreq`: drop shingles appearing in more than that many
+    * documents BEFORE the self-join. A corpus-wide hot shingle
+    * (boilerplate, license header) pairs every pair of docs that
+    * contain it — one such key at 100 TB explodes the inverted-index
+    * join quadratically. Capped shingles are removed from the
+    * UNIVERSE (intersections and sizes both), i.e. standard
+    * stop-shingle semantics: Jaccard over the informative shingles
+    * only. The DF-count aggregation shuffles on the same key as the
+    * self-join, so AQE reuses the exchange. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+                        n: Int = 3, minJaccard: Double = 0.5,
+                        maxDocFreq: Option[Long] = None): DataFrame = {
     // Join on a 64-bit hash of the shingle, not the string: long
     // shuffle keys beat variable-length strings, and the (bounded)
     // shingle table is computed once and cached instead of 3× for
     // the two join sides + the size table. Collision odds across
     // ~10^5 distinct shingles are ~1e-12 — the DuckDB oracle joins
     // on the raw string and agrees.
-    val sh = df.select(col(idCol).as("id"),
+    val shAll = df.select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), n))).as("s"))
       .select(col("id"), xxhash64(col("s")).as("sh"))
       .cache()
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        // rows are distinct (id, shingle), so count(*) per shingle IS
+        // document frequency
+        val dfreq = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+        shAll.join(dfreq, "sh").select(col("id"), col("sh")).cache()
+      case None => shAll
+    }
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val l = sh.toDF("a", "sh")
     val r = sh.toDF("b", "sh")

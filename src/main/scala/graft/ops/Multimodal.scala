@@ -50,17 +50,19 @@ object Multimodal {
       (lit(1) + pmod(n, lit(16))).cast(IntegerType).as("n_frames"))
   }
 
-  // ---- real header parsing (pure byte math over BinaryType: substring
-  // + hex + conv — all codegen'd built-ins, no UDF, no codec deps) ----
+  // ---- real header parsing (pure byte math over BinaryType via the
+  // native codegen'd byte_at_u8 expression — one bounds-checked array
+  // access per byte, no per-byte hex-string round-trip; see
+  // graft.functions.ByteAtU8) ----
 
-  /** Unsigned byte at 1-based position `pos`. */
-  private def u8(blob: Column, pos: Column): Column =
-    conv(hex(substring(blob, pos, lit(1))), 16, 10).cast(LongType)
-  private def u8(blob: Column, pos: Int): Column = u8(blob, lit(pos))
+  /** Unsigned byte at 1-based position `pos` (NULL out of range). */
+  private def u8(blob: Column, pos: Int): Column =
+    call_function("byte_at_u8", blob, lit(pos)).cast(LongType)
 
   /** Big-endian u32 at 1-based `pos` (PNG uses network order). */
   private def beU32(blob: Column, pos: Int): Column =
-    conv(hex(substring(blob, pos, 4)), 16, 10).cast(LongType)
+    u8(blob, pos) * 16777216L + u8(blob, pos + 1) * 65536L +
+      u8(blob, pos + 2) * 256L + u8(blob, pos + 3)
 
   /** Little-endian u16/u32 at 1-based `pos` (RIFF/WAV order). */
   private def leU16(blob: Column, pos: Int): Column =
@@ -69,14 +71,16 @@ object Multimodal {
     u8(blob, pos) + u8(blob, pos + 1) * 256L +
       u8(blob, pos + 2) * 65536L + u8(blob, pos + 3) * 16777216L
 
-  /** PNG: 8-byte signature 89 50 4E 47 0D 0A 1A 0A. */
+  /** PNG: 8-byte signature 89 50 4E 47 0D 0A 1A 0A (binary-literal
+    * equality — no hex stringification). */
   def isPng(blob: Column): Column =
-    hex(substring(blob, 1, 8)) === "89504E470D0A1A0A"
+    substring(blob, 1, 8) === lit(Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47,
+      0x0d, 0x0a, 0x1a, 0x0a))
 
   /** WAV: "RIFF" …size… "WAVE". */
   def isWav(blob: Column): Column =
-    hex(substring(blob, 1, 4)) === "52494646" &&
-      hex(substring(blob, 9, 4)) === "57415645"
+    substring(blob, 1, 4) === lit("RIFF".getBytes) &&
+      substring(blob, 9, 4) === lit("WAVE".getBytes)
 
   /** Schema of [[headerDecode]]'s parsed-header struct. */
   val headerSchema: StructType = StructType(Seq(

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Third query batch: classic TPC-H shapes the first two batches
+  * didn't cover (Q6 selective scan-agg, Q12 conditional join-agg,
+  * Q14 ratio agg), explicit GROUPING SETS, more window functions, and
+  * corpus-scale text operators (token histogram = wordcount shape,
+  * PII scrubbing).
+  *
+  * Same decimal discipline as CoreQueries: exact DECIMAL aggregation
+  * (associativity-proof under any shuffle order), one final cast to
+  * DOUBLE (IEEE-nearest in both engines).
+  */
+object Core3Queries {
+  private val D = DecimalType(18, 2)
+  private val F = DecimalType(4, 2)
+  private def dec(c: Column): Column = c.cast(D)
+  private def discF: Column = col("l_discount").cast(F)
+
+  private val sqlPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
+  private val sqlDiscF = "CAST(l_discount AS DECIMAL(4,2))"
+  private val sqlToks = "string_split_regex(trim(text), ' +')"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ≙ TPC-H Q6: highly selective filters ALL pushed to the parquet
+    // scan (shipdate/discount/quantity are PushedFilters; ReadSchema
+    // is 4 columns of 11), then a one-row global aggregate — the
+    // cheapest possible 100 TB plan: scan-local work, a single
+    // scalar's worth of shuffle.
+    "q6_revenue_forecast" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * discF).cast("double")
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    // ≙ TPC-H Q12 shape: fact-to-fact equi-join (both sides shuffle
+    // on orderkey — no broadcast: orders grows with the data), then
+    // conditional aggregation into two counters per group.
+    "q12_priority_lines" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_lines"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_lines"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // ≙ TPC-H Q14: broadcast dim join + promo-share ratio. Numerator
+    // and denominator aggregate exactly in DECIMAL; the single final
+    // double division is IEEE-identical in both engines.
+    "q14_promo_share" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      val part = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_type"))
+      val rev = dec(col("l_extendedprice")) *
+        (lit(1.0).cast(F) - discF)
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(D)))
+            .cast("double").as("promo_revenue"),
+          sum(rev).cast("double").as("total_revenue"))
+        .select(
+          (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+            .as("promo_pct"),
+          col("promo_revenue"), col("total_revenue"))
+    }),
+
+    // explicit GROUPING SETS (disjoint slices in one pass — rollup
+    // and cube are special cases; Spark plans one Expand + one agg)
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus NULLS FIRST,
+          |         o_orderpriority NULLS FIRST""".stripMargin)
+    }),
+
+    // window batch 2: lead() + ntile() in one pass over one window
+    // spec (single shuffle+sort serves both functions)
+    "q_window_lead_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).as("price_quartile"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // corpus token histogram — the wordcount shape: explode is
+    // narrow, the groupBy shuffles (token, partial count) pairs only
+    // (map-side combine), never document bodies. THE fundamental
+    // vocabulary/frequency op for tokenizer and quality work.
+    "text_token_histogram" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 50)
+        .orderBy(col("n").desc, col("token"))),
+
+    // PII scrubbing: emails and phone-shaped tokens replaced before
+    // training. The pii-bearing text is CONSTRUCTED deterministically
+    // per row (the synthetic corpus contains none), then scrubbed —
+    // both engines run the same construction, so the oracle proves
+    // the scrubber. Pure narrow projection: no shuffle at any scale.
+    "text_pii_scrub" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("dirty",
+          concat(lit("contact user"), col("doc_id"), lit("@mail.example.com"),
+            lit(" or 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" re: "), substring(col("text"), 1, 40)))
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("dirty"),
+              "[a-z0-9._]+@[a-z0-9.-]+", "[EMAIL]"),
+            "[0-9]{3}-[0-9]{4}", "[PHONE]").as("clean"))
+        .orderBy(col("doc_id")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q6_revenue_forecast" ->
+      s"""SELECT CAST(SUM($sqlPrice * $sqlDiscF) AS DOUBLE) AS revenue,
+         | COUNT(*) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin,
+    "q12_priority_lines" ->
+      """SELECT l_linestatus,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |               THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q14_promo_share" ->
+      s"""WITH agg AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |             THEN $sqlPrice * (CAST(1 AS DECIMAL(4,2)) - $sqlDiscF)
+         |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |      AS promo_revenue,
+         |    CAST(SUM($sqlPrice * (CAST(1 AS DECIMAL(4,2)) - $sqlDiscF))
+         |         AS DOUBLE) AS total_revenue
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01')
+         |SELECT 100.0 * promo_revenue / total_revenue AS promo_pct,
+         |  promo_revenue, total_revenue
+         |FROM agg""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST,
+        |         o_orderpriority NULLS FIRST""".stripMargin,
+    "q_window_lead_ntile" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | CAST(ntile(4) OVER w AS INTEGER) AS price_quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "text_token_histogram" ->
+      s"""SELECT t AS token, COUNT(*) AS n
+         |FROM (SELECT unnest($sqlToks) AS t FROM documents)
+         |GROUP BY t HAVING COUNT(*) >= 50
+         |ORDER BY n DESC, token""".stripMargin,
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        | regexp_replace(
+        |   regexp_replace(
+        |     'contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |       || ' or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       || ' re: ' || substring(text, 1, 40),
+        |     '[a-z0-9._]+@[a-z0-9.-]+', '[EMAIL]', 'g'),
+        |   '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -47,6 +47,15 @@ object DedupQueries {
         docs(s, dir).filter(col("doc_id") < 3000), "text", "doc_id")
         .orderBy(col("a"), col("b"))),
 
+    // same, with the 100 TB guard: shingles in > 20 docs are
+    // stop-shingles — dropped from the universe before the
+    // inverted-index self-join (kills the hot-key quadratic blowup)
+    "dedup_ngram_jaccard_capped" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        docs(s, dir).filter(col("doc_id") < 3000), "text", "doc_id",
+        maxDocFreq = Some(20L))
+        .orderBy(col("a"), col("b"))),
+
     // composite training-data prep: quality filter → exact dedup
     // (keep first) → join to embeddings → per-language corpus stats.
     // The end-to-end shape a 100 TB pretraining pipeline runs, as
@@ -137,6 +146,32 @@ object DedupQueries {
          |inter AS (
          |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
          |  FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, n_inter, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+         |    AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a
+         |JOIN sizes sb ON sb.doc_id = b
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+         |      >= 0.5
+         |ORDER BY a, b""".stripMargin,
+    "dedup_ngram_jaccard_capped" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks
+         |           FROM documents WHERE doc_id < 3000),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    toks[CAST(i AS INTEGER)+1] || ' ' || toks[CAST(i AS INTEGER)+2]
+         |      || ' ' || toks[CAST(i AS INTEGER)+3] AS s
+         |  FROM d, unnest(range(0, len(toks)-2)) AS t(i)),
+         |capped AS (
+         |  SELECT doc_id, s FROM (
+         |    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df
+         |    FROM sh) x WHERE df <= 20),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+         |inter AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
+         |  FROM capped l JOIN capped r ON l.s = r.s AND l.doc_id < r.doc_id
          |  GROUP BY 1, 2)
          |SELECT a, b, n_inter, sa.n AS n_a, sb.n AS n_b,
          |  CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)

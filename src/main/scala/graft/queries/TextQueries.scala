@@ -125,14 +125,23 @@ object TextQueries {
         le16(ch), le32(sr), le32(sr * blockAlign), le16(blockAlign),
         lit("1000" + "64617461"), le32(dataBytes))
       val blob = unhex(when(pmod(id, lit(2)) === 0, pngHex).otherwise(wavHex))
-      val m = Multimodal.headerDecode(blob)
-      docs(s, dir).select(id,
-        m.getField("mime").as("mime"),
-        m.getField("width").as("width"),
-        m.getField("height").as("height"),
-        m.getField("n_frames").as("n_frames"),
-        m.getField("sample_rate").as("sample_rate"),
-        m.getField("channels").as("channels"))
+      // STAGED projections: blob → hdr → fields. Inlining everything
+      // into one select duplicates the (large) construction+parse
+      // tree into every output column — the optimizer then spends
+      // seconds per run walking a 10k-node plan (measured: 8s plan
+      // time vs 0.9s execution). Each stage's outputs reference an
+      // ATTRIBUTE of the previous one, and CollapseProject keeps the
+      // stages separate because the referenced aliases are non-cheap
+      // and used more than once.
+      docs(s, dir).select(id, blob.as("blob"))
+        .select(id, Multimodal.headerDecode(col("blob")).as("hdr"))
+        .select(id,
+          col("hdr.mime").as("mime"),
+          col("hdr.width").as("width"),
+          col("hdr.height").as("height"),
+          col("hdr.n_frames").as("n_frames"),
+          col("hdr.sample_rate").as("sample_rate"),
+          col("hdr.channels").as("channels"))
         .orderBy(id)
     })
   )

@@ -52,11 +52,13 @@ class ChangelogSource extends TableProvider with DataSourceRegister {
     // contract — wrap before lookup so .option("PATH", …) works.
     val opts = new CaseInsensitiveStringMap(properties)
     new ChangelogTable(opts.get("path"),
-      Option(opts.get("maxEventsPerTrigger")).map(_.toLong))
+      Option(opts.get("maxEventsPerTrigger")).map(_.toLong),
+      Option(opts.get("startSeq")))
   }
 }
 
-final class ChangelogTable(path: String, maxPerTrigger: Option[Long])
+final class ChangelogTable(path: String, maxPerTrigger: Option[Long],
+    startSeq: Option[String] = None)
   extends Table with SupportsRead {
 
   require(path != null, "option 'path' is required")
@@ -70,7 +72,7 @@ final class ChangelogTable(path: String, maxPerTrigger: Option[Long])
     () => new Scan {
       override def readSchema(): StructType = ChangeEvent.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new ChangelogMicroBatchStream(path, maxPerTrigger)
+        new ChangelogMicroBatchStream(path, maxPerTrigger, startSeq)
       override def toBatch: Batch = new ChangelogBatch(path)
     }
 }
@@ -80,7 +82,8 @@ final case class SeqOffset(seq: Long) extends Offset {
   override def json(): String = seq.toString
 }
 
-final class ChangelogMicroBatchStream(path: String, maxPerTrigger: Option[Long])
+final class ChangelogMicroBatchStream(path: String, maxPerTrigger: Option[Long],
+    startSeq: Option[String] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -94,7 +97,26 @@ final class ChangelogMicroBatchStream(path: String, maxPerTrigger: Option[Long])
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(maxSeqOnDisk)
 
-  override def initialOffset(): Offset = SeqOffset(-1L)
+  /** Position bootstrap priority chain ≙ `inputs/mysql/
+    * mysql_position.go:37-54,127-148` (meta.db → config `start-gtid`
+    * → `SELECT @@gtid_executed`):
+    *
+    *  1. an existing CHECKPOINT always wins — Spark only calls
+    *     initialOffset() on a fresh start (≙ meta.db position);
+    *  2. `startSeq=<n>` serves events with seq > n — deploy mid-log
+    *     without replaying history (≙ config start-gtid);
+    *  3. `startSeq=latest` starts at the current tail — only events
+    *     appended after query start (≙ bootstrapping the position
+    *     from the source's current @@gtid_executed);
+    *  4. default −1 — full history replay from the first event (the
+    *     engine's backfill improvement over the reference, which
+    *     silently starts from "now").
+    */
+  override def initialOffset(): Offset = startSeq match {
+    case Some(s) if s.equalsIgnoreCase("latest") => SeqOffset(maxSeqOnDisk)
+    case Some(n) => SeqOffset(n.toLong)
+    case None => SeqOffset(-1L)
+  }
 
   override def latestOffset(): Offset = SeqOffset(maxSeqOnDisk)
 

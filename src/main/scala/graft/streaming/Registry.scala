@@ -68,9 +68,13 @@ object Registry {
       conf.getOrElse("password", ""), doris = true)
   }
   registerSource("changelog") { (spark, conf) =>
-    val r = spark.readStream.format("graft-changelog")
+    val r0 = spark.readStream.format("graft-changelog")
       .option("path", conf("path"))
-    conf.get("maxEventsPerTrigger")
-      .map(m => r.option("maxEventsPerTrigger", m)).getOrElse(r).load()
+    val r1 = conf.get("maxEventsPerTrigger")
+      .map(m => r0.option("maxEventsPerTrigger", m)).getOrElse(r0)
+    // position bootstrap override ≙ config start-gtid / "latest"
+    // (checkpoint still wins — see ChangelogMicroBatchStream.initialOffset)
+    conf.get("startSeq").map(s => r1.option("startSeq", s)).getOrElse(r1)
+      .load()
   }
 }

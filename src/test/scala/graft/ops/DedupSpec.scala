@@ -54,6 +54,30 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngram jaccard DF cap drops boilerplate-only pairs") {
+    // docs 1-5 share ONLY a boilerplate license shingle run; 6 and 7
+    // are genuine near-dups sharing informative shingles.
+    val boiler = "licensed under the apache license version two point zero"
+    val df = (1L to 5L).map(i => (i, s"$boiler unique$i content$i words$i"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq(
+        (6L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (7L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("doc_id", "text"))
+    // uncapped: the 5 boilerplate docs pairwise-join (10 pairs in the
+    // candidate space, even if below minJaccard they cost the join)
+    val uncapped = Dedup.ngramJaccardPairs(df, "text", "doc_id",
+      minJaccard = 0.1)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)), "boilerplate pairs present uncapped")
+    assert(uncapped.contains((6L, 7L)))
+    // capped at DF ≤ 4: the boilerplate shingles (df=5) leave the
+    // universe; only the genuine near-dup pair survives
+    val capped = Dedup.ngramJaccardPairs(df, "text", "doc_id",
+      minJaccard = 0.1, maxDocFreq = Some(4L))
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((6L, 7L)), s"got $capped")
+  }
+
   test("embedding cosine pairs find planted near-dup") {
     val vs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -68,6 +68,41 @@ class ChangelogSourceSpec extends SparkSpec {
       s"checkpoint resume must not replay: $seen")
   }
 
+  test("position bootstrap chain: startSeq override, latest, checkpoint priority") {
+    val dir = Files.createTempDirectory("clog").toString
+    writeLog(dir, "a.jsonl", (0 until 10).map(i => line(i, "insert", i, i)))
+
+    def drain(ckpt: String, opts: Map[String, String]): Seq[Long] = {
+      val seen = collection.mutable.ArrayBuffer.empty[Long]
+      val r = spark.readStream.format("graft-changelog").option("path", dir)
+      val q = opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen ++= b.select("seq").as[Long](
+            org.apache.spark.sql.Encoders.scalaLong).collect() }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      seen.sorted.toSeq
+    }
+
+    // 2. config startSeq: deploy mid-log, serve only seq > 5
+    val ckptMid = Files.createTempDirectory("clog-ckpt").toString
+    assert(drain(ckptMid, Map("startSeq" -> "5")) == (6L until 10L))
+
+    // 3. startSeq=latest: nothing historical; only post-start appends
+    val ckptLatest = Files.createTempDirectory("clog-ckpt").toString
+    assert(drain(ckptLatest, Map("startSeq" -> "latest")).isEmpty)
+    writeLog(dir, "b.jsonl", (10 until 12).map(i => line(i, "insert", i, i)))
+    assert(drain(ckptLatest, Map("startSeq" -> "latest")) == (10L until 12L))
+
+    // 1. checkpoint beats the config override on restart (≙ meta.db
+    // position wins over start-gtid): a startSeq pointing backwards
+    // must not replay already-served events
+    assert(drain(ckptMid, Map("startSeq" -> "0")) == (10L until 12L))
+  }
+
   test("maxEventsPerTrigger bounds each micro-batch (backpressure)") {
     val dir = Files.createTempDirectory("clog").toString
     val ckpt = Files.createTempDirectory("clog-ckpt").toString

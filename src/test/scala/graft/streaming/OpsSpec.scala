@@ -79,6 +79,36 @@ class OpsSpec extends SparkSpec {
     } finally spark.streams.removeListener(collector)
   }
 
+  test("metrics HTTP endpoint serves Prometheus text format (≙ :7716/metrics)") {
+    val collector = new Metrics.Collector
+    collector.rowsRead.add(42)
+    collector.deletesRead.add(7)
+    collector.batches.increment()
+    val http = MetricsHttp.start(collector, port = 0) // free port
+    try {
+      def get(path: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${http.port}$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val body =
+          if (code == 200)
+            new String(conn.getInputStream.readAllBytes(), "UTF-8")
+          else ""
+        conn.disconnect()
+        (code, body)
+      }
+      val (code, body) = get("/metrics")
+      assert(code == 200)
+      assert(body.contains("# TYPE graft_rows_read_total counter"))
+      assert(body.contains("graft_rows_read_total 42"))
+      assert(body.contains("graft_deletes_read_total 7"))
+      assert(body.contains("graft_batches_total 1"))
+      assert(body.contains("graft_last_input_rows_per_second 0.0"))
+      // non-metrics paths 404 (the reference's REST API is no-op stubs)
+      assert(get("/api/addRouter")._1 == 404)
+    } finally http.stop()
+  }
+
   test("registry: unknown names fail, built-ins resolve") {
     assert(Registry.sinkNames.contains("parquet-upsert"))
     assert(Registry.sourceNames.contains("changelog"))
