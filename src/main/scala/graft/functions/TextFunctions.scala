@@ -80,4 +80,12 @@ object TextFunctions {
   def qualityScore(text: Column): Column =
     stopwordRatio(text) +
       when(tokenCount(text).between(5, 500), lit(1.0)).otherwise(lit(0.0))
+
+  /** Deterministic per-key bucket in [0, buckets): md5-derived, so
+    * identical across engines, runs, and partitionings — the
+    * primitive under reproducible train/val/test splits and
+    * stratified sampling (rand()-based sampling is neither
+    * replayable nor cross-engine checkable). */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    pmod(tokenHash(key.cast("string")), lit(buckets.toLong))
 }

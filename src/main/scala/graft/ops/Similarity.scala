@@ -102,6 +102,56 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
+  /** Multi-probe IVF top-k: corpus vectors live in ONE cell (their
+    * nearest centroid, as [[ivfTopK]]); each QUERY probes its
+    * `nProbe` closest cells. Recall rises toward brute-force as
+    * nProbe grows while the plan stays an equi-join on cell — probe
+    * fan-out multiplies only the query side (|Q|×nProbe rows), never
+    * the corpus. This is the standard recall/cost dial of IVF
+    * indexes (FAISS nprobe), expressed as a join-key expansion.
+    */
+  def ivfTopKMultiProbe(corpus: DataFrame, vecCol: String, idCol: String,
+      queryPred: Column, k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val centroids = corpus.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        norm(col(vecCol)).as("cn"))
+    val base = corpus.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"))
+    // corpus assignment: one cell per vector (hash-agg argmax as in
+    // ivfTopK — map-side partial agg, no shuffle sort)
+    val assigned = base.crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        dot(col(vecCol), col("cvec")) / (col("nrm") * col("cn")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"),
+        col(vecCol).as("v"), col("nrm").as("n"))).as("best"))
+      .select(col(idCol), col("best.v").as(vecCol), col("best.n").as("nrm"),
+        (-col("best.ncid")).as("cell"))
+    // query probe list: nProbe nearest cells per query. The window
+    // ranks |Q|×nCells rows — bounded by the query set, not the
+    // corpus.
+    val qprobe = base.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        dot(col("qv"), col("cvec")) / (col("qn") * col("cn")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("qid"), col("qv"), col("qn"), col("cid").as("cell"))
+    val c = assigned.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      col("nrm").as("nn"), col("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    // a neighbor lives in exactly one cell, so probing distinct cells
+    // can't duplicate (qid, nid) pairs — no dedup needed before rank
+    qprobe.join(c, Seq("cell")).filter(col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
   /** Sign bucket over the first `bits` dimensions: bit i set iff
     * vec[i] > 0. Fixed axis-aligned hyperplanes — deterministic in
     * any engine (random-rotation planes would improve recall but

@@ -79,6 +79,32 @@ object DedupQueries {
         .orderBy(col("lang"))
     }),
 
+    // reproducible train/val/test split (80/10/10): md5-derived
+    // bucket per doc — identical across engines, runs, partitionings
+    // and (unlike rand()) replayable. Narrow projection: free at any
+    // scale.
+    "pipe_split_assign" -> ((s, dir) => {
+      val b = graft.functions.TextFunctions.hashBucket(col("doc_id"), 100)
+      docs(s, dir).select(col("doc_id"),
+        when(b < 80, "train").when(b < 90, "val").otherwise("test")
+          .as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // stratified sampling with per-language rates (en 10%, rest 50%)
+    // over the same deterministic bucket; output = per-stratum
+    // totals. The groupBy shuffles (lang, partial counts) only.
+    "pipe_stratified_sample" -> ((s, dir) => {
+      val b = graft.functions.TextFunctions.hashBucket(col("doc_id"), 100)
+      docs(s, dir)
+        .withColumn("sampled",
+          when(col("lang") === "en", b < 10).otherwise(b < 50))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy(col("lang"))
+    }),
+
     // embedding-cosine near-dup pairs (≥ 0.35), bounded query side
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(
@@ -201,6 +227,26 @@ object DedupQueries {
          | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          |FROM kept JOIN embeddings ON vec_id = doc_id
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "pipe_split_assign" ->
+      """SELECT doc_id,
+        | CASE WHEN CAST(concat('0x', substring(
+        |        md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80
+        |      THEN 'train'
+        |      WHEN CAST(concat('0x', substring(
+        |        md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90
+        |      THEN 'val' ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipe_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    CAST(concat('0x', substring(
+        |      md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bk
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_total,
+        | CAST(SUM(CASE WHEN (lang = 'en' AND bk < 10)
+        |                 OR (lang <> 'en' AND bk < 50)
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

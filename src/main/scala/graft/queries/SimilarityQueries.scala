@@ -38,7 +38,27 @@ object SimilarityQueries {
     "ann_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), "embedding", "vec_id",
         queryPred = col("vec_id") < 100, k = 5, nCells = 16)
-        .orderBy(col("qid"), col("rank")))
+        .orderBy(col("qid"), col("rank"))),
+
+    // multi-probe IVF: queries probe their 3 nearest cells — the
+    // FAISS-nprobe recall dial; still an equi-join on cell
+    "ann_ivf_multiprobe_topk" -> ((s, dir) =>
+      Similarity.ivfTopKMultiProbe(emb(s, dir), "embedding", "vec_id",
+        queryPred = col("vec_id") < 100, k = 5, nCells = 16, nProbe = 3)
+        .orderBy(col("qid"), col("rank"))),
+
+    // per-label embedding stats: count + norm extremes. min/max are
+    // order-independent (unlike double sums), so the aggregate is
+    // deterministic under any partitioning and cross-engine exact.
+    "emb_label_stats" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("label"),
+          Similarity.norm(col("embedding")).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("nrm")).as("min_norm"),
+          max(col("nrm")).as("max_norm"))
+        .orderBy(col("label")))
   )
 
   private val sqlBucket: String = (0 until 8).map { i =>
@@ -87,6 +107,44 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT qid, nid, rank FROM ranked WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+    "ann_ivf_multiprobe_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $sqlNorm AS nrm
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS cid, v AS cvec, nrm AS cn FROM e
+         |  WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, v, nrm, cid AS cell FROM (
+         |    SELECT e.vec_id, e.v, e.nrm, cent.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, cent.cvec)
+         |                   / (e.nrm * cent.cn) DESC, cent.cid) AS crn
+         |    FROM e CROSS JOIN cent) x WHERE crn = 1),
+         |qprobe AS (
+         |  SELECT qid, qv, qn, cid AS cell FROM (
+         |    SELECT e.vec_id AS qid, e.v AS qv, e.nrm AS qn, cent.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, cent.cvec)
+         |                   / (e.nrm * cent.cn) DESC, cent.cid) AS crn
+         |    FROM e CROSS JOIN cent WHERE e.vec_id < 100) x
+         |  WHERE crn <= 3),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id AS nid,
+         |    list_dot_product(q.qv, c.v) / (q.qn * c.nrm) AS cos
+         |  FROM qprobe q JOIN assigned c
+         |    ON q.cell = c.cell AND q.qid <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored)
+         |SELECT qid, nid, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+    "emb_label_stats" ->
+      s"""SELECT label, COUNT(*) AS n_vecs,
+         | MIN($sqlNorm) AS min_norm,
+         | MAX($sqlNorm) AS max_norm
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "ann_signbucket_topk" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $sqlNorm AS nrm,

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression tests: the 100 TB story, asserted.
+  *
+  * Correctness tests prove the VALUES; these prove the PHYSICAL PLAN
+  * keeps the properties that make each query viable at 1000× the
+  * data — filters reaching the parquet scan, column pruning, small
+  * dims broadcast (and growing sides NOT broadcast), top-k via
+  * per-partition heaps instead of a global sort, partial
+  * aggregation before the shuffle. A refactor that silently loses
+  * one of these still passes the oracle at sf0.01; it fails here.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q6: selective filters are pushed to the parquet scan; schema pruned") {
+    val p = plan("q6_revenue_forecast")
+    assert(p.contains("PushedFilters:"), p)
+    // shipdate range + discount band + quantity reach the scan
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+    assert(p.contains("LessThan(l_quantity,24.0)"), p)
+    // projection pruning: 11-column table, 4 read
+    assert(p.contains("ReadSchema:"), p)
+    assert(!p.contains("l_returnflag"),
+      "unreferenced columns must not be read:\n" + p)
+  }
+
+  test("q3: selective dim is broadcast into the fact join") {
+    val p = plan("q3_segment_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the customer filter sits on its scan
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
+  test("q_topk_orders: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("\n(3) Sort"), "no full sort for a k=10 top-k:\n" + p)
+  }
+
+  test("q1: hash aggregate runs partial (map-side) before the shuffle") {
+    val p = plan("q1_pricing_summary")
+    // two HashAggregate nodes around one Exchange = partial + final
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final aggregate:\n$p")
+    assert(p.contains("hashpartitioning(l_returnflag"), p)
+  }
+
+  test("q_above_avg_orders: no broadcast hint on a data-proportional side") {
+    // the avg-per-customer frame grows with the data — it must reach
+    // the join WITHOUT a user broadcast hint (AQE may still choose to
+    // broadcast while it is small; a hard hint at 100× would OOM)
+    val df = SparkEntry.queries("q_above_avg_orders")(spark, dir)
+    val hinted = df.queryExecution.logical.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+      case r: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => r
+    }
+    assert(hinted.isEmpty, s"user hints found: $hinted")
+  }
+
+  test("dedup_exact: digest shuffles, never document bodies") {
+    val p = plan("dedup_exact")
+    // the shuffle key is the md5 fingerprint; the pre-shuffle partial
+    // aggregate's output (what the exchange carries) holds no 'text'
+    assert(p.contains("hashpartitioning(fp"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("text")), p)
+  }
+
+  test("ann_ivf: probe joins on the cell key, not a cartesian product") {
+    val p = plan("ann_ivf_topk")
+    // two BroadcastNestedLoopJoins are EXPECTED (the bounded centroid
+    // table); the corpus-vs-corpus probe must be keyed on cell
+    assert(p.contains("Left keys [1]: [cell"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}

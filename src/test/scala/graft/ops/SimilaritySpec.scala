@@ -37,6 +37,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out.isEmpty) // vec 1 is alone in bucket 1
   }
 
+  test("multi-probe IVF recall contains single-probe results and grows") {
+    // 8 vectors spread over 2D directions; centroids = ids < 3
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(-1.0f, 0.0f)), (3L, Array(0.9f, 0.4f)),
+      (4L, Array(0.4f, 0.9f)), (5L, Array(-0.9f, 0.4f)),
+      (6L, Array(0.8f, 0.6f)), (7L, Array(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val single = pairs(Similarity.ivfTopK(df, "embedding", "vec_id",
+      queryPred = col("vec_id") === 6, k = 8, nCells = 3))
+    val multi = pairs(Similarity.ivfTopKMultiProbe(df, "embedding", "vec_id",
+      queryPred = col("vec_id") === 6, k = 8, nCells = 3, nProbe = 2))
+    assert(single.subsetOf(multi),
+      s"multi-probe must contain the single-probe candidates: $single vs $multi")
+    assert(multi.size > single.size,
+      "second probe must add cross-cell candidates in this geometry")
+    // nProbe = nCells degenerates to brute force over all cells
+    val all = pairs(Similarity.ivfTopKMultiProbe(df, "embedding", "vec_id",
+      queryPred = col("vec_id") === 6, k = 8, nCells = 3, nProbe = 3))
+    val brute = pairs(Similarity.bruteForceTopK(df, "embedding", "vec_id",
+      queryPred = col("vec_id") === 6, k = 8))
+    assert(all == brute)
+  }
+
   test("cosine matches analytic value") {
     val c = vecs.filter($"vec_id" === 1).crossJoin(
         vecs.filter($"vec_id" === 3).select($"embedding".as("e2")))
