@@ -125,6 +125,34 @@ object Core3Queries {
         .filter(col("n") >= 50)
         .orderBy(col("n").desc, col("token"))),
 
+    // salted two-phase aggregation ≙ the skew-mitigation plan
+    // (operators/Salting): partial agg on (key, salt), merge on key.
+    // The oracle is the DIRECT group-by — proving the salted plan is
+    // value-identical (decimal aggregation is associativity-proof, so
+    // the extra merge step cannot drift).
+    "q_salted_agg" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value").cast(D).as("v"))
+      graft.operators.Salting.saltedSumCount(ev, Seq("event_type"), "v",
+        buckets = 16)
+        .select(col("event_type"), col("sum_v").cast("double").as("sum_value"),
+          col("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // approx percentile — the 100 TB percentile path: a bounded
+    // sketch (no per-group full materialization like exact
+    // percentile). Sketch internals are engine-specific, so there is
+    // no cross-engine oracle (driver records rows-only);
+    // QueriesSpec asserts approx-vs-exact tolerance instead.
+    "q_percentiles_approx" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("med_price"),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99_price"))
+        .orderBy(col("l_returnflag"))),
+
     // PII scrubbing: emails and phone-shaped tokens replaced before
     // training. The pii-bearing text is CONSTRUCTED deterministically
     // per row (the synthetic corpus contains none), then scrubbed —
@@ -193,6 +221,14 @@ object Core3Queries {
         |WINDOW w AS (PARTITION BY o_orderstatus
         |             ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q_percentiles_approx: deliberately NO oracle — t-digest/G-K
+    // sketches are engine-specific; the driver records a rows-only
+    // check and QueriesSpec bounds the approx-vs-exact error.
     "text_token_histogram" ->
       s"""SELECT t AS token, COUNT(*) AS n
          |FROM (SELECT unnest($sqlToks) AS t FROM documents)

@@ -25,4 +25,26 @@ class QueriesSpec extends SparkSpec {
         assert(n > 0, s"$name returned no rows")
     }
   }
+
+  test("q_percentiles_approx tracks the exact percentile (no oracle by design)") {
+    import org.apache.spark.sql.functions.col
+    val approx = SparkEntry.queries("q_percentiles_approx")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = SparkEntry.queries("q_percentiles")(spark, sfDir)
+      .select(col("l_returnflag"), col("p75_price")) // any exact column works for scale
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // medians vs p75 aren't comparable directly — recompute the exact
+    // median for the tolerance check
+    val exactMed = graft.Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exactMed.foreach { case (flag, m) =>
+      val a = approx(flag)
+      assert(math.abs(a - m) / m < 0.05,
+        s"approx median for $flag drifted >5%: approx=$a exact=$m")
+    }
+    assert(exact.nonEmpty)
+  }
 }

@@ -142,6 +142,37 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     }
   }
 
+  test("uncompacted batch with seq is compacted defensively (last event wins)") {
+    FakeDb.reset()
+    // delete-then-insert on the same key, out of order in the frame:
+    // without compaction the upsert-before-delete chunk order would
+    // leave the row deleted; with seq-compaction the final insert wins
+    val batch = Seq(
+      (1L, 99, "stale", "delete", 5L),
+      (1L, 10, "fresh", "insert", 9L),
+      (2L, 20, "gone", "delete", 7L))
+      .toDF("id", "k", "c", "op", "seq").repartition(1)
+    sink.write(batch, t, 0L)
+    val (inserts, deletes) = FakeDb.synchronized {
+      (FakeDb.executed.filter(_._1.startsWith("INSERT")).toVector,
+        FakeDb.executed.filter(_._1.startsWith("DELETE")).toVector)
+    }
+    assert(inserts.flatMap(_._2.grouped(3).map(_.head)) == Vector(1L),
+      s"key 1 must survive as its final insert: $inserts")
+    assert(deletes.flatMap(_._2) == Vector(2L),
+      s"only key 2's final state is a delete: $deletes")
+  }
+
+  test("uncompacted batch WITHOUT seq fails loudly instead of reordering") {
+    FakeDb.reset()
+    val batch = Seq((1L, 1, "x", "delete"), (1L, 2, "y", "insert"))
+      .toDF("id", "k", "c", "op").repartition(1)
+    val e = intercept[IllegalArgumentException] {
+      sink.write(batch, t, 0L)
+    }
+    assert(e.getMessage.contains("multiple events per key"))
+  }
+
   test("pk-less table rejected loudly (≙ mysql.go:130-132)") {
     val noPk = TableDef("db1", "t3", Seq(ColumnDef("x", "int")))
     intercept[IllegalArgumentException] {
