@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ByteAtU8, DotProduct, RollingHash}
+import graft.functions.{ByteAtU8, DotProduct, RollingHash, WavRms}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst
   * surface (SURVEY §7.4). Enable with:
@@ -30,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 2, "byte_at_u8(blob, pos) takes 2 arguments")
         ByteAtU8(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("wav_rms"),
+      new ExpressionInfo(classOf[WavRms].getName, "wav_rms"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, "wav_rms(blob) takes 1 argument")
+        WavRms(exprs.head)
       }))
     e.injectFunction((
       new FunctionIdentifier("rolling_hash"),

@@ -144,6 +144,39 @@ object TextQueries {
           col("hdr.channels").as("channels"))
         .orderBy(id)
     })
+    ,
+    // multimodal: REAL per-sample audio feature extraction. Each row
+    // builds a full WAV (header + constant-amplitude 16-bit PCM data)
+    // and the native wav_rms kernel consumes every sample. Constant
+    // samples make the RMS analytically a/32768 in EXACT IEEE
+    // arithmetic (a is a multiple of 4096, so x, x², the running sum,
+    // the mean, and the sqrt are all dyadic-exact), so the oracle
+    // computes the expectation from doc_id without parsing a byte —
+    // agreement proves the sample loop.
+    "multimodal_wav_rms" -> ((s, dir) => {
+      def hex2(c: org.apache.spark.sql.Column) =
+        lpad(hex(c.cast("long")), 2, "0")
+      def le16(c: org.apache.spark.sql.Column) =
+        concat(hex2(pmod(c, lit(256))), hex2(floor(c / 256)))
+      def le32(c: org.apache.spark.sql.Column) =
+        concat(hex2(pmod(c, lit(256))), hex2(pmod(floor(c / 256), lit(256))),
+          hex2(pmod(floor(c / 65536), lit(256))),
+          hex2(pmod(floor(c / 16777216), lit(256))))
+      val id = col("doc_id")
+      val amp = pmod(id, lit(8)) * 4096 // 0..28672, fits signed 16-bit
+      val nSamp = lit(50) + pmod(id, lit(50))
+      val dataBytes = nSamp * 2
+      val wavHex = concat(lit("52494646"), le32(dataBytes + 36),
+        lit("57415645" + "666D7420" + "10000000" + "0100" + "0100"),
+        le32(lit(8000)), le32(lit(16000)), lit("0200" + "1000" + "64617461"),
+        le32(dataBytes),
+        repeat(le16(amp), nSamp.cast("int")))
+      // staged projections (see multimodal_real_header: keeps the
+      // plan small instead of duplicating the construction tree)
+      docs(s, dir).select(id, unhex(wavHex).as("blob"))
+        .select(id, call_function("wav_rms", col("blob")).as("rms"))
+        .orderBy(id)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -207,6 +240,10 @@ object TextQueries {
         |  md5(text || ':' || CAST(f AS VARCHAR)) AS frame_fp
         |FROM m, unnest(range(0, n_frames, 4)) AS t(f)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "multimodal_wav_rms" ->
+      """SELECT doc_id,
+        | CAST((doc_id % 8) * 4096 AS DOUBLE) / 32768.0 AS rms
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_real_header" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 2 = 0 THEN 'image/png'

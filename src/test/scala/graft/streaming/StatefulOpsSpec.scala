@@ -72,6 +72,43 @@ class StatefulOpsSpec extends SparkSpec {
     assert(ids == Seq(1L, 3L))
   }
 
+  test("streamingDedup runs on the RocksDB state store (the 100 TB state path)") {
+    // the in-memory (HDFS-backed) provider holds state on-heap; at
+    // 100 TB stream state must spill off-heap — prove the same
+    // operator runs unmodified on RocksDB, checkpointed and resumed
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("rocks-ckpt").toString
+      val mem = MemoryStream[(Long, Timestamp)]
+      val deduped = StatefulOps.streamingDedup(
+        mem.toDF().toDF("id", "ts"), Seq("id"), "ts", "10 minutes")
+      val t0 = 1700000000000L
+      mem.addData((1L, new Timestamp(t0)), (1L, new Timestamp(t0 + 1000)),
+        (2L, new Timestamp(t0 + 2000)))
+      val q = deduped.writeStream.format("memory").queryName("rocks_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      // state survives across micro-batches in RocksDB: a replay of id
+      // 1 in a LATER batch is still suppressed
+      mem.addData((1L, new Timestamp(t0 + 3000)), (3L, new Timestamp(t0 + 4000)))
+      q.processAllAvailable(); q.stop()
+      val ids = spark.table("rocks_out").select($"id").as[Long]
+        .collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessionSummaries tracks gap-based sessions across batches") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[StatefulOps.UserEvent]
