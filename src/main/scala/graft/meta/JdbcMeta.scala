@@ -64,15 +64,26 @@ object JdbcMeta {
   }
 
   /** PK names via JDBC DatabaseMetaData (≙ the reference reading
-    * COLUMN_KEY='PRI' from information_schema). */
+    * COLUMN_KEY='PRI' from information_schema), in KEY_SEQ order.
+    *
+    * `db` is tried as the CATALOG first (MySQL maps databases to
+    * catalogs), then as the SCHEMA (Derby/Postgres/ANSI map them to
+    * schemas and reject or ignore a catalog) — same namespace
+    * probing the reference hardcodes per target in its *_meta.go
+    * loaders. */
   def primaryKeys(url: String, db: String, table: String,
       props: java.util.Properties): Seq[String] = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      val rs = conn.getMetaData.getPrimaryKeys(db, null, table)
-      val out = Seq.newBuilder[String]
-      while (rs.next()) out += rs.getString("COLUMN_NAME")
-      out.result()
+      def fetch(catalog: String, schema: String): Seq[String] = {
+        val rs = conn.getMetaData.getPrimaryKeys(catalog, schema, table)
+        val out = Seq.newBuilder[(Short, String)]
+        while (rs.next())
+          out += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+        out.result().sortBy(_._1).map(_._2)
+      }
+      val asCatalog = fetch(db, null)
+      if (asCatalog.nonEmpty) asCatalog else fetch(null, db)
     } finally conn.close()
   }
 }
