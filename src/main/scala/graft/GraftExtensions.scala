@@ -17,6 +17,10 @@ import graft.functions.{ByteAtU8, DotProduct, RollingHash, WavRms}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // window→aggregate compaction rewrite (SURVEY §7.4(c)):
+    // row_number()=1 last-event-per-key becomes a max/min(struct)
+    // hash aggregate — map-side partial agg, no per-partition sort
+    e.injectOptimizerRule(_ => graft.plans.CompactionRewrite)
     e.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
