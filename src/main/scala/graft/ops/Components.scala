@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a candidate-pair graph — the last stage
+  * of near-dup deduplication: pairwise candidates (MinHash bands,
+  * shingle Jaccard, embedding cosine — [[Dedup]]) are only EDGES; to
+  * actually drop duplicates the corpus needs the transitive closure
+  * grouped, one canonical keeper per component.
+  *
+  * Algorithm: iterative min-label propagation. Every vertex starts
+  * labeled with itself; each round every vertex takes the minimum
+  * label among itself and its neighbors; fixpoint = every vertex
+  * carries the minimum doc id of its component. Each round is one
+  * equi-join (edges ⋈ labels on src) + one hash aggregate
+  * (min per dst) — both shuffle on bounded keys, nothing quadratic.
+  *
+  * Scale notes (100 TB):
+  *  - Rounds needed = graph diameter. Near-dup components are
+  *    near-cliques (every member pairs with most others), so the
+  *    diameter is tiny — 2-3 rounds in practice. For adversarial
+  *    long-chain graphs, switch to alternating large-star/small-star
+  *    (Kiveris et al., "Connected Components in MapReduce"), which
+  *    converges in O(log n) rounds with the same join+agg per round;
+  *    the plan shape per round is identical, so this implementation
+  *    is the honest template.
+  *  - `localCheckpoint` per round truncates the logical plan —
+  *    without it the lineage doubles every iteration and Catalyst
+  *    analysis time explodes long before data does.
+  *  - The per-round convergence check is a `limit(1).count()` on
+  *    changed labels: an O(changed) early-exit probe, not a full
+  *    materialization (the round's aggregate is already computed for
+  *    the next iteration either way).
+  *
+  * Determinism: min() over ids is order- and partitioning-free, so
+  * the same groups come back from 32 cores or 1000 executors.
+  */
+object Components {
+
+  /** Resolve candidate pairs into components.
+    *
+    * @param pairs candidate edges, one row per (aCol, bCol) pair
+    * @param aCol  left vertex id column (long-castable)
+    * @param bCol  right vertex id column
+    * @param maxIter safety bound on propagation rounds; near-dup
+    *                graphs converge in 2-3
+    * @return (id, group_id): every vertex appearing in `pairs`,
+    *         labeled with the minimum id reachable from it
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    // symmetric edge list: propagation must flow both directions
+    val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("group_id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(edges("dst").as("id"), col("group_id"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("id")).agg(min(col("group_id")).as("group_id"))
+        .localCheckpoint()
+      converged = next.alias("n")
+        .join(labels.select(col("id"), col("group_id").as("old")), "id")
+        .filter(col("group_id") =!= col("old"))
+        .limit(1).count() == 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Per-component dedup decision: keeper (= the group label, i.e.
+    * the minimum doc id) and the number of members it absorbs. */
+  def groupStats(components: DataFrame): DataFrame =
+    components.groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_members"))
+}

@@ -135,9 +135,13 @@ object Dedup {
     val r = sh.toDF("b", "sh")
     val inter = l.join(r, l("sh") === r("sh") && l("a") < r("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
+    // no broadcast hint on the size table: it is per-document (data-
+    // proportional), so a hint would pin a growing frame into driver
+    // memory at 100×. AQE broadcasts it while small, shuffles when not
+    // (same reasoning as q_above_avg_orders).
     inter
-      .join(broadcast(sizes.toDF("a", "n_a")), "a")
-      .join(broadcast(sizes.toDF("b", "n_b")), "b")
+      .join(sizes.toDF("a", "n_a"), "a")
+      .join(sizes.toDF("b", "n_b"), "b")
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)

@@ -153,6 +153,90 @@ object Core3Queries {
           expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99_price"))
         .orderBy(col("l_returnflag"))),
 
+    // ≙ TPC-H Q4 shape: EXISTS as a semi join with a NON-equi extra
+    // condition (lineitem shipped >90 days after the order date).
+    // Catalyst plans the equi part as the shuffle key and evaluates
+    // the interval predicate as a join residual — no row explosion,
+    // and the semi join short-circuits per matching key.
+    "q4_exists_late_ship" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ≙ TPC-H Q18 shape: aggregate-then-join-back. The HAVING runs on
+    // the FACT side first (sum per orderkey, map-side partial agg),
+    // shrinking it to the rare big orders BEFORE any join — the only
+    // order that scales; joining first would shuffle the whole fact
+    // twice.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty_d"))
+        .filter(col("sum_qty_d") > 150)
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      big.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+          col("sum_qty_d").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // ≙ TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    // Date+flag filters push to the lineitem scan; nation (25 rows)
+    // broadcasts; the revenue agg shuffles (custkey, partials); the
+    // top-k is TakeOrderedAndProject on the EXACT decimal (ties
+    // broken by custkey — deterministic under any partitioning).
+    "q10_returned_revenue" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" &&
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("l_orderkey"),
+          (dec(col("l_extendedprice")) * (lit(1.0).cast(F) - discF)).as("rev"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val nat = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("rev")).as("rev_d"))
+        .orderBy(col("rev_d").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("rev_d").cast("double").as("revenue"))
+    }),
+
+    // correlated scalar subquery through the SQL frontend: suppliers
+    // at their nation's minimum account balance. Catalyst decorrelates
+    // this into an aggregate + join (RewriteCorrelatedScalarSubquery)
+    // — declaratively written, executed as the two-pass plan you'd
+    // hand-write.
+    "q_corr_scalar_min" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+          |FROM supplier s
+          |WHERE s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+          |                   WHERE s2.s_nationkey = s.s_nationkey)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
     // PII scrubbing: emails and phone-shaped tokens replaced before
     // training. The pii-bearing text is CONSTRUCTED deterministically
     // per row (the synthetic corpus contains none), then scrubbed —
@@ -229,6 +313,46 @@ object Core3Queries {
     // q_percentiles_approx: deliberately NO oracle — t-digest/G-K
     // sketches are engine-specific; the driver records a rows-only
     // check and QueriesSpec bounds the approx-vs-exact error.
+    "q4_exists_late_ship" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c_name, o_orderkey, o_totalprice,
+        |  CAST(sq AS DOUBLE) AS sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q10_returned_revenue" ->
+      s"""WITH agg AS (
+         |  SELECT c_custkey, c_name, n_name,
+         |    SUM($sqlPrice * (CAST(1 AS DECIMAL(4,2)) - $sqlDiscF)) AS rev_d
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  WHERE l_returnflag = 'R'
+         |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-07-01'
+         |  GROUP BY c_custkey, c_name, n_name
+         |  ORDER BY rev_d DESC, c_custkey LIMIT 20)
+         |SELECT c_custkey, c_name, n_name, CAST(rev_d AS DOUBLE) AS revenue
+         |FROM agg""".stripMargin,
+    "q_corr_scalar_min" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier s
+        |WHERE s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+        |                   WHERE s2.s_nationkey = s.s_nationkey)
+        |ORDER BY s_suppkey""".stripMargin,
     "text_token_histogram" ->
       s"""SELECT t AS token, COUNT(*) AS n
          |FROM (SELECT unnest($sqlToks) AS t FROM documents)

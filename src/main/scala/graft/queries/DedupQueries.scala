@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.Dedup
+import graft.ops.{Components, Dedup}
 
 /** Deduplication queries over `documents` / `embeddings`
   * (SURVEY §7.6). Query-side predicates bound the candidate space so
@@ -110,8 +110,56 @@ object DedupQueries {
       Dedup.embeddingCosinePairs(
         Tables.load(s, dir, "embeddings"), "embedding", "vec_id",
         threshold = 0.35, queryPred = col("vec_id") < 300)
-        .orderBy(col("a"), col("b")))
+        .orderBy(col("a"), col("b"))),
+
+    // candidate pairs → duplicate GROUPS: connected components of the
+    // Jaccard candidate graph via iterative min-label propagation
+    // (graft.ops.Components — join + hash-agg per round, converges in
+    // diameter rounds; near-dup components are near-cliques). The
+    // missing last stage of near-dup dedup: transitive closure, one
+    // canonical keeper (= min doc id) per component.
+    "dedup_group_resolve" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        docs(s, dir).filter(col("doc_id") < 3000), "text", "doc_id")
+      Components.connectedComponents(pairs, "a", "b").orderBy(col("id"))
+    }),
+
+    // per-group dedup decision: keeper id and how many docs it absorbs
+    "dedup_group_stats" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        docs(s, dir).filter(col("doc_id") < 3000), "text", "doc_id")
+      Components.groupStats(Components.connectedComponents(pairs, "a", "b"))
+        .orderBy(col("group_id"))
+    })
   )
+
+  /** The dedup_ngram_jaccard candidate-pair SQL as a reusable CTE
+    * body (pairs at jaccard ≥ 0.5 over doc_id < 3000). */
+  private val jaccardPairsCte: String =
+    s"""d AS (SELECT doc_id, $sqlToks AS toks
+       |           FROM documents WHERE doc_id < 3000),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    toks[CAST(i AS INTEGER)+1] || ' ' || toks[CAST(i AS INTEGER)+2]
+       |      || ' ' || toks[CAST(i AS INTEGER)+3] AS s
+       |  FROM d, unnest(range(0, len(toks)-2)) AS t(i)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
+       |  FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a, b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a
+       |  JOIN sizes sb ON sb.doc_id = b
+       |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+       |        >= 0.5),
+       |edges AS (SELECT a AS src, b AS dst FROM pairs
+       |          UNION SELECT b, a FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.v)""".stripMargin
 
   private def minhashMins(h: String): String =
     Dedup.MinhashA.zip(Dedup.MinhashB).zipWithIndex.map { case ((a, b), i) =>
@@ -247,6 +295,18 @@ object DedupQueries {
         |                 OR (lang <> 'en' AND bk < 50)
         |               THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
+    // NOTE: concatenation, not an interpolated stripMargin — the CTE
+    // body contains SQL `||` at line starts, which a second
+    // stripMargin would corrupt.
+    "dedup_group_resolve" ->
+      ("WITH RECURSIVE " + jaccardPairsCte + "\n" +
+        "SELECT v AS id, MIN(r) AS group_id FROM reach\n" +
+        "GROUP BY v ORDER BY id"),
+    "dedup_group_stats" ->
+      ("WITH RECURSIVE " + jaccardPairsCte + ",\n" +
+        "comp AS (SELECT v AS id, MIN(r) AS group_id FROM reach GROUP BY v)\n" +
+        "SELECT group_id, COUNT(*) AS n_members FROM comp\n" +
+        "GROUP BY group_id ORDER BY group_id"),
     "dedup_embedding_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -176,10 +176,48 @@ object TextQueries {
       docs(s, dir).select(id, unhex(wavHex).as("blob"))
         .select(id, call_function("wav_rms", col("blob")).as("rms"))
         .orderBy(id)
+    }),
+
+    // TF-IDF-style top terms: per-doc term frequency × corpus
+    // document frequency, top-3 terms per doc ranked (tf desc, df
+    // asc, term asc — rarer-in-corpus breaks tf ties). All-integer
+    // scoring: the idf ORDERING is what the ranking needs, and
+    // integer (tf, df) ranks identically to tf·log(N/df) without
+    // cross-engine libm log() drift. explode → two hash aggregates →
+    // join → per-doc top-k: every stage map-side-combines and
+    // shuffles bounded keys.
+    "text_tfidf_top_terms" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      val tf = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      // tf has one row per (doc, term) ⇒ count per term IS doc freq
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(dfreq, "term")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "text_tfidf_top_terms" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($sqlToks) AS term
+         |  FROM documents WHERE doc_id < 200),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |r AS (
+         |  SELECT doc_id, term, tf, df,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tf DESC, df ASC, term ASC) AS rnk
+         |  FROM tf JOIN dfreq USING (term))
+         |SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin,
     "text_token_stats" ->
       s"""SELECT doc_id,
          | len($sqlToks) AS n_tokens,

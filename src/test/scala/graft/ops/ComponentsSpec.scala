@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components labels every vertex with the min reachable id") {
+    // chain 1-2-3, pair 5-6, chain 8-9-10 (edges given in mixed order)
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L), (9L, 10L), (8L, 9L))
+      .toDF("a", "b")
+    val out = Components.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      8L -> 8L, 9L -> 8L, 10L -> 8L))
+  }
+
+  test("long chain needs diameter rounds and still converges") {
+    // path 0-1-2-…-12: worst case for propagation (diameter 12)
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Components.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(out.length == 13 && out.forall(_._2 == 0L))
+  }
+
+  test("maxIter bounds the rounds (partial labels, no hang)") {
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Components.connectedComponents(pairs, "a", "b", maxIter = 2)
+      .as[(Long, Long)].collect().toMap
+    // vertex 12 can only have seen labels within 2 hops
+    assert(out(12L) >= 10L)
+  }
+
+  test("group stats count members per component") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val stats = Components.groupStats(
+      Components.connectedComponents(pairs, "a", "b"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(stats == Seq(1L -> 3L, 5L -> 2L))
+  }
+
+  test("duplicate and reversed input edges do not change the result") {
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Components.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}
