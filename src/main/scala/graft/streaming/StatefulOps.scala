@@ -37,6 +37,32 @@ object StatefulOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col(groupCol), col("n"))
 
+  /** Stream-stream INNER join bounded to a time interval: each left
+    * event pairs with right events sharing `keyCols` whose event time
+    * lies within [leftTs - before, leftTs + after]. Right-side
+    * columns come back `r_`-prefixed.
+    *
+    * Both sides are watermarked, and the time bound is part of the
+    * join condition — that pair is what lets Spark GC join state:
+    * buffered rows older than (watermark - bound) can never match
+    * again and are evicted, so state is proportional to the traffic
+    * inside the interval, not the stream history. Without the bound a
+    * stream-stream join buffers FOREVER — the unscalable shape this
+    * operator exists to prevent. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, delay: String,
+      before: String, after: String): DataFrame = {
+    val r0 = right.columns.foldLeft(right)(
+      (d, c) => d.withColumnRenamed(c, s"r_$c"))
+    val l = left.withWatermark(leftTs, delay)
+    val r = r0.withWatermark(s"r_$rightTs", delay)
+    val keyEq = keyCols.map(k => col(k) === col(s"r_$k")).reduce(_ && _)
+    val bound =
+      col(s"r_$rightTs") >= col(leftTs) - expr(s"INTERVAL $before") &&
+        col(s"r_$rightTs") <= col(leftTs) + expr(s"INTERVAL $after")
+    l.join(r, keyEq && bound)
+  }
+
   final case class UserEvent(userId: Long, tsMs: Long)
   final case class SessionSummary(userId: Long, nSessions: Int, nEvents: Long)
   final case class SessState(lastTsMs: Long, nSessions: Int, nEvents: Long)

@@ -48,6 +48,64 @@ class StatefulOpsSpec extends SparkSpec {
       (h0 + 3600000L, "a", 1L)))
   }
 
+  test("intervalJoin pairs events within the bound, drops outside it") {
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val t0 = 1700000000000L
+    val joined = StatefulOps.intervalJoin(
+      imps.toDF().toDF("user_id", "ts"),
+      clicks.toDF().toDF("user_id", "cts"),
+      Seq("user_id"), "ts", "cts", "1 minute",
+      before = "0 seconds", after = "10 seconds")
+    // user 1: click 5s after impression (match); user 2: click 30s
+    // after (outside bound); user 3: click 2s BEFORE (outside bound)
+    imps.addData((1L, new Timestamp(t0)), (2L, new Timestamp(t0)),
+      (3L, new Timestamp(t0)))
+    clicks.addData((1L, new Timestamp(t0 + 5000)),
+      (2L, new Timestamp(t0 + 30000)), (3L, new Timestamp(t0 - 2000)))
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ij_out").select($"user_id").as[Long]
+      .collect().toSeq
+    assert(out == Seq(1L))
+  }
+
+  test("late data beyond the watermark is dropped from windowed aggs") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val counts = StatefulOps.windowedCounts(
+      mem.toDF().toDF("kind", "ts"), "ts", "kind", "1 hour", "10 minutes")
+    // append mode: a window only emits once the watermark passes its
+    // end — the mode where lateness actually drops rows
+    val q = counts.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    val h0 = 1700000000000L - (1700000000000L % 3600000L)
+    // batch 1: two on-time events in hour h0
+    mem.addData(("a", new Timestamp(h0 + 60000)),
+      ("a", new Timestamp(h0 + 120000)))
+    q.processAllAvailable()
+    // batch 2: advance the watermark far past h0 (event at h0+3h)
+    mem.addData(("b", new Timestamp(h0 + 3 * 3600000L + 60000)))
+    q.processAllAvailable()
+    // batch 3: a LATE event for the already-closed h0 window — must
+    // NOT resurrect or change it
+    mem.addData(("a", new Timestamp(h0 + 180000)))
+    q.processAllAvailable()
+    // batch 4: advance watermark past the h0+3h window so b emits too
+    mem.addData(("c", new Timestamp(h0 + 6 * 3600000L)))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("late_out")
+      .select($"win_start", $"kind", $"n")
+      .as[(Timestamp, String, Long)].collect()
+      .map { case (w, k, n) => (w.getTime, k, n) }.toSet
+    // h0/a emitted with 2 (the late third event dropped, not merged)
+    assert(out.contains((h0, "a", 2L)))
+    assert(!out.contains((h0, "a", 3L)))
+    assert(out.contains((h0 + 3 * 3600000L, "b", 1L)))
+  }
+
   test("streaming NEAR-dup suppression: dedup on the simhash column") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
