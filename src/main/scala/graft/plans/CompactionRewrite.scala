@@ -17,10 +17,13 @@ import org.apache.spark.sql.types.IntegerType
   *
   * — the plan [[graft.operators.Compactor.lastEventPerKeyAgg]] writes
   * by hand. The window form shuffles every row AND sorts every
-  * partition; the aggregate form gets map-side partial aggregation
-  * (each task pre-reduces to one row per key before the shuffle) and
-  * no sort — at 100 TB of changelog this is the difference between
-  * shuffling the whole batch and shuffling ~|keys| rows.
+  * partition; the aggregate form gets map-side partial aggregation:
+  * each task pre-reduces to one row per key before the shuffle — at
+  * 100 TB of changelog this is the difference between shuffling the
+  * whole batch and shuffling ~|keys| rows. (Struct extremes carry a
+  * var-width buffer, so Spark plans the aggregate as SortAggregate
+  * rather than HashAggregate — the partial pre-shuffle stage, not
+  * the agg flavor, is where the scale win lives.)
   *
   * Soundness:
   *  - `row_number() = 1` keeps exactly one row per partition; the

@@ -77,6 +77,49 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("hashpartitioning") && l.contains("text")), p)
   }
 
+  test("q18: the HAVING aggregate shrinks lineitem BEFORE the joins") {
+    val p = plan("q18_large_orders")
+    // plan reads bottom-up: the lineitem scan must feed a
+    // HashAggregate+Filter before any join node touches it. Find the
+    // first join line and assert an aggregate appears earlier.
+    val lines = p.linesIterator.toSeq
+    val firstJoin = lines.indexWhere(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    val firstAgg = lines.indexWhere(_.contains("HashAggregate"))
+    assert(firstJoin > 0 && firstAgg > 0, p)
+    // formatted explain numbers nodes leaves-first: the aggregate
+    // node id must be SMALLER than every join's (aggregate planned
+    // below the joins)
+    val nodeId = "\\((\\d+)\\)".r
+    def idOf(i: Int): Int =
+      nodeId.findFirstMatchIn(lines(i)).map(_.group(1).toInt).getOrElse(-1)
+    assert(idOf(firstAgg) < idOf(firstJoin),
+      s"aggregate must run before the join-back:\n$p")
+  }
+
+  test("q10: top-20 is TakeOrderedAndProject on the exact decimal") {
+    val p = plan("q10_returned_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // returnflag + shipdate filters reach the lineitem scan
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    // nation (bounded) broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("compactor window form hits the CompactionRewrite (no Window node)") {
+    val p = plan("cdc_compact_window")
+    // the rewrite's win is shuffle VOLUME: a window shuffles every
+    // event then sorts; the aggregate form partial-aggregates to one
+    // row per key BEFORE the exchange. (Struct min/max buffers are
+    // var-width, so Spark plans SortAggregate, not HashAggregate —
+    // same for the hand-written max_by form; the partial stage is
+    // what matters.)
+    assert(!p.contains("Window"), "row_number()=1 compaction must be " +
+      "rewritten to an aggregate by CompactionRewrite:\n" + p)
+    assert(p.contains("partial_min") || p.contains("partial_max"),
+      "compaction aggregate must run a partial (map-side) stage:\n" + p)
+  }
+
   test("ann_ivf: probe joins on the cell key, not a cartesian product") {
     val p = plan("ann_ivf_topk")
     // two BroadcastNestedLoopJoins are EXPECTED (the bounded centroid
