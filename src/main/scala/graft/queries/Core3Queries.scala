@@ -237,6 +237,33 @@ object Core3Queries {
           |ORDER BY s_suppkey""".stripMargin)
     }),
 
+    // HLL distinct counting — the 100 TB countDistinct path: a
+    // bounded sketch per group instead of Expand+exact-dedup. Sketch
+    // internals are engine-specific → no cross-engine oracle (driver
+    // records rows-only); QueriesSpec bounds the error vs the exact
+    // count (rsd 2%).
+    "q_distinct_approx" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("nd_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("nd_supps"))
+        .orderBy(col("l_returnflag"))),
+
+    // RANGE window frame: peers defined by VALUE distance (totalprice
+    // within 100.0 below the current row), not row offsets — tie-safe
+    // by construction, so no tiebreak column is needed for
+    // determinism (every peer set is value-defined).
+    "q_window_range_frame" -> ((s, dir) =>
+      // SQL frame form: the typed rangeBetween API takes Long offsets
+      // only; a fractional-capable bound over a double order column
+      // needs the expression syntax
+      Tables.load(s, dir, "orders")
+        .selectExpr("o_orderkey", "o_custkey", "o_totalprice",
+          """count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+            | RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS n_near"""
+            .stripMargin)
+        .orderBy(col("o_orderkey"))),
+
     // PII scrubbing: emails and phone-shaped tokens replaced before
     // training. The pii-bearing text is CONSTRUCTED deterministically
     // per row (the synthetic corpus contains none), then scrubbed —
@@ -310,9 +337,15 @@ object Core3Queries {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         | COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // q_percentiles_approx: deliberately NO oracle — t-digest/G-K
-    // sketches are engine-specific; the driver records a rows-only
-    // check and QueriesSpec bounds the approx-vs-exact error.
+    // q_percentiles_approx / q_distinct_approx: deliberately NO
+    // oracle — t-digest/HLL sketches are engine-specific; the driver
+    // records rows-only checks and QueriesSpec bounds the
+    // approx-vs-exact error for both.
+    "q_window_range_frame" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        | COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |   RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS n_near
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q4_exists_late_ship" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders

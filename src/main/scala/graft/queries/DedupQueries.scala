@@ -130,6 +130,19 @@ object DedupQueries {
         docs(s, dir).filter(col("doc_id") < 3000), "text", "doc_id")
       Components.groupStats(Components.connectedComponents(pairs, "a", "b"))
         .orderBy(col("group_id"))
+    }),
+
+    // batched model scoring (ops/BatchInfer): rows stream through the
+    // "model" in bounded per-partition batches — the mapInPandas
+    // inference shape, executor-side end to end. The stub model is
+    // row-local (score from n_chars only) so results are
+    // partitioning-invariant and the oracle can state the formula;
+    // the batching is the transport contract a real model needs.
+    "pipe_batch_score" -> ((s, dir) => {
+      val scored = graft.ops.BatchInfer.scoreBatches(
+        docs(s, dir).select(col("doc_id"), col("n_chars")), batchSize = 64,
+        batch => batch.map(r => (r.getAs[Long]("n_chars") % 97).toDouble / 97.0))
+      scored.select(col("doc_id"), col("score")).orderBy(col("doc_id"))
     })
   )
 
@@ -307,6 +320,10 @@ object DedupQueries {
         "comp AS (SELECT v AS id, MIN(r) AS group_id FROM reach GROUP BY v)\n" +
         "SELECT group_id, COUNT(*) AS n_members FROM comp\n" +
         "GROUP BY group_id ORDER BY group_id"),
+    "pipe_batch_score" ->
+      """SELECT doc_id,
+        | CAST(n_chars % 97 AS DOUBLE) / 97.0 AS score
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -47,4 +47,20 @@ class QueriesSpec extends SparkSpec {
     }
     assert(exact.nonEmpty)
   }
+
+  test("q_distinct_approx tracks exact countDistinct (no oracle by design)") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val approx = SparkEntry.queries("q_distinct_approx")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, e) =>
+      val a = approx(flag)
+      // rsd 2% requested; allow 3σ
+      assert(math.abs(a - e).toDouble / e < 0.06,
+        s"approx distinct for $flag drifted >6%: approx=$a exact=$e")
+    }
+  }
 }
