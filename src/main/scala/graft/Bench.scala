@@ -1,4 +1,6 @@
 package graft
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,6 +39,61 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> math.min(timeOnce(fn), timeOnce(fn))
     }
+    // CDC pipeline throughput — the reference's ACTUAL workload shape
+    // (SURVEY §3.1): JSONL changelog → DSv2 graft-changelog source →
+    // route → typed decode → per-key compaction → parquet upsert
+    // sink, one AvailableNow pass over the whole log. rows/s compares
+    // directly against the reference envelope floor (~3,400
+    // rows/s/table derived from its batch constants, BASELINE.md).
+    val (cdcRows, cdcRowsPerSec) = try {
+      import org.apache.spark.sql.functions._
+      import graft.meta.{ColumnDef, TableDef}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-cdc")
+      val logDir = tmp.resolve("log").toString
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val n = ev.count()
+      // one sorted range-partitioned file per shard: seqs must be
+      // monotone WITHIN a file (the source's early-stop contract for
+      // append-only shard files)
+      ev.select(col("event_id").as("seq"), to_json(struct(
+          lit("app").as("db"), lit("events").as("table"),
+          lit("insert").as("op"),
+          expr("ts div 1000000").as("ts"),
+          concat(lit("gtid:"), col("event_id")).as("pos"),
+          col("event_id").as("seq"), lit(0).as("tableVersion"),
+          map(lit("event_id"), col("event_id").cast("string"),
+            lit("user_id"), col("user_id").cast("string"),
+            lit("event_type"), col("event_type"),
+            lit("value"), col("value").cast("string")).as("after")))
+          .as("value"))
+        .repartitionByRange(8, col("seq")).sortWithinPartitions(col("seq"))
+        .select(col("value")).write.mode("overwrite").text(logDir)
+      val dir = java.nio.file.Paths.get(logDir)
+      java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.toString.endsWith(".txt")).foreach { p =>
+          java.nio.file.Files.move(p,
+            p.resolveSibling(p.getFileName.toString + ".jsonl"))
+        }
+      val target = TableDef("app", "events", Seq(
+        ColumnDef("event_id", "bigint", isPrimaryKey = true),
+        ColumnDef("user_id", "bigint"),
+        ColumnDef("event_type", "varchar(32)"),
+        ColumnDef("value", "double")))
+      val sinkDir = tmp.resolve("sink").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Pipeline.start(
+        spark.readStream.format("graft-changelog").option("path", logDir).load(),
+        Seq(graft.streaming.Pipeline.Route("app", "events", target)),
+        new graft.sinks.ParquetUpsertSink(sinkDir), ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination(600000)
+      val secs = (System.nanoTime() - t0) / 1e9
+      (n, n / secs)
+    } catch { case e: Throwable =>
+      System.err.println(s"cdc throughput bench failed: $e")
+      (0L, -1.0)
+    }
     // 3-decimal rendering keeps the whole JSON line well inside the
     // driver's tail-parse window (9-decimal doubles overflowed it in
     // rounds 1-2 → "parsed": null)
@@ -45,7 +102,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""cdc_rows":$cdcRows,"cdc_rows_per_sec":${fmt(cdcRowsPerSec)},""" +
+        s""""sf":"$sfDir"}"""
     spark.stop()
     // the JSON line is the LAST stdout line (after spark shutdown) so
     // the driver's tail-parse finds it inside its window
