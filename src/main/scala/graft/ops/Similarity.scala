@@ -40,6 +40,21 @@ object Similarity {
     * list_dot_product, so both engines run the same IEEE sequence. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = max|x|, code_i = floor(x_i / scale * 127) ∈ [-128, 127].
+    * The 4× (fp32) / 8× (fp64) shrink is what makes billion-vector
+    * ANN serving fit in memory; at 100 TB this is a narrow
+    * projection — no shuffle, fused into the scan stage. All-zero
+    * vectors quantize to zeros (scale guard). floor (not round) keeps
+    * the arithmetic IEEE-exact and engine-independent. */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = aggregate(transform(vec, x => abs(x.cast("double"))),
+      lit(0.0), (a, x) => greatest(a, x))
+    transform(vec, x =>
+      when(scale === 0.0, 0L)
+        .otherwise(floor(x.cast("double") / scale * 127).cast("long")))
+  }
+
   /** Exact top-k neighbors per query (cosine), self-pairs excluded.
     * Norms are precomputed per side BEFORE the join — |Q|+|C| norm
     * evaluations instead of |Q|×|C|, identical values. */

@@ -58,7 +58,20 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n_vecs"),
           min(col("nrm")).as("min_norm"),
           max(col("nrm")).as("max_norm"))
-        .orderBy(col("label")))
+        .orderBy(col("label"))),
+
+    // int8 symmetric quantization (Similarity.quantizeInt8) — scalar
+    // summaries of the code vector (min/max/sum are integer-exact,
+    // so the oracle hash-matches without comparing arrays)
+    "emb_quantize_int8" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding")).as("q"))
+        .select(col("vec_id"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"))
+        .orderBy(col("vec_id")))
   )
 
   private val sqlBucket: String = (0 until 8).map { i =>
@@ -145,6 +158,19 @@ object SimilarityQueries {
          | MIN($sqlNorm) AS min_norm,
          | MAX($sqlNorm) AS max_norm
          |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "emb_quantize_int8" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v,
+        |           x -> CAST(floor(x / mx * 127) AS BIGINT)) END AS q
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |          list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |            x -> abs(x))) AS mx
+        |        FROM embeddings))
+        |SELECT vec_id, list_min(q) AS q_min, list_max(q) AS q_max,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum
+        |FROM q ORDER BY vec_id""".stripMargin,
     "ann_signbucket_topk" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $sqlNorm AS nrm,

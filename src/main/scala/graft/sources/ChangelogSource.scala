@@ -69,12 +69,58 @@ final class ChangelogTable(path: String, maxPerTrigger: Option[Long],
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new Scan {
-      override def readSchema(): StructType = ChangeEvent.schema
-      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new ChangelogMicroBatchStream(path, maxPerTrigger, startSeq)
-      override def toBatch: Batch = new ChangelogBatch(path)
+    new ChangelogScanBuilder(path, maxPerTrigger, startSeq)
+}
+
+/** Filter pushdown (SupportsPushDownFilters): `db`/`table` equality
+  * predicates — exactly the routing filter every pipeline applies
+  * (`Pipeline.routed`, ≙ the reference's router lookup,
+  * `metas/routers.go:48-60`) — reach the READER, which then skips
+  * unrouted lines before the Catalyst row conversion. On a changelog
+  * carrying many tables, a per-table query pays decode cost only for
+  * its own table's events.
+  *
+  * All filters are also returned as residuals: Spark re-applies them
+  * above the scan, so the pushdown is a pure optimization and every
+  * other predicate shape stays correct untouched. */
+final class ChangelogScanBuilder(path: String, maxPerTrigger: Option[Long],
+    startSeq: Option[String])
+  extends ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+
+  import org.apache.spark.sql.sources.{EqualTo, Filter}
+
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter {
+      case EqualTo(a, _: String) => a == "db" || a == "table"
+      case _ => false
     }
+    filters // everything stays a residual (source filter = optimization)
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = {
+    val dbEq = accepted.collectFirst { case EqualTo("db", v: String) => v }
+    val tableEq = accepted.collectFirst { case EqualTo("table", v: String) => v }
+    new ChangelogScanImpl(path, maxPerTrigger, startSeq, dbEq, tableEq)
+  }
+}
+
+final class ChangelogScanImpl(path: String, maxPerTrigger: Option[Long],
+    startSeq: Option[String], dbEq: Option[String], tableEq: Option[String])
+  extends Scan {
+  override def readSchema(): StructType = ChangeEvent.schema
+  override def description(): String = {
+    val pushed = (dbEq.map(v => s"db=$v") ++ tableEq.map(v => s"table=$v"))
+      .mkString(",")
+    s"graft-changelog $path pushed=[$pushed]"
+  }
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ChangelogMicroBatchStream(path, maxPerTrigger, startSeq, dbEq, tableEq)
+  override def toBatch: Batch = new ChangelogBatch(path, dbEq, tableEq)
 }
 
 /** Offset = highest `seq` served (inclusive) — the GTID-set analog. */
@@ -83,7 +129,8 @@ final case class SeqOffset(seq: Long) extends Offset {
 }
 
 final class ChangelogMicroBatchStream(path: String, maxPerTrigger: Option[Long],
-    startSeq: Option[String] = None)
+    startSeq: Option[String] = None, dbEq: Option[String] = None,
+    tableEq: Option[String] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -146,7 +193,8 @@ final class ChangelogMicroBatchStream(path: String, maxPerTrigger: Option[Long],
     // hold only already-served seqs.
     ChangelogFiles.list(path)
       .filter(f => ChangelogFiles.fileMaxSeq(f) > s)
-      .map(f => ChangelogPartition(f, s, e): InputPartition).toArray
+      .map(f => ChangelogPartition(f, s, e, dbEq, tableEq): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -160,10 +208,12 @@ final class ChangelogMicroBatchStream(path: String, maxPerTrigger: Option[Long],
   override def stop(): Unit = ()
 }
 
-final class ChangelogBatch(path: String) extends Batch {
+final class ChangelogBatch(path: String, dbEq: Option[String] = None,
+    tableEq: Option[String] = None) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     ChangelogFiles.list(path).map(f =>
-      ChangelogPartition(f, Long.MinValue, Long.MaxValue): InputPartition).toArray
+      ChangelogPartition(f, Long.MinValue, Long.MaxValue, dbEq, tableEq)
+        : InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangelogReaderFactory
 }
@@ -171,7 +221,8 @@ final class ChangelogBatch(path: String) extends Batch {
 /** One partition per changelog file; the reader filters the
   * (startSeq, endSeq] range. Files are the unit of parallelism —
   * a sharded deployment writes one file per source shard. */
-final case class ChangelogPartition(file: String, startSeq: Long, endSeq: Long)
+final case class ChangelogPartition(file: String, startSeq: Long, endSeq: Long,
+    dbEq: Option[String] = None, tableEq: Option[String] = None)
   extends InputPartition
 
 final class ChangelogReaderFactory extends PartitionReaderFactory {
@@ -197,13 +248,23 @@ final class ChangelogReader(p: ChangelogPartition)
       // end nothing further can match — stop instead of parsing the
       // rest of the log.
       if (seq > p.endSeq) return false
-      if (seq > p.startSeq) {
+      if (seq > p.startSeq && matchesPushed(m)) {
         current = convert(m, seq)
         return true
       }
     }
     false
   }
+
+  /** Pushed routing predicate: unrouted lines are skipped HERE —
+    * before the (comparatively expensive) Catalyst row conversion —
+    * so a per-table query over a many-table changelog pays decode
+    * cost only for its own events. Spark still re-applies the filter
+    * above the scan (it was returned as a residual), so this is
+    * purely an optimization. */
+  private def matchesPushed(m: JMap[String, Object]): Boolean =
+    p.dbEq.forall(v => String.valueOf(m.get("db")) == v) &&
+      p.tableEq.forall(v => String.valueOf(m.get("table")) == v)
 
   private def asMap(o: Object): Map[String, String] = o match {
     case null => null

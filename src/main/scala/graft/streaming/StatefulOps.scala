@@ -37,6 +37,22 @@ object StatefulOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col(groupCol), col("n"))
 
+  /** Native gap-based session windows — the declarative twin of
+    * [[sessionSummaries]]: same semantics (a session closes when the
+    * gap since the last event exceeds `gap`), but state merging lives
+    * in Spark's session-window operator instead of user
+    * flatMapGroupsWithState code, so it gets watermark-driven state
+    * eviction and the RocksDB store for free — prefer this form; the
+    * explicit-state twin exists for semantics Spark can't express. */
+  def sessionWindowCounts(df: DataFrame, eventTimeCol: String,
+      keyCol: String, gap: String, delay: String): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .groupBy(col(keyCol), session_window(col(eventTimeCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("n_events"))
+
   /** Stream-stream INNER join bounded to a time interval: each left
     * event pairs with right events sharing `keyCols` whose event time
     * lies within [leftTs - before, leftTs + after]. Right-side

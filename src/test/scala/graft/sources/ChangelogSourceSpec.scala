@@ -20,6 +20,38 @@ class ChangelogSourceSpec extends SparkSpec {
       s""""pos":"gtid:$seq","seq":$seq,"tableVersion":0,""" +
       s""""after":{"id":"$id","k":"$k"},"before":null}"""
 
+  test("db/table equality filters are pushed into the scan") {
+    val dir = Files.createTempDirectory("clog-push").toString
+    writeLog(dir, "a.jsonl", Seq(
+      line(0, "insert", 1, 10, table = "t1"),
+      line(1, "insert", 2, 20, table = "t2"),
+      line(2, "insert", 3, 30, table = "t1"),
+      line(3, "insert", 4, 40, table = "t3")))
+    val df = spark.read.format("graft-changelog").option("path", dir).load()
+      .filter($"db" === "db1" && $"table" === "t1")
+    // the scan's description advertises the pushed routing predicate
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=[db=db1,table=t1]"), plan)
+    // and results are correct (Spark re-applies the residual above)
+    assert(df.select($"seq").as[Long].collect().sorted.toSeq == Seq(0L, 2L))
+    // non-equality / other-column predicates still work, unpushed
+    val other = spark.read.format("graft-changelog").option("path", dir).load()
+      .filter($"op" === "insert" && $"seq" >= 2)
+    assert(other.count() == 2)
+  }
+
+  test("pushFilters accepts only db/table string equality") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    val b = new ChangelogScanBuilder("/tmp/x", None, None)
+    val fs: Array[org.apache.spark.sql.sources.Filter] = Array(
+      EqualTo("db", "d"), EqualTo("table", "t"),
+      EqualTo("op", "insert"), GreaterThan("seq", 5L))
+    val residual = b.pushFilters(fs)
+    assert(residual.toSeq == fs.toSeq, "everything must remain a residual")
+    assert(b.pushedFilters().toSeq ==
+      Seq(EqualTo("db", "d"), EqualTo("table", "t")))
+  }
+
   test("batch read parses the envelope") {
     val dir = Files.createTempDirectory("clog").toString
     writeLog(dir, "a.jsonl", Seq(line(0, "insert", 1, 10),

@@ -48,6 +48,26 @@ class StatefulOpsSpec extends SparkSpec {
       (h0 + 3600000L, "a", 1L)))
   }
 
+  test("sessionWindowCounts merges events into gap-based sessions") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sess = StatefulOps.sessionWindowCounts(
+      mem.toDF().toDF("user_id", "ts"), "ts", "user_id",
+      gap = "10 minutes", delay = "1 minute")
+    val q = sess.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    val t0 = 1700000000000L
+    // user 1: two events 5 min apart (one session), then one 30 min
+    // later (second session); user 2: one event
+    mem.addData((1L, new Timestamp(t0)), (1L, new Timestamp(t0 + 300000)),
+      (1L, new Timestamp(t0 + 2100000)), (2L, new Timestamp(t0)))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sess_out")
+      .select($"user_id", $"n_events").as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(out == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
   test("intervalJoin pairs events within the bound, drops outside it") {
     implicit val ctx = spark.sqlContext
     val imps = MemoryStream[(Long, Timestamp)]
