@@ -87,9 +87,11 @@ object Bench {
         Seq(graft.streaming.Pipeline.Route("app", "events", target)),
         new graft.sinks.ParquetUpsertSink(sinkDir), ckpt,
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      q.awaitTermination(600000)
+      val finished = q.awaitTermination(600000)
       val secs = (System.nanoTime() - t0) / 1e9
-      (n, n / secs)
+      // a timed-out pipeline processed only part of the log — n/secs
+      // would overstate throughput exactly when it is slowest
+      if (finished) (n, n / secs) else (n, -1.0)
     } catch { case e: Throwable =>
       System.err.println(s"cdc throughput bench failed: $e")
       (0L, -1.0)

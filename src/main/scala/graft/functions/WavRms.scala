@@ -16,10 +16,12 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
   * step as a native columnar kernel. Blobs still never shuffle — the
   * expression reduces each blob to one double in the scan stage.
   *
-  * NULL for: non-WAV signatures, truncated headers, zero or
-  * non-16-bit block alignment. The data-chunk length is clamped to
-  * the actual payload so truncated blobs yield the RMS of what is
-  * present rather than reading past the buffer.
+  * NULL for: non-WAV signatures, truncated headers, non-canonical
+  * chunk layout (fmt chunk not 16 bytes at offset 12, data chunk id
+  * not at offset 36), non-PCM audio format, non-16-bit samples. The
+  * data-chunk length is clamped to the actual payload so truncated
+  * blobs yield the RMS of what is present rather than reading past
+  * the buffer.
   *
   * Registered as SQL function `wav_rms` by [[graft.GraftExtensions]].
   */
@@ -69,6 +71,20 @@ object WavRms {
     if (b.length < 44 ||
       b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
       b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return Double.NegativeInfinity
+    // canonical layout ONLY: 16-byte 'fmt ' chunk at 12, PCM format,
+    // 'data' chunk id at 36. An 18-byte fmt, a fact/LIST chunk before
+    // data, or non-PCM audio puts something else at bytes 40-43 —
+    // reading on would interpret chunk headers as samples and return
+    // plausible-looking garbage instead of NULL.
+    if (b(12) != 'f' || b(13) != 'm' || b(14) != 't' || b(15) != ' ')
+      return Double.NegativeInfinity
+    val fmtSize = (b(16) & 0xff) | ((b(17) & 0xff) << 8) |
+      ((b(18) & 0xff) << 16) | ((b(19) & 0xff) << 24)
+    val audioFormat = (b(20) & 0xff) | ((b(21) & 0xff) << 8)
+    if (fmtSize != 16 || audioFormat != 1)
+      return Double.NegativeInfinity
+    if (b(36) != 'd' || b(37) != 'a' || b(38) != 't' || b(39) != 'a')
       return Double.NegativeInfinity
     val bitsPerSample = (b(34) & 0xff) | ((b(35) & 0xff) << 8)
     val declared = (b(40) & 0xff).toLong | ((b(41) & 0xff).toLong << 8) |

@@ -73,6 +73,14 @@ object Components {
       labels = next
       iter += 1
     }
+    if (!converged)
+      // partial labels are silently WRONG groups (one component, many
+      // labels). Near-dup graphs converge in 2-3 rounds, so hitting
+      // the bound means an adversarial-diameter graph: surface it.
+      System.err.println(
+        s"WARN Components.connectedComponents: not converged after " +
+          s"$maxIter rounds — labels are partial; raise maxIter or use a " +
+          "large-star/small-star variant for long-chain graphs")
     labels
   }
 

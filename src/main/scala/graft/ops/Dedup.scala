@@ -127,7 +127,13 @@ object Dedup {
         // document frequency
         val dfreq = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap)
-        shAll.join(dfreq, "sh").select(col("id"), col("sh")).cache()
+        val capped = shAll.join(dfreq, "sh").select(col("id"), col("sh")).cache()
+        // materialize the capped table, then release the raw one —
+        // otherwise every invocation pins TWO copies of the shingle
+        // table in executor storage for the session's lifetime
+        capped.count()
+        shAll.unpersist()
+        capped
       case None => shAll
     }
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))

@@ -79,6 +79,17 @@ object CompactionRewrite extends Rule[LogicalPlan] {
           ps.map(_.asInstanceOf[AttributeReference])
       }
       orders <- Option(w.orderSpec).filter(_.nonEmpty)
+      // every field entering the struct must be ORDERABLE — struct
+      // min/max compares the whole tuple, and e.g. a MapType payload
+      // column (a changelog envelope's after/before maps) would make
+      // the aggregate unresolvable. The window form never orders
+      // payload columns, so it stays valid for those plans: keep it.
+      _ <- {
+        val structInputs = orders.map(_.child.dataType) ++
+          w.child.output.filterNot(a =>
+            groupKeys.exists(_.exprId == a.exprId)).map(_.dataType)
+        if (structInputs.forall(RowOrdering.isOrderable)) Some(()) else None
+      }
       // one direction across all keys, each with its DEFAULT null
       // ordering (what struct comparison reproduces)
       direction <- {

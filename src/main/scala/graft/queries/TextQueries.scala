@@ -18,6 +18,19 @@ object TextQueries {
   private val sqlToks = "string_split_regex(trim(text), ' +')"
   private val sqlStop = "('the', 'a', 'of', 'and', 'in')"
 
+  // hex byte-assembly helpers shared by the multimodal blob builders
+  // (one definition — a carry bug fixed in one place fixes both)
+  private def hex2(c: org.apache.spark.sql.Column) =
+    lpad(hex(c.cast("long")), 2, "0")
+  private def be32(c: org.apache.spark.sql.Column) =
+    lpad(hex(c.cast("long")), 8, "0")
+  private def le16(c: org.apache.spark.sql.Column) =
+    concat(hex2(pmod(c, lit(256))), hex2(floor(c / 256)))
+  private def le32(c: org.apache.spark.sql.Column) =
+    concat(hex2(pmod(c, lit(256))), hex2(pmod(floor(c / 256), lit(256))),
+      hex2(pmod(floor(c / 65536), lit(256))),
+      hex2(pmod(floor(c / 16777216), lit(256))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // token counting + quality-signal ratios (ints + IEEE-exact
@@ -96,16 +109,6 @@ object TextQueries {
     // The oracle computes the expected fields directly from doc_id
     // and never parses, so agreement proves the parser.
     "multimodal_real_header" -> ((s, dir) => {
-      def hex2(c: org.apache.spark.sql.Column) =
-        lpad(hex(c.cast("long")), 2, "0")
-      def be32(c: org.apache.spark.sql.Column) =
-        lpad(hex(c.cast("long")), 8, "0")
-      def le16(c: org.apache.spark.sql.Column) =
-        concat(hex2(pmod(c, lit(256))), hex2(floor(c / 256)))
-      def le32(c: org.apache.spark.sql.Column) =
-        concat(hex2(pmod(c, lit(256))), hex2(pmod(floor(c / 256), lit(256))),
-          hex2(pmod(floor(c / 65536), lit(256))),
-          hex2(pmod(floor(c / 16777216), lit(256))))
       val id = col("doc_id")
       val w = pmod(id, lit(512)) + 16
       val h = pmod(id * 3, lit(384)) + 16
@@ -154,14 +157,6 @@ object TextQueries {
     // computes the expectation from doc_id without parsing a byte —
     // agreement proves the sample loop.
     "multimodal_wav_rms" -> ((s, dir) => {
-      def hex2(c: org.apache.spark.sql.Column) =
-        lpad(hex(c.cast("long")), 2, "0")
-      def le16(c: org.apache.spark.sql.Column) =
-        concat(hex2(pmod(c, lit(256))), hex2(floor(c / 256)))
-      def le32(c: org.apache.spark.sql.Column) =
-        concat(hex2(pmod(c, lit(256))), hex2(pmod(floor(c / 256), lit(256))),
-          hex2(pmod(floor(c / 65536), lit(256))),
-          hex2(pmod(floor(c / 16777216), lit(256))))
       val id = col("doc_id")
       val amp = pmod(id, lit(8)) * 4096 // 0..28672, fits signed 16-bit
       val nSamp = lit(50) + pmod(id, lit(50))

@@ -25,12 +25,19 @@ import graft.streaming.Pipeline.BatchSink
   *
   * @param connect serializable connection factory, invoked on the
   *                executor (e.g. `() => DriverManager.getConnection(url)`)
+  * @param assumeCompacted skip the defensive per-batch compaction.
+  *                [[graft.streaming.Pipeline.processBatch]] always
+  *                compacts immediately before `sink.write`, so
+  *                pipeline-wired instances set this to avoid paying a
+  *                second full aggregate+shuffle of every micro-batch;
+  *                direct users keep the default (defended) path.
   */
 final class JdbcUpsertSink(
     connect: () => Connection,
     maxRowsPerStatement: Int = 1024,
     retries: Int = 3,
-    retryBackoffMs: Long = 5000) extends BatchSink {
+    retryBackoffMs: Long = 5000,
+    assumeCompacted: Boolean = false) extends BatchSink {
 
   override def write(batch: DataFrame, t: TableDef, batchId: Long): Unit = {
     val cols = t.columnNames
@@ -39,15 +46,18 @@ final class JdbcUpsertSink(
     require(pks.nonEmpty,
       s"${t.schema}.${t.name}: JDBC upsert sink requires primary keys")
     // Upserts run before deletes within a chunk, so correctness needs
-    // ONE event per key. Don't trust the scaladoc contract: compact
-    // defensively when the batch carries the monotone `seq` (a no-op
-    // shuffle on an already-compacted micro-batch), else verify
-    // key-uniqueness and fail loudly — feeding an uncompacted frame
-    // through would silently reorder delete-then-insert sequences
-    // (the ordering the reference preserves via run-splitting,
-    // `outputs/mysql/mysql.go:172-202`).
+    // ONE event per key. Unless the caller vouches (assumeCompacted —
+    // the Pipeline path, which compacts right before write), don't
+    // trust the scaladoc contract: compact defensively when the batch
+    // carries the monotone `seq` (costs a real aggregate+shuffle of
+    // the batch — that is why the pipeline path opts out), else
+    // verify key-uniqueness and fail loudly — feeding an uncompacted
+    // frame through would silently reorder delete-then-insert
+    // sequences (the ordering the reference preserves via
+    // run-splitting, `outputs/mysql/mysql.go:172-202`).
     val safe =
-      if (batch.columns.contains("seq"))
+      if (assumeCompacted) batch
+      else if (batch.columns.contains("seq"))
         graft.operators.Compactor.lastEventPerKeyAgg(pks, "seq")(batch)
       else {
         import org.apache.spark.sql.functions.{col, count, lit}

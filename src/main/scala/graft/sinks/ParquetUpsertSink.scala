@@ -34,6 +34,7 @@ final class ParquetUpsertSink(rootDir: String) extends BatchSink {
   override def write(batch: DataFrame, t: TableDef, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val p = path(t)
+    rejectBucketedLayout(p, t)
     recoverInterruptedSwap(p)
     val pks = t.pkColumns.map(_.name)
     val merged =
@@ -60,6 +61,29 @@ final class ParquetUpsertSink(rootDir: String) extends BatchSink {
     if (Files.exists(target)) Files.move(target, aside)
     Files.move(staging, target)
     deleteRecursively(aside)
+  }
+
+  /** A target dir holding bucket=&lt;b&gt;/ subdirs is state from the
+    * BUCKETED [[BucketedUpsertSink]] layout. This sink's
+    * `spark.read.parquet` would partition-discover those dirs, inject
+    * a spurious `bucket` column into the merged schema, and rewrite
+    * the table flat — silent layout/schema corruption. Fail loudly
+    * instead (the exact mirror of BucketedUpsertSink's
+    * rejectFlatLayout guard). */
+  private def rejectBucketedLayout(dir: String, t: TableDef): Unit = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) return
+    val s = Files.list(p)
+    val bucketed =
+      try s.iterator().asScala.exists(f =>
+        Files.isDirectory(f) && f.getFileName.toString.startsWith("bucket="))
+      finally s.close()
+    if (bucketed) throw new IllegalStateException(
+      s"${t.schema}.${t.name}: $dir holds bucketed (BucketedUpsertSink) " +
+        "state; merging it flat would inject a spurious 'bucket' column and " +
+        "corrupt the layout. Keep the table on the 'bucketed-upsert' sink, " +
+        "or migrate once: read the bucketed dir (dropping 'bucket') and " +
+        "re-write it through ParquetUpsertSink into a fresh directory.")
   }
 
   /** Replay recovery: an `.aside` dir whose real table dir is missing

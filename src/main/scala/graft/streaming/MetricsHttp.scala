@@ -55,19 +55,26 @@ object MetricsHttp {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/metrics", new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
+        // JDK HttpServer matches contexts by PREFIX: /metricsanything
+        // lands here too — serve only the exact path
+        if (x.getRequestURI.getPath != "/metrics") {
+          x.sendResponseHeaders(404, -1); x.close(); return
+        }
         val body = render(collector.snapshot).getBytes(StandardCharsets.UTF_8)
         x.getResponseHeaders.add("Content-Type",
           "text/plain; version=0.0.4; charset=utf-8")
         x.sendResponseHeaders(200, body.length)
         val os = x.getResponseBody
         try os.write(body) finally os.close()
+        x.close()
       }
     })
     // any other path: 404 (the reference's REST API endpoints are
-    // no-ops; we do not pretend to serve them)
+    // no-ops; we do not pretend to serve them). /metrics never
+    // reaches this context (longest-prefix wins), so answer
+    // unconditionally — an unanswered exchange leaks the connection.
     server.createContext("/", new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
-        if (x.getRequestURI.getPath == "/metrics") return
         x.sendResponseHeaders(404, -1)
         x.close()
       }

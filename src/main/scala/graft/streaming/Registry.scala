@@ -48,6 +48,11 @@ object Registry {
   registerSink("parquet-upsert") { conf =>
     new ParquetUpsertSink(conf("dir"))
   }
+  // compatibility alias: configs written while the flat sink briefly
+  // carried this name keep resolving
+  registerSink("parquet-upsert-flat") { conf =>
+    new ParquetUpsertSink(conf("dir"))
+  }
   registerSink("bucketed-upsert") { conf =>
     new BucketedUpsertSink(conf("dir"),
       conf.get("buckets").map(_.toInt).getOrElse(64))
@@ -56,8 +61,12 @@ object Registry {
   registerSink("mysql") { conf =>
     val (url, user, pass) =
       (conf("url"), conf.getOrElse("user", "root"), conf.getOrElse("password", ""))
+    // Pipeline.processBatch compacts right before sink.write, so the
+    // pipeline-wired instance skips the sink's defensive re-compaction
+    // (a second full aggregate+shuffle per micro-batch otherwise)
     new JdbcUpsertSink(() =>
-      java.sql.DriverManager.getConnection(url, user, pass))
+      java.sql.DriverManager.getConnection(url, user, pass),
+      assumeCompacted = true)
   }
   registerSink("starrocks") { conf =>
     new StreamLoadSink(conf("url"), conf.getOrElse("user", "root"),

@@ -59,6 +59,21 @@ class WavRmsSpec extends SparkSpec {
     assert(math.abs(r.get - 0.5) < 1e-12)
   }
 
+  test("non-canonical layouts are null, not garbage") {
+    val base = wav(Seq.fill(20)(16384.toShort))
+    // 18-byte fmt chunk (WAVE_FORMAT_EXTENSIBLE-ish): data id shifts
+    val fmt18 = base.clone(); fmt18(16) = 18
+    // non-PCM audio format (3 = IEEE float)
+    val floatFmt = base.clone(); floatFmt(20) = 3
+    // a LIST chunk where 'data' should be
+    val listChunk = base.clone()
+    listChunk(36) = 'L'; listChunk(37) = 'I'; listChunk(38) = 'S'
+    listChunk(39) = 'T'
+    val Seq(a, b, c) = rmsOf(Seq(fmt18, floatFmt, listChunk))
+    assert(a.isEmpty && b.isEmpty && c.isEmpty,
+      s"non-canonical WAVs must be null: $a $b $c")
+  }
+
   test("interpreted path agrees with codegen") {
     val b = wav((1 to 50).map(i => (i * 300).toShort))
     val expected = WavRms.rms(b)

@@ -78,6 +78,20 @@ class CompactionRewriteSpec extends SparkSpec {
     assert(out == Seq((1L, "live"), (2L, "onlynull")))
   }
 
+  test("unorderable (map) payload columns keep the window plan and run") {
+    // struct min/max can't order MapType — the rewrite must NOT fire
+    // (it previously produced an unresolvable plan and crashed)
+    val df0 = Seq((1L, 10L, Map("a" -> "x")), (1L, 12L, Map("b" -> "y")),
+      (2L, 5L, Map("c" -> "z")))
+      .toDF("k", "seq", "payload")
+    val w = W.partitionBy($"k").orderBy($"seq".desc)
+    val df = df0.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    assert(hasWindow(df), df.queryExecution.optimizedPlan.toString)
+    val out = df.select($"k", $"seq").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 12L), (2L, 5L)))
+  }
+
   test("non-matching windows are untouched") {
     // rank() is not row_number
     val w = W.partitionBy($"user_id").orderBy($"seq".desc)
