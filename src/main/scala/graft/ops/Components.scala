@@ -27,7 +27,12 @@ import org.apache.spark.sql.functions._
   *    is the honest template.
   *  - `localCheckpoint` per round truncates the logical plan —
   *    without it the lineage doubles every iteration and Catalyst
-  *    analysis time explodes long before data does.
+  *    analysis time explodes long before data does. localCheckpoint
+  *    trades fault-tolerance for speed (blocks live on executors;
+  *    an executor loss mid-computation fails the job rather than
+  *    recomputing) — on a long-running cluster job prefer
+  *    `spark.sparkContext.setCheckpointDir` + reliable `checkpoint()`
+  *    at the same call sites.
   *  - The per-round convergence check is a `limit(1).count()` on
   *    changed labels: an O(changed) early-exit probe, not a full
   *    materialization (the round's aggregate is already computed for

@@ -73,6 +73,68 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
+  /** Lloyd k-means refinement of IVF centroids — the distributed
+    * "training" loop that upgrades [[ivfTopK]]'s deterministic seed
+    * centroids. Per round: (1) assign every vector to its max-cosine
+    * centroid (broadcast centroids, one hash-agg argmax — the same
+    * assignment plan as ivfTopK), (2) recompute each cell's centroid
+    * as the element-wise mean of its members.
+    *
+    * Determinism: element sums aggregate in DECIMAL(28,12) — double
+    * summation is shuffle-order-dependent, so decimal exactness is
+    * what makes refined centroids identical across partitionings and
+    * cluster sizes (the same discipline as the engine's money
+    * aggregates), and what lets a DuckDB oracle hash-match the
+    * result. The mean's single double division afterward is
+    * IEEE-identical everywhere. Empty cells keep their previous
+    * centroid.
+    *
+    * Cost per round: |C|·nCells narrow flops, one posexplode to
+    * (cell, dim) pairs, one hash agg on (cell, dim) — linear in the
+    * corpus, no quadratic term. Spherical-k-means objective (sum of
+    * member-to-centroid cosines) is non-decreasing per round.
+    *
+    * @return refined centroid frame (cid, cvec) — drop-in for the
+    *         seed frame shape ivfTopK builds internally
+    */
+  def kmeansRefine(corpus: DataFrame, vecCol: String, idCol: String,
+      nCells: Int = 16, rounds: Int = 1): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val seed = corpus.filter(col(idCol) < nCells)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+    var cents = seed
+    for (_ <- 0 until rounds) {
+      val withNorm = cents.select(col("cid"), col("cvec"),
+        norm(col("cvec")).as("cn"))
+      val base = corpus.select(col(idCol), col(vecCol),
+        norm(col(vecCol)).as("nrm"))
+      val assigned = base.crossJoin(broadcast(withNorm))
+        .withColumn("ccos",
+          dot(col(vecCol), col("cvec")) / (col("nrm") * col("cn")))
+        .groupBy(col(idCol))
+        .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"),
+          col(vecCol).as("v"))).as("best"))
+        .select((-col("best.ncid")).as("cell"), col("best.v").as("v"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .select(col("cell"), col("pos"),
+          col("col").cast("double").cast(DecimalType(28, 12)).as("xd"))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("xd")).as("sx"), count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          (col("sx").cast("double") / col("n")).cast("float").as("m"))
+      val rebuilt = means.groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("next"))
+        .select(col("cell").as("cid"), col("next"))
+      cents = cents.select(col("cid"), col("cvec").as("prev"))
+        .join(rebuilt, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("next"), col("prev")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** IVF (inverted-file) top-k: vectors are assigned to the cell of
     * their nearest centroid, and search probes only the query's
     * cell. Centroids here are the first `nCells` corpus vectors —

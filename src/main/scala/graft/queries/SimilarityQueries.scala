@@ -60,6 +60,20 @@ object SimilarityQueries {
           max(col("nrm")).as("max_norm"))
         .orderBy(col("label"))),
 
+    // one Lloyd round of k-means centroid refinement
+    // (Similarity.kmeansRefine): decimal-exact element sums make the
+    // refined centroids partitioning-independent AND cross-engine
+    // hash-matchable. Output = first 8 dims of each refined centroid
+    // as (cid, pos, m) rows (scalar columns hash; arrays don't).
+    "ann_kmeans_refine" -> ((s, dir) => {
+      val refined = Similarity.kmeansRefine(
+        emb(s, dir), "embedding", "vec_id", nCells = 16, rounds = 1)
+      refined.select(col("cid"), posexplode(col("cvec")))
+        .filter(col("pos") < 8)
+        .select(col("cid"), col("pos"), col("col").cast("double").as("m"))
+        .orderBy(col("cid"), col("pos"))
+    }),
+
     // int8 symmetric quantization (Similarity.quantizeInt8) — scalar
     // summaries of the code vector (min/max/sum are integer-exact,
     // so the oracle hash-matches without comparing arrays)
@@ -158,6 +172,32 @@ object SimilarityQueries {
          | MIN($sqlNorm) AS min_norm,
          | MAX($sqlNorm) AS max_norm
          |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "ann_kmeans_refine" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec,
+         |    $sqlNorm AS cn
+         |  FROM embeddings WHERE vec_id < 16),
+         |base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $sqlNorm AS nrm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT b.vec_id, c.cid, b.v,
+         |    list_dot_product(b.v, c.cvec) / (b.nrm * c.cn) AS ccos
+         |  FROM base b CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn
+         |    FROM scored) x WHERE rn = 1),
+         |dims AS (
+         |  SELECT cell, CAST(i AS INTEGER) - 1 AS pos,
+         |    CAST(v[CAST(i AS INTEGER)] AS DECIMAL(28,12)) AS xd
+         |  FROM assigned, unnest(range(1, len(v)+1)) AS t(i))
+         |SELECT cell AS cid, pos,
+         |  CAST(CAST(CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS REAL) AS DOUBLE)
+         |    AS m
+         |FROM dims WHERE pos < 8 GROUP BY cell, pos
+         |ORDER BY cid, pos""".stripMargin,
     "emb_quantize_int8" ->
       """WITH q AS (
         |  SELECT vec_id,

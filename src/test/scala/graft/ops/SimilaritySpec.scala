@@ -63,6 +63,37 @@ class SimilaritySpec extends SparkSpec {
     assert(all == brute)
   }
 
+  test("kmeansRefine is partitioning-invariant (decimal-exact means)") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def run(parts: Int): Map[Long, Seq[Float]] =
+      Similarity.kmeansRefine(emb.repartition(parts), "embedding", "vec_id",
+        nCells = 8, rounds = 2)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(run(3) == run(13))
+  }
+
+  test("kmeansRefine does not decrease the spherical objective") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def objective(cents: org.apache.spark.sql.DataFrame): Double = {
+      val withNorm = cents.select(col("cid"), col("cvec"),
+        Similarity.norm(col("cvec")).as("cn"))
+      emb.select(col("embedding"), Similarity.norm(col("embedding")).as("nrm"))
+        .crossJoin(broadcast(withNorm))
+        .withColumn("ccos", Similarity.dot(col("embedding"), col("cvec")) /
+          (col("nrm") * col("cn")))
+        .groupBy(col("embedding")).agg(max(col("ccos")).as("best"))
+        .agg(avg(col("best"))).collect()(0).getDouble(0)
+    }
+    val seed = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("long").as("cid"),
+        col("embedding").as("cvec"))
+    val refined = Similarity.kmeansRefine(emb, "embedding", "vec_id",
+      nCells = 8, rounds = 1)
+    assert(objective(refined) >= objective(seed) - 1e-9,
+      "one Lloyd round must not worsen the mean max-cosine")
+  }
+
   test("cosine matches analytic value") {
     val c = vecs.filter($"vec_id" === 1).crossJoin(
         vecs.filter($"vec_id" === 3).select($"embedding".as("e2")))

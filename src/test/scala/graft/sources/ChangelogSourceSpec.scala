@@ -40,6 +40,24 @@ class ChangelogSourceSpec extends SparkSpec {
     assert(other.count() == 2)
   }
 
+  test("pushed filters apply on the STREAMING path too") {
+    val dir = Files.createTempDirectory("clog-push-stream").toString
+    writeLog(dir, "a.jsonl", Seq(
+      line(0, "insert", 1, 10, table = "t1"),
+      line(1, "insert", 2, 20, table = "t2"),
+      line(2, "insert", 3, 30, table = "t1")))
+    val df = spark.readStream.format("graft-changelog")
+      .option("path", dir).load()
+      .filter($"db" === "db1" && $"table" === "t1")
+    val q = df.writeStream.format("memory").queryName("push_stream_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val seqs = spark.table("push_stream_out").select($"seq")
+      .as[Long].collect().sorted.toSeq
+    assert(seqs == Seq(0L, 2L))
+  }
+
   test("pushFilters accepts only db/table string equality") {
     import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
     val b = new ChangelogScanBuilder("/tmp/x", None, None)
