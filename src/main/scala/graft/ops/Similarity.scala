@@ -229,6 +229,110 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
+  /** Product-quantization codebook + encoder. The vector space is
+    * split into `m` contiguous subspaces of d/m dims; each subspace
+    * gets `k` centroids (deterministically seeded from the first `k`
+    * corpus vectors' subvectors — swap in [[kmeansRefine]] output per
+    * subspace for trained codebooks; the plan shape is unchanged).
+    * A vector's code word is the argmin-L2 centroid per subspace:
+    * m small integers replace d floats — the 16-32× shrink that lets
+    * billion-vector indexes live in executor memory. Encoding cost is
+    * |C|·m·k narrow rows (codebook broadcast, argmin as ONE hash
+    * aggregate — map-side partial, no shuffle sort).
+    *
+    * L2² is computed as xx − 2·xy + yy with per-side norms
+    * precomputed BEFORE the join — |C|·m + m·k dot products instead
+    * of |C|·m·k, and the exact IEEE sequence DuckDB reproduces.
+    * Ties go to the lowest code (min over a (dist, code) struct).
+    *
+    * @return (id, j, code) — one row per vector per subspace
+    */
+  def pqEncode(corpus: DataFrame, vecCol: String, idCol: String,
+      dims: Int, m: Int = 4, k: Int = 16): DataFrame = {
+    val subLen = dims / m
+    require(subLen * m == dims, s"m=$m must divide dims=$dims")
+    val codebook = corpus.filter(col(idCol) < k)
+      .select(col(idCol).cast("int").as("code"), posexplode(
+        array((0 until m).map(j =>
+          slice(col(vecCol), j * subLen + 1, subLen)): _*)))
+      .select(col("pos").as("j"), col("code"), col("col").as("cv"),
+        dot(col("col"), col("col")).as("cc"))
+    val subs = corpus
+      .select(col(idCol), posexplode(
+        array((0 until m).map(j =>
+          slice(col(vecCol), j * subLen + 1, subLen)): _*)))
+      .select(col(idCol), col("pos").as("j"), col("col").as("xv"),
+        dot(col("col"), col("col")).as("xx"))
+    subs.join(broadcast(codebook), Seq("j"))
+      .withColumn("dist",
+        col("xx") - lit(2.0) * dot(col("xv"), col("cv")) + col("cc"))
+      .groupBy(col(idCol), col("j"))
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(col(idCol), col("j"), col("best.code").as("code"))
+  }
+
+  /** PQ top-k via asymmetric distance computation (ADC): queries stay
+    * exact; candidates are scored from their code words through a
+    * per-query distance table (table entry (j,c) = L2² of the query's
+    * j-th subvector to centroid c). Approximate distance = Σ_j
+    * table[j][code_j] — m table lookups per candidate instead of d
+    * multiplies, ON TOP of the 16-32× smaller candidate payload:
+    * the scan side of this join moves (id, m codes), never vectors.
+    * That memory shape — not flop count — is why IVF-PQ is the
+    * standard billion-vector layout (FAISS); compose with [[ivfTopK]]
+    * cells to also cut the candidate count.
+    *
+    * The per-pair sum folds in FIXED j order (d0+d1+…, built at plan
+    * time) — a conditional-sum pivot, so the double addition sequence
+    * is engine- and partitioning-independent (a plain sum(dist) would
+    * add in shuffle order and break determinism).
+    *
+    * @return (qid, nid, rank) — rank by approx distance asc, ties to
+    *         lowest nid; self-pairs excluded
+    */
+  def pqTopK(corpus: DataFrame, vecCol: String, idCol: String,
+      queryPred: Column, topK: Int, dims: Int, m: Int = 4,
+      k: Int = 16): DataFrame = {
+    val subLen = dims / m
+    require(subLen * m == dims, s"m=$m must divide dims=$dims")
+    val codebook = corpus.filter(col(idCol) < k)
+      .select(col(idCol).cast("int").as("code"), posexplode(
+        array((0 until m).map(j =>
+          slice(col(vecCol), j * subLen + 1, subLen)): _*)))
+      .select(col("pos").as("j"), col("code"), col("col").as("cv"),
+        dot(col("col"), col("col")).as("cc"))
+    val codes = pqEncode(corpus, vecCol, idCol, dims, m, k)
+      .select(col(idCol).as("nid"), col("j"), col("code"))
+    // per-query distance table: |Q|·m·k rows, built once per query
+    val dtab = corpus.filter(queryPred)
+      .select(col(idCol).as("qid"), posexplode(
+        array((0 until m).map(j =>
+          slice(col(vecCol), j * subLen + 1, subLen)): _*)))
+      .select(col("qid"), col("pos").as("j"), col("col").as("qv"),
+        dot(col("col"), col("col")).as("qq"))
+      .join(broadcast(codebook), Seq("j"))
+      .select(col("qid"), col("j"), col("code"),
+        (col("qq") - lit(2.0) * dot(col("qv"), col("cv")) + col("cc"))
+          .as("dist"))
+    // ADC: code-word lookup join, then the fixed-order distance fold
+    val perJ = (0 until m).map(j =>
+      max(when(col("j") === j, col("dist"))).as(s"d$j"))
+    // dtab is |Q|·m·k rows (query-bounded) → broadcast; the
+    // alternative shuffle would hash |C|·m rows onto only m·k
+    // distinct (j, code) keys — a guaranteed skew at scale
+    val summed = codes.join(broadcast(dtab), Seq("j", "code"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(perJ.head, perJ.tail: _*)
+      .select(col("qid"), col("nid"),
+        (0 until m).map(j => col(s"d$j")).reduce(_ + _).as("adist"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist"), col("nid"))
+    summed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
   /** Sign bucket over the first `bits` dimensions: bit i set iff
     * vec[i] > 0. Fixed axis-aligned hyperplanes — deterministic in
     * any engine (random-rotation planes would improve recall but

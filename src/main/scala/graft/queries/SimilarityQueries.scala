@@ -74,6 +74,22 @@ object SimilarityQueries {
         .orderBy(col("cid"), col("pos"))
     }),
 
+    // product-quantization encode (Similarity.pqEncode): 64 dims →
+    // 4 subspaces × 16 centroids; output is the (id, j, code) word
+    // stream — integer-only, hash-exact across engines
+    "ann_pq_encode" -> ((s, dir) =>
+      Similarity.pqEncode(emb(s, dir), "embedding", "vec_id",
+        dims = 64, m = 4, k = 16)
+        .orderBy(col("vec_id"), col("j"))),
+
+    // PQ top-5 via asymmetric distance computation — candidates
+    // scored from code words through per-query distance tables
+    "ann_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(emb(s, dir), "embedding", "vec_id",
+        queryPred = col("vec_id") < 100, topK = 5, dims = 64,
+        m = 4, k = 16)
+        .orderBy(col("qid"), col("rank"))),
+
     // int8 symmetric quantization (Similarity.quantizeInt8) — scalar
     // summaries of the code vector (min/max/sum are integer-exact,
     // so the oracle hash-matches without comparing arrays)
@@ -198,6 +214,62 @@ object SimilarityQueries {
          |    AS m
          |FROM dims WHERE pos < 8 GROUP BY cell, pos
          |ORDER BY cid, pos""".stripMargin,
+    "ann_pq_encode" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |subs AS (
+         |  SELECT vec_id, CAST(t.j AS INTEGER) AS j,
+         |    v[(CAST(t.j AS INTEGER)*16+1):(CAST(t.j AS INTEGER)*16+16)] AS xv
+         |  FROM e, (SELECT unnest(range(4)) AS j) t),
+         |cb AS (
+         |  SELECT j, CAST(vec_id AS INTEGER) AS code, xv AS cv,
+         |    list_dot_product(xv, xv) AS cc
+         |  FROM subs WHERE vec_id < 16)
+         |SELECT vec_id, j, code FROM (
+         |  SELECT s.vec_id, s.j, cb.code,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.j
+         |      ORDER BY (list_dot_product(s.xv, s.xv)
+         |        - 2*list_dot_product(s.xv, cb.cv) + cb.cc), cb.code) AS rn
+         |  FROM subs s JOIN cb ON s.j = cb.j) x
+         |WHERE rn = 1 ORDER BY vec_id, j""".stripMargin,
+    "ann_pq_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |subs AS (
+         |  SELECT vec_id, CAST(t.j AS INTEGER) AS j,
+         |    v[(CAST(t.j AS INTEGER)*16+1):(CAST(t.j AS INTEGER)*16+16)] AS xv
+         |  FROM e, (SELECT unnest(range(4)) AS j) t),
+         |cb AS (
+         |  SELECT j, CAST(vec_id AS INTEGER) AS code, xv AS cv,
+         |    list_dot_product(xv, xv) AS cc
+         |  FROM subs WHERE vec_id < 16),
+         |enc AS (
+         |  SELECT vec_id AS nid, j, code FROM (
+         |    SELECT s.vec_id, s.j, cb.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.j
+         |        ORDER BY (list_dot_product(s.xv, s.xv)
+         |          - 2*list_dot_product(s.xv, cb.cv) + cb.cc), cb.code) AS rn
+         |    FROM subs s JOIN cb ON s.j = cb.j) x WHERE rn = 1),
+         |dtab AS (
+         |  SELECT q.vec_id AS qid, q.j, cb.code,
+         |    (list_dot_product(q.xv, q.xv)
+         |      - 2*list_dot_product(q.xv, cb.cv) + cb.cc) AS dist
+         |  FROM subs q JOIN cb ON q.j = cb.j WHERE q.vec_id < 100),
+         |pairs AS (
+         |  SELECT d.qid, enc.nid,
+         |    MAX(CASE WHEN d.j = 0 THEN d.dist END)
+         |      + MAX(CASE WHEN d.j = 1 THEN d.dist END)
+         |      + MAX(CASE WHEN d.j = 2 THEN d.dist END)
+         |      + MAX(CASE WHEN d.j = 3 THEN d.dist END) AS adist
+         |  FROM enc JOIN dtab d ON enc.j = d.j AND enc.code = d.code
+         |  WHERE d.qid <> enc.nid
+         |  GROUP BY d.qid, enc.nid),
+         |ranked AS (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank
+         |  FROM pairs)
+         |SELECT qid, nid, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
     "emb_quantize_int8" ->
       """WITH q AS (
         |  SELECT vec_id,

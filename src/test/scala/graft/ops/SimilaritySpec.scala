@@ -94,6 +94,37 @@ class SimilaritySpec extends SparkSpec {
       "one Lloyd round must not worsen the mean max-cosine")
   }
 
+  test("pqEncode emits one code per (vector, subspace), in range") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val codes = Similarity.pqEncode(emb, "embedding", "vec_id",
+      dims = 64, m = 4, k = 16).collect()
+    assert(codes.length == 500 * 4)
+    assert(codes.forall { r =>
+      val c = r.getInt(2); c >= 0 && c < 16
+    })
+    // seed vectors must encode to themselves (distance 0 to own subvec)
+    val self = codes.filter(_.getLong(0) < 16)
+    assert(self.forall(r => r.getInt(2) == r.getLong(0).toInt))
+  }
+
+  test("pqTopK is partitioning-invariant and beats random recall") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Similarity.pqTopK(df, "embedding", "vec_id",
+        queryPred = col("vec_id") < 50, topK = 10, dims = 64, m = 4, k = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run(emb.repartition(3))
+    assert(a == run(emb.repartition(13)))
+    // ADC recall against exact cosine top-10: far above the ~2%
+    // random baseline (10 of 499). PQ with untrained codebooks is
+    // coarse; the point is the plan, so the bar is deliberately low.
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id",
+      queryPred = col("vec_id") < 50, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = a.count(brute.contains).toDouble / brute.size
+    assert(recall > 0.10, s"ADC recall $recall should beat random (~0.02)")
+  }
+
   test("cosine matches analytic value") {
     val c = vecs.filter($"vec_id" === 1).crossJoin(
         vecs.filter($"vec_id" === 3).select($"embedding".as("e2")))
