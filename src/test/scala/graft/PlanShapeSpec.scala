@@ -120,6 +120,38 @@ class PlanShapeSpec extends SparkSpec {
       "compaction aggregate must run a partial (map-side) stage:\n" + p)
   }
 
+  test("runtime bloom filter prunes the fact scan of a selective join") {
+    // At 100 TB a fact-fact join where one side carries a selective
+    // filter should not shuffle the unfiltered side in full: Spark's
+    // runtime bloom filter (built from the filtered side's join keys)
+    // is injected into the big side's scan stage and drops
+    // non-joining rows BEFORE the exchange. The thresholds are
+    // size-gated (creation side <10MB, application side >10GB) so it
+    // never fires at test scale — lower them here to prove the
+    // optimizer path is live in our sessions.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val lineitem = graft.Tables.load(spark, dir, "lineitem")
+      val orders = graft.Tables.load(spark, dir, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority")
+          === "1-URGENT")
+      val joined = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        "expected a runtime bloom filter on the fact side:\n" + p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("ann_ivf: probe joins on the cell key, not a cartesian product") {
     val p = plan("ann_ivf_topk")
     // two BroadcastNestedLoopJoins are EXPECTED (the bounded centroid
