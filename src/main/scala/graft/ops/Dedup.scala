@@ -170,4 +170,29 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }
+
+  /** Cell-bucketed semantic dedup (the SemDeDup shape): assign every
+    * vector to its nearest-centroid cell (Similarity.cellAssign —
+    * one broadcast + one hash-agg argmax), then compare pairs ONLY
+    * within a cell. Corpus² becomes Σ_cell |cell|² with the pair
+    * space reached through an equi-join on the cell id — the
+    * unbounded-corpus answer to [[embeddingCosinePairs]], whose
+    * query side must stay bounded. Recall is approximate (near-dups
+    * straddling a cell boundary are missed — mitigated by more/
+    * trained centroids); the candidate-pair plan is exact within
+    * cells and deterministic, so it oracle-checks.
+    */
+  def embeddingCellPairs(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, nCells: Int = 16): DataFrame = {
+    import Similarity.dot
+    val assigned = Similarity.cellAssign(df, vecCol, idCol, nCells)
+    val l = assigned.select(col("cell"), col(idCol).as("a"),
+      col(vecCol).as("va"), col("nrm").as("na"))
+    val r = assigned.select(col("cell"), col(idCol).as("b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
+    l.join(r, Seq("cell")).filter(col("a") < col("b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cell"), col("cos"))
+  }
 }

@@ -135,28 +135,28 @@ object Similarity {
     cents
   }
 
-  /** IVF (inverted-file) top-k: vectors are assigned to the cell of
-    * their nearest centroid, and search probes only the query's
-    * cell. Centroids here are the first `nCells` corpus vectors —
-    * deterministic (oracle-checkable); a production pipeline swaps
-    * in k-means centroids, which changes ONLY the centroid frame,
-    * not the plan shape. Assignment is |C|×nCells narrow work; the
-    * probe is an equi-join on cell — the same shuffle-key shape as
-    * [[signBucketTopK]], so it scales the same way.
+  /** Nearest-centroid cell assignment — the shared first stage of
+    * IVF search ([[ivfTopK]], [[ivfTopKMultiProbe]]) and cell-
+    * bucketed semantic dedup (Dedup.embeddingCellPairs). Centroids
+    * are the first `nCells` corpus vectors — deterministic (oracle-
+    * checkable); swap in [[kmeansRefine]] output for trained cells
+    * without changing the plan shape.
+    *
+    * Argmax cosine, ties to lowest cid — as ONE hash aggregate (max
+    * over a (ccos, -cid, payload) struct), not a window: map-side
+    * partial agg, no |C|×nCells shuffle sort. Struct comparison is
+    * lexicographic, and (ccos, -cid) is unique per (id, cid), so the
+    * payload fields never decide the max.
+    *
+    * @return (idCol, vecCol, nrm, cell)
     */
-  def ivfTopK(corpus: DataFrame, vecCol: String, idCol: String,
-      queryPred: Column, k: Int, nCells: Int = 16): DataFrame = {
+  def cellAssign(corpus: DataFrame, vecCol: String, idCol: String,
+      nCells: Int): DataFrame = {
     val centroids = corpus.filter(col(idCol) < nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
         norm(col(vecCol)).as("cn"))
-    val base = corpus.select(col(idCol), col(vecCol),
-      norm(col(vecCol)).as("nrm"))
-    // nearest-centroid assignment: argmax cosine, ties to lowest cid —
-    // as ONE hash aggregate (max over a (ccos, -cid, payload) struct),
-    // not a window: map-side partial agg, no |C|×nCells shuffle sort.
-    // Struct comparison is lexicographic, and (ccos, -cid) is unique
-    // per (id, cid), so the payload fields never decide the max.
-    val assigned = base.crossJoin(broadcast(centroids))
+    corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+      .crossJoin(broadcast(centroids))
       .withColumn("ccos",
         dot(col(vecCol), col("cvec")) / (col("nrm") * col("cn")))
       .groupBy(col(idCol))
@@ -164,6 +164,17 @@ object Similarity {
         col(vecCol).as("v"), col("nrm").as("n"))).as("best"))
       .select(col(idCol), col("best.v").as(vecCol), col("best.n").as("nrm"),
         (-col("best.ncid")).as("cell"))
+  }
+
+  /** IVF (inverted-file) top-k: vectors are assigned to the cell of
+    * their nearest centroid ([[cellAssign]]), and search probes only
+    * the query's cell. The probe is an equi-join on cell — the same
+    * shuffle-key shape as [[signBucketTopK]], so it scales the same
+    * way.
+    */
+  def ivfTopK(corpus: DataFrame, vecCol: String, idCol: String,
+      queryPred: Column, k: Int, nCells: Int = 16): DataFrame = {
+    val assigned = cellAssign(corpus, vecCol, idCol, nCells)
     val q = assigned.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qv"),
         col("nrm").as("qn"), col("cell"))
@@ -194,16 +205,8 @@ object Similarity {
         norm(col(vecCol)).as("cn"))
     val base = corpus.select(col(idCol), col(vecCol),
       norm(col(vecCol)).as("nrm"))
-    // corpus assignment: one cell per vector (hash-agg argmax as in
-    // ivfTopK — map-side partial agg, no shuffle sort)
-    val assigned = base.crossJoin(broadcast(centroids))
-      .withColumn("ccos",
-        dot(col(vecCol), col("cvec")) / (col("nrm") * col("cn")))
-      .groupBy(col(idCol))
-      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"),
-        col(vecCol).as("v"), col("nrm").as("n"))).as("best"))
-      .select(col(idCol), col("best.v").as(vecCol), col("best.n").as("nrm"),
-        (-col("best.ncid")).as("cell"))
+    // corpus assignment: one cell per vector
+    val assigned = cellAssign(corpus, vecCol, idCol, nCells)
     // query probe list: nProbe nearest cells per query. The window
     // ranks |Q|×nCells rows — bounded by the query set, not the
     // corpus.

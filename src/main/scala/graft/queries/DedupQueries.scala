@@ -112,6 +112,15 @@ object DedupQueries {
         threshold = 0.35, queryPred = col("vec_id") < 300)
         .orderBy(col("a"), col("b"))),
 
+    // SemDeDup shape: near-dup pairs WITHIN nearest-centroid cells —
+    // the unbounded-corpus scale path (corpus² → Σ_cell |cell|²,
+    // reached via an equi-join on the cell id)
+    "dedup_semantic_cells" -> ((s, dir) =>
+      Dedup.embeddingCellPairs(
+        Tables.load(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.30, nCells = 16)
+        .orderBy(col("a"), col("b"))),
+
     // candidate pairs → duplicate GROUPS: connected components of the
     // Jaccard candidate graph via iterative min-label propagation
     // (graft.ops.Components — join + hash-agg per round, converges in
@@ -324,6 +333,28 @@ object DedupQueries {
       """SELECT doc_id,
         | CAST(n_chars % 97 AS DOUBLE) / 97.0 AS score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_semantic_cells" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS cid, v AS cvec, nrm AS cn FROM e
+        |  WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, v, nrm, cid AS cell FROM (
+        |    SELECT e.vec_id, e.v, e.nrm, cent.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, cent.cvec)
+        |                   / (e.nrm * cent.cn) DESC, cent.cid) AS crn
+        |    FROM e CROSS JOIN cent) x WHERE crn = 1)
+        |SELECT l.vec_id AS a, r.vec_id AS b, l.cell,
+        |  list_dot_product(l.v, r.v) / (l.nrm * r.nrm) AS cos
+        |FROM assigned l JOIN assigned r
+        |  ON l.cell = r.cell AND l.vec_id < r.vec_id
+        |WHERE list_dot_product(l.v, r.v) / (l.nrm * r.nrm) >= 0.30
+        |ORDER BY a, b""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -53,15 +53,18 @@ class ChangelogSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new ChangelogTable(opts.get("path"),
       Option(opts.get("maxEventsPerTrigger")).map(_.toLong),
-      Option(opts.get("startSeq")))
+      Option(opts.get("startSeq")),
+      Option(opts.get("onCorrupt")).getOrElse("fail"))
   }
 }
 
 final class ChangelogTable(path: String, maxPerTrigger: Option[Long],
-    startSeq: Option[String] = None)
+    startSeq: Option[String] = None, onCorrupt: String = "fail")
   extends Table with SupportsRead {
 
   require(path != null, "option 'path' is required")
+  require(Set("fail", "skip", "mark")(onCorrupt),
+    s"onCorrupt must be fail|skip|mark, got '$onCorrupt'")
 
   override def name(): String = s"changelog($path)"
   override def schema(): StructType = ChangeEvent.schema
@@ -69,7 +72,7 @@ final class ChangelogTable(path: String, maxPerTrigger: Option[Long],
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ChangelogScanBuilder(path, maxPerTrigger, startSeq)
+    new ChangelogScanBuilder(path, maxPerTrigger, startSeq, onCorrupt)
 }
 
 /** Filter pushdown (SupportsPushDownFilters): `db`/`table` equality
@@ -84,7 +87,7 @@ final class ChangelogTable(path: String, maxPerTrigger: Option[Long],
   * above the scan, so the pushdown is a pure optimization and every
   * other predicate shape stays correct untouched. */
 final class ChangelogScanBuilder(path: String, maxPerTrigger: Option[Long],
-    startSeq: Option[String])
+    startSeq: Option[String], onCorrupt: String = "fail")
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
@@ -105,12 +108,14 @@ final class ChangelogScanBuilder(path: String, maxPerTrigger: Option[Long],
   override def build(): Scan = {
     val dbEq = accepted.collectFirst { case EqualTo("db", v: String) => v }
     val tableEq = accepted.collectFirst { case EqualTo("table", v: String) => v }
-    new ChangelogScanImpl(path, maxPerTrigger, startSeq, dbEq, tableEq)
+    new ChangelogScanImpl(path, maxPerTrigger, startSeq, dbEq, tableEq,
+      onCorrupt)
   }
 }
 
 final class ChangelogScanImpl(path: String, maxPerTrigger: Option[Long],
-    startSeq: Option[String], dbEq: Option[String], tableEq: Option[String])
+    startSeq: Option[String], dbEq: Option[String], tableEq: Option[String],
+    onCorrupt: String = "fail")
   extends Scan {
   override def readSchema(): StructType = ChangeEvent.schema
   override def description(): String = {
@@ -119,8 +124,10 @@ final class ChangelogScanImpl(path: String, maxPerTrigger: Option[Long],
     s"graft-changelog $path pushed=[$pushed]"
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangelogMicroBatchStream(path, maxPerTrigger, startSeq, dbEq, tableEq)
-  override def toBatch: Batch = new ChangelogBatch(path, dbEq, tableEq)
+    new ChangelogMicroBatchStream(path, maxPerTrigger, startSeq, dbEq, tableEq,
+      onCorrupt)
+  override def toBatch: Batch = new ChangelogBatch(path, dbEq, tableEq,
+    onCorrupt)
 }
 
 /** Offset = highest `seq` served (inclusive) — the GTID-set analog. */
@@ -130,7 +137,7 @@ final case class SeqOffset(seq: Long) extends Offset {
 
 final class ChangelogMicroBatchStream(path: String, maxPerTrigger: Option[Long],
     startSeq: Option[String] = None, dbEq: Option[String] = None,
-    tableEq: Option[String] = None)
+    tableEq: Option[String] = None, onCorrupt: String = "fail")
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -193,7 +200,8 @@ final class ChangelogMicroBatchStream(path: String, maxPerTrigger: Option[Long],
     // hold only already-served seqs.
     ChangelogFiles.list(path)
       .filter(f => ChangelogFiles.fileMaxSeq(f) > s)
-      .map(f => ChangelogPartition(f, s, e, dbEq, tableEq): InputPartition)
+      .map(f => ChangelogPartition(f, s, e, dbEq, tableEq, onCorrupt)
+        : InputPartition)
       .toArray
   }
 
@@ -209,11 +217,11 @@ final class ChangelogMicroBatchStream(path: String, maxPerTrigger: Option[Long],
 }
 
 final class ChangelogBatch(path: String, dbEq: Option[String] = None,
-    tableEq: Option[String] = None) extends Batch {
+    tableEq: Option[String] = None, onCorrupt: String = "fail") extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     ChangelogFiles.list(path).map(f =>
-      ChangelogPartition(f, Long.MinValue, Long.MaxValue, dbEq, tableEq)
-        : InputPartition).toArray
+      ChangelogPartition(f, Long.MinValue, Long.MaxValue, dbEq, tableEq,
+        onCorrupt): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangelogReaderFactory
 }
@@ -222,7 +230,8 @@ final class ChangelogBatch(path: String, dbEq: Option[String] = None,
   * (startSeq, endSeq] range. Files are the unit of parallelism —
   * a sharded deployment writes one file per source shard. */
 final case class ChangelogPartition(file: String, startSeq: Long, endSeq: Long,
-    dbEq: Option[String] = None, tableEq: Option[String] = None)
+    dbEq: Option[String] = None, tableEq: Option[String] = None,
+    onCorrupt: String = "fail")
   extends InputPartition
 
 final class ChangelogReaderFactory extends PartitionReaderFactory {
@@ -240,20 +249,91 @@ final class ChangelogReader(p: ChangelogPartition)
   private val lines = stream.iterator().asScala.filter(_.nonEmpty)
   private var current: InternalRow = _
 
+  /** Corrupt-line policy (option `onCorrupt`) — the part of a CDC
+    * source the happy path never shows. A binlog/changelog line that
+    * fails to decode has three sane treatments, and which is right
+    * depends on the deployment:
+    *
+    *  - `fail` (default): stop the stream with the offending file +
+    *    line. Matches the reference engine (a decode error kills the
+    *    sync) — no silent data loss, ever.
+    *  - `skip`: drop the line (with an executor-side log). For
+    *    best-effort analytics feeds where one poison line must not
+    *    halt a fleet.
+    *  - `mark`: emit the line as a `__corrupt__` op event carrying
+    *    the raw text in `before["raw"]` — the dead-letter-queue
+    *    shape: downstream routes `op == "__corrupt__"` to a DLQ sink
+    *    with a plain filter, on the SAME exactly-once stream. Only
+    *    possible when the line's `seq` is recoverable (regex over
+    *    the raw text if JSON parse failed): without a seq the event
+    *    can't sit deterministically inside an offset window, so
+    *    replay after failover could duplicate or drop it — those
+    *    lines fail the stream even under `mark`.
+    */
   override def next(): Boolean = {
     while (lines.hasNext) {
-      val m = mapper.readValue(lines.next(), classOf[JMap[String, Object]])
-      val seq = m.get("seq").toString.toLong
-      // seqs are monotone within an append-only file: past the range
-      // end nothing further can match — stop instead of parsing the
-      // rest of the log.
-      if (seq > p.endSeq) return false
-      if (seq > p.startSeq && matchesPushed(m)) {
-        current = convert(m, seq)
-        return true
+      val line = lines.next()
+      val parsed =
+        try Some(mapper.readValue(line, classOf[JMap[String, Object]]))
+        catch { case scala.util.control.NonFatal(_) => None }
+      val seqOpt = parsed.flatMap(m =>
+        try Some(m.get("seq").toString.toLong)
+        catch { case scala.util.control.NonFatal(_) => None })
+        .orElse(ChangelogFiles.seqOfRaw(line))
+      seqOpt match {
+        case None => p.onCorrupt match {
+          case "skip" =>
+            ChangelogReader.log.warn(
+              s"skipping corrupt changelog line (no seq) in ${p.file}")
+          case _ => throw new IllegalStateException(
+            s"corrupt changelog line with unrecoverable seq in ${p.file}: " +
+              line.take(120) +
+              (if (p.onCorrupt == "mark")
+                " (onCorrupt=mark needs a parseable seq for exactly-once)"
+              else " (set onCorrupt=skip|mark to continue past it)"))
+        }
+        case Some(seq) =>
+          // seqs are monotone within an append-only file: past the
+          // range end nothing further can match — stop instead of
+          // parsing the rest of the log.
+          if (seq > p.endSeq) return false
+          if (seq > p.startSeq) {
+            val converted: Option[InternalRow] = parsed match {
+              case Some(m) if matchesPushed(m) =>
+                try Some(convert(m, seq))
+                catch { case scala.util.control.NonFatal(e) =>
+                  corruptOrThrow(line, seq, e) }
+              case Some(_) => None // filtered out by pushed predicate
+              case None =>
+                corruptOrThrow(line, seq,
+                  new IllegalStateException("unparseable JSON"))
+            }
+            converted match {
+              case Some(row) => current = row; return true
+              case None => // skipped — keep scanning
+            }
+          }
       }
     }
     false
+  }
+
+  /** mark → a `__corrupt__` event with the raw line preserved;
+    * skip → None (logged); fail → rethrow with context. */
+  private def corruptOrThrow(line: String, seq: Long,
+      e: Throwable): Option[InternalRow] = p.onCorrupt match {
+    case "mark" =>
+      val ext = org.apache.spark.sql.Row("", "", "__corrupt__", null, null,
+        seq, 0, null, Map("raw" -> line))
+      Some(toCatalyst(ext).asInstanceOf[InternalRow])
+    case "skip" =>
+      ChangelogReader.log.warn(
+        s"skipping corrupt changelog line seq=$seq in ${p.file}: " +
+          e.getMessage)
+      None
+    case _ => throw new IllegalStateException(
+      s"corrupt changelog line seq=$seq in ${p.file}: ${line.take(120)} " +
+        "(set onCorrupt=skip|mark to continue past it)", e)
   }
 
   /** Pushed routing predicate: unrouted lines are skipped HERE —
@@ -302,6 +382,11 @@ final class ChangelogReader(p: ChangelogPartition)
   override def close(): Unit = stream.close()
 }
 
+object ChangelogReader {
+  private[sources] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[ChangelogReader])
+}
+
 object ChangelogFiles {
   def list(path: String): Seq[String] = {
     val p = Paths.get(path)
@@ -326,7 +411,19 @@ object ChangelogFiles {
   private val tailCache =
     scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
 
-  /** Per-file tail watermark, cached by (path, size). */
+  private val seqRe = """"seq"\s*:\s*(-?\d+)""".r
+
+  /** Last-resort seq extraction from a raw (possibly corrupt) line —
+    * what lets `onCorrupt=mark` keep exactly-once accounting for
+    * lines whose JSON no longer parses. */
+  def seqOfRaw(line: String): Option[Long] =
+    seqRe.findFirstMatchIn(line).map(_.group(1).toLong)
+
+  /** Per-file tail watermark, cached by (path, size). Corrupt lines
+    * must not break offset tracking (the reader's onCorrupt policy
+    * decides their fate — the WATERMARK's job is only the max seq of
+    * servable lines), so the scan degrades per line: JSON parse →
+    * regex seq → ignore. */
   def fileMaxSeq(f: String): Long = {
     val size = Files.size(Paths.get(f))
     tailCache.get(f) match {
@@ -336,8 +433,12 @@ object ChangelogFiles {
         val m =
           try stream.iterator().asScala.filter(_.nonEmpty).foldLeft(-1L) {
             (acc, line) =>
-              val o = mapper.readValue(line, classOf[JMap[String, Object]])
-              math.max(acc, o.get("seq").toString.toLong)
+              val seq =
+                try mapper.readValue(line, classOf[JMap[String, Object]])
+                  .get("seq").toString.toLong
+                catch { case scala.util.control.NonFatal(_) =>
+                  seqOfRaw(line).getOrElse(-1L) }
+              math.max(acc, seq)
           } finally stream.close()
         tailCache.put(f, (size, m))
         m

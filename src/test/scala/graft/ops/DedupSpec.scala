@@ -78,6 +78,27 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((6L, 7L)), s"got $capped")
   }
 
+  test("cell-bucketed semantic dedup: pairs are same-cell, scores exact") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cellPairs = Dedup.embeddingCellPairs(emb, "embedding", "vec_id",
+      threshold = 0.30, nCells = 16).collect()
+    assert(cellPairs.nonEmpty, "expect some near-dup pairs at 0.30")
+    // every reported pair is a true >=threshold cosine pair (scores
+    // exact within cells): subset of the unbucketed all-pairs result
+    val all = Dedup.embeddingCosinePairs(emb, "embedding", "vec_id",
+      threshold = 0.30, queryPred = org.apache.spark.sql.functions.lit(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cellPairs.forall(r => all.contains((r.getLong(0), r.getLong(1)))))
+    // and the bucketing actually restricts the candidate space
+    assert(cellPairs.length < all.size,
+      "cell bucketing should drop cross-cell pairs (approximate recall)")
+    // partitioning-invariant
+    val again = Dedup.embeddingCellPairs(emb.repartition(7), "embedding",
+      "vec_id", threshold = 0.30, nCells = 16).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      cellPairs.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("embedding cosine pairs find planted near-dup") {
     val vs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

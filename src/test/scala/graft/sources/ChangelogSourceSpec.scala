@@ -40,6 +40,78 @@ class ChangelogSourceSpec extends SparkSpec {
     assert(other.count() == 2)
   }
 
+  test("onCorrupt=fail (default) stops on a corrupt line, with context") {
+    val dir = Files.createTempDirectory("clog-corrupt-fail").toString
+    writeLog(dir, "a.jsonl", Seq(
+      line(0, "insert", 1, 10),
+      """{"db":"db1","table":"t1","op":"insert","seq":1,"after":{BROKEN""",
+      line(2, "insert", 3, 30)))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-changelog").option("path", dir).load().count()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("corrupt changelog line"), msg)
+    assert(msg.contains("seq=1"), msg)
+  }
+
+  test("onCorrupt=skip drops corrupt lines, serves the rest") {
+    val dir = Files.createTempDirectory("clog-corrupt-skip").toString
+    writeLog(dir, "a.jsonl", Seq(
+      line(0, "insert", 1, 10),
+      """total garbage, not even json""",
+      """{"db":"db1","table":"t1","op":"insert","seq":2,"after":{BROKEN""",
+      line(3, "insert", 4, 40)))
+    val df = spark.read.format("graft-changelog").option("path", dir)
+      .option("onCorrupt", "skip").load()
+    assert(df.select($"seq").as[Long].collect().sorted.toSeq == Seq(0L, 3L))
+  }
+
+  test("onCorrupt=mark emits a DLQ-routable __corrupt__ event") {
+    val dir = Files.createTempDirectory("clog-corrupt-mark").toString
+    val bad = """{"db":"db1","table":"t1","op":"insert","seq":1,"after":{BROKEN"""
+    writeLog(dir, "a.jsonl", Seq(
+      line(0, "insert", 1, 10), bad, line(2, "insert", 3, 30)))
+    val df = spark.read.format("graft-changelog").option("path", dir)
+      .option("onCorrupt", "mark").load()
+    // exactly-once accounting intact: all three seqs served
+    assert(df.select($"seq").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L))
+    // the DLQ route is a plain filter on the same stream
+    val dlq = df.filter($"op" === "__corrupt__").collect()
+    assert(dlq.length == 1)
+    assert(dlq(0).getAs[Long]("seq") == 1L)
+    assert(dlq(0).getAs[Map[String, String]]("before")("raw") == bad)
+    val good = df.filter($"op" =!= "__corrupt__")
+    assert(good.count() == 2)
+    // corrupt line whose seq is unrecoverable still fails under mark
+    // (no deterministic offset-window position => no exactly-once)
+    writeLog(dir, "b.jsonl", Seq("no seq here at all"))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-changelog").option("path", dir)
+        .option("onCorrupt", "mark").load().count()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("unrecoverable seq"), msg)
+  }
+
+  test("corrupt tail lines do not break the offset watermark scan") {
+    val dir = Files.createTempDirectory("clog-corrupt-stream").toString
+    writeLog(dir, "a.jsonl", Seq(
+      line(0, "insert", 1, 10),
+      """{"db":"db1","table":"t1","op":"u","seq":1,"after":{BROKEN""",
+      """beyond repair"""))
+    // watermark scan degrades per line: parse -> regex -> ignore
+    assert(ChangelogFiles.fileMaxSeq(dir + "/a.jsonl") == 1L)
+    // and a stream in skip mode drains cleanly past both
+    val q = spark.readStream.format("graft-changelog")
+      .option("path", dir).option("onCorrupt", "skip").load()
+      .writeStream.format("memory").queryName("corrupt_stream_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("corrupt_stream_out").select($"seq")
+      .as[Long].collect().toSeq == Seq(0L))
+  }
+
   test("pushed filters apply on the STREAMING path too") {
     val dir = Files.createTempDirectory("clog-push-stream").toString
     writeLog(dir, "a.jsonl", Seq(
