@@ -88,6 +88,40 @@ object Transforms {
     df => df.filter(pred)
   }
 
+  /** Dimension enrichment — the lookup-join every real CDC consumer
+    * bolts on (absent in the reference, which has no joins at all):
+    * left-join a dimension snapshot onto the event stream, keeping
+    * unmatched events (they carry nulls — an enrichment must never
+    * DROP events, or the sink diverges from the source table).
+    *
+    * Works identically on batch frames and streaming ones (Spark's
+    * stream-static join needs no watermark — the static side is
+    * re-read per micro-batch, so a refreshed dim snapshot is picked
+    * up automatically). `broadcastDim` (default) is correct for
+    * bounded dims; pass false for data-proportional dims and let AQE
+    * decide.
+    *
+    * @param keys (streamCol, dimCol) equality pairs
+    * @param proj dim columns to carry onto the stream (all if empty)
+    */
+  def enrich(dim: DataFrame, keys: Seq[(String, String)],
+      proj: Seq[String] = Nil, broadcastDim: Boolean = true)
+      : DataFrame => DataFrame = {
+    require(keys.nonEmpty, "enrich needs at least one join key pair")
+    df => {
+      val wanted =
+        if (proj.isEmpty) dim else dim.select(
+          (keys.map(_._2) ++ proj).distinct.map(col): _*)
+      val d = if (broadcastDim) broadcast(wanted) else wanted
+      val cond = keys.map { case (sc, dc) => df(sc) === d(dc) }
+        .reduce(_ && _)
+      // drop the dim-side key columns after the join: enrichment adds
+      // attributes, it must not duplicate keys into the envelope
+      keys.map(_._2).foldLeft(df.join(d, cond, "left"))((j, dc) =>
+        j.drop(d(dc)))
+    }
+  }
+
   /** Chain transforms in order — the reference's IterateTransforms
     * fold (`transforms/transforms.go:63-71`). */
   def chain(ts: (DataFrame => DataFrame)*): DataFrame => DataFrame =

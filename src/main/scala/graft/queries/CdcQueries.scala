@@ -47,6 +47,18 @@ object CdcQueries {
         .select(col("event_id"), col("user_id"), col("event_type"))
         .orderBy(col("event_id"))),
 
+    // dimension enrichment (Transforms.enrich): the lookup join every
+    // CDC consumer needs — left join keeps unmatched events (nulls),
+    // bounded dim broadcast
+    "cdc_enrich_dim" -> ((s, dir) =>
+      Transforms.enrich(
+        Tables.load(s, dir, "customer"),
+        keys = Seq("user_id" -> "c_custkey"),
+        proj = Seq("c_name", "c_nationkey"))(events(s, dir))
+        .select(col("event_id"), col("user_id"), col("c_name"),
+          col("c_nationkey"))
+        .orderBy(col("event_id"))),
+
     // ≙ drop-if-true transform hook (transforms/transforms.go:63-71)
     "cdc_drop_hook" -> ((s, dir) =>
       Transforms.dropWhere(col("value") < 50.0)(events(s, dir))
@@ -226,6 +238,10 @@ object CdcQueries {
     "cdc_route_filter" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_type IN ('purchase', 'signup') ORDER BY event_id""".stripMargin,
+    "cdc_enrich_dim" ->
+      """SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
     "cdc_drop_hook" ->
       """SELECT event_id, value FROM events
         |WHERE NOT (value < 50.0) ORDER BY event_id""".stripMargin,

@@ -45,6 +45,49 @@ class TransformsSpec extends SparkSpec {
     assert(Transforms.routeTables(Set.empty)(df).count() == 0)
   }
 
+  test("enrich left-joins dim attributes, keeps unmatched, no key dup") {
+    import spark.implicits._
+    val stream = Seq((1L, 10L, "insert"), (2L, 99L, "update"))
+      .toDF("event_id", "uid", "op")
+    val dim = Seq((10L, "alice", "US"), (11L, "bob", "DE"))
+      .toDF("cust_id", "name", "country")
+    val out = graft.operators.Transforms.enrich(
+      dim, keys = Seq("uid" -> "cust_id"), proj = Seq("name"))(stream)
+    assert(out.columns.toSeq == Seq("event_id", "uid", "op", "name"),
+      "dim key must not duplicate; only projected attrs added")
+    val rows = out.orderBy("event_id").collect()
+    assert(rows(0).getString(3) == "alice")
+    assert(rows(1).isNullAt(3), "unmatched events must survive with nulls")
+    // bounded dim is broadcast
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("enrich works on the STREAMING path (stream-static join)") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("enrich-stream").toString
+    Files.write(Paths.get(dir, "a.jsonl"),
+      Seq(
+        """{"db":"d","table":"t","op":"insert","ts":1,"pos":"p","seq":0,"tableVersion":0,"after":{"id":"1","uid":"10"},"before":null}""",
+        """{"db":"d","table":"t","op":"insert","ts":2,"pos":"p","seq":1,"tableVersion":0,"after":{"id":"2","uid":"99"},"before":null}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val dim = Seq((10L, "alice")).toDF("cust_id", "name")
+    val stream = spark.readStream.format("graft-changelog")
+      .option("path", dir).load()
+      .select(col("seq"), col("after")("uid").cast("long").as("uid"))
+    val q = graft.operators.Transforms.enrich(
+        dim, keys = Seq("uid" -> "cust_id"))(stream)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("enrich_out").orderBy("seq").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[String]("name") == "alice")
+    assert(got(1).isNullAt(got(1).fieldIndex("name")))
+  }
+
   test("chain applies transforms in order") {
     val out = Transforms.chain(
       Transforms.renameColumn("v" -> "value"),
