@@ -171,6 +171,36 @@ object Dedup {
       .select(col("a"), col("b"), col("cos"))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * n-gram shingle with an evaluation set — the standard guard
+    * against test-set leakage into training data (GPT-3/PaLM-style
+    * 13-gram overlap checks; `n` here is a parameter). Returns one
+    * row per corpus doc: distinct shared-shingle count + flag.
+    *
+    * Scale shape: both sides reduce to distinct (doc, shingle-hash)
+    * pairs — 64-bit hashes shuffle, never text. The eval set is
+    * orders of magnitude smaller than the corpus (that's the use
+    * case), so its hash set broadcasts and the probe is a broadcast
+    * semi-ish join on the corpus side: no corpus shuffle at all.
+    * The final per-doc count is one hash aggregate.
+    */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, textCol: String,
+      idCol: String, n: Int = 3): DataFrame = {
+    def hashed(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out),
+        explode(array_distinct(shingles(col(textCol), n))).as("s"))
+      .select(col(out), xxhash64(col("s")).as("sh"))
+    val evalHashes = hashed(evalSet, "eid").select(col("sh")).distinct()
+    val hits = hashed(corpus, "id")
+      .join(broadcast(evalHashes), Seq("sh"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0L).as("contaminated"))
+  }
+
   /** Cell-bucketed semantic dedup (the SemDeDup shape): assign every
     * vector to its nearest-centroid cell (Similarity.cellAssign —
     * one broadcast + one hash-agg argmax), then compare pairs ONLY

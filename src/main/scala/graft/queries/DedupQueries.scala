@@ -112,6 +112,18 @@ object DedupQueries {
         threshold = 0.35, queryPred = col("vec_id") < 300)
         .orderBy(col("a"), col("b"))),
 
+    // benchmark decontamination: corpus docs sharing any 3-gram with
+    // the eval slice (doc_id % 50 == 0 stands in for the benchmark) —
+    // the test-set-leakage guard every training pipeline needs
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "text", "doc_id", n = 3)
+        .orderBy(col("id"))
+    }),
+
     // SemDeDup shape: near-dup pairs WITHIN nearest-centroid cells —
     // the unbounded-corpus scale path (corpus² → Σ_cell |cell|²,
     // reached via an equi-join on the cell id)
@@ -333,6 +345,32 @@ object DedupQueries {
       """SELECT doc_id,
         | CAST(n_chars % 97 AS DOUBLE) / 97.0 AS score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_decontaminate" ->
+      s"""WITH corp AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents
+         |  WHERE doc_id % 50 <> 0),
+         |ev AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents
+         |  WHERE doc_id % 50 = 0),
+         |csh AS (
+         |  SELECT DISTINCT doc_id,
+         |    toks[CAST(i AS INTEGER)+1] || ' ' || toks[CAST(i AS INTEGER)+2]
+         |      || ' ' || toks[CAST(i AS INTEGER)+3] AS s
+         |  FROM corp, unnest(range(0, len(toks)-2)) AS t(i)),
+         |esh AS (
+         |  SELECT DISTINCT
+         |    toks[CAST(i AS INTEGER)+1] || ' ' || toks[CAST(i AS INTEGER)+2]
+         |      || ' ' || toks[CAST(i AS INTEGER)+3] AS s
+         |  FROM ev, unnest(range(0, len(toks)-2)) AS t(i)),
+         |hits AS (
+         |  SELECT csh.doc_id, COUNT(*) AS n_shared
+         |  FROM csh JOIN esh ON csh.s = esh.s
+         |  GROUP BY csh.doc_id)
+         |SELECT c.doc_id AS id,
+         |  CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+         |  COALESCE(h.n_shared, 0) > 0 AS contaminated
+         |FROM corp c LEFT JOIN hits h ON c.doc_id = h.doc_id
+         |ORDER BY id""".stripMargin,
     "dedup_semantic_cells" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

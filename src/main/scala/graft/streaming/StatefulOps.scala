@@ -79,6 +79,38 @@ object StatefulOps {
     l.join(r, keyEq && bound)
   }
 
+  /** Incremental materialized aggregate view — the CDC→OLAP pattern
+    * the whole reference pipeline exists to feed, closed end-to-end
+    * inside the engine: a keyed streaming aggregate in UPDATE mode
+    * emits only the keys whose aggregate CHANGED each micro-batch,
+    * and those rows upsert into a [[graft.streaming.Pipeline.BatchSink]]
+    * (envelope: op=insert, seq=batchId as the monotone version — a
+    * replayed batch rewrites the same keys with the same values, so
+    * the sink stays idempotent under at-least-once delivery).
+    *
+    * The lake table is then always the exact aggregate-of-history for
+    * every key ever touched, maintained at per-batch cost
+    * O(changed keys), never O(all keys) — the property that makes a
+    * 100 TB materialized view affordable to keep fresh.
+    *
+    * @param aggregated an unresolved streaming groupBy().agg() frame
+    *                   whose grouping columns form `target`'s PK
+    */
+  def materializedView(aggregated: DataFrame,
+      target: graft.meta.TableDef, sink: Pipeline.BatchSink,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("3 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    aggregated.writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink.write(
+          batch.withColumn("op", lit("insert")).withColumn("seq", lit(id)),
+          target, id)
+      }
+      .trigger(trigger).start()
+
   final case class UserEvent(userId: Long, tsMs: Long)
   final case class SessionSummary(userId: Long, nSessions: Int, nEvents: Long)
   final case class SessState(lastTsMs: Long, nSessions: Int, nEvents: Long)

@@ -78,6 +78,21 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((6L, 7L)), s"got $capped")
   }
 
+  test("contamination flags docs sharing n-grams with the eval set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text with different words entirely"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "quick brown fox jumps high")).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, eval, "text", "doc_id", n = 3)
+      .orderBy("id").collect()
+    assert(out.length == 2)
+    // doc 1 shares "quick brown fox" + "brown fox jumps"
+    assert(out(0).getLong(1) == 2L && out(0).getBoolean(2))
+    assert(out(1).getLong(1) == 0L && !out(1).getBoolean(2))
+  }
+
   test("cell-bucketed semantic dedup: pairs are same-cell, scores exact") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val cellPairs = Dedup.embeddingCellPairs(emb, "embedding", "vec_id",

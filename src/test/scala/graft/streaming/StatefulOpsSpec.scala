@@ -187,6 +187,44 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("materializedView: lake table tracks the exact running aggregate") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.meta.{ColumnDef, TableDef}
+    implicit val ctx = spark.sqlContext
+
+    val target = TableDef("mv", "user_totals", Seq(
+      ColumnDef("user_id", "bigint", isPrimaryKey = true),
+      ColumnDef("n", "bigint"), ColumnDef("total", "bigint")))
+    val sinkDir = Files.createTempDirectory("mv-sink").toString
+    val ckpt = Files.createTempDirectory("mv-ckpt").toString
+    val sink = new graft.sinks.ParquetUpsertSink(sinkDir)
+
+    val mem = MemoryStream[(Long, Long)]
+    val agg = mem.toDF().toDF("user_id", "amount")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"amount").as("total"))
+
+    def state(): Map[Long, (Long, Long)] =
+      spark.read.parquet(s"$sinkDir/mv.user_totals")
+        .select($"user_id", $"n", $"total").as[(Long, Long, Long)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    val q = StatefulOps.materializedView(agg, target, sink, ckpt,
+      trigger = Trigger.AvailableNow())
+    mem.addData((1L, 10L), (1L, 5L), (2L, 7L))
+    q.awaitTermination(120000)
+    assert(state() == Map(1L -> (2L, 15L), 2L -> (1L, 7L)))
+
+    // second increment: only touched keys change; untouched key 2
+    // keeps its row (the view is over the full history)
+    val q2 = StatefulOps.materializedView(agg, target, sink, ckpt,
+      trigger = Trigger.AvailableNow())
+    mem.addData((1L, 1L), (3L, 99L))
+    q2.awaitTermination(120000)
+    assert(state() == Map(1L -> (3L, 16L), 2L -> (1L, 7L), 3L -> (1L, 99L)))
+  }
+
   test("sessionSummaries tracks gap-based sessions across batches") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[StatefulOps.UserEvent]
