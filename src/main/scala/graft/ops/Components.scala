@@ -80,12 +80,16 @@ object Components {
     }
     if (!converged)
       // partial labels are silently WRONG groups (one component, many
-      // labels). Near-dup graphs converge in 2-3 rounds, so hitting
-      // the bound means an adversarial-diameter graph: surface it.
-      System.err.println(
-        s"WARN Components.connectedComponents: not converged after " +
-          s"$maxIter rounds — labels are partial; raise maxIter or use a " +
-          "large-star/small-star variant for long-chain graphs")
+      // labels) — that must be a loud failure, not a log line lost in
+      // cluster log aggregation. Near-dup graphs converge in 2-3
+      // rounds, so hitting the bound means an adversarial-diameter
+      // graph: the caller should raise maxIter or switch to a
+      // large-star/small-star variant, not consume wrong groups.
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter rounds — " +
+          "labels would be partial (one component, many group ids); raise " +
+          "maxIter or use a large-star/small-star variant for long-chain " +
+          "graphs")
     labels
   }
 

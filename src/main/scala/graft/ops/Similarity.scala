@@ -156,11 +156,18 @@ object Similarity {
     *
     * @return (idCol, vecCol, nrm, cell)
     */
-  def cellAssign(corpus: DataFrame, vecCol: String, idCol: String,
-      nCells: Int): DataFrame = {
-    val centroids = corpus.filter(col(idCol) < nCells)
+  /** (cid, cvec, cn): deterministic seed centroids with precomputed
+    * norms — one construction shared by [[cellAssign]] and the
+    * multi-probe query ranking (they must agree on the cell space). */
+  private def centroidFrame(corpus: DataFrame, vecCol: String,
+      idCol: String, nCells: Int): DataFrame =
+    corpus.filter(col(idCol) < nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
         norm(col(vecCol)).as("cn"))
+
+  def cellAssign(corpus: DataFrame, vecCol: String, idCol: String,
+      nCells: Int): DataFrame = {
+    val centroids = centroidFrame(corpus, vecCol, idCol, nCells)
     corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
       .crossJoin(broadcast(centroids))
       .withColumn("ccos",
@@ -206,18 +213,15 @@ object Similarity {
     */
   def ivfTopKMultiProbe(corpus: DataFrame, vecCol: String, idCol: String,
       queryPred: Column, k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    val centroids = corpus.filter(col(idCol) < nCells)
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
-        norm(col(vecCol)).as("cn"))
-    val base = corpus.select(col(idCol), col(vecCol),
-      norm(col(vecCol)).as("nrm"))
+    val centroids = centroidFrame(corpus, vecCol, idCol, nCells)
     // corpus assignment: one cell per vector
     val assigned = cellAssign(corpus, vecCol, idCol, nCells)
     // query probe list: nProbe nearest cells per query. The window
     // ranks |Q|×nCells rows — bounded by the query set, not the
     // corpus.
-    val qprobe = base.filter(queryPred)
-      .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("nrm").as("qn"))
+    val qprobe = corpus.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
       .crossJoin(broadcast(centroids))
       .withColumn("ccos",
         dot(col("qv"), col("cvec")) / (col("qn") * col("cn")))
@@ -256,29 +260,43 @@ object Similarity {
     *
     * @return (id, j, code) — one row per vector per subspace
     */
-  def pqEncode(corpus: DataFrame, vecCol: String, idCol: String,
-      dims: Int, m: Int = 4, k: Int = 16): DataFrame = {
+  /** (id, j, xv, xx): every vector split into its m subvectors, with
+    * the per-subvector self-dot precomputed. Shared by the PQ encoder,
+    * the codebook, and the ADC distance tables. */
+  private def pqSubvectors(df: DataFrame, vecCol: String, idCol: String,
+      dims: Int, m: Int): DataFrame = {
     val subLen = dims / m
     require(subLen * m == dims, s"m=$m must divide dims=$dims")
-    val codebook = corpus.filter(col(idCol) < k)
-      .select(col(idCol).cast("int").as("code"), posexplode(
-        array((0 until m).map(j =>
-          slice(col(vecCol), j * subLen + 1, subLen)): _*)))
-      .select(col("pos").as("j"), col("code"), col("col").as("cv"),
-        dot(col("col"), col("col")).as("cc"))
-    val subs = corpus
-      .select(col(idCol), posexplode(
+    df.select(col(idCol), posexplode(
         array((0 until m).map(j =>
           slice(col(vecCol), j * subLen + 1, subLen)): _*)))
       .select(col(idCol), col("pos").as("j"), col("col").as("xv"),
         dot(col("col"), col("col")).as("xx"))
+  }
+
+  /** PQ codebook (j, code, cv, cc): per-subspace centroids seeded
+    * from the first k corpus vectors. One construction shared by
+    * [[pqEncode]] and [[pqTopK]] — the encoder and the ADC distance
+    * table must never drift onto different codebooks. */
+  private def pqCodebook(corpus: DataFrame, vecCol: String, idCol: String,
+      dims: Int, m: Int, k: Int): DataFrame =
+    pqSubvectors(corpus.filter(col(idCol) < k), vecCol, idCol, dims, m)
+      .select(col("j"), col(idCol).cast("int").as("code"),
+        col("xv").as("cv"), col("xx").as("cc"))
+
+  private def pqEncodeWith(subs: DataFrame, codebook: DataFrame,
+      idCol: String): DataFrame =
     subs.join(broadcast(codebook), Seq("j"))
       .withColumn("dist",
         col("xx") - lit(2.0) * dot(col("xv"), col("cv")) + col("cc"))
       .groupBy(col(idCol), col("j"))
       .agg(min(struct(col("dist"), col("code"))).as("best"))
       .select(col(idCol), col("j"), col("best.code").as("code"))
-  }
+
+  def pqEncode(corpus: DataFrame, vecCol: String, idCol: String,
+      dims: Int, m: Int = 4, k: Int = 16): DataFrame =
+    pqEncodeWith(pqSubvectors(corpus, vecCol, idCol, dims, m),
+      pqCodebook(corpus, vecCol, idCol, dims, m, k), idCol)
 
   /** PQ top-k via asymmetric distance computation (ADC): queries stay
     * exact; candidates are scored from their code words through a
@@ -302,26 +320,16 @@ object Similarity {
   def pqTopK(corpus: DataFrame, vecCol: String, idCol: String,
       queryPred: Column, topK: Int, dims: Int, m: Int = 4,
       k: Int = 16): DataFrame = {
-    val subLen = dims / m
-    require(subLen * m == dims, s"m=$m must divide dims=$dims")
-    val codebook = corpus.filter(col(idCol) < k)
-      .select(col(idCol).cast("int").as("code"), posexplode(
-        array((0 until m).map(j =>
-          slice(col(vecCol), j * subLen + 1, subLen)): _*)))
-      .select(col("pos").as("j"), col("code"), col("col").as("cv"),
-        dot(col("col"), col("col")).as("cc"))
-    val codes = pqEncode(corpus, vecCol, idCol, dims, m, k)
+    val codebook = pqCodebook(corpus, vecCol, idCol, dims, m, k)
+    val codes = pqEncodeWith(
+        pqSubvectors(corpus, vecCol, idCol, dims, m), codebook, idCol)
       .select(col(idCol).as("nid"), col("j"), col("code"))
     // per-query distance table: |Q|·m·k rows, built once per query
-    val dtab = corpus.filter(queryPred)
-      .select(col(idCol).as("qid"), posexplode(
-        array((0 until m).map(j =>
-          slice(col(vecCol), j * subLen + 1, subLen)): _*)))
-      .select(col("qid"), col("pos").as("j"), col("col").as("qv"),
-        dot(col("col"), col("col")).as("qq"))
+    val dtab = pqSubvectors(corpus.filter(queryPred), vecCol, idCol, dims, m)
+      .withColumnRenamed(idCol, "qid")
       .join(broadcast(codebook), Seq("j"))
       .select(col("qid"), col("j"), col("code"),
-        (col("qq") - lit(2.0) * dot(col("qv"), col("cv")) + col("cc"))
+        (col("xx") - lit(2.0) * dot(col("xv"), col("cv")) + col("cc"))
           .as("dist"))
     // ADC: code-word lookup join, then the fixed-order distance fold
     val perJ = (0 until m).map(j =>

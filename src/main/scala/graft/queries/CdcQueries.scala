@@ -48,13 +48,16 @@ object CdcQueries {
         .orderBy(col("event_id"))),
 
     // dimension enrichment (Transforms.enrich): the lookup join every
-    // CDC consumer needs — left join keeps unmatched events (nulls),
-    // bounded dim broadcast
+    // CDC consumer needs — left join keeps unmatched events (nulls).
+    // customer grows with the data -> broadcastDim=false: a hard
+    // broadcast hint on a data-proportional frame is the q_above_avg
+    // scale-killer; AQE broadcasts while small, shuffles when not
     "cdc_enrich_dim" -> ((s, dir) =>
       Transforms.enrich(
         Tables.load(s, dir, "customer"),
         keys = Seq("user_id" -> "c_custkey"),
-        proj = Seq("c_name", "c_nationkey"))(events(s, dir))
+        proj = Seq("c_name", "c_nationkey"),
+        broadcastDim = false)(events(s, dir))
         .select(col("event_id"), col("user_id"), col("c_name"),
           col("c_nationkey"))
         .orderBy(col("event_id"))),

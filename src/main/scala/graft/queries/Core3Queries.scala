@@ -220,6 +220,9 @@ object Core3Queries {
         .limit(20)
         .select(col("c_custkey"), col("c_name"), col("n_name"),
           col("rev_d").cast("double").as("revenue"))
+        // re-sort after the top-k: limit() output order is not a
+        // contract, and the oracle compare hashes in row order
+        .orderBy(col("revenue").desc, col("c_custkey"))
     }),
 
     // correlated scalar subquery through the SQL frontend: suppliers
@@ -379,7 +382,7 @@ object Core3Queries {
          |  GROUP BY c_custkey, c_name, n_name
          |  ORDER BY rev_d DESC, c_custkey LIMIT 20)
          |SELECT c_custkey, c_name, n_name, CAST(rev_d AS DOUBLE) AS revenue
-         |FROM agg""".stripMargin,
+         |FROM agg ORDER BY revenue DESC, c_custkey""".stripMargin,
     "q_corr_scalar_min" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier s

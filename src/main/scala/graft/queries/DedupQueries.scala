@@ -60,6 +60,37 @@ object DedupQueries {
     // (keep first) → join to embeddings → per-language corpus stats.
     // The end-to-end shape a 100 TB pretraining pipeline runs, as
     // one declarative plan: every stage is pushdown/prune-friendly.
+    // pipeline funnel observability: per-stage survival counts of the
+    // curation chain (lang-id -> quality -> length band -> exact-dedup
+    // keeper) in ONE pass — conditional aggregation over cumulative
+    // predicates, not a scan per stage. The dedup flag joins the
+    // min-id-per-fingerprint table back (no hint: it is data-
+    // proportional; AQE broadcasts while small).
+    "pipe_funnel_stats" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val docs = Tables.load(s, dir, "documents")
+      val keep = docs
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+      val staged = docs
+        .withColumn("fp", fingerprint(col("text")))
+        .join(keep, Seq("fp"))
+        .select(
+          (langId(col("text")) =!= "und").as("s_lang"),
+          (qualityScore(col("text")) >= 1.0).as("s_q"),
+          col("n_chars").between(50L, 2000L).as("s_len"),
+          (col("doc_id") === col("keep_id")).as("s_keep"))
+      staged.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("s_lang"), 1L).otherwise(0L)).as("n_lang"),
+        sum(when(col("s_lang") && col("s_q"), 1L).otherwise(0L))
+          .as("n_quality"),
+        sum(when(col("s_lang") && col("s_q") && col("s_len"), 1L)
+          .otherwise(0L)).as("n_len"),
+        sum(when(col("s_lang") && col("s_q") && col("s_len") &&
+          col("s_keep"), 1L).otherwise(0L)).as("n_final"))
+    }),
+
     "pipe_training_prep" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val emb = Tables.load(s, dir, "embeddings")
@@ -345,6 +376,34 @@ object DedupQueries {
       """SELECT doc_id,
         | CAST(n_chars % 97 AS DOUBLE) / 97.0 AS score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipe_funnel_stats" ->
+      s"""WITH keep AS (
+         |  SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS keep_id
+         |  FROM documents GROUP BY 1),
+         |staged AS (
+         |  SELECT
+         |    (CASE
+         |      WHEN list_contains($sqlToks, 'der') OR list_contains($sqlToks, 'und') THEN 'de'
+         |      WHEN list_contains($sqlToks, 'le') OR list_contains($sqlToks, 'la') THEN 'fr'
+         |      WHEN list_contains($sqlToks, 'el') OR list_contains($sqlToks, 'los') THEN 'es'
+         |      WHEN list_contains($sqlToks, 'the') OR list_contains($sqlToks, 'a') THEN 'en'
+         |      ELSE 'und' END) <> 'und' AS s_lang,
+         |    (CAST(len(list_filter($sqlToks, t -> t IN ('the','a','of','and','in'))) AS DOUBLE)
+         |       / CAST(len($sqlToks) AS DOUBLE)
+         |     + CASE WHEN len($sqlToks) BETWEEN 5 AND 500
+         |            THEN 1.0 ELSE 0.0 END) >= 1.0 AS s_q,
+         |    d.n_chars BETWEEN 50 AND 2000 AS s_len,
+         |    d.doc_id = k.keep_id AS s_keep
+         |  FROM documents d JOIN keep k ON md5(lower(trim(d.text))) = k.fp)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         |  CAST(SUM(CASE WHEN s_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+         |  CAST(SUM(CASE WHEN s_lang AND s_q THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality,
+         |  CAST(SUM(CASE WHEN s_lang AND s_q AND s_len THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_len,
+         |  CAST(SUM(CASE WHEN s_lang AND s_q AND s_len AND s_keep
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+         |FROM staged""".stripMargin,
     "text_decontaminate" ->
       s"""WITH corp AS (
          |  SELECT doc_id, $sqlToks AS toks FROM documents

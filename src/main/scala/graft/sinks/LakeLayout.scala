@@ -97,13 +97,27 @@ object LakeLayout {
       sortCols: Seq[String], filesPerPartition: Int = 1): Unit = {
     val staging = path + ".compacting"
     val old = path + ".old"
+    recoverInterruptedSwap(path)
+    val p = Paths.get(path); val s = Paths.get(staging); val o = Paths.get(old)
+    deleteRecursively(s) // stale staging from a failed earlier attempt
     write(spark.read.parquet(path), staging, partCols, sortCols,
       filesPerPartition)
-    val p = Paths.get(path); val s = Paths.get(staging); val o = Paths.get(old)
     deleteRecursively(o)
     Files.move(p, o, StandardCopyOption.ATOMIC_MOVE)
     Files.move(s, p, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(o)
+  }
+
+  /** Crash between the two moves in [[compact]] leaves the table dir
+    * missing with the only copy in `<path>.old` — restore it before
+    * doing anything else (same recovery discipline as
+    * [[BucketedUpsertSink]]; without it a later overwrite-mode write
+    * would silently recreate the table from one batch while the real
+    * data sits forgotten in `.old`). */
+  private def recoverInterruptedSwap(path: String): Unit = {
+    val p = Paths.get(path); val o = Paths.get(path + ".old")
+    if (!Files.exists(p) && Files.exists(o))
+      Files.move(o, p, StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

@@ -38,11 +38,10 @@ object MetricsHttp {
   /** Render a snapshot in Prometheus text format. */
   private[streaming] def render(snapshot: Map[String, Any]): String =
     snapshot.toSeq.sortBy(_._1).map { case (name, value) =>
-      val kind = value match {
-        case _: Double => "gauge"
-        case _ if name.endsWith("_total") => "counter"
-        case _ => "gauge"
-      }
+      // the _total naming convention decides counter-ness regardless
+      // of the value's runtime type — a Double-valued cumulative
+      // metric advertised as gauge would break rate()/increase()
+      val kind = if (name.endsWith("_total")) "counter" else "gauge"
       val v = value match {
         case d: Double => d.toString
         case x => x.toString

@@ -23,12 +23,16 @@ class ComponentsSpec extends SparkSpec {
     assert(out.length == 13 && out.forall(_._2 == 0L))
   }
 
-  test("maxIter bounds the rounds (partial labels, no hang)") {
+  test("maxIter exceeded fails loudly (partial labels are wrong groups)") {
     val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
-    val out = Components.connectedComponents(pairs, "a", "b", maxIter = 2)
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(pairs, "a", "b", maxIter = 2)
+    }
+    assert(e.getMessage.contains("not converged"))
+    // a bound that admits convergence still succeeds on the same graph
+    val ok = Components.connectedComponents(pairs, "a", "b", maxIter = 15)
       .as[(Long, Long)].collect().toMap
-    // vertex 12 can only have seen labels within 2 hops
-    assert(out(12L) >= 10L)
+    assert(ok.values.toSet == Set(0L))
   }
 
   test("group stats count members per component") {

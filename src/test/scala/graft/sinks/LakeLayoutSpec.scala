@@ -82,6 +82,22 @@ class LakeLayoutSpec extends SparkSpec {
         s"quadrant (x<2,y<2) must fill z 0..3: $r"))
   }
 
+  test("compact recovers a crash between the two swap moves") {
+    val dir = Files.createTempDirectory("lake-recover").toString + "/t"
+    LakeLayout.write(events, dir, partCols = Seq("day"),
+      sortCols = Seq("user_id"))
+    val n = spark.read.parquet(dir).count()
+    // simulate the crash window: table moved aside, replacement never
+    // moved in
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + ".old"))
+    LakeLayout.compact(spark, dir, partCols = Seq("day"),
+      sortCols = Seq("user_id"))
+    assert(spark.read.parquet(dir).count() == n,
+      "recovery must restore the moved-aside table before compacting")
+    assert(!Files.exists(java.nio.file.Paths.get(dir + ".old")))
+  }
+
   test("compact merges a fragmented layout, preserving data and clustering") {
     val dir = Files.createTempDirectory("lake-compact").toString
     // fragment the way a streaming sink does: one append per
