@@ -140,6 +140,24 @@ object Core3Queries {
         .orderBy(col("event_type"))
     }),
 
+    // salted JOIN (Salting.saltedJoin): the deterministic-plan skew
+    // answer for joins AQE can't see — the left (fact) side salts,
+    // the bounded right side replicates once per bucket, and the
+    // result is provably identical to the direct join (the oracle IS
+    // the direct join)
+    "q_salted_join" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), dec(col("l_quantity")).as("q"))
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.operators.Salting.saltedJoin(li, ord, "okey", buckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("q")).cast("double").as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // approx percentile — the 100 TB percentile path: a bounded
     // sketch (no per-group full materialization like exact
     // percentile). Sketch internals are engine-specific, so there is
@@ -340,6 +358,12 @@ object Core3Queries {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         | COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // q_percentiles_approx / q_distinct_approx: deliberately NO
     // oracle — t-digest/HLL sketches are engine-specific; the driver
     // records rows-only checks and QueriesSpec bounds the

@@ -65,6 +65,25 @@ object TextQueries {
         TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-style repetition filter: fraction of duplicate 3-gram
+    // shingles per doc (1 - distinct/total). Counts are order-free,
+    // so cross-engine exact; the shingle array binds once per row
+    // (lambda-var let — no double shingle build)
+    "text_repetition" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        element_at(transform(
+          array(TextFunctions.shingles(col("text"), 3)),
+          sh => struct(size(sh).as("n_sh"),
+            size(array_distinct(sh)).as("n_uniq"))), 1).as("t"))
+        .select(col("doc_id"),
+          col("t.n_sh").as("n_shingles"),
+          col("t.n_uniq").as("n_unique"),
+          when(col("t.n_sh") > 0,
+            lit(1.0) - col("t.n_uniq").cast("double")
+              / col("t.n_sh").cast("double"))
+            .otherwise(lit(0.0)).as("rep_ratio"))
+        .orderBy(col("doc_id"))),
+
     // BPE-ish regex token counting (word pieces / numbers / symbols)
     "text_bpe_tokens" -> ((s, dir) =>
       docs(s, dir).select(
@@ -241,6 +260,22 @@ object TextQueries {
          | + CASE WHEN len($sqlToks) BETWEEN 5 AND 500
          |        THEN 1.0 ELSE 0.0 END AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, greatest(len($sqlToks) - 2, 0)),
+         |      i -> $sqlToks[CAST(i AS INTEGER)+1] || ' ' ||
+         |           $sqlToks[CAST(i AS INTEGER)+2] || ' ' ||
+         |           $sqlToks[CAST(i AS INTEGER)+3]) AS sh
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(sh) AS INTEGER) AS n_shingles,
+         |  CAST(len(list_distinct(sh)) AS INTEGER) AS n_unique,
+         |  CASE WHEN len(sh) > 0
+         |    THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+         |           / CAST(len(sh) AS DOUBLE)
+         |    ELSE 0.0 END AS rep_ratio
+         |FROM d ORDER BY doc_id""".stripMargin,
     "text_bpe_tokens" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
