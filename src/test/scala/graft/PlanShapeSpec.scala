@@ -120,6 +120,29 @@ class PlanShapeSpec extends SparkSpec {
       "compaction aggregate must run a partial (map-side) stage:\n" + p)
   }
 
+  test("ann_pq_topk: ADC joins through a broadcast distance table, no cartesian") {
+    val p = plan("ann_pq_topk")
+    // the |Q|·m·k table broadcasts; shuffling |C|·m rows onto m·k
+    // distinct (j, code) keys would be guaranteed skew
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_semantic_cells: pair space is an equi-join on the cell id") {
+    val p = plan("dedup_semantic_cells")
+    assert(p.contains("Left keys [1]: [cell"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("cdc_enrich_dim: no hard broadcast hint on the growing dimension") {
+    val df = SparkEntry.queries("cdc_enrich_dim")(spark, dir)
+    val hinted = df.queryExecution.logical.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+      case r: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => r
+    }
+    assert(hinted.isEmpty, s"user hints found: $hinted")
+  }
+
   test("runtime bloom filter prunes the fact scan of a selective join") {
     // At 100 TB a fact-fact join where one side carries a selective
     // filter should not shuffle the unfiltered side in full: Spark's

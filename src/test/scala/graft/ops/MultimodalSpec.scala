@@ -37,6 +37,27 @@ class MultimodalSpec extends SparkSpec {
         "m.sample_rate", "m.channels")
       .collect().head
 
+  test("binaryFile source -> headerDecode: the media ingest path") {
+    // SURVEY §7.6: media lands in the lake as raw files; the ingest
+    // path is spark.read.format("binaryFile") (path, length, content)
+    // -> header decode in the scan stage. Blobs never shuffle.
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("binfiles").toString
+    Files.write(Paths.get(dir, "a.png"), png1x1)
+    Files.write(Paths.get(dir, "b.wav"), wav(1, 16000, 7))
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.{png,wav}").load(dir)
+      .select(col("path"), col("length"),
+        Multimodal.headerDecode(col("content")).as("m"))
+      .select(col("path"), col("m.mime"), col("m.width"),
+        col("m.sample_rate"))
+      .orderBy(col("path"))
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "image/png" && rows(0).getInt(2) == 1)
+    assert(rows(1).getString(1) == "audio/wav" && rows(1).getInt(3) == 16000)
+  }
+
   test("headerDecode parses a real PNG's IHDR width/height") {
     val r = decodeOne(png1x1)
     assert(r.getString(0) == "image/png")
