@@ -91,4 +91,39 @@ object AsOfJoin {
         leftCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
         payload.map(c => col("__c").getField(c).as(c)): _*)
   }
+
+  /** Broadcast point-in-time lookup — the as-of join for a BOUNDED
+    * reference side (a slowly-changing dimension's version history):
+    * the right side packs into one time-sorted array per key and
+    * broadcasts; the fact side is never shuffled — the lookup is a
+    * per-row ordered-array probe fused into the scan stage.
+    *
+    * Use this when the reference side is dimension-sized (the SCD-2
+    * enrichment case: "which dim version was current at event
+    * time"); use [[asOf]] when the reference side grows with the
+    * data — a broadcast hint there is the classic scale-killer.
+    *
+    * Cost: zero shuffles on the fact side, O(|versions(key)|) per
+    * probe (version chains are short for real dims; sorted-array
+    * scan beats per-row binary search at those lengths anyway).
+    *
+    * Tie semantics: rows sharing (key, ts) resolve to the greatest
+    * (ts, payload…) tuple — lexicographic `array_max` — which is
+    * deterministic under any partitioning; same `<=` visibility as
+    * [[asOf]].
+    */
+  def broadcastAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val collisions = payload.filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"payload columns collide with left columns: $collisions — alias them first")
+    val hist = right.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(rightTs).as("__ts") +: payload.map(col): _*))).as("__hist"))
+    left.join(broadcast(hist), keys, "left")
+      .withColumn("__m",
+        array_max(filter(col("__hist"), h => h("__ts") <= col(leftTs))))
+      .select(left.columns.map(col) ++
+        payload.map(c => col("__m").getField(c).as(c)): _*)
+  }
 }

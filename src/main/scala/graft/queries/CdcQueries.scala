@@ -190,6 +190,26 @@ object CdcQueries {
         .orderBy(col("event_id"))
     }),
 
+    // broadcast point-in-time lookup (AsOfJoin.broadcastAsOf): each
+    // event finds the customer's latest order at-or-before the event
+    // — the SCD-2 enrichment shape: the version history broadcasts,
+    // the fact side never shuffles. Times compared as exact integer
+    // nanos on both engines.
+    "cdc_enrich_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val hist = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"),
+          // NTZ -> LTZ (UTC session: same instant) -> epoch seconds
+          (col("o_orderdate").cast("timestamp").cast("long")
+            * lit(1000000000L)).as("ots"),
+          col("o_orderkey").as("last_orderkey"))
+      graft.ops.AsOfJoin.broadcastAsOf(ev, hist, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ots", payload = Seq("last_orderkey"))
+        .select(col("event_id"), col("user_id"), col("last_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // ≙ Aliyun-DTS-Canal envelope through the real formatter
     // (Formats.canalJson) — sqlType/mysqlType codes, pkNames,
     // stringified data; emit-ts pinned for determinism.
@@ -303,6 +323,16 @@ object CdcQueries {
         |  (SELECT user_id, ts, value AS signup_value
         |   FROM events WHERE event_type = 'signup') s
         |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY event_id""".stripMargin,
+    "cdc_enrich_asof" ->
+      """WITH hist AS (
+        |  SELECT o_custkey AS user_id,
+        |    epoch_ns(o_orderdate) AS ots,
+        |    MAX(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT event_id, e.user_id AS user_id, h.last_orderkey
+        |FROM events e ASOF LEFT JOIN hist h
+        |  ON e.user_id = h.user_id AND epoch_ns(e.ts) >= h.ots
         |ORDER BY event_id""".stripMargin,
     "cdc_canal_format" ->
       """SELECT to_json(struct_pack(

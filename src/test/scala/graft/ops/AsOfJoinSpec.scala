@@ -38,6 +38,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == (None, Some(20)))
   }
 
+  test("broadcastAsOf matches asOf and never shuffles the fact side") {
+    val left = Seq(
+      (1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 35L, "e3"),
+      (2L, 15L, "e4"), (3L, 5L, "e5")
+    ).toDF("k", "ts", "name")
+    val right = Seq(
+      (1L, 10L, "v@10"), (1L, 30L, "v@30"), (2L, 20L, "v@20")
+    ).toDF("k", "rts", "v")
+    val bc = AsOfJoin.broadcastAsOf(left, right, Seq("k"), "ts", "rts",
+      Seq("v"))
+    val got = bc.select($"name", $"v").as[(String, Option[String])]
+      .collect().toMap
+    val viaSort = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts", Seq("v"))
+      .select($"name", $"v").as[(String, Option[String])].collect().toMap
+    assert(got == viaSort)
+    val plan = bc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // exactly ONE hash exchange — the dim history's own
+    // pack-and-broadcast aggregation; the fact side feeds the join
+    // directly from its scan
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("broadcastAsOf ties at equal (key, ts) go to the greatest payload") {
+    val left = Seq((1L, 10L, "e")).toDF("k", "ts", "name")
+    val right = Seq((1L, 10L, "a"), (1L, 10L, "b")).toDF("k", "rts", "v")
+    val got = AsOfJoin.broadcastAsOf(left, right, Seq("k"), "ts", "rts",
+      Seq("v")).select($"v").as[String].collect().toSeq
+    assert(got == Seq("b"))
+  }
+
   test("payload name colliding with a left column is rejected") {
     val left = Seq((1L, 10L, "x")).toDF("k", "ts", "v")
     val right = Seq((1L, 5L, "y")).toDF("k", "rts", "v")
