@@ -122,6 +122,31 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // sequence packing for pretraining: docs stream into fixed-
+    // capacity token packs (context windows). Greedy first-fit is
+    // inherently sequential, so the SCALE shape is pack-within-shard:
+    // a deterministic hash shard bounds each window's partition, the
+    // running token sum (one window cumsum per shard) assigns
+    // pack_id = floor((cumsum - len) / capacity), and packs never
+    // cross shards — 32 independent sequential problems instead of
+    // one global one. Output = per-pack fill stats.
+    "pipe_pack_sequences" -> ((s, dir) => {
+      val capacity = 512L
+      val shard = graft.functions.TextFunctions.hashBucket(col("doc_id"), 32)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_tok"), shard.as("shard"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id",
+          floor((col("cum") - col("n_tok")) / capacity))
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("shard"), col("pack_id"))
+    }),
+
     // stratified sampling with per-language rates (en 10%, rest 50%)
     // over the same deterministic bucket; output = per-stratum
     // totals. The groupBy shuffles (lang, partial counts) only.
@@ -349,6 +374,23 @@ object DedupQueries {
         |        md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90
         |      THEN 'val' ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipe_pack_sequences" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+        |      AS n_tok,
+        |    CAST(concat('0x', substring(
+        |      md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, doc_id, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM s)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS pack_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
     "pipe_stratified_sample" ->
       """WITH b AS (
         |  SELECT lang,

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Debezium envelope → [[graft.cdc.ChangeEvent]] adapter.
+  *
+  * The reference tails MySQL binlog directly; in most modern stacks
+  * the changelog is ALREADY on Kafka in Debezium's JSON envelope
+  * (`{before, after, source:{db, table, gtid, ...}, op, ts_ms}`).
+  * This adapter maps that payload column onto the engine's canonical
+  * envelope so every downstream piece — routing, transforms,
+  * compaction, sinks — runs unchanged on a Debezium feed.
+  *
+  * Pure narrow projection (`from_json` + column maps): fuses into
+  * the scan/stream stage, no shuffle. Row images parse as
+  * `Map[String,String]` — Spark's JSON reader stringifies scalar
+  * values, which matches the engine's pre-routing contract (typed
+  * casts happen per routed table, `Pipeline.routed`).
+  *
+  * Op mapping: c (create) and r (snapshot read) → insert, u →
+  * update, d → delete — Debezium's documented op codes.
+  *
+  * @param seq monotone sequence expression for the engine's offset/
+  *            compaction contract. For a Kafka feed the natural
+  *            choice is the partition offset; for files, a line
+  *            number. Debezium's own `source.sequence`/gtid strings
+  *            are carried in `pos` for lineage but are not numeric.
+  */
+object DebeziumAdapter {
+
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("before", MapType(StringType, StringType)),
+    StructField("after", MapType(StringType, StringType)),
+    StructField("source", StructType(Seq(
+      StructField("db", StringType),
+      StructField("table", StringType),
+      StructField("gtid", StringType),
+      StructField("ts_ms", LongType)))),
+    StructField("op", StringType),
+    StructField("ts_ms", LongType)))
+
+  def fromJson(df: DataFrame, jsonCol: String, seq: Column): DataFrame =
+    df.withColumn("__dbz", from_json(col(jsonCol), payloadSchema))
+      .select(
+        col("__dbz.source.db").as("db"),
+        col("__dbz.source.table").as("table"),
+        when(col("__dbz.op").isin("c", "r"), graft.cdc.ChangeEvent.Insert)
+          .when(col("__dbz.op") === "u", graft.cdc.ChangeEvent.Update)
+          .when(col("__dbz.op") === "d", graft.cdc.ChangeEvent.Delete)
+          .otherwise(col("__dbz.op")).as("op"),
+        timestamp_millis(coalesce(col("__dbz.ts_ms"),
+          col("__dbz.source.ts_ms"))).as("ts"),
+        col("__dbz.source.gtid").as("pos"),
+        seq.cast("long").as("seq"),
+        lit(0).as("tableVersion"),
+        col("__dbz.after").as("after"),
+        col("__dbz.before").as("before"))
+}

@@ -5,6 +5,8 @@ import org.scalacheck.rng.Seed
 
 // top-level so Spark can synthesize an Encoder without an outer scope
 case class Ev(id: Long, seq: Long, op: String, v: Int)
+case class AsOfL(id: Long, k: Long, ts: Long)
+case class AsOfR(k: Long, rts: Long, pv: Int)
 
 import graft.SparkSpec
 import graft.meta.SchemaRegistry
@@ -67,6 +69,41 @@ class PropertySpec extends SparkSpec {
   private case class Add(name: String, after: Option[String]) extends Op
   private case class Drop(name: String) extends Op
   private case class Rename(from: String, to: String) extends Op
+
+  test("asOf ≡ broadcastAsOf ≡ naive point-in-time model (random)") {
+    // rights deduped to one row per (k, ts): with duplicates the
+    // winner is tiebreak-defined (covered by the deterministic-ties
+    // tests); equivalence of the two PLANS is what this property pins
+    val gen = for {
+      nl <- Gen.choose(1, 40)
+      nr <- Gen.choose(0, 30)
+      ls <- Gen.listOfN(nl, for {
+        k <- Gen.choose(1L, 5L); ts <- Gen.choose(0L, 50L)
+      } yield (k, ts))
+      rs <- Gen.listOfN(nr, for {
+        k <- Gen.choose(1L, 5L); ts <- Gen.choose(0L, 50L)
+        v <- Gen.choose(0, 100)
+      } yield (k, ts, v))
+    } yield (
+      ls.zipWithIndex.map { case ((k, ts), i) => AsOfL(i.toLong, k, ts) },
+      rs.groupBy(r => (r._1, r._2)).map(_._2.head)
+        .map { case (k, ts, v) => AsOfR(k, ts, v) }.toList)
+    forAllSamples(gen, 12) { case (ls, rs) =>
+      val model: Map[Long, Option[Int]] = ls.map { l =>
+        l.id -> rs.filter(r => r.k == l.k && r.rts <= l.ts)
+          .sortBy(_.rts).lastOption.map(_.pv)
+      }.toMap
+      def run(f: => org.apache.spark.sql.DataFrame): Map[Long, Option[Int]] =
+        f.select($"id", $"pv")
+          .as[(Long, Option[Int])].collect().toMap
+      val viaSort = run(graft.ops.AsOfJoin.asOf(
+        ls.toDF(), rs.toDF(), Seq("k"), "ts", "rts", Seq("pv")))
+      val viaBroadcast = run(graft.ops.AsOfJoin.broadcastAsOf(
+        ls.toDF(), rs.toDF(), Seq("k"), "ts", "rts", Seq("pv")))
+      assert(viaSort == model)
+      assert(viaBroadcast == model)
+    }
+  }
 
   test("random DDL programs ≡ column-list model") {
     val names = (0 until 12).map(i => s"c$i")
