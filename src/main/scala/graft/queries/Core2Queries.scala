@@ -166,9 +166,14 @@ object Core2Queries {
     "q_percentiles" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
+        // ONE percentile aggregate per source column: each call keeps
+        // its own full buffer of the group's values, so asking for
+        // p25/p75 separately would buffer + sort l_extendedprice twice
         .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
-          expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
-          expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
+          expr("percentile(l_extendedprice, array(0.25, 0.75))").as("pp"))
+        .select(col("l_returnflag"), col("med_qty"),
+          element_at(col("pp"), 1).as("p25_price"),
+          element_at(col("pp"), 2).as("p75_price"))
         .orderBy(col("l_returnflag"))),
 
     // range (band) join: non-equi condition against a small broadcast
