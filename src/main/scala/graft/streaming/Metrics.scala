@@ -23,12 +23,17 @@ object Metrics {
     * deletes broken out because sinks route them differently). */
   val RowsObserved = "rows"
   val DeletesObserved = "deletes"
+  val MaxTsObserved = "max_ts"
 
-  /** Attach observation metrics to the envelope stream. */
+  /** Attach observation metrics to the envelope stream. The max
+    * event-time rides along so the listener can derive READ DELAY
+    * (wall clock − newest event read, ≙ DelayReadTime gauge,
+    * `metrics/metrics.go:25-30`) without a second scan. */
   def observed(envelope: DataFrame): DataFrame =
     envelope.observe("graft",
       count(lit(1)).as(RowsObserved),
-      sum(when(col("op") === "delete", 1L).otherwise(0L)).as(DeletesObserved))
+      sum(when(col("op") === "delete", 1L).otherwise(0L)).as(DeletesObserved),
+      max(col("ts")).as(MaxTsObserved))
 
   /** Accumulates totals across batches; snapshot() for scraping. */
   final class Collector extends StreamingQueryListener {
@@ -37,6 +42,12 @@ object Metrics {
     val batches = new LongAdder
     @volatile var lastBatchDurationMs: Long = 0
     @volatile var lastInputRowsPerSecond: Double = 0.0
+    // ≙ DelayReadTime / DelayWriteTime gauges (metrics/metrics.go:
+    // 25-37): read delay = wall clock − newest event time in the
+    // batch (how far the tail lags the source); write delay = the
+    // sink's addBatch duration (how long the destination write took)
+    @volatile var lastReadDelaySeconds: Double = 0.0
+    @volatile var lastWriteDelaySeconds: Double = 0.0
 
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
@@ -52,7 +63,13 @@ object Metrics {
         rowsRead.add(obs.getAs[Long](RowsObserved))
         val d = obs.getAs[Any](DeletesObserved)
         if (d != null) deletesRead.add(d.asInstanceOf[Long])
+        val maxTs = obs.getAs[Any](MaxTsObserved)
+        if (maxTs != null) lastReadDelaySeconds = math.max(0.0,
+          (System.currentTimeMillis() -
+            maxTs.asInstanceOf[java.sql.Timestamp].getTime) / 1000.0)
       }
+      val add = p.durationMs.get("addBatch")
+      if (add != null) lastWriteDelaySeconds = add.toDouble / 1000.0
     }
 
     def snapshot: Map[String, Any] = Map(
@@ -60,6 +77,8 @@ object Metrics {
       "deletes_read_total" -> deletesRead.sum(),
       "batches_total" -> batches.sum(),
       "last_batch_duration_ms" -> lastBatchDurationMs,
-      "last_input_rows_per_second" -> lastInputRowsPerSecond)
+      "last_input_rows_per_second" -> lastInputRowsPerSecond,
+      "read_delay_time_seconds" -> lastReadDelaySeconds,
+      "write_delay_time_seconds" -> lastWriteDelaySeconds)
   }
 }

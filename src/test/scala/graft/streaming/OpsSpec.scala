@@ -76,6 +76,11 @@ class OpsSpec extends SparkSpec {
       assert(snap("rows_read_total") == 10L)
       assert(snap("deletes_read_total") == 2L)
       assert(collector.batches.sum() >= 1L)
+      // read delay = wall clock - newest event ts (fixture events sit
+      // at 2023-11, so the gauge is large and positive); write delay
+      // gauge picked up the sink's addBatch duration
+      assert(snap("read_delay_time_seconds").asInstanceOf[Double] > 0.0)
+      assert(snap("write_delay_time_seconds").asInstanceOf[Double] >= 0.0)
     } finally spark.streams.removeListener(collector)
   }
 
