@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.config.PipelineConfig
+import graft.meta.SchemaRegistry
+import graft.streaming.{Metrics, MetricsHttp, Pipeline, Registry}
+
+/** CLI daemon ≙ `cmd/qin_cdc.go` + `app/server.go`: load a TOML
+  * pipeline config, assemble source → routes/transforms → sink,
+  * serve `/metrics`, run until stopped.
+  *
+  * ```
+  * spark-submit --class graft.Main graft.jar \
+  *   --config pipeline.toml [--checkpoint dir] [--metrics-port 7716] \
+  *   [--available-now] [--master local[*]]
+  * ```
+  *
+  * Config sections (reference layout, `docs/mysql-to-*-sample.toml`):
+  *  - `[input]`  — `type` (plugin name in [[Registry.sourceNames]]) +
+  *    its options (`path`, `maxEventsPerTrigger`, `startSeq`…)
+  *  - `[output]` — `type` (plugin name in [[Registry.sinkNames]]) +
+  *    its options (`dir` / `url` / `user` / `password`…)
+  *  - `[[routers]]` / `[[transforms]]` — as in PipelineConfig
+  *  - `[meta]` — where target schemas come from: `ddl-file` (a SQL
+  *    script of CREATE TABLEs applied through the engine's DDL
+  *    parser — the file IS the schema snapshot) and/or `default-db`
+  *    (≙ the reference's LoadMeta from the live target; a JDBC url in
+  *    the file's place plugs in `JdbcMeta` unchanged)
+  *
+  * `--available-now` drains the backlog and exits 0 — the
+  * catch-up-then-exit replay mode; without it the daemon runs on the
+  * reference's 3-second batch cadence until SIGTERM (a JVM shutdown
+  * hook stops the query and the metrics server cleanly).
+  */
+object Main {
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val k = args(i)
+      require(k.startsWith("--"), s"unexpected argument: $k")
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        out(k.drop(2)) = args(i + 1); i += 2
+      } else { out(k.drop(2)) = "true"; i += 1 }
+    }
+    out.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val configPath = opts.getOrElse("config",
+      sys.error("required: --config <pipeline.toml>"))
+    val conf = PipelineConfig.fromToml(
+      new String(Files.readAllBytes(Paths.get(configPath)), "UTF-8"))
+
+    val spark = SparkSession.builder()
+      .master(opts.getOrElse("master",
+        sys.env.getOrElse("SPARK_MASTER", "local[*]")))
+      .appName("graft-cdc")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(opts.getOrElse("log-level", "WARN"))
+
+    // schema snapshot load (≙ LoadMeta): DDL script through the
+    // engine's own MySQL-dialect parser
+    val registry = new SchemaRegistry
+    val ddlFile = conf.meta.get("ddl-file").map(_.toString)
+      .orElse(opts.get("ddl-file"))
+    ddlFile.foreach { f =>
+      val sql = new String(Files.readAllBytes(Paths.get(f)), "UTF-8")
+      registry.applySql(sql, conf.meta.getOrElse("default-db", "").toString)
+    }
+
+    def strMap(m: Map[String, Any]): Map[String, String] =
+      m.collect { case (k, v) if !v.isInstanceOf[Map[_, _]] =>
+        k -> v.toString }
+    val sourceKind = conf.input.getOrElse("type", "changelog").toString match {
+      case "mysql" => "changelog" // binlog tail ≙ changelog source
+      case other => other
+    }
+    val envelope = Metrics.observed(
+      Registry.source(sourceKind, spark, strMap(conf.input)))
+    val sink = Registry.sink(conf.output.getOrElse("type", "parquet-upsert")
+      .toString, strMap(conf.output))
+
+    val collector = new Metrics.Collector
+    spark.streams.addListener(collector)
+    val http = MetricsHttp.start(collector,
+      opts.getOrElse("metrics-port", "7716").toInt)
+
+    val trigger =
+      if (opts.contains("available-now")) Trigger.AvailableNow()
+      else Trigger.ProcessingTime("3 seconds")
+    val query = Pipeline.start(envelope, conf.routes(registry), sink,
+      opts.getOrElse("checkpoint",
+        Files.createTempDirectory("graft-ckpt").toString),
+      trigger)
+
+    sys.addShutdownHook {
+      try query.stop() catch { case scala.util.control.NonFatal(_) => () }
+      http.stop()
+    }
+    try query.awaitTermination()
+    finally http.stop()
+  }
+}

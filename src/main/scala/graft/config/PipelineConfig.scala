@@ -53,7 +53,8 @@ final case class PipelineConfig(
     input: Map[String, Any],
     output: Map[String, Any],
     routers: Seq[RouterSpec],
-    transforms: Seq[TransformSpec]) {
+    transforms: Seq[TransformSpec],
+    meta: Map[String, Any] = Map.empty) {
 
   /** Assemble Pipeline.Routes: per router, the matched transforms in
     * declaration order, then the positional column mapper
@@ -130,6 +131,7 @@ object PipelineConfig {
     PipelineConfig(
       asMap(tree.getOrElse("input", Map.empty)),
       asMap(tree.getOrElse("output", Map.empty)),
-      routers, transforms)
+      routers, transforms,
+      asMap(tree.getOrElse("meta", Map.empty)))
   }
 }
