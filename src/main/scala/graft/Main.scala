@@ -76,7 +76,8 @@ object Main {
       .orElse(opts.get("ddl-file"))
     ddlFile.foreach { f =>
       val sql = new String(Files.readAllBytes(Paths.get(f)), "UTF-8")
-      registry.applySql(sql, conf.meta.getOrElse("default-db", "").toString)
+      registry.applyScript(sql,
+        conf.meta.getOrElse("default-db", "").toString)
     }
 
     def strMap(m: Map[String, Any]): Map[String, String] =
@@ -99,10 +100,14 @@ object Main {
     val trigger =
       if (opts.contains("available-now")) Trigger.AvailableNow()
       else Trigger.ProcessingTime("3 seconds")
+    // default checkpoint: a STABLE sidecar dir next to the config —
+    // the position must survive restarts by default (≙ the reference
+    // persisting meta.db in its workdir); a per-launch temp dir would
+    // silently re-ingest or skip the outage window on every restart
+    val checkpoint = opts.getOrElse("checkpoint",
+      Paths.get(configPath).toAbsolutePath.toString + ".checkpoint")
     val query = Pipeline.start(envelope, conf.routes(registry), sink,
-      opts.getOrElse("checkpoint",
-        Files.createTempDirectory("graft-ckpt").toString),
-      trigger)
+      checkpoint, trigger)
 
     sys.addShutdownHook {
       try query.stop() catch { case scala.util.control.NonFatal(_) => () }

@@ -36,16 +36,11 @@ object TextFunctions {
   /** Stopword list used by quality scoring / language id. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
 
-  /** Catalyst "let": bind the token array ONCE per row as a lambda
-    * variable (`transform` over a one-element array), then build the
-    * result from the bound reference. Without this, every reference
-    * to `tokens(text)` in the built expression re-runs the regex
-    * split — there is no common-subexpression elimination inside
-    * higher-order functions, and multi-reference token expressions
-    * (shingles: ~3·n refs, langId: 8 refs) were measured paying
-    * 7-20× for it. */
+  /** Token-array "let" — see [[Exprs.bind]] for why: multi-reference
+    * token expressions (shingles: ~3·n refs, langId: 8 refs) would
+    * re-run the regex split per reference otherwise. */
   private def letTokens(text: Column)(f: Column => Column): Column =
-    element_at(transform(array(tokens(text)), f), 1)
+    Exprs.bind(tokens(text))(f)
 
   private def stopwordRatioOf(ts: Column): Column =
     size(filter(ts, t => t.isin(stopwords: _*))).cast("double") /
@@ -66,15 +61,9 @@ object TextFunctions {
   /** N-gram (word-shingle) array, 1-indexed element_at. Documents
     * shorter than n tokens yield an EMPTY array — without the guard,
     * sequence(1, size-n+1) would descend through 0 and
-    * element_at(ts, 0) throws.
-    *
-    * The token array is bound ONCE per row through a lambda variable
-    * (`transform` over a one-element array is Catalyst's "let"):
-    * inlining `tokens(text)` directly would re-run the regex split at
-    * every one of the ~3·|shingles| element_at references — expression
-    * trees have no common-subexpression elimination inside
-    * higher-order functions, and that rewrite alone was a measured
-    * ~20× on the corpus shingle stage. */
+    * element_at(ts, 0) throws. Token array let-bound ([[Exprs.bind]]
+    * rationale): the rewrite alone was a measured ~20× on the corpus
+    * shingle stage. */
   def shingles(text: Column, n: Int = 3): Column =
     flatten(transform(array(tokens(text)), ts =>
       when(size(ts) < n, array().cast("array<string>"))

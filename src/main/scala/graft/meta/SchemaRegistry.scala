@@ -127,12 +127,40 @@ final class SchemaRegistry {
       }).getOrElse(n)
     }
 
-  /** Parse + apply a raw DDL string. Returns affected tables. */
+  /** Parse + apply a raw DDL string (ONE statement — the binlog
+    * delivery unit). Returns affected tables. */
   def applySql(sql: String, defaultDb: String): Seq[TableDef] =
     DdlParser.parse(sql, defaultDb) match {
       case Some((db, stmts)) => stmts.flatMap(applyDdl(db, _))
       case None => Nil
     }
+
+  /** Apply a multi-statement DDL SCRIPT (a schema snapshot file):
+    * statements split on ';' outside quotes/backticks/parens —
+    * feeding a script through [[applySql]] would silently apply only
+    * the first statement (the parser matches one statement per
+    * call). */
+  def applyScript(sql: String, defaultDb: String): Seq[TableDef] =
+    splitStatements(sql).flatMap(applySql(_, defaultDb))
+
+  private def splitStatements(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { ch =>
+      if (quote != 0) { cur += ch; if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' | '`' => quote = ch; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ';' if depth == 0 => out += cur.result(); cur.clear()
+        case _ => cur += ch
+      }
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   private def evolve(db: String, table: String)(
       f: Seq[ColumnDef] => Seq[ColumnDef]): Option[TableDef] =

@@ -120,10 +120,15 @@ object AsOfJoin {
     val hist = right.groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(struct(
         col(rightTs).as("__ts") +: payload.map(col): _*))).as("__hist"))
-    left.join(broadcast(hist), keys, "left")
+    // null-SAFE key equality: asOf's window partitioning groups null
+    // keys together (a null-key left row sees null-key right rows),
+    // so the broadcast variant must too — a plain equi-join would
+    // silently diverge on nullable-key dims
+    val cond = keys.map(k => left(k) <=> hist(k)).reduce(_ && _)
+    left.join(broadcast(hist), cond, "left")
       .withColumn("__m",
-        array_max(filter(col("__hist"), h => h("__ts") <= col(leftTs))))
-      .select(left.columns.map(col) ++
+        array_max(filter(hist("__hist"), h => h("__ts") <= col(leftTs))))
+      .select(left.columns.map(c => left(c)) ++
         payload.map(c => col("__m").getField(c).as(c)): _*)
   }
 }

@@ -50,15 +50,13 @@ object Similarity {
   def quantizeInt8(vec: Column): Column = {
     val scale = aggregate(transform(vec, x => abs(x.cast("double"))),
       lit(0.0), (a, x) => greatest(a, x))
-    // bind the scale fold ONCE per row (lambda-var "let"): inlining
-    // `scale` into the per-element branches would re-run the O(d)
-    // max-abs fold at every one of the 2·d references — HOF expression
-    // trees have no common-subexpression elimination (measured ~5× on
-    // this kernel; same fix as TextFunctions.letTokens)
-    element_at(transform(array(scale), s =>
+    // bind the scale fold ONCE per row (Exprs.bind rationale):
+    // inlined, the O(d) max-abs fold re-runs at every one of the 2·d
+    // per-element references — measured ~5× on this kernel
+    graft.functions.Exprs.bind(scale)(s =>
       transform(vec, x =>
         when(s === 0.0, 0L)
-          .otherwise(floor(x.cast("double") / s * 127).cast("long")))), 1)
+          .otherwise(floor(x.cast("double") / s * 127).cast("long"))))
   }
 
   /** Exact top-k neighbors per query (cosine), self-pairs excluded.

@@ -71,10 +71,9 @@ object TextQueries {
     // (lambda-var let — no double shingle build)
     "text_repetition" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        element_at(transform(
-          array(TextFunctions.shingles(col("text"), 3)),
+        graft.functions.Exprs.bind(TextFunctions.shingles(col("text"), 3))(
           sh => struct(size(sh).as("n_sh"),
-            size(array_distinct(sh)).as("n_uniq"))), 1).as("t"))
+            size(array_distinct(sh)).as("n_uniq"))).as("t"))
         .select(col("doc_id"),
           col("t.n_sh").as("n_shingles"),
           col("t.n_uniq").as("n_unique"),

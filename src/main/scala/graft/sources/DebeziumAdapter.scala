@@ -41,20 +41,58 @@ object DebeziumAdapter {
     StructField("op", StringType),
     StructField("ts_ms", LongType)))
 
-  def fromJson(df: DataFrame, jsonCol: String, seq: Column): DataFrame =
-    df.withColumn("__dbz", from_json(col(jsonCol), payloadSchema))
-      .select(
-        col("__dbz.source.db").as("db"),
-        col("__dbz.source.table").as("table"),
-        when(col("__dbz.op").isin("c", "r"), graft.cdc.ChangeEvent.Insert)
-          .when(col("__dbz.op") === "u", graft.cdc.ChangeEvent.Update)
-          .when(col("__dbz.op") === "d", graft.cdc.ChangeEvent.Delete)
-          .otherwise(col("__dbz.op")).as("op"),
-        timestamp_millis(coalesce(col("__dbz.ts_ms"),
-          col("__dbz.source.ts_ms"))).as("ts"),
-        col("__dbz.source.gtid").as("pos"),
-        seq.cast("long").as("seq"),
-        lit(0).as("tableVersion"),
-        col("__dbz.after").as("after"),
-        col("__dbz.before").as("before"))
+  /** @param onCorrupt same policy surface as the changelog source:
+    *   `fail` (default) raises on unparseable payloads, non-envelope
+    *   messages (tombstones, schema-change events) and UNKNOWN op
+    *   codes (t=truncate, m=message — not DML; passing them through
+    *   as upserts would write null-image rows into the target);
+    *   `skip` drops them; `mark` emits `__corrupt__` events carrying
+    *   the raw payload in `before["raw"]` for DLQ routing. A file
+    *   feed and a Debezium feed must lose data the same (loud) way.
+    */
+  def fromJson(df: DataFrame, jsonCol: String, seq: Column,
+      onCorrupt: String = "fail"): DataFrame = {
+    require(Set("fail", "skip", "mark")(onCorrupt),
+      s"onCorrupt must be fail|skip|mark, got '$onCorrupt'")
+    val opMapped =
+      when(col("__dbz.op").isin("c", "r"), graft.cdc.ChangeEvent.Insert)
+        .when(col("__dbz.op") === "u", graft.cdc.ChangeEvent.Update)
+        .when(col("__dbz.op") === "d", graft.cdc.ChangeEvent.Delete)
+    val bad = col("__dbz").isNull || col("__dbz.source.db").isNull ||
+      col("__dbz.source.table").isNull || opMapped.isNull
+    val parsed = df.withColumn("__dbz", from_json(col(jsonCol), payloadSchema))
+    val policed = onCorrupt match {
+      case "skip" => parsed.filter(!bad)
+      case _ => parsed
+    }
+    val (opCol, beforeCol, dbCol, tableCol) = onCorrupt match {
+      case "mark" => (
+        when(bad, lit("__corrupt__")).otherwise(opMapped),
+        when(bad, map(lit("raw"), col(jsonCol)))
+          .otherwise(col("__dbz.before")),
+        coalesce(col("__dbz.source.db"), lit("")),
+        coalesce(col("__dbz.source.table"), lit("")))
+      case "fail" => (
+        when(bad, raise_error(concat(
+          lit("corrupt/unsupported debezium record "),
+          lit("(set onCorrupt=skip|mark to continue): "),
+          substring(col(jsonCol), 1, 120))).cast("string"))
+          .otherwise(opMapped),
+        col("__dbz.before"), col("__dbz.source.db"),
+        col("__dbz.source.table"))
+      case _ => (opMapped, col("__dbz.before"), col("__dbz.source.db"),
+        col("__dbz.source.table"))
+    }
+    policed.select(
+      dbCol.as("db"),
+      tableCol.as("table"),
+      opCol.as("op"),
+      timestamp_millis(coalesce(col("__dbz.ts_ms"),
+        col("__dbz.source.ts_ms"))).as("ts"),
+      col("__dbz.source.gtid").as("pos"),
+      seq.cast("long").as("seq"),
+      lit(0).as("tableVersion"),
+      col("__dbz.after").as("after"),
+      beforeCol.as("before"))
+  }
 }

@@ -24,9 +24,13 @@ class MainSpec extends SparkSpec {
       line(2, "update", 1, 11), line(3, "delete", 2, 0)
     ).mkString("\n").getBytes("UTF-8"))
 
+    // multi-statement script: the routed table is the SECOND
+    // statement — regression for applyScript (applySql parses only
+    // the first statement of a script)
     val ddl = dir.resolve("schema.sql")
     Files.write(ddl,
-      "CREATE TABLE shop.items (id bigint primary key, v int);"
+      ("CREATE TABLE shop.audit (aid bigint primary key, note varchar(10));\n" +
+        "CREATE TABLE shop.items (id bigint primary key, v int);")
         .getBytes("UTF-8"))
 
     val toml = dir.resolve("pipeline.toml")

@@ -62,6 +62,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("broadcastAsOf groups null keys like asOf (null-safe join)") {
+    val left = Seq((Option.empty[Long], 10L, "e1"), (Some(1L), 10L, "e2"))
+      .toDF("k", "ts", "name")
+    val right = Seq((Option.empty[Long], 5L, "vN"), (Some(1L), 5L, "v1"))
+      .toDF("k", "rts", "v")
+    def m(df: org.apache.spark.sql.DataFrame): Map[String, Option[String]] =
+      df.select($"name", $"v").as[(String, Option[String])].collect().toMap
+    val expected = Map("e1" -> Some("vN"), "e2" -> Some("v1"))
+    assert(m(AsOfJoin.broadcastAsOf(left, right, Seq("k"), "ts", "rts",
+      Seq("v"))) == expected)
+    assert(m(AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts",
+      Seq("v"))) == expected)
+  }
+
   test("broadcastAsOf ties at equal (key, ts) go to the greatest payload") {
     val left = Seq((1L, 10L, "e")).toDF("k", "ts", "name")
     val right = Seq((1L, 10L, "a"), (1L, 10L, "b")).toDF("k", "rts", "v")

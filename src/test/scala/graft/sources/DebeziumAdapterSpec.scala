@@ -49,6 +49,36 @@ class DebeziumAdapterSpec extends SparkSpec {
     assert(rows(0).getAs[java.sql.Timestamp]("ts").getTime == 1001L)
   }
 
+  test("corrupt/unsupported payloads: fail default, skip drops, mark DLQs") {
+    val mixed = lines ++ Seq(
+      "not json at all",
+      // valid JSON, unsupported op (truncate) — must NOT become an upsert
+      """{"before":null,"after":null,""" +
+        """"source":{"db":"shop","table":"items","gtid":"uuid:5","ts_ms":5000},""" +
+        """"op":"t","ts_ms":5001}""")
+    def adapt(mode: String) = DebeziumAdapter.fromJson(
+      mixed.zipWithIndex.toDF("value", "offset"), "value", col("offset"),
+      onCorrupt = mode)
+    // fail (default): evaluation raises with context
+    val e = intercept[Exception] { adapt("fail").collect() }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert((e.getMessage + rootMsg(e)).contains("debezium"),
+      e.getMessage + rootMsg(e))
+    // skip: only the 4 good DML events survive
+    assert(adapt("skip").count() == 4)
+    // mark: bad records become __corrupt__ DLQ events with the raw
+    // payload; good events untouched
+    val marked = adapt("mark").orderBy("seq").collect()
+    assert(marked.length == 6)
+    val dlq = marked.filter(_.getAs[String]("op") == "__corrupt__")
+    assert(dlq.length == 2)
+    assert(dlq.exists(_.getAs[Map[String, String]]("before")("raw")
+      .contains("not json")))
+    assert(dlq.exists(_.getAs[Map[String, String]]("before")("raw")
+      .contains("\"op\":\"t\"")))
+  }
+
   test("adapted stream drives the engine's compaction unchanged") {
     val compacted = graft.operators.Compactor
       .lastEventPerKeyAgg(Seq("k"), "seq")(
