@@ -91,6 +91,29 @@ object TextFunctions {
     stopwordRatioOf(ts) +
       when(size(ts).between(5, 500), lit(1.0)).otherwise(lit(0.0)))
 
+  /** Overlapping token-window chunks — the RAG/pretraining prep step
+    * that splits long documents into model-context-sized pieces.
+    * Chunk i covers tokens [i·stride, i·stride + size); the final
+    * window is the last one that still starts inside the document,
+    * so short docs yield exactly one (possibly short) chunk. Token
+    * array let-bound ([[Exprs.bind]]); pure narrow expression, the
+    * row blowup happens only when the caller explodes.
+    *
+    * @return array<string>: each chunk re-joined with single spaces
+    */
+  def chunks(text: Column, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    Exprs.bind(tokens(text)) { ts =>
+      transform(
+        sequence(lit(0),
+          greatest(ceil((org.apache.spark.sql.functions.size(ts) - size)
+            .cast("double") / stride), lit(0)).cast("long")),
+        i => concat_ws(" ",
+          slice(ts, (i * stride + 1).cast("int"), lit(size))))
+    }
+  }
+
   /** Deterministic per-key bucket in [0, buckets): md5-derived, so
     * identical across engines, runs, and partitionings — the
     * primitive under reproducible train/val/test splits and

@@ -65,6 +65,17 @@ object TextQueries {
         TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    // context-window chunking (RAG/pretraining prep): 32-token
+    // windows, stride 24 (8-token overlap); chunk identity via md5 so
+    // the oracle checks content, not just counts
+    "text_chunking" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        posexplode(TextFunctions.chunks(col("text"), size = 32, stride = 24)))
+        .select(col("doc_id"), col("pos").as("cid"),
+          size(split(col("col"), " ", -1)).as("n_tok"),
+          md5(col("col")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("cid"))),
+
     // Gopher-style repetition filter: fraction of duplicate 3-gram
     // shingles per doc (1 - distinct/total). Counts are order-free,
     // so cross-engine exact; the shingle array binds once per row
@@ -259,6 +270,24 @@ object TextQueries {
          | + CASE WHEN len($sqlToks) BETWEEN 5 AND 500
          |        THEN 1.0 ELSE 0.0 END AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_chunking" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |k AS (
+         |  SELECT doc_id, toks,
+         |    GREATEST(CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT), 0)
+         |      AS kmax
+         |  FROM d),
+         |c AS (
+         |  SELECT doc_id, CAST(t.i AS INTEGER) AS cid,
+         |    array_to_string(
+         |      toks[CAST(t.i*24+1 AS INTEGER):CAST(t.i*24+32 AS INTEGER)],
+         |      ' ') AS chunk
+         |  FROM k, unnest(range(0, kmax + 1)) AS t(i))
+         |SELECT doc_id, cid,
+         |  CAST(len(string_split(chunk, ' ')) AS INTEGER) AS n_tok,
+         |  md5(chunk) AS chunk_md5
+         |FROM c ORDER BY doc_id, cid""".stripMargin,
     "text_repetition" ->
       s"""WITH d AS (
          |  SELECT doc_id,

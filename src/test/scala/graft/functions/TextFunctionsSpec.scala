@@ -35,6 +35,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("chunks: full coverage, stride overlap, short docs = one chunk") {
+    import org.apache.spark.sql.functions._
+    def chunksOf(text: String, size: Int, stride: Int): Seq[Seq[String]] =
+      Seq(text).toDF("t")
+        .select(TextFunctions.chunks(col("t"), size, stride).as("c"))
+        .collect()(0).getSeq[String](0).map(_.split(" ").toSeq)
+    val doc = (1 to 57).map(i => s"w$i").mkString(" ")
+    val cs = chunksOf(doc, 32, 24)
+    // starts at 0, 24, 48; every token covered; consecutive chunks
+    // overlap by size - stride = 8 (except the short tail)
+    assert(cs.map(_.head) == Seq("w1", "w25", "w49"))
+    assert(cs(0).size == 32 && cs(1).size == 32 && cs(2).size == 9)
+    assert(cs.flatten.toSet == (1 to 57).map(i => s"w$i").toSet)
+    assert(cs(0).takeRight(8) == cs(1).take(8))
+    // short doc: exactly one (short) chunk
+    assert(chunksOf("a b c", 32, 24) == Seq(Seq("a", "b", "c")))
+    // boundary: exactly `size` tokens -> one chunk
+    assert(chunksOf((1 to 32).map("t" + _).mkString(" "), 32, 24).size == 1)
+  }
+
   test("fingerprint is normalization-invariant") {
     val fps = Seq((1L, "Hello World"), (2L, " hello world  "))
       .toDF("id", "text")
