@@ -65,6 +65,28 @@ object TextQueries {
         TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    // per-source curation dashboard (web-corpus domain stats): docs,
+    // exact-dup rate (fingerprint), mean quality — the numbers a
+    // curation run reports per domain before filtering decisions.
+    // One narrow projection + two hash aggregates.
+    "text_source_stats" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      val keep = d.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      d.join(keep, Seq("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+            .as("n_dups"),
+          // decimal-exact mean: double sums are shuffle-order-
+          // dependent; sum in DECIMAL then one double division
+          (sum(col("q").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+            .cast("double") / count(lit(1))).as("mean_quality"))
+        .orderBy(col("source"))
+    }),
+
     // context-window chunking (RAG/pretraining prep): 32-token
     // windows, stride 24 (8-token overlap); chunk identity via md5 so
     // the oracle checks content, not just counts
@@ -270,6 +292,22 @@ object TextQueries {
          | + CASE WHEN len($sqlToks) BETWEEN 5 AND 500
          |        THEN 1.0 ELSE 0.0 END AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_source_stats" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id, md5(lower(trim(text))) AS fp,
+         |    CAST(len(list_filter($sqlToks, t -> t IN $sqlStop)) AS DOUBLE)
+         |      / CAST(len($sqlToks) AS DOUBLE)
+         |    + CASE WHEN len($sqlToks) BETWEEN 5 AND 500
+         |           THEN 1.0 ELSE 0.0 END AS q
+         |  FROM documents),
+         |keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM d GROUP BY fp)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dups,
+         |  CAST(SUM(CAST(q AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+         |    AS mean_quality
+         |FROM d JOIN keep k ON d.fp = k.fp
+         |GROUP BY source ORDER BY source""".stripMargin,
     "text_chunking" ->
       s"""WITH d AS (
          |  SELECT doc_id, $sqlToks AS toks FROM documents),
