@@ -1,0 +1,67 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("novel docs pass, history filters, replay is a no-op") {
+    val idx = Files.createTempDirectory("inc-dedup").toString + "/index"
+
+    val b1 = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "alpha text"))
+      .toDF("doc_id", "text")
+    val a1 = IncrementalDedup.acceptNovel(spark, b1, "text", "doc_id", idx)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    // within-batch dedup: doc 3 duplicates doc 1
+    assert(a1 == Seq(1L, 2L))
+
+    // second batch: one historical dup, one new doc
+    val b2 = Seq((10L, "beta text"), (11L, "gamma text"))
+      .toDF("doc_id", "text")
+    val a2 = IncrementalDedup.acceptNovel(spark, b2, "text", "doc_id", idx)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(a2 == Seq(11L))
+
+    // replaying batch 2 yields nothing (replay-stable output)
+    val a3 = IncrementalDedup.acceptNovel(spark, b2, "text", "doc_id", idx)
+    assert(a3.count() == 0)
+
+    // index holds exactly the accepted fingerprints
+    assert(spark.read.parquet(idx).select($"keep_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 11L))
+  }
+
+  test("membership check prunes the index scan to touched buckets") {
+    val idx = Files.createTempDirectory("inc-prune").toString + "/index"
+    // seed an index spread over many buckets
+    val seed = (0 until 200).map(i => (i.toLong, s"doc number $i"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.acceptNovel(spark, seed, "text", "doc_id", idx)
+    val totalFiles = spark.read.parquet(idx).inputFiles.length
+
+    // a one-doc batch touches ONE bucket: the index scan must read
+    // only that partition dir
+    val one = Seq((999L, "a brand new doc")).toDF("doc_id", "text")
+    val q = IncrementalDedup.novel(spark, one, "text", "doc_id", idx)
+    q.collect()
+    // descend through AQE wrappers: scans live inside query stages
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leaves(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case qs: QueryStageExec => leaves(qs.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(leaves)
+    }
+    val scans = leaves(q.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    val idxScanFiles = scans.map(_.metrics("numFiles").value).max
+    assert(idxScanFiles < totalFiles,
+      s"expected bucket pruning: read $idxScanFiles of $totalFiles files")
+  }
+}
