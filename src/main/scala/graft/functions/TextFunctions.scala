@@ -101,16 +101,16 @@ object TextFunctions {
     *
     * @return array<string>: each chunk re-joined with single spaces
     */
-  def chunks(text: Column, size: Int, stride: Int): Column = {
-    require(size > 0 && stride > 0 && stride <= size,
-      s"need 0 < stride <= size, got size=$size stride=$stride")
+  def chunks(text: Column, width: Int, stride: Int): Column = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"need 0 < stride <= width, got width=$width stride=$stride")
     Exprs.bind(tokens(text)) { ts =>
       transform(
         sequence(lit(0),
-          greatest(ceil((org.apache.spark.sql.functions.size(ts) - size)
-            .cast("double") / stride), lit(0)).cast("long")),
+          greatest(ceil((size(ts) - width).cast("double") / stride),
+            lit(0)).cast("long")),
         i => concat_ws(" ",
-          slice(ts, (i * stride + 1).cast("int"), lit(size))))
+          slice(ts, (i * stride + 1).cast("int"), lit(width))))
     }
   }
 

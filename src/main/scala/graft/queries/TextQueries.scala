@@ -92,7 +92,7 @@ object TextQueries {
     // the oracle checks content, not just counts
     "text_chunking" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        posexplode(TextFunctions.chunks(col("text"), size = 32, stride = 24)))
+        posexplode(TextFunctions.chunks(col("text"), width = 32, stride = 24)))
         .select(col("doc_id"), col("pos").as("cid"),
           size(split(col("col"), " ", -1)).as("n_tok"),
           md5(col("col")).as("chunk_md5"))

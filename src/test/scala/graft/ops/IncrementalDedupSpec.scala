@@ -36,6 +36,38 @@ class IncrementalDedupSpec extends SparkSpec {
       .collect().toSet == Set(1L, 2L, 11L))
   }
 
+  test("bucket-count mismatch fails loudly; empty first batch is safe") {
+    val idx = Files.createTempDirectory("inc-guard").toString + "/index"
+    // empty first batch: index dir gets created but holds no parquet —
+    // later calls must read it as empty, not crash on schema inference
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(IncrementalDedup.acceptNovel(spark, empty, "text", "doc_id", idx)
+      .count() == 0)
+    val b = Seq((1L, "doc a")).toDF("doc_id", "text")
+    assert(IncrementalDedup.acceptNovel(spark, b, "text", "doc_id", idx)
+      .count() == 1)
+    // a different nBuckets would hash fps elsewhere and silently
+    // disable dedup — must be rejected
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.novel(spark, b, "text", "doc_id", idx, nBuckets = 128)
+        .count()
+    }
+    assert(e.getMessage.contains("nBuckets"))
+  }
+
+  test("null-text docs fingerprint as empty string (replay-stable)") {
+    val idx = Files.createTempDirectory("inc-null").toString + "/index"
+    val b = Seq((5L, null.asInstanceOf[String]), (6L, ""))
+      .toDF("doc_id", "text")
+    // null and "" are mutual duplicates: one winner
+    assert(IncrementalDedup.acceptNovel(spark, b, "text", "doc_id", idx)
+      .select($"doc_id").as[Long].collect().toSeq == Seq(5L))
+    // replay returns nothing (a null fp would never equal itself and
+    // re-accept forever)
+    assert(IncrementalDedup.acceptNovel(spark, b, "text", "doc_id", idx)
+      .count() == 0)
+  }
+
   test("membership check prunes the index scan to touched buckets") {
     val idx = Files.createTempDirectory("inc-prune").toString + "/index"
     // seed an index spread over many buckets

@@ -46,6 +46,40 @@ class CanalAdapterSpec extends SparkSpec {
     assert(back(0).getAs[java.sql.Timestamp]("ts").getTime == 1700000001000L)
   }
 
+  test("corrupt canal payloads: fail default, skip drops, mark DLQs") {
+    val wire = Seq(
+      """{"id":1,"database":"shop","table":"items","gtid":["g:1"],""" +
+        """"isDdl":false,"type":"INSERT","es":1700000001000,""" +
+        """"data":[{"id":"1"}],"old":null}""",
+      "garbled {{{ not canal").toDF("value")
+    def run(mode: String) =
+      CanalAdapter.fromJson(wire, "value", onCorrupt = mode)
+    val e = intercept[Exception] { run("fail").collect() }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert((e.getMessage + rootMsg(e)).contains("canal"))
+    assert(run("skip").count() == 1)
+    val marked = run("mark").collect()
+    assert(marked.length == 2)
+    val dlq = marked.filter(_.getAs[String]("op") == "__corrupt__")
+    assert(dlq.length == 1)
+    assert(dlq(0).getAs[Map[String, String]]("after")("raw")
+      .contains("garbled"))
+  }
+
+  test("over-cap canal batches fail loudly (seq ranges would collide)") {
+    val rows = (0 until 5).map(i => s"""{"id":"$i"}""").mkString(",")
+    val wire = Seq(
+      s"""{"id":7,"database":"d","table":"t","gtid":["g"],"isDdl":false,""" +
+        s""""type":"INSERT","es":1,"data":[$rows],"old":null}""").toDF("value")
+    val e = intercept[Exception] {
+      CanalAdapter.fromJson(wire, "value", batchCap = 4).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert((e.getMessage + rootMsg(e)).contains("batchCap"))
+  }
+
   test("batched data arrays unbatch in order; DDL messages are excluded") {
     val wire = Seq(
       // one canal message carrying TWO rows
