@@ -209,6 +209,26 @@ object DedupQueries {
         .orderBy(col("group_id"))
     }),
 
+    // pluggable keeper POLICY: instead of min-id, keep the HIGHEST-
+    // QUALITY member of each dup group (ties -> lowest id) — argmax as
+    // one hash aggregate (max over a (quality, -id) struct), the same
+    // pattern as IVF cell assignment. What a real curation pipeline
+    // wants: dedup should keep the best copy, not the first crawled.
+    "dedup_group_keeper" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 3000)
+      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id")
+      val comp = Components.connectedComponents(pairs, "a", "b")
+      comp.join(d.select(col("doc_id").as("id"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("q")),
+          Seq("id"))
+        .groupBy(col("group_id"))
+        .agg(max(struct(col("q"), (-col("id")).as("nid"))).as("best"),
+          count(lit(1)).as("n_members"))
+        .select(col("group_id"), (-col("best.nid")).as("keeper_id"),
+          col("n_members"))
+        .orderBy(col("group_id"))
+    }),
+
     // batched model scoring (ops/BatchInfer): rows stream through the
     // "model" in bounded per-partition batches — the mapInPandas
     // inference shape, executor-side end to end. The stub model is
@@ -414,6 +434,20 @@ object DedupQueries {
         "comp AS (SELECT v AS id, MIN(r) AS group_id FROM reach GROUP BY v)\n" +
         "SELECT group_id, COUNT(*) AS n_members FROM comp\n" +
         "GROUP BY group_id ORDER BY group_id"),
+    "dedup_group_keeper" ->
+      ("WITH RECURSIVE " + jaccardPairsCte + ",\n" +
+        "comp AS (SELECT v AS id, MIN(r) AS group_id FROM reach GROUP BY v),\n" +
+        "q AS (SELECT doc_id AS id,\n" +
+        s"  CAST(len(list_filter($sqlToks, t -> t IN ('the','a','of','and','in'))) AS DOUBLE)\n" +
+        s"    / CAST(len($sqlToks) AS DOUBLE)\n" +
+        s"  + CASE WHEN len($sqlToks) BETWEEN 5 AND 500 THEN 1.0 ELSE 0.0 END AS q\n" +
+        "  FROM documents WHERE doc_id < 3000)\n" +
+        "SELECT group_id, keeper_id, n_members FROM (\n" +
+        "  SELECT c.group_id,\n" +
+        "    FIRST(c.id ORDER BY q.q DESC, c.id) AS keeper_id,\n" +
+        "    COUNT(*) AS n_members\n" +
+        "  FROM comp c JOIN q ON c.id = q.id GROUP BY c.group_id)\n" +
+        "ORDER BY group_id"),
     "pipe_batch_score" ->
       """SELECT doc_id,
         | CAST(n_chars % 97 AS DOUBLE) / 97.0 AS score

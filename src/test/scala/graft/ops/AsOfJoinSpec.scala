@@ -84,6 +84,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Seq("b"))
   }
 
+  test("broadcastAsOf enriches a STREAM (stream-static, no state store)") {
+    implicit val ctx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val right = Seq((1L, 10L, "v@10"), (1L, 30L, "v@30"))
+      .toDF("k", "rts", "v")
+    val enriched = AsOfJoin.broadcastAsOf(
+      mem.toDF().toDF("k", "ts", "name"), right, Seq("k"), "ts", "rts",
+      Seq("v"))
+    val q = enriched.writeStream.format("memory")
+      .queryName("asof_stream_out").outputMode("append").start()
+    mem.addData((1L, 20L, "e1"), (1L, 35L, "e2"), (2L, 5L, "e3"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("asof_stream_out")
+      .select($"name", $"v").as[(String, Option[String])].collect().toMap
+    assert(got == Map("e1" -> Some("v@10"), "e2" -> Some("v@30"),
+      "e3" -> None))
+  }
+
   test("payload name colliding with a left column is rejected") {
     val left = Seq((1L, 10L, "x")).toDF("k", "ts", "v")
     val right = Seq((1L, 5L, "y")).toDF("k", "rts", "v")

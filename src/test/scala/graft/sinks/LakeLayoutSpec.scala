@@ -62,6 +62,52 @@ class LakeLayoutSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // the read-side payoff of hive partitioning when the filter
+    // arrives through a JOIN instead of a literal predicate: Spark
+    // evaluates the filtered dim side first and injects its day set
+    // into the fact scan's partition filters (DPP)
+    val dir = Files.createTempDirectory("lake-dpp").toString
+    LakeLayout.write(events, dir, partCols = Seq("day"),
+      sortCols = Seq("user_id"))
+    val days = events.select("day").distinct().as[Long].collect().sorted
+    assert(days.length > 1)
+    // the dim must be SCAN-backed (a LocalRelation never triggers
+    // DPP's broadcast-reuse subquery) and its key typed exactly like
+    // the partition column — both facts worth pinning
+    val dimDir = Files.createTempDirectory("lake-dpp-dim").toString + "/dim"
+    days.map(d => (d, s"tag$d")).toSeq.toDF("day", "tag")
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+      .filter(col("tag") === s"tag${days.head}")
+    // size-based benefit estimation vetoes DPP at toy scale (the
+    // whole fact fits one partition's budget) — disable stats so the
+    // ratio heuristic applies, as it would at real fact sizes
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    val fact = spark.read.parquet(dir)
+    val joined = fact.join(dim, Seq("day"))
+    try joined.collect()
+    finally spark.conf.unset(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "fact scan must carry a dynamic pruning partition filter:\n" + plan)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leaves(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case qs: QueryStageExec => leaves(qs.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(leaves)
+    }
+    val factScan = leaves(joined.queryExecution.executedPlan)
+      .filter(_.metrics.contains("numFiles"))
+    assert(factScan.exists(_.metrics("numFiles").value == 1),
+      s"DPP should leave 1 of ${days.length} partition files: " +
+        factScan.map(_.metrics("numFiles").value).mkString(","))
+  }
+
   test("zValue interleaves bits in Morton order") {
     // x=3 (0b11), y=1 (0b01), 2 bits: positions x->0,2 y->1,3
     // => 0b0111 = 7
