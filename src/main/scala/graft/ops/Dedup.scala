@@ -201,6 +201,45 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) > 0L).as("contaminated"))
   }
 
+  /** Span-level (substring) duplication stats — the fine-grained
+    * dedup of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al. 2022), which removes repeated ~50-token
+    * SPANS rather than whole documents: boilerplate headers, license
+    * blocks and templated passages duplicate across otherwise-unique
+    * pages. Each document explodes into non-overlapping `width`-token
+    * windows ([[graft.functions.TextFunctions.chunks]] with
+    * stride=width: full coverage, partial tail kept); each span
+    * reduces to a 60-bit md5-derived hash, a span is "duplicated"
+    * when it occurs in more than one distinct document, and each doc
+    * gets its duplicated-span ratio — the score a curation pipeline
+    * thresholds on (or uses to excise just the repeated spans).
+    *
+    * Scale shape: documents explode to (doc, span-hash) rows — the
+    * 64-bit hash shuffles, never the span text (suffix-array exact
+    * substring matching is not expressible as a dataflow; fixed
+    * windows are the standard distributed approximation). One hash
+    * aggregate builds the span→distinct-doc-count table, one
+    * equi-join + hash aggregate scores the docs; both map-side
+    * combine, nothing is pairwise-quadratic in the corpus.
+    */
+  def spanDupStats(df: DataFrame, textCol: String, idCol: String,
+      width: Int = 10): DataFrame = {
+    import graft.functions.TextFunctions.{chunks, tokenHash}
+    val spans = df
+      .select(col(idCol).as("id"),
+        explode(chunks(col(textCol), width, width)).as("span"))
+      .select(col("id"), tokenHash(col("span")).as("sh"))
+    val freq = spans.groupBy(col("sh"))
+      .agg(countDistinct(col("id")).as("nd"))
+    spans.join(freq, Seq("sh"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") > 1L, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+          .as("dup_ratio"))
+  }
+
   /** Cell-bucketed semantic dedup (the SemDeDup shape): assign every
     * vector to its nearest-centroid cell (Similarity.cellAssign —
     * one broadcast + one hash-agg argmax), then compare pairs ONLY

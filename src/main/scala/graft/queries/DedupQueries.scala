@@ -229,6 +229,15 @@ object DedupQueries {
         .orderBy(col("group_id"))
     }),
 
+    // span-level (substring) duplication stats — Lee et al. 2022:
+    // boilerplate/templated SPANS duplicate across otherwise-unique
+    // docs, so curation scores span-duplication, not just whole-doc
+    // identity. Linear explode → 64-bit-hash shuffles → two hash
+    // aggregates; no pairwise candidate space at all.
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.spanDupStats(docs(s, dir), "text", "doc_id")
+        .orderBy(col("id"))),
+
     // batched model scoring (ops/BatchInfer): rows stream through the
     // "model" in bounded per-partition batches — the mapInPandas
     // inference shape, executor-side end to end. The stub model is
@@ -448,6 +457,21 @@ object DedupQueries {
         "    COUNT(*) AS n_members\n" +
         "  FROM comp c JOIN q ON c.id = q.id GROUP BY c.group_id)\n" +
         "ORDER BY group_id"),
+    "dedup_spans" ->
+      (s"WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),\n" +
+        "e AS (SELECT doc_id, toks,\n" +
+        "  unnest(range(0, greatest(CAST(ceil((len(toks) - 10) / 10.0)\n" +
+        "    AS BIGINT), 0) + 1)) AS i FROM t),\n" +
+        "s AS (SELECT doc_id, CAST(concat('0x', substring(\n" +
+        "    md5(array_to_string(toks[i*10+1 : i*10+10], ' ')), 1, 15))\n" +
+        "    AS BIGINT) AS sh FROM e),\n" +
+        "g AS (SELECT sh, COUNT(DISTINCT doc_id) AS nd FROM s GROUP BY sh)\n" +
+        "SELECT s.doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_spans,\n" +
+        "  CAST(SUM(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)\n" +
+        "    AS n_dup_spans,\n" +
+        "  CAST(SUM(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)\n" +
+        "    / CAST(COUNT(*) AS DOUBLE) AS dup_ratio\n" +
+        "FROM s JOIN g USING (sh) GROUP BY s.doc_id ORDER BY id"),
     "pipe_batch_score" ->
       """SELECT doc_id,
         | CAST(n_chars % 97 AS DOUBLE) / 97.0 AS score

@@ -114,6 +114,25 @@ class DedupSpec extends SparkSpec {
       cellPairs.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("span dup stats: shared spans flagged, unique spans not") {
+    // width=3 spans; docs 1 and 2 share their first 3-token span
+    // ("a b c"); doc 3 is entirely unique. Doc 1 has a partial tail
+    // span ("x" alone) — counted as a span (full coverage).
+    val d = Seq(
+      (1L, "a b c x"),          // spans: [a b c], [x]
+      (2L, "a b c"),            // spans: [a b c]
+      (3L, "p q r s t u")       // spans: [p q r], [s t u]
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDupStats(d, "text", "doc_id", width = 3)
+      .orderBy($"id")
+      .select($"id", $"n_spans", $"n_dup_spans", $"dup_ratio")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, 0.5),
+      (2L, 1L, 1L, 1.0),
+      (3L, 2L, 0L, 0.0)))
+  }
+
   test("embedding cosine pairs find planted near-dup") {
     val vs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
