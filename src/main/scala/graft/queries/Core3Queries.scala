@@ -302,7 +302,71 @@ object Core3Queries {
             regexp_replace(col("dirty"),
               "[a-z0-9._]+@[a-z0-9.-]+", "[EMAIL]"),
             "[0-9]{3}-[0-9]{4}", "[PHONE]").as("clean"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ≙ TPC-H Q15: top supplier(s) by quarterly revenue — a global
+    // scalar subquery (max over an aggregate) gating the aggregate
+    // itself. Revenue stays EXACT decimal through the max comparison
+    // (double revenue would make "= max" partitioning-dependent);
+    // the 1-row max frame broadcasts; nothing data-proportional is
+    // hinted.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1.0).cast(F) - discF))
+          .as("rev_d"))
+      val mx = rev.agg(max(col("rev_d")).as("mx"))
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))
+      rev.join(broadcast(mx), col("rev_d") === col("mx"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_d").cast("double").as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ≙ TPC-H Q22 shape: per-nation count/balance of rich-but-idle
+    // customers — a global scalar threshold (avg positive balance,
+    // computed as exact-decimal sum / count so the double threshold
+    // is partitioning-independent) + an anti join against orders.
+    // The 1-row threshold broadcasts; the anti join shuffles on
+    // custkey (orders grows with the data — no broadcast).
+    "q22_idle_balance" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_nationkey").isin(1L, 2L, 3L))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val thr = c.filter(col("c_acctbal") > 0.0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("t"))
+      c.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("t"))
+        .join(Tables.load(s, dir, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // ≙ TPC-H Q13: orders-per-customer distribution — two-level
+    // aggregate where the FIRST keeps zero-order customers via a
+    // left join whose filter lives in the join condition (a WHERE
+    // would delete the zeros). Both aggregates map-side combine;
+    // the second one's key space is tiny (distinct counts).
+    "q13_order_distribution" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .select(col("o_custkey"), col("o_orderkey"))
+      val per = Tables.load(s, dir, "customer").select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      per.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -427,6 +491,43 @@ object Core3Queries {
         |       || ' re: ' || substring(text, 1, 40),
         |     '[a-z0-9._]+@[a-z0-9.-]+', '[EMAIL]', 'g'),
         |   '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS clean
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    SUM($sqlPrice * (CAST(1 AS DECIMAL(4,2)) - $sqlDiscF)) AS rev_d
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rev_d = (SELECT MAX(rev_d) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q22_idle_balance" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal
+        |  FROM customer WHERE c_nationkey IN (1, 2, 3)),
+        |thr AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |           / COUNT(*) AS t
+        |  FROM c WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, COUNT(*) AS n_custs,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM c, thr
+        |WHERE c_acctbal > t
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+        |             WHERE o_orderpriority <> '5-LOW') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin
   )
 }

@@ -60,6 +60,32 @@ object LakeLayout {
       .parquet(path)
   }
 
+  /** Register `df` as an EXTERNAL hash-bucketed table (`buckets`
+    * buckets on `bucketCols`, optionally sorted by `sortCols` within
+    * each bucket file).
+    *
+    * Bucketing is the amortized pre-shuffle: two tables bucketed the
+    * same way (same columns, same bucket count) join with NO Exchange
+    * on either side — the scan's output partitioning already matches
+    * the join keys. At 100 TB the recurring fact-fact join (lineitem
+    * ⋈ orders) is THE dominant shuffle; bucketing pays it once at
+    * write time instead of on every query. The reference has no
+    * storage-layout control at all; this is the Spark-native path
+    * (DataFrameWriter.bucketBy + the catalog's bucket-aware scan
+    * planning — plain parquet files, no table-format dependency).
+    * BucketedJoinSpec proves the exchange-free plan.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      buckets: Int, bucketCols: Seq[String],
+      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
+    require(buckets > 0, "need a positive bucket count")
+    val w = df.write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).format("parquet").saveAsTable(table)
+  }
+
   /** Bit-interleaved z-value over non-negative integral columns: bit
     * b of column i lands at position b·n+i, so a sort by the result
     * clusters ALL dimensions at once (Morton order) — range filters

@@ -14,6 +14,10 @@ object TestSpark {
       .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
+    // bucketed-table tests register external tables; keep catalog
+    // metadata out of the repo tree
+    .config("spark.sql.warehouse.dir",
+      System.getProperty("java.io.tmpdir") + "/graft-test-warehouse")
     .getOrCreate()
 
   val sfDir = "/root/testdata/sf0.001"
