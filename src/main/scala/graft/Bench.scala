@@ -96,16 +96,26 @@ object Bench {
       System.err.println(s"cdc throughput bench failed: $e")
       (0L, -1.0)
     }
-    // 3-decimal rendering keeps the whole JSON line well inside the
-    // driver's tail-parse window (9-decimal doubles overflowed it in
-    // rounds 1-2 → "parsed": null)
+    // The driver tail-parses the LAST 2000 stdout chars (measured from
+    // BENCH_r02.json's "tail" field). A 100+-entry per-query map is
+    // ~2800 chars and truncates the line start → "parsed": null in
+    // rounds 1-2. So: 3-decimal rendering AND only a headline subset
+    // in "queries" (total/value still sums EVERY declared query).
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val headline = Seq(
+      "q1_pricing_summary", "q3_segment_topk", "q5_region_nation_revenue",
+      "q6_revenue_forecast", "q18_large_orders", "q_asof_join",
+      "q_window_running_total", "q_topk_orders", "cdc_compact_agg",
+      "cdc_kafka_json_format", "dedup_exact", "dedup_minhash_lsh",
+      "dedup_ngram_jaccard", "dedup_simhash", "ann_bruteforce_topk",
+      "ann_ivf_topk", "ann_pq_topk", "text_quality", "pipe_training_prep",
+      "multimodal_meta")
+    val qs = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""cdc_rows":$cdcRows,"cdc_rows_per_sec":${fmt(cdcRowsPerSec)},""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":$qs,"cdc_rows":$cdcRows,"cdc_rows_per_sec":${fmt(cdcRowsPerSec)},""" +
         s""""sf":"$sfDir"}"""
     spark.stop()
     // the JSON line is the LAST stdout line (after spark shutdown) so

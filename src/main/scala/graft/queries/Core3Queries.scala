@@ -330,19 +330,25 @@ object Core3Queries {
     // ≙ TPC-H Q22 shape: per-nation count/balance of rich-but-idle
     // customers — a global scalar threshold (avg positive balance,
     // computed as exact-decimal sum / count so the double threshold
-    // is partitioning-independent) + an anti join against orders.
+    // is partitioning-independent) + an anti join against RECENT
+    // orders ("idle" = nothing since 2000 — in this testdata every
+    // customer has SOME order, so the official "no orders at all"
+    // predicate is vacuously empty; the date filter restores the
+    // selectivity the official query gets from its 7-year window).
     // The 1-row threshold broadcasts; the anti join shuffles on
-    // custkey (orders grows with the data — no broadcast).
+    // custkey (orders grows with the data — no broadcast); the date
+    // filter is pushed to the orders scan before the shuffle.
     "q22_idle_balance" -> ((s, dir) => {
       val c = Tables.load(s, dir, "customer")
-        .filter(col("c_nationkey").isin(1L, 2L, 3L))
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
       val thr = c.filter(col("c_acctbal") > 0.0)
         .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
           .as("t"))
       c.crossJoin(broadcast(thr))
         .filter(col("c_acctbal") > col("t"))
-        .join(Tables.load(s, dir, "orders").select(col("o_custkey")),
+        .join(Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_custs"),
@@ -506,8 +512,7 @@ object Core3Queries {
          |ORDER BY s_suppkey""".stripMargin,
     "q22_idle_balance" ->
       """WITH c AS (
-        |  SELECT c_custkey, c_nationkey, c_acctbal
-        |  FROM customer WHERE c_nationkey IN (1, 2, 3)),
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer),
         |thr AS (
         |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
         |           / COUNT(*) AS t
@@ -516,7 +521,9 @@ object Core3Queries {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM c, thr
         |WHERE c_acctbal > t
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q13_order_distribution" ->
       """SELECT c_count, COUNT(*) AS custdist

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Fourth query batch: the remaining classic TPC-H shapes expressible
+  * over the driver testdata (no partsupp table exists, so Q2/Q9/Q11/
+  * Q16/Q20 are out of reach): Q7 two-nation volume shipping, Q8
+  * market share, Q17 small-quantity average (correlated scalar avg),
+  * Q19 disjunctive predicate pushdown, Q21 multi-EXISTS.
+  *
+  * Same decimal discipline as CoreQueries: exact DECIMAL aggregation
+  * (associativity-proof under any shuffle order — double sums would
+  * be partitioning-dependent and never hash-match the oracle), one
+  * final cast to DOUBLE (IEEE-nearest in both engines).
+  */
+object Core4Queries {
+  private val D = DecimalType(18, 2)
+  private val F = DecimalType(4, 2)
+  private def dec(c: Column): Column = c.cast(D)
+  private def discF: Column = col("l_discount").cast(F)
+  private def volume: Column = dec(col("l_extendedprice")) *
+    (lit(1.0).cast(F) - discF)
+
+  private val sqlPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
+  private val sqlDiscF = "CAST(l_discount AS DECIMAL(4,2))"
+  private val sqlVolume = s"$sqlPrice * (CAST(1 AS DECIMAL(4,2)) - $sqlDiscF)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ≙ TPC-H Q7: volume shipped between two nations, both
+    // directions, by year. Nation (25 rows) broadcasts into supplier
+    // and customer; the nation FILTER then cuts both to 2/25 BEFORE
+    // any fact joins — AQE sizes those shrunken sides at runtime (no
+    // explicit broadcast hint: supplier/customer grow with the data).
+    // The only full-fact shuffles are lineitem⨝supplier-lines and
+    // lineitem⨝orders on their natural keys.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val nat = Tables.load(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_12", "NATION_19"))
+      val sup = Tables.load(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.load(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"), volume.as("vol_d"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      li.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_12" &&
+            col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" &&
+            col("cust_nation") === "NATION_12"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("vol_d")).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // ≙ TPC-H Q8: one nation's market share inside one region's
+    // customer demand, by order year. Numerator (CASE-gated) and
+    // denominator aggregate EXACTLY in decimal; the single final
+    // double division is IEEE-identical in both engines. Region →
+    // nation → customer prunes the order side early; the p_type
+    // filter prunes lineitem via the part join.
+    "q8_market_share" -> ((s, dir) => {
+      val pa = Tables.load(s, dir, "part")
+        .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+      val supN = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custR = Tables.load(s, dir, "customer")
+        .join(broadcast(Tables.load(s, dir, "nation")
+            .join(Tables.load(s, dir, "region"),
+              col("n_regionkey") === col("r_regionkey"))
+            .filter(col("r_name") === "AMERICA")
+            .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(custR, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          volume.as("vol_d"))
+        .join(pa, col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", col("vol_d"))
+            .otherwise(lit(0).cast(D))).as("nation_vol_d"),
+          sum(col("vol_d")).as("total_vol_d"))
+        .select(col("o_year"),
+          (col("nation_vol_d").cast("double") /
+            col("total_vol_d").cast("double")).as("mkt_share"),
+          col("total_vol_d").cast("double").as("total_volume"))
+        .orderBy(col("o_year"))
+    }),
+
+    // ≙ TPC-H Q17: revenue from small-quantity lines of one brand's
+    // small parts, where "small quantity" is a correlated per-part
+    // scalar (0.2 × that part's average quantity). Aggregate-then-
+    // join-back (q18's shape): the per-part avg map-side combines,
+    // and both the agg and the join share the l_partkey shuffle (one
+    // exchange, reused). The threshold double derives from an EXACT
+    // decimal sum, so it is partitioning-independent on both engines.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val pa = Tables.load(s, dir, "part")
+        .filter(col("p_brand") === "Brand#1" && col("p_size") <= 10)
+        .select(col("p_partkey"))
+      val j = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(pa, col("l_partkey") === col("p_partkey"), "left_semi")
+      val thr = j.groupBy(col("l_partkey"))
+        .agg(((sum(dec(col("l_quantity"))).cast("double") /
+          count(lit(1))) * 0.2).as("thr"))
+      j.join(thr, Seq("l_partkey"))
+        .filter(col("l_quantity") < col("thr"))
+        .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0)
+          .as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // ≙ TPC-H Q19: disjunction of (brand, size-band, quantity-band)
+    // conjuncts across the part join. Catalyst's CNF conversion
+    // extracts the part-only disjunction (brand/size) and pushes it
+    // to the part SCAN, and likewise the quantity disjunction to
+    // lineitem — the join no longer sees either table unfiltered
+    // (PlanShapeSpec pins the pushdown).
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), volume.as("vol_d"))
+      val pa = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      li.join(pa, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(col("vol_d")).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // ≙ TPC-H Q21 shape (adapted: no receipt/commit dates in the
+    // testdata — "late" = shipped >90 days after the order date):
+    // suppliers who were the ONLY late shipper in a multi-supplier
+    // finished order. EXISTS/NOT-EXISTS become left-semi/left-anti
+    // joins on the orderkey with a suppkey-inequality condition; the
+    // `late` frame feeds both the probe and the anti side, and the
+    // identical subtrees share one shuffle via ReuseExchange (no
+    // cache — at 100 TB a cache of a fact-sized frame is the bug).
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val ordF = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      def late: DataFrame = li
+        .join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = li.select(col("l_orderkey").as("o2_orderkey"),
+        col("l_suppkey").as("o2_suppkey"))
+      val lateOthers = late.select(col("l_orderkey").as("o3_orderkey"),
+        col("l_suppkey").as("o3_suppkey"))
+      late
+        .join(others,
+          col("l_orderkey") === col("o2_orderkey") &&
+            col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+        .join(lateOthers,
+          col("l_orderkey") === col("o3_orderkey") &&
+            col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+        .join(Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  CAST(SUM($sqlVolume) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_19') OR
+         |       (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_12'))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      s"""WITH flat AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    $sqlVolume AS vol_d,
+         |    (SELECT n_name FROM nation
+         |     WHERE n_nationkey = s_nationkey) AS supp_nation
+         |  FROM lineitem
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  WHERE l_partkey IN (SELECT p_partkey FROM part
+         |                      WHERE p_type = 'PROMO')
+         |    AND o_custkey IN (
+         |      SELECT c_custkey FROM customer
+         |      JOIN nation ON c_nationkey = n_nationkey
+         |      JOIN region ON n_regionkey = r_regionkey
+         |      WHERE r_name = 'AMERICA')
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01')
+         |SELECT o_year,
+         |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_d
+         |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+         |    CAST(SUM(vol_d) AS DOUBLE) AS mkt_share,
+         |  CAST(SUM(vol_d) AS DOUBLE) AS total_volume
+         |FROM flat GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q17_small_qty_revenue" ->
+      s"""WITH j AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem
+         |  WHERE l_partkey IN (SELECT p_partkey FROM part
+         |                      WHERE p_brand = 'Brand#1' AND p_size <= 10)),
+         |a AS (
+         |  SELECT l_partkey,
+         |    (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) /
+         |     COUNT(*)) * 0.2 AS thr
+         |  FROM j GROUP BY l_partkey)
+         |SELECT CAST(SUM($sqlPrice) AS DOUBLE) / 7.0 AS avg_yearly,
+         |  COUNT(*) AS n_lines
+         |FROM j JOIN a USING (l_partkey)
+         |WHERE l_quantity < thr""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      s"""SELECT CAST(SUM($sqlVolume) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+  )
+}

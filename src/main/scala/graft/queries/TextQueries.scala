@@ -33,6 +33,15 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // exact heavy hitters via two-pass Misra-Gries: bounded candidate
+    // sketches per partition, then exact counts over candidates only —
+    // the 100 TB substitute for the full-vocabulary wordcount shuffle.
+    // Pass B makes the output EXACT, so the oracle is plain
+    // wordcount + integer threshold.
+    "text_heavy_hitters" -> ((s, dir) =>
+      graft.ops.HeavyHitters.heavyHitters(
+        docs(s, dir), TextFunctions.tokens(col("text")), den = 500)),
+
     // token counting + quality-signal ratios (ints + IEEE-exact
     // double divisions)
     "text_token_stats" -> ((s, dir) =>
@@ -251,6 +260,13 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($sqlToks) AS term FROM documents),
+         |tot AS (SELECT COUNT(*) AS total FROM tok)
+         |SELECT term, COUNT(*) AS n, (SELECT total FROM tot) AS total
+         |FROM tok GROUP BY term
+         |HAVING COUNT(*) * 500 > (SELECT total FROM tot)
+         |ORDER BY n DESC, term""".stripMargin,
     "text_tfidf_top_terms" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($sqlToks) AS term
