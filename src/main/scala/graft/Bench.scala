@@ -113,6 +113,14 @@ object Bench {
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // local profiling aid: full per-query timings to a file (the
+    // stdout line stays headline-only for the driver's tail window)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
+      val full = results.toSeq.sortBy(-_._2)
+        .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        full.getBytes("UTF-8"))
+    }
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""queries":$qs,"cdc_rows":$cdcRows,"cdc_rows_per_sec":${fmt(cdcRowsPerSec)},""" +

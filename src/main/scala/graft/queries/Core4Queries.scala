@@ -115,10 +115,11 @@ object Core4Queries {
     // ≙ TPC-H Q17: revenue from small-quantity lines of one brand's
     // small parts, where "small quantity" is a correlated per-part
     // scalar (0.2 × that part's average quantity). Aggregate-then-
-    // join-back (q18's shape): the per-part avg map-side combines,
-    // and both the agg and the join share the l_partkey shuffle (one
-    // exchange, reused). The threshold double derives from an EXACT
-    // decimal sum, so it is partitioning-independent on both engines.
+    // join-back (q18's shape): the part semi-join prunes lineitem
+    // FIRST, so the per-part avg (map-side combined) and the final
+    // filter both run over the pruned fact only. The threshold double
+    // derives from an EXACT decimal sum, so it is partitioning-
+    // independent on both engines.
     "q17_small_qty_revenue" -> ((s, dir) => {
       val pa = Tables.load(s, dir, "part")
         .filter(col("p_brand") === "Brand#1" && col("p_size") <= 10)

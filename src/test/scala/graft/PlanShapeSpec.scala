@@ -218,4 +218,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Left keys [1]: [cell"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q19: each side's disjunction is pushed to its own scan") {
+    // OR-of-ANDs across a join: Catalyst's CNF extraction must push
+    // the quantity-only disjunction into the lineitem scan and the
+    // brand/size disjunction into the part scan — without this, both
+    // tables stream unfiltered into the join at 100 TB.
+    val p = plan("q19_disjunctive_revenue")
+    val liScan = p.linesIterator.dropWhile(!_.contains("lineitem.parquet"))
+      .take(3).mkString("\n")
+    val paScan = p.linesIterator.dropWhile(!_.contains("part.parquet"))
+      .take(3).mkString("\n")
+    // the scan block order is Location → PushedFilters → ReadSchema
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"quantity disjunction must reach the lineitem scan:\n$p")
+    assert(p.contains("EqualTo(p_brand,Brand#1)"),
+      s"brand/size disjunction must reach the part scan:\n$p")
+    assert(liScan.nonEmpty && paScan.nonEmpty, p)
+  }
+
+  test("q21: top-k suppliers via TakeOrderedAndProject; anti join keyed") {
+    val p = plan("q21_waiting_supplier")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_heavy_hitters: candidates broadcast; exact pass semi-joins") {
+    // Pass B must probe the bounded candidate set with a broadcast
+    // semi join (shuffling the token stream against candidates would
+    // re-create the full-vocabulary exchange the op exists to avoid)
+    val p = plan("text_heavy_hitters")
+    val semiIdx = p.indexOf("BroadcastHashJoin LeftSemi")
+    assert(semiIdx >= 0, s"expected broadcast semi join on candidates:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"expected the Misra-Gries candidate stage:\n$p")
+  }
 }
