@@ -248,6 +248,24 @@ object CdcQueries {
         .agg(sum(col("new_sess")).as("n_sessions"),
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
+    }),
+
+    // SCD-2 history build (operators/Scd2): the version-interval
+    // table the as-of join probes, derived from the same CDC stream
+    // the reference compacts into latest-row-only targets. One
+    // key shuffle + one sort; error events play the delete role.
+    "cdc_scd2_build" -> ((s, dir) => {
+      // µs granularity: DuckDB truncates ns parquet timestamps to µs
+      // on read, so ns-exact intervals can never hash-match — µs is
+      // the finest cross-engine-stable unit (integer div is exact)
+      val ev = events(s, dir).select(
+        col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsu"), col("value"),
+        when(col("event_type") === "error", "delete")
+          .otherwise("insert").as("op"))
+      graft.operators.Scd2.build(ev, keys = Seq("user_id"),
+        tsCol = "tsu", seqCol = "event_id", payload = Seq("value"))
+        .orderBy(col("user_id"), col("event_id"))
     })
   )
 
@@ -367,6 +385,21 @@ object CdcQueries {
         |          lag(ts) OVER (PARTITION BY user_id
         |            ORDER BY ts, event_id) AS prev_ts
         |        FROM events) x) y
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "cdc_scd2_build" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value,
+        |    CASE WHEN event_type = 'error' THEN 'delete'
+        |         ELSE 'insert' END AS op
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, event_id, value, op, tsu AS valid_from,
+        |    lead(tsu) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS valid_to
+        |  FROM e)
+        |SELECT user_id, event_id, value, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM v WHERE op <> 'delete'
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }

@@ -161,6 +161,35 @@ object DedupQueries {
         .orderBy(col("lang"))
     }),
 
+    // temperature-based source mixing (the Gopher/LLaMA data-mix
+    // shape): subsample each source at rate ∝ n_s^(α-1), α = 0.5, so
+    // kept counts ∝ √n_s — the corpus flattens toward uniform across
+    // sources without any source being dropped. The per-source rate
+    // derives from two bounded aggregates (counts + global min); the
+    // keep decision is a deterministic md5 bucket against an integer
+    // ppm threshold — replayable, and exact in any engine (÷ and √
+    // are correctly-rounded IEEE ops, then floor to an integer).
+    "pipe_source_mix" -> ((s, dir) => {
+      val counts = docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val mn = counts.agg(min(col("n_docs")).as("min_docs"))
+      val rates = counts.crossJoin(broadcast(mn))
+        .select(col("source"), col("n_docs"),
+          floor(lit(1000000.0) * sqrt(
+            col("min_docs").cast("double") / col("n_docs").cast("double")))
+            .as("rate_ppm"))
+      val bk = graft.functions.TextFunctions
+        .hashBucket(col("doc_id"), 1000000)
+      docs(s, dir).select(col("source"), col("doc_id"), bk.as("bk"))
+        .join(broadcast(rates), Seq("source"))
+        .groupBy(col("source"))
+        .agg(max(col("n_docs")).as("n_docs"),
+          max(col("rate_ppm")).as("rate_ppm"),
+          sum(when(col("bk") < col("rate_ppm"), 1L).otherwise(0L))
+            .as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // embedding-cosine near-dup pairs (≥ 0.35), bounded query side
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(
@@ -431,6 +460,27 @@ object DedupQueries {
         |                 OR (lang <> 'en' AND bk < 50)
         |               THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
+    "pipe_source_mix" ->
+      """WITH counts AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |mn AS (SELECT MIN(n_docs) AS min_docs FROM counts),
+        |rates AS (
+        |  SELECT source, n_docs,
+        |    CAST(floor(1000000.0 * sqrt(
+        |      CAST(min_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+        |      AS BIGINT) AS rate_ppm
+        |  FROM counts, mn),
+        |b AS (
+        |  SELECT source,
+        |    CAST(concat('0x', substring(
+        |      md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 1000000 AS bk
+        |  FROM documents)
+        |SELECT b.source, MAX(n_docs) AS n_docs, MAX(rate_ppm) AS rate_ppm,
+        |  CAST(SUM(CASE WHEN bk < rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept
+        |FROM b JOIN rates ON b.source = rates.source
+        |GROUP BY b.source ORDER BY b.source""".stripMargin,
     // NOTE: concatenation, not an interpolated stripMargin — the CTE
     // body contains SQL `||` at line starts, which a second
     // stripMargin would corrupt.
