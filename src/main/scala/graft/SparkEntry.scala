@@ -24,7 +24,7 @@ object SparkEntry {
     * extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ Core2Queries.queries ++ Core3Queries.queries ++
-      Core4Queries.queries ++
+      Core4Queries.queries ++ Core5Queries.queries ++
       CdcQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries
 
@@ -32,7 +32,7 @@ object SparkEntry {
     * on the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ Core2Queries.oracle ++ Core3Queries.oracle ++
-      Core4Queries.oracle ++
+      Core4Queries.oracle ++ Core5Queries.oracle ++
       CdcQueries.oracle ++ TextQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle
 }

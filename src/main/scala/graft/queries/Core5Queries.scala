@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Fifth query batch: the five TPC-H queries whose official form
+  * needs the partsupp table (Q2, Q9, Q11, Q16, Q20). The driver
+  * testdata has no partsupp, so both engines DERIVE the same one:
+  *
+  *   - pairs   = DISTINCT (l_partkey, l_suppkey) from lineitem —
+  *               every lineitem joins it by construction;
+  *   - ps_supplycost = ((p·31 + s·17) mod 90000)·0.01 + 100, kept
+  *               EXACT: integer cents × DECIMAL(4,2) 0.01 — no FP;
+  *   - ps_availqty   = (p·7 + s·3) mod 9999 + 1 (integer).
+  *
+  * Pure key arithmetic, so Spark and DuckDB construct bit-identical
+  * relations and every query below remains hash-checkable. With
+  * these, all 22 TPC-H query shapes are covered (1,3-8,10,12-15,
+  * 17-19,21,22 in earlier batches).
+  */
+object Core5Queries {
+  private val D = DecimalType(18, 2)
+  private val F = DecimalType(4, 2)
+  private def dec(c: Column): Column = c.cast(D)
+  private def discF: Column = col("l_discount").cast(F)
+
+  private val sqlPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
+  private val sqlDiscF = "CAST(l_discount AS DECIMAL(4,2))"
+  private val sqlVolume = s"$sqlPrice * (CAST(1 AS DECIMAL(4,2)) - $sqlDiscF)"
+
+  /** Derived partsupp (see object doc). The distinct is one shuffle
+    * on the pair key; cost/qty are scan-stage arithmetic. */
+  private def partsupp(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_supplycost",
+        pmod(col("ps_partkey") * 31 + col("ps_suppkey") * 17, lit(90000L))
+          .cast(DecimalType(18, 0)) * lit(0.01).cast(F) +
+          lit(100).cast(DecimalType(5, 2)))
+      .withColumn("ps_availqty",
+        pmod(col("ps_partkey") * 7 + col("ps_suppkey") * 3, lit(9999L)) + 1)
+
+  /** The oracle-side construction of the same relation. */
+  private val sqlPartsupp =
+    """psraw AS (
+      |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      |  FROM lineitem),
+      |partsupp AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    CAST((ps_partkey*31 + ps_suppkey*17) % 90000 AS DECIMAL(18,0))
+      |      * CAST(0.01 AS DECIMAL(4,2))
+      |      + CAST(100 AS DECIMAL(5,2)) AS ps_supplycost,
+      |    (ps_partkey*7 + ps_suppkey*3) % 9999 + 1 AS ps_availqty
+      |  FROM psraw)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ≙ TPC-H Q2: cheapest EUROPE supplier per qualifying part — a
+    // per-part MIN over a filtered partsupp, joined back on
+    // (part, cost = min). The regional supplier side is built ONCE
+    // and feeds both the min aggregate and the final join (same
+    // subtree → one computation under exchange reuse; no cache: the
+    // frame grows with the data). Nation/region broadcast; the
+    // aggregate map-side combines on ps_partkey.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val eurSupp = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+            .join(Tables.load(s, dir, "region"),
+              col("n_regionkey") === col("r_regionkey"))
+            .filter(col("r_name") === "EUROPE")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val regional = partsupp(s, dir)
+        .join(eurSupp, col("ps_suppkey") === col("s_suppkey"))
+      val minCost = regional.groupBy(col("ps_partkey"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+        .withColumnRenamed("ps_partkey", "mc_partkey")
+      val pa = Tables.load(s, dir, "part")
+        .filter(col("p_type") === "STANDARD" && col("p_size") <= 15)
+        .select(col("p_partkey"), col("p_name"))
+      regional
+        .join(minCost, col("ps_partkey") === col("mc_partkey") &&
+          col("ps_supplycost") === col("min_cost"))
+        .join(pa, col("ps_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"),
+          col("ps_supplycost").cast("double").as("supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // ≙ TPC-H Q9: product-line profit by supplier nation and order
+    // year. amount = volume − cost·qty stays EXACT decimal until the
+    // final cast; the p_name filter prunes part (and through the
+    // join, lineitem) before the fact-fact joins; nation broadcasts.
+    "q9_product_profit" -> ((s, dir) => {
+      val pa = Tables.load(s, dir, "part")
+        .filter(col("p_name").contains("red")).select(col("p_partkey"))
+      val supN = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      Tables.load(s, dir, "lineitem")
+        .join(pa, col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(partsupp(s, dir),
+          col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("nation"), col("o_year"),
+          (dec(col("l_extendedprice")) * (lit(1.0).cast(F) - discF) -
+            col("ps_supplycost") * col("l_quantity").cast(DecimalType(12, 2)))
+            .as("amount"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(sum(col("amount")).cast("double").as("sum_profit"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("nation"), col("o_year"))
+    }),
+
+    // ≙ TPC-H Q11: parts whose stock value at one nation's suppliers
+    // exceeds 1/10000 of that nation's total stock value. The global
+    // total is a 1-row broadcast; the threshold comparison is kept
+    // EXACT by integer-scaling the part sum (sum·10000 > total)
+    // instead of multiplying the total by a double fraction.
+    "q11_important_stock" -> ((s, dir) => {
+      val natSupp = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+            .filter(col("n_name") === "NATION_3")
+            .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val stock = partsupp(s, dir)
+        .join(natSupp, col("ps_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("ps_partkey"),
+          (col("ps_supplycost") * col("ps_availqty").cast(DecimalType(10, 0)))
+            .as("value_d"))
+      val total = stock.agg(sum(col("value_d")).as("total_d"))
+      stock.groupBy(col("ps_partkey"))
+        .agg(sum(col("value_d")).as("part_value_d"))
+        .crossJoin(broadcast(total))
+        .filter(col("part_value_d") * 10000 > col("total_d"))
+        .select(col("ps_partkey"),
+          col("part_value_d").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("ps_partkey"))
+    }),
+
+    // ≙ TPC-H Q16: how many suppliers can deliver each (brand, type,
+    // size) combination, excluding one brand and negative-balance
+    // suppliers (the stand-in for the official complaint filter —
+    // the testdata has no comment column). count(DISTINCT) shuffles
+    // (group, suppkey) once then dedups in the aggregate.
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val badSupp = Tables.load(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+      val pa = Tables.load(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "SMALL" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))
+      partsupp(s, dir)
+        .join(badSupp, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(pa, col("ps_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // ≙ TPC-H Q20: suppliers of 'red' parts holding excess stock —
+    // availqty above half of what they actually shipped in 1997.
+    // The half-comparison is exact (2·availqty > decimal qty sum);
+    // shipped quantities aggregate per (part, supplier) with map-side
+    // combine before joining partsupp on the SAME pair key — at scale
+    // the two shuffles share the (partkey, suppkey) partitioning.
+    "q20_excess_stock" -> ((s, dir) => {
+      val redParts = Tables.load(s, dir, "part")
+        .filter(col("p_name").startsWith("red"))
+        .select(col("p_partkey"))
+      val shipped = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec(col("l_quantity"))).as("shipped_qty"))
+      val excess = partsupp(s, dir)
+        .join(redParts, col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter((col("ps_availqty") * 2).cast(D) > col("shipped_qty"))
+        .select(col("ps_suppkey")).distinct()
+      Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+            .filter(col("n_name").isin("NATION_3", "NATION_8", "NATION_12"))
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy(col("s_suppkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q2_min_cost_supplier" ->
+      s"""WITH $sqlPartsupp,
+         |eur AS (
+         |  SELECT s_suppkey, s_name, s_acctbal, n_name
+         |  FROM supplier
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE'),
+         |regional AS (
+         |  SELECT * FROM partsupp JOIN eur ON ps_suppkey = s_suppkey),
+         |mc AS (
+         |  SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+         |  FROM regional GROUP BY ps_partkey)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+         |  CAST(ps_supplycost AS DOUBLE) AS supplycost
+         |FROM regional
+         |JOIN mc ON regional.ps_partkey = mc.ps_partkey
+         |       AND ps_supplycost = min_cost
+         |JOIN part ON regional.ps_partkey = p_partkey
+         |WHERE p_type = 'STANDARD' AND p_size <= 15
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin,
+    "q9_product_profit" ->
+      s"""WITH $sqlPartsupp
+         |SELECT n_name AS nation,
+         |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(SUM($sqlVolume
+         |    - ps_supplycost * CAST(l_quantity AS DECIMAL(12,2)))
+         |    AS DOUBLE) AS sum_profit,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_partkey IN (SELECT p_partkey FROM part
+         |                    WHERE p_name LIKE '%red%')
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q11_important_stock" ->
+      s"""WITH $sqlPartsupp,
+         |stock AS (
+         |  SELECT ps_partkey,
+         |    ps_supplycost * CAST(ps_availqty AS DECIMAL(10,0)) AS value_d
+         |  FROM partsupp
+         |  WHERE ps_suppkey IN (
+         |    SELECT s_suppkey FROM supplier
+         |    JOIN nation ON s_nationkey = n_nationkey
+         |    WHERE n_name = 'NATION_3')),
+         |tot AS (SELECT SUM(value_d) AS total_d FROM stock)
+         |SELECT ps_partkey,
+         |  CAST(SUM(value_d) AS DOUBLE) AS part_value
+         |FROM stock, tot
+         |GROUP BY ps_partkey, total_d
+         |HAVING SUM(value_d) * 10000 > total_d
+         |ORDER BY part_value DESC, ps_partkey""".stripMargin,
+    "q16_supplier_cnt" ->
+      s"""WITH $sqlPartsupp
+         |SELECT p_brand, p_type, p_size,
+         |  CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM partsupp JOIN part ON ps_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#1' AND p_type <> 'SMALL'
+         |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+         |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+         |                         WHERE s_acctbal < 0.0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_excess_stock" ->
+      s"""WITH $sqlPartsupp,
+         |shipped AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS shipped_qty
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  GROUP BY 1, 2),
+         |excess AS (
+         |  SELECT DISTINCT ps_suppkey
+         |  FROM partsupp
+         |  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |  WHERE ps_partkey IN (SELECT p_partkey FROM part
+         |                       WHERE p_name LIKE 'red%')
+         |    AND CAST(ps_availqty * 2 AS DECIMAL(18,2)) > shipped_qty)
+         |SELECT s_suppkey, s_name, n_name
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_12')
+         |  AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+         |ORDER BY s_suppkey""".stripMargin
+  )
+}
