@@ -122,6 +122,21 @@ object Transforms {
     }
   }
 
+  /** Changed-column extraction over an update event's before/after
+    * maps: the sorted list of keys whose value differs (null-safe on
+    * both sides — a column appearing in only one map counts as
+    * changed). Downstream consumers use this for audit trails and
+    * for building sparse column-level updates instead of full-row
+    * upserts. Pure map/array expressions — codegen'd, scan-stage,
+    * no shuffle.
+    */
+  def changedColumns(before: Column, after: Column): Column = {
+    val keys = array_sort(array_union(map_keys(before), map_keys(after)))
+    // element_at returns null for absent keys; null-safe inequality
+    // makes add/remove show up as changes
+    filter(keys, k => !(element_at(before, k) <=> element_at(after, k)))
+  }
+
   /** Chain transforms in order — the reference's IterateTransforms
     * fold (`transforms/transforms.go:63-71`). */
   def chain(ts: (DataFrame => DataFrame)*): DataFrame => DataFrame =

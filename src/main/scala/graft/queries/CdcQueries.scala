@@ -250,6 +250,26 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // changed-column extraction (Transforms.changedColumns): which
+    // columns an update actually touched, from the before/after maps
+    // — the audit-trail / sparse-update primitive. The envelope here
+    // is CONSTRUCTED from key arithmetic so the oracle can compute
+    // the expected list analytically (same proof pattern as
+    // multimodal_real_header): agreement proves the null-safe
+    // map-diff, including keys present on only one side.
+    "cdc_changed_columns" -> ((s, dir) => {
+      val before = map_concat(
+        map(lit("uid"), col("user_id"), lit("score"),
+          pmod(col("event_id"), lit(5L))),
+        when(pmod(col("event_id"), lit(3L)) === 0L,
+          map(lit("old_flag"), lit(1L))).otherwise(map()))
+      val after = map(lit("uid"), col("user_id"), lit("score"),
+        pmod(col("event_id"), lit(7L)))
+      events(s, dir).select(col("event_id"),
+        Transforms.changedColumns(before, after).as("changed"))
+        .orderBy(col("event_id"))
+    }),
+
     // SCD-2 history build (operators/Scd2): the version-interval
     // table the as-of join probes, derived from the same CDC stream
     // the reference compacts into latest-row-only targets. One
@@ -386,6 +406,13 @@ object CdcQueries {
         |            ORDER BY ts, event_id) AS prev_ts
         |        FROM events) x) y
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "cdc_changed_columns" ->
+      """SELECT event_id,
+        |  list_sort(
+        |    CASE WHEN event_id % 3 = 0 THEN ['old_flag'] ELSE [] END ||
+        |    CASE WHEN event_id % 7 <> event_id % 5
+        |         THEN ['score'] ELSE [] END) AS changed
+        |FROM events ORDER BY event_id""".stripMargin,
     "cdc_scd2_build" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value,
