@@ -136,4 +136,46 @@ object StatefulOps {
           Iterator.single(SessionSummary(userId, st.nSessions, st.nEvents))
       }
   }
+
+  final case class VersionEvent(
+      key: Long, seq: Long, tsMs: Long, value: String, op: String)
+  final case class ClosedVersion(key: Long, seq: Long, value: String,
+      validFrom: Long, validTo: Long)
+  final case class Scd2State(seq: Long, tsMs: Long, value: String,
+      live: Boolean)
+
+  /** Streaming SCD-2: the continuous twin of
+    * [[graft.operators.Scd2]]. Keyed state holds each key's OPEN
+    * version; every arriving event CLOSES it (valid_to = the new
+    * event's time) and — unless it is a delete — opens its own.
+    *
+    * Append mode emits only the closed versions: they are immutable
+    * facts, so the sink's accumulated output IS the history table,
+    * with no in-place updates required of the sink (works on plain
+    * append-only parquet). The open versions live in the state store
+    * (RocksDB at scale) — serve "current" from the compacted upsert
+    * target the pipeline already maintains, not from this stream.
+    *
+    * Events are applied in `seq` order within a batch; cross-batch
+    * order is the source's offset order (the changelog source is
+    * seq-monotone per key by contract). */
+  def scd2Stream(events: Dataset[VersionEvent]): Dataset[ClosedVersion] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Scd2State, ClosedVersion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[VersionEvent],
+            state: GroupState[Scd2State]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClosedVersion]
+          var st = state.getOption
+          batch.toSeq.sortBy(_.seq).foreach { e =>
+            st.filter(_.live).foreach { cur =>
+              out += ClosedVersion(key, cur.seq, cur.value, cur.tsMs, e.tsMs)
+            }
+            st = Some(Scd2State(e.seq, e.tsMs, e.value, live = e.op != "delete"))
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
 }

@@ -245,4 +245,38 @@ class StatefulOpsSpec extends SparkSpec {
     assert(m(1L).nSessions == 2 && m(1L).nEvents == 3)
     assert(m(2L).nSessions == 1 && m(2L).nEvents == 1)
   }
+
+  test("scd2Stream closes versions across batches; deletes close without opening") {
+    implicit val ctx = spark.sqlContext
+    import StatefulOps.{ClosedVersion, VersionEvent}
+    val mem = MemoryStream[VersionEvent]
+    val q = StatefulOps.scd2Stream(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    // batch 1: key 1 insert → update (closes v1); key 2 insert (open)
+    mem.addData(
+      VersionEvent(1L, 1L, 100L, "a", "insert"),
+      VersionEvent(1L, 2L, 200L, "b", "update"),
+      VersionEvent(2L, 3L, 150L, "x", "insert"))
+    q.processAllAvailable()
+    val after1 = spark.table("scd2_out").as[ClosedVersion].collect().toSet
+    assert(after1 == Set(ClosedVersion(1L, 1L, "a", 100L, 200L)))
+    // batch 2: key 1's open version closes via a new update (state
+    // carried across batches); key 2 deleted -> closes, opens nothing
+    mem.addData(
+      VersionEvent(1L, 4L, 300L, "c", "update"),
+      VersionEvent(2L, 5L, 250L, "x", "delete"))
+    q.processAllAvailable()
+    val after2 = spark.table("scd2_out").as[ClosedVersion].collect().toSet
+    assert(after2 == Set(
+      ClosedVersion(1L, 1L, "a", 100L, 200L),
+      ClosedVersion(1L, 2L, "b", 200L, 300L),
+      ClosedVersion(2L, 3L, "x", 150L, 250L)))
+    // batch 3: event after a delete opens fresh; the dead state does
+    // NOT produce a phantom closed version
+    mem.addData(VersionEvent(2L, 6L, 400L, "y", "insert"))
+    q.processAllAvailable(); q.stop()
+    val after3 = spark.table("scd2_out").as[ClosedVersion].collect().toSet
+    assert(after3 == after2, "a delete-closed key must not re-close")
+  }
 }
