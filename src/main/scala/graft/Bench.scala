@@ -116,10 +116,16 @@ object Bench {
     // local profiling aid: full per-query timings to a file (the
     // stdout line stays headline-only for the driver's tail window)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
-      val full = results.toSeq.sortBy(-_._2)
-        .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
-      java.nio.file.Files.write(java.nio.file.Paths.get(path),
-        full.getBytes("UTF-8"))
+      try {
+        val full = results.toSeq.sortBy(-_._2)
+          .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          full.getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        // a broken profiling path must not kill the run AFTER all
+        // queries completed — the stdout JSON line still has to print
+        System.err.println(s"bench dump failed: $e")
+      }
     }
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +

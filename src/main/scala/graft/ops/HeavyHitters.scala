@@ -64,19 +64,33 @@ object HeavyHitters {
   /** All terms whose exact count exceeds total/den, with their exact
     * counts. `tokens` must be an array column expression over `docs`.
     * Output: (term, n, total) sorted by n desc, term — deterministic.
+    *
+    * Exactly TWO corpus scans: pass A emits the MG survivors AND the
+    * partition's token count from the same iterator (a null-term
+    * sentinel row per partition), so `total` needs no third scan.
+    * The pass-A result is bounded (≤ (den+1)·partitions rows) and
+    * cached, since both the candidate set and the total read it.
     */
   def heavyHitters(docs: DataFrame, tokens: Column, den: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs.select(explode(tokens).as("term"))
-    // Pass A: candidate superset, ≤ den entries per partition.
-    val candidates = toks.select(col("term")).as[String]
-      .mapPartitions(it => misraGries(it, den))
-      .toDF("term").distinct()
+    val passA = toks.select(col("term")).as[String]
+      .mapPartitions { it =>
+        var n = 0L
+        // misraGries consumes the iterator fully before returning,
+        // so n is final when the sentinel row is built
+        val survivors = misraGries(it.map { t => n += 1; t }, den).toArray
+        survivors.iterator.map(t => (t, 0L)) ++
+          Iterator.single((null: String, n))
+      }.toDF("term", "cnt").cache()
+    val candidates = passA.filter(col("term").isNotNull)
+      .select(col("term")).distinct()
+    val total = passA.filter(col("term").isNull)
+      .agg(sum(col("cnt")).as("total"))
     // Pass B: exact counts over candidates only. The candidate set is
     // bounded (den × partitions) → broadcast semi join keeps the big
     // re-scan shuffle-free until the (bounded-key) count.
-    val total = toks.agg(count(lit(1)).as("total"))
     toks.join(broadcast(candidates), Seq("term"), "left_semi")
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n"))

@@ -203,7 +203,7 @@ object Core4Queries {
   val oracle: Map[String, String] = Map(
     "q7_volume_shipping" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
          |  CAST(SUM($sqlVolume) AS DOUBLE) AS revenue,
          |  COUNT(*) AS n_lines
          |FROM lineitem
@@ -219,7 +219,7 @@ object Core4Queries {
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q8_market_share" ->
       s"""WITH flat AS (
-         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
          |    $sqlVolume AS vol_d,
          |    (SELECT n_name FROM nation
          |     WHERE n_nationkey = s_nationkey) AS supp_nation

@@ -235,7 +235,7 @@ object Core5Queries {
     "q9_product_profit" ->
       s"""WITH $sqlPartsupp
          |SELECT n_name AS nation,
-         |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
          |  CAST(SUM($sqlVolume
          |    - ps_supplycost * CAST(l_quantity AS DECIMAL(12,2)))
          |    AS DOUBLE) AS sum_profit,

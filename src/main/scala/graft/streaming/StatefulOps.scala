@@ -174,7 +174,14 @@ object StatefulOps {
             }
             st = Some(Scd2State(e.seq, e.tsMs, e.value, live = e.op != "delete"))
           }
-          st.foreach(state.update)
+          // deletes REMOVE state (not a dead tombstone): state stays
+          // O(live keys) on delete-heavy churn; a later insert on the
+          // key simply opens fresh with nothing to close — the same
+          // observable behavior a tombstone would give
+          st match {
+            case Some(cur) if cur.live => state.update(cur)
+            case _ => if (state.exists) state.remove()
+          }
           out.iterator
       }
   }

@@ -225,17 +225,18 @@ class PlanShapeSpec extends SparkSpec {
     // brand/size disjunction into the part scan — without this, both
     // tables stream unfiltered into the join at 100 TB.
     val p = plan("q19_disjunctive_revenue")
+    // slice each scan block (Location → PushedFilters → ReadSchema)
+    // and assert INSIDE it, so the filters being pushed to the WRONG
+    // scan cannot pass
     val liScan = p.linesIterator.dropWhile(!_.contains("lineitem.parquet"))
       .take(3).mkString("\n")
     val paScan = p.linesIterator.dropWhile(!_.contains("part.parquet"))
       .take(3).mkString("\n")
-    // the scan block order is Location → PushedFilters → ReadSchema
-    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
-      p.contains("LessThanOrEqual(l_quantity,30.0)"),
+    assert(liScan.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      liScan.contains("LessThanOrEqual(l_quantity,30.0)"),
       s"quantity disjunction must reach the lineitem scan:\n$p")
-    assert(p.contains("EqualTo(p_brand,Brand#1)"),
+    assert(paScan.contains("EqualTo(p_brand,Brand#1)"),
       s"brand/size disjunction must reach the part scan:\n$p")
-    assert(liScan.nonEmpty && paScan.nonEmpty, p)
   }
 
   test("q21: top-k suppliers via TakeOrderedAndProject; anti join keyed") {
