@@ -160,6 +160,47 @@ object Core4Queries {
           count(lit(1)).as("n_lines"))
     }),
 
+    // UNPIVOT (wide → long melt): each id row fans out to one row per
+    // measure column — a narrow scan-stage Expand, no shuffle. The
+    // inverse of q_pivot_status.
+    "q_unpivot" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          col("o_totalprice").as("totalprice"),
+          col("o_custkey").cast("double").as("custkey"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("totalprice"), col("custkey")), "name", "value")
+        .orderBy(col("o_orderkey"), col("name"))),
+
+    // EXCEPT ALL — multiset difference (keeps surplus duplicates,
+    // unlike the distinct EXCEPT in q_setop_except). Canonicalized
+    // through a final count-per-key aggregate so the oracle compare
+    // has a deterministic row order.
+    "q_setop_except_all" -> ((s, dir) => {
+      val a = Tables.load(s, dir, "lineitem")
+        .filter(col("l_linenumber") <= 2).select(col("l_suppkey"))
+      val b = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_linenumber") === 1)
+        .select(col("l_suppkey"))
+      a.exceptAll(b)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("surplus"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // ordered string aggregation (group_concat/listagg): sorted
+    // collect_list + array_join is the deterministic Spark spelling —
+    // an UNSORTED listagg is partitioning-dependent and could never
+    // hash-match (the same reason rand() sampling is banned).
+    "q_group_concat" -> ((s, dir) =>
+      Tables.load(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey"))),
+
     // ≙ TPC-H Q21 shape (adapted: no receipt/commit dates in the
     // testdata — "late" = shipped >90 days after the order date):
     // suppliers who were the ONLY late shipper in a multi-supplier
@@ -266,6 +307,26 @@ object Core4Queries {
          |       AND l_quantity BETWEEN 10 AND 20)
          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35
          |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_unpivot" ->
+      """SELECT o_orderkey, name, value FROM (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
+        |    CAST(o_custkey AS DOUBLE) AS custkey
+        |  FROM orders WHERE o_orderkey < 2000)
+        |UNPIVOT (value FOR name IN (totalprice, custkey))
+        |ORDER BY o_orderkey, name""".stripMargin,
+    "q_setop_except_all" ->
+      """SELECT l_suppkey, COUNT(*) AS surplus FROM (
+        |  SELECT l_suppkey FROM lineitem WHERE l_linenumber <= 2
+        |  EXCEPT ALL
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_returnflag = 'R' AND l_linenumber = 1)
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q_group_concat" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin,
     "q21_waiting_supplier" ->
       """WITH late AS (
         |  SELECT l_orderkey, l_suppkey
