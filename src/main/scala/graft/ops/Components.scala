@@ -93,6 +93,87 @@ object Components {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the adversarial-diameter scale path promised in the
+    * [[connectedComponents]] scaladoc. Min-label propagation needs
+    * O(diameter) rounds (a 10M-vertex chain = 10M rounds); this
+    * converges in O(log n) rounds on ANY graph, with the same
+    * bounded-key join+agg plan shape per round:
+    *
+    *  - large-star: every vertex u links each LARGER neighbor to the
+    *    minimum of its whole neighborhood — long chains collapse by
+    *    halving.
+    *  - small-star: every vertex u re-links its smaller-or-equal
+    *    neighbors (and itself) to their minimum — edges canonicalize
+    *    into stars centered at component minima.
+    *
+    * Fixpoint = the edge set is a union of stars (v, min-of-component),
+    * which IS the label assignment. Output contract is identical to
+    * [[connectedComponents]]: (id, group_id = min id reachable), so the
+    * two are drop-in interchangeable (spec-pinned on random graphs).
+    *
+    * Per-round cost: one hash aggregate (min over neighborhood) + one
+    * equi-join back to the edges, both shuffling on vertex id —
+    * nothing proportional to component size on any single key except
+    * the star centers themselves (the paper's §4 skew note: centers
+    * are high-degree by design; AQE skew-split handles the agg, and
+    * the join side is (edge → its own endpoint), never star-sized).
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 30): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // canonical directed form: big -> small (small-star's input shape)
+    var edges = e0.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star over the SYMMETRIC neighborhood: for each u,
+      // m = min(N(u) ∪ {u}); every neighbor v > u re-links to m.
+      val sym = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val nbrMin = sym.groupBy(col("src").as("u"))
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      val large = sym.join(nbrMin, sym("src") === nbrMin("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct().localCheckpoint()
+      // small-star on the directed big->small list: for each u,
+      // m = min of its smaller neighbors; re-link them (and u) to m.
+      val sMin = large.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
+      val relinked = large.join(sMin, large("src") === sMin("u"))
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val self = sMin.select(col("u").as("src"), col("m").as("dst"))
+      val next = relinked.unionByName(self)
+        .filter(col("src") =!= col("dst"))
+        .distinct().localCheckpoint()
+      // fixpoint: distinct edge sets are equal iff same size and
+      // one-sided difference empty (except is an O(|E|) anti-join,
+      // the probe is limit-1 — no full materialization to the driver)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).limit(1).count() == 0
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar: not converged after $maxIter rounds — " +
+          "O(log n) bound exceeded; the edge input is likely growing " +
+          "between rounds (non-deterministic pair source?)")
+    // stars: every non-center vertex has exactly one edge to its
+    // center; centers label themselves
+    edges.select(col("src").as("id"), col("dst").as("group_id"))
+      .unionByName(edges.select(col("dst").as("id"), col("dst").as("group_id"))
+        .distinct())
+      .distinct()
+  }
+
   /** Per-component dedup decision: keeper (= the group label, i.e.
     * the minimum doc id) and the number of members it absorbs. */
   def groupStats(components: DataFrame): DataFrame =

@@ -192,6 +192,26 @@ object Core2Queries {
         .orderBy(col("event_id"))
     }),
 
+    // range join, SCALE path: same semantics as q_range_join but via
+    // bin quantization — intervals explode into fixed-width bins, the
+    // match becomes a shuffle EQUI-join on bin id + residual filter
+    // (ops/BinnedRangeJoin). No broadcast, no nested loop: the
+    // interval side here derives from nation (25 overlapping windows,
+    // width 30, stride 20) purely to have a deterministic table both
+    // engines construct identically — the plan is the one that holds
+    // when intervals grow with the data.
+    "q_range_join_binned" -> ((s, dir) => {
+      val iv = Tables.load(s, dir, "nation").select(
+        col("n_nationkey"),
+        (col("n_nationkey") * 20).cast("double").as("lo"),
+        (col("n_nationkey") * 20 + 30).cast("double").as("hi"))
+      graft.ops.BinnedRangeJoin.join(
+        Tables.load(s, dir, "events").select(col("event_id"), col("value")),
+        "value", iv, "lo", "hi", binWidth = 32.0)
+        .select(col("event_id"), col("n_nationkey"))
+        .orderBy(col("event_id"), col("n_nationkey"))
+    }),
+
     // HAVING (post-aggregate filter)
     "q_having" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -292,6 +312,14 @@ object Core2Queries {
         |  AS b(band, lo, hi)
         |  ON e.value >= b.lo AND e.value < b.hi
         |ORDER BY event_id""".stripMargin,
+    "q_range_join_binned" ->
+      """SELECT event_id, n_nationkey FROM events e
+        |JOIN (SELECT n_nationkey,
+        |        CAST(n_nationkey * 20 AS DOUBLE) AS lo,
+        |        CAST(n_nationkey * 20 + 30 AS DOUBLE) AS hi
+        |      FROM nation) n
+        |  ON e.value >= n.lo AND e.value < n.hi
+        |ORDER BY event_id, n_nationkey""".stripMargin,
     "q_having" ->
       """SELECT l_partkey, COUNT(*) AS n FROM lineitem
         |GROUP BY l_partkey HAVING COUNT(*) > 40

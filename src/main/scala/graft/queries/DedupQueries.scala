@@ -190,6 +190,60 @@ object DedupQueries {
         .orderBy(col("source"))
     }),
 
+    // per-domain document cap (the C4/CCNet per-domain guard): keep
+    // at most K docs per source, chosen by deterministic hash order
+    // (md5 bucket, tie → doc_id) so the "random" K are identical
+    // across engines, runs, and partitionings. One window rank per
+    // source — a skewed mega-domain is exactly the case the cap
+    // exists for, and rank-then-filter touches each of its rows once
+    // (no blowup; AQE splits the hot partition).
+    "pipe_domain_cap" -> ((s, dir) => {
+      val k = 15
+      val h = graft.functions.TextFunctions.hashBucket(col("doc_id"), 1000000)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(h, col("doc_id"))
+      docs(s, dir).select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .orderBy(col("doc_id"))
+    }),
+
+    // global token-budget selection: keep the highest-quality docs
+    // until a corpus-wide token budget is spent (the "data-constrained
+    // scaling" curation shape). A naive global running sum is one
+    // un-partitioned window = one partition doing all the work; the
+    // scale shape here is two-pass: quality quantizes into coarse
+    // bands (a monotone function of the sort key, so band order IS
+    // quality order), per-band token totals (a tiny aggregate)
+    // broadcast back as cumulative offsets, and the exact running sum
+    // runs per-band in parallel. Token counts are integers — the
+    // running sum is exact under any partitioning.
+    "pipe_token_budget" -> ((s, dir) => {
+      val budget = 20000L
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n_tok"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+      val banded = d.withColumn("band", floor(col("q") * 4).cast("long"))
+      val wOff = org.apache.spark.sql.expressions.Window
+        .orderBy(col("band").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      // ≤ 9 distinct bands — this un-partitioned window is over the
+      // aggregate, not the data
+      val offsets = banded.groupBy(col("band"))
+        .agg(sum(col("n_tok")).as("btok"))
+        .withColumn("off", coalesce(sum(col("btok")).over(wOff), lit(0L)))
+        .select(col("band"), col("off"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band")).orderBy(col("q").desc, col("doc_id"))
+      banded.join(broadcast(offsets), Seq("band"))
+        .withColumn("cum", sum(col("n_tok")).over(w) + col("off"))
+        .filter(col("cum") <= budget)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"))
+        .orderBy(col("lang"))
+    }),
+
     // embedding-cosine near-dup pairs (≥ 0.35), bounded query side
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(
@@ -228,6 +282,16 @@ object DedupQueries {
       val pairs = Dedup.ngramJaccardPairs(
         docs(s, dir).filter(col("doc_id") < 3000), "text", "doc_id")
       Components.connectedComponents(pairs, "a", "b").orderBy(col("id"))
+    }),
+
+    // same transitive closure via alternating large-star/small-star
+    // (Kiveris et al.) — the O(log n)-round adversarial-diameter scale
+    // path; drop-in output-identical to min-label propagation, so the
+    // two share one oracle
+    "dedup_group_resolve_star" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        docs(s, dir).filter(col("doc_id") < 3000), "text", "doc_id")
+      Components.connectedComponentsStar(pairs, "a", "b").orderBy(col("id"))
     }),
 
     // per-group dedup decision: keeper id and how many docs it absorbs
@@ -460,6 +524,38 @@ object DedupQueries {
         |                 OR (lang <> 'en' AND bk < 50)
         |               THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
+    "pipe_domain_cap" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substring(
+        |      md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 1000000 AS hb
+        |  FROM documents)
+        |SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY hb, doc_id)
+        |      AS rn
+        |  FROM h) x
+        |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
+    "pipe_token_budget" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len($sqlToks) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter($sqlToks,
+         |           t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
+         |      / CAST(len($sqlToks) AS DOUBLE)
+         |    + CASE WHEN len($sqlToks) BETWEEN 5 AND 500
+         |           THEN 1.0 ELSE 0.0 END AS q
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, n_tok,
+         |    SUM(n_tok) OVER (ORDER BY q DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM q)
+         |SELECT lang, COUNT(*) AS n_kept,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tok_kept
+         |FROM c WHERE cum <= 20000
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "pipe_source_mix" ->
       """WITH counts AS (
         |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
@@ -485,6 +581,10 @@ object DedupQueries {
     // body contains SQL `||` at line starts, which a second
     // stripMargin would corrupt.
     "dedup_group_resolve" ->
+      ("WITH RECURSIVE " + jaccardPairsCte + "\n" +
+        "SELECT v AS id, MIN(r) AS group_id FROM reach\n" +
+        "GROUP BY v ORDER BY id"),
+    "dedup_group_resolve_star" ->
       ("WITH RECURSIVE " + jaccardPairsCte + "\n" +
         "SELECT v AS id, MIN(r) AS group_id FROM reach\n" +
         "GROUP BY v ORDER BY id"),

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BinnedRangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val intervals = Seq(
+    // overlapping, boundary-landing, and wider-than-W intervals
+    (1L, 0.0, 10.0), (2L, 5.0, 15.0), (3L, 10.0, 20.0), (4L, 0.0, 37.0))
+    .toDF("iv_id", "lo", "hi")
+  private val points =
+    Seq((100L, 0.0), (101L, 5.0), (102L, 9.999), (103L, 10.0),
+      (104L, 14.999), (105L, 36.999), (106L, 37.0), (107L, -1.0))
+      .toDF("p_id", "p")
+
+  private def naive = points.join(intervals,
+      col("p") >= col("lo") && col("p") < col("hi"))
+    .select(col("p_id"), col("iv_id"))
+    .as[(Long, Long)].collect().sorted.toSeq
+
+  test("binned join matches the naive range join, incl. boundaries") {
+    for (w <- Seq(4.0, 10.0, 64.0)) {
+      val out = BinnedRangeJoin.join(points, "p", intervals, "lo", "hi", w)
+        .select(col("p_id"), col("iv_id"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(out == naive, s"binWidth=$w")
+    }
+  }
+
+  test("each matching pair appears exactly once (no bin-overlap dupes)") {
+    val out = BinnedRangeJoin.join(points, "p", intervals, "lo", "hi", 4.0)
+      .groupBy(col("p_id"), col("iv_id")).count()
+      .filter(col("count") > 1).count()
+    assert(out == 0)
+  }
+
+  test("colliding column names and bad widths fail loudly") {
+    val badIv = intervals.withColumnRenamed("iv_id", "p_id")
+    assertThrows[IllegalArgumentException] {
+      BinnedRangeJoin.join(points, "p", badIv, "lo", "hi", 4.0)
+    }
+    assertThrows[IllegalArgumentException] {
+      BinnedRangeJoin.join(points, "p", intervals, "lo", "hi", 0.0)
+    }
+  }
+}

@@ -49,4 +49,37 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("star variant matches min-label propagation on a random graph") {
+    // deterministic pseudo-random edges (seeded — no Math.random in
+    // tests either): ~60 edges over 40 vertices, mixed components
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).toDF("a", "b")
+    val minLabel = Components.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val star = Components.connectedComponentsStar(pairs, "a", "b")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(star == minLabel)
+  }
+
+  test("star variant converges on a chain far beyond min-label's rounds") {
+    // path 0-1-…-64: diameter 64. Min-label at maxIter=20 must fail;
+    // large/small-star collapses it in O(log n) rounds.
+    val pairs = (0L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Components.connectedComponents(pairs, "a", "b", maxIter = 20)
+    }
+    val out = Components.connectedComponentsStar(pairs, "a", "b", maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(out.length == 65 && out.forall(_._2 == 0L))
+  }
+
+  test("star variant: self-loops and duplicates are inert") {
+    val pairs = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (5L, 6L))
+      .toDF("a", "b")
+    val out = Components.connectedComponentsStar(pairs, "a", "b")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
 }
