@@ -247,6 +247,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_range_join_binned: range join runs as an equi-join, not BNL") {
+    // the whole point of the binned path: the interval predicate must
+    // NOT execute as a nested loop — the bin id is a shuffle/hash
+    // equi-join key and lo<=p<hi is only a residual filter
+    val p = plan("q_range_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"binned range join degenerated to a nested loop:\n$p")
+    assert(p.contains("__bin"), s"expected the bin equi-join key:\n$p")
+  }
+
   test("text_heavy_hitters: candidates broadcast; exact pass semi-joins") {
     // Pass B must probe the bounded candidate set with a broadcast
     // semi join (shuffling the token stream against candidates would
