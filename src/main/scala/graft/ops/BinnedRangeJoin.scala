@@ -49,6 +49,9 @@ object BinnedRangeJoin {
     val overlap = points.columns.toSet intersect intervals.columns.toSet
     require(overlap.isEmpty,
       s"point/interval column names collide: $overlap — alias them first")
+    val reserved = (points.columns ++ intervals.columns).filter(_ == "__bin")
+    require(reserved.isEmpty,
+      "'__bin' is reserved by BinnedRangeJoin — rename the input column")
     def bin(c: Column): Column = floor(c / binWidth).cast("long")
     // hi is exclusive, but a boundary-landing hi still registers its
     // bin — harmless (the residual filter rejects), and dropping it

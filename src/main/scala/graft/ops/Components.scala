@@ -124,9 +124,16 @@ object Components {
                               maxIter: Int = 30): DataFrame = {
     val e0 = pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
+    // the vertex universe BEFORE self-loop removal: a vertex appearing
+    // only as (v, v) still belongs in the output (self-labeled), same
+    // as in connectedComponents — dropping it would break the drop-in
+    // contract between the two variants
+    val verts = e0.select(col("src").as("id"))
+      .unionByName(e0.select(col("dst").as("id")))
+      .distinct().localCheckpoint()
     // canonical directed form: big -> small (small-star's input shape)
-    var edges = e0.select(greatest(col("src"), col("dst")).as("src"),
+    var edges = e0.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .distinct().localCheckpoint()
     var iter = 0
@@ -154,10 +161,11 @@ object Components {
         .filter(col("src") =!= col("dst"))
         .distinct().localCheckpoint()
       // fixpoint: distinct edge sets are equal iff same size and
-      // one-sided difference empty (except is an O(|E|) anti-join,
-      // the probe is limit-1 — no full materialization to the driver)
+      // one-sided difference empty (both sides are distinct, so
+      // `except` plans as a LeftAnti join; `exceptAll` would rewrite
+      // into the heavier union + signed-count aggregate + generate)
       converged = next.count() == edges.count() &&
-        next.exceptAll(edges).limit(1).count() == 0
+        next.except(edges).limit(1).count() == 0
       edges = next
       iter += 1
     }
@@ -167,11 +175,13 @@ object Components {
           "O(log n) bound exceeded; the edge input is likely growing " +
           "between rounds (non-deterministic pair source?)")
     // stars: every non-center vertex has exactly one edge to its
-    // center; centers label themselves
-    edges.select(col("src").as("id"), col("dst").as("group_id"))
-      .unionByName(edges.select(col("dst").as("id"), col("dst").as("group_id"))
-        .distinct())
+    // center; centers label themselves; vertices with no surviving
+    // edge (self-loop-only input) label themselves too
+    val labeled = edges.select(col("src").as("id"), col("dst").as("group_id"))
+      .unionByName(edges.select(col("dst").as("id"), col("dst").as("group_id")))
       .distinct()
+    verts.join(labeled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("group_id"), col("id")).as("group_id"))
   }
 
   /** Per-component dedup decision: keeper (= the group label, i.e.

@@ -45,5 +45,11 @@ class BinnedRangeJoinSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       BinnedRangeJoin.join(points, "p", intervals, "lo", "hi", 0.0)
     }
+    // '__bin' is reserved — a pre-existing one would be silently
+    // clobbered and dropped otherwise
+    assertThrows[IllegalArgumentException] {
+      BinnedRangeJoin.join(points.withColumn("__bin", col("p")), "p",
+        intervals, "lo", "hi", 4.0)
+    }
   }
 }

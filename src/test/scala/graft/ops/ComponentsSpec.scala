@@ -76,10 +76,18 @@ class ComponentsSpec extends SparkSpec {
   }
 
   test("star variant: self-loops and duplicates are inert") {
-    val pairs = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (5L, 6L))
-      .toDF("a", "b")
-    val out = Components.connectedComponentsStar(pairs, "a", "b")
+    // vertex 9 appears ONLY as a self-loop: it must still be labeled
+    // (with itself), exactly as the min-label variant labels it —
+    // the drop-in contract includes isolated self-paired vertices
+    val pairs = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (5L, 6L),
+      (9L, 9L)).toDF("a", "b")
+    val expected = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      9L -> 9L)
+    val star = Components.connectedComponentsStar(pairs, "a", "b")
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
-    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    assert(star == expected)
+    val minLabel = Components.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(minLabel == expected)
   }
 }
