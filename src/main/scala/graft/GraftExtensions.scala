@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ByteAtU8, DotProduct, RollingHash, WavRms}
+import graft.functions.{ByteAtU8, DotProduct, RollingHash, TopKLargest, WavRms}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst
   * surface (SURVEY §7.4). Enable with:
@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 1, "wav_rms(blob) takes 1 argument")
         WavRms(exprs.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("topk_largest"),
+      new ExpressionInfo(classOf[TopKLargest].getName, "topk_largest"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "topk_largest(value, k) takes 2 arguments")
+        TopKLargest(exprs.head, exprs(1))
       }))
     e.injectFunction((
       new FunctionIdentifier("rolling_hash"),

@@ -212,6 +212,18 @@ object Core2Queries {
         .orderBy(col("event_id"), col("n_nationkey"))
     }),
 
+    // per-group top-k via the engine's own bounded-heap aggregate
+    // (functions/TopKLargest, a TypedImperativeAggregate registered
+    // through GraftExtensions): map-side partial heaps mean the
+    // shuffle carries at most k doubles per group per task —
+    // row_number-over-window would sort every row, collect_list would
+    // materialize whole groups.
+    "q_topk_per_group" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("topk_largest(value, 5)").as("top_values"))
+        .orderBy(col("event_type"))),
+
     // HAVING (post-aggregate filter)
     "q_having" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -320,6 +332,11 @@ object Core2Queries {
         |      FROM nation) n
         |  ON e.value >= n.lo AND e.value < n.hi
         |ORDER BY event_id, n_nationkey""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT event_type,
+        |  (list_sort(list(value), 'DESC'))[1:5] AS top_values
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_having" ->
       """SELECT l_partkey, COUNT(*) AS n FROM lineitem
         |GROUP BY l_partkey HAVING COUNT(*) > 40
