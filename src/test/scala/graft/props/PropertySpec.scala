@@ -105,6 +105,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("star CC ≡ min-label CC ≡ union-find model (random graphs)") {
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      nV <- Gen.choose(2, 30)
+      nE <- Gen.choose(1, 50)
+      es <- Gen.listOfN(nE, for {
+        a <- Gen.choose(0L, nV.toLong - 1)
+        b <- Gen.choose(0L, nV.toLong - 1)
+      } yield (a, b))
+    } yield es
+    forAllSamples(graphGen, 12) { es =>
+      // model: sequential union-find over the same edges
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // normalize every component label to its minimum member
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val model = verts.groupBy(find).flatMap { case (_, vs) =>
+        val m = vs.min; vs.map(_ -> m)
+      }
+      val df = es.toDF("a", "b")
+      val minLabel = graft.ops.Components.connectedComponents(df, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val star = graft.ops.Components.connectedComponentsStar(df, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(minLabel == model, s"min-label vs model on $es")
+      assert(star == model, s"star vs model on $es")
+    }
+  }
+
+  test("topk_largest ≡ sort-desc-take-k (random groups and k)") {
+    val gen: Gen[(Int, List[(String, Double)])] = for {
+      k <- Gen.choose(1, 8)
+      n <- Gen.choose(0, 80)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        // duplicates on purpose: top-k is a multiset
+        v <- Gen.choose(0, 20).map(_.toDouble)
+      } yield (g, v))
+    } yield (k, rows)
+    forAllSamples(gen, 12) { case (k, rows) =>
+      val model = rows.groupBy(_._1).view.mapValues(
+        _.map(_._2).sorted(Ordering[Double].reverse).take(k).toSeq).toMap
+      val got =
+        if (rows.isEmpty) Map.empty[String, Seq[Double]]
+        else rows.toDF("g", "v").repartition(5)
+          .groupBy($"g").agg(org.apache.spark.sql.functions
+            .expr(s"topk_largest(v, $k)").as("top"))
+          .as[(String, Seq[Double])].collect().toMap
+      assert(got == model, s"k=$k rows=$rows")
+    }
+  }
+
   test("random DDL programs ≡ column-list model") {
     val names = (0 until 12).map(i => s"c$i")
     val opGen: Gen[Op] = Gen.oneOf(
