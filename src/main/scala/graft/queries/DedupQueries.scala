@@ -294,6 +294,23 @@ object DedupQueries {
       Components.connectedComponentsStar(pairs, "a", "b").orderBy(col("id"))
     }),
 
+    // the dedup decision APPLIED: the corpus with non-keeper dup-group
+    // members removed (keeper = min id). Candidates → components →
+    // anti-join back; the anti-join probe side is (id, group_id)
+    // pairs — tiny next to the corpus — so the corpus scan is pruned,
+    // never shuffled whole. This is the query a curation run actually
+    // ships: the surviving document set.
+    "dedup_apply" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 3000)
+      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id")
+      val drop = Components.connectedComponents(pairs, "a", "b")
+        .filter(col("id") =!= col("group_id"))
+        .select(col("id").as("doc_id"))
+      d.select(col("doc_id"), col("lang"), col("source"))
+        .join(drop, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
+    }),
+
     // per-group dedup decision: keeper id and how many docs it absorbs
     "dedup_group_stats" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(
@@ -588,6 +605,13 @@ object DedupQueries {
       ("WITH RECURSIVE " + jaccardPairsCte + "\n" +
         "SELECT v AS id, MIN(r) AS group_id FROM reach\n" +
         "GROUP BY v ORDER BY id"),
+    "dedup_apply" ->
+      ("WITH RECURSIVE " + jaccardPairsCte + ",\n" +
+        "comp AS (SELECT v AS id, MIN(r) AS group_id FROM reach GROUP BY v)\n" +
+        "SELECT doc_id, lang, source FROM documents\n" +
+        "WHERE doc_id < 3000 AND doc_id NOT IN\n" +
+        "  (SELECT id FROM comp WHERE id <> group_id)\n" +
+        "ORDER BY doc_id"),
     "dedup_group_stats" ->
       ("WITH RECURSIVE " + jaccardPairsCte + ",\n" +
         "comp AS (SELECT v AS id, MIN(r) AS group_id FROM reach GROUP BY v)\n" +

@@ -125,6 +125,38 @@ object TextQueries {
             .otherwise(lit(0.0)).as("rep_ratio"))
         .orderBy(col("doc_id"))),
 
+    // per-language length-outlier filter (curation: drop docs whose
+    // char count sits beyond ±2σ of their language's distribution).
+    // Two bounded aggregates: exact integer moments per language
+    // (count / Σx / Σx², all longs — partitioning-independent), then
+    // a broadcast join back and a scan-stage keep decision. The
+    // z-score test is algebraically rearranged to multiplication —
+    // |x−μ| ≤ 2σ times n² gives (n·x−Σx)² ≤ 4·(n·Σx²−(Σx)²), with
+    // exact-int operands lifted to double identically in both
+    // engines — no division, no sqrt, no NaN edge on a
+    // constant-length language.
+    "text_length_outliers" -> ((s, dir) => {
+      val m = docs(s, dir).groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      docs(s, dir).select(col("lang"), col("n_chars"))
+        .join(broadcast(m), Seq("lang"))
+        .select(col("lang"),
+          ((col("n").cast("double") * col("n_chars").cast("double")
+            - col("sx").cast("double"))
+            * (col("n").cast("double") * col("n_chars").cast("double")
+              - col("sx").cast("double"))
+            <= lit(4.0)
+              * (col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double")))
+            .as("kept"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
     // BPE-ish regex token counting (word pieces / numbers / symbols)
     "text_bpe_tokens" -> ((s, dir) =>
       docs(s, dir).select(
@@ -342,6 +374,23 @@ object TextQueries {
          |  CAST(len(string_split(chunk, ' ')) AS INTEGER) AS n_tok,
          |  md5(chunk) AS chunk_md5
          |FROM c ORDER BY doc_id, cid""".stripMargin,
+    "text_length_outliers" ->
+      """WITH m AS (
+        |  SELECT lang, COUNT(*) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN
+        |    (CAST(n AS DOUBLE) * CAST(n_chars AS DOUBLE)
+        |       - CAST(sx AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(n_chars AS DOUBLE)
+        |       - CAST(sx AS DOUBLE))
+        |    <= 4.0 * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d JOIN m ON d.lang = m.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "text_repetition" ->
       s"""WITH d AS (
          |  SELECT doc_id,
