@@ -128,7 +128,9 @@ object TextQueries {
     // per-language length-outlier filter (curation: drop docs whose
     // char count sits beyond ±2σ of their language's distribution).
     // Two bounded aggregates: exact integer moments per language
-    // (count / Σx / Σx², all longs — partitioning-independent), then
+    // (count as long; Σx / Σx² in DECIMAL(38,0) — a long Σx² silently
+    // wraps once a shard crosses 2^63, exactly the corpus sizes this
+    // is for; DuckDB's HUGEINT sums are the same exact width), then
     // a broadcast join back and a scan-stage keep decision. The
     // z-score test is algebraically rearranged to multiplication —
     // |x−μ| ≤ 2σ times n² gives (n·x−Σx)² ≤ 4·(n·Σx²−(Σx)²), with
@@ -138,8 +140,9 @@ object TextQueries {
     "text_length_outliers" -> ((s, dir) => {
       val m = docs(s, dir).groupBy(col("lang")).agg(
         count(lit(1)).as("n"),
-        sum(col("n_chars")).as("sx"),
-        sum(col("n_chars") * col("n_chars")).as("sxx"))
+        sum(col("n_chars").cast("decimal(38,0)")).as("sx"),
+        sum(col("n_chars").cast("decimal(38,0)") * col("n_chars"))
+          .as("sxx"))
       docs(s, dir).select(col("lang"), col("n_chars"))
         .join(broadcast(m), Seq("lang"))
         .select(col("lang"),
@@ -377,8 +380,8 @@ object TextQueries {
     "text_length_outliers" ->
       """WITH m AS (
         |  SELECT lang, COUNT(*) AS n,
-        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
-        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |    SUM(n_chars) AS sx,
+        |    SUM(n_chars * n_chars) AS sxx
         |  FROM documents GROUP BY lang)
         |SELECT d.lang, COUNT(*) AS n_total,
         |  CAST(SUM(CASE WHEN
