@@ -30,6 +30,23 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Bag-of-words fingerprint: md5 over the lexicographically sorted
+    * token multiset — order-insensitive exact dedup. Catches
+    * word-shuffled or re-ordered copies that the positional
+    * [[graft.functions.TextFunctions.fingerprint]] and positional
+    * shingles both miss, at exact-dedup cost: a narrow scan-stage
+    * projection, then a groupBy that shuffles the 32-char digest
+    * only (token sort is per-row, inside the scan stage). */
+  def bagFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(split(trim(lower(text)), " +"))))
+
+  /** [[exactByFingerprint]] with the order-insensitive bag digest. */
+  def exactByBagFingerprint(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.select(col(idCol), bagFingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** MinHash permutation constants (fixed, mirrored in oracle SQL). */
   val MinhashA: Seq[Long] = Seq(937L, 1447L, 2357L, 3499L, 4523L, 5881L, 6761L, 7919L)
   val MinhashB: Seq[Long] = Seq(11L, 97L, 181L, 271L, 367L, 457L, 569L, 653L)

@@ -29,6 +29,12 @@ object DedupQueries {
       Dedup.exactByFingerprint(docs(s, dir), "text", "doc_id")
         .orderBy(col("fp"))),
 
+    // order-insensitive exact dedup: the digest is over the SORTED
+    // token multiset, so word-shuffled copies collapse into one group
+    "dedup_bag_exact" -> ((s, dir) =>
+      Dedup.exactByBagFingerprint(docs(s, dir), "text", "doc_id")
+        .orderBy(col("fp"))),
+
     // MinHash (k=8) + LSH banding (4 bands × 2): candidate pairs
     // share at least one band bucket.
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -407,6 +413,12 @@ object DedupQueries {
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS keep_id,
         | COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "dedup_bag_exact" ->
+      """SELECT md5(array_to_string(
+        |    list_sort(string_split_regex(trim(lower(text)), ' +')), ' '))
+        |    AS fp,
+        | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH tok AS (

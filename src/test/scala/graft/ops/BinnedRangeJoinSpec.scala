@@ -37,6 +37,17 @@ class BinnedRangeJoinSpec extends SparkSpec {
     assert(out == 0)
   }
 
+  test("null points and null interval bounds drop, same as the naive join") {
+    val np = Seq((200L, Some(5.0)), (201L, None)).toDF("p_id", "p")
+    val ni = Seq((10L, Some(0.0), Some(10.0)), (11L, None, Some(10.0)),
+      (12L, Some(0.0), None)).toDF("iv_id", "lo", "hi")
+    // naive: NULL comparisons are never true -> only (200, 10) matches
+    val out = BinnedRangeJoin.join(np, "p", ni, "lo", "hi", 4.0)
+      .select(col("p_id"), col("iv_id"))
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((200L, 10L)))
+  }
+
   test("colliding column names and bad widths fail loudly") {
     val badIv = intervals.withColumnRenamed("iv_id", "p_id")
     assertThrows[IllegalArgumentException] {

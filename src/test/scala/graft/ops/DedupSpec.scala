@@ -29,6 +29,20 @@ class DedupSpec extends SparkSpec {
     assert(out.filter($"n_copies" === 2).select($"keep_id").as[Long].head() == 1L)
   }
 
+  test("bag fingerprint is word-order-insensitive, not content-blind") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "fox brown THE quick"),
+      (3L, "the quick brown foxes")).toDF("doc_id", "text")
+    val out = Dedup.exactByBagFingerprint(df, "text", "doc_id")
+    assert(out.count() == 2)
+    // the shuffled copy collapses onto the lower id; the near-miss
+    // (different token) stays its own group
+    assert(out.filter($"n_copies" === 2).select($"keep_id").as[Long]
+      .head() == 1L)
+    // positional fingerprint does NOT catch the shuffle — the bag
+    // digest exists precisely for this case
+    assert(Dedup.exactByFingerprint(df, "text", "doc_id").count() == 3)
+  }
+
   test("minhash LSH finds exact and near dups, not unrelated docs") {
     val pairs = Dedup.minhashCandidates(corpus, "text", "doc_id")
       .select($"a", $"b").as[(Long, Long)].collect().toSet
