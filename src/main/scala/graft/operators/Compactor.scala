@@ -40,8 +40,8 @@ object Compactor {
     val payload = df.columns.filterNot(c => pks.contains(c) || c == seqCol)
     df.groupBy(pks.map(col): _*)
       .agg(max(col(seqCol)).as(seqCol),
-           payload.map(c => max_by(col(c), col(seqCol)).as(c)): _*)
-      .select(df.columns.map(col): _*)   // restore original column order
+           payload.toSeq.map(c => max_by(col(c), col(seqCol)).as(c)): _*)
+      .select(df.columns.toSeq.map(col): _*) // restore original column order
   }
 
   /** Drop rows whose final state is a delete — the post-compaction

@@ -17,7 +17,7 @@ object Salting {
     * row so replays salt identically (no rand() — reproducible plans
     * and retry-safe tasks). */
   def rowSalt(df: DataFrame, buckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(buckets))
+    pmod(xxhash64(df.columns.toSeq.map(col): _*), lit(buckets))
 
   /** Salted two-phase sum/count: groupBy(keys + salt) partial, then
     * groupBy(keys) merge. Identical results to the direct aggregate

@@ -128,7 +128,7 @@ object AsOfJoin {
     left.join(broadcast(hist), cond, "left")
       .withColumn("__m",
         array_max(filter(hist("__hist"), h => h("__ts") <= col(leftTs))))
-      .select(left.columns.map(c => left(c)) ++
+      .select(left.columns.toSeq.map(c => left(c)) ++
         payload.map(c => col("__m").getField(c).as(c)): _*)
   }
 }

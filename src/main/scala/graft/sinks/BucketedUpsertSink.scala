@@ -60,7 +60,7 @@ final class BucketedUpsertSink(rootDir: String, buckets: Int = 64)
           // partition-pruned read: only the touched buckets
           val existing = spark.read
             .option("basePath", dir)
-            .parquet(existingTouched.map(b => s"$dir/bucket=$b"): _*)
+            .parquet(existingTouched.toSeq.map(b => s"$dir/bucket=$b"): _*)
           Compactor.lastEventPerKeyAgg(pks, "seq")(
             existing.unionByName(bucketed, allowMissingColumns = true))
         }
