@@ -163,6 +163,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("binned range join ≡ naive range join (random intervals/widths)") {
+    val gen: Gen[(Double, List[(Long, Double, Double)], List[(Long, Double)])] =
+      for {
+        w <- Gen.oneOf(1.0, 3.0, 7.5, 100.0)
+        nI <- Gen.choose(1, 12)
+        ivs <- Gen.listOfN(nI, for {
+          lo <- Gen.choose(-50, 50).map(_.toDouble)
+          len <- Gen.choose(0, 30).map(_.toDouble)
+        } yield (lo, lo + len))
+        nP <- Gen.choose(0, 40)
+        ps <- Gen.listOfN(nP, Gen.choose(-60, 80).map(_ / 1.5))
+      } yield (w,
+        ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) },
+        ps.zipWithIndex.map { case (p, i) => (i.toLong, p) })
+    forAllSamples(gen, 10) { case (w, ivs, ps) =>
+      val model = for {
+        (pid, p) <- ps
+        (iid, lo, hi) <- ivs
+        if p >= lo && p < hi
+      } yield (pid, iid)
+      val got =
+        if (ps.isEmpty) Nil
+        else graft.ops.BinnedRangeJoin.join(
+          ps.toDF("p_id", "p"), "p",
+          ivs.toDF("iv_id", "lo", "hi"), "lo", "hi", w)
+          .select($"p_id", $"iv_id").as[(Long, Long)].collect().toSeq
+      assert(got.sorted == model.sorted, s"w=$w ivs=$ivs ps=$ps")
+    }
+  }
+
   test("random DDL programs ≡ column-list model") {
     val names = (0 until 12).map(i => s"c$i")
     val opGen: Gen[Op] = Gen.oneOf(
