@@ -52,8 +52,6 @@ object DebeziumAdapter {
     */
   def fromJson(df: DataFrame, jsonCol: String, seq: Column,
       onCorrupt: String = "fail"): DataFrame = {
-    require(Set("fail", "skip", "mark")(onCorrupt),
-      s"onCorrupt must be fail|skip|mark, got '$onCorrupt'")
     val opMapped =
       when(col("__dbz.op").isin("c", "r"), graft.cdc.ChangeEvent.Insert)
         .when(col("__dbz.op") === "u", graft.cdc.ChangeEvent.Update)
@@ -61,28 +59,9 @@ object DebeziumAdapter {
     val bad = col("__dbz").isNull || col("__dbz.source.db").isNull ||
       col("__dbz.source.table").isNull || opMapped.isNull
     val parsed = df.withColumn("__dbz", from_json(col(jsonCol), payloadSchema))
-    val policed = onCorrupt match {
-      case "skip" => parsed.filter(!bad)
-      case _ => parsed
-    }
-    val (opCol, beforeCol, dbCol, tableCol) = onCorrupt match {
-      case "mark" => (
-        when(bad, lit("__corrupt__")).otherwise(opMapped),
-        when(bad, map(lit("raw"), col(jsonCol)))
-          .otherwise(col("__dbz.before")),
-        coalesce(col("__dbz.source.db"), lit("")),
-        coalesce(col("__dbz.source.table"), lit("")))
-      case "fail" => (
-        when(bad, raise_error(concat(
-          lit("corrupt/unsupported debezium record "),
-          lit("(set onCorrupt=skip|mark to continue): "),
-          substring(col(jsonCol), 1, 120))).cast("string"))
-          .otherwise(opMapped),
-        col("__dbz.before"), col("__dbz.source.db"),
-        col("__dbz.source.table"))
-      case _ => (opMapped, col("__dbz.before"), col("__dbz.source.db"),
-        col("__dbz.source.table"))
-    }
+    val (policed, opCol, beforeCol, dbCol, tableCol) = EnvelopePolicy(
+      parsed, jsonCol, "debezium", bad, opMapped, col("__dbz.before"),
+      col("__dbz.source.db"), col("__dbz.source.table"), onCorrupt)
     policed.select(
       dbCol.as("db"),
       tableCol.as("table"),

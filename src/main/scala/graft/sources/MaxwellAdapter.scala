@@ -49,37 +49,32 @@ object MaxwellAdapter {
     *            raw payload in `before["raw"]` */
   def fromJson(df: DataFrame, jsonCol: String, seq: Column,
       onCorrupt: String = "fail"): DataFrame = {
-    require(Set("fail", "skip", "mark")(onCorrupt),
-      s"onCorrupt must be fail|skip|mark, got '$onCorrupt'")
     val opMapped =
       when(col("__mxw.type").isin("insert", "bootstrap-insert"),
         graft.cdc.ChangeEvent.Insert)
         .when(col("__mxw.type") === "update", graft.cdc.ChangeEvent.Update)
         .when(col("__mxw.type") === "delete", graft.cdc.ChangeEvent.Delete)
+    // a DML event without a row image is unusable — null pks would
+    // compact under one key and upsert a garbage row (Maxwell always
+    // emits `data` for DML, unlike Debezium where delete.after is
+    // legitimately null)
     val bad = col("__mxw").isNull || col("__mxw.database").isNull ||
-      col("__mxw.table").isNull || opMapped.isNull
+      col("__mxw.table").isNull || opMapped.isNull ||
+      col("__mxw.data").isNull
     val parsed = df.withColumn("__mxw", from_json(col(jsonCol), payloadSchema))
-    val policed = onCorrupt match {
-      case "skip" => parsed.filter(!bad)
-      case _ => parsed
-    }
-    val (opCol, beforeCol, dbCol, tableCol) = onCorrupt match {
-      case "mark" => (
-        when(bad, lit("__corrupt__")).otherwise(opMapped),
-        when(bad, map(lit("raw"), col(jsonCol)))
-          .otherwise(col("__mxw.old")),
-        coalesce(col("__mxw.database"), lit("")),
-        coalesce(col("__mxw.table"), lit("")))
-      case "fail" => (
-        when(bad, raise_error(concat(
-          lit("corrupt/unsupported maxwell record "),
-          lit("(set onCorrupt=skip|mark to continue): "),
-          substring(col(jsonCol), 1, 120))).cast("string"))
-          .otherwise(opMapped),
-        col("__mxw.old"), col("__mxw.database"), col("__mxw.table"))
-      case _ => (opMapped, col("__mxw.old"), col("__mxw.database"),
-        col("__mxw.table"))
-    }
+      // bootstrap-start/complete markers always bracket a Maxwell
+      // bootstrap: row-data-free CONTROL records, not corruption —
+      // dropping them keeps onCorrupt=fail strict for real damage
+      // (the same split CanalAdapter applies to DDL messages).
+      // coalesce: unparseable JSON yields a struct of NULLs, and a
+      // null `type` must stay (to be policed as corrupt), not be
+      // swallowed by the three-valued isin
+      .filter(not(coalesce(
+        col("__mxw.type").isin("bootstrap-start", "bootstrap-complete"),
+        lit(false))))
+    val (policed, opCol, beforeCol, dbCol, tableCol) = EnvelopePolicy(
+      parsed, jsonCol, "maxwell", bad, opMapped, col("__mxw.old"),
+      col("__mxw.database"), col("__mxw.table"), onCorrupt)
     policed.select(
       dbCol.as("db"),
       tableCol.as("table"),

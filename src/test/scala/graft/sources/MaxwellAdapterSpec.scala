@@ -49,12 +49,12 @@ class MaxwellAdapterSpec extends SparkSpec {
     assert(rows(3).getAs[Map[String, String]]("before") == null)
   }
 
-  test("corrupt/non-DML payloads: fail default, skip drops, mark DLQs") {
+  test("corrupt payloads: fail default, skip drops, mark DLQs") {
     val mixed = lines ++ Seq(
       "not json at all",
-      // bootstrap marker — valid JSON, not a row event
-      """{"database":"shop","table":"items","type":"bootstrap-start",""" +
-        """"ts":5000,"data":{}}""")
+      // DML with NO row image: unusable (null pks would compact under
+      // one key and upsert garbage) — must be policed, not passed
+      """{"database":"shop","table":"items","type":"insert","ts":6000}""")
     def adapt(mode: String) = MaxwellAdapter.fromJson(
       mixed.zipWithIndex.toDF("value", "offset"), "value", col("offset"),
       onCorrupt = mode)
@@ -71,7 +71,25 @@ class MaxwellAdapterSpec extends SparkSpec {
     assert(dlq.exists(_.getAs[Map[String, String]]("before")("raw")
       .contains("not json")))
     assert(dlq.exists(_.getAs[Map[String, String]]("before")("raw")
-      .contains("bootstrap-start")))
+      .contains("\"ts\":6000")))
+  }
+
+  test("bootstrap markers are control records: dropped in EVERY mode") {
+    // Maxwell's bootstrap writes start/complete markers around the
+    // bootstrap-insert rows on the same stream — a bootstrap must not
+    // crash onCorrupt=fail, and the markers are not corruption
+    val mixed = Seq(
+      """{"database":"shop","table":"items","type":"bootstrap-start",""" +
+        """"ts":5000,"data":{}}""") ++ lines ++ Seq(
+      """{"database":"shop","table":"items","type":"bootstrap-complete",""" +
+        """"ts":7000,"data":{}}""")
+    for (mode <- Seq("fail", "skip", "mark")) {
+      val out = MaxwellAdapter.fromJson(
+        mixed.zipWithIndex.toDF("value", "offset"), "value", col("offset"),
+        onCorrupt = mode).collect()
+      assert(out.length == 4, mode)
+      assert(!out.exists(_.getAs[String]("op") == "__corrupt__"), mode)
+    }
   }
 
   test("adapted stream drives the engine's compaction unchanged") {
