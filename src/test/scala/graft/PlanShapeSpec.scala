@@ -247,6 +247,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q5/q7/q9: multi-way joins stay keyed — dims broadcast, no cartesian") {
+    for (q <- Seq("q5_region_nation_revenue", "q7_volume_shipping",
+        "q9_product_profit")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: expected broadcast dims:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: multi-way join degenerated:\n$p")
+      // final aggregation is partial+final around one exchange
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q: expected partial+final aggregate:\n$p")
+    }
+  }
+
   test("q_range_join_binned: range join runs as an equi-join, not BNL") {
     // the whole point of the binned path: the interval predicate must
     // NOT execute as a nested loop — the bin id is a shuffle/hash
