@@ -120,22 +120,42 @@ object TopKLargest {
 
   /** Primitive-double min-heap capped at capacity k: the smallest of
     * the kept values sits at the root, so a new value either replaces
-    * it (when larger) or is discarded in O(1). */
+    * it (when larger) or is discarded in O(1).
+    *
+    * Ordering is the IEEE total order (`java.lang.Double.compare`):
+    * NaN ranks above every other value and -0.0 below 0.0 — the same
+    * semantics as Spark's SQL sort and the `Arrays.sort` used at
+    * eval(), so a NaN input ranks into the top-k instead of breaking
+    * the heap invariant (raw `<`/`>` on NaN is always false, which
+    * would let later evictions discard values that belong in the
+    * top-k).
+    *
+    * The backing array grows geometrically up to k rather than
+    * eagerly allocating k slots per group: a large literal k over
+    * high group cardinality would otherwise pin O(groups·k) doubles
+    * in the map-side hash aggregate even when most groups are tiny.
+    */
   final class Heap(capacity: Int) {
-    val values = new Array[Double](capacity)
+    var values = new Array[Double](math.max(1, math.min(capacity, 8)))
     var size = 0
+
+    private def lt(a: Double, b: Double): Boolean =
+      java.lang.Double.compare(a, b) < 0
 
     def insert(v: Double): Unit = {
       if (size < capacity) {
+        if (size == values.length)
+          values = java.util.Arrays.copyOf(
+            values, math.min(capacity, values.length * 2))
         values(size) = v
         size += 1
         var i = size - 1 // sift up
-        while (i > 0 && values((i - 1) / 2) > values(i)) {
+        while (i > 0 && lt(values(i), values((i - 1) / 2))) {
           val p = (i - 1) / 2
           val t = values(p); values(p) = values(i); values(i) = t
           i = p
         }
-      } else if (v > values(0)) {
+      } else if (lt(values(0), v)) {
         values(0) = v
         var i = 0 // sift down
         var done = false
@@ -143,8 +163,8 @@ object TopKLargest {
           val l = 2 * i + 1
           val r = 2 * i + 2
           var m = i
-          if (l < size && values(l) < values(m)) m = l
-          if (r < size && values(r) < values(m)) m = r
+          if (l < size && lt(values(l), values(m))) m = l
+          if (r < size && lt(values(r), values(m))) m = r
           if (m == i) done = true
           else {
             val t = values(m); values(m) = values(i); values(i) = t

@@ -80,7 +80,12 @@ object AsOfJoin {
         payloadStruct(col).as("__p"): _*)
     // __tb last: side still dominates at equal ts; among right rows
     // sharing (key, ts), ascending tiebreaker makes the highest value
-    // the `last` — i.e. the winner — deterministically.
+    // the `last` — i.e. the winner — deterministically. NULL
+    // tiebreakers sort FIRST (Spark asc = nulls-first), so a null-__tb
+    // row loses to ANY non-null peer at the same (key, ts); multiple
+    // all-null peers are indistinguishable and the winner among them
+    // is partitioning-dependent — callers needing full determinism
+    // must supply a non-null (or coalesced) tiebreak column.
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -55,9 +55,23 @@ object BinnedRangeJoin {
     def bin(c: Column): Column = floor(c / binWidth).cast("long")
     // hi is exclusive, but a boundary-landing hi still registers its
     // bin — harmless (the residual filter rejects), and dropping it
-    // would lose matches for points in [floor(hi/W)*W, hi)
+    // would lose matches for points in [floor(hi/W)*W, hi).
+    // Inverted intervals (hi < lo) fail LOUDLY inside the expansion
+    // expression (so column pruning can't elide the check): Spark's
+    // sequence(start, stop) silently steps -1 when start > stop, so a
+    // swapped lo/hi column pair would explode into a descending run
+    // of bins the residual filter then discards — a silent row
+    // blow-up masking a data-quality bug.
+    // (null bounds keep their pre-guard behavior: explode(null)
+    // drops the interval row, it does not raise)
     val ibin = intervals.withColumn("__bin",
-      explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+      explode(when(col(loCol).isNull || col(hiCol).isNull, lit(null))
+        .when(col(loCol) <= col(hiCol),
+          sequence(bin(col(loCol)), bin(col(hiCol))))
+        .otherwise(raise_error(concat(
+          lit("BinnedRangeJoin: inverted interval (hi < lo): lo="),
+          col(loCol).cast("string"), lit(" hi="),
+          col(hiCol).cast("string"))))))
     val pbin = points.withColumn("__bin", bin(col(pCol)))
     pbin.join(ibin, Seq("__bin"))
       .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))

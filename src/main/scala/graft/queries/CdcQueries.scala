@@ -265,8 +265,12 @@ object CdcQueries {
           map(lit("old_flag"), lit(1L))).otherwise(map()))
       val after = map(lit("uid"), col("user_id"), lit("score"),
         pmod(col("event_id"), lit(7L)))
+      // Serialized to CSV in the final projection: the driver's
+      // pandas-based compare can't hash raw array cells, so both
+      // sides emit the same comma-joined string.
       events(s, dir).select(col("event_id"),
-        Transforms.changedColumns(before, after).as("changed"))
+        array_join(Transforms.changedColumns(before, after), ",")
+          .as("changed"))
         .orderBy(col("event_id"))
     }),
 
@@ -408,10 +412,10 @@ object CdcQueries {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "cdc_changed_columns" ->
       """SELECT event_id,
-        |  list_sort(
+        |  coalesce(array_to_string(list_sort(
         |    CASE WHEN event_id % 3 = 0 THEN ['old_flag'] ELSE [] END ||
         |    CASE WHEN event_id % 7 <> event_id % 5
-        |         THEN ['score'] ELSE [] END) AS changed
+        |         THEN ['score'] ELSE [] END), ','), '') AS changed
         |FROM events ORDER BY event_id""".stripMargin,
     "cdc_scd2_build" ->
       """WITH e AS (

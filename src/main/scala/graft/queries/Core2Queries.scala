@@ -218,11 +218,18 @@ object Core2Queries {
     // shuffle carries at most k doubles per group per task —
     // row_number-over-window would sort every row, collect_list would
     // materialize whole groups.
+    // The heap's array output is exploded to (group, rank, value)
+    // scalar rows for the final projection: the driver's pandas
+    // compare can't hash raw array cells, and raw doubles compare
+    // exactly where formatted strings would risk float-format
+    // divergence between engines.
     "q_topk_per_group" -> ((s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(expr("topk_largest(value, 5)").as("top_values"))
-        .orderBy(col("event_type"))),
+        .agg(expr("topk_largest(value, 5)").as("tv"))
+        .select(col("event_type"), posexplode(col("tv")).as(Seq("p", "value")))
+        .select(col("event_type"), (col("p") + 1).as("rk"), col("value"))
+        .orderBy(col("event_type"), col("rk"))),
 
     // HAVING (post-aggregate filter)
     "q_having" -> ((s, dir) =>
@@ -333,10 +340,12 @@ object Core2Queries {
         |  ON e.value >= n.lo AND e.value < n.hi
         |ORDER BY event_id, n_nationkey""".stripMargin,
     "q_topk_per_group" ->
-      """SELECT event_type,
-        |  (list_sort(list(value), 'DESC'))[1:5] AS top_values
-        |FROM events GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
+      """SELECT event_type, rk, value FROM (
+        |  SELECT event_type, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC) AS INTEGER) AS rk
+        |  FROM events WHERE value IS NOT NULL) x
+        |WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin,
     "q_having" ->
       """SELECT l_partkey, COUNT(*) AS n FROM lineitem
         |GROUP BY l_partkey HAVING COUNT(*) > 40

@@ -65,9 +65,11 @@ object Core3Queries {
         .orderBy(col("l_linestatus"))
     }),
 
-    // ≙ TPC-H Q14: broadcast dim join + promo-share ratio. Numerator
-    // and denominator aggregate exactly in DECIMAL; the single final
-    // double division is IEEE-identical in both engines.
+    // ≙ TPC-H Q14: dim join + promo-share ratio. part is
+    // data-proportional, so no broadcast hint — AQE broadcasts while
+    // small, shuffle-joins at scale. Numerator and denominator
+    // aggregate exactly in DECIMAL; the single final double division
+    // is IEEE-identical in both engines.
     "q14_promo_share" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
@@ -77,7 +79,7 @@ object Core3Queries {
         .select(col("p_partkey"), col("p_type"))
       val rev = dec(col("l_extendedprice")) *
         (lit(1.0).cast(F) - discF)
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
         .agg(
           sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(D)))
             .cast("double").as("promo_revenue"),

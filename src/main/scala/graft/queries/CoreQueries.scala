@@ -58,8 +58,11 @@ object CoreQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
-    // ≙ TPC-H Q3 shape: selective dim filter broadcast into the fact
-    // join, then top-k. customer is ~1.5% of lineitem → broadcast.
+    // ≙ TPC-H Q3 shape: selective dim filter into the fact join,
+    // then top-k. customer is data-proportional (sf0.1 → 15K rows;
+    // cluster scale → billions), so NO broadcast hint: AQE broadcasts
+    // while the filtered side is small and falls back to a shuffled
+    // join at scale. A hard hint here is a guaranteed OOM at 100 TB.
     "q3_segment_topk" -> ((s, dir) => {
       val cust = Tables.load(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
@@ -69,15 +72,17 @@ object CoreQueries {
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(sum(dec(col("l_extendedprice")) * discF).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
 
-    // ≙ TPC-H Q5 shape: star join, small dims broadcast, one shuffle
-    // for the final 25-group aggregate.
+    // ≙ TPC-H Q5 shape: star join. Only the FIXED-cardinality dims
+    // (nation=25, region=5) get broadcast hints; customer is
+    // data-proportional and reaches its join unhinted — AQE picks
+    // broadcast at small sf, shuffled join at cluster scale.
     "q5_region_nation_revenue" -> ((s, dir) => {
       val region = Tables.load(s, dir, "region")
       val nation = Tables.load(s, dir, "nation")
@@ -88,7 +93,7 @@ object CoreQueries {
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))

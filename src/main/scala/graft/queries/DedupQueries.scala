@@ -231,14 +231,20 @@ object DedupQueries {
           .as("n_tok"),
         graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
       val banded = d.withColumn("band", floor(col("q") * 4).cast("long"))
-      val wOff = org.apache.spark.sql.expressions.Window
-        .orderBy(col("band").desc)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      // ≤ 9 distinct bands — this un-partitioned window is over the
-      // aggregate, not the data
-      val offsets = banded.groupBy(col("band"))
+      // each band's offset = total tokens of all STRICTLY HIGHER
+      // (better-quality) bands. ≤ 9 distinct bands, so the prefix sum
+      // is a trivial 9×9 inequality self-join — not a window: an
+      // un-partitioned WindowExec single-partitions its input (and a
+      // constant partition key doesn't dodge that — Spark 4's
+      // EliminateWindowPartitions strips foldable keys), while the
+      // join keeps every stage partition-parallel and warning-free.
+      val bandTotals = banded.groupBy(col("band"))
         .agg(sum(col("n_tok")).as("btok"))
-        .withColumn("off", coalesce(sum(col("btok")).over(wOff), lit(0L)))
+      val offsets = bandTotals
+        .join(bandTotals.select(col("band").as("hb"), col("btok").as("hbtok")),
+          col("hb") > col("band"), "left")
+        .groupBy(col("band"))
+        .agg(coalesce(sum(col("hbtok")), lit(0L)).as("off"))
         .select(col("band"), col("off"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("band")).orderBy(col("q").desc, col("doc_id"))

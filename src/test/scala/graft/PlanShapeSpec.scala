@@ -35,10 +35,21 @@ class PlanShapeSpec extends SparkSpec {
       "unreferenced columns must not be read:\n" + p)
   }
 
-  test("q3: selective dim is broadcast into the fact join") {
+  test("q3: no user hint on data-proportional customer; filter pushed") {
+    // customer grows with the data (sf0.1 → 15K rows; 100 TB →
+    // billions): a hard broadcast hint there is an OOM at scale. The
+    // query must reach the join UNHINTED — AQE broadcasts while the
+    // BUILDING-filtered side is small and shuffle-joins at scale.
+    for (q <- Seq("q3_segment_topk", "q14_promo_share")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val hinted = df.queryExecution.logical.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+        case r: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => r
+      }
+      assert(hinted.isEmpty, s"$q: user hints found: $hinted")
+    }
+    // the segment filter still sits on the customer scan
     val p = plan("q3_segment_topk")
-    assert(p.contains("BroadcastHashJoin"), p)
-    // the customer filter sits on its scan
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
   }
 
@@ -248,8 +259,21 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q5/q7/q9: multi-way joins stay keyed — dims broadcast, no cartesian") {
+    // Only FIXED-cardinality dims (nation=25, region=5) may carry a
+    // user broadcast hint; data-proportional tables (customer, orders,
+    // lineitem, supplier, part) must reach their joins unhinted.
+    val fixedDimPrefixes = Seq("n_", "r_")
     for (q <- Seq("q5_region_nation_revenue", "q7_volume_shipping",
         "q9_product_profit")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val hinted = df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => r
+      }
+      hinted.foreach { h =>
+        val cols = h.child.output.map(_.name)
+        assert(cols.forall(c => fixedDimPrefixes.exists(c.startsWith)),
+          s"$q: broadcast hint on a data-proportional side ($cols)")
+      }
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"),
         s"$q: expected broadcast dims:\n$p")

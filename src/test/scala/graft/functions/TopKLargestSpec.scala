@@ -45,6 +45,31 @@ class TopKLargestSpec extends SparkSpec {
     assert(got == Map("a" -> Seq(5.0, 5.0)))
   }
 
+  test("NaN ranks above every value (total order); heap invariant holds") {
+    // raw </> on NaN is always false, which used to let a NaN poison
+    // the sift and evict values that belong in the top-k; the heap
+    // now compares via java.lang.Double.compare (Spark's SQL order:
+    // NaN > everything)
+    val under = Seq(("a", Double.NaN), ("a", 5.0), ("a", 3.0),
+      ("a", 7.0), ("a", 1.0)).toDF("g", "v") // NaN arrives under capacity
+    val gotU = under.groupBy($"g").agg(expr("topk_largest(v, 3)").as("top"))
+      .as[(String, Seq[Double])].collect().toMap.apply("a")
+    assert(gotU.head.isNaN && gotU.tail == Seq(7.0, 5.0), gotU)
+
+    val over = Seq(("a", 5.0), ("a", 7.0), ("a", 3.0),
+      ("a", Double.NaN)).toDF("g", "v").coalesce(1) // NaN arrives when full
+    val gotO = over.groupBy($"g").agg(expr("topk_largest(v, 2)").as("top"))
+      .as[(String, Seq[Double])].collect().toMap.apply("a")
+    assert(gotO.head.isNaN && gotO.tail == Seq(7.0), gotO)
+  }
+
+  test("k far above the group size: buffer grows lazily, result exact") {
+    val df = Seq.tabulate(10)(i => ("a", i.toDouble)).toDF("g", "v")
+    val got = df.groupBy($"g").agg(expr("topk_largest(v, 100000)").as("top"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(got == Map("a" -> (9 to 0 by -1).map(_.toDouble)))
+  }
+
   test("non-literal or non-positive k fails loudly") {
     val df = Seq(("a", 1.0)).toDF("g", "v")
     assertThrows[Exception] {

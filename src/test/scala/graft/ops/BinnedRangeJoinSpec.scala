@@ -48,6 +48,19 @@ class BinnedRangeJoinSpec extends SparkSpec {
     assert(out == Seq((200L, 10L)))
   }
 
+  test("inverted intervals (hi < lo) fail loudly, not silently explode") {
+    // sequence(start, stop) steps -1 when start > stop: without the
+    // guard a swapped lo/hi pair silently blows up into descending
+    // bins that the residual filter then discards — masking the bug
+    val bad = Seq((20L, 30.0, 0.0)).toDF("iv_id", "lo", "hi")
+    val e = intercept[Exception] {
+      BinnedRangeJoin.join(points, "p", bad, "lo", "hi", 4.0).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(msgs.contains("inverted interval"), msgs)
+  }
+
   test("colliding column names and bad widths fail loudly") {
     val badIv = intervals.withColumnRenamed("iv_id", "p_id")
     assertThrows[IllegalArgumentException] {

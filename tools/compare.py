@@ -32,9 +32,19 @@ def canon(v):
         return ("f", repr(v))
     if isinstance(v, bytes):
         return ("b", v.hex())
-    if isinstance(v, list):
-        return tuple(canon(x) for x in v)
+    if isinstance(v, (list, tuple, dict)):
+        # FAIL-CLOSED: the driver's pandas harness crashes on array/
+        # struct cells (unhashable ndarray in sort_values), so a query
+        # emitting them can never be driver-verified. Tuple-izing here
+        # (the round-1..3 behavior) made the local gate laxer than the
+        # driver's and hid exactly that — reject instead, so local
+        # green predicts driver green.
+        raise NonScalarCell(type(v).__name__)
     return v
+
+
+class NonScalarCell(Exception):
+    pass
 
 
 def main(sf_dir, out_dir):
@@ -74,8 +84,16 @@ def main(sf_dir, out_dir):
         sidx = sorted(range(len(scols)), key=lambda i: scols[i])
         didx = sorted(range(len(dcols)), key=lambda i: dcols[i])
         spy = spark_tbl.to_pylist()
-        srows = [tuple(canon(r[scols[i]]) for i in sidx) for r in spy]
-        drows2 = [tuple(canon(r[i]) for i in didx) for r in drows]
+        try:
+            srows = [tuple(canon(r[scols[i]]) for i in sidx) for r in spy]
+            drows2 = [tuple(canon(r[i]) for i in didx) for r in drows]
+        except NonScalarCell as e:
+            print(f"FAIL {name}: non-scalar output column ({e}) — the "
+                  f"driver's harness cannot verify array/struct cells; "
+                  f"serialize them (array_join/to_json) in the final "
+                  f"projection of BOTH the query and its oracle")
+            n_fail += 1
+            continue
         if len(srows) != len(drows2):
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows2)}")
             n_fail += 1
