@@ -297,6 +297,61 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("__bin"), s"expected the bin equi-join key:\n$p")
   }
 
+  test("EVERY query emits scalar-only output columns (driver-verifiable)") {
+    // The driver's pandas harness crashes on array/map/struct cells
+    // (round-3: cdc_changed_columns, q_topk_per_group went unverified)
+    // — tools/compare.py now fails closed on them, and this pins the
+    // same property at the source: no declared query may emit a
+    // non-atomic column. Schema-only, nothing executes.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, q) =>
+      q(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar output columns (driver cannot verify them):\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("EVERY broadcast hint in the suite sits on a cardinality-bounded frame") {
+    // The r1/r3 anti-pattern, generalized: a user broadcast() is only
+    // legal on a frame whose row count is bounded by CONSTRUCTION —
+    // a literal local relation, an aggregate (groups bounded by key
+    // domain), or a scan of the fixed-cardinality dims (nation=25,
+    // region=5). A hint whose subtree is just filter/project over a
+    // data-proportional scan (customer/orders/lineitem/part/supplier/
+    // events/documents/embeddings) OOMs at scale and fails here.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, q) =>
+      q(spark, dir).queryExecution.analyzed.collect {
+        case h: ResolvedHint =>
+          val subtree = h.child.collect { case n => n }
+          val hasBound = subtree.exists {
+            case _: Aggregate => true // output ≤ key-domain cardinality
+            case _: LocalRelation => true // literal, fixed rows
+            case _: Distinct | _: Deduplicate => true
+            case _: GlobalLimit => true
+            // centroid seeding: `vec_id < K` on a UNIQUE id is ≤ K
+            // rows by construction (Similarity.seedCentroids)
+            case f: Filter if f.condition.references.exists(_.name == "vec_id")
+              && f.condition.toString.contains("< cast(") => true
+            case l: LeafNode => // nation (25) / region (5) scans only
+              l.output.nonEmpty && l.output.forall(a =>
+                a.name.startsWith("n_") || a.name.startsWith("r_"))
+            case _ => false
+          }
+          if (hasBound) None else Some(s"$name: ${h.hints} over\n${h.child}")
+        case _ => None
+      }.flatten
+    }
+    assert(offenders.isEmpty,
+      s"broadcast hints on unbounded frames:\n${offenders.mkString("\n")}")
+  }
+
   test("text_heavy_hitters: candidates broadcast; exact pass semi-joins") {
     // Pass B must probe the bounded candidate set with a broadcast
     // semi join (shuffling the token stream against candidates would
