@@ -352,6 +352,19 @@ class PlanShapeSpec extends SparkSpec {
       s"broadcast hints on unbounded frames:\n${offenders.mkString("\n")}")
   }
 
+  test("pipe_token_budget: no un-partitioned window anywhere in the plan") {
+    // The global running token sum must NOT single-partition the data:
+    // the banded two-pass shape keeps every window partitioned (the
+    // cross-band prefix offsets are a 9-row self-join, not a window).
+    val df = SparkEntry.queries("pipe_token_budget")(spark, dir)
+    val unpartitioned = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"un-partitioned WindowExec found:\n${unpartitioned.mkString("\n")}")
+  }
+
   test("text_heavy_hitters: candidates broadcast; exact pass semi-joins") {
     // Pass B must probe the bounded candidate set with a broadcast
     // semi join (shuffling the token stream against candidates would
