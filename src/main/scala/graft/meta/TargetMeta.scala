@@ -168,6 +168,21 @@ object TargetMeta {
           .putBoolean("isPrimaryKey", r.columnKey == "PRI").build())
     })
 
+  /** A loaded target table: the engine's TableDef (rawType keeps the
+    * declared SR/Doris rendering; note its `sparkType`/`toStructType`
+    * resolve through the SOURCE-side MySQL map and will mistype OLAP
+    * columns) AND the dialect-resolved Spark schema, which is the one
+    * to write/cast against. */
+  final case class TargetTable(table: TableDef, schema: StructType)
+
+  /** Pure composition used by [[load]]: rows → TableDef + dialect
+    * schema in one step, so the live path cannot drop the dialect
+    * mapping. */
+  def fromRows(db: String, table: String, rows: Seq[InfoSchemaRow],
+      dialect: MetaDialect): TargetTable =
+    TargetTable(fromInfoSchema(db, table, rows, dialect),
+      structType(db, table, rows, dialect))
+
   /** The reference's exact meta query (`starrocks_meta.go:46-50`). */
   val InfoSchemaSql: String =
     "SELECT column_name, column_default, is_nullable, data_type, " +
@@ -175,11 +190,11 @@ object TargetMeta {
       "WHERE table_schema = ? AND table_name = ? ORDER BY ordinal_position"
 
   /** Live-target load over the MySQL wire protocol (SR/Doris FE
-    * speak it) — the thin untested JDBC edge; everything above is the
+    * speak it) — the thin untested JDBC edge; everything else is the
     * tested pure path. */
-  def loadTable(url: String, db: String, table: String,
+  def load(url: String, db: String, table: String,
       dialect: MetaDialect,
-      props: java.util.Properties = new java.util.Properties): TableDef = {
+      props: java.util.Properties = new java.util.Properties): TargetTable = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val ps = conn.prepareStatement(InfoSchemaSql)
@@ -190,7 +205,7 @@ object TargetMeta {
       while (rs.next()) rows += InfoSchemaRow(
         rs.getString(1), Option(rs.getString(2)), rs.getString(3),
         rs.getString(4), rs.getString(5), rs.getString(6))
-      fromInfoSchema(db, table, rows.result(), dialect)
+      fromRows(db, table, rows.result(), dialect)
     } finally conn.close()
   }
 }

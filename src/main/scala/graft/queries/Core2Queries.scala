@@ -223,12 +223,17 @@ object Core2Queries {
     // compare can't hash raw array cells, and raw doubles compare
     // exactly where formatted strings would risk float-format
     // divergence between engines.
+    // `value + 0.0` normalizes -0.0 → 0.0 on both sides: the heap's
+    // IEEE total order ranks 0.0 above -0.0 while the oracle's sort
+    // treats them equal, so raw zeros at the k-boundary could emit
+    // with different signs and spuriously hash-mismatch.
     "q_topk_per_group" -> ((s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(expr("topk_largest(value, 5)").as("tv"))
-        .select(col("event_type"), posexplode(col("tv")).as(Seq("p", "value")))
-        .select(col("event_type"), (col("p") + 1).as("rk"), col("value"))
+        .select(col("event_type"), posexplode(col("tv")).as(Seq("p", "v")))
+        .select(col("event_type"), (col("p") + 1).as("rk"),
+          (col("v") + lit(0.0)).as("value"))
         .orderBy(col("event_type"), col("rk"))),
 
     // HAVING (post-aggregate filter)
@@ -340,7 +345,7 @@ object Core2Queries {
         |  ON e.value >= n.lo AND e.value < n.hi
         |ORDER BY event_id, n_nationkey""".stripMargin,
     "q_topk_per_group" ->
-      """SELECT event_type, rk, value FROM (
+      """SELECT event_type, rk, value + 0.0 AS value FROM (
         |  SELECT event_type, value,
         |    CAST(row_number() OVER (PARTITION BY event_type
         |      ORDER BY value DESC) AS INTEGER) AS rk

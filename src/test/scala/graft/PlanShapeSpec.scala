@@ -326,27 +326,32 @@ class PlanShapeSpec extends SparkSpec {
     // data-proportional scan (customer/orders/lineitem/part/supplier/
     // events/documents/embeddings) OOMs at scale and fails here.
     import org.apache.spark.sql.catalyst.plans.logical._
+    // Boundedness must hold on the SPINE from the hint down — an
+    // `exists` over all descendants would approve broadcast(fact ⋈
+    // boundedDim), a data-proportional frame, just because a bounded
+    // node appears somewhere below the join.
+    def isBounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true // output ≤ key-domain cardinality
+      case _: LocalRelation => true // literal, fixed rows
+      case _: Distinct | _: Deduplicate => true
+      case _: GlobalLimit | _: LocalLimit => true
+      // centroid seeding: `vec_id < K` on a UNIQUE id is ≤ K rows by
+      // construction (Similarity.seedCentroids)
+      case f: Filter if f.condition.references.exists(_.name == "vec_id")
+        && f.condition.toString.contains("< cast(") => true
+      case l: LeafNode => // nation (25) / region (5) scans only
+        l.output.nonEmpty && l.output.forall(a =>
+          a.name.startsWith("n_") || a.name.startsWith("r_"))
+      case j: Join => isBounded(j.left) && isBounded(j.right)
+      case u: Union => u.children.forall(isBounded)
+      case u: UnaryNode => isBounded(u.child) // project/filter/sort/…
+      case _ => false
+    }
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, q) =>
       q(spark, dir).queryExecution.analyzed.collect {
-        case h: ResolvedHint =>
-          val subtree = h.child.collect { case n => n }
-          val hasBound = subtree.exists {
-            case _: Aggregate => true // output ≤ key-domain cardinality
-            case _: LocalRelation => true // literal, fixed rows
-            case _: Distinct | _: Deduplicate => true
-            case _: GlobalLimit => true
-            // centroid seeding: `vec_id < K` on a UNIQUE id is ≤ K
-            // rows by construction (Similarity.seedCentroids)
-            case f: Filter if f.condition.references.exists(_.name == "vec_id")
-              && f.condition.toString.contains("< cast(") => true
-            case l: LeafNode => // nation (25) / region (5) scans only
-              l.output.nonEmpty && l.output.forall(a =>
-                a.name.startsWith("n_") || a.name.startsWith("r_"))
-            case _ => false
-          }
-          if (hasBound) None else Some(s"$name: ${h.hints} over\n${h.child}")
-        case _ => None
-      }.flatten
+        case h: ResolvedHint if !isBounded(h.child) =>
+          s"$name: ${h.hints} over\n${h.child}"
+      }
     }
     assert(offenders.isEmpty,
       s"broadcast hints on unbounded frames:\n${offenders.mkString("\n")}")
@@ -356,13 +361,17 @@ class PlanShapeSpec extends SparkSpec {
     // The global running token sum must NOT single-partition the data:
     // the banded two-pass shape keeps every window partitioned (the
     // cross-band prefix offsets are a 9-row self-join, not a window).
+    // Collected from the OPTIMIZED LOGICAL plan: with AQE on, the
+    // executed plan is a single AdaptiveSparkPlanExec leaf and a
+    // physical-node collect sees nothing (a vacuous always-green test).
     val df = SparkEntry.queries("pipe_token_budget")(spark, dir)
-    val unpartitioned = df.queryExecution.executedPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-        if w.partitionSpec.isEmpty => w
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
+    assert(windows.nonEmpty, "expected the per-band running-sum window")
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
     assert(unpartitioned.isEmpty,
-      s"un-partitioned WindowExec found:\n${unpartitioned.mkString("\n")}")
+      s"un-partitioned Window found:\n${unpartitioned.mkString("\n")}")
   }
 
   test("text_heavy_hitters: candidates broadcast; exact pass semi-joins") {

@@ -97,6 +97,17 @@ class TargetMetaSpec extends AnyFunSuite {
       == StringType)
   }
 
+  test("fromRows (the live-load composition) carries the dialect schema") {
+    // the live `load` path returns fromRows' result verbatim — this
+    // pins that a caller gets the DIALECT-resolved schema, not the
+    // MySQL-map mistyping of OLAP columns (largeint/hll → string)
+    val tt = TargetMeta.fromRows("db", "t", srRows, TargetMeta.StarRocks)
+    assert(tt.table.pkColumns.map(_.name) == Seq("id"))
+    assert(tt.schema("id").dataType == DecimalType(38, 0))
+    assert(tt.schema("uv_sketch").dataType == BinaryType)
+    assert(tt.schema("name").nullable && !tt.schema("id").nullable)
+  }
+
   test("zero rows fails loudly — reference parity ('load meta not found')") {
     val e = intercept[IllegalArgumentException] {
       TargetMeta.fromInfoSchema("db", "missing", Nil, TargetMeta.StarRocks)
