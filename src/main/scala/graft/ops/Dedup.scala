@@ -74,10 +74,10 @@ object Dedup {
     // cache: bands feeds BOTH sides of the self-join below; without it
     // Spark recomputes the whole tokenize→explode→8-way min-agg lineage
     // twice (same pattern as ngramJaccardPairs' cached shingle table).
-    val bands = (0 until 4).map { b =>
+    val bands = Caching.cacheOnce((0 until 4).map { b =>
       sig.select(col(idCol), lit(b).as("band"),
         col(s"m${2 * b}").as("x"), col(s"m${2 * b + 1}").as("y"))
-    }.reduce(_ unionByName _).cache()
+    }.reduce(_ unionByName _))
     val l = bands.toDF("a", "band", "x", "y")
     val r = bands.toDF("b", "band", "x", "y")
     l.join(r, l("band") === r("band") && l("x") === r("x") &&
@@ -134,17 +134,17 @@ object Dedup {
     // the two join sides + the size table. Collision odds across
     // ~10^5 distinct shingles are ~1e-12 — the DuckDB oracle joins
     // on the raw string and agrees.
-    val shAll = df.select(col(idCol).as("id"),
+    val shAll = Caching.cacheOnce(df.select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), n))).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("sh"))
-      .cache()
+      .select(col("id"), xxhash64(col("s")).as("sh")))
     val sh = maxDocFreq match {
       case Some(cap) =>
         // rows are distinct (id, shingle), so count(*) per shingle IS
         // document frequency
         val dfreq = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap)
-        val capped = shAll.join(dfreq, "sh").select(col("id"), col("sh")).cache()
+        val capped = Caching.cacheOnce(
+          shAll.join(dfreq, "sh").select(col("id"), col("sh")))
         // materialize the capped table, then release the raw one —
         // otherwise every invocation pins TWO copies of the shingle
         // table in executor storage for the session's lifetime

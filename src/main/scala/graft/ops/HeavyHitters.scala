@@ -75,7 +75,7 @@ object HeavyHitters {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs.select(explode(tokens).as("term"))
-    val passA = toks.select(col("term")).as[String]
+    val passA = Caching.cacheOnce(toks.select(col("term")).as[String]
       .mapPartitions { it =>
         var n = 0L
         // misraGries consumes the iterator fully before returning,
@@ -83,7 +83,7 @@ object HeavyHitters {
         val survivors = misraGries(it.map { t => n += 1; t }, den).toArray
         survivors.iterator.map(t => (t, 0L)) ++
           Iterator.single((null: String, n))
-      }.toDF("term", "cnt").cache()
+      }.toDF("term", "cnt"))
     val candidates = passA.filter(col("term").isNotNull)
       .select(col("term")).distinct()
     val total = passA.filter(col("term").isNull)
