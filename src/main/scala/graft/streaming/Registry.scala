@@ -76,6 +76,20 @@ object Registry {
     new StreamLoadSink(conf("url"), conf.getOrElse("user", "root"),
       conf.getOrElse("password", ""), doris = true)
   }
+  // binary binlog segments → ChangeEvent frame (batch/backfill path;
+  // decode parallelism = one segment per task). `tables` routes and
+  // names columns: "db.table:col1|col2,db2.t:a|b" — the binlog wire
+  // format carries types but not names (why the reference pairs the
+  // stream with a meta snapshot, inputs/mysql/mysql_meta.go:32-69)
+  registerSource("binlog-files") { (spark, conf) =>
+    val names = conf("tables").split(",").map { entry =>
+      val Array(qual, cols) = entry.split(":", 2)
+      val Array(db, t) = qual.split("\\.", 2)
+      (db, t) -> cols.split("\\|").toSeq
+    }.toMap
+    graft.sources.BinlogFiles.changeEvents(spark, conf("path"), names,
+      conf.getOrElse("glob", "*.binlog")).toDF()
+  }
   registerSource("changelog") { (spark, conf) =>
     val r0 = spark.readStream.format("graft-changelog")
       .option("path", conf("path"))
