@@ -15,8 +15,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Resolved-relation cache ≙ the reference's load-metas-once-at-
+  // startup design (`inputs/mysql/mysql_meta.go:32-69`): a resident
+  // engine resolves each table's schema/file-listing ONCE per
+  // session, not once per query build (schema inference is a Spark
+  // job; paying it per query is pure overhead). Caches only the
+  // analyzed relation — no data, no plans; every query still plans
+  // and executes independently. Keyed by session so test sessions
+  // and the bench daemon don't share state. The testdata is
+  // immutable; a mutable-source deployment would swap this for
+  // catalog tables (`spark.table`), which carry the same property.
+  private val relations =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    relations.getOrElseUpdate((spark, sfDir, name),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** Register every table as a temp view named after itself. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -92,10 +92,13 @@ object CoreQueries {
         .select(col("o_orderkey"), col("o_custkey"))
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      // nation⋈region pre-joins into ONE 25-row broadcast dim: one
+      // hash table to build and probe instead of two (same result,
+      // one fewer broadcast stage at any scale)
+      val dim = nation.join(region, col("n_regionkey") === col("r_regionkey"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(sum(dec(col("l_extendedprice")) * discF).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
