@@ -87,8 +87,10 @@ object Binlog {
       flags: Int)
 
   /** One decoded frame; `body` excludes the trailing CRC32 when the
-    * stream is checksummed (already verified). */
-  final case class Event(header: Header, body: Array[Byte])
+    * stream is checksummed (already verified). `offset` is the
+    * event's start byte in the segment — the binlog's own position
+    * coordinate (what `SHOW BINLOG EVENTS` calls Pos). */
+  final case class Event(header: Header, body: Array[Byte], offset: Long = 0L)
 
   final case class TableMap(
       tableId: Long,
@@ -172,7 +174,7 @@ object Binlog {
         require(crc.getValue == stored,
           f"CRC mismatch on event type ${h.eventType} at $off: computed ${crc.getValue}%08x stored $stored%08x")
       }
-      out += Event(h, java.util.Arrays.copyOfRange(bytes, off + 19, bodyEnd))
+      out += Event(h, java.util.Arrays.copyOfRange(bytes, off + 19, bodyEnd), off)
       off += h.eventSize
     }
     out.result()
@@ -501,9 +503,34 @@ object Binlog {
       bytes: Array[Byte],
       names: Map[(String, String), Seq[String]],
       seqBase: Long = 0L): Vector[ChangeEvent] = {
+    var seq = seqBase
+    emitCore(bytes, names, (_, _) => { seq += 1; seq }, _ => true)
+  }
+
+  /** Byte-position variant for the streaming source: an event is
+    * emitted iff its start byte ∈ [fromByte, untilByte), and each
+    * row's seq is `segBase | (eventStartByte + rowIdx)` — unique
+    * (rows-per-event < event size in bytes) and monotone in binlog
+    * order, so offsets over BYTES (computable from file sizes alone,
+    * no decode) imply exactly-once over events. GTID/TABLE_MAP state
+    * replays from the segment head regardless of the range: ROWS
+    * events may sit arbitrarily far after the TABLE_MAP they need. */
+  def changeEventsByteRange(
+      bytes: Array[Byte],
+      names: Map[(String, String), Seq[String]],
+      segBase: Long,
+      fromByte: Long,
+      untilByte: Long): Vector[ChangeEvent] =
+    emitCore(bytes, names, (off, row) => segBase | (off + row),
+      off => off >= fromByte && off < untilByte)
+
+  private def emitCore(
+      bytes: Array[Byte],
+      names: Map[(String, String), Seq[String]],
+      mkSeq: (Long, Int) => Long,
+      inRange: Long => Boolean): Vector[ChangeEvent] = {
     val tableMaps = mutable.Map[Long, TableMap]()
     val gtids = new GtidSet
-    var seq = seqBase
     val out = Vector.newBuilder[ChangeEvent]
 
     def img(tm: TableMap, cols: Seq[String], r: RowImage): Map[String, String] =
@@ -547,10 +574,9 @@ object Binlog {
           val shadow = DdlParser.parse(sql, db).exists {
             case (_, stmts) => stmts.exists(s => DdlParser.isShadowTable(s.table))
           }
-          if (upper != "BEGIN" && upper != "COMMIT" && !shadow) {
-            seq += 1
+          if (upper != "BEGIN" && upper != "COMMIT" && !shadow && inRange(ev.offset)) {
             out += ChangeEvent(db, "", graft.streaming.SchemaEvolution.DdlOp, ts,
-              gtids.render, seq, 0, Map("sql" -> sql), null)
+              gtids.render, mkSeq(ev.offset, 0), 0, Map("sql" -> sql), null)
           }
         case t @ (WriteRowsV2 | UpdateRowsV2 | DeleteRowsV2) =>
           val tmPre = {
@@ -561,7 +587,7 @@ object Binlog {
           }
           names.get((tmPre.db, tmPre.table)) match {
             case None => () // unrouted table: skip
-            case Some(cols) =>
+            case Some(cols) if inRange(ev.offset) =>
               require(cols.length == tmPre.types.length,
                 s"routed ${tmPre.db}.${tmPre.table} has ${cols.length} configured columns " +
                   s"but the binlog TABLE_MAP carries ${tmPre.types.length}")
@@ -569,19 +595,19 @@ object Binlog {
               val pos = gtids.render
               t match {
                 case UpdateRowsV2 =>
-                  rows.pairs.foreach { case (before, after) =>
-                    seq += 1
+                  rows.pairs.zipWithIndex.foreach { case ((before, after), i) =>
                     out += ChangeEvent(tmPre.db, tmPre.table, ChangeEvent.Update, ts,
-                      pos, seq, 0, img(tmPre, cols, after), img(tmPre, cols, before))
+                      pos, mkSeq(ev.offset, i), 0,
+                      img(tmPre, cols, after), img(tmPre, cols, before))
                   }
                 case other =>
                   val op = if (other == WriteRowsV2) ChangeEvent.Insert else ChangeEvent.Delete
-                  rows.images.foreach { r =>
-                    seq += 1
+                  rows.images.zipWithIndex.foreach { case (r, i) =>
                     out += ChangeEvent(tmPre.db, tmPre.table, op, ts,
-                      pos, seq, 0, img(tmPre, cols, r), null)
+                      pos, mkSeq(ev.offset, i), 0, img(tmPre, cols, r), null)
                   }
               }
+            case Some(_) => () // routed but outside this batch's byte range
           }
         case other =>
           () // unknown/auxiliary event types are skippable by design (header carries the size)

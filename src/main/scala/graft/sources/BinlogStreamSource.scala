@@ -1,0 +1,241 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.cdc.ChangeEvent
+
+/** Streaming DSv2 source over a directory of binary binlog segments
+  * — the streaming twin of [[BinlogFiles]] (batch) on top of the
+  * [[Binlog]] wire decoder; the DSv2 shape mirrors `graft-changelog`.
+  *
+  * Offsets are BYTE positions packed as `segmentIndex << 40 |
+  * bytePos` (a segment is ≤ `max_binlog_size` ≤ 1 GiB < 2^40):
+  * exactly MySQL's own (file, pos) replication coordinate. latest-
+  * offset needs only the directory listing + file sizes — no decode,
+  * so per-trigger control-plane cost is independent of log size, and
+  * a GROWING active segment is served incrementally (new bytes only).
+  * Each served event's `seq` is its packed start byte (+ row index),
+  * so seqs are globally monotone and stable across retries —
+  * exactly-once composes with the checkpointed offset log the same
+  * way the JSONL source's dense seqs do.
+  *
+  * Segment-name order must be rotation order (binlog.000001…), the
+  * invariant MySQL's own naming provides. Decode state (TABLE_MAP,
+  * GTID set) replays from each segment's head — events reference
+  * table maps arbitrarily far back, so serving bytes [b, b') still
+  * walks headers from byte 4; per-trigger cost is one segment scan,
+  * bounded by `max_binlog_size`, and value decode runs only for
+  * in-range events.
+  *
+  * Options: `path` (dir), `tables` ("db.t:c1|c2,…" — routes AND
+  * names columns), `filePrefix` (default "binlog." — MySQL-style
+  * numeric-suffix segment names), `maxBytesPerTrigger`.
+  */
+class BinlogStreamSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-binlog"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangeEvent.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    // DSv2 options are case-insensitive — wrap before lookup
+    val opts = new CaseInsensitiveStringMap(properties)
+    def req(k: String): String = Option(opts.get(k)).getOrElse(
+      throw new IllegalArgumentException(s"graft-binlog requires option '$k'" +
+        (if (k == "tables") " (db.table:col1|col2,…) — the binlog carries " +
+          "types but not column names" else "")))
+    new BinlogStreamTable(
+      req("path"),
+      BinlogStreamSource.parseTables(req("tables")),
+      Option(opts.get("filePrefix")).getOrElse("binlog."),
+      Option(opts.get("maxBytesPerTrigger")).map(_.toLong))
+  }
+}
+
+object BinlogStreamSource {
+  /** "db.table:col1|col2,db2.t:a|b" → routing/name map. */
+  def parseTables(s: String): Map[(String, String), Seq[String]] =
+    s.split(",").map { entry =>
+      val Array(qual, cols) = entry.split(":", 2)
+      val Array(db, t) = qual.split("\\.", 2)
+      (db, t) -> cols.split("\\|").toSeq
+    }.toMap
+
+  /** Rotation-ordered segment listing (control-plane: names+sizes). */
+  def segments(path: String, prefix: String): Vector[(String, Long)] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) Vector.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.startsWith(prefix))
+        .map(f => (f.toString, Files.size(f)))
+        .toVector.sortBy(_._1)
+      finally s.close()
+    }
+  }
+
+  def pack(seg: Int, byte: Long): Long = (seg.toLong << 40) | byte
+  def segOf(packed: Long): Int = (packed >> 40).toInt
+  def byteOf(packed: Long): Long = packed & ((1L << 40) - 1)
+}
+
+final class BinlogStreamTable(path: String,
+    names: Map[(String, String), Seq[String]],
+    prefix: String, maxBytes: Option[Long])
+  extends Table with SupportsRead {
+
+  override def name(): String = s"binlog($path)"
+  override def schema(): StructType = ChangeEvent.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = ChangeEvent.schema
+      override def description(): String = s"graft-binlog($path)"
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new BinlogMicroBatchStream(path, names, prefix, maxBytes)
+    }
+}
+
+final class BinlogMicroBatchStream(path: String,
+    names: Map[(String, String), Seq[String]],
+    prefix: String, maxBytes: Option[Long])
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+  import BinlogStreamSource._
+
+  private def segs: Vector[(String, Long)] = segments(path, prefix)
+
+  private def tail(ss: Vector[(String, Long)]): Long =
+    if (ss.isEmpty) 0L else pack(ss.length - 1, ss.last._2)
+
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(tail(segs))
+
+  override def initialOffset(): Offset = SeqOffset(0L)
+  override def latestOffset(): Offset = SeqOffset(tail(segs))
+  override def reportLatestOffset(): Offset = SeqOffset(tail(segs))
+
+  /** Admission control in BYTES — the unit the offset coordinate is
+    * denominated in, so a cap bounds per-trigger decode work
+    * directly (≙ the reference's bounded batch buffers). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val ss = segs
+    val target = availableNowTarget.getOrElse(tail(ss))
+    maxBytes match {
+      case None => SeqOffset(target)
+      case Some(budget) =>
+        // advance ≤ budget bytes toward target. A byte cap may land
+        // mid-event; ranges partition by event START byte, so the
+        // straddling event is simply served by whichever batch owns
+        // its start — no loss, no duplication.
+        var seg = segOf(start.asInstanceOf[SeqOffset].seq)
+        var byte = byteOf(start.asInstanceOf[SeqOffset].seq)
+        val tSeg = segOf(target); val tByte = byteOf(target)
+        var remaining = budget
+        while (remaining > 0 && (seg < tSeg || (seg == tSeg && byte < tByte))) {
+          val segEnd = if (seg == tSeg) tByte else ss(seg)._2
+          val take = math.min(segEnd - byte, remaining)
+          byte += take; remaining -= take
+          if (byte >= segEnd && seg < tSeg) { seg += 1; byte = 0L }
+        }
+        SeqOffset(pack(seg, byte))
+    }
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SeqOffset].seq
+    val e = end.asInstanceOf[SeqOffset].seq
+    if (e <= s) return Array.empty
+    val ss = segs
+    (segOf(s) to math.min(segOf(e), ss.length - 1)).flatMap { i =>
+      val from = if (i == segOf(s)) byteOf(s) else 0L
+      val until = if (i == segOf(e)) byteOf(e) else Long.MaxValue
+      if (until <= from) None
+      else Some(BinlogPartition(ss(i)._1, i, from, until, names): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BinlogReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class BinlogPartition(file: String, segIndex: Int,
+    fromByte: Long, untilByte: Long,
+    names: Map[(String, String), Seq[String]]) extends InputPartition
+
+final class BinlogReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new BinlogPartitionReader(p.asInstanceOf[BinlogPartition])
+}
+
+final class BinlogPartitionReader(p: BinlogPartition)
+  extends PartitionReader[InternalRow] {
+
+  private val toCatalyst =
+    CatalystTypeConverters.createToCatalystConverter(ChangeEvent.schema)
+
+  // The file may have grown past this batch's range by read time and
+  // may end in a torn in-flight append: clamp to whole event frames
+  // (header walk only), then let the byte range select by event
+  // START offset. Offset windows are always event-boundary-aligned
+  // because the server appends whole frames and latestOffset samples
+  // size between appends (same complete-record assumption as the
+  // JSONL source's complete-line contract).
+  private val rows: Iterator[InternalRow] = {
+    val all = Files.readAllBytes(Paths.get(p.file))
+    val clamped = java.util.Arrays.copyOfRange(all, 0,
+      if (all.length < 4) 0 else wholeEventsPrefix(all))
+    if (clamped.length < 4) Iterator.empty // segment not yet past its magic
+    else Binlog.changeEventsByteRange(clamped, p.names,
+      BinlogStreamSource.pack(p.segIndex, 0L), p.fromByte, p.untilByte)
+      .iterator.map { ev =>
+        toCatalyst(org.apache.spark.sql.Row(ev.db, ev.table, ev.op, ev.ts,
+          ev.pos, ev.seq, ev.tableVersion, ev.after, ev.before))
+          .asInstanceOf[InternalRow]
+      }
+  }
+
+  /** Largest event-frame boundary ≤ file length (headers only). */
+  private def wholeEventsPrefix(bytes: Array[Byte]): Int = {
+    var off = 4
+    while (off + 19 <= bytes.length) {
+      val size = new Binlog.Cursor(bytes, off + 9).u32().toInt
+      if (size < 19 || off + size > bytes.length) return off
+      off += size
+    }
+    off
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

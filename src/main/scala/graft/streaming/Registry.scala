@@ -82,13 +82,18 @@ object Registry {
   // format carries types but not names (why the reference pairs the
   // stream with a meta snapshot, inputs/mysql/mysql_meta.go:32-69)
   registerSource("binlog-files") { (spark, conf) =>
-    val names = conf("tables").split(",").map { entry =>
-      val Array(qual, cols) = entry.split(":", 2)
-      val Array(db, t) = qual.split("\\.", 2)
-      (db, t) -> cols.split("\\|").toSeq
-    }.toMap
-    graft.sources.BinlogFiles.changeEvents(spark, conf("path"), names,
+    graft.sources.BinlogFiles.changeEvents(spark, conf("path"),
+      graft.sources.BinlogStreamSource.parseTables(conf("tables")),
       conf.getOrElse("glob", "*.binlog")).toDF()
+  }
+  // streaming twin: byte-position offsets over binary segments
+  registerSource("binlog") { (spark, conf) =>
+    val r0 = spark.readStream.format("graft-binlog")
+      .option("path", conf("path")).option("tables", conf("tables"))
+    val r1 = conf.get("maxBytesPerTrigger")
+      .map(m => r0.option("maxBytesPerTrigger", m)).getOrElse(r0)
+    conf.get("filePrefix").map(p => r1.option("filePrefix", p)).getOrElse(r1)
+      .load()
   }
   registerSource("changelog") { (spark, conf) =>
     val r0 = spark.readStream.format("graft-changelog")
