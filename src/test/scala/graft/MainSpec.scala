@@ -63,4 +63,64 @@ class MainSpec extends SparkSpec {
     assert(state.toSeq == Seq((1L, 11)),
       "update wins for id 1, delete removes id 2")
   }
+
+  test("binlog input: binary segments drive the same config-only path") {
+    import graft.sources.{Binlog, BinlogWriter}
+    import BinlogWriter._
+    import Binlog.{Type => T}
+
+    val dir = Files.createTempDirectory("main-binlog-e2e")
+    val segDir = dir.resolve("binlog"); Files.createDirectories(segDir)
+    val sinkDir = dir.resolve("sink").toString
+    val ckpt = dir.resolve("ckpt").toString
+
+    val sid = Array.tabulate(16)(i => (i + 1).toByte)
+    val cols = Seq(Col(T.Long, 0), Col(T.Long, 0))
+    def row(id: Long, value: Long) =
+      Seq(v(new Buf().u32(id)), v(new Buf().u32(value)))
+    def txn(gno: Long, kind: Int, rs: Seq[Seq[BinlogWriter.Val]]) = Seq(
+      Binlog.GtidEvent -> gtid(sid, gno),
+      Binlog.TableMapEvent -> tableMap(9, "shop", "items", cols),
+      kind -> rows(kind, 9, 2, rs),
+      Binlog.XidEvent -> xid(gno))
+    Files.write(segDir.resolve("binlog.000001"), file(
+      txn(1, Binlog.WriteRowsV2, Seq(row(1, 10), row(2, 20))) ++
+        txn(2, Binlog.UpdateRowsV2, Seq(row(1, 10), row(1, 11))) ++
+        txn(3, Binlog.DeleteRowsV2, Seq(row(2, 20)))))
+
+    val ddl = dir.resolve("schema.sql")
+    Files.write(ddl,
+      "CREATE TABLE shop.items (id bigint primary key, v int);".getBytes("UTF-8"))
+
+    val toml = dir.resolve("pipeline.toml")
+    Files.write(toml,
+      s"""[input]
+         |type = "binlog"
+         |path = "$segDir"
+         |tables = "shop.items:id|v"
+         |
+         |[output]
+         |type = "parquet-upsert"
+         |dir = "$sinkDir"
+         |
+         |[meta]
+         |ddl-file = "$ddl"
+         |default-db = "shop"
+         |
+         |[[routers]]
+         |source-schema = "shop"
+         |source-table = "items"
+         |""".stripMargin.getBytes("UTF-8"))
+
+    Main.main(Array(
+      "--config", toml.toString,
+      "--checkpoint", ckpt,
+      "--metrics-port", "0",
+      "--available-now"))
+
+    val state = spark.read.parquet(s"$sinkDir/shop.items")
+      .select($"id", $"v").as[(Long, Int)].collect().sortBy(_._1)
+    assert(state.toSeq == Seq((1L, 11)),
+      "binlog-decoded update wins for id 1, delete removes id 2")
+  }
 }
