@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ByteAtU8, DotProduct, RollingHash, TopKLargest, WavRms}
+import graft.functions.{ByteAtU8, DotProduct, JsonbDecode, RollingHash, TopKLargest, WavRms}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst
   * surface (SURVEY §7.4). Enable with:
@@ -34,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 2, "byte_at_u8(blob, pos) takes 2 arguments")
         ByteAtU8(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("jsonb_decode"),
+      new ExpressionInfo(classOf[JsonbDecode].getName, "jsonb_decode"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, "jsonb_decode(blob) takes 1 argument")
+        JsonbDecode(exprs.head)
       }))
     e.injectFunction((
       new FunctionIdentifier("wav_rms"),
