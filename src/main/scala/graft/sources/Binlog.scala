@@ -23,8 +23,10 @@ import graft.meta.DdlParser
   *  - FORMAT_DESCRIPTION with checksum-algorithm negotiation and
   *    CRC32 verification of every event when enabled;
   *  - TABLE_MAP (column types + per-type metadata + nullability);
-  *  - WRITE/UPDATE/DELETE_ROWS v2 (columns-present bitmaps, per-image
-  *    null bitmaps, before/after pairing ≙ `inputs/mysql/msg.go:30-54`);
+  *  - WRITE/UPDATE/DELETE_ROWS v1 and v2 (columns-present bitmaps,
+  *    per-image null bitmaps, before/after pairing
+  *    ≙ `inputs/mysql/msg.go:30-54`; the reference dispatches all
+  *    three versions, `mysql_replication.go:96-104`);
   *  - GTID / PREVIOUS_GTIDS tracking into a rendered GTID-set
   *    watermark (≙ the XID ctl msg, `inputs/mysql/msg.go:76-84`);
   *  - QUERY (DDL) with the reference's BEGIN + shadow-table noise
@@ -59,6 +61,9 @@ object Binlog {
   val FormatDescriptionEvent = 15
   val XidEvent = 16
   val TableMapEvent = 19
+  val WriteRowsV1 = 23
+  val UpdateRowsV1 = 24
+  val DeleteRowsV1 = 25
   val WriteRowsV2 = 30
   val UpdateRowsV2 = 31
   val DeleteRowsV2 = 32
@@ -230,22 +235,28 @@ object Binlog {
       images: Seq[RowImage],
       pairs: Seq[(RowImage, RowImage)])
 
+  private def isUpdate(t: Int): Boolean = t == UpdateRowsV2 || t == UpdateRowsV1
+  private[sources] def isRows(t: Int): Boolean =
+    t >= WriteRowsV1 && t <= DeleteRowsV1 || t >= WriteRowsV2 && t <= DeleteRowsV2
+
   def decodeRows(body: Array[Byte], eventType: Int, tm: TableMap): Rows = {
     val c = new Cursor(body, 0)
     val tableId = c.u48()
     c.u16() // flags
-    val extraLen = c.u16() // v2 extra-data length, includes its own 2 bytes
-    require(extraLen >= 2, s"bad ROWS extra-data length $extraLen")
-    c.bytes(extraLen - 2)
+    if (eventType >= WriteRowsV2) { // v1 (5.1-5.5) has no extra-data field
+      val extraLen = c.u16() // v2 extra-data length, includes its own 2 bytes
+      require(extraLen >= 2, s"bad ROWS extra-data length $extraLen")
+      c.bytes(extraLen - 2)
+    }
     val n = c.lenenc().toInt
     require(n == tm.types.length,
       s"ROWS column count $n != TABLE_MAP ${tm.types.length} for ${tm.db}.${tm.table}")
     val present1 = readBitmap(c, n)
-    val present2 = if (eventType == UpdateRowsV2) readBitmap(c, n) else present1
+    val present2 = if (isUpdate(eventType)) readBitmap(c, n) else present1
     val images = Vector.newBuilder[RowImage]
     val pairs = Vector.newBuilder[(RowImage, RowImage)]
     while (c.remaining > 0) {
-      if (eventType == UpdateRowsV2) {
+      if (isUpdate(eventType)) {
         val before = readImage(c, tm, present1)
         val after = readImage(c, tm, present2)
         pairs += ((before, after))
@@ -578,7 +589,7 @@ object Binlog {
             out += ChangeEvent(db, "", graft.streaming.SchemaEvolution.DdlOp, ts,
               gtids.render, mkSeq(ev.offset, 0), 0, Map("sql" -> sql), null)
           }
-        case t @ (WriteRowsV2 | UpdateRowsV2 | DeleteRowsV2) =>
+        case t if isRows(t) =>
           val tmPre = {
             val c = new Cursor(ev.body, 0)
             val id = c.u48()
@@ -593,19 +604,19 @@ object Binlog {
                   s"but the binlog TABLE_MAP carries ${tmPre.types.length}")
               val rows = decodeRows(ev.body, t, tmPre)
               val pos = gtids.render
-              t match {
-                case UpdateRowsV2 =>
-                  rows.pairs.zipWithIndex.foreach { case ((before, after), i) =>
-                    out += ChangeEvent(tmPre.db, tmPre.table, ChangeEvent.Update, ts,
-                      pos, mkSeq(ev.offset, i), 0,
-                      img(tmPre, cols, after), img(tmPre, cols, before))
-                  }
-                case other =>
-                  val op = if (other == WriteRowsV2) ChangeEvent.Insert else ChangeEvent.Delete
-                  rows.images.zipWithIndex.foreach { case (r, i) =>
-                    out += ChangeEvent(tmPre.db, tmPre.table, op, ts,
-                      pos, mkSeq(ev.offset, i), 0, img(tmPre, cols, r), null)
-                  }
+              if (isUpdate(t)) {
+                rows.pairs.zipWithIndex.foreach { case ((before, after), i) =>
+                  out += ChangeEvent(tmPre.db, tmPre.table, ChangeEvent.Update, ts,
+                    pos, mkSeq(ev.offset, i), 0,
+                    img(tmPre, cols, after), img(tmPre, cols, before))
+                }
+              } else {
+                val op = if (t == WriteRowsV2 || t == WriteRowsV1) ChangeEvent.Insert
+                  else ChangeEvent.Delete
+                rows.images.zipWithIndex.foreach { case (r, i) =>
+                  out += ChangeEvent(tmPre.db, tmPre.table, op, ts,
+                    pos, mkSeq(ev.offset, i), 0, img(tmPre, cols, r), null)
+                }
               }
             case Some(_) => () // routed but outside this batch's byte range
           }

@@ -42,7 +42,9 @@ import graft.cdc.ChangeEvent
   *
   * Options: `path` (dir), `tables` ("db.t:c1|c2,…" — routes AND
   * names columns), `filePrefix` (default "binlog." — MySQL-style
-  * numeric-suffix segment names), `maxBytesPerTrigger`.
+  * numeric-suffix segment names), `maxBytesPerTrigger`,
+  * `startOffset` ("latest" or "<segmentIndex>:<bytePos>" — position
+  * bootstrap; a checkpoint always wins).
   */
 class BinlogStreamSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-binlog"
@@ -62,7 +64,8 @@ class BinlogStreamSource extends TableProvider with DataSourceRegister {
       req("path"),
       BinlogStreamSource.parseTables(req("tables")),
       Option(opts.get("filePrefix")).getOrElse("binlog."),
-      Option(opts.get("maxBytesPerTrigger")).map(_.toLong))
+      Option(opts.get("maxBytesPerTrigger")).map(_.toLong),
+      Option(opts.get("startOffset")))
   }
 }
 
@@ -97,7 +100,8 @@ object BinlogStreamSource {
 
 final class BinlogStreamTable(path: String,
     names: Map[(String, String), Seq[String]],
-    prefix: String, maxBytes: Option[Long])
+    prefix: String, maxBytes: Option[Long],
+    startOffset: Option[String] = None)
   extends Table with SupportsRead {
 
   override def name(): String = s"binlog($path)"
@@ -110,13 +114,14 @@ final class BinlogStreamTable(path: String,
       override def readSchema(): StructType = ChangeEvent.schema
       override def description(): String = s"graft-binlog($path)"
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new BinlogMicroBatchStream(path, names, prefix, maxBytes)
+        new BinlogMicroBatchStream(path, names, prefix, maxBytes, startOffset)
     }
 }
 
 final class BinlogMicroBatchStream(path: String,
     names: Map[(String, String), Seq[String]],
-    prefix: String, maxBytes: Option[Long])
+    prefix: String, maxBytes: Option[Long],
+    startOffset: Option[String] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
   import BinlogStreamSource._
@@ -131,7 +136,22 @@ final class BinlogMicroBatchStream(path: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(tail(segs))
 
-  override def initialOffset(): Offset = SeqOffset(0L)
+  /** Position bootstrap ≙ the reference's meta.db → config
+    * start-gtid → current-position chain (`mysql_position.go:37-54`):
+    * an existing CHECKPOINT always wins (Spark only calls this on a
+    * fresh start); `startOffset=latest` begins at the current tail
+    * (only post-start events); `startOffset=<seg>:<byte>` deploys
+    * mid-log at an explicit replication coordinate; default replays
+    * from the first segment. */
+  override def initialOffset(): Offset = startOffset match {
+    case Some(s) if s.equalsIgnoreCase("latest") => SeqOffset(tail(segs))
+    case Some(coord) => coord.split(":", 2) match {
+      case Array(seg, byte) => SeqOffset(pack(seg.toInt, byte.toLong))
+      case _ => throw new IllegalArgumentException(
+        s"startOffset must be 'latest' or '<segmentIndex>:<bytePos>', got '$coord'")
+    }
+    case None => SeqOffset(0L)
+  }
   override def latestOffset(): Offset = SeqOffset(tail(segs))
   override def reportLatestOffset(): Offset = SeqOffset(tail(segs))
 

@@ -90,10 +90,10 @@ object Registry {
   registerSource("binlog") { (spark, conf) =>
     val r0 = spark.readStream.format("graft-binlog")
       .option("path", conf("path")).option("tables", conf("tables"))
-    val r1 = conf.get("maxBytesPerTrigger")
-      .map(m => r0.option("maxBytesPerTrigger", m)).getOrElse(r0)
-    conf.get("filePrefix").map(p => r1.option("filePrefix", p)).getOrElse(r1)
-      .load()
+    Seq("maxBytesPerTrigger", "filePrefix", "startOffset")
+      .foldLeft(r0) { (acc, k) =>
+        conf.get(k).map(v => acc.option(k, v)).getOrElse(acc)
+      }.load()
   }
   registerSource("changelog") { (spark, conf) =>
     val r0 = spark.readStream.format("graft-changelog")

@@ -137,10 +137,13 @@ object BinlogWriter {
 
   def rows(eventType: Int, tableId: Long, nCols: Int,
       images: Seq[Seq[Val]]): Array[Byte] = {
-    val b = new Buf().u48(tableId).u16(0).u16(2) // extra-data: just its own length
+    val b = new Buf().u48(tableId).u16(0)
+    if (eventType >= Binlog.WriteRowsV2)
+      b.u16(2) // v2 extra-data: just its own length field
     b.lenenc(nCols)
     b.bitmap(Seq.fill(nCols)(true))
-    if (eventType == Binlog.UpdateRowsV2) b.bitmap(Seq.fill(nCols)(true))
+    if (eventType == Binlog.UpdateRowsV2 || eventType == Binlog.UpdateRowsV1)
+      b.bitmap(Seq.fill(nCols)(true))
     images.foreach { img =>
       b.bitmap(img.map(_ == Null))
       img.foreach { case V(bytes) => b.raw(bytes); case Null => () }
@@ -302,6 +305,22 @@ class BinlogSpec extends AnyFunSuite {
     assert(evs(1).after == Map("id" -> "2", "name" -> "y"))
     assert(evs(2).after == Map("id" -> "2", "name" -> "y") && evs(2).before == null)
     assert(evs.map(_.seq) == Vector(1L, 2L, 3L))
+  }
+
+  test("decode: v1 ROWS events (5.1-5.5, no extra-data field) decode identically") {
+    val cols = Seq(Col(T.Long, 0), Col(T.Varchar, 20))
+    val names = Map(("db1", "t1") -> Seq("id", "name"))
+    def r(id: Int, s: String) =
+      Seq(v(new Buf().u32(id.toLong)), v(new Buf().u8(s.length).raw(s.getBytes(UTF_8))))
+    val f = mkFile(Seq(
+      Binlog.TableMapEvent -> tableMap(3, "db1", "t1", cols),
+      Binlog.WriteRowsV1 -> rows(Binlog.WriteRowsV1, 3, 2, Seq(r(1, "ann"))),
+      Binlog.UpdateRowsV1 -> rows(Binlog.UpdateRowsV1, 3, 2, Seq(r(1, "ann"), r(1, "anna"))),
+      Binlog.DeleteRowsV1 -> rows(Binlog.DeleteRowsV1, 3, 2, Seq(r(1, "anna")))))
+    val evs = Binlog.changeEvents(f, names)
+    assert(evs.map(_.op) == Vector("insert", "update", "delete"))
+    assert(evs(1).before == Map("id" -> "1", "name" -> "ann"))
+    assert(evs(1).after == Map("id" -> "1", "name" -> "anna"))
   }
 
   test("decode: NULLs drop out of the image map (sparse row images)") {

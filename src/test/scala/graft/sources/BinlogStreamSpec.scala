@@ -105,6 +105,60 @@ class BinlogStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("tables"))
   }
 
+  test("position bootstrap: startOffset latest / explicit coordinate / checkpoint wins") {
+    val dir = Files.createTempDirectory("blstream5").toString
+    val seg1 = file(txn(1, Seq(1 -> "ann")))
+    Files.write(Paths.get(dir, "binlog.000001"), seg1)
+
+    // latest: nothing historical; only post-start appends
+    val ckptLatest = Files.createTempDirectory("bl5-ckpt").toString
+    assert(drain(dir, ckptLatest, Map("startOffset" -> "latest")).isEmpty)
+    Files.write(Paths.get(dir, "binlog.000001"),
+      file(txn(1, Seq(1 -> "ann")) ++ txn(2, Seq(2 -> "bob"))))
+    assert(drain(dir, ckptLatest, Map("startOffset" -> "latest")).map(_._3) == Seq("bob"))
+
+    // explicit (segment, byte) coordinate: serve only past it
+    val ckptMid = Files.createTempDirectory("bl5-ckpt2").toString
+    assert(drain(dir, ckptMid,
+      Map("startOffset" -> s"0:${seg1.length}")).map(_._3) == Seq("bob"))
+
+    // checkpoint beats a backwards startOffset override on restart
+    assert(drain(dir, ckptMid, Map("startOffset" -> "0:0")).isEmpty)
+  }
+
+  test("binlog DDL events drive SchemaRegistry evolution mid-stream") {
+    import graft.meta.SchemaRegistry
+    import graft.streaming.SchemaEvolution
+    val dir = Files.createTempDirectory("blstream6").toString
+    val ckpt = Files.createTempDirectory("bl6-ckpt").toString
+    // txn, then an ALTER arriving over the binlog QUERY path
+    Files.write(Paths.get(dir, "binlog.000001"),
+      file(txn(1, Seq(1 -> "ann")) ++ Seq(
+        Binlog.QueryEvent -> query("shop",
+          "ALTER TABLE users ADD COLUMN age INT"))))
+
+    val registry = new SchemaRegistry
+    registry.applySql(
+      "CREATE TABLE shop.users (id bigint primary key, name varchar(20))", "shop")
+    val v0 = registry.current("shop", "users").get.version
+
+    var applied = 0
+    val q = spark.readStream.format("graft-binlog")
+      .option("path", dir).option("tables", tablesOpt).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        applied += SchemaEvolution.applyDdl(b, registry)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    assert(applied == 1)
+    val cur = registry.current("shop", "users").get
+    assert(cur.version > v0 && cur.columnNames.contains("age"),
+      s"binlog DDL must evolve the registry: $cur")
+  }
+
   test("torn tail frames are excluded until complete") {
     val dir = Files.createTempDirectory("blstream4").toString
     val ckpt = Files.createTempDirectory("blstream4-ckpt").toString
