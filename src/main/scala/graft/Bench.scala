@@ -79,19 +79,28 @@ object Bench {
         ColumnDef("user_id", "bigint"),
         ColumnDef("event_type", "varchar(32)"),
         ColumnDef("value", "double")))
-      val sinkDir = tmp.resolve("sink").toString
-      val ckpt = tmp.resolve("ckpt").toString
-      val t0 = System.nanoTime()
-      val q = graft.streaming.Pipeline.start(
-        spark.readStream.format("graft-changelog").option("path", logDir).load(),
-        Seq(graft.streaming.Pipeline.Route("app", "events", target)),
-        new graft.sinks.ParquetUpsertSink(sinkDir), ckpt,
-        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      val finished = q.awaitTermination(600000)
-      val secs = (System.nanoTime() - t0) / 1e9
-      // a timed-out pipeline processed only part of the log — n/secs
-      // would overstate throughput exactly when it is slowest
-      if (finished) (n, n / secs) else (n, -1.0)
+      // same steady-state methodology as the query side (warmup +
+      // min-of-two): the first drain pays one-off streaming-engine
+      // init + FS cache warm; a resident pipeline never does
+      def drain(tag: String): Option[Double] = {
+        val sinkDir = tmp.resolve(s"sink-$tag").toString
+        val ckpt = tmp.resolve(s"ckpt-$tag").toString
+        val t0 = System.nanoTime()
+        val q = graft.streaming.Pipeline.start(
+          spark.readStream.format("graft-changelog").option("path", logDir).load(),
+          Seq(graft.streaming.Pipeline.Route("app", "events", target)),
+          new graft.sinks.ParquetUpsertSink(sinkDir), ckpt,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        val finished = q.awaitTermination(600000)
+        // a timed-out pipeline processed only part of the log — n/secs
+        // would overstate throughput exactly when it is slowest
+        if (finished) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      drain("warmup")
+      (drain("m1"), drain("m2")) match {
+        case (Some(a), Some(b)) => (n, n / math.min(a, b))
+        case _ => (n, -1.0)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"cdc throughput bench failed: $e")
       (0L, -1.0)

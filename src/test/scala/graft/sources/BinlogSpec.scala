@@ -388,6 +388,17 @@ class BinlogSpec extends AnyFunSuite {
     assert(evs.head.after("a") == """{"a":1}""")
   }
 
+  test("decode: unknown auxiliary event types (heartbeat etc.) skip cleanly") {
+    val cols = Seq(Col(T.Long, 0))
+    val f = mkFile(Seq(
+      27 -> Array[Byte](1, 2, 3), // HEARTBEAT-ish: size-framed, content opaque
+      Binlog.TableMapEvent -> tableMap(3, "d", "t", cols),
+      3 -> Array.emptyByteArray,  // STOP
+      Binlog.WriteRowsV2 -> rows(Binlog.WriteRowsV2, 3, 1, Seq(Seq(v(new Buf().u32(5)))))))
+    val evs = Binlog.changeEvents(f, Map(("d", "t") -> Seq("a")))
+    assert(evs.map(_.after) == Vector(Map("a" -> "5")))
+  }
+
   test("decode: negative TIME2 and zero date") {
     val neg = new Buf().be(0x800000L - ((1L << 12) | (2 << 6) | 3), 3).result
     assert(Binlog.decodeValue(new Binlog.Cursor(neg, 0), T.Time2, 0) == "-01:02:03")
