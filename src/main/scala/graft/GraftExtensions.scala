@@ -1,10 +1,10 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ByteAtU8, DotProduct, JsonbDecode, RollingHash, TopKLargest, WavRms}
+import graft.functions.{ByteAtU8, DotProduct, JsonbDecode, RollingHash, Sum128, TopKLargest, WavRms}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst
   * surface (SURVEY §7.4). Enable with:
@@ -12,7 +12,10 @@ import graft.functions.{ByteAtU8, DotProduct, JsonbDecode, RollingHash, TopKLarg
   * SparkSession.builder()
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
   * }}}
-  * or `.withExtensions(new GraftExtensions)`.
+  * or `.withExtensions(new GraftExtensions)` — or, for a session that
+  * already exists (a host application the library is dropped into),
+  * [[GraftExtensions.ensure]] registers the same functions
+  * imperatively and idempotently.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -21,47 +24,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // row_number()=1 last-event-per-key becomes a max/min(struct)
     // hash aggregate — map-side partial agg, no per-partition sort
     e.injectOptimizerRule(_ => graft.plans.CompactionRewrite)
-    e.injectFunction((
-      new FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 2, "dot_product(a, b) takes 2 arguments")
-        DotProduct(exprs.head, exprs(1))
-      }))
-    e.injectFunction((
-      new FunctionIdentifier("byte_at_u8"),
-      new ExpressionInfo(classOf[ByteAtU8].getName, "byte_at_u8"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 2, "byte_at_u8(blob, pos) takes 2 arguments")
-        ByteAtU8(exprs.head, exprs(1))
-      }))
-    e.injectFunction((
-      new FunctionIdentifier("jsonb_decode"),
-      new ExpressionInfo(classOf[JsonbDecode].getName, "jsonb_decode"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 1, "jsonb_decode(blob) takes 1 argument")
-        JsonbDecode(exprs.head)
-      }))
-    e.injectFunction((
-      new FunctionIdentifier("wav_rms"),
-      new ExpressionInfo(classOf[WavRms].getName, "wav_rms"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 1, "wav_rms(blob) takes 1 argument")
-        WavRms(exprs.head)
-      }))
-    e.injectFunction((
-      new FunctionIdentifier("topk_largest"),
-      new ExpressionInfo(classOf[TopKLargest].getName, "topk_largest"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 2, "topk_largest(value, k) takes 2 arguments")
-        TopKLargest(exprs.head, exprs(1))
-      }))
-    e.injectFunction((
-      new FunctionIdentifier("rolling_hash"),
-      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 1, "rolling_hash(s) takes 1 argument")
-        RollingHash(exprs.head)
-      }))
+    GraftExtensions.functions.foreach(e.injectFunction)
+  }
+}
+
+object GraftExtensions {
+
+  type FunctionDesc =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def fn(name: String, cls: Class[_], arity: Int,
+      usage: String)(build: Seq[Expression] => Expression): FunctionDesc =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(cls.getName, name),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == arity, s"$usage takes $arity argument(s)")
+        build(exprs)
+      })
+
+  /** The engine's native function surface, shared by the
+    * config-time extension path and the imperative [[ensure]]. */
+  val functions: Seq[FunctionDesc] = Seq(
+    fn("dot_product", classOf[DotProduct], 2, "dot_product(a, b)")(
+      es => DotProduct(es.head, es(1))),
+    fn("byte_at_u8", classOf[ByteAtU8], 2, "byte_at_u8(blob, pos)")(
+      es => ByteAtU8(es.head, es(1))),
+    fn("sum128", classOf[Sum128], 1, "sum128(value)")(
+      es => Sum128(es.head).toAggregateExpression()),
+    fn("jsonb_decode", classOf[JsonbDecode], 1, "jsonb_decode(blob)")(
+      es => JsonbDecode(es.head)),
+    fn("wav_rms", classOf[WavRms], 1, "wav_rms(blob)")(
+      es => WavRms(es.head)),
+    fn("topk_largest", classOf[TopKLargest], 2, "topk_largest(value, k)")(
+      es => TopKLargest(es.head, es(1))),
+    fn("rolling_hash", classOf[RollingHash], 1, "rolling_hash(s)")(
+      es => RollingHash(es.head)))
+
+  /** Idempotently register the native functions on an EXISTING
+    * session — the path for host applications whose SparkSession was
+    * built without `spark.sql.extensions` (config-time extensions
+    * cannot be added after the fact). The optimizer rule is a pure
+    * optimization (the window compaction form still answers
+    * correctly without it), so function coverage alone keeps every
+    * query runnable. */
+  def ensure(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident)) {
+        registry.registerFunction(ident, info, builder)
+      }
+    }
   }
 }

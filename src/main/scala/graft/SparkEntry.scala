@@ -17,16 +17,28 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. Kept parquet-native (no ns-timestamp tables) so it runs
     * under any session config. */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    GraftExtensions.ensure(spark)
     CoreQueries.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2 (+ §7.6
-    * extensions). */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ Core2Queries.queries ++ Core3Queries.queries ++
-      Core4Queries.queries ++ Core5Queries.queries ++
-      CdcQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries
+    * extensions). Every query self-registers the engine's native
+    * functions on the caller's session ([[GraftExtensions.ensure]],
+    * idempotent) — the contract must hold on ANY session, not only
+    * ones built with `spark.sql.extensions`. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val raw =
+      CoreQueries.queries ++ Core2Queries.queries ++ Core3Queries.queries ++
+        Core4Queries.queries ++ Core5Queries.queries ++
+        CdcQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
+        SimilarityQueries.queries
+    raw.map { case (name, f) =>
+      name -> ((s: SparkSession, dir: String) => {
+        GraftExtensions.ensure(s); f(s, dir)
+      })
+    }
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omit for non-SQL-expressible ops. */
