@@ -37,6 +37,18 @@ object CoreQueries {
   private def discF: Column = one - col("l_discount").cast(F)
   private def taxF: Column = one + col("l_tax").cast(F)
 
+  // Fixed-point revenue: sum(price·(1-disc)) as exact integer cents²
+  // through the sum128 limb aggregate (functions/Sum128) — same
+  // exact rational as the decimal(38,6) form (both oracle-green),
+  // without the per-row BigDecimal that sum(decimal>18) costs. The
+  // money columns carry 2 decimals, so floor(x·100+0.5) is the exact
+  // long value on both engines.
+  private def cents(c: Column): Column = floor(c * lit(100.0) + lit(0.5)).cast("long")
+  private def centsRevenue: Column =
+    (call_function("sum128",
+      cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+      / lit(10000L)).cast("double")
+
   // shared oracle SQL fragments (DuckDB dialect = ANSI here)
   private val sqlDisc = "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
   private val sqlTax = "(CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
@@ -90,7 +102,7 @@ object CoreQueries {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(sum(dec(col("l_extendedprice")) * discF).cast("double").as("revenue"))
+        .agg(centsRevenue.as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -116,7 +128,7 @@ object CoreQueries {
         .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(dec(col("l_extendedprice")) * discF).cast("double").as("revenue"))
+        .agg(centsRevenue.as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
