@@ -21,7 +21,10 @@ import graft.streaming.{Metrics, MetricsHttp, Pipeline, Registry}
   *
   * Config sections (reference layout, `docs/mysql-to-*-sample.toml`):
   *  - `[input]`  — `type` (plugin name in [[Registry.sourceNames]]) +
-  *    its options (`path`, `maxEventsPerTrigger`, `startSeq`…)
+  *    its options (`path`, `maxEventsPerTrigger`, `startSeq`…).
+  *    `changelog` (alias `mysql`) tails JSONL envelopes; `binlog`
+  *    tails BINARY binlog segments through the wire decoder
+  *    (options `path`, `tables`, `maxBytesPerTrigger`, `startOffset`)
   *  - `[output]` — `type` (plugin name in [[Registry.sinkNames]]) +
   *    its options (`dir` / `url` / `user` / `password`…)
   *  - `[[routers]]` / `[[transforms]]` — as in PipelineConfig

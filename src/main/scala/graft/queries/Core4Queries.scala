@@ -144,8 +144,14 @@ object Core4Queries {
     // lineitem — the join no longer sees either table unfiltered
     // (PlanShapeSpec pins the pushdown).
     "q19_disjunctive_revenue" -> ((s, dir) => {
+      // revenue as exact integer cents² through sum128 (same
+      // fixed-point pattern as q1/q3/q5 in CoreQueries — identical
+      // rational to the decimal form, no per-row BigDecimal)
+      val cents = (c: Column) => floor(c * lit(100.0) + lit(0.5)).cast("long")
       val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_quantity"), volume.as("vol_d"))
+        .select(col("l_partkey"), col("l_quantity"),
+          (cents(col("l_extendedprice")) *
+            (lit(100L) - cents(col("l_discount")))).as("vol_c"))
       val pa = Tables.load(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"), col("p_size"))
       li.join(pa, col("l_partkey") === col("p_partkey"))
@@ -156,7 +162,8 @@ object Core4Queries {
             col("l_quantity").between(10, 20)) ||
           (col("p_brand") === "Brand#3" && col("p_size").between(20, 35) &&
             col("l_quantity").between(20, 30)))
-        .agg(sum(col("vol_d")).cast("double").as("revenue"),
+        .agg((call_function("sum128", col("vol_c")) / lit(10000L))
+          .cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
 
