@@ -103,7 +103,12 @@ object Binlog {
       table: String,
       types: Array[Int],
       meta: Array[Int],
-      nullable: Array[Boolean])
+      nullable: Array[Boolean],
+      // from binlog_row_metadata=FULL optional TLVs (8.0+), when present:
+      unsigned: Array[Boolean] = Array.empty, // per column (false when absent)
+      columnNames: Option[Seq[String]] = None) {
+    def isUnsigned(i: Int): Boolean = i < unsigned.length && unsigned(i)
+  }
 
   /** Little-endian cursor over an event body. All reads bound-check
     * via the underlying array (an over-read is a malformed event and
@@ -213,7 +218,47 @@ object Binlog {
       i += 1
     }
     val nullable = readBitmap(c, n)
-    TableMap(tableId, db, table, types, meta, nullable)
+
+    // Optional metadata TLVs (binlog_row_metadata; public row-event
+    // spec): [type u8][len lenenc][payload]… after the null bitmap.
+    // SIGNEDNESS(1) carries one MSB-first bit per NUMERIC column;
+    // COLUMN_NAME(4) carries lenenc-prefixed names for every column
+    // (=FULL) — a self-describing segment needs no external column
+    // list. Unknown TLV types skip by length.
+    val numericIdx = types.indices.filter(i => isNumericType(types(i)))
+    var unsigned = Array.fill(n)(false)
+    var colNames: Option[Seq[String]] = None
+    while (c.remaining > 0) {
+      val t = c.u8()
+      val len = c.lenenc().toInt
+      val end = c.off + len
+      t match {
+        case 1 => // SIGNEDNESS: bit i (MSB-first) = numeric column i unsigned
+          val bits = c.bytes(len)
+          numericIdx.zipWithIndex.foreach { case (col, bi) =>
+            if ((bits(bi / 8) & (0x80 >> (bi % 8))) != 0) unsigned(col) = true
+          }
+        case 4 => // COLUMN_NAME: lenenc-length strings, one per column
+          val ns = Vector.newBuilder[String]
+          while (c.off < end) {
+            val l = c.lenenc().toInt
+            ns += new String(c.bytes(l), UTF_8)
+          }
+          val named = ns.result()
+          require(named.length == n,
+            s"COLUMN_NAME TLV carries ${named.length} names for $n columns in $db.$table")
+          colNames = Some(named)
+        case _ => ()
+      }
+      c.off = end
+    }
+    TableMap(tableId, db, table, types, meta, nullable, unsigned, colNames)
+  }
+
+  private def isNumericType(t: Int): Boolean = t match {
+    case Type.Tiny | Type.Short | Type.Int24 | Type.Long | Type.LongLong |
+         Type.Float | Type.Double | Type.NewDecimal | Type.Year => true
+    case _ => false
   }
 
   /** Binlog bitmaps are little-endian within each byte: column i is
@@ -278,7 +323,8 @@ object Binlog {
         if (!present(i)) None
         else {
           val isNull = nullBits(pi); pi += 1
-          if (isNull) None else Some(decodeValue(c, tm.types(i), tm.meta(i)))
+          if (isNull) None
+          else Some(decodeValue(c, tm.types(i), tm.meta(i), tm.isUnsigned(i)))
         }
       i += 1
     }
@@ -289,12 +335,18 @@ object Binlog {
 
   private val dig2bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
 
-  def decodeValue(c: Cursor, typ: Int, meta: Int): String = typ match {
-    case Type.Tiny => c.i8().toString
-    case Type.Short => c.i16().toString
-    case Type.Int24 => c.i24().toString
-    case Type.Long => c.i32().toString
-    case Type.LongLong => c.i64().toString
+  def decodeValue(c: Cursor, typ: Int, meta: Int,
+      unsigned: Boolean = false): String = typ match {
+    // integer signedness comes from the SIGNEDNESS metadata TLV when
+    // the server logs it (binlog_row_metadata); without it the wire
+    // bytes are ambiguous and the decode defaults to signed — the
+    // same default the reference's replication library takes
+    case Type.Tiny => (if (unsigned) c.u8() else c.i8()).toString
+    case Type.Short => (if (unsigned) c.u16() else c.i16()).toString
+    case Type.Int24 => (if (unsigned) c.u24() else c.i24()).toString
+    case Type.Long => (if (unsigned) c.u32() else c.i32().toLong).toString
+    case Type.LongLong =>
+      if (unsigned) java.lang.Long.toUnsignedString(c.i64()) else c.i64().toString
     case Type.Year => { val v = c.u8(); if (v == 0) "0000" else (1900 + v).toString }
     case Type.Float => java.lang.Float.intBitsToFloat(c.i32()).toString
     case Type.Double => java.lang.Double.longBitsToDouble(c.i64()).toString
@@ -598,7 +650,16 @@ object Binlog {
           }
           names.get((tmPre.db, tmPre.table)) match {
             case None => () // unrouted table: skip
-            case Some(cols) if inRange(ev.offset) =>
+            case Some(conf) if inRange(ev.offset) =>
+              // "*" = take names from the COLUMN_NAME metadata TLV —
+              // a binlog_row_metadata=FULL segment is self-describing
+              val cols =
+                if (conf == Seq("*")) tmPre.columnNames.getOrElse(
+                  throw new IllegalStateException(
+                    s"routed ${tmPre.db}.${tmPre.table} is configured '*' but the " +
+                      "segment carries no COLUMN_NAME metadata " +
+                      "(needs binlog_row_metadata=FULL on the server)"))
+                else conf
               require(cols.length == tmPre.types.length,
                 s"routed ${tmPre.db}.${tmPre.table} has ${cols.length} configured columns " +
                   s"but the binlog TABLE_MAP carries ${tmPre.types.length}")

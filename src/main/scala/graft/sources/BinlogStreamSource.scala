@@ -41,10 +41,12 @@ import graft.cdc.ChangeEvent
   * in-range events.
   *
   * Options: `path` (dir), `tables` ("db.t:c1|c2,…" — routes AND
-  * names columns), `filePrefix` (default "binlog." — MySQL-style
-  * numeric-suffix segment names), `maxBytesPerTrigger`,
-  * `startOffset` ("latest" or "<segmentIndex>:<bytePos>" — position
-  * bootstrap; a checkpoint always wins).
+  * names columns; "db.t:*" routes and takes names from the
+  * COLUMN_NAME metadata TLV of `binlog_row_metadata=FULL` segments),
+  * `filePrefix` (default "binlog." — MySQL-style numeric-suffix
+  * segment names), `maxBytesPerTrigger`, `startOffset` ("latest" or
+  * "<segmentIndex>:<bytePos>" — position bootstrap; a checkpoint
+  * always wins).
   */
 class BinlogStreamSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-binlog"

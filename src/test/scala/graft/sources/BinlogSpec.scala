@@ -112,7 +112,9 @@ object BinlogWriter {
     out.toArray
   }
 
-  def tableMap(tableId: Long, db: String, table: String, cols: Seq[Col]): Array[Byte] = {
+  def tableMap(tableId: Long, db: String, table: String, cols: Seq[Col],
+      unsignedNumeric: Seq[Boolean] = Nil, names: Seq[String] = Nil,
+      junkTlv: Boolean = false): Array[Byte] = {
     val b = new Buf().u48(tableId).u16(1)
     b.u8(db.length).raw(db.getBytes(UTF_8)).u8(0)
     b.u8(table.length).raw(table.getBytes(UTF_8)).u8(0)
@@ -132,6 +134,23 @@ object BinlogWriter {
     val mb = meta.result
     b.lenenc(mb.length).raw(mb)
     b.bitmap(cols.map(_.nullable))
+    // optional metadata TLVs (binlog_row_metadata)
+    if (junkTlv) { b.u8(99).lenenc(3).raw(Array[Byte](9, 9, 9)) }
+    if (unsignedNumeric.nonEmpty) {
+      val bytes = new Array[Byte]((unsignedNumeric.length + 7) / 8)
+      unsignedNumeric.zipWithIndex.foreach { case (set, i) =>
+        if (set) bytes(i / 8) = (bytes(i / 8) | (0x80 >> (i % 8))).toByte
+      }
+      b.u8(1).lenenc(bytes.length).raw(bytes)
+    }
+    if (names.nonEmpty) {
+      val payload = new Buf
+      names.foreach { n =>
+        val nb = n.getBytes(UTF_8); payload.lenenc(nb.length).raw(nb)
+      }
+      val pb = payload.result
+      b.u8(4).lenenc(pb.length).raw(pb)
+    }
     b.result
   }
 
@@ -386,6 +405,37 @@ class BinlogSpec extends AnyFunSuite {
       Binlog.WriteRowsV2 -> body))
     val evs = Binlog.changeEvents(f, Map(("d", "t") -> Seq("a")))
     assert(evs.head.after("a") == """{"a":1}""")
+  }
+
+  test("decode: SIGNEDNESS metadata TLV flips integer decode to unsigned") {
+    val cols = Seq(Col(T.Tiny, 0), Col(T.Varchar, 10), Col(T.Long, 0), Col(T.LongLong, 0))
+    // numeric columns in order: tiny, long, longlong → unsigned bits (1,0,1)
+    val tm = tableMap(3, "d", "t", cols, unsignedNumeric = Seq(true, false, true))
+    def allFF(n: Int) = v(new Buf().raw(Array.fill(n)(0xff.toByte)))
+    val body = rows(Binlog.WriteRowsV2, 3, 4, Seq(Seq(
+      allFF(1), v(new Buf().u8(1).raw("x".getBytes(UTF_8))), allFF(4), allFF(8))))
+    val f = mkFile(Seq(Binlog.TableMapEvent -> tm, Binlog.WriteRowsV2 -> body))
+    val evs = Binlog.changeEvents(f, Map(("d", "t") -> Seq("a", "s", "b", "c")))
+    assert(evs.head.after == Map(
+      "a" -> "255", "s" -> "x", "b" -> "-1", "c" -> "18446744073709551615"))
+  }
+
+  test("decode: COLUMN_NAME TLV makes segments self-describing ('*' routing)") {
+    val cols = Seq(Col(T.Long, 0), Col(T.Varchar, 10))
+    val tm = tableMap(3, "d", "t", cols, names = Seq("id", "name"), junkTlv = true)
+    val body = rows(Binlog.WriteRowsV2, 3, 2, Seq(Seq(
+      v(new Buf().u32(7)), v(new Buf().u8(3).raw("kim".getBytes(UTF_8))))))
+    val f = mkFile(Seq(Binlog.TableMapEvent -> tm, Binlog.WriteRowsV2 -> body))
+    // '*' = take names from the wire (junk TLV must be skipped)
+    val evs = Binlog.changeEvents(f, Map(("d", "t") -> Seq("*")))
+    assert(evs.head.after == Map("id" -> "7", "name" -> "kim"))
+    // '*' without the TLV fails loudly
+    val bare = mkFile(Seq(
+      Binlog.TableMapEvent -> tableMap(3, "d", "t", cols),
+      Binlog.WriteRowsV2 -> body))
+    val e = intercept[IllegalStateException](
+      Binlog.changeEvents(bare, Map(("d", "t") -> Seq("*"))))
+    assert(e.getMessage.contains("COLUMN_NAME"))
   }
 
   test("decode: unknown auxiliary event types (heartbeat etc.) skip cleanly") {
