@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -79,15 +80,18 @@ object Core5Queries {
           col("n_name"))
       val regional = partsupp(s, dir)
         .join(eurSupp, col("ps_suppkey") === col("s_suppkey"))
-      val minCost = regional.groupBy(col("ps_partkey"))
-        .agg(min(col("ps_supplycost")).as("min_cost"))
-        .withColumnRenamed("ps_partkey", "mc_partkey")
+      // per-part min as a PARTITIONED window instead of agg +
+      // self-join: the agg form shuffles the regional subtree twice
+      // AND recomputes the derived-partsupp⋈supplier chain on both
+      // sides; the window form is one shuffle on ps_partkey and one
+      // pass (ties keep all min-cost rows in both forms)
+      val wMin = Window.partitionBy(col("ps_partkey"))
       val pa = Tables.load(s, dir, "part")
         .filter(col("p_type") === "STANDARD" && col("p_size") <= 15)
         .select(col("p_partkey"), col("p_name"))
       regional
-        .join(minCost, col("ps_partkey") === col("mc_partkey") &&
-          col("ps_supplycost") === col("min_cost"))
+        .withColumn("min_cost", min(col("ps_supplycost")).over(wMin))
+        .filter(col("ps_supplycost") === col("min_cost"))
         .join(pa, col("ps_partkey") === col("p_partkey"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"),

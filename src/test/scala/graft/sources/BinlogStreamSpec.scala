@@ -159,6 +159,32 @@ class BinlogStreamSpec extends SparkSpec {
       s"binlog DDL must evolve the registry: $cur")
   }
 
+  test("'*' routing takes names from FULL-metadata segments through the stream") {
+    val dir = Files.createTempDirectory("blstream7").toString
+    val ckpt = Files.createTempDirectory("bl7-ckpt").toString
+    val tmFull = tableMap(5, "shop", "users", cols, names = Seq("id", "name"))
+    Files.write(Paths.get(dir, "binlog.000001"), file(Seq(
+      Binlog.GtidEvent -> gtid(sid, 1),
+      Binlog.TableMapEvent -> tmFull,
+      Binlog.WriteRowsV2 -> rows(Binlog.WriteRowsV2, 5, 2, Seq(Seq(
+        v(new Buf().u32(9)), v(new Buf().u8(3).raw("zoe".getBytes))))),
+      Binlog.XidEvent -> xid(1))))
+    val seen = collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = spark.readStream.format("graft-binlog")
+      .option("path", dir).option("tables", "shop.users:*").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= b.selectExpr("after['id']", "after['name']")
+            .collect().map(r => (r.getString(0), r.getString(1)))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(seen.toSeq == Seq(("9", "zoe")))
+  }
+
   test("torn tail frames are excluded until complete") {
     val dir = Files.createTempDirectory("blstream4").toString
     val ckpt = Files.createTempDirectory("blstream4-ckpt").toString
