@@ -49,8 +49,10 @@ object GraftExtensions {
       es => DotProduct(es.head, es(1))),
     fn("byte_at_u8", classOf[ByteAtU8], 2, "byte_at_u8(blob, pos)")(
       es => ByteAtU8(es.head, es(1))),
+    // return the RAW AggregateFunction (not toAggregateExpression):
+    // the analyzer applies DISTINCT/FILTER clauses only on this form
     fn("sum128", classOf[Sum128], 1, "sum128(value)")(
-      es => Sum128(es.head).toAggregateExpression()),
+      es => Sum128(es.head)),
     fn("jsonb_decode", classOf[JsonbDecode], 1, "jsonb_decode(blob)")(
       es => JsonbDecode(es.head)),
     fn("wav_rms", classOf[WavRms], 1, "wav_rms(blob)")(

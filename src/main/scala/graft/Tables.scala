@@ -21,16 +21,27 @@ object Tables {
   // session, not once per query build (schema inference is a Spark
   // job; paying it per query is pure overhead). Caches only the
   // analyzed relation — no data, no plans; every query still plans
-  // and executes independently. Keyed by session so test sessions
-  // and the bench daemon don't share state. The testdata is
-  // immutable; a mutable-source deployment would swap this for
-  // catalog tables (`spark.table`), which carry the same property.
+  // and executes independently. WEAK-keyed by session so stopped
+  // sessions (and their file listings) stay collectable — a strong
+  // map would pin every session for the JVM lifetime. The testdata
+  // is immutable; a mutable-source deployment would swap this for
+  // catalog tables (`spark.table`), which re-list on refresh.
   private val relations =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    relations.getOrElseUpdate((spark, sfDir, name),
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = relations.synchronized {
+      var m = relations.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        relations.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((sfDir, name),
       spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   /** Register every table as a temp view named after itself. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

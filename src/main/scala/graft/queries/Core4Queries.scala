@@ -145,9 +145,9 @@ object Core4Queries {
     // (PlanShapeSpec pins the pushdown).
     "q19_disjunctive_revenue" -> ((s, dir) => {
       // revenue as exact integer cents² through sum128 (same
-      // fixed-point pattern as q1/q3/q5 in CoreQueries — identical
-      // rational to the decimal form, no per-row BigDecimal)
-      val cents = (c: Column) => floor(c * lit(100.0) + lit(0.5)).cast("long")
+      // fixed-point pattern as q1/q3/q5 — helpers shared from
+      // CoreQueries so the rounding constant lives in ONE place)
+      import CoreQueries.{cents, sum128Scaled}
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_quantity"),
           (cents(col("l_extendedprice")) *
@@ -162,8 +162,7 @@ object Core4Queries {
             col("l_quantity").between(10, 20)) ||
           (col("p_brand") === "Brand#3" && col("p_size").between(20, 35) &&
             col("l_quantity").between(20, 30)))
-        .agg((call_function("sum128", col("vol_c")) / lit(10000L))
-          .cast("double").as("revenue"),
+        .agg(sum128Scaled(col("vol_c"), 10000L).as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
 

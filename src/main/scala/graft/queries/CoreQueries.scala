@@ -43,7 +43,10 @@ object CoreQueries {
   // without the per-row BigDecimal that sum(decimal>18) costs. The
   // money columns carry 2 decimals, so floor(x·100+0.5) is the exact
   // long value on both engines.
-  private def cents(c: Column): Column = floor(c * lit(100.0) + lit(0.5)).cast("long")
+  private[queries] def cents(c: Column): Column =
+    floor(c * lit(100.0) + lit(0.5)).cast("long")
+  private[queries] def sum128Scaled(c: Column, scale: Long): Column =
+    (call_function("sum128", c) / lit(scale)).cast("double")
   private def centsRevenue: Column =
     (call_function("sum128",
       cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
@@ -69,19 +72,16 @@ object CoreQueries {
       // hash-match the DuckDB oracle), measured 3-4× faster on the
       // full scan — sum(decimal>18) runs per-row BigDecimal, the
       // reason native engines sum money as int128.
-      val cents = (c: Column) => floor(c * lit(100.0) + lit(0.5)).cast("long")
       val p = cents(col("l_extendedprice"))
       val d = lit(100L) - cents(col("l_discount"))
       val t = lit(100L) + cents(col("l_tax"))
-      def s128(c: Column, scale: Long): Column =
-        (call_function("sum128", c) / lit(scale)).cast("double")
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          s128(cents(col("l_quantity")), 100L).as("sum_qty"),
-          s128(p, 100L).as("sum_base_price"),
-          s128(p * d, 10000L).as("sum_disc_price"),
-          s128(p * d * t, 1000000L).as("sum_charge"),
+          sum128Scaled(cents(col("l_quantity")), 100L).as("sum_qty"),
+          sum128Scaled(p, 100L).as("sum_base_price"),
+          sum128Scaled(p * d, 10000L).as("sum_disc_price"),
+          sum128Scaled(p * d * t, 1000000L).as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),

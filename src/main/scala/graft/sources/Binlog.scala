@@ -39,10 +39,11 @@ import graft.meta.DdlParser
   * VAR_STRING / STRING (incl. the split-metadata real-type trick),
   * ENUM/SET, BLOB/TEXT, BIT, YEAR, DATE, binary JSON (via [[Jsonb]]),
   * and the fractional-second temporal types DATETIME2 / TIMESTAMP2 /
-  * TIME2. Unsupported encodings (odd fsp on TIME2, PARTIAL_JSON
-  * diffs) fail loudly rather than guessing — the same fail-fast
-  * stance the replication layer takes on arity mismatch
-  * (`mysql_replication.go:88-91`).
+  * TIME2 at every fsp 0–6 (incl. odd — DATETIME(3) is the common ORM
+  * default — and negative TIME2 with fractions). Unsupported
+  * encodings (PARTIAL_JSON diffs) fail loudly rather than guessing —
+  * the same fail-fast stance the replication layer takes on arity
+  * mismatch (`mysql_replication.go:88-91`).
   *
   * Values decode to strings because the generic pre-routing stream is
   * `Map[String,String]` (see [[graft.cdc.ChangeEvent]]); typed decode
@@ -167,12 +168,20 @@ object Binlog {
         require(h.eventType == FormatDescriptionEvent,
           s"first event must be FORMAT_DESCRIPTION, got ${h.eventType}")
         // FDE payload: 2 version, 50 server-version, 4 create-ts,
-        // 1 header-len, post-header-len array, 1 checksum-alg [, 4 CRC].
-        // Alg byte position: 5 bytes from the end iff CRC32 (alg 1),
-        // else the last byte (alg 0). Any other value is unsupported.
+        // 1 header-len, post-header-len array [, 1 checksum-alg
+        // [, 4 CRC]]. The checksum-alg byte exists only on servers
+        // ≥ 5.6.1 (when event checksums were introduced) — on a
+        // 5.1–5.5 FDE the tail bytes are post-header-len entries, so
+        // reading fixed positions there would misdetect. Gate on the
+        // server-version string the FDE carries for exactly this
+        // purpose; an unparseable version assumes modern.
+        val sv = new String(bytes, off + 21, 50, UTF_8).takeWhile(_ != '\u0000')
+        val modern = """^(\d+)\.(\d+)\.(\d+)""".r.findFirstMatchIn(sv)
+          .forall(m => Ordering[(Int, Int, Int)].gteq(
+            (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt), (5, 6, 1)))
         val end = off + h.eventSize
-        crc32On = (bytes(end - 5) & 0xff) == 1
-        if (!crc32On) require((bytes(end - 1) & 0xff) == 0,
+        crc32On = modern && (bytes(end - 5) & 0xff) == 1
+        if (modern && !crc32On) require((bytes(end - 1) & 0xff) == 0,
           s"unsupported binlog checksum algorithm ${bytes(end - 1) & 0xff}")
         first = false
       }
@@ -453,16 +462,18 @@ object Binlog {
     if (scale == 0) s"$sign$intPart" else s"$sign$intPart.${fb.toString}"
   }
 
-  /** Fractional-seconds suffix shared by DATETIME2/TIMESTAMP2. Only
-    * even fsp is byte-aligned in the wire format; odd fsp packs a
-    * half-byte digit and is rejected loudly. */
+  /** Fractional-seconds suffix shared by DATETIME2/TIMESTAMP2:
+    * ceil(fsp/2) big-endian bytes holding the fraction at 2·n-digit
+    * resolution; odd fsp (DATETIME(3) — the common ORM default)
+    * renders the leading fsp digits (the trailing packed digit is
+    * always zero for in-spec values). */
   private def readFrac(c: Cursor, fsp: Int): String = {
-    require(fsp % 2 == 0 && fsp >= 0 && fsp <= 6,
-      s"unsupported fractional-seconds precision $fsp (even 0..6 only)")
+    require(fsp >= 0 && fsp <= 6, s"invalid fractional-seconds precision $fsp")
     if (fsp == 0) ""
     else {
-      val v = c.be(fsp / 2)
-      "." + s"%0${fsp}d".format(v)
+      val n = (fsp + 1) / 2
+      val v = c.be(n)
+      "." + s"%0${2 * n}d".format(v).take(fsp)
     }
   }
 
@@ -483,13 +494,21 @@ object Binlog {
   private def decodeTimestamp2(c: Cursor, fsp: Int): String =
     tsFmt.format(Instant.ofEpochSecond(c.be(4))) + readFrac(c, fsp)
 
+  /** TIME2: the packed time AND its fraction form ONE (3+n)-byte
+    * big-endian integer offset by 2^(23+8n), so negative durations
+    * borrow through the fraction correctly. */
   private def decodeTime2(c: Cursor, fsp: Int): String = {
-    require(fsp == 0, s"TIME2 fractional seconds unsupported (fsp=$fsp)")
-    val packed = c.be(3)
-    val (sign, delta) =
-      if (packed >= 0x800000L) ("", packed - 0x800000L) else ("-", 0x800000L - packed)
-    val h = (delta >> 12) & 0x3ff; val m = (delta >> 6) & 0x3f; val s = delta & 0x3f
-    f"$sign$h%02d:$m%02d:$s%02d"
+    require(fsp >= 0 && fsp <= 6, s"invalid fractional-seconds precision $fsp")
+    val n = (fsp + 1) / 2
+    val total = c.be(3 + n)
+    val delta = total - (1L << (23 + 8 * n))
+    val (sign, abs) = if (delta >= 0) ("", delta) else ("-", -delta)
+    val packed = abs >> (8 * n)
+    val h = (packed >> 12) & 0x3ff; val m = (packed >> 6) & 0x3f; val s = packed & 0x3f
+    val frac =
+      if (fsp == 0) ""
+      else "." + s"%0${2 * n}d".format(abs & ((1L << (8 * n)) - 1)).take(fsp)
+    f"$sign$h%02d:$m%02d:$s%02d$frac"
   }
 
   // ---- GTID set --------------------------------------------------------

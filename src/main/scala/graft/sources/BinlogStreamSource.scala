@@ -21,12 +21,17 @@ import graft.cdc.ChangeEvent
   * — the streaming twin of [[BinlogFiles]] (batch) on top of the
   * [[Binlog]] wire decoder; the DSv2 shape mirrors `graft-changelog`.
   *
-  * Offsets are BYTE positions packed as `segmentIndex << 40 |
+  * Offsets are BYTE positions packed as `segmentNumber << 40 |
   * bytePos` (a segment is ≤ `max_binlog_size` ≤ 1 GiB < 2^40):
-  * exactly MySQL's own (file, pos) replication coordinate. latest-
-  * offset needs only the directory listing + file sizes — no decode,
-  * so per-trigger control-plane cost is independent of log size, and
-  * a GROWING active segment is served incrementally (new bytes only).
+  * exactly MySQL's own (file, pos) replication coordinate, keyed to
+  * each segment's own numeric suffix — never a listing position —
+  * so binlog purge and suffix growth can't remap a checkpoint.
+  * latestOffset needs the directory listing plus an INCREMENTAL
+  * whole-frame header walk (19-byte headers of new events only), so
+  * per-trigger control-plane cost is proportional to new data, a
+  * GROWING active segment is served incrementally, and committed
+  * offsets always land on event-frame boundaries — a torn in-flight
+  * append is outside every offset window until its frame completes.
   * Each served event's `seq` is its packed start byte (+ row index),
   * so seqs are globally monotone and stable across retries —
   * exactly-once composes with the checkpointed offset log the same
@@ -80,8 +85,16 @@ object BinlogStreamSource {
       (db, t) -> cols.split("\\|").toSeq
     }.toMap
 
-  /** Rotation-ordered segment listing (control-plane: names+sizes). */
-  def segments(path: String, prefix: String): Vector[(String, Long)] = {
+  /** One listed segment: `number` is the segment's own numeric
+    * suffix (binlog.000007 → 7) — offsets key to THIS, never to a
+    * position in the listing, so purging old segments (normal
+    * `PURGE BINARY LOGS` retention) or the suffix growing past six
+    * digits cannot remap a checkpoint onto the wrong file. `served`
+    * is the whole-frame prefix — the only bytes an offset may cover. */
+  final case class Segment(number: Int, file: String, served: Long)
+
+  /** Rotation-ordered (numeric-suffix-ordered) segment listing. */
+  def segments(path: String, prefix: String): Vector[Segment] = {
     val p = Paths.get(path)
     if (!Files.exists(p)) Vector.empty
     else {
@@ -89,10 +102,56 @@ object BinlogStreamSource {
       try s.iterator().asScala
         .filter(f => Files.isRegularFile(f) &&
           f.getFileName.toString.startsWith(prefix))
-        .map(f => (f.toString, Files.size(f)))
-        .toVector.sortBy(_._1)
+        .map { f =>
+          val suffix = f.getFileName.toString.drop(prefix.length)
+          require(suffix.nonEmpty && suffix.forall(_.isDigit),
+            s"segment name '${f.getFileName}' has no numeric suffix after '$prefix'")
+          Segment(suffix.toInt, f.toString, framePrefix(f.toString))
+        }
+        .toVector.sortBy(_.number)
       finally s.close()
     }
+  }
+
+  // (file → (sizeSeen, boundary)) — incremental whole-frame-prefix
+  // walk. Offsets may only advance to event-frame boundaries: a size
+  // sampled mid-append would otherwise commit an offset past a torn
+  // frame's start byte, and that frame could never be served (its
+  // start would sit below every later batch's range). The walk reads
+  // 19-byte headers only, resuming from the last known boundary, so
+  // per-trigger cost is proportional to NEW events — same contract
+  // as the JSONL source's cached tail watermark.
+  private val prefixCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  def framePrefix(file: String): Long = {
+    val size = Files.size(Paths.get(file))
+    prefixCache.get(file) match {
+      case Some((seen, boundary)) if seen == size => boundary
+      case prior =>
+        val start = math.max(prior.map(_._2).getOrElse(4L), 4L)
+        val boundary = if (size < 4) 0L else walkFrames(file, start, size)
+        prefixCache.put(file, (size, boundary))
+        boundary
+    }
+  }
+
+  private def walkFrames(file: String, from: Long, size: Long): Long = {
+    val raf = new java.io.RandomAccessFile(file, "r")
+    try {
+      val header = new Array[Byte](13)
+      var off = from
+      var done = false
+      while (!done && off + 19 <= size) {
+        raf.seek(off)
+        raf.readFully(header)
+        val evSize = (header(9) & 0xffL) | ((header(10) & 0xffL) << 8) |
+          ((header(11) & 0xffL) << 16) | ((header(12) & 0xffL) << 24)
+        if (evSize < 19 || off + evSize > size) done = true
+        else off += evSize
+      }
+      off
+    } finally raf.close()
   }
 
   def pack(seg: Int, byte: Long): Long = (seg.toLong << 40) | byte
@@ -128,10 +187,10 @@ final class BinlogMicroBatchStream(path: String,
   with SupportsTriggerAvailableNow {
   import BinlogStreamSource._
 
-  private def segs: Vector[(String, Long)] = segments(path, prefix)
+  private def segs: Vector[Segment] = segments(path, prefix)
 
-  private def tail(ss: Vector[(String, Long)]): Long =
-    if (ss.isEmpty) 0L else pack(ss.length - 1, ss.last._2)
+  private def tail(ss: Vector[Segment]): Long =
+    if (ss.isEmpty) 0L else pack(ss.last.number, ss.last.served)
 
   @volatile private var availableNowTarget: Option[Long] = None
 
@@ -166,21 +225,33 @@ final class BinlogMicroBatchStream(path: String,
     maxBytes match {
       case None => SeqOffset(target)
       case Some(budget) =>
-        // advance ≤ budget bytes toward target. A byte cap may land
-        // mid-event; ranges partition by event START byte, so the
-        // straddling event is simply served by whichever batch owns
-        // its start — no loss, no duplication.
-        var seg = segOf(start.asInstanceOf[SeqOffset].seq)
-        var byte = byteOf(start.asInstanceOf[SeqOffset].seq)
+        // advance ≤ budget bytes toward target, over the LISTED
+        // segments ≥ the start segment number (purged numbers simply
+        // aren't listed). A byte cap may land mid-event within the
+        // served prefix; ranges partition by event START byte, so a
+        // straddling event is served by whichever batch owns its
+        // start — no loss, no duplication.
+        val startSeg = segOf(start.asInstanceOf[SeqOffset].seq)
+        val startByte = byteOf(start.asInstanceOf[SeqOffset].seq)
         val tSeg = segOf(target); val tByte = byteOf(target)
         var remaining = budget
-        while (remaining > 0 && (seg < tSeg || (seg == tSeg && byte < tByte))) {
-          val segEnd = if (seg == tSeg) tByte else ss(seg)._2
-          val take = math.min(segEnd - byte, remaining)
-          byte += take; remaining -= take
-          if (byte >= segEnd && seg < tSeg) { seg += 1; byte = 0L }
-        }
-        SeqOffset(pack(seg, byte))
+        var out = start.asInstanceOf[SeqOffset].seq
+        ss.iterator
+          .filter(sg => sg.number >= startSeg && sg.number <= tSeg)
+          .takeWhile(_ => remaining > 0)
+          .foreach { sg =>
+            val from = if (sg.number == startSeg) startByte else 0L
+            val end = if (sg.number == tSeg) tByte else sg.served
+            if (end > from) {
+              val take = math.min(end - from, remaining)
+              out = pack(sg.number, from + take)
+              remaining -= take
+            } else if (sg.number < tSeg) {
+              // fully-consumed (or empty) earlier segment: step past
+              out = math.max(out, pack(sg.number, end))
+            }
+          }
+        SeqOffset(math.min(out, target))
     }
   }
 
@@ -192,13 +263,14 @@ final class BinlogMicroBatchStream(path: String,
     val s = start.asInstanceOf[SeqOffset].seq
     val e = end.asInstanceOf[SeqOffset].seq
     if (e <= s) return Array.empty
-    val ss = segs
-    (segOf(s) to math.min(segOf(e), ss.length - 1)).flatMap { i =>
-      val from = if (i == segOf(s)) byteOf(s) else 0L
-      val until = if (i == segOf(e)) byteOf(e) else Long.MaxValue
-      if (until <= from) None
-      else Some(BinlogPartition(ss(i)._1, i, from, until, names): InputPartition)
-    }.toArray
+    segs.iterator
+      .filter(sg => sg.number >= segOf(s) && sg.number <= segOf(e))
+      .flatMap { sg =>
+        val from = if (sg.number == segOf(s)) byteOf(s) else 0L
+        val until = if (sg.number == segOf(e)) byteOf(e) else Long.MaxValue
+        if (until <= from) None
+        else Some(BinlogPartition(sg.file, sg.number, from, until, names): InputPartition)
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -208,7 +280,7 @@ final class BinlogMicroBatchStream(path: String,
   override def stop(): Unit = ()
 }
 
-final case class BinlogPartition(file: String, segIndex: Int,
+final case class BinlogPartition(file: String, segNumber: Int,
     fromByte: Long, untilByte: Long,
     names: Map[(String, String), Seq[String]]) extends InputPartition
 
@@ -236,7 +308,7 @@ final class BinlogPartitionReader(p: BinlogPartition)
       if (all.length < 4) 0 else wholeEventsPrefix(all))
     if (clamped.length < 4) Iterator.empty // segment not yet past its magic
     else Binlog.changeEventsByteRange(clamped, p.names,
-      BinlogStreamSource.pack(p.segIndex, 0L), p.fromByte, p.untilByte)
+      BinlogStreamSource.pack(p.segNumber, 0L), p.fromByte, p.untilByte)
       .iterator.map { ev =>
         toCatalyst(org.apache.spark.sql.Row(ev.db, ev.table, ev.op, ev.ts,
           ev.pos, ev.seq, ev.tableVersion, ev.after, ev.before))

@@ -83,9 +83,14 @@ object BinlogWriter {
 
   final case class Col(typ: Int, meta: Int, nullable: Boolean = true)
 
-  /** Assemble a whole binlog file from (type, body) event payloads. */
+  /** Assemble a whole binlog file from (type, body) event payloads.
+    * `legacyFde` = a 5.1–5.5-style FDE: NO checksum-alg byte at all
+    * (it appeared in 5.6.1), post-header entries deliberately
+    * nonzero so positional alg-byte sniffing would misread them. */
   def file(events: Seq[(Int, Array[Byte])], crc: Boolean = true,
-      serverVersion: String = "8.0.36-graft"): Array[Byte] = {
+      serverVersion: String = "8.0.36-graft",
+      legacyFde: Boolean = false): Array[Byte] = {
+    require(!(legacyFde && crc), "pre-5.6 servers cannot write CRCs")
     val out = new ArrayBuffer[Byte]()
     out ++= Binlog.Magic
     var pos = 4L
@@ -102,11 +107,11 @@ object BinlogWriter {
     }
     // FORMAT_DESCRIPTION first: version 4, padded server version,
     // create ts, header len 19, post-header-len array (39 entries),
-    // checksum algorithm byte.
+    // checksum algorithm byte (modern servers only).
     val sv = serverVersion.getBytes(UTF_8).padTo(50, 0.toByte)
     val fde = new Buf().u16(4).raw(sv).u32(1700000000L).u8(19)
-    (1 to 39).foreach(_ => fde.u8(0))
-    fde.u8(if (crc) 1 else 0)
+    (1 to 39).foreach(i => fde.u8(if (legacyFde) 1 else 0))
+    if (!legacyFde) fde.u8(if (crc) 1 else 0)
     emit(Binlog.FormatDescriptionEvent, fde.result)
     events.foreach { case (t, b) => emit(t, b) }
     out.toArray
@@ -454,6 +459,36 @@ class BinlogSpec extends AnyFunSuite {
     assert(Binlog.decodeValue(new Binlog.Cursor(neg, 0), T.Time2, 0) == "-01:02:03")
     val zero = new Buf().u24(0).result
     assert(Binlog.decodeValue(new Binlog.Cursor(zero, 0), T.Date, 0) == "0000-00-00")
+  }
+
+  test("decode: odd fsp DATETIME(3)/TIME(3) and fractional negative TIME") {
+    // DATETIME(3) '2023-07-15 12:34:56.789': frac bytes = 2, value = 78900
+    val dt = datetime2(2023, 7, 15, 12, 34, 56) ++ new Buf().be(7890L, 2).result
+    assert(Binlog.decodeValue(new Binlog.Cursor(dt, 0), T.Datetime2, 3) ==
+      "2023-07-15 12:34:56.789")
+    // TIMESTAMP(6)
+    val ts = new Buf().be(1700000000L, 4).be(123456L, 3).result
+    assert(Binlog.decodeValue(new Binlog.Cursor(ts, 0), T.Timestamp2, 6) ==
+      "2023-11-14 22:13:20.123456")
+    // TIME(3) positive 01:02:03.450 — one 5-byte big-endian value
+    val packed = (1L << 12) | (2 << 6) | 3
+    val pos5 = new Buf().be(((0x800000L + packed) << 16) | 4500L, 5).result
+    assert(Binlog.decodeValue(new Binlog.Cursor(pos5, 0), T.Time2, 3) == "01:02:03.450")
+    // TIME(3) negative -00:00:00.001: total = offset - 0.1ms units
+    val neg5 = new Buf().be((0x800000L << 16) - 10L, 5).result
+    assert(Binlog.decodeValue(new Binlog.Cursor(neg5, 0), T.Time2, 3) == "-00:00:00.001")
+  }
+
+  test("framing: pre-5.6 FDE has no checksum-alg byte; version gates detection") {
+    // legacy FDE with nonzero post-header entries — positional
+    // sniffing would read alg=1 (spurious CRC) here
+    val cols = Seq(Col(T.Long, 0))
+    val f = file(Seq(
+      Binlog.TableMapEvent -> tableMap(3, "d", "t", cols),
+      Binlog.WriteRowsV1 -> rows(Binlog.WriteRowsV1, 3, 1, Seq(Seq(v(new Buf().u32(42)))))),
+      crc = false, serverVersion = "5.5.62-log", legacyFde = true)
+    val evs = Binlog.changeEvents(f, Map(("d", "t") -> Seq("a")))
+    assert(evs.head.after == Map("a" -> "42"))
   }
 
   // ---- GtidSet merge semantics ----------------------------------------

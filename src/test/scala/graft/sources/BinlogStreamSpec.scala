@@ -70,7 +70,40 @@ class BinlogStreamSpec extends SparkSpec {
         txn(3, Seq(3 -> "cal"))))
     val third = drain(dir, ckpt)
     assert(third.map(_._3) == Seq("cal"))
-    assert(BinlogStreamSource.segOf(third.head._1) == 1, "seq carries the segment index")
+    assert(BinlogStreamSource.segOf(third.head._1) == 2,
+      "seq carries the segment's own numeric suffix")
+  }
+
+  test("purging consumed segments does not remap the checkpoint (suffix-keyed offsets)") {
+    val dir = Files.createTempDirectory("blstream8").toString
+    val ckpt = Files.createTempDirectory("bl8-ckpt").toString
+    Files.write(Paths.get(dir, "binlog.000001"), file(txn(1, Seq(1 -> "ann"))))
+    Files.write(Paths.get(dir, "binlog.000002"),
+      file((Binlog.PreviousGtidsEvent -> previousGtids(Seq(sid -> Seq((1L, 2L))))) +:
+        txn(2, Seq(2 -> "bob"))))
+    assert(drain(dir, ckpt).map(_._3) == Seq("ann", "bob"))
+    // retention purges segment 1; a new segment rotates in — offsets
+    // must keep pointing at segment NUMBERS, not listing positions
+    Files.delete(Paths.get(dir, "binlog.000001"))
+    Files.write(Paths.get(dir, "binlog.000003"),
+      file((Binlog.PreviousGtidsEvent -> previousGtids(Seq(sid -> Seq((1L, 3L))))) +:
+        txn(3, Seq(3 -> "cal"))))
+    val after = drain(dir, ckpt)
+    assert(after.map(_._3) == Seq("cal"), s"purge must not replay or skip: $after")
+  }
+
+  test("numeric suffix ordering survives the 6-digit rollover") {
+    val dir = Files.createTempDirectory("blstream9").toString
+    val ckpt = Files.createTempDirectory("bl9-ckpt").toString
+    // lexicographically '1000000' < '999999' — numeric order must win
+    Files.write(Paths.get(dir, "binlog.999999"), file(txn(1, Seq(1 -> "ann"))))
+    Files.write(Paths.get(dir, "binlog.1000000"),
+      file((Binlog.PreviousGtidsEvent -> previousGtids(Seq(sid -> Seq((1L, 2L))))) +:
+        txn(2, Seq(2 -> "bob"))))
+    val seen = drain(dir, ckpt)
+    assert(seen.map(_._3) == Seq("ann", "bob"))
+    assert(BinlogStreamSource.segOf(seen.head._1) == 999999)
+    assert(BinlogStreamSource.segOf(seen.last._1) == 1000000)
   }
 
   test("maxBytesPerTrigger splits the drain into multiple micro-batches") {
@@ -117,13 +150,13 @@ class BinlogStreamSpec extends SparkSpec {
       file(txn(1, Seq(1 -> "ann")) ++ txn(2, Seq(2 -> "bob"))))
     assert(drain(dir, ckptLatest, Map("startOffset" -> "latest")).map(_._3) == Seq("bob"))
 
-    // explicit (segment, byte) coordinate: serve only past it
+    // explicit (segment-number, byte) coordinate: serve only past it
     val ckptMid = Files.createTempDirectory("bl5-ckpt2").toString
     assert(drain(dir, ckptMid,
-      Map("startOffset" -> s"0:${seg1.length}")).map(_._3) == Seq("bob"))
+      Map("startOffset" -> s"1:${seg1.length}")).map(_._3) == Seq("bob"))
 
     // checkpoint beats a backwards startOffset override on restart
-    assert(drain(dir, ckptMid, Map("startOffset" -> "0:0")).isEmpty)
+    assert(drain(dir, ckptMid, Map("startOffset" -> "1:0")).isEmpty)
   }
 
   test("binlog DDL events drive SchemaRegistry evolution mid-stream") {
