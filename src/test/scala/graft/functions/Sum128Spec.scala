@@ -61,6 +61,15 @@ class Sum128Spec extends SparkSpec {
       plan)
   }
 
+  test("sum128 resolves under DISTINCT and FILTER clauses (raw-builder registration)") {
+    val out = Seq(1L, 1L, 2L, 3L, 3L).toDF("x")
+      .selectExpr(
+        "CAST(sum128(DISTINCT x) AS DOUBLE) AS d",
+        "CAST(sum128(x) FILTER (WHERE x > 1) AS DOUBLE) AS f")
+      .as[(Double, Double)].collect().head
+    assert(out == ((6.0, 8.0)))
+  }
+
   test("GraftExtensions.ensure registers functions on a session lacking them") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     val registry = spark.sessionState.functionRegistry
