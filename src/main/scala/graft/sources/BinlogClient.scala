@@ -1,0 +1,221 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.net.{InetSocketAddress, Socket}
+
+import MySqlWire._
+
+/** A MySQL **replication client** session: connect → handshake/auth →
+  * session setup → `COM_BINLOG_DUMP`/`COM_BINLOG_DUMP_GTID` → a
+  * blocking iterator of binlog event frames.
+  *
+  * This is the layer the reference gets from
+  * `replication.BinlogSyncer` (`inputs/mysql/mysql_replication.go:
+  * 25-45`: configure host/port/user/password, `StartSyncGTID`,
+  * then a `GetEvent` loop). Behavior matched:
+  *
+  *  - server-id registration (`COM_REGISTER_SLAVE`) so the session
+  *    appears in `SHOW REPLICAS`;
+  *  - `SET @master_binlog_checksum = @@global.binlog_checksum` — the
+  *    standard replication-client handshake that makes a CRC32 server
+  *    keep its checksums ON (this client's [[Binlog]] decoder then
+  *    verifies every frame; stripping them would discard integrity);
+  *  - `@master_heartbeat_period` so a quiet master still proves
+  *    liveness (heartbeat frames are consumed here, never surfaced);
+  *  - dump by explicit (file, pos) or by executed-GTID-set
+  *    auto-position, the reference's mode.
+  *
+  * Auth: `mysql_native_password` and `caching_sha2_password`
+  * (fast path), plus the AuthSwitch flow between them. caching_sha2
+  * full auth (RSA/TLS key exchange) is refused loudly — a replica
+  * account in the sandboxed test matrix always has a cached entry.
+  *
+  * The socket lives on the DRIVER (control plane). Event bytes are
+  * relayed to segment files ([[BinlogRelay]]) that executors read
+  * through the DSv2 source — the Spark-native split of a stateful
+  * TCP tail into a replayable, partitionable data plane.
+  */
+final class BinlogClient(
+    host: String,
+    port: Int,
+    user: String,
+    password: String,
+    serverId: Long,
+    connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 0, // 0 = block forever (heartbeats cover liveness)
+    heartbeatSeconds: Int = 30) extends AutoCloseable {
+
+  private val socket = new Socket()
+  socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+  socket.setSoTimeout(readTimeoutMs)
+  socket.setTcpNoDelay(true)
+  private val io = new PacketIO(
+    new BufferedInputStream(socket.getInputStream),
+    new BufferedOutputStream(socket.getOutputStream))
+
+  /** Server greeting (exposed for tests / logging). */
+  val handshake: Handshake = parseHandshake(io.read())
+
+  authenticate()
+
+  private def authenticate(): Unit = {
+    val token = tokenFor(handshake.authPlugin, password, handshake.scramble)
+    io.write(handshakeResponse(user, token, handshake.authPlugin))
+    var p = orThrow(io.read())
+    if (isAuthSwitch(p)) {
+      val sw = parseAuthSwitch(p)
+      io.write(tokenFor(sw.plugin, password, sw.scramble))
+      p = orThrow(io.read())
+    }
+    if (isAuthMoreData(p)) {
+      // caching_sha2 continuation: 0x03 fast success → OK follows;
+      // 0x04 would require RSA/TLS full auth.
+      require(p.length >= 2 && (p(1) & 0xff) == 0x03,
+        "caching_sha2_password full authentication requested — this client " +
+          "supports the fast path only (account must have a cached entry)")
+      p = orThrow(io.read())
+    }
+    require(isOk(p), "authentication did not complete with OK")
+  }
+
+  // ---- queries ---------------------------------------------------------
+
+  /** Execute a statement, expecting OK (SET/DML). */
+  def exec(sql: String): Ok = {
+    io.command(comQuery(sql))
+    parseOk(orThrow(io.read()))
+  }
+
+  /** Execute a query, materializing the (small, control-plane-sized)
+    * text resultset. */
+  def query(sql: String): ResultSet = {
+    io.command(comQuery(sql))
+    readResultSet(io)
+  }
+
+  def queryScalar(sql: String): Option[String] =
+    query(sql).rows.headOption.flatMap(_.headOption.flatten)
+
+  /** `SHOW MASTER STATUS` → (current file, position, executed GTID
+    * set) — the bootstrap coordinate when no checkpoint exists
+    * (≙ `mysql_position.go:127-148` falling back to the server's
+    * current position). */
+  def masterStatus(): (String, Long, String) = {
+    val rs = query("SHOW MASTER STATUS")
+    require(rs.rows.nonEmpty, "SHOW MASTER STATUS returned no rows (binlog off?)")
+    val byName = rs.columns.map(_.toLowerCase).zip(rs.rows.head).toMap
+    (byName.getOrElse("file", None).getOrElse(
+        throw new IllegalStateException("SHOW MASTER STATUS: no File column")),
+      byName.getOrElse("position", None).map(_.toLong).getOrElse(4L),
+      byName.getOrElse("executed_gtid_set", None).getOrElse(""))
+  }
+
+  // ---- replication stream ----------------------------------------------
+
+  /** Whether the dump stream appends CRC32s to every frame — learned
+    * by querying the server variable, the same way stock clients do
+    * (the FDE would also say, but it arrives after the artificial
+    * ROTATE that must already be parsed). */
+  @volatile private var checksummed = false
+
+  /** Standard pre-dump session setup (exactly what stock replication
+    * clients send, in the same order). */
+  private def prepareDump(): Unit = {
+    exec("SET @master_binlog_checksum = @@global.binlog_checksum")
+    checksummed = queryScalar("SELECT @@global.binlog_checksum")
+      .exists(_.equalsIgnoreCase("CRC32"))
+    if (heartbeatSeconds > 0)
+      exec(s"SET @master_heartbeat_period = ${heartbeatSeconds.toLong * 1000000000L}")
+    io.command(comRegisterSlave(serverId))
+    orThrow(io.read())
+  }
+
+  /** Start a position-based dump. Returns the raw frame iterator. */
+  def dump(file: String, pos: Long): Iterator[BinlogClient.Frame] = {
+    prepareDump()
+    io.command(comBinlogDump(serverId, file, pos))
+    frames()
+  }
+
+  /** Start a GTID auto-position dump from an executed-set string
+    * (`uuid:1-5,uuid2:1-3`; empty = from the earliest retained log). */
+  def dumpGtid(executedGtidSet: String): Iterator[BinlogClient.Frame] = {
+    prepareDump()
+    io.command(comBinlogDumpGtid(serverId, parseGtidSetString(executedGtidSet)))
+    frames()
+  }
+
+  /** Blocking frame iterator over the dump stream. Each network
+    * packet is `0x00` + one verbatim binlog event frame (19-byte
+    * header + body [+ CRC]). Heartbeats keep the connection warm but
+    * are not data; EOF (non-blocking mode) ends the stream; ERR
+    * raises. */
+  private def frames(): Iterator[BinlogClient.Frame] =
+    new Iterator[BinlogClient.Frame] {
+      private var nextFrame: BinlogClient.Frame = _
+      private var done = false
+
+      private def advance(): Unit = {
+        nextFrame = null
+        while (nextFrame == null && !done) {
+          val p = orThrow(io.read())
+          if (isEof(p)) done = true
+          else {
+            require((p(0) & 0xff) == 0x00, s"unexpected dump packet lead 0x${(p(0) & 0xff).toHexString}")
+            val bytes = java.util.Arrays.copyOfRange(p, 1, p.length)
+            require(bytes.length >= 19, s"short binlog frame (${bytes.length} bytes)")
+            val c = new Binlog.Cursor(bytes, 0)
+            val h = Binlog.Header(c.u32(), c.u8(), c.u32(), c.u32().toInt, c.u32(), c.u16())
+            if (h.eventType == BinlogClient.HeartbeatEvent ||
+                h.eventType == BinlogClient.HeartbeatEventV2) {
+              // liveness only — never relayed
+            } else {
+              nextFrame = BinlogClient.Frame(h, bytes,
+                artificial = (h.flags & BinlogClient.ArtificialFlag) != 0,
+                checksummed = checksummed)
+            }
+          }
+        }
+      }
+
+      override def hasNext: Boolean = {
+        if (nextFrame == null && !done) advance()
+        nextFrame != null
+      }
+      override def next(): BinlogClient.Frame = {
+        if (!hasNext) throw new NoSuchElementException("dump stream ended")
+        val f = nextFrame; nextFrame = null; f
+      }
+    }
+
+  override def close(): Unit = {
+    // best-effort polite quit; the socket close is what matters
+    try io.command(comQuit) catch { case _: Throwable => () }
+    socket.close()
+  }
+}
+
+object BinlogClient {
+  val HeartbeatEvent = 27
+  val HeartbeatEventV2 = 41
+  /** LOG_EVENT_ARTIFICIAL_F: server-generated frame (the fake ROTATE
+    * that names the file at dump start) — positional metadata, not
+    * log content. */
+  val ArtificialFlag = 0x20
+
+  /** One event frame exactly as it would appear in the binlog file:
+    * `bytes` = 19-byte header + body (+ CRC when `checksummed`),
+    * CRC-valid as received. */
+  final case class Frame(header: Binlog.Header, bytes: Array[Byte],
+      artificial: Boolean, checksummed: Boolean) {
+    def eventType: Int = header.eventType
+    /** ROTATE body: 8-byte next-position + next file name. */
+    def rotateTarget: (String, Long) = {
+      require(eventType == Binlog.RotateEvent, "not a ROTATE frame")
+      val end = bytes.length - (if (checksummed) 4 else 0)
+      val c = new Binlog.Cursor(bytes, 19)
+      val pos = c.i64()
+      (new String(bytes, 27, end - 27, java.nio.charset.StandardCharsets.UTF_8), pos)
+    }
+  }
+}

@@ -95,6 +95,37 @@ object Registry {
         conf.get(k).map(v => acc.option(k, v)).getOrElse(acc)
       }.load()
   }
+  // live MySQL input ≙ the reference's whole mysql input plugin
+  // (inputs/mysql/mysql.go + mysql_replication.go): a driver-side
+  // BinlogRelay tails the master over the replication protocol into
+  // relay segments, and the graft-binlog DSv2 source serves
+  // executors from those segments — checkpoints, admission control,
+  // and decode are the same code path as file-based binlog ingest.
+  // Start coordinate: conf "gtid" (executed set ≙ start-gtid) >
+  // "file"+"pos" > master's current position.
+  registerSource("mysql") { (spark, conf) =>
+    import graft.sources.{BinlogClient, BinlogRelay}
+    val relayDir = java.nio.file.Paths.get(conf("relayDir"))
+    val start = conf.get("gtid").map(BinlogRelay.Gtid(_))
+      .orElse(conf.get("file").map(f =>
+        BinlogRelay.FilePos(f, conf.getOrElse("pos", "4").toLong)))
+      .getOrElse(BinlogRelay.MasterCurrent)
+    val relay = new BinlogRelay(
+      relayDir,
+      () => new BinlogClient(
+        conf("host"), conf("port").toInt,
+        conf.getOrElse("user", "root"), conf.getOrElse("password", ""),
+        conf.getOrElse("serverId", "1337").toLong),
+      start,
+      retryBackoffMs = conf.getOrElse("retryBackoffMs", "1000").toLong)
+    relay.startRelay()
+    val r0 = spark.readStream.format("graft-binlog")
+      .option("path", relayDir.toString).option("tables", conf("tables"))
+    Seq("maxBytesPerTrigger", "startOffset")
+      .foldLeft(r0) { (acc, k) =>
+        conf.get(k).map(v => acc.option(k, v)).getOrElse(acc)
+      }.load()
+  }
   registerSource("changelog") { (spark, conf) =>
     val r0 = spark.readStream.format("graft-changelog")
       .option("path", conf("path"))
