@@ -23,6 +23,14 @@ object Bench {
     // driver materialization.
     def consume(df: org.apache.spark.sql.DataFrame): Unit =
       df.queryExecution.toRdd.foreach(_ => ())
+    // A query that throws must NEVER be recorded as a (tiny) timing —
+    // a fail-fast AnalysisException would silently flatter the total.
+    // Failures drop out of `results` and surface as "errors":N in the
+    // JSON line plus names on stderr.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def firstLine(e: Throwable): String =
+      Option(e.toString).getOrElse("").linesIterator.take(1)
+        .mkString.take(300)
     // warmup pass: JIT + codegen + broadcast warm, parquet footer
     // cache — then measure steady-state (what a resident service on
     // a cluster actually runs at).
@@ -31,13 +39,23 @@ object Bench {
     }
     // two measured passes, keep the min: steady-state for a resident
     // service (drops one-off GC / scheduling noise from the number)
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { consume(fn(spark, sfDir)) } catch { case _: Throwable => }
-      (System.nanoTime() - t0) / 1e9
+      try { consume(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        errors.getOrElseUpdate(name, firstLine(e))
+        None
+      }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+      (timeOnce(name, fn), timeOnce(name, fn)) match {
+        case (Some(a), Some(b)) => Some(name -> math.min(a, b))
+        case _ => None
+      }
+    }
+    errors.foreach { case (name, msg) =>
+      System.err.println(s"bench query failed: $name: $msg")
     }
     // CDC pipeline throughput — the reference's ACTUAL workload shape
     // (SURVEY §3.1): JSONL changelog → DSv2 graft-changelog source →
@@ -50,7 +68,10 @@ object Bench {
       import graft.meta.{ColumnDef, TableDef}
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench-cdc")
       val logDir = tmp.resolve("log").toString
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      // ts → Long ns regardless of the parquet encoding (the driver
+      // has shipped both int64-nanos and timestamp[us] — see
+      // Tables.normalizeTsNs)
+      val ev = Tables.normalizeTsNs(spark.read.parquet(s"$sfDir/events.parquet"))
       val n = ev.count()
       // one sorted range-partitioned file per shard: seqs must be
       // monotone WITHIN a file (the source's early-stop contract for
@@ -138,6 +159,7 @@ object Bench {
     }
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""errors":${errors.size},""" +
         s""""queries":$qs,"cdc_rows":$cdcRows,"cdc_rows_per_sec":${fmt(cdcRowsPerSec)},""" +
         s""""sf":"$sfDir"}"""
     spark.stop()

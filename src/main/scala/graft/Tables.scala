@@ -46,4 +46,38 @@ object Tables {
   /** Register every table as a temp view named after itself. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Normalize a timestamp-ish column to Long epoch-nanoseconds.
+    *
+    * The driver has shipped `events.ts` as BOTH int64-nanos parquet
+    * (read as Long under `spark.sql.legacy.parquet.nanosAsLong`) and
+    * `timestamp[us]` — the encoding changed silently between rounds.
+    * Every downstream query does exact integer-ns arithmetic and
+    * every DuckDB oracle reads the same instant via
+    * `epoch_ns`/`epoch_us`, so this one probe is the whole
+    * schema-drift contract: Long passes through, timestamps convert
+    * exactly (µs → ns is an integer multiply; NTZ → LTZ is
+    * instant-preserving under the UTC session every entrypoint sets),
+    * and anything else fails LOUDLY here instead of as a scattered
+    * `DATATYPE_MISMATCH` per query.
+    */
+  def normalizeTsNs(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      case LongType => df
+      case TimestampType | TimestampNTZType =>
+        df.withColumn(colName,
+          unix_micros(col(colName).cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"testdata schema contract broken: column `$colName` is $other " +
+          "(expected LONG nanos or TIMESTAMP/TIMESTAMP_NTZ) — the driver " +
+          "regenerated the parquet with a new encoding; extend " +
+          "Tables.normalizeTsNs for it")
+    }
+  }
+
+  /** `events` with `ts` guaranteed Long epoch-ns (see normalizeTsNs). */
+  def loadEventsNs(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTsNs(load(spark, sfDir, "events"))
 }

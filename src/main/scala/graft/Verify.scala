@@ -16,8 +16,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark rejects;
-      // read as Long ns (exact integer time math, oracle-stable).
+      // harmless belt-and-braces: if the driver ever regenerates
+      // events.ts as TIMESTAMP(NANOS) again (it has flipped encodings
+      // between rounds), this reads it as Long ns instead of erroring;
+      // Tables.normalizeTsNs handles the current timestamp[us] form.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // write µs timestamps (not INT96) so the oracle compare sees

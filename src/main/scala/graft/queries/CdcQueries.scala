@@ -15,14 +15,15 @@ import graft.sinks.Formats
   * DuckDB oracle can check them. The same `DataFrame => DataFrame`
   * combinators run inside the streaming pipeline (graft.streaming).
   *
-  * `events.ts` is nanosecond parquet; we read it as Long ns
-  * (`spark.sql.legacy.parquet.nanosAsLong=true` set by Verify/Bench)
-  * — integer nanosecond math is exact on both engines, which makes
-  * every time comparison oracle-stable.
+  * `events.ts` is normalized to Long epoch-nanoseconds at load
+  * (Tables.loadEventsNs): the driver's parquet encoding for it has
+  * changed across rounds (int64-nanos, then timestamp[us]), and
+  * integer-ns math is exact on both engines, which makes every time
+  * comparison oracle-stable regardless of the on-disk type.
   */
 object CdcQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "events")
+    Tables.loadEventsNs(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -70,6 +70,13 @@ class TopKLargestSpec extends SparkSpec {
     assert(got == Map("a" -> (9 to 0 by -1).map(_.toDouble)))
   }
 
+  test("Heap backing array is bounded by live group size, not k") {
+    val h = new graft.functions.TopKLargest.Heap(1000000)
+    (1 to 10).foreach(i => h.insert(i.toDouble))
+    // 10 live values in a k=1M heap: 8 → 16 slots, never 1M
+    assert(h.size == 10 && h.values.length == 16, h.values.length)
+  }
+
   test("non-literal or non-positive k fails loudly") {
     val df = Seq(("a", 1.0)).toDF("g", "v")
     assertThrows[Exception] {

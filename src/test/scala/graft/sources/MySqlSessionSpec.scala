@@ -1,0 +1,386 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.zip.CRC32
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import MySqlWire._
+
+/** Golden-transcript session tests for the replication client stack:
+  * a scripted MySQL "master" on a real loopback socket drives
+  * [[BinlogClient]]'s complete auth → session-setup → dump loop and
+  * [[BinlogRelay]]'s reconnect/resume loop, leaving no layer of the
+  * wire stack untested (the socket here IS a real TCP connection —
+  * only a production server is absent, by sandbox construction).
+  *
+  * The server side is composed in-test from the same publicly
+  * documented packet layouts the client implements (MySQL internals
+  * manual, "Client/Server Protocol"); token verification recomputes
+  * the scramble server-side, so an encoding bug in either direction
+  * fails the handshake instead of silently passing bytes through.
+  * Binlog frames come from [[BinlogWriter]] (the golden-byte
+  * composer BinlogSpec validates against the decoder), which makes
+  * the relay test's final assertion possible: the relayed segment
+  * must equal the master's file BYTE-IDENTICALLY.
+  */
+object FakeMaster {
+  sealed trait Auth
+  case object NativeOk extends Auth
+  case object Sha2Fast extends Auth
+  case object Sha2Full extends Auth
+  case object SwitchToSha2 extends Auth
+  case object ErrAuth extends Auth
+
+  /** One accepted connection's script: how to auth, what to stream
+    * after a dump command, and whether to end with EOF or die
+    * mid-stream (abrupt close — the reconnect trigger). */
+  final case class Session(auth: Auth, frames: Seq[Array[Byte]] = Nil,
+      eofAfterFrames: Boolean = true, greetPlugin: String = NativePasswordPlugin)
+
+  val okPacket: Array[Byte] =
+    new ByteWriter().u8(0x00).lenenc(0).lenenc(0).u16(2).u16(0).result
+  val eofPacket: Array[Byte] = new ByteWriter().u8(0xfe).u16(0).u16(2).result
+  def errPacket(code: Int, state: String, msg: String): Array[Byte] =
+    new ByteWriter().u8(0xff).u16(code).u8('#').str(state).str(msg).result
+}
+
+final class FakeMaster(password: String, sessions: Seq[FakeMaster.Session])
+  extends AutoCloseable {
+  import FakeMaster._
+
+  val log = new ConcurrentLinkedQueue[String]()
+  private val server = new ServerSocket(0, 4, InetAddress.getLoopbackAddress)
+  def port: Int = server.getLocalPort
+  @volatile private var failure: Throwable = null
+  def firstFailure: Option[Throwable] = Option(failure)
+
+  private val acceptor = new Thread(() => {
+    try sessions.foreach { s =>
+      val sock = server.accept()
+      try handle(sock, s)
+      catch { case e: Throwable => if (failure == null) failure = e }
+      finally { try sock.close() catch { case _: Throwable => () } }
+    } catch { case _: Throwable => () } // server closed
+  }, "fake-master")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = { server.close(); acceptor.join(5000) }
+
+  // HandshakeV10: proto, version NUL, thread id, scramble part1(8),
+  // filler, caps low, charset, status, caps high, auth-data len 21,
+  // 10 reserved, part2(12) + NUL, plugin NUL.
+  private def greeting(plugin: String, scramble: Array[Byte]): Array[Byte] = {
+    val caps = ClientProtocol41 | ClientSecureConnection | ClientPluginAuth |
+      ClientLongPassword
+    new ByteWriter().u8(10).strNul("8.0.36-fake").u32(77L)
+      .raw(scramble.take(8)).u8(0)
+      .u16((caps & 0xffff).toInt).u8(33).u16(2)
+      .u16(((caps >> 16) & 0xffff).toInt).u8(21)
+      .raw(new Array[Byte](10))
+      .raw(scramble.drop(8)).u8(0)
+      .strNul(plugin).result
+  }
+
+  // HandshakeResponse41 → (user, token, plugin)
+  private def parseResponse(p: Array[Byte]): (String, Array[Byte], String) = {
+    val c = new Binlog.Cursor(p, 0)
+    c.u32(); c.u32(); c.u8(); c.bytes(23)
+    val uEnd = p.indexOf(0.toByte, c.off)
+    val user = new String(p, c.off, uEnd - c.off, UTF_8)
+    c.off = uEnd + 1
+    val token = c.bytes(c.u8())
+    val pEnd = p.indexOf(0.toByte, c.off)
+    val plugin = new String(p, c.off, (if (pEnd < 0) p.length else pEnd) - c.off, UTF_8)
+    (user, token, plugin)
+  }
+
+  private def writeResultSet(io: PacketIO, cols: Seq[String],
+      rows: Seq[Seq[String]]): Unit = {
+    io.write(new ByteWriter().lenenc(cols.length.toLong).result)
+    cols.foreach { n =>
+      val w = new ByteWriter()
+      Seq("def", "", "", "", n, n).foreach(s => w.lenenc(s.length.toLong).str(s))
+      w.u8(0x0c).u16(33).u32(192L).u8(0xfd).u16(0).u8(0).u16(0)
+      io.write(w.result)
+    }
+    io.write(FakeMaster.eofPacket)
+    rows.foreach { r =>
+      val w = new ByteWriter()
+      r.foreach(s => w.lenenc(s.length.toLong).str(s))
+      io.write(w.result)
+    }
+    io.write(FakeMaster.eofPacket)
+  }
+
+  private def handle(sock: Socket, session: Session): Unit = {
+    val io = new PacketIO(new BufferedInputStream(sock.getInputStream),
+      new BufferedOutputStream(sock.getOutputStream))
+    val scramble = Array.tabulate[Byte](20)(i => (i * 7 + 3).toByte)
+    io.write(greeting(session.greetPlugin, scramble))
+    val (user, token, plugin) = parseResponse(io.read())
+    log.add(s"auth:$user:$plugin")
+    session.auth match {
+      case NativeOk =>
+        require(token.sameElements(nativePasswordToken(password, scramble)),
+          "client sent a wrong mysql_native_password token")
+        io.write(okPacket)
+      case Sha2Fast =>
+        require(token.sameElements(cachingSha2Token(password, scramble)),
+          "client sent a wrong caching_sha2_password token")
+        io.write(Array[Byte](0x01, 0x03))
+        io.write(okPacket)
+      case Sha2Full =>
+        io.write(Array[Byte](0x01, 0x04))
+        return
+      case SwitchToSha2 =>
+        val sc2 = Array.tabulate[Byte](20)(i => (i * 11 + 5).toByte)
+        io.write(new ByteWriter().u8(0xfe).strNul(CachingSha2Plugin)
+          .raw(sc2).u8(0).result)
+        val tok2 = io.read()
+        require(tok2.sameElements(cachingSha2Token(password, sc2)),
+          "client sent a wrong token after AuthSwitch")
+        io.write(Array[Byte](0x01, 0x03))
+        io.write(okPacket)
+      case ErrAuth =>
+        io.write(errPacket(1045, "28000", "Access denied for user"))
+        return
+    }
+    var open = true
+    while (open) {
+      io.resetSeq()
+      val cmd = try io.read() catch { case _: EOFException => open = false; null }
+      if (cmd != null) (cmd(0) & 0xff) match {
+        case ComQuery =>
+          val sql = new String(cmd, 1, cmd.length - 1, UTF_8)
+          log.add(s"query:$sql")
+          val up = sql.trim.toUpperCase
+          if (up.startsWith("SELECT"))
+            writeResultSet(io, Seq("@@global.binlog_checksum"), Seq(Seq("CRC32")))
+          else if (up.startsWith("SHOW MASTER STATUS"))
+            writeResultSet(io,
+              Seq("File", "Position", "Binlog_Do_DB", "Binlog_Ignore_DB",
+                "Executed_Gtid_Set"),
+              Seq(Seq("binlog.000007", "4", "", "", "")))
+          else io.write(okPacket)
+        case ComRegisterSlave =>
+          log.add(s"register:${new Binlog.Cursor(cmd, 1).u32()}")
+          io.write(okPacket)
+        case ComBinlogDump =>
+          val c = new Binlog.Cursor(cmd, 1)
+          val pos = c.u32(); c.u16(); c.u32()
+          val file = new String(cmd, c.off, cmd.length - c.off, UTF_8)
+          log.add(s"dump:$file:$pos")
+          session.frames.foreach(f => io.write(0x00.toByte +: f))
+          if (session.eofAfterFrames) io.write(eofPacket)
+          else { sock.close(); open = false }
+        case ComBinlogDumpGtid =>
+          val c = new Binlog.Cursor(cmd, 1)
+          c.u16(); c.u32()
+          val fn = c.bytes(c.u32().toInt)
+          c.i64()
+          c.u32() // data length
+          val nSids = c.i64()
+          val sids = (0L until nSids).map { _ =>
+            val sid = c.bytes(16).map(b => f"${b & 0xff}%02x").mkString
+            val nIv = c.i64()
+            val ivs = (0L until nIv).map(_ => s"${c.i64()}-${c.i64()}")
+            s"$sid[${ivs.mkString(",")}]"
+          }
+          log.add(s"dumpgtid:${new String(fn, UTF_8)}:${sids.mkString(";")}")
+          session.frames.foreach(f => io.write(0x00.toByte +: f))
+          if (session.eofAfterFrames) io.write(eofPacket)
+          else { sock.close(); open = false }
+        case ComQuit => open = false
+        case other =>
+          io.write(errPacket(1047, "08S01", s"unknown command $other"))
+      }
+    }
+  }
+}
+
+class MySqlSessionSpec extends AnyFunSuite {
+  import FakeMaster._
+  import BinlogWriter.{Buf, query}
+
+  private def client(port: Int, pw: String = "secret") =
+    new BinlogClient("127.0.0.1", port, "repl", pw, serverId = 4321,
+      connectTimeoutMs = 5000, readTimeoutMs = 10000, heartbeatSeconds = 30)
+
+  /** Split a BinlogWriter.file (magic + frames) into dump frames. */
+  private def splitFrames(file: Array[Byte]): Seq[Array[Byte]] = {
+    val out = ArrayBuffer.empty[Array[Byte]]
+    var off = 4
+    while (off < file.length) {
+      val size = new Binlog.Cursor(file, off + 9).u32().toInt
+      out += java.util.Arrays.copyOfRange(file, off, off + size)
+      off += size
+    }
+    out.toSeq
+  }
+
+  /** Server-generated dump-start ROTATE: ts 0, LOG_EVENT_ARTIFICIAL_F,
+    * body = 8-byte pos + file name, CRC'd like every streamed frame. */
+  private def artificialRotate(file: String, pos: Long): Array[Byte] = {
+    val body = new Buf().u64(pos).raw(file.getBytes(UTF_8)).result
+    val size = 19 + body.length + 4
+    val frame = new Buf().u32(0L).u8(Binlog.RotateEvent).u32(77L).u32(size)
+      .u32(0L).u16(BinlogClient.ArtificialFlag).result ++ body
+    val c = new CRC32; c.update(frame, 0, frame.length)
+    frame ++ new Buf().u32(c.getValue).result
+  }
+
+  private def heartbeatFrame(file: String): Array[Byte] = {
+    val body = file.getBytes(UTF_8)
+    val size = 19 + body.length + 4
+    val frame = new Buf().u32(0L).u8(BinlogClient.HeartbeatEvent).u32(77L)
+      .u32(size).u32(0L).u16(0).result ++ body
+    val c = new CRC32; c.update(frame, 0, frame.length)
+    frame ++ new Buf().u32(c.getValue).result
+  }
+
+  test("native auth + registration + dump: full golden transcript") {
+    val masterFile = BinlogWriter.file(Seq(
+      Binlog.QueryEvent -> query("app", "CREATE TABLE t (id INT)")))
+    val frames = splitFrames(masterFile)
+    val master = new FakeMaster("secret", Seq(Session(NativeOk,
+      artificialRotate("binlog.000007", 4) +: frames.take(1) ++:
+        heartbeatFrame("binlog.000007") +: frames.drop(1))))
+    try {
+      val c = client(master.port)
+      try {
+        assert(c.handshake.serverVersion == "8.0.36-fake")
+        assert(c.handshake.scramble.length == 20)
+        assert(c.handshake.authPlugin == NativePasswordPlugin)
+        val got = c.dump("binlog.000007", 4).toVector
+        // artificial rotate surfaces (flagged), heartbeat does not
+        assert(got.map(_.eventType) ==
+          Vector(Binlog.RotateEvent, Binlog.FormatDescriptionEvent,
+            Binlog.QueryEvent))
+        assert(got.head.artificial && got.head.checksummed)
+        assert(got.head.rotateTarget == ("binlog.000007", 4L))
+        assert(got.tail.forall(!_.artificial))
+        // frames arrive byte-identical to the master's file
+        assert(got(1).bytes.sameElements(frames(0)))
+        assert(got(2).bytes.sameElements(frames(1)))
+      } finally c.close()
+      val log = master.log.asScala.toVector
+      assert(log.head == s"auth:repl:$NativePasswordPlugin")
+      assert(log.contains("register:4321"))
+      assert(log.contains("dump:binlog.000007:4"))
+      assert(log.exists(_.startsWith(
+        "query:SET @master_binlog_checksum")))
+      assert(log.contains(
+        s"query:SET @master_heartbeat_period = ${30L * 1000000000L}"))
+      assert(master.firstFailure.isEmpty, master.firstFailure)
+    } finally master.close()
+  }
+
+  test("caching_sha2 fast path authenticates and queries") {
+    val master = new FakeMaster("secret",
+      Seq(Session(Sha2Fast, greetPlugin = CachingSha2Plugin)))
+    try {
+      val c = client(master.port)
+      try {
+        assert(c.handshake.authPlugin == CachingSha2Plugin)
+        assert(c.queryScalar("SELECT @@global.binlog_checksum")
+          .contains("CRC32"))
+        val (file, pos, _) = c.masterStatus()
+        assert((file, pos) == ("binlog.000007", 4L))
+      } finally c.close()
+      assert(master.firstFailure.isEmpty, master.firstFailure)
+    } finally master.close()
+  }
+
+  test("AuthSwitch mid-handshake re-scrambles with the new plugin") {
+    val master = new FakeMaster("secret", Seq(Session(SwitchToSha2)))
+    try {
+      val c = client(master.port)
+      try assert(c.exec("SET x = 1").affectedRows == 0L) finally c.close()
+      assert(master.firstFailure.isEmpty, master.firstFailure)
+    } finally master.close()
+  }
+
+  test("caching_sha2 full auth (0x04) is refused loudly") {
+    val master = new FakeMaster("secret",
+      Seq(Session(Sha2Full, greetPlugin = CachingSha2Plugin)))
+    try {
+      val e = intercept[IllegalArgumentException](client(master.port))
+      assert(e.getMessage.contains("full authentication"))
+    } finally master.close()
+  }
+
+  test("auth rejection surfaces the server ERR") {
+    val master = new FakeMaster("other", Seq(Session(ErrAuth)))
+    try {
+      val e = intercept[MySqlErrorException](client(master.port))
+      assert(e.err.code == 1045 && e.err.message.contains("Access denied"))
+    } finally master.close()
+  }
+
+  test("dumpGtid encodes the executed set as closed→half-open intervals") {
+    val master = new FakeMaster("secret", Seq(Session(NativeOk)))
+    try {
+      val c = client(master.port)
+      try {
+        val it = c.dumpGtid("3E11FA47-71CA-11E1-9E33-C80AA9429562:1-5:7")
+        assert(it.isEmpty) // EOF right away
+      } finally c.close()
+      val dumpLog = master.log.asScala.find(_.startsWith("dumpgtid:"))
+      // wire form: [1,6) and [7,8) — stop is exclusive on the wire
+      assert(dumpLog.contains(
+        "dumpgtid::3e11fa4771ca11e19e33c80aa9429562[1-6,7-8]"), dumpLog)
+    } finally master.close()
+  }
+
+  test("relay survives a mid-stream death and reproduces the master file byte-identically") {
+    val masterFile = BinlogWriter.file(Seq(
+      Binlog.QueryEvent -> query("app", "BEGIN"),
+      Binlog.QueryEvent -> query("app", "INSERT 1"),
+      Binlog.QueryEvent -> query("app", "COMMIT")))
+    val frames = splitFrames(masterFile) // FDE, q1, q2, q3
+    assert(frames.length == 4)
+    // resume position after q2 = its header's next_pos field
+    val posAfterQ2 = new Binlog.Cursor(frames(2), 13).u32()
+    val master = new FakeMaster("secret", Seq(
+      // session 1: rotate + FDE + q1 + heartbeat + q2, then DIES
+      Session(NativeOk,
+        artificialRotate("binlog.000007", 4) +: frames.take(2) ++:
+          heartbeatFrame("binlog.000007") +: Seq(frames(2)),
+        eofAfterFrames = false),
+      // session 2: re-dump from the resume point; FDE re-sent (as a
+      // real server does) must be skipped by the relay, then q3, EOF
+      Session(NativeOk,
+        artificialRotate("binlog.000007", posAfterQ2) +: frames.take(1) ++:
+          Seq(frames(3)))))
+    val dir = Files.createTempDirectory("graft-relay-e2e")
+    try {
+      val relay = new BinlogRelay(dir, () => client(master.port),
+        BinlogRelay.FilePos("binlog.000007", 4),
+        retryBackoffMs = 10, maxRetries = 5, stopAtEof = true)
+      relay.startRelay()
+      assert(relay.awaitTermination(30000), "relay did not finish")
+      // the reconnect actually happened, resuming at q2's next_pos
+      val dumps = master.log.asScala.filter(_.startsWith("dump:")).toVector
+      assert(dumps == Vector("dump:binlog.000007:4",
+        s"dump:binlog.000007:$posAfterQ2"), dumps)
+      // golden: the relayed segment IS the master's binlog file
+      val seg = Files.readAllBytes(dir.resolve("binlog.000007"))
+      assert(seg.sameElements(masterFile),
+        s"segment ${seg.length}B != master file ${masterFile.length}B")
+      assert(relay.appendedFrames == 4) // FDE + q1 + q2 + q3, no dupes
+      assert(master.firstFailure.isEmpty, master.firstFailure)
+    } finally {
+      master.close()
+      dir.toFile.listFiles().foreach(_.delete()); Files.delete(dir)
+    }
+  }
+}
