@@ -37,9 +37,19 @@ object DedupQueries {
 
     // MinHash (k=8) + LSH banding (4 bands × 2): candidate pairs
     // share at least one band bucket.
+    // repartition after the selective filter: 500 docs land in ONE
+    // parquet split, which would serialize the CPU-heavy tokenize+
+    // minhash stage onto one core; hash-repartitioning on the GROUP
+    // key both spreads that work and satisfies the groupBy's
+    // distribution (the agg's own exchange disappears). The shuffled
+    // payload is the filtered slice only — at full-corpus scale the
+    // scan has thousands of splits and no such repartition is needed
+    // (minhashCandidates itself never shuffles raw text).
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashCandidates(
-        docs(s, dir).filter(col("doc_id") < 500), "text", "doc_id")
+        docs(s, dir).filter(col("doc_id") < 500)
+          .repartition(32, col("doc_id")),
+        "text", "doc_id")
         .orderBy(col("a"), col("b"))),
 
     // 16-bit SimHash groups (identical fingerprint = near-dup bucket)
