@@ -34,7 +34,10 @@ object Bench {
     // warmup pass: JIT + codegen + broadcast warm, parquet footer
     // cache — then measure steady-state (what a resident service on
     // a cluster actually runs at).
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // local profiling aid: skip the 133-query loop to iterate on the
+    // CDC throughput section alone (driver runs always time everything)
+    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+    if (!skipQueries) SparkEntry.queries.foreach { case (_, fn) =>
       try consume(fn(spark, sfDir)) catch { case _: Throwable => }
     }
     // two measured passes, keep the min: steady-state for a resident
@@ -48,12 +51,14 @@ object Bench {
         None
       }
     }
-    val results = SparkEntry.queries.flatMap { case (name, fn) =>
-      (timeOnce(name, fn), timeOnce(name, fn)) match {
-        case (Some(a), Some(b)) => Some(name -> math.min(a, b))
-        case _ => None
+    val results =
+      if (skipQueries) Map.empty[String, Double]
+      else SparkEntry.queries.flatMap { case (name, fn) =>
+        (timeOnce(name, fn), timeOnce(name, fn)) match {
+          case (Some(a), Some(b)) => Some(name -> math.min(a, b))
+          case _ => None
+        }
       }
-    }
     errors.foreach { case (name, msg) =>
       System.err.println(s"bench query failed: $name: $msg")
     }

@@ -42,7 +42,7 @@ object Formats {
   /** Kafka `json` format ≙ `outputs/kafka/kafka_utils.go:75-94`:
     * {database, table, type, ts, data, old}. Operates on the generic
     * envelope stream. */
-  def kafkaJson(envelope: DataFrame): DataFrame =
+  def kafkaJson(envelope: DataFrame, keep: Seq[Column] = Nil): DataFrame =
     envelope.select(
       to_json(struct(
         col("db").as("database"),
@@ -50,7 +50,7 @@ object Formats {
         col("op").as("type"),
         unix_timestamp(col("ts")).as("ts"),
         col("after").as("data"),
-        col("before").as("old"))).as("value"))
+        col("before").as("old"))).as("value") +: keep: _*)
 
   /** Canal-envelope type code + normalized mysqlType name, matching
     * the reference's Aliyun/MySQL-protocol table EXACTLY
@@ -97,7 +97,8 @@ object Formats {
     * `emitTsMs` defaults to wall-clock (reference behavior); inject a
     * deterministic column for replayable/oracle-checked output. */
   def canalJson(envelope: DataFrame, t: TableDef,
-      emitTsMs: Column = unix_timestamp(current_timestamp()) * 1000): DataFrame = {
+      emitTsMs: Column = unix_timestamp(current_timestamp()) * 1000,
+      keep: Seq[Column] = Nil): DataFrame = {
     // year columns are omitted from sqlType (reference parity); every
     // column appears in mysqlType with its normalized base name.
     val sqlTypes = map(t.columns.flatMap { c =>
@@ -122,7 +123,7 @@ object Formats {
         sqlTypes.as("sqlType"),
         mysqlTypes.as("mysqlType"),
         array(col("after")).as("data"),
-        array(col("before")).as("old"))).as("value"))
+        array(col("before")).as("old"))).as("value") +: keep: _*)
   }
 
   /** Kafka record key + partition from the PK hash

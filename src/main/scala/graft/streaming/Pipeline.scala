@@ -52,8 +52,9 @@ object Pipeline {
 
   /** Project the generic Map-envelope onto a typed per-table frame:
     * after[name] cast to the column's Spark type, plus the envelope's
-    * op/seq/pos metadata. The filter sits on the scan; the cast is a
-    * narrow projection. */
+    * op/seq/pos/ts metadata (ts = source event time, which the Kafka
+    * sink's envelope re-emits and lake sinks keep as provenance).
+    * The filter sits on the scan; the cast is a narrow projection. */
   def routed(envelope: DataFrame, r: Route): DataFrame = {
     val shape = r.source.getOrElse(r.target)
     val typedCols = shape.columns.map { c =>
@@ -61,7 +62,8 @@ object Pipeline {
     }
     envelope
       .filter(col("db") === r.db && col("table") === r.table)
-      .select(typedCols ++ Seq(col("op"), col("seq"), col("pos")): _*)
+      .select(typedCols ++ Seq(col("op"), col("seq"), col("pos"),
+        col("ts")): _*)
   }
 
   /** Compact a routed batch to last-event-per-key on `seq`

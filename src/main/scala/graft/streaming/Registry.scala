@@ -76,6 +76,16 @@ object Registry {
     new StreamLoadSink(conf("url"), conf.getOrElse("user", "root"),
       conf.getOrElse("password", ""), doris = true)
   }
+  // Kafka output (≙ outputs/kafka): topic template, pk-hash
+  // partitioning, json|canal payload; `kafka.*` conf keys pass
+  // through to the producer (security.protocol, acks, …).
+  registerSink("kafka") { conf =>
+    new graft.sinks.KafkaSink(conf("brokers"),
+      conf.getOrElse("topic", "{db}.{table}"),
+      conf.getOrElse("partitions", "8").toInt,
+      conf.getOrElse("format", "json"),
+      conf.view.filterKeys(_.startsWith("kafka.")).toMap)
+  }
   // binary binlog segments → ChangeEvent frame (batch/backfill path;
   // decode parallelism = one segment per task). `tables` routes and
   // names columns: "db.table:col1|col2,db2.t:a|b" — the binlog wire

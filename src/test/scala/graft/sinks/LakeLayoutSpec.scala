@@ -11,7 +11,7 @@ class LakeLayoutSpec extends SparkSpec {
   import spark.implicits._
 
   private def events = graft.Tables
-    .load(spark, "/root/testdata/sf0.001", "events")
+    .loadEventsNs(spark, "/root/testdata/sf0.001") // ts → Long ns, any encoding
     .withColumn("day", (col("ts") / lit(86400000000000L)).cast("long"))
 
   test("partitioned write: filtered read opens ONLY the matching directory") {
