@@ -53,6 +53,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
   }
 
+  test("dedup_minhash_lsh: ONE corpus scan; self-join side reuses the shuffle") {
+    // banding via posexplode AFTER the aggregate keeps the
+    // tokenize→minhash lineage single: a 4-way union of per-band
+    // projections lets Catalyst split it into four scan+agg subtrees
+    // (4× the corpus read at any scale). The second join side must
+    // come from a ReusedExchange, never a recompute.
+    // exchange reuse materializes during adaptive execution — run the
+    // query, then inspect the FINAL plan
+    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+    df.queryExecution.toRdd.foreach(_ => ())
+    // AdaptiveSparkPlan.toString appends the pre-execution "Initial
+    // Plan" section (which legitimately plans both sides) — assert on
+    // the Final Plan only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly 1 documents scan, got $scans:\n" + p)
+    assert(p.contains("ReusedExchange"),
+      "self-join must reuse the signature shuffle:\n" + p)
+  }
+
   test("q_topk_orders: global top-k is TakeOrderedAndProject, not a full sort") {
     val p = plan("q_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
