@@ -138,6 +138,10 @@ object Components {
       .distinct().localCheckpoint()
     var iter = 0
     var converged = false
+    // edge count carried across rounds: each round needs |edges| for
+    // the fixpoint check, and recounting a frame counted last round
+    // would add one driver job per round for a number already known
+    var nEdges = edges.count()
     while (!converged && iter < maxIter) {
       // large-star over the SYMMETRIC neighborhood: for each u,
       // m = min(N(u) ∪ {u}); every neighbor v > u re-links to m.
@@ -145,11 +149,15 @@ object Components {
         edges.select(col("dst").as("src"), col("src").as("dst")))
       val nbrMin = sym.groupBy(col("src").as("u"))
         .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      // NOT checkpointed mid-round: its two consumers below share the
+      // distinct's exchange (ReuseExchange), so one materialization
+      // job per ROUND (next's checkpoint) replaces two — the round's
+      // lineage stays bounded either way
       val large = sym.join(nbrMin, sym("src") === nbrMin("u"))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct().localCheckpoint()
+        .distinct()
       // small-star on the directed big->small list: for each u,
       // m = min of its smaller neighbors; re-link them (and u) to m.
       val sMin = large.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
@@ -164,9 +172,11 @@ object Components {
       // one-sided difference empty (both sides are distinct, so
       // `except` plans as a LeftAnti join; `exceptAll` would rewrite
       // into the heavier union + signed-count aggregate + generate)
-      converged = next.count() == edges.count() &&
+      val nNext = next.count()
+      converged = nNext == nEdges &&
         next.except(edges).limit(1).count() == 0
       edges = next
+      nEdges = nNext
       iter += 1
     }
     if (!converged)
