@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Connected components over a candidate-pair graph — the last stage
   * of near-dup deduplication: pairwise candidates (MinHash bands,
@@ -63,6 +64,17 @@ object Components {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("group_id"))
       .localCheckpoint()
+    // Convergence probe: per-vertex labels are monotonically
+    // NON-INCREASING (min of self and neighbors), so any change
+    // strictly decreases Σ group_id — the round converged iff the sum
+    // is unchanged. One shuffle-free aggregate over the checkpointed
+    // frame replaces the old labels⋈next diff join. DECIMAL(38,0)
+    // keeps the sum exact at any vertex-id/corpus scale (a Long sum
+    // could wrap, and a wrapped collision would silently accept
+    // partial labels).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("group_id").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -71,10 +83,9 @@ object Components {
       val next = labels.unionByName(prop)
         .groupBy(col("id")).agg(min(col("group_id")).as("group_id"))
         .localCheckpoint()
-      converged = next.alias("n")
-        .join(labels.select(col("id"), col("group_id").as("old")), "id")
-        .filter(col("group_id") =!= col("old"))
-        .limit(1).count() == 0
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }

@@ -115,9 +115,15 @@ object Core5Queries {
         .select(col("s_suppkey"), col("n_name").as("nation"))
       val ord = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      // the p_name filter holds transitively on ps_partkey
+      // (l_partkey = ps_partkey), but Catalyst does not infer
+      // semi-join transitivity across join keys — prune the partsupp
+      // build side explicitly, or its full distinct shuffles unfiltered
+      val ps = partsupp(s, dir)
+        .join(pa, col("ps_partkey") === col("p_partkey"), "left_semi")
       Tables.load(s, dir, "lineitem")
         .join(pa, col("l_partkey") === col("p_partkey"), "left_semi")
-        .join(partsupp(s, dir),
+        .join(ps,
           col("l_partkey") === col("ps_partkey") &&
             col("l_suppkey") === col("ps_suppkey"))
         .join(supN, col("l_suppkey") === col("s_suppkey"))
