@@ -148,9 +148,12 @@ object CdcQueries {
       val batch = events(s, dir)
         .withColumn("op",
           when(col("event_type") === "error", "delete").otherwise("insert"))
-      Formats.streamLoadJson(batch, t)
-        .withColumn("row_id",
-          get_json_object(col("row_json"), "$.event_id").cast("long"))
+      // row_id passes through from the source column: the driver's
+      // hash of row_json already proves the payload byte-for-byte, so
+      // re-parsing the just-built JSON would only re-derive a value
+      // the batch still has
+      Formats.streamLoadJson(batch, t,
+          keep = Seq(col("event_id").as("row_id")))
         .orderBy(col("row_id"))
     }),
 
@@ -168,9 +171,9 @@ object CdcQueries {
         map(lit("event_id"), col("event_id").cast("string"),
           lit("user_id"), col("user_id").cast("string")).as("after"),
         map(lit("event_id"), col("event_id").cast("string")).as("before"))
-      Formats.kafkaJson(env)
-        .withColumn("row_id",
-          get_json_object(col("value"), "$.data.event_id").cast("long"))
+      // row_id from the envelope seq (= event_id): the value-column
+      // hash is the payload proof (see cdc_streamload_format)
+      Formats.kafkaJson(env, keep = Seq(col("seq").as("row_id")))
         .orderBy(col("row_id"))
     }),
 
@@ -229,9 +232,10 @@ object CdcQueries {
         map(lit("event_id"), col("event_id").cast("string"),
           lit("user_id"), col("user_id").cast("string")).as("after"),
         map(lit("event_id"), col("event_id").cast("string")).as("before"))
-      Formats.canalJson(env, t, emitTsMs = lit(1700000000000L))
-        .withColumn("row_id",
-          get_json_object(col("value"), "$.id").cast("long"))
+      // row_id from the envelope seq (the canal id field): the
+      // value-column hash is the payload proof
+      Formats.canalJson(env, t, emitTsMs = lit(1700000000000L),
+          keep = Seq(col("seq").as("row_id")))
         .orderBy(col("row_id"))
     }),
 

@@ -18,11 +18,13 @@ object Formats {
     * (≙ `outputs/starrocks/starrocks_utils.go:39-69`,
     * `outputs/doris/doris_utils.go:42-72`). Input: a routed, typed,
     * compacted batch with an `op` column. */
-  def streamLoadJson(batch: DataFrame, t: TableDef): DataFrame = {
+  def streamLoadJson(batch: DataFrame, t: TableDef,
+      keep: Seq[Column] = Nil): DataFrame = {
     val dataCols = t.columnNames.map(col)
     batch
       .withColumn("_delete_sign_", Transforms.deleteSign(col("op")))
-      .select(to_json(struct(dataCols :+ col("_delete_sign_"): _*)).as("row_json"))
+      .select(to_json(struct(dataCols :+ col("_delete_sign_"): _*))
+        .as("row_json") +: keep: _*)
   }
 
   /** Stream-load HTTP headers ≙ `outputs/starrocks/starrocks.go:
