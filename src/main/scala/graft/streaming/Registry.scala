@@ -127,7 +127,8 @@ object Registry {
         conf.getOrElse("user", "root"), conf.getOrElse("password", ""),
         conf.getOrElse("serverId", "1337").toLong),
       start,
-      retryBackoffMs = conf.getOrElse("retryBackoffMs", "1000").toLong)
+      retryBackoffMs = conf.getOrElse("retryBackoffMs", "1000").toLong,
+      maxRetries = conf.getOrElse("maxRetries", "-1").toInt)
     relay.startRelay()
     val r0 = spark.readStream.format("graft-binlog")
       .option("path", relayDir.toString).option("tables", conf("tables"))

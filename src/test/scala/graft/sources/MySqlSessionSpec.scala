@@ -40,10 +40,14 @@ object FakeMaster {
   case object ErrAuth extends Auth
 
   /** One accepted connection's script: how to auth, what to stream
-    * after a dump command, and whether to end with EOF or die
-    * mid-stream (abrupt close — the reconnect trigger). */
+    * after a dump command, then how the stream ends —
+    * "eof" (clean end), "die" (abrupt close — the reconnect
+    * trigger), or "hold" (keep the connection open like a live,
+    * currently-quiet master; ends when the server closes). */
   final case class Session(auth: Auth, frames: Seq[Array[Byte]] = Nil,
-      eofAfterFrames: Boolean = true, greetPlugin: String = NativePasswordPlugin)
+      afterFrames: String = "eof", greetPlugin: String = NativePasswordPlugin) {
+    require(Set("eof", "die", "hold")(afterFrames), afterFrames)
+  }
 
   val okPacket: Array[Byte] =
     new ByteWriter().u8(0x00).lenenc(0).lenenc(0).u16(2).u16(0).result
@@ -180,8 +184,12 @@ final class FakeMaster(password: String, sessions: Seq[FakeMaster.Session])
           val file = new String(cmd, c.off, cmd.length - c.off, UTF_8)
           log.add(s"dump:$file:$pos")
           session.frames.foreach(f => io.write(0x00.toByte +: f))
-          if (session.eofAfterFrames) io.write(eofPacket)
-          else { sock.close(); open = false }
+          session.afterFrames match {
+            case "eof" => io.write(eofPacket)
+            case "die" => sock.close(); open = false
+            case "hold" => // loop re-enters io.read(), which blocks
+              // until a side closes — a live master between events
+          }
         case ComBinlogDumpGtid =>
           val c = new Binlog.Cursor(cmd, 1)
           c.u16(); c.u32()
@@ -197,8 +205,11 @@ final class FakeMaster(password: String, sessions: Seq[FakeMaster.Session])
           }
           log.add(s"dumpgtid:${new String(fn, UTF_8)}:${sids.mkString(";")}")
           session.frames.foreach(f => io.write(0x00.toByte +: f))
-          if (session.eofAfterFrames) io.write(eofPacket)
-          else { sock.close(); open = false }
+          session.afterFrames match {
+            case "eof" => io.write(eofPacket)
+            case "die" => sock.close(); open = false
+            case "hold" => ()
+          }
         case ComQuit => open = false
         case other =>
           io.write(errPacket(1047, "08S01", s"unknown command $other"))
@@ -355,7 +366,7 @@ class MySqlSessionSpec extends AnyFunSuite {
       Session(NativeOk,
         artificialRotate("binlog.000007", 4) +: frames.take(2) ++:
           heartbeatFrame("binlog.000007") +: Seq(frames(2)),
-        eofAfterFrames = false),
+        afterFrames = "die"),
       // session 2: re-dump from the resume point; FDE re-sent (as a
       // real server does) must be skipped by the relay, then q3, EOF
       Session(NativeOk,
