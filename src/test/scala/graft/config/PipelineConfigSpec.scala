@@ -90,8 +90,10 @@ class PipelineConfigSpec extends SparkSpec {
 
     val out = spark.read.parquet(s"$sinkDir/tgt2.sbtest1")
     // rename-column k->k_1 then delete-column c_1? (c renamed to c_1
-    // by transform 1, then dropped by transform 2); k_1 present
-    assert(out.columns.toSet == Set("id", "k_1", "pad", "op", "seq", "pos"))
+    // by transform 1, then dropped by transform 2); k_1 present;
+    // op/seq/pos/ts = the envelope metadata routed() passes through
+    assert(out.columns.toSet ==
+      Set("id", "k_1", "pad", "op", "seq", "pos", "ts"))
     val row = out.select($"id", $"k_1", $"pad")
       .as[(Long, Int, String)].collect().head
     assert(row == (1L, 10, "p"))
