@@ -59,7 +59,12 @@ class MySqlSourceE2eSpec extends SparkSpec {
   test("registry mysql source: TCP master → relay → DSv2 → typed change events") {
     val masterFile = BinlogWriter.file(
       writeRowsTxn(1, Seq(1 -> "ann", 2 -> "bob")) ++
-        writeRowsTxn(2, Seq(3 -> "cyd")))
+        writeRowsTxn(2, Seq(3 -> "cyd")) :+
+        // the reference's other replication concern: DDL rides the
+        // same stream (mysql_replication.go:186-226) — it must arrive
+        // as an op="ddl" event for SchemaEvolution, not be dropped
+        (Binlog.QueryEvent ->
+          query("shop", "ALTER TABLE users ADD COLUMN note VARCHAR(64)")))
     val master = new FakeMaster("secret", Seq(FakeMaster.Session(
       FakeMaster.NativeOk,
       artificialRotate("binlog.000001", 4) +: splitFrames(masterFile),
@@ -84,25 +89,31 @@ class MySqlSourceE2eSpec extends SparkSpec {
         s"relay did not reproduce the master file in time " +
           s"(${if (Files.exists(seg)) Files.size(seg) else -1}/${masterFile.length})")
 
-      val seen = collection.mutable.ArrayBuffer.empty[(String, String, Long, String)]
+      val seen = collection.mutable.ArrayBuffer.empty[(String, String, String, Long, String)]
       val q = stream.writeStream.option("checkpointLocation", ckpt)
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          val rows = b.selectExpr("op", "after['name']", "seq", "pos")
+          val rows = b.selectExpr("op", "after['name']", "after['sql']", "seq", "pos")
             .collect().map(r => (r.getString(0), r.getString(1),
-              r.getLong(2), r.getString(3)))
+              r.getString(2), r.getLong(3), r.getString(4)))
           seen.synchronized { seen ++= rows }
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
       assert(q.awaitTermination(60000), "stream did not drain")
 
-      val rows = seen.sortBy(_._3).toVector
-      assert(rows.map(r => (r._1, r._2)) ==
+      val rows = seen.sortBy(_._4).toVector
+      val dml = rows.filter(_._1 == "insert")
+      assert(dml.map(r => (r._1, r._2)) ==
         Vector(("insert", "ann"), ("insert", "bob"), ("insert", "cyd")), rows)
       // GTID watermark rides along as the ACCUMULATED executed set:
       // rows of txn 1 carry uuid:1, rows after txn 2 carry uuid:1-2
-      assert(rows.take(2).forall(_._4.endsWith(":1")), rows)
-      assert(rows.last._4.endsWith(":1-2"), rows)
+      assert(dml.take(2).forall(_._5.endsWith(":1")), rows)
+      assert(dml.last._5.endsWith(":1-2"), rows)
+      // the ALTER arrives as a ddl event on the same ordered stream,
+      // after every DML row, carrying the statement for the registry
+      val ddl = rows.filter(_._1 == SchemaEvolution.DdlOp)
+      assert(ddl.length == 1 && ddl.head._3.startsWith("ALTER TABLE users"), rows)
+      assert(ddl.head._4 > dml.last._4, "ddl must sort after prior dml")
     } finally {
       master.close() // relay's bounded retries then stop the daemon
     }
