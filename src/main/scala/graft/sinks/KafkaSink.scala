@@ -49,6 +49,11 @@ final class KafkaSink(
   /** (topic, partition, key, value) record frame for one routed
     * batch — the full Kafka-facing plan, sans transport. */
   def records(batch: DataFrame, t: TableDef): DataFrame = {
+    require(t.pkColumns.nonEmpty,
+      s"kafka sink requires a primary key on ${t.schema}.${t.name}: " +
+        "record key and partition derive from the pk hash " +
+        "(outputs/kafka/kafka.go:161-170); route pk-less tables to a " +
+        "lake/JDBC sink or add a key")
     val env = batch.select(
       lit(t.schema).as("db"), lit(t.name).as("table"), col("op"),
       col("ts"), col("pos"), col("seq"),

@@ -73,6 +73,14 @@ class KafkaSinkSpec extends SparkSpec {
     assert(e.getCause != null, "original transport error must be chained")
   }
 
+  test("pk-less table is refused with a routing hint, not a plan error") {
+    val noPk = TableDef("app", "logs", Seq(ColumnDef("line", "text")))
+    val e = intercept[IllegalArgumentException] {
+      new KafkaSink("b:9092").records(batch, noPk)
+    }
+    assert(e.getMessage.contains("requires a primary key"))
+  }
+
   test("registry assembles the kafka sink from TOML-style conf") {
     val sink = graft.streaming.Registry.sink("kafka", Map(
       "brokers" -> "b:9092", "topic" -> "cdc-{table}",
