@@ -55,10 +55,11 @@ object Transforms {
 
   /** Column mapper for envelope-shaped frames: maps data columns
     * positionally but carries the pipeline metadata columns
-    * (op/seq/pos) through — a bare [[columnMapper]] would drop them
-    * and break compaction/sinks downstream. */
+    * (op/seq/pos/ts — Pipeline.routed's full metadata contract)
+    * through — a bare [[columnMapper]] would drop them and break
+    * compaction/sinks downstream (the kafka sink reads ts). */
   def envelopeColumnMapper(src: Seq[String], tgt: Seq[String],
-      meta: Seq[String] = Seq("op", "seq", "pos")): DataFrame => DataFrame = {
+      meta: Seq[String] = Seq("op", "seq", "pos", "ts")): DataFrame => DataFrame = {
     require(src.length == tgt.length, s"mapper arity: $src vs $tgt")
     df => {
       val kept = meta.filter(df.columns.contains)

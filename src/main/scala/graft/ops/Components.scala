@@ -72,8 +72,14 @@ object Components {
     // keeps the sum exact at any vertex-id/corpus scale (a Long sum
     // could wrap, and a wrapped collision would silently accept
     // partial labels).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("group_id").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // sum over an EMPTY frame is SQL NULL — an edge-less input
+      // (no near-dups found) must converge on round 1, not NPE in
+      // compareTo
+      val s = df.agg(sum(col("group_id").cast(DecimalType(38, 0))))
+        .head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

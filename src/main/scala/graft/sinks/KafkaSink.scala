@@ -71,9 +71,13 @@ final class KafkaSink(
       col("partition"), col("key"), col("value"))
   }
 
-  override def write(batch: DataFrame, t: TableDef, batchId: Long): Unit =
+  override def write(batch: DataFrame, t: TableDef, batchId: Long): Unit = {
+    // record assembly OUTSIDE the delivery catch: a config/plan error
+    // (pk-less table, missing metadata column) must surface as itself,
+    // not be re-labeled a transport failure
+    val recs = records(batch, t)
     try {
-      records(batch, t).write.format("kafka")
+      recs.write.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .options(kafkaOptions)
         .save()
@@ -84,4 +88,5 @@ final class KafkaSink(
         s"kafka delivery failed for ${t.schema}.${t.name} (batch $batchId, " +
           s"topic ${topicFor(t)}): ${e.getMessage}", e)
     }
+  }
 }

@@ -129,11 +129,19 @@ class PipelineConfigSpec extends SparkSpec {
     assert(row == (7L, 70, "pp"))
   }
 
-  test("envelopeColumnMapper keeps op/seq/pos") {
-    val df = Seq((1L, 2L, "insert", 3L, "g")).toDF("a", "b", "op", "seq", "pos")
+  test("envelopeColumnMapper keeps the full routed() metadata (op/seq/pos/ts)") {
+    val df = Seq((1L, 2L, "insert", 3L, "g",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("a", "b", "op", "seq", "pos", "ts")
     val out = graft.operators.Transforms
       .envelopeColumnMapper(Seq("a", "b"), Seq("x", "y"))(df)
-    assert(out.columns.toSeq == Seq("x", "y", "op", "seq", "pos"))
+    assert(out.columns.toSeq == Seq("x", "y", "op", "seq", "pos", "ts"))
+    // frames predating the ts passthrough still map (meta is
+    // presence-filtered)
+    val old = graft.operators.Transforms
+      .envelopeColumnMapper(Seq("a", "b"), Seq("x", "y"))(
+        df.drop("ts"))
+    assert(old.columns.toSeq == Seq("x", "y", "op", "seq", "pos"))
   }
 
   test("parses the reference's NESTED sample layout verbatim") {

@@ -75,6 +75,15 @@ class ComponentsSpec extends SparkSpec {
     assert(out.length == 65 && out.forall(_._2 == 0L))
   }
 
+  test("empty candidate set: both variants return empty labels, no error") {
+    // a corpus with no near-dups produces zero pairs — the resolve
+    // stage must converge immediately (sum over an empty frame is
+    // SQL NULL; this used to NPE in the convergence probe)
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.connectedComponents(pairs, "a", "b").count() == 0)
+    assert(Components.connectedComponentsStar(pairs, "a", "b").count() == 0)
+  }
+
   test("star variant: self-loops and duplicates are inert") {
     // vertex 9 appears ONLY as a self-loop: it must still be labeled
     // (with itself), exactly as the min-label variant labels it —

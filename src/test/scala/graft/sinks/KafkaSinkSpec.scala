@@ -79,6 +79,12 @@ class KafkaSinkSpec extends SparkSpec {
       new KafkaSink("b:9092").records(batch, noPk)
     }
     assert(e.getMessage.contains("requires a primary key"))
+    // and through write(): still the config error, NOT re-labeled as
+    // a delivery failure (assembly happens outside the transport catch)
+    val e2 = intercept[IllegalArgumentException] {
+      new KafkaSink("b:9092").write(batch, noPk, 1L)
+    }
+    assert(e2.getMessage.contains("requires a primary key"))
   }
 
   test("registry assembles the kafka sink from TOML-style conf") {

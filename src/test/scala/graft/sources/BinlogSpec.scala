@@ -192,6 +192,31 @@ object BinlogWriter {
       .raw(db.getBytes(UTF_8)).u8(0).raw(sql.getBytes(UTF_8)).result
 
   def xid(id: Long): Array[Byte] = new Buf().u64(id).result
+
+  /** Split a composed binlog file (magic + frames) into the verbatim
+    * event frames a dump stream carries (shared by the wire-session
+    * and e2e suites — one frame-walk implementation). */
+  def splitFrames(fileBytes: Array[Byte]): Seq[Array[Byte]] = {
+    val out = ArrayBuffer.empty[Array[Byte]]
+    var off = 4
+    while (off < fileBytes.length) {
+      val size = new Binlog.Cursor(fileBytes, off + 9).u32().toInt
+      out += java.util.Arrays.copyOfRange(fileBytes, off, off + size)
+      off += size
+    }
+    out.toSeq
+  }
+
+  /** Server-generated dump-start ROTATE: ts 0, LOG_EVENT_ARTIFICIAL_F,
+    * body = 8-byte pos + file name, CRC'd like every streamed frame. */
+  def artificialRotate(file: String, pos: Long): Array[Byte] = {
+    val body = new Buf().u64(pos).raw(file.getBytes(UTF_8)).result
+    val size = 19 + body.length + 4
+    val frame = new Buf().u32(0L).u8(Binlog.RotateEvent).u32(77L).u32(size)
+      .u32(0L).u16(BinlogClient.ArtificialFlag).result ++ body
+    val c = new CRC32; c.update(frame, 0, frame.length)
+    frame ++ new Buf().u32(c.getValue).result
+  }
 }
 
 class BinlogSpec extends AnyFunSuite {

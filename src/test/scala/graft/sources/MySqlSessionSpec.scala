@@ -226,28 +226,7 @@ class MySqlSessionSpec extends AnyFunSuite {
     new BinlogClient("127.0.0.1", port, "repl", pw, serverId = 4321,
       connectTimeoutMs = 5000, readTimeoutMs = 10000, heartbeatSeconds = 30)
 
-  /** Split a BinlogWriter.file (magic + frames) into dump frames. */
-  private def splitFrames(file: Array[Byte]): Seq[Array[Byte]] = {
-    val out = ArrayBuffer.empty[Array[Byte]]
-    var off = 4
-    while (off < file.length) {
-      val size = new Binlog.Cursor(file, off + 9).u32().toInt
-      out += java.util.Arrays.copyOfRange(file, off, off + size)
-      off += size
-    }
-    out.toSeq
-  }
-
-  /** Server-generated dump-start ROTATE: ts 0, LOG_EVENT_ARTIFICIAL_F,
-    * body = 8-byte pos + file name, CRC'd like every streamed frame. */
-  private def artificialRotate(file: String, pos: Long): Array[Byte] = {
-    val body = new Buf().u64(pos).raw(file.getBytes(UTF_8)).result
-    val size = 19 + body.length + 4
-    val frame = new Buf().u32(0L).u8(Binlog.RotateEvent).u32(77L).u32(size)
-      .u32(0L).u16(BinlogClient.ArtificialFlag).result ++ body
-    val c = new CRC32; c.update(frame, 0, frame.length)
-    frame ++ new Buf().u32(c.getValue).result
-  }
+  import BinlogWriter.{artificialRotate, splitFrames}
 
   private def heartbeatFrame(file: String): Array[Byte] = {
     val body = file.getBytes(UTF_8)

@@ -36,25 +36,7 @@ class MySqlSourceE2eSpec extends SparkSpec {
     }),
     Binlog.XidEvent -> xid(gno))
 
-  private def splitFrames(file: Array[Byte]): Seq[Array[Byte]] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    var off = 4
-    while (off < file.length) {
-      val size = new Binlog.Cursor(file, off + 9).u32().toInt
-      out += java.util.Arrays.copyOfRange(file, off, off + size)
-      off += size
-    }
-    out.toSeq
-  }
-
-  private def artificialRotate(file: String, pos: Long): Array[Byte] = {
-    val body = new Buf().u64(pos).raw(file.getBytes(UTF_8)).result
-    val size = 19 + body.length + 4
-    val frame = new Buf().u32(0L).u8(Binlog.RotateEvent).u32(77L).u32(size)
-      .u32(0L).u16(BinlogClient.ArtificialFlag).result ++ body
-    val c = new CRC32; c.update(frame, 0, frame.length)
-    frame ++ new Buf().u32(c.getValue).result
-  }
+  import BinlogWriter.{artificialRotate, splitFrames}
 
   test("registry mysql source: TCP master → relay → DSv2 → typed change events") {
     val masterFile = BinlogWriter.file(
@@ -116,6 +98,14 @@ class MySqlSourceE2eSpec extends SparkSpec {
       assert(ddl.head._4 > dml.last._4, "ddl must sort after prior dml")
     } finally {
       master.close() // relay's bounded retries then stop the daemon
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(p))
+          Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => Files.deleteIfExists(f))
+      }
+      rm(relayDir)
+      rm(java.nio.file.Paths.get(ckpt))
     }
   }
 }

@@ -28,6 +28,10 @@ class StreamingTwinsSpec extends SparkSpec {
     val d = Files.createTempDirectory("graft-twin-events")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       d.resolve("events.parquet"))
+    // copied parquet is non-trivial at bench scale: don't leak it
+    // across suite runs
+    d.toFile.deleteOnExit()
+    d.resolve("events.parquet").toFile.deleteOnExit()
     d.toString
   }
 
