@@ -61,8 +61,12 @@ object Components {
     // symmetric edge list: propagation must flow both directions
     val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("group_id"))
+    // Initialization IS round 1: from identity labels, the first
+    // propagation yields exactly min(self ∪ neighbors) — computing
+    // that directly from the symmetric edge list (every vertex
+    // appears as src) saves one full join+checkpoint+probe round.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("group_id"))
       .localCheckpoint()
     // Convergence probe: per-vertex labels are monotonically
     // NON-INCREASING (min of self and neighbors), so any change
