@@ -279,6 +279,26 @@ object CdcQueries {
         .orderBy(col("event_id"))
     }),
 
+    // event-time interval join, batch-verified: each purchase paired
+    // with the same user's signups within ±1h — the BATCH twin of
+    // StatefulOps.intervalJoin (equi-join on the key + residual time
+    // bound; the keyed-join shape that lets streaming state GC).
+    // Exact integer-ns bound math on both engines.
+    "cdc_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("user_id"),
+          col("ts").as("s_ts"))
+      purchases.join(signups, Seq("user_id"))
+        .filter(col("s_ts") >= col("p_ts") - lit(3600000000000L) &&
+          col("s_ts") <= col("p_ts") + lit(3600000000000L))
+        .select(col("p_id"), col("s_id"), col("user_id"))
+        .orderBy(col("p_id"), col("s_id"))
+    }),
+
     // SCD-2 history build (operators/Scd2): the version-interval
     // table the as-of join probes, derived from the same CDC stream
     // the reference compacts into latest-row-only targets. One
@@ -422,6 +442,15 @@ object CdcQueries {
         |    CASE WHEN event_id % 7 <> event_id % 5
         |         THEN ['score'] ELSE [] END), ','), '') AS changed
         |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_interval_join" ->
+      """SELECT p.event_id AS p_id, s.event_id AS s_id,
+        | p.user_id AS user_id
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id
+        | AND p.event_type = 'purchase' AND s.event_type = 'signup'
+        | AND epoch_ns(s.ts) >= epoch_ns(p.ts) - 3600000000000
+        | AND epoch_ns(s.ts) <= epoch_ns(p.ts) + 3600000000000
+        |ORDER BY p_id, s_id""".stripMargin,
     "cdc_scd2_build" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value,

@@ -68,6 +68,33 @@ class StreamingTwinsSpec extends SparkSpec {
         s"only-batch=${(batch -- streamed).take(5)}")
   }
 
+  test("stream-stream intervalJoin ≡ batch cdc_interval_join on the same events") {
+    val batch = graft.SparkEntry.queries("cdc_interval_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    def side(kind: String, idAs: String, tsAs: String): DataFrame =
+      streamEvents.filter(col("event_type") === kind)
+        .select(col("event_id").as(idAs), col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as(tsAs))
+    // stream-stream inner join is append-mode-only; a finite replay
+    // emits every match, the watermark only bounds state
+    val joined = StatefulOps.intervalJoin(
+      side("purchase", "p_id", "p_ts"), side("signup", "s_id", "s_ts"),
+      keyCols = Seq("user_id"), leftTs = "p_ts", rightTs = "s_ts",
+      delay = "0 seconds", before = "1 hour", after = "1 hour")
+      .select(col("p_id"), col("r_s_id"), col("user_id"))
+    val name = "twin_interval"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), s"$name did not finish")
+    val streamed = spark.table(name)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(streamed == batch,
+      s"interval join diverges: only-stream=${(streamed -- batch).take(5)} " +
+        s"only-batch=${(batch -- streamed).take(5)}")
+  }
+
   test("tumbling-window stream ≡ batch cdc_hourly_rollup on the same events") {
     val batch = graft.SparkEntry.queries("cdc_hourly_rollup")(spark, sfDir)
       .select(col("hr").cast("string"), col("event_type"), col("n"),
