@@ -315,7 +315,25 @@ object CdcQueries {
       graft.operators.Scd2.build(ev, keys = Seq("user_id"),
         tsCol = "tsu", seqCol = "event_id", payload = Seq("value"))
         .orderBy(col("user_id"), col("event_id"))
-    })
+    }),
+
+    // DBLog-style chunked snapshot interleaved with the live stream
+    // (ops/ChunkedSnapshot): snapshot = state at seq 500, pk chunks
+    // of width 4, stream advancing 20 positions per chunk read; the
+    // output is the surviving snapshot rows — keys untouched inside
+    // their chunk's watermark window. ONE distributed anti-join
+    // reconciles every chunk (key equality + per-chunk seq residual);
+    // no driver loop, chunks parallelize because sinks arbitrate by
+    // seq. The convergence invariant is pinned by ChunkedSnapshotSpec.
+    "cdc_chunked_backfill" -> ((s, dir) =>
+      graft.ops.ChunkedSnapshot.backfillSimulated(
+        events(s, dir).select(col("user_id"), col("event_id"),
+          col("event_type"), col("value")),
+        keys = Seq("user_id"), seqCol = "event_id",
+        startSeq = 500L, chunkWidth = 4L, seqPerChunk = 20L)
+        .select(col("chunk_id"), col("user_id"), col("event_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("user_id")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -465,6 +483,24 @@ object CdcQueries {
         |SELECT user_id, event_id, value, valid_from, valid_to,
         |  (valid_to IS NULL) AS is_current
         |FROM v WHERE op <> 'delete'
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+    "cdc_chunked_backfill" ->
+      """WITH snap AS (
+        |  SELECT user_id, event_id, event_type, value FROM (
+        |    SELECT user_id, event_id, event_type, value,
+        |      row_number() OVER (PARTITION BY user_id
+        |                         ORDER BY event_id DESC) rn
+        |    FROM events
+        |    WHERE event_id <= 500 + (user_id // 4) * 20) t
+        |  WHERE rn = 1),
+        |c AS (SELECT snap.*, user_id // 4 AS chunk_id FROM snap)
+        |SELECT c.chunk_id, c.user_id, c.event_id, c.event_type, c.value
+        |FROM c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events e
+        |  WHERE e.user_id = c.user_id
+        |    AND e.event_id > 500 + c.chunk_id * 20
+        |    AND e.event_id <= 500 + c.chunk_id * 20 + 20)
+        |ORDER BY c.user_id""".stripMargin
   )
 }
