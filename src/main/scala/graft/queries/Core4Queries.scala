@@ -244,7 +244,20 @@ object Core4Queries {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
-    })
+    }),
+
+    // one-scan table profiling (ops/TableProfiler): every column's
+    // row/null/exact-distinct counts and min/max from a single scan —
+    // explode to (col, value) + two hash aggregates, so the only
+    // sort-based aggregate sees distinct VALUES, not table rows. The
+    // oracle states the same statistics as one UNION ALL per column,
+    // which is exactly the k-scan plan the operator avoids at 100 TB.
+    "q_profile_table" -> ((s, dir) =>
+      graft.ops.TableProfiler.profile(
+        Tables.load(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+          "l_shipdate"))
+        .orderBy(col("col_name")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -350,6 +363,48 @@ object Core4Queries {
         |    WHERE l3.l_orderkey = l1.l_orderkey
         |      AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q_profile_table" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS col_name,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |    CAST(MIN(l_orderkey) AS DOUBLE) AS min_num,
+        |    CAST(MAX(l_orderkey) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str,
+        |    CAST(NULL AS VARCHAR) AS max_str
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) - COUNT(l_linenumber) AS BIGINT),
+        |    CAST(COUNT(DISTINCT l_linenumber) AS BIGINT),
+        |    CAST(MIN(l_linenumber) AS DOUBLE),
+        |    CAST(MAX(l_linenumber) AS DOUBLE),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+        |    CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+        |    MIN(l_quantity), MAX(l_quantity),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+        |    CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    MIN(l_returnflag), MAX(l_returnflag)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+        |    CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    CAST(MIN(l_shipdate) AS VARCHAR),
+        |    CAST(MAX(l_shipdate) AS VARCHAR)
+        |  FROM lineitem)
+        |ORDER BY col_name""".stripMargin
   )
 }

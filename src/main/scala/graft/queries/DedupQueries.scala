@@ -381,7 +381,20 @@ object DedupQueries {
         docs(s, dir).select(col("doc_id"), col("n_chars")), batchSize = 64,
         batch => batch.map(r => (r.getAs[Long]("n_chars") % 97).toDouble / 97.0))
       scored.select(col("doc_id"), col("score")).orderBy(col("doc_id"))
-    })
+    }),
+
+    // approximate string self-join (ops/FuzzyJoin): supplier names
+    // within Levenshtein distance 1, via FastSS deletion-neighborhood
+    // blocking — an equi-join on deletion keys plus an exact verify
+    // filter, never the Θ(n²) cross join the oracle states. The
+    // blocking is provably complete for distance ≤ 1 (FuzzyJoinSpec
+    // pins it against brute force on random strings).
+    "fuzzy_name_pairs" -> ((s, dir) =>
+      graft.ops.FuzzyJoin.selfPairs(
+        Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name")),
+        "s_name", "s_suppkey")
+        .orderBy(col("a"), col("b")))
   )
 
   /** The dedup_ngram_jaccard candidate-pair SQL as a reusable CTE
@@ -765,6 +778,12 @@ object DedupQueries {
         |FROM e l JOIN e r ON l.vec_id < r.vec_id
         |WHERE l.vec_id < 300
         |  AND list_dot_product(l.v, r.v) / (l.nrm * r.nrm) >= 0.35
+        |ORDER BY a, b""".stripMargin,
+    "fuzzy_name_pairs" ->
+      """SELECT a.s_suppkey AS a, b.s_suppkey AS b,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
         |ORDER BY a, b""".stripMargin
   )
 }
