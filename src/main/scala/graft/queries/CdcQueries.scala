@@ -317,6 +317,30 @@ object CdcQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // transactional-outbox routing (sources/OutboxAdapter): events
+    // stand in for the outbox table (aggregatetype = event_type,
+    // aggregateid = user_id, payload = props); the router re-shapes
+    // outbox inserts into domain events — destination stream from the
+    // aggregate type, payload JSON re-parsed as the after image with
+    // the aggregate id injected as the pk.
+    "cdc_outbox_route" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val env = ev.select(
+        lit("app").as("db"), lit("outbox").as("table"),
+        lit("insert").as("op"),
+        lit(null).cast(TimestampType).as("ts"),
+        concat(lit("gtid:"), col("event_id")).as("pos"),
+        col("event_id").as("seq"), lit(0).as("tableVersion"),
+        map(lit("aggregatetype"), col("event_type"),
+          lit("aggregateid"), col("user_id").cast(StringType),
+          lit("payload"), col("props")).as("after"),
+        lit(null).cast(MapType(StringType, StringType)).as("before"))
+      graft.sources.OutboxAdapter.route(env)
+        .select(col("table").as("dest"), col("after")("id").as("id"),
+          col("after")("k").as("k"), col("seq"))
+        .orderBy(col("seq"))
+    }),
+
     // DBLog-style chunked snapshot interleaved with the live stream
     // (ops/ChunkedSnapshot): snapshot = state at seq 500, pk chunks
     // of width 4, stream advancing 20 positions per chunk read; the
@@ -484,6 +508,10 @@ object CdcQueries {
         |  (valid_to IS NULL) AS is_current
         |FROM v WHERE op <> 'delete'
         |ORDER BY user_id, event_id""".stripMargin,
+    "cdc_outbox_route" ->
+      """SELECT event_type AS dest, CAST(user_id AS VARCHAR) AS id,
+        |  json_extract_string(props, '$.k') AS k, event_id AS seq
+        |FROM events ORDER BY seq""".stripMargin,
     "cdc_chunked_backfill" ->
       """WITH snap AS (
         |  SELECT user_id, event_id, event_type, value FROM (

@@ -394,6 +394,21 @@ object DedupQueries {
         Tables.load(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_name")),
         "s_name", "s_suppkey")
+        .orderBy(col("a"), col("b"))),
+
+    // depth-2 deletion neighborhoods (edit distance ≤ 2) on the
+    // larger customer table: ~L²/2 keys per row, still a linear
+    // blowup, candidates still bucket-local. Query-side bound like
+    // the other dedup entries: sequential-id names make matches
+    // DENSE (every ≤2-digit-change pairs), so unbounded output
+    // grows ~linearly×500 with sf — the bound pins declared work,
+    // the operator itself never materializes cross-bucket pairs
+    "fuzzy_name_pairs2" -> ((s, dir) =>
+      graft.ops.FuzzyJoin.selfPairs(
+        Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") < 300)
+          .select(col("c_custkey"), col("c_name")),
+        "c_name", "c_custkey", maxDist = 2)
         .orderBy(col("a"), col("b")))
   )
 
@@ -784,6 +799,13 @@ object DedupQueries {
         |  CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
         |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
         |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY a, b""".stripMargin,
+    "fuzzy_name_pairs2" ->
+      """SELECT a.c_custkey AS a, b.c_custkey AS b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey < 300 AND b.c_custkey < 300
+        |  AND levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY a, b""".stripMargin
   )
 }

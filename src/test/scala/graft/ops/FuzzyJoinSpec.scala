@@ -58,6 +58,31 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(pairsOf(ss) == brute(ss))
   }
 
+  test("depth-2 neighborhoods: randomized completeness at maxDist=2") {
+    val rnd = new scala.util.Random(23)
+    val ss = Seq.fill(80)(
+      (0 until (1 + rnd.nextInt(6)))
+        .map(_ => "ab" (rnd.nextInt(2))).mkString)
+    val got = FuzzyJoin.selfPairs(
+      ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s"),
+      "s", "id", maxDist = 2).as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      i <- ss.indices; j <- ss.indices if i < j
+      d = lev(ss(i), ss(j)) if d <= 2
+    } yield (i.toLong, j.toLong, d)).toSet
+    assert(got == want)
+  }
+
+  test("two-table match: probe names against a dictionary") {
+    val dict = Seq((10L, "spark"), (11L, "flink"), (12L, "trino"))
+      .toDF("id", "name")
+    val probe = Seq((1L, "spork"), (2L, "flink"), (3L, "duckdb"), (4L, "tri no"))
+      .toDF("id", "name")
+    val got = FuzzyJoin.matchPairs(probe, "name", "id", dict, "name", "id")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 10L, 1), (2L, 11L, 0), (4L, 12L, 1)))
+  }
+
   test("the plan is a keyed join, not a cartesian product") {
     val df = (0L until 50L).map(i => (i, s"str$i")).toDF("id", "s")
     val out = FuzzyJoin.selfPairs(df, "s", "id")
