@@ -94,13 +94,21 @@ object ChunkedSnapshot {
       deleteOp: String = "delete"): DataFrame = {
     require(keys.size == 1, "simulation chunks on a single numeric pk")
     val pk = keys.head
-    val winLo = lit(startSeq) + chunkId(col(pk), chunkWidth) * lit(seqPerChunk)
+    // clamp the chunk index at 0: a NEGATIVE index would put winLo
+    // BELOW startSeq, and events in (winLo, startSeq] would fall in
+    // neither the snapshot nor the window — silently stale output for
+    // negative pks (integral `div` truncates toward zero, so pk=-1
+    // at width 4 is chunk 0 anyway; pk=-10 floors into chunk 0's
+    // window too, which is a valid — just unpaced — read schedule)
+    val cid = greatest(lit(0L), chunkId(col(pk), chunkWidth))
+    val winLo = lit(startSeq) + cid * lit(seqPerChunk)
     // State the chunk reader observes at its low watermark: last event
     // per key with seq ≤ L_chunk(key). Hash aggregate, no window sort.
     val read = Compactor.lastEventPerKeyAgg(keys, seqCol)(
       changelog.filter(col(seqCol) <= winLo))
     val present = opCol.fold(read)(oc => read.filter(col(oc) =!= deleteOp))
-    val snap = present.withColumn("chunk_id", chunkId(col(pk), chunkWidth))
+    val snap = present.withColumn("chunk_id",
+      greatest(lit(0L), chunkId(col(pk), chunkWidth)))
     // All chunks reconcile in ONE anti-join: key equality plus the
     // per-chunk residual window predicate on the event seq. The
     // static `> startSeq` bound subsumes every window's low edge and

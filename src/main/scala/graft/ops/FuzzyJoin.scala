@@ -58,41 +58,41 @@ object FuzzyJoin {
     df.select(col(idCol).as(idAs), col(strCol).as(strAs),
       explode(deletionKeys(strCol, k)).as("__key"))
 
+  /** Shared candidate pipeline: equi-join on deletion keys, then
+    * deduplicate candidates BEFORE the verify filter — a pair meets
+    * in several buckets (shared deletions), and the distinct's
+    * map-side partial aggregation erases those duplicates before the
+    * shuffle, so levenshtein runs ONCE per candidate pair.
+    * (Verify-first was measured 40% slower on a dense-match
+    * benchmark — recomputing the distance per duplicate costs more
+    * than deduping the wide rows; on sparse corpora the two orders
+    * converge because duplicates are rare.) */
+  private def verifiedPairs(l: DataFrame, r: DataFrame, idL: String,
+      idR: String, maxDist: Int, pairFilter: Column): DataFrame =
+    l.join(r, Seq("__key"))
+      .filter(pairFilter)
+      .select(col(idL), col(idR), col("__sa"), col("__sb")).distinct()
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .filter(col("dist") <= maxDist)
+      .select(col(idL), col(idR), col("dist"))
+
   /** All (a, b, dist) pairs with a < b on `idCol` and
     * levenshtein(`strCol`) ≤ `maxDist`. */
   def selfPairs(df: DataFrame, strCol: String, idCol: String,
-      maxDist: Int = 1): DataFrame = {
-    val l = keyed(df, strCol, idCol, maxDist, "a", "__sa")
-    val r = keyed(df, strCol, idCol, maxDist, "b", "__sb")
-    l.join(r, Seq("__key"))
-      .filter(col("a") < col("b"))
-      // deduplicate candidates BEFORE the verify filter: a pair meets
-      // in several buckets (shared deletions), and the distinct's
-      // map-side partial aggregation erases those duplicates before
-      // the shuffle, so levenshtein runs ONCE per candidate pair.
-      // (Verify-first was measured 40% slower on a dense-match
-      // benchmark — recomputing the distance per duplicate costs more
-      // than deduping the wide rows; on sparse corpora the two orders
-      // converge because duplicates are rare.)
-      .select(col("a"), col("b"), col("__sa"), col("__sb")).distinct()
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
-      .filter(col("dist") <= maxDist)
-      .select(col("a"), col("b"), col("dist"))
-  }
+      maxDist: Int = 1): DataFrame =
+    verifiedPairs(
+      keyed(df, strCol, idCol, maxDist, "a", "__sa"),
+      keyed(df, strCol, idCol, maxDist, "b", "__sb"),
+      "a", "b", maxDist, col("a") < col("b"))
 
   /** Two-table form — match `probe` rows against a `dict` (the
     * incoming-names vs canonical-dictionary shape). Returns
     * (probe_id, dict_id, dist) for every pair within `maxDist`. */
   def matchPairs(probe: DataFrame, probeStr: String, probeId: String,
       dict: DataFrame, dictStr: String, dictId: String,
-      maxDist: Int = 1): DataFrame = {
-    val l = keyed(probe, probeStr, probeId, maxDist, "probe_id", "__sa")
-    val r = keyed(dict, dictStr, dictId, maxDist, "dict_id", "__sb")
-    l.join(r, Seq("__key"))
-      .select(col("probe_id"), col("dict_id"), col("__sa"), col("__sb"))
-      .distinct()
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
-      .filter(col("dist") <= maxDist)
-      .select(col("probe_id"), col("dict_id"), col("dist"))
-  }
+      maxDist: Int = 1): DataFrame =
+    verifiedPairs(
+      keyed(probe, probeStr, probeId, maxDist, "probe_id", "__sa"),
+      keyed(dict, dictStr, dictId, maxDist, "dict_id", "__sb"),
+      "probe_id", "dict_id", maxDist, lit(true))
 }

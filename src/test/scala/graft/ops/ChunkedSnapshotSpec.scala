@@ -43,7 +43,9 @@ class ChunkedSnapshotSpec extends SparkSpec {
 
   test("arbitrated sink: backfill + live tail == full-history compaction, randomized") {
     val rnd = new scala.util.Random(42)
-    val keys = 0L until 10L
+    // negative pks included: their chunk index clamps to 0, so the
+    // window math can never open a gap below startSeq
+    val keys = -5L until 5L
     val rows = rnd.shuffle((0L until 200L).toList).zipWithIndex.map {
       case (seq, i) =>
         val k = keys(rnd.nextInt(keys.length))
