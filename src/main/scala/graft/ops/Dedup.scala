@@ -264,6 +264,62 @@ object Dedup {
           .as("dup_ratio"))
   }
 
+  /** [[spanDupStats]] APPLIED — the second half of Lee et al. 2022:
+    * excise every corpus-duplicated span and emit the scrubbed
+    * document, instead of only scoring it. Spans here are ALL
+    * `width`-token windows (stride 1, so a duplicated passage is
+    * caught at any alignment, not only on chunk boundaries); a span
+    * is duplicated when it occurs more than once corpus-wide
+    * (including twice inside one document — self-repetition is
+    * boilerplate too); every token position covered by any
+    * duplicated span is dropped and the survivors re-concatenate in
+    * original order.
+    *
+    * Scale shape, all linear in corpus tokens: spans shuffle as
+    * 64-bit hashes (one hash aggregate for the frequency table; the
+    * span→freq join is data-proportional on BOTH sides, so it is
+    * deliberately un-hinted — AQE picks broadcast only while the
+    * duplicated-span table is genuinely small). Covered positions
+    * explode `width`× the duplicated-span rows only — boilerplate
+    * volume, not corpus volume. Reconstruction is one groupBy(doc)
+    * with an array_sort over positions: per-doc state is the
+    * document's own tokens, never a corpus-global structure. Hash
+    * collisions across ~10^5 distinct spans are ~1e-12 and the
+    * raw-string DuckDB oracle agrees (same argument as
+    * ngramJaccardPairs).
+    */
+  def spanScrub(df: DataFrame, textCol: String, idCol: String,
+      width: Int = 10): DataFrame = {
+    import graft.functions.TextFunctions.{chunks, tokenHash}
+    val spans = df
+      .select(col(idCol).as("id"),
+        posexplode(chunks(col(textCol), width, 1)).as(Seq("start", "span")))
+      .select(col("id"), col("start").cast("long").as("start"),
+        col("span"), tokenHash(col("span")).as("sh"))
+    val dup = spans.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1L).select(col("sh"))
+    // covered = every (doc, pos) under a duplicated span; span length
+    // re-derived from the span text so the sub-width tail window of a
+    // short document clamps correctly
+    val covered = spans.join(dup, Seq("sh"))
+      .select(col("id"), explode(sequence(col("start"),
+        col("start") + size(tokens(col("span"))).cast("long") - 1L)).as("pos"))
+      .distinct()
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("tok"))
+    val rebuilt = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok"))).as("scrubbed"))
+    // left join back: a fully-boilerplate document survives as ''
+    df.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+  }
+
   /** Cell-bucketed semantic dedup (the SemDeDup shape): assign every
     * vector to its nearest-centroid cell (Similarity.cellAssign —
     * one broadcast + one hash-agg argmax), then compare pairs ONLY

@@ -370,6 +370,15 @@ object DedupQueries {
       Dedup.spanDupStats(docs(s, dir), "text", "doc_id")
         .orderBy(col("id"))),
 
+    // span excision applied (Dedup.spanScrub): duplicated 10-token
+    // windows (any alignment, stride 1) are cut out of every doc and
+    // the survivors re-concatenate in order — Lee et al.'s exact
+    // substring dedup as a dataflow, with the scrubbed corpus as
+    // output rather than a score.
+    "dedup_span_scrub" -> ((s, dir) =>
+      Dedup.spanScrub(docs(s, dir), "text", "doc_id")
+        .orderBy(col("id"))),
+
     // batched model scoring (ops/BatchInfer): rows stream through the
     // "model" in bounded per-partition batches — the mapInPandas
     // inference shape, executor-side end to end. The stub model is
@@ -702,6 +711,34 @@ object DedupQueries {
         "  CAST(SUM(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)\n" +
         "    / CAST(COUNT(*) AS DOUBLE) AS dup_ratio\n" +
         "FROM s JOIN g USING (sh) GROUP BY s.doc_id ORDER BY id"),
+    "dedup_span_scrub" ->
+      // unnest(range(...)) instead of lateral generate_series: DuckDB
+      // table functions can't take lateral column params. Stride-1
+      // window starts 0..max(len-10,0); 1-based inclusive list slice
+      // [start+1, start+10] = 10 tokens, clamped at the list end
+      // exactly like Spark's slice()
+      (s"WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),\n" +
+        "s0 AS (SELECT doc_id, toks,\n" +
+        "  unnest(range(0, greatest(len(toks) - 10, 0) + 1)) AS start FROM d),\n" +
+        "s AS (SELECT doc_id, start,\n" +
+        "  array_to_string(toks[start + 1 : start + 10], ' ') AS span FROM s0),\n" +
+        "f AS (SELECT span FROM s GROUP BY span HAVING count(*) > 1),\n" +
+        "cov AS (SELECT DISTINCT doc_id, pos FROM (\n" +
+        "  SELECT s.doc_id, s.start +\n" +
+        "    unnest(range(0, len(string_split(s.span, ' ')))) AS pos\n" +
+        "  FROM s JOIN f USING (span))),\n" +
+        "t0 AS (SELECT doc_id, toks,\n" +
+        "  unnest(range(0, len(toks))) AS pos FROM d),\n" +
+        "t AS (SELECT doc_id, pos, toks[pos + 1] AS tok FROM t0),\n" +
+        "k AS (SELECT t.doc_id, t.pos, t.tok FROM t\n" +
+        "      WHERE NOT EXISTS (SELECT 1 FROM cov\n" +
+        "        WHERE cov.doc_id = t.doc_id AND cov.pos = t.pos)),\n" +
+        "r AS (SELECT doc_id, count(*) AS n_kept,\n" +
+        "        string_agg(tok, ' ' ORDER BY pos) AS scrubbed\n" +
+        "      FROM k GROUP BY doc_id)\n" +
+        "SELECT doc.doc_id AS id, coalesce(r.n_kept, 0) AS n_kept,\n" +
+        "  coalesce(r.scrubbed, '') AS scrubbed\n" +
+        "FROM documents doc LEFT JOIN r USING (doc_id) ORDER BY id"),
     "pipe_batch_score" ->
       """SELECT doc_id,
         | CAST(n_chars % 97 AS DOUBLE) / 97.0 AS score

@@ -147,6 +147,44 @@ class DedupSpec extends SparkSpec {
       (3L, 2L, 0L, 0.0)))
   }
 
+  test("span scrub excises duplicated spans at any alignment, keeps the rest") {
+    // width=3, stride-1 windows. "c d e" duplicates across docs 1/2
+    // at DIFFERENT offsets (1 vs 0) — the alignment case stride-width
+    // chunking misses. Doc 3 is unique and survives untouched; doc 4
+    // IS a duplicated span and scrubs to empty.
+    val d = Seq(
+      (1L, "a c d e b"), // covered: pos 1-3 → keeps "a b"
+      (2L, "c d e f g"), // covered: pos 0-2 → keeps "f g"
+      (3L, "p q r s"),
+      (4L, "c d e"),     // fully covered
+      (5L, "c d e")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(d, "text", "doc_id", width = 3)
+      .orderBy($"id").select($"id", $"n_kept", $"scrubbed")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, "a b"),
+      (2L, 2L, "f g"),
+      (3L, 4L, "p q r s"),
+      (4L, 0L, ""),
+      (5L, 0L, "")))
+  }
+
+  test("span scrub counts within-doc repetition as duplication") {
+    // the span repeats inside ONE doc → both occurrences (and the
+    // overlap between them) are excised
+    val d = Seq(
+      (1L, "a b c a b c"), // every stride-1 window duplicates? no —
+      // spans: [a b c][b c a][c a b][a b c]: "a b c" occurs twice →
+      // covered 0-2 and 3-5 → everything goes
+      (2L, "x y z w q r")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(d, "text", "doc_id", width = 3)
+      .orderBy($"id").select($"id", $"n_kept", $"scrubbed")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 0L, ""), (2L, 6L, "x y z w q r")))
+  }
+
   test("embedding cosine pairs find planted near-dup") {
     val vs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
