@@ -159,10 +159,6 @@ object Components {
       .distinct().localCheckpoint()
     var iter = 0
     var converged = false
-    // edge count carried across rounds: each round needs |edges| for
-    // the fixpoint check, and recounting a frame counted last round
-    // would add one driver job per round for a number already known
-    var nEdges = edges.count()
     while (!converged && iter < maxIter) {
       // large-star over the SYMMETRIC neighborhood: for each u,
       // m = min(N(u) ∪ {u}); every neighbor v > u re-links to m.
@@ -189,15 +185,24 @@ object Components {
       val next = relinked.unionByName(self)
         .filter(col("src") =!= col("dst"))
         .distinct().localCheckpoint()
-      // fixpoint: distinct edge sets are equal iff same size and
-      // one-sided difference empty (both sides are distinct, so
-      // `except` plans as a LeftAnti join; `exceptAll` would rewrite
-      // into the heavier union + signed-count aggregate + generate)
-      val nNext = next.count()
-      converged = nNext == nEdges &&
-        next.except(edges).limit(1).count() == 0
+      // fixpoint = the edge set is a star forest, checked
+      // STRUCTURALLY instead of diffing against last round's edges:
+      // a round maps a star forest to itself (leaf neighborhoods are
+      // {center}, center minima are themselves), and conversely any
+      // non-star shape changes — a chain (some dst still a src) by
+      // large-star, a multi-center src by small-star. One probe job
+      // (semi-join ∪ dup-src aggregate, limit 1) replaces the
+      // count + except pair AND detects convergence one round
+      // earlier (the round that PRODUCES the star forest, not the
+      // one that re-confirms it).
+      val chained = next.select(col("dst").as("k"))
+        .join(next.select(col("src").as("k")), Seq("k"), "left_semi")
+        .select(lit(1).as("one"))
+      val multiDst = next.groupBy(col("src"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1L)
+        .select(lit(1).as("one"))
+      converged = chained.unionAll(multiDst).limit(1).count() == 0
       edges = next
-      nEdges = nNext
       iter += 1
     }
     if (!converged)

@@ -290,34 +290,49 @@ object Dedup {
     */
   def spanScrub(df: DataFrame, textCol: String, idCol: String,
       width: Int = 10): DataFrame = {
-    import graft.functions.TextFunctions.{chunks, tokenHash}
-    val spans = df
-      .select(col(idCol).as("id"),
-        posexplode(chunks(col(textCol), width, 1)).as(Seq("start", "span")))
-      .select(col("id"), col("start").cast("long").as("start"),
-        col("span"), tokenHash(col("span")).as("sh"))
-    val dup = spans.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1L).select(col("sh"))
-    // covered = every (doc, pos) under a duplicated span; span length
-    // re-derived from the span text so the sub-width tail window of a
-    // short document clamps correctly
-    val covered = spans.join(dup, Seq("sh"))
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    // span keys are xxhash64 over the token-array SLICE — no
+    // per-window string re-concatenation and no md5: the window loop
+    // is one scan-stage HOF over the already-split array (tokens
+    // can't contain the split char, so array equality ≡ the joined
+    // string equality the oracle states)
+    val spans = base.select(col("id"), size(col("toks")).as("n"),
+      posexplode(transform(
+        sequence(lit(0), greatest(size(col("toks")) - width, lit(0))),
+        i => xxhash64(slice(col("toks"), i + lit(1), lit(width)))))
+        .as(Seq("start", "sh")))
+    // duplicated-span detection as ONE pass: count over a
+    // partition-by-sh window instead of aggregate + self-join — the
+    // spans subtree (scan + tokenize + hash) would otherwise run
+    // twice, because the aggregate's pruned projection defeats
+    // exchange reuse. The window shuffles by sh exactly like the
+    // aggregate would, and a hot boilerplate span is one partition —
+    // the same skew profile as the join it replaces.
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    val covered = spans
+      .withColumn("cnt", count(lit(1)).over(wSh))
+      .filter(col("cnt") > 1L)
+      // covered = every (doc, pos) under a duplicated span, clamped
+      // at the doc end for the sub-width tail of a short document
       .select(col("id"), explode(sequence(col("start"),
-        col("start") + size(tokens(col("span"))).cast("long") - 1L)).as("pos"))
+        least(col("start") + lit(width - 1), col("n") - 1))).as("pos"))
       .distinct()
-    val toks = df.select(col(idCol).as("id"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-      .select(col("id"), col("pos").cast("long").as("pos"), col("tok"))
-    val rebuilt = toks.join(covered, Seq("id", "pos"), "left_anti")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x("tok"))).as("scrubbed"))
-    // left join back: a fully-boilerplate document survives as ''
-    df.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
-      .select(col("id"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+    // rebuild per doc from the covered-position SET, not a token
+    // explode + anti-join: kept positions = array_except(0..n-1, cov)
+    // (preserves first-array order = original order), then one
+    // element_at map. Per-doc state is bounded by the longest single
+    // document; the only shuffles are the dup-proportional covered
+    // aggregate and a one-row-per-doc join.
+    val covAgg = covered.groupBy(col("id"))
+      .agg(collect_list(col("pos")).as("cov"))
+    base.join(covAgg, Seq("id"), "left")
+      .withColumn("kept",
+        when(col("cov").isNull, sequence(lit(0), size(col("toks")) - 1))
+          .otherwise(array_except(
+            sequence(lit(0), size(col("toks")) - 1), col("cov"))))
+      .select(col("id"), size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", transform(col("kept"),
+          p => element_at(col("toks"), p + lit(1)))).as("scrubbed"))
   }
 
   /** Cell-bucketed semantic dedup (the SemDeDup shape): assign every

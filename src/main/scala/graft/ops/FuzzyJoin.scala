@@ -72,8 +72,14 @@ object FuzzyJoin {
     l.join(r, Seq("__key"))
       .filter(pairFilter)
       .select(col(idL), col(idR), col("__sa"), col("__sb")).distinct()
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
-      .filter(col("dist") <= maxDist)
+      // thresholded levenshtein: banded DP, O(maxDist·len) per pair
+      // with early exit (returns -1 past the threshold) instead of
+      // the full O(len²) table — the verify filter is the per-pair
+      // hot loop, and candidates that blow the band quit in the
+      // first rows
+      .withColumn("dist",
+        levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col(idL), col(idR), col("dist"))
 
   /** All (a, b, dist) pairs with a < b on `idCol` and

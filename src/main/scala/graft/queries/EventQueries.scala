@@ -100,6 +100,24 @@ object EventQueries {
         .orderBy(col("ord"))
     }),
 
+    // event-type transition matrix (the Markov path-analysis shape):
+    // per user, consecutive event pairs in event-time order, counted
+    // per (from, to). One KEYED window (user_id partitions — never a
+    // global sort) + one hash aggregate over ≤ |types|² keys; ties
+    // broken by event_id so the sequence is total and the count
+    // deterministic under any partitioning.
+    "q_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
     // replication hole detection: ranges missing from a monotone
     // sequence — the GTID/seq-gap audit a CDC consumer runs before
     // trusting a backfill. The 'purchase' sub-stream's event_ids play
@@ -166,6 +184,15 @@ object EventQueries {
         |       ELSE 'gt_1h' END AS bucket,
         |  count(*) AS n_events, max(late_ns) AS max_late_ns
         |FROM b GROUP BY 1, 2 ORDER BY ord""".stripMargin,
+    "q_event_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n
+        |FROM s WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin,
     "cdc_seq_gaps" ->
       """WITH s AS (
         |  SELECT event_id,
