@@ -69,22 +69,28 @@ object Dedup {
     * bands of 2 rows; docs sharing any band's values become a
     * candidate pair. The join key is (band, sig) — candidates form
     * only within buckets, never across the full corpus. */
-  def minhashCandidates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val sig = minhashSignatures(df, textCol, idCol)
-    // Banding via posexplode AFTER the aggregate, not a 4-way union of
-    // per-band projections: Catalyst collapses union branches into the
-    // aggregate, which would split the single 8-min groupBy into FOUR
-    // aggregate subtrees (4 scans + 4 tokenize passes + 4 shuffles).
-    // A generator over the signature row keeps ONE scan/agg/shuffle,
-    // and the self-join's second side resolves to a ReusedExchange
-    // over that same shuffle — the corpus is tokenized and min-hashed
-    // exactly once at any scale, with no cache (exchange reuse spills
-    // to shuffle files: the memory-safe behavior at 100 TB).
-    val bands = sig.select(col(idCol), posexplode(array(
+  /** (id, band, x, y) LSH band rows: the k=8 signature split into 4
+    * bands of 2. Banding via posexplode AFTER the aggregate, not a
+    * 4-way union of per-band projections: Catalyst collapses union
+    * branches into the aggregate, which would split the single 8-min
+    * groupBy into FOUR aggregate subtrees (4 scans + 4 tokenize
+    * passes + 4 shuffles). A generator over the signature row keeps
+    * ONE scan/agg/shuffle. */
+  def minhashBands(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    minhashSignatures(df, textCol, idCol)
+      .select(col(idCol), posexplode(array(
         (0 until 4).map(b =>
           struct(col(s"m${2 * b}").as("x"), col(s"m${2 * b + 1}").as("y"))): _*))
         .as(Seq("band", "bx")))
       .select(col(idCol), col("band"), col("bx.x").as("x"), col("bx.y").as("y"))
+
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // the self-join's second side resolves to a ReusedExchange over
+    // the bands subtree's shuffle — the corpus is tokenized and
+    // min-hashed exactly once at any scale, with no cache (exchange
+    // reuse spills to shuffle files: the memory-safe behavior at
+    // 100 TB).
+    val bands = minhashBands(df, textCol, idCol)
     val l = bands.toDF("a", "band", "x", "y")
     val r = bands.toDF("b", "band", "x", "y")
     l.join(r, l("band") === r("band") && l("x") === r("x") &&

@@ -119,4 +119,114 @@ object IncrementalDedup {
     checkOrWriteBucketMarker(spark, indexDir, nBuckets)
     n.drop("fp", "bucket")
   }
+
+  // ---------------------------------------------------------------
+  // NEAR-dup variant: the same persisted-index shape, with MinHash
+  // LSH band signatures in place of exact fingerprints — "never
+  // train on a near-copy twice", across runs. A document matches
+  // the index when ANY of its 4 band signatures has been seen; a
+  // paraphrased/lightly-edited re-crawl shares bands with the
+  // original with the usual LSH probability, where the exact fp
+  // never would.
+  // ---------------------------------------------------------------
+
+  private val bandIndexSchema = StructType(Seq(
+    StructField("band", org.apache.spark.sql.types.IntegerType),
+    StructField("x", LongType),
+    StructField("y", LongType),
+    StructField("keep_id", LongType),
+    StructField("bucket", LongType)))
+
+  /** (id-named, band, x, y, bucket) band rows for a batch. The
+    * bucket hashes the WHOLE band signature, so index partition
+    * pruning works exactly as in the exact variant. */
+  private def bands(batch: DataFrame, textCol: String, idCol: String,
+      nBuckets: Int): DataFrame =
+    Dedup.minhashBands(
+        batch.withColumn("__t", coalesce(col(textCol), lit(""))),
+        "__t", idCol)
+      .withColumn("bucket",
+        pmod(xxhash64(col("band"), col("x"), col("y")), lit(nBuckets.toLong)))
+
+  /** Near-dup novelty check against the band index at `indexDir`,
+    * without mutating it. Semantics, in order:
+    *
+    *  1. a doc with ANY band signature already indexed is dropped
+    *     (near-dup of something accepted in an earlier batch);
+    *  2. survivors sharing a band WITHIN the batch become candidate
+    *     pairs, resolve to transitive dup-groups
+    *     ([[Components.connectedComponents]] — micro-batches are
+    *     bounded, so the iterative rounds are over batch-sized,
+    *     not history-sized, frames), and only each group's min-id
+    *     keeper is novel.
+    *
+    * Returns (novel doc rows, all-survivor band rows) — the second
+    * frame is what [[acceptNovelNearDup]] appends: indexing EVERY
+    * survivor's bands (keepers and absorbed members alike, keep_id =
+    * the group keeper) is what makes a replayed batch return zero
+    * novel docs even for members that share no band with their
+    * keeper directly (near-dup is not transitive; the index must
+    * remember the member, not just the keeper). */
+  def novelNearDup(spark: SparkSession, batch: DataFrame, textCol: String,
+      idCol: String, indexDir: String,
+      nBuckets: Int = 64): (DataFrame, DataFrame) = {
+    val (hfs, p) = fs(spark, indexDir)
+    if (hfs.exists(p)) checkOrWriteBucketMarker(spark, indexDir, nBuckets)
+    // feeds the touched-bucket collect, the index probe, the pair
+    // join and the append — one materialization instead of four
+    // lineage replays
+    val b = bands(batch, textCol, idCol, nBuckets).localCheckpoint()
+    val survivorBands =
+      if (!hfs.exists(p)) b
+      else {
+        val idx = spark.read.schema(bandIndexSchema).parquet(indexDir)
+        val touched = b.select(col("bucket")).distinct()
+          .collect().map(_.getLong(0))
+        val idxF = idx.filter(col("bucket").isin(touched.toIndexedSeq: _*))
+          .select(col("bucket"), col("band"), col("x"), col("y"))
+        // doc-level drop: one indexed band condemns the whole doc
+        val hit = b.join(idxF, Seq("bucket", "band", "x", "y"), "left_semi")
+          .select(col(idCol)).distinct()
+        b.join(hit, Seq(idCol), "left_anti")
+      }
+    val l = survivorBands.select(col(idCol).as("a"),
+      col("band"), col("x"), col("y"))
+    val r = survivorBands.select(col(idCol).as("bb"),
+      col("band"), col("x"), col("y"))
+    val pairs = l.join(r, Seq("band", "x", "y"))
+      .filter(col("a") < col("bb"))
+      .select(col("a"), col("bb")).distinct()
+    val groups = Components.connectedComponents(pairs, "a", "bb")
+    // keeper = group label (min id); docs in no pair are their own
+    // keepers. keep_id rides along for index provenance.
+    val survivors = batch.join(
+      survivorBands.select(col(idCol)).distinct(), Seq(idCol))
+    val labeled = survivors.join(
+        groups.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("keep_id", coalesce(col("group_id"), col(idCol)))
+      .drop("group_id")
+    val novelDocs = labeled.filter(col("keep_id") === col(idCol))
+      .drop("keep_id")
+    val appendBands = survivorBands.join(
+      labeled.select(col(idCol), col("keep_id")), Seq(idCol))
+    (novelDocs, appendBands)
+  }
+
+  /** [[novelNearDup]] + append every survivor's band rows to the
+    * index. Returns the novel (keeper) docs. */
+  def acceptNovelNearDup(spark: SparkSession, batch: DataFrame,
+      textCol: String, idCol: String, indexDir: String,
+      nBuckets: Int = 64): DataFrame = {
+    val (novelDocs, appendBands) =
+      novelNearDup(spark, batch, textCol, idCol, indexDir, nBuckets)
+    // materialize BEFORE the append (same re-evaluation hazard as
+    // acceptNovel)
+    val n = novelDocs.localCheckpoint()
+    val ab = appendBands.localCheckpoint()
+    ab.select(col("band"), col("x"), col("y"),
+        col("keep_id"), col("bucket"))
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(indexDir)
+    checkOrWriteBucketMarker(spark, indexDir, nBuckets)
+    n
+  }
 }

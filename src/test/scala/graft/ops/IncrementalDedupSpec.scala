@@ -96,4 +96,39 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(idxScanFiles < totalFiles,
       s"expected bucket pruning: read $idxScanFiles of $totalFiles files")
   }
+
+  // texts from DedupSpec's minhash test: near (one word changed, so
+  // exact fps differ but LSH bands collide), and one unrelated
+  private val near1 = "the quick brown fox jumps over the lazy dog again and again"
+  private val near2 = "the quick brown fox jumps over the lazy cat again and again"
+  private val other = "completely different content about spark query engines here now"
+
+  test("near-dup index: cross-batch near-copies drop, unrelated docs pass") {
+    val idx = Files.createTempDirectory("inc-near").toString + "/index"
+    val b1 = Seq((1L, near1)).toDF("doc_id", "text")
+    assert(IncrementalDedup.acceptNovelNearDup(spark, b1, "text", "doc_id", idx)
+      .select($"doc_id").as[Long].collect().toSeq == Seq(1L))
+    // batch 2: a NEAR copy (different exact fingerprint!) + unrelated
+    val b2 = Seq((10L, near2), (11L, other)).toDF("doc_id", "text")
+    val a2 = IncrementalDedup.acceptNovelNearDup(spark, b2, "text", "doc_id", idx)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(a2 == Seq(11L),
+      s"near copy must match the band index, unrelated must pass: $a2")
+  }
+
+  test("near-dup index: within-batch group resolves to min-id keeper; replay is a no-op") {
+    val idx = Files.createTempDirectory("inc-near2").toString + "/index"
+    val b = Seq((7L, near2), (3L, near1), (9L, other)).toDF("doc_id", "text")
+    val a = IncrementalDedup.acceptNovelNearDup(spark, b, "text", "doc_id", idx)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(a == Seq(3L, 9L), s"keeper 3 absorbs 7; 9 unrelated: $a")
+    // replay: every doc — keeper, absorbed member, unrelated — must
+    // match its OWN indexed bands and come back non-novel
+    val replay = IncrementalDedup.acceptNovelNearDup(spark, b, "text", "doc_id", idx)
+    assert(replay.count() == 0)
+    // provenance: absorbed member's band rows carry the keeper id
+    val keepIds = spark.read.parquet(idx)
+      .select($"keep_id").as[Long].collect().toSet
+    assert(keepIds == Set(3L, 9L), s"keep_id must be the group keeper: $keepIds")
+  }
 }
