@@ -42,6 +42,44 @@ object TextQueries {
       graft.ops.HeavyHitters.heavyHitters(
         docs(s, dir), TextFunctions.tokens(col("text")), den = 500)),
 
+    // lexical-diversity + LM-rarity quality signals: type-token
+    // ratio (Gopher's unique-word fraction rule) and the fraction of
+    // a doc's bigrams that are corpus-rare (count ≤ 2) — the
+    // cheap-to-compute stand-in for LM-perplexity filtering (a doc
+    // made of bigrams no other doc uses is gibberish or gold; either
+    // way the curator wants the signal). TTR is scan-stage only
+    // (array_distinct per row, no shuffle); rarity is one bigram-hash
+    // count aggregate + an inverted-index join back — the shuffle
+    // carries 64-bit hashes, not text. All-integer counts; the two
+    // divisions are single IEEE ops, exact on both engines.
+    "text_lexical_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      val base = d.select(col("doc_id"), size(col("toks")).as("n_tok"),
+        size(array_distinct(col("toks"))).as("n_unique"))
+      val bg = d.select(col("doc_id"), explode(
+          when(size(col("toks")) < 2,
+            array().cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))
+            .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
+              i => xxhash64(slice(col("toks"), i + lit(1), lit(2))))))
+          .as("bh"))
+      val cnt = bg.groupBy(col("bh")).agg(count(lit(1)).as("c"))
+      val pd = bg.join(cnt, Seq("bh")).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("c") <= 2L, 1L).otherwise(0L)).as("n_rare"))
+      base.join(pd, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"), col("n_unique"),
+          (col("n_unique").cast("double") / col("n_tok").cast("double"))
+            .as("ttr"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+          when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(0.0))
+            .otherwise(col("n_rare").cast("double") /
+              col("n_bigrams").cast("double")).as("rare_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // token counting + quality-signal ratios (ints + IEEE-exact
     // double divisions)
     "text_token_stats" -> ((s, dir) =>
@@ -315,6 +353,27 @@ object TextQueries {
          |  FROM tf JOIN dfreq USING (term))
          |SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3
          |ORDER BY doc_id, rnk""".stripMargin,
+    "text_lexical_stats" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |base AS (SELECT doc_id, len(toks) AS n_tok,
+         |  len(list_distinct(toks)) AS n_unique FROM d),
+         |b0 AS (SELECT doc_id, toks,
+         |  unnest(range(0, greatest(len(toks) - 1, 0))) AS i FROM d),
+         |bg AS (SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS big
+         |       FROM b0),
+         |cnt AS (SELECT big, count(*) AS c FROM bg GROUP BY 1),
+         |pd AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+         |         CAST(sum(CASE WHEN cnt.c <= 2 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_rare
+         |       FROM bg JOIN cnt USING (big) GROUP BY 1)
+         |SELECT base.doc_id, n_tok, n_unique,
+         |  CAST(n_unique AS DOUBLE) / CAST(n_tok AS DOUBLE) AS ttr,
+         |  coalesce(n_bigrams, 0) AS n_bigrams,
+         |  coalesce(n_rare, 0) AS n_rare,
+         |  CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+         |       ELSE CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         |  END AS rare_frac
+         |FROM base LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_token_stats" ->
       s"""SELECT doc_id,
          | len($sqlToks) AS n_tokens,

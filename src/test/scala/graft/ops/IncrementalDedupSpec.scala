@@ -131,4 +131,34 @@ class IncrementalDedupSpec extends SparkSpec {
       .select($"keep_id").as[Long].collect().toSet
     assert(keepIds == Set(3L, 9L), s"keep_id must be the group keeper: $keepIds")
   }
+
+  test("near-dup index dedups a STREAM across micro-batches (foreachBatch)") {
+    // the continuous-ingestion deployment shape: each micro-batch
+    // checks against everything ever accepted — state lives in the
+    // parquet index, not in streaming state, so it survives restarts
+    // and is shared by any number of queries
+    val idx = Files.createTempDirectory("inc-near-stream").toString + "/index"
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        accepted ++= IncrementalDedup
+          .acceptNovelNearDup(spark, df, "text", "doc_id", idx)
+          .select(col("doc_id")).collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    try {
+      in.addData((1L, near1))
+      q.processAllAvailable()
+      in.addData((10L, near2), (11L, other)) // near-copy of batch 1 + novel
+      q.processAllAvailable()
+      in.addData((20L, near1)) // exact replay of an old doc
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(accepted.sorted == Seq(1L, 11L),
+      s"cross-micro-batch near-dups must drop: $accepted")
+  }
 }
