@@ -100,6 +100,39 @@ object EventQueries {
         .orderBy(col("ord"))
     }),
 
+    // hourly volume anomaly detection: per event type, hours whose
+    // event count deviates > 2σ from that type's mean rate — the
+    // monitoring query a CDC operator runs over the replicated
+    // stream. The z-test is rearranged to MULTIPLICATION over exact
+    // integer moments ((n·c − Σc)² > 4·(n·Σc² − (Σc)²)): no mean, no
+    // variance division, no sqrt, so both engines evaluate identical
+    // IEEE products of exactly-represented integers and the flag
+    // hash-matches (same trick as text_length_outliers). Two hash
+    // aggregates + a broadcast of per-type moments; nothing global.
+    "cdc_hourly_anomaly" -> ((s, dir) => {
+      val hc = events(s, dir)
+        .select(col("event_type"), expr("ts div 3600000000000").as("hr"))
+        .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("c"))
+      val m = hc.groupBy(col("event_type")).agg(count(lit(1)).as("nh"),
+        sum(col("c").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("sx"),
+        sum(col("c").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("c")).as("sxx"))
+      hc.join(broadcast(m), Seq("event_type"))
+        .select(col("event_type"),
+          ((col("nh").cast("double") * col("c").cast("double")
+            - col("sx").cast("double"))
+            * (col("nh").cast("double") * col("c").cast("double")
+              - col("sx").cast("double"))
+            > lit(4.0) * (col("nh").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")))
+            .as("anom"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("anom"), 1L).otherwise(0L)).as("n_anomalous"))
+        .orderBy(col("event_type"))
+    }),
+
     // event-type transition matrix (the Markov path-analysis shape):
     // per user, consecutive event pairs in event-time order, counted
     // per (from, to). One KEYED window (user_id partitions — never a
@@ -184,6 +217,24 @@ object EventQueries {
         |       ELSE 'gt_1h' END AS bucket,
         |  count(*) AS n_events, max(late_ns) AS max_late_ns
         |FROM b GROUP BY 1, 2 ORDER BY ord""".stripMargin,
+    "cdc_hourly_anomaly" ->
+      """WITH hc AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, count(*) AS nh, SUM(c) AS sx,
+        |    SUM(c * c) AS sxx
+        |  FROM hc GROUP BY 1)
+        |SELECT hc.event_type, count(*) AS n_hours,
+        |  CAST(SUM(CASE WHEN
+        |    (CAST(nh AS DOUBLE) * CAST(c AS DOUBLE) - CAST(sx AS DOUBLE))
+        |    * (CAST(nh AS DOUBLE) * CAST(c AS DOUBLE) - CAST(sx AS DOUBLE))
+        |    > 4.0 * (CAST(nh AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+        |FROM hc JOIN m USING (event_type)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_event_transitions" ->
       """WITH s AS (
         |  SELECT user_id, event_type,
