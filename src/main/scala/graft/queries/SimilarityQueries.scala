@@ -102,6 +102,18 @@ object SimilarityQueries {
           array_max(col("q")).as("q_max"),
           aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"))
         .orderBy(col("vec_id")))
+,
+    // corpus Gram matrix in exact int64 fixed-point
+    // (Similarity.gramFixedPoint): the PCA/whitening input, folded
+    // per partition into ONE fixed 16 KB accumulator (the MLlib
+    // Gramian shape — mapPartitions' canonical justification) where
+    // the oracle's dataflow formulation shuffles n·d²/2 exploded
+    // index-pair rows. LONG sums of floor-quantized products are
+    // commutative, so the two agree bit-for-bit under any
+    // partitioning.
+    "emb_gram_matrix" -> ((s, dir) =>
+      Similarity.gramFixedPoint(emb(s, dir), "embedding")
+        .orderBy(col("i"), col("j")))
   )
 
   private val sqlBucket: String = (0 until 8).map { i =>
@@ -283,6 +295,23 @@ object SimilarityQueries {
         |SELECT vec_id, list_min(q) AS q_min, list_max(q) AS q_max,
         |  CAST(list_sum(q) AS BIGINT) AS q_sum
         |FROM q ORDER BY vec_id""".stripMargin,
+    "emb_gram_matrix" ->
+      // the dataflow formulation the kernel replaces: explode to
+      // (vec, i, x_i), self-join index pairs i <= j, one aggregate.
+      // CAST to DOUBLE before multiplying (float×float fits a double
+      // exactly — same product the Scala kernel computes); floor of
+      // (product × 1e9) is one deterministic IEEE op on each engine.
+      """WITH x AS (
+        |  SELECT vec_id, unnest(range(0, len(embedding))) AS i,
+        |    embedding FROM embeddings),
+        |xv AS (SELECT vec_id, CAST(i AS INTEGER) AS i,
+        |         CAST(embedding[i + 1] AS DOUBLE) AS v FROM x),
+        |p AS (SELECT a.i AS i, b.i AS j,
+        |        SUM(CAST(floor(a.v * b.v * 1000000000.0) AS BIGINT)) AS s
+        |      FROM xv a JOIN xv b
+        |        ON a.vec_id = b.vec_id AND a.i <= b.i
+        |      GROUP BY 1, 2)
+        |SELECT i, j, CAST(s AS BIGINT) AS s FROM p ORDER BY i, j""".stripMargin,
     "ann_signbucket_topk" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $sqlNorm AS nrm,

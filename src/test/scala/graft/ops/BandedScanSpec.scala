@@ -41,6 +41,40 @@ class BandedScanSpec extends SparkSpec {
     }
   }
 
+  test("randomized: both scans ≡ naive on 30 generated sparse key sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      ks <- Gen.listOfN(n, Gen.choose(-100000L, 100000L))
+      w <- Gen.oneOf(1L, 3L, 64L, 4096L)
+    } yield (ks.distinct, w)
+    (0 until 30).foreach { i =>
+      gen(Gen.Parameters.default, Seed(7L + i)).foreach { case (ks, width) =>
+        val df = ks.zipWithIndex.map { case (k, j) => (k, k * 31 + j) }
+          .toDF("k", "v")
+        val wNaive = Window.orderBy($"k")
+        val naive = df
+          .withColumn("pm", max($"v").over(
+            wNaive.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("pv", lag($"v", 1).over(wNaive))
+          .select($"k", $"pm", $"pv")
+          .as[(Long, Option[Long], Option[Long])].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        val gotPm = BandedScan.prefixMaxExclusive(df, "k", "v", width)
+          .select($"k", $"prefix_max").as[(Long, Option[Long])]
+          .collect().toMap
+        val gotPv = BandedScan.prevValue(df, "k", "v", width)
+          .select($"k", $"prev_value").as[(Long, Option[Long])]
+          .collect().toMap
+        ks.foreach { k =>
+          assert(gotPm(k) == naive(k)._1, s"prefix_max k=$k width=$width")
+          assert(gotPv(k) == naive(k)._2, s"prev_value k=$k width=$width")
+        }
+      }
+    }
+  }
+
   test("no stage single-partitions the data (no empty-frame global window)") {
     // the point of the op: the executed plan must not contain a
     // window over an un-partitioned (global) ordering

@@ -125,6 +125,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.10, s"ADC recall $recall should beat random (~0.02)")
   }
 
+  test("gramFixedPoint matches the sequential model and is partitioning-invariant") {
+    val data = (0 until 37).map { n =>
+      (n.toLong, Array.tabulate(5)(i =>
+        ((n * 31 + i * 7) % 13 - 6) / 7.0f))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    // sequential reference: same floor-quantized products, one thread
+    val expect = {
+      val acc = collection.mutable.Map.empty[(Int, Int), Long].withDefaultValue(0L)
+      data.foreach { case (_, v) =>
+        for (i <- 0 until 5; j <- i until 5)
+          acc((i, j)) += math.floor(v(i).toDouble * v(j).toDouble * 1e9).toLong
+      }
+      acc.toMap
+    }
+    for (parts <- Seq(1, 3, 16)) {
+      val out = Similarity.gramFixedPoint(df.repartition(parts), "embedding")
+        .select($"i", $"j", $"s").as[(Int, Int, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(out == expect, s"parts=$parts")
+    }
+    // empty input → empty frame, no crash
+    assert(Similarity.gramFixedPoint(
+      df.filter($"vec_id" < 0), "embedding").count() == 0)
+    // ragged vectors fail loudly, not silently mis-accumulate
+    val ragged = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.gramFixedPoint(ragged, "embedding").count()
+    }
+    assert(e.getMessage.contains("ragged") ||
+      Option(e.getCause).exists(_.getMessage.contains("ragged")))
+  }
+
   test("cosine matches analytic value") {
     val c = vecs.filter($"vec_id" === 1).crossJoin(
         vecs.filter($"vec_id" === 3).select($"embedding".as("e2")))
