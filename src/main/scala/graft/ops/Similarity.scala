@@ -440,4 +440,102 @@ object Similarity {
     } yield (i, j, total(i * d - i * (i - 1) / 2 + (j - i)))
     rows.toDF("i", "j", "s")
   }
+
+  /** Top-`k` principal directions of the (uncentered) second-moment
+    * matrix, descending by eigenvalue. Embedding corpora are
+    * near-centered, so uncentered PCA — the SVD of the data matrix —
+    * is the standard embedding-compression shape (centering would
+    * only add a rank-one mean correction).
+    *
+    * The heavy part is [[gramFixedPoint]] (one distributed pass);
+    * the eigensolve is a d×d cyclic Jacobi on the DRIVER — d² doubles
+    * (a 64-dim embedding: 32 KB), never data-proportional, and
+    * deterministic because the fixed-point Gram is bit-stable under
+    * partitioning (a double-summed Gram would make the "same"
+    * components drift run to run).
+    */
+  def pcaComponents(df: DataFrame, vecCol: String, k: Int,
+      scale: Double = 1e9): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tri = gramFixedPoint(df, vecCol, scale)
+      .select(col("i"), col("j"), col("s")).as[(Int, Int, Long)].collect()
+    if (tri.isEmpty) return Array.empty
+    val d = tri.map(_._2).max + 1
+    require(k >= 1 && k <= d, s"need 1 <= k <= $d, got $k")
+    val a = Array.ofDim[Double](d, d)
+    tri.foreach { case (i, j, s) =>
+      val v = s.toDouble / scale
+      a(i)(j) = v; a(j)(i) = v
+    }
+    // cyclic Jacobi: rotate away the largest-magnitude off-diagonal
+    // entries until convergence; V accumulates the eigenvectors
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-12 && sweep < 100) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-15) {
+            off += apq * apq
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            // tan of the annihilating rotation; theta == 0 → 45°
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s2 = t * c
+            var r = 0
+            while (r < d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s2 * arq
+              a(r)(q) = s2 * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s2 * aqr
+              a(q)(r) = s2 * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s2 * vrq
+              v(r)(q) = s2 * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    order.take(k).map { i =>
+      val comp = Array.tabulate(d)(r => v(r)(i))
+      // deterministic sign: largest-|coordinate| entry positive
+      val m = comp.indices.maxBy(r => math.abs(comp(r)))
+      if (comp(m) < 0) comp.map(-_) else comp
+    }.toArray
+  }
+
+  /** Project the embedding column onto precomputed `components`
+    * (from [[pcaComponents]]): adds `outCol` = Array[Double] of
+    * length k. The components broadcast as literals into a
+    * scan-stage expression — no shuffle, no UDF. */
+  def pcaProject(df: DataFrame, vecCol: String,
+      components: Array[Array[Double]], outCol: String = "pc"): DataFrame = {
+    require(components.nonEmpty, "no components")
+    val projections = components.map { comp =>
+      aggregate(
+        zip_with(col(vecCol), typedLit(comp.toSeq),
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    df.withColumn(outCol, array(projections.toIndexedSeq: _*))
+  }
 }

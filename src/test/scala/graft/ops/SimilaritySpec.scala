@@ -159,6 +159,32 @@ class SimilaritySpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("ragged")))
   }
 
+  test("pcaComponents recovers a planted direction; projection is exact and invariant") {
+    // points along u = (0.6, 0.8, 0) with tiny off-axis noise
+    val data = (-20 to 20).map { t =>
+      (t.toLong + 100L, Array(0.6f * t, 0.8f * t, 0.01f * (t % 3)))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val comps = Similarity.pcaComponents(df, "embedding", k = 2)
+    assert(comps.length == 2 && comps.head.length == 3)
+    val u = Array(0.6, 0.8, 0.0)
+    val cos = comps.head.zip(u).map { case (a, b) => a * b }.sum /
+      math.sqrt(comps.head.map(x => x * x).sum)
+    assert(math.abs(cos) > 0.999, s"top component off-axis: cos=$cos")
+    // deterministic under partitioning (exact fixed-point Gram)
+    val comps2 = Similarity.pcaComponents(df.repartition(7), "embedding", 2)
+    assert(comps.flatten.toSeq == comps2.flatten.toSeq)
+    // projection: pc1 ordering follows t; no shuffle introduced
+    val proj = Similarity.pcaProject(df, "embedding", comps)
+    val pc1 = proj.orderBy($"vec_id").select(element_at($"pc", 1))
+      .as[Double].collect().toSeq
+    assert(pc1.zip(pc1.tail).forall { case (a, b) => a < b } ||
+      pc1.zip(pc1.tail).forall { case (a, b) => a > b },
+      "pc1 must be monotone along the planted direction")
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"),
+      "projection must stay scan-stage")
+  }
+
   test("cosine matches analytic value") {
     val c = vecs.filter($"vec_id" === 1).crossJoin(
         vecs.filter($"vec_id" === 3).select($"embedding".as("e2")))
