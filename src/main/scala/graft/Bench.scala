@@ -144,7 +144,8 @@ object Bench {
       "cdc_kafka_json_format", "dedup_exact", "dedup_minhash_lsh",
       "dedup_ngram_jaccard", "dedup_simhash", "ann_bruteforce_topk",
       "ann_ivf_topk", "ann_pq_topk", "text_quality", "pipe_training_prep",
-      "multimodal_meta")
+      "multimodal_meta", "dedup_span_scrub", "cdc_lateness_profile",
+      "emb_gram_matrix")
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
