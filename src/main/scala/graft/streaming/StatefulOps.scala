@@ -137,6 +137,52 @@ object StatefulOps {
       }
   }
 
+  final case class FunnelEvent(userId: Long, tsNs: Long, eventType: String)
+  final case class FunnelState(times: Seq[Long])
+  final case class FunnelProgress(userId: Long, stage: Int)
+
+  /** Streaming ordered funnel — the continuous twin of the batch
+    * `q_event_funnel` query: per user, the earliest time each stage
+    * was reached STRICTLY AFTER the previous stage. Keyed state is k
+    * longs per user (the per-stage first-qualifying times), so state
+    * size is users × stages — never event-history-proportional.
+    *
+    * In-order contract: events must arrive per user in event-time
+    * order across batches (within a batch they are sorted here); a
+    * straggler older than an already-recorded stage time is ignored
+    * — the price every streaming funnel pays, bounded in practice by
+    * the source's per-key seq-monotone delivery. Equivalence with
+    * the batch query under that contract is spec-pinned
+    * (StreamingTwinsSpec). Emits each user's current stage per
+    * batch (update mode). */
+  def funnelStream(events: Dataset[FunnelEvent],
+      stages: Seq[String]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val k = stages.size
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[FunnelEvent],
+            state: GroupState[FunnelState]) =>
+          val times = state.getOption.map(_.times.toArray)
+            .getOrElse(Array.fill(k)(Long.MinValue))
+          // ascending event time ⇒ the first qualifying hit per stage
+          // IS that stage's min qualifying time
+          batch.toSeq.sortBy(_.tsNs).foreach { e =>
+            val i = stages.indexOf(e.eventType)
+            if (i >= 0 && times(i) == Long.MinValue) {
+              val prevOk = i == 0 ||
+                (times(i - 1) != Long.MinValue && e.tsNs > times(i - 1))
+              if (prevOk) times(i) = e.tsNs
+            }
+          }
+          state.update(FunnelState(times.toSeq))
+          Iterator.single(FunnelProgress(uid,
+            times.segmentLength(_ != Long.MinValue, 0)))
+      }
+  }
+
   final case class VersionEvent(
       key: Long, seq: Long, tsMs: Long, value: String, op: String)
   final case class ClosedVersion(key: Long, seq: Long, value: String,

@@ -116,4 +116,29 @@ class StreamingTwinsSpec extends SparkSpec {
       s"streaming rollup diverges: only-stream=${(streamed -- batch).take(5)} " +
         s"only-batch=${(batch -- streamed).take(5)}")
   }
+
+  test("funnelStream ≡ batch q_event_funnel on the same events") {
+    import spark.implicits._
+    val batch = graft.SparkEntry.queries("q_event_funnel")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+
+    val evs = streamEvents
+      .select(col("user_id").as("userId"), col("ts").as("tsNs"),
+        col("event_type").as("eventType"))
+      .as[StatefulOps.FunnelEvent]
+    val prog = StatefulOps.funnelStream(evs,
+      Seq("view", "click", "purchase")).toDF()
+    val q = prog.writeStream.format("memory").queryName("twin_funnel")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "funnel stream did not finish")
+    // update mode appends one progress row per (user, batch); the
+    // LAST row per user is the final stage (stage is monotone)
+    val finalStage = spark.table("twin_funnel")
+      .groupBy(col("userId")).agg(max(col("stage")).as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val streamedCounts = (1 to 3).map(s =>
+      s -> finalStage.values.count(_ >= s).toLong).toMap
+    assert(streamedCounts == batch,
+      s"funnel diverges: stream=$streamedCounts batch=$batch")
+  }
 }
