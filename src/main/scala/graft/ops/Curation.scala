@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Exprs, TextFunctions}
+
+/** Config-assembled corpus-curation pipeline — the LLM-data
+  * counterpart of the CDC `streaming/Pipeline`: a TOML `[[stages]]`
+  * list compiles to the same `DataFrame ⇒ DataFrame` combinator
+  * chain the reference uses for its CDC transforms
+  * (`core/transform.go:3-6`), over the engine's §7.6 operators.
+  *
+  * Every stage is declarative — one plan, one pass where Catalyst can
+  * fuse scan-stage stages (quality/lang/length/repetition filters all
+  * collapse into the parquet scan's filter), shuffles only where the
+  * operator inherently shuffles (dedup aggregates, near-dup bands).
+  * Per-stage funnel counts ride the SAME action via `observe()`
+  * (CollectMetrics): no extra count() jobs, exactly the funnel
+  * observability `pipe_funnel_stats` states as a query.
+  */
+object Curation {
+
+  final case class Stage(name: String, apply: DataFrame => DataFrame)
+
+  /** Compile one TOML stage table into a combinator. `idCol`/
+    * `textCol` name the corpus columns. Unknown types fail loudly —
+    * a silently-skipped curation stage is corrupted training data. */
+  def stage(conf: Map[String, Any], textCol: String, idCol: String,
+      spark: SparkSession): Stage = {
+    def str(k: String): String = conf.get(k).map(_.toString)
+      .getOrElse(sys.error(s"missing option $k"))
+    def num(k: String, dflt: => Double) = conf.get(k) match {
+      case Some(v: Long) => v.toDouble
+      case Some(v: Double) => v
+      case Some(v) => v.toString.toDouble
+      case None => dflt
+    }
+    val t = col(textCol)
+    str("type") match {
+      case "quality-filter" =>
+        val min = num("min-score", 0.5)
+        Stage("quality-filter",
+          _.filter(TextFunctions.qualityScore(t) >= min))
+      case "langid-filter" =>
+        val langs = str("langs").split(",").map(_.trim).toSeq
+        Stage("langid-filter", _.filter(TextFunctions.langId(t).isin(langs: _*)))
+      case "length-filter" =>
+        val lo = num("min-tokens", 1).toInt
+        val hi = num("max-tokens", Int.MaxValue).toInt
+        Stage("length-filter",
+          _.filter(TextFunctions.tokenCount(t).between(lo, hi)))
+      case "repetition-filter" =>
+        val max = num("max-rep-ratio", 0.5)
+        Stage("repetition-filter", df => df.filter(
+          Exprs.bind(TextFunctions.shingles(t, 3)) { sh =>
+            size(sh) === 0 ||
+              (lit(1.0) - size(array_distinct(sh)).cast("double")
+                / size(sh).cast("double")) <= max
+          }))
+      case "dedup-exact" =>
+        Stage("dedup-exact", df => {
+          val keep = Dedup.exactByFingerprint(df, textCol, idCol)
+            .select(col("keep_id").as(idCol))
+          df.join(keep, Seq(idCol), "left_semi")
+        })
+      case "dedup-near" =>
+        conf.get("index-dir") match {
+          case Some(dir) =>
+            // incremental mode: the persisted LSH band index decides
+            Stage("dedup-near-index", df => IncrementalDedup
+              .acceptNovelNearDup(spark, df, textCol, idCol, dir.toString))
+          case None =>
+            // corpus mode: LSH candidates → components → keeper-only
+            Stage("dedup-near", df => {
+              val groups = Components.connectedComponents(
+                Dedup.minhashCandidates(df, textCol, idCol)
+                  .select(col("a"), col("b")), "a", "b")
+              val drop = groups.filter(col("id") =!= col("group_id"))
+                .select(col("id").as(idCol))
+              df.join(drop, Seq(idCol), "left_anti")
+            })
+        }
+      case "span-scrub" =>
+        val width = num("width", 10).toInt
+        Stage("span-scrub", df => {
+          val scrubbed = Dedup.spanScrub(df, textCol, idCol, width)
+            .select(col("id").as(idCol), col("scrubbed"))
+          df.join(scrubbed, Seq(idCol))
+            .drop(textCol).withColumnRenamed("scrubbed", textCol)
+        })
+      case "split" =>
+        val train = num("train", 80).toInt
+        val valid = num("valid", 10).toInt
+        val test = num("test", 10).toInt
+        require(train + valid + test == 100,
+          s"split fractions must total 100, got $train/$valid/$test")
+        Stage("split", df => {
+          val b = TextFunctions.hashBucket(col(idCol), 100)
+          df.withColumn("split",
+            when(b < train, "train")
+              .when(b < train + valid, "valid").otherwise("test"))
+        })
+      case other => sys.error(
+        s"unknown curation stage type '$other' — a silently skipped " +
+          "stage would corrupt the corpus; fix the config")
+    }
+  }
+
+  /** Chain `stages` over `corpus`, attaching one `observe()` counter
+    * per stage boundary. Returns the final frame plus the
+    * observations; their funnel counts become available after the
+    * caller's ONE action (e.g. the output write). */
+  def assemble(corpus: DataFrame, stages: Seq[Stage])
+      : (DataFrame, Seq[(String, Observation)]) = {
+    val obs0 = new Observation("stage_00_input")
+    var df = corpus.observe(obs0, count(lit(1)).as("n"))
+    val observations = Seq.newBuilder[(String, Observation)]
+    observations += ("input" -> obs0)
+    stages.zipWithIndex.foreach { case (s, i) =>
+      df = s.apply(df)
+      val ob = new Observation(f"stage_${i + 1}%02d_${s.name}")
+      df = df.observe(ob, count(lit(1)).as("n"))
+      observations += (s.name -> ob)
+    }
+    (df, observations.result())
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Config-driven curation pipeline: a TOML stage list must assemble,
+  * drop exactly the planted bad docs, scrub boilerplate, split
+  * deterministically, and report a monotone funnel from ONE action. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted corpus: 1 good, 2 exact dup of 1, 3 near dup of 1,
+  // 4 repetitive garbage, 5 too short, 6 good unrelated
+  private val good1 = "the quick brown fox jumps over the lazy dog " +
+    "again and again the sun rises in the east of a green valley"
+  private val corpus = Seq(
+    (1L, good1),
+    (2L, good1),
+    (3L, good1.replace("dog", "cat")),
+    (4L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+    (5L, "too short"),
+    (6L, "completely different content about spark query engines in the " +
+      "world of a distributed data processing and the analytics it does")
+  )
+
+  private def writeCorpus(): String = {
+    val dir = Files.createTempDirectory("curate-in").toString
+    corpus.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    s"$dir/documents.parquet"
+  }
+
+  test("TOML config end-to-end: filters, dedup, scrub, split, funnel") {
+    val in = writeCorpus()
+    val out = Files.createTempDirectory("curate-out").toString + "/c"
+    val config =
+      s"""[input]
+         |path = "$in"
+         |
+         |[[stages]]
+         |type = "length-filter"
+         |min-tokens = 5
+         |
+         |[[stages]]
+         |type = "repetition-filter"
+         |max-rep-ratio = 0.5
+         |
+         |[[stages]]
+         |type = "dedup-exact"
+         |
+         |[[stages]]
+         |type = "dedup-near"
+         |
+         |[[stages]]
+         |type = "split"
+         |train = 80
+         |valid = 10
+         |test = 10
+         |
+         |[output]
+         |dir = "$out"
+         |partition-by = "split"
+         |""".stripMargin
+    val (n, funnel) = graft.CurateMain.run(spark, config)
+    // 5 drops on length, 4 on repetition, 2 on exact dup, 3 on near
+    assert(n == 2, s"expected survivors {1, 6}: n=$n funnel=$funnel")
+    val names = funnel.map(_._1)
+    assert(names == Seq("input", "length-filter", "repetition-filter",
+      "dedup-exact", "dedup-near", "split"))
+    val counts = funnel.map(_._2)
+    assert(counts.head == 6L)
+    assert(counts == counts.sorted.reverse, s"funnel must be monotone: $funnel")
+    // output is really partitioned by split and readable
+    val written = spark.read.parquet(out)
+    assert(written.count() == 2)
+    assert(written.columns.contains("split"))
+    val ids = written.select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 6L), s"keeper must be the min id: $ids")
+  }
+
+  test("span-scrub stage rewrites the text column in place") {
+    val in = writeCorpus()
+    val out = Files.createTempDirectory("curate-out2").toString + "/c"
+    val config =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "span-scrub"
+         |width = 10
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val (n, _) = graft.CurateMain.run(spark, config)
+    assert(n == 6)
+    val texts = spark.read.parquet(out)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    // docs 1 and 2 are identical → their shared 10-token spans scrub
+    assert(texts(1L).length < good1.length)
+    assert(texts(1L) == texts(2L))
+    // unrelated doc 6 untouched
+    assert(texts(6L) == corpus.toMap.apply(6L))
+  }
+
+  test("unknown stage type fails loudly") {
+    val e = intercept[RuntimeException] {
+      Curation.stage(Map("type" -> "typo-stage"), "text", "doc_id", spark)
+    }
+    assert(e.getMessage.contains("unknown curation stage"))
+  }
+}
