@@ -89,6 +89,58 @@ object Curation {
           df.join(scrubbed, Seq(idCol))
             .drop(textCol).withColumnRenamed("scrubbed", textCol)
         })
+      case "decontaminate" =>
+        // eval-set n-gram overlap drop: the test-set-leakage guard;
+        // the eval side broadcasts (that is the use case), the corpus
+        // is probed without a corpus-side shuffle
+        val evalPath = str("eval-path")
+        val n = num("ngram", 3).toInt
+        Stage("decontaminate", df => {
+          val hits = Dedup.contamination(df,
+            spark.read.parquet(evalPath), textCol, idCol, n)
+            .filter(col("contaminated")).select(col("id").as(idCol))
+          df.join(hits, Seq(idCol), "left_anti")
+        })
+      case "domain-cap" =>
+        // at most K docs per source, deterministic hash order — the
+        // C4/CCNet mega-domain guard; rank-then-filter touches each
+        // row once, AQE skew-splits the mega-domain's partition
+        val sourceCol = str("source-column")
+        val k = num("max-per-source", 1000).toInt
+        Stage("domain-cap", df => {
+          val h = TextFunctions.hashBucket(col(idCol), 1000000)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(sourceCol)).orderBy(h, col(idCol))
+          df.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= k).drop("__rn")
+        })
+      case "token-budget" =>
+        // quality-ordered global token budget via the banded two-pass
+        // prefix sum (no single-partition global window) — the
+        // data-constrained-scaling selection, same plan shape as the
+        // pipe_token_budget query
+        val budget = num("budget", sys.error("missing option budget")).toLong
+        Stage("token-budget", df => {
+          val scored = df.withColumn("__ntok",
+              TextFunctions.tokenCount(t).cast("long"))
+            .withColumn("__q", TextFunctions.qualityScore(t))
+            .withColumn("__band", floor(col("__q") * 4).cast("long"))
+          val bandTotals = scored.groupBy(col("__band"))
+            .agg(sum(col("__ntok")).as("__btok"))
+          val offsets = bandTotals
+            .join(bandTotals.select(col("__band").as("__hb"),
+                col("__btok").as("__hbtok")),
+              col("__hb") > col("__band"), "left")
+            .groupBy(col("__band"))
+            .agg(coalesce(sum(col("__hbtok")), lit(0L)).as("__off"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__band"))
+            .orderBy(col("__q").desc, col(idCol))
+          scored.join(broadcast(offsets), Seq("__band"))
+            .withColumn("__cum", sum(col("__ntok")).over(w) + col("__off"))
+            .filter(col("__cum") <= budget)
+            .drop("__band", "__ntok", "__q", "__off", "__cum")
+        })
       case "split" =>
         val train = num("train", 80).toInt
         val valid = num("valid", 10).toInt

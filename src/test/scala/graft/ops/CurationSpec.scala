@@ -104,6 +104,61 @@ class CurationSpec extends SparkSpec {
     assert(texts(6L) == corpus.toMap.apply(6L))
   }
 
+  test("decontaminate, domain-cap and token-budget stages") {
+    val dir = Files.createTempDirectory("curate-in3").toString
+    val in = s"$dir/docs.parquet"
+    Seq(
+      (1L, good1, "srcA"),
+      (2L, "completely different content about spark query engines in " +
+        "the world of a distributed data processing", "srcA"),
+      (3L, "another unrelated document with plenty of the words in a " +
+        "sentence of the usual shape and form", "srcA"),
+      (4L, "short filler words here in the middle of a corpus", "srcB"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in)
+    // eval set shares shingles with doc 1 only
+    val evalPath = s"$dir/eval.parquet"
+    Seq((100L, good1)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(evalPath)
+    val out = Files.createTempDirectory("curate-out3").toString + "/c"
+    val config =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "decontaminate"
+         |eval-path = "$evalPath"
+         |[[stages]]
+         |type = "domain-cap"
+         |source-column = "source"
+         |max-per-source = 2
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val (n, funnel) = graft.CurateMain.run(spark, config)
+    // doc 1 decontaminated (3 left); srcA capped 2→2 of {2,3}; srcB 1
+    assert(funnel.map(_._2) == Seq(4L, 3L, 3L), s"funnel: $funnel")
+    assert(n == 3)
+    val ids = spark.read.parquet(out).select($"doc_id").as[Long]
+      .collect().toSet
+    assert(ids == Set(2L, 3L, 4L), s"doc 1 must be decontaminated: $ids")
+
+    // token budget: tiny budget keeps a strict subset, ordered by quality
+    val out2 = Files.createTempDirectory("curate-out4").toString + "/c"
+    val budgetCfg =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "token-budget"
+         |budget = 30
+         |[output]
+         |dir = "$out2"
+         |""".stripMargin
+    val (n2, _) = graft.CurateMain.run(spark, budgetCfg)
+    assert(n2 > 0 && n2 < 4, s"a 30-token budget must drop something: $n2")
+    val kept = spark.read.parquet(out2)
+    assert(kept.columns.toSet == Set("doc_id", "text", "source"),
+      "helper columns must not leak into the output")
+  }
+
   test("unknown stage type fails loudly") {
     val e = intercept[RuntimeException] {
       Curation.stage(Map("type" -> "typo-stage"), "text", "doc_id", spark)
