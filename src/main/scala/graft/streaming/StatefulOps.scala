@@ -183,6 +183,36 @@ object StatefulOps {
       }
   }
 
+  final case class Transition(userId: Long, prevType: String, nextType: String)
+  final case class LastEvent(tsNs: Long, eventType: String)
+
+  /** Streaming consecutive-event transitions — the continuous twin of
+    * the batch `q_event_transitions` query's pre-aggregation: keyed
+    * state is ONE (ts, type) per user (the last event seen), each
+    * arriving event emits its (prev → next) pair. Append mode: pairs
+    * are immutable facts, so any downstream count — batch over the
+    * sink, or a windowed streaming aggregate — reconstructs the
+    * transition matrix. Same in-order contract as [[funnelStream]].
+    */
+  def transitionsStream(events: Dataset[FunnelEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[FunnelEvent],
+            state: GroupState[LastEvent]) =>
+          var last = state.getOption.orNull
+          val out = Seq.newBuilder[Transition]
+          batch.toSeq.sortBy(_.tsNs).foreach { e =>
+            if (last != null)
+              out += Transition(uid, last.eventType, e.eventType)
+            last = LastEvent(e.tsNs, e.eventType)
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
+  }
+
   final case class VersionEvent(
       key: Long, seq: Long, tsMs: Long, value: String, op: String)
   final case class ClosedVersion(key: Long, seq: Long, value: String,

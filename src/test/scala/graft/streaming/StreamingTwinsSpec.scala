@@ -141,4 +141,28 @@ class StreamingTwinsSpec extends SparkSpec {
     assert(streamedCounts == batch,
       s"funnel diverges: stream=$streamedCounts batch=$batch")
   }
+
+  test("transitionsStream ≡ batch q_event_transitions on the same events") {
+    import spark.implicits._
+    val batch = graft.SparkEntry.queries("q_event_transitions")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+
+    val evs = streamEvents
+      .select(col("user_id").as("userId"), col("ts").as("tsNs"),
+        col("event_type").as("eventType"))
+      .as[StatefulOps.FunnelEvent]
+    val pairs = StatefulOps.transitionsStream(evs).toDF()
+    val q = pairs.writeStream.format("memory").queryName("twin_transitions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "transitions stream did not finish")
+    val streamed = spark.table("twin_transitions")
+      .groupBy(col("prevType"), col("nextType"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed == batch,
+      s"transitions diverge: only-stream=${(streamed.toSet -- batch.toSet).take(5)} " +
+        s"only-batch=${(batch.toSet -- streamed.toSet).take(5)}")
+  }
 }
