@@ -257,7 +257,25 @@ object Core4Queries {
         Tables.load(s, dir, "lineitem"),
         Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
           "l_shipdate"))
-        .orderBy(col("col_name")))
+        .orderBy(col("col_name"))),
+
+    // declarative data-quality audit (ops/Constraints): k row-local
+    // checks fold into ONE conditional-aggregation scan; `unique`
+    // adds one hash aggregate, referential integrity one anti-join
+    // against the (broadcastable) parent. The validation layer a CDC
+    // consumer runs on the replicated target — exact integer
+    // violation counts, so the audit oracle-checks.
+    "q_constraint_audit" -> ((s, dir) => {
+      import graft.ops.Constraints._
+      audit(Tables.load(s, dir, "lineitem"), Seq(
+        NotNull("l_orderkey"),
+        Range("l_discount", 0.0, 0.05),
+        InSet("l_returnflag", Seq("A", "N", "R")),
+        Predicate("price_positive", col("l_extendedprice") > 0.0),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        RefIntegrity("l_partkey", Tables.load(s, dir, "part"),
+          "p_partkey", "part")))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -364,6 +382,38 @@ object Core4Queries {
         |      AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q_constraint_audit" ->
+      """SELECT 0 AS ord, 'not_null(l_orderkey)' AS "check",
+        |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_violations
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 1, 'range(l_discount)',
+        |  CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.05
+        |                THEN 0 ELSE 1 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 2, 'in_set(l_returnflag)',
+        |  CAST(SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+        |                THEN 0 ELSE 1 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 3, 'price_positive',
+        |  CAST(SUM(CASE WHEN l_extendedprice > 0.0 THEN 0 ELSE 1 END)
+        |       AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 4, 'unique(l_orderkey,l_linenumber)',
+        |  CAST(coalesce(SUM(n - 1), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS n FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1) t
+        |UNION ALL
+        |SELECT 5, 'ref(l_partkey->part.p_partkey)',
+        |  CAST(count(*) AS BIGINT)
+        |FROM lineitem l
+        |WHERE l_partkey IS NOT NULL AND NOT EXISTS
+        |  (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |ORDER BY ord""".stripMargin,
     "q_profile_table" ->
       """SELECT * FROM (
         |  SELECT 'l_orderkey' AS col_name,
