@@ -37,7 +37,12 @@ object Bench {
     // local profiling aid: skip the 133-query loop to iterate on the
     // CDC throughput section alone (driver runs always time everything)
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
-    if (!skipQueries) SparkEntry.queries.foreach { case (_, fn) =>
+    // name-sorted: a HashMap's iteration order varies with the key
+    // set, so adding ONE query would otherwise reshuffle every
+    // query's GC/cache neighborhood and make per-query timings
+    // incomparable across rounds
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    if (!skipQueries) ordered.foreach { case (_, fn) =>
       try consume(fn(spark, sfDir)) catch { case _: Throwable => }
     }
     // two measured passes, keep the min: steady-state for a resident
@@ -53,12 +58,12 @@ object Bench {
     }
     val results =
       if (skipQueries) Map.empty[String, Double]
-      else SparkEntry.queries.flatMap { case (name, fn) =>
+      else ordered.flatMap { case (name, fn) =>
         (timeOnce(name, fn), timeOnce(name, fn)) match {
           case (Some(a), Some(b)) => Some(name -> math.min(a, b))
           case _ => None
         }
-      }
+      }.toMap
     errors.foreach { case (name, msg) =>
       System.err.println(s"bench query failed: $name: $msg")
     }
