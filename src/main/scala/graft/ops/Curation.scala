@@ -141,6 +141,32 @@ object Curation {
             .filter(col("__cum") <= budget)
             .drop("__band", "__ntok", "__q", "__off", "__cum")
         })
+      case "validate" =>
+        // data-quality GATE (ops/Constraints): fail the run loudly if
+        // the corpus at this point violates its contract — shipping a
+        // known-bad corpus to training is the expensive failure. The
+        // audit is its own action (eager, before the output write):
+        // a gate that only fired lazily inside the write would let
+        // partial output land first.
+        val notNull = conf.get("not-null").map(_.toString)
+          .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val unique = conf.get("unique").map(_.toString)
+          .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val maxViol = num("max-violations", 0).toLong
+        require(notNull.nonEmpty || unique.nonEmpty,
+          "validate stage needs not-null and/or unique options")
+        Stage("validate", df => {
+          val checks = notNull.map(Constraints.NotNull(_)) ++
+            (if (unique.nonEmpty) Seq(Constraints.Unique(unique)) else Nil)
+          val bad = Constraints.audit(df, checks)
+            .filter(col("n_violations") > maxViol)
+            .select(col("check"), col("n_violations"))
+            .collect()
+          if (bad.nonEmpty) sys.error(
+            "corpus failed validation: " + bad.map(r =>
+              s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+          df
+        })
       case "split" =>
         val train = num("train", 80).toInt
         val valid = num("valid", 10).toInt

@@ -159,6 +159,34 @@ class CurationSpec extends SparkSpec {
       "helper columns must not leak into the output")
   }
 
+  test("validate gate passes a clean corpus and fails a violating one loudly") {
+    val dir = Files.createTempDirectory("curate-val").toString
+    val clean = s"$dir/clean.parquet"
+    Seq((1L, "one doc here"), (2L, "two docs here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(clean)
+    val dirty = s"$dir/dirty.parquet"
+    Seq((1L, "one doc here"), (1L, "dup id"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dirty)
+    val out = s"$dir/out"
+    def cfg(in: String) =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "validate"
+         |not-null = "text"
+         |unique = "doc_id"
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    assert(graft.CurateMain.run(spark, cfg(clean))._1 == 2L)
+    val e = intercept[RuntimeException] {
+      graft.CurateMain.run(spark, cfg(dirty))
+    }
+    assert(e.getMessage.contains("failed validation") &&
+      e.getMessage.contains("not_null(text)") &&
+      e.getMessage.contains("unique(doc_id)"), e.getMessage)
+  }
+
   test("unknown stage type fails loudly") {
     val e = intercept[RuntimeException] {
       Curation.stage(Map("type" -> "typo-stage"), "text", "doc_id", spark)
