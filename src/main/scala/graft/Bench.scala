@@ -34,7 +34,7 @@ object Bench {
     // warmup pass: JIT + codegen + broadcast warm, parquet footer
     // cache — then measure steady-state (what a resident service on
     // a cluster actually runs at).
-    // local profiling aid: skip the 133-query loop to iterate on the
+    // local profiling aid: skip the full query loop to iterate on the
     // CDC throughput section alone (driver runs always time everything)
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
     // name-sorted: a HashMap's iteration order varies with the key

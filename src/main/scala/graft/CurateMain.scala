@@ -56,6 +56,10 @@ object CurateMain {
 
     val writer = curated.write.mode("overwrite")
     partitionBy.fold(writer)(c => writer.partitionBy(c)).parquet(outDir)
+    // external side effects (near-dup index append) land ONLY after
+    // the output write succeeded — a failed run must not mutate
+    // anything a re-run depends on
+    stages.foreach(_.postCommit())
 
     val funnel = observations.map { case (name, ob) =>
       name -> ob.get.apply("n").asInstanceOf[Long]

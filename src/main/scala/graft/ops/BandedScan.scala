@@ -63,6 +63,45 @@ object BandedScan {
       .drop("__band", "__off", "__ok")
   }
 
+  /** Quality-ordered global budget selection: keep rows in
+    * descending-`qualityCol` order (ties by `tieCol`) while the
+    * running sum of `weightCol` stays within `budget` — the
+    * data-constrained-scaling curation shape, shared by the
+    * `pipe_token_budget` query and the curation CLI's token-budget
+    * stage.
+    *
+    * Same decomposition as the prefix scans above, with the bands
+    * taken from the sort key itself: quality quantizes into coarse
+    * bands (`floor(q · bandMultiplier)` — a monotone function of the
+    * sort key, so band order IS quality order), per-band totals (a
+    * tiny aggregate) broadcast back as cumulative offsets, and the
+    * exact integer running sum proceeds per-band in parallel — never
+    * one un-partitioned window. (A constant partition key doesn't
+    * dodge that: Spark 4's EliminateWindowPartitions strips foldable
+    * keys.) Returns the input columns unchanged, helpers dropped. */
+  def budgetFilter(df: DataFrame, qualityCol: String, weightCol: String,
+      tieCol: String, budget: Long, bandMultiplier: Int = 4): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val banded = df.withColumn("__band",
+      floor(col(qualityCol) * bandMultiplier).cast("long"))
+    val bandTotals = banded.groupBy(col("__band"))
+      .agg(sum(col(weightCol)).as("__btok"))
+    // each band's offset = total weight of all STRICTLY HIGHER
+    // (better-quality) bands — a tiny band×band inequality join
+    val offsets = bandTotals
+      .join(bandTotals.select(col("__band").as("__hb"),
+          col("__btok").as("__hbtok")),
+        col("__hb") > col("__band"), "left")
+      .groupBy(col("__band"))
+      .agg(coalesce(sum(col("__hbtok")), lit(0L)).as("__off"))
+    val w = Window.partitionBy(col("__band"))
+      .orderBy(col(qualityCol).desc, col(tieCol))
+    banded.join(broadcast(offsets), Seq("__band"))
+      .withColumn("__cum", sum(col(weightCol)).over(w) + col("__off"))
+      .filter(col("__cum") <= budget)
+      .drop("__band", "__off", "__cum")
+  }
+
   /** Adds `prev_value`: `valCol` of the row immediately before this
     * one in `orderCol` order (lag 1 across the whole relation; null
     * for the global first row). Same banded decomposition — the

@@ -49,6 +49,11 @@ object Constraints {
     * sorts). */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "no checks given")
+    // names are the check identity (and the row-local agg aliases):
+    // duplicates would alias two aggregates identically and fail
+    // downstream with AMBIGUOUS_REFERENCE — reject them up front
+    val dup = checks.map(_.name).groupBy(identity).filter(_._2.size > 1).keys
+    require(dup.isEmpty, s"duplicate check names: ${dup.mkString(", ")}")
     val spark = df.sparkSession
     import spark.implicits._
 

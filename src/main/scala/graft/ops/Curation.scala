@@ -21,7 +21,11 @@ import graft.functions.{Exprs, TextFunctions}
   */
 object Curation {
 
-  final case class Stage(name: String, apply: DataFrame => DataFrame)
+  /** `postCommit` runs AFTER the caller's output write succeeds —
+    * for stages with external side effects (the near-dup index
+    * append) that must not land when the run fails downstream. */
+  final case class Stage(name: String, apply: DataFrame => DataFrame,
+      postCommit: () => Unit = () => ())
 
   /** Compile one TOML stage table into a combinator. `idCol`/
     * `textCol` name the corpus columns. Unknown types fail loudly —
@@ -43,7 +47,16 @@ object Curation {
         Stage("quality-filter",
           _.filter(TextFunctions.qualityScore(t) >= min))
       case "langid-filter" =>
-        val langs = str("langs").split(",").map(_.trim).toSeq
+        // TOML inline arrays parse to Seq — stringifying one would
+        // yield "List(en, fr)" tokens that match nothing and silently
+        // empty the corpus; accept both forms explicitly
+        val langs = conf.get("langs") match {
+          case Some(s: Seq[Any @unchecked]) => s.map(_.toString.trim)
+          case Some(v) =>
+            v.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          case None => sys.error("missing option langs")
+        }
+        require(langs.nonEmpty, "langid-filter: empty langs")
         Stage("langid-filter", _.filter(TextFunctions.langId(t).isin(langs: _*)))
       case "length-filter" =>
         val lo = num("min-tokens", 1).toInt
@@ -67,9 +80,20 @@ object Curation {
       case "dedup-near" =>
         conf.get("index-dir") match {
           case Some(dir) =>
-            // incremental mode: the persisted LSH band index decides
-            Stage("dedup-near-index", df => IncrementalDedup
-              .acceptNovelNearDup(spark, df, textCol, idCol, dir.toString))
+            // incremental mode: the persisted LSH band index decides.
+            // The index APPEND is deferred to postCommit (after the
+            // output write lands): appending during assembly would
+            // blacklist the batch's docs permanently even when the
+            // run fails before producing output.
+            val pending =
+              new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+            Stage("dedup-near-index", df => {
+              val (novelDocs, bands) = IncrementalDedup
+                .novelNearDup(spark, df, textCol, idCol, dir.toString)
+              pending.set(bands.localCheckpoint())
+              novelDocs
+            }, () => Option(pending.get).foreach(b =>
+              IncrementalDedup.appendBandRows(spark, b, dir.toString)))
           case None =>
             // corpus mode: LSH candidates → components → keeper-only
             Stage("dedup-near", df => {
@@ -115,32 +139,17 @@ object Curation {
             .filter(col("__rn") <= k).drop("__rn")
         })
       case "token-budget" =>
-        // quality-ordered global token budget via the banded two-pass
-        // prefix sum (no single-partition global window) — the
-        // data-constrained-scaling selection, same plan shape as the
-        // pipe_token_budget query
+        // quality-ordered global token budget — BandedScan.budgetFilter
+        // (the banded two-pass prefix sum; shared with the
+        // pipe_token_budget query, which pins its plan shape)
         val budget = num("budget", sys.error("missing option budget")).toLong
-        Stage("token-budget", df => {
-          val scored = df.withColumn("__ntok",
-              TextFunctions.tokenCount(t).cast("long"))
-            .withColumn("__q", TextFunctions.qualityScore(t))
-            .withColumn("__band", floor(col("__q") * 4).cast("long"))
-          val bandTotals = scored.groupBy(col("__band"))
-            .agg(sum(col("__ntok")).as("__btok"))
-          val offsets = bandTotals
-            .join(bandTotals.select(col("__band").as("__hb"),
-                col("__btok").as("__hbtok")),
-              col("__hb") > col("__band"), "left")
-            .groupBy(col("__band"))
-            .agg(coalesce(sum(col("__hbtok")), lit(0L)).as("__off"))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("__band"))
-            .orderBy(col("__q").desc, col(idCol))
-          scored.join(broadcast(offsets), Seq("__band"))
-            .withColumn("__cum", sum(col("__ntok")).over(w) + col("__off"))
-            .filter(col("__cum") <= budget)
-            .drop("__band", "__ntok", "__q", "__off", "__cum")
-        })
+        Stage("token-budget", df =>
+          BandedScan.budgetFilter(
+            df.withColumn("__ntok", TextFunctions.tokenCount(t).cast("long"))
+              .withColumn("__q", TextFunctions.qualityScore(t)),
+            qualityCol = "__q", weightCol = "__ntok", tieCol = idCol,
+            budget = budget)
+            .drop("__ntok", "__q"))
       case "validate" =>
         // data-quality GATE (ops/Constraints): fail the run loudly if
         // the corpus at this point violates its contract — shipping a
@@ -156,16 +165,20 @@ object Curation {
         require(notNull.nonEmpty || unique.nonEmpty,
           "validate stage needs not-null and/or unique options")
         Stage("validate", df => {
-          val checks = notNull.map(Constraints.NotNull(_)) ++
+          // checkpoint first: the audit is an action, and without it
+          // the output write would re-execute the entire upstream
+          // pipeline a second time
+          val cp = df.localCheckpoint()
+          val checks = notNull.distinct.map(Constraints.NotNull(_)) ++
             (if (unique.nonEmpty) Seq(Constraints.Unique(unique)) else Nil)
-          val bad = Constraints.audit(df, checks)
+          val bad = Constraints.audit(cp, checks)
             .filter(col("n_violations") > maxViol)
             .select(col("check"), col("n_violations"))
             .collect()
           if (bad.nonEmpty) sys.error(
             "corpus failed validation: " + bad.map(r =>
               s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
-          df
+          cp
         })
       case "split" =>
         val train = num("train", 80).toInt
@@ -194,12 +207,16 @@ object Curation {
     val obs0 = new Observation("stage_00_input")
     var df = corpus.observe(obs0, count(lit(1)).as("n"))
     val observations = Seq.newBuilder[(String, Observation)]
-    observations += ("input" -> obs0)
+    // funnel keys = the observations' unique indexed names: a stage
+    // type appearing twice (two quality-filters at different
+    // thresholds) must not collapse into one JSON key downstream
+    observations += ("stage_00_input" -> obs0)
     stages.zipWithIndex.foreach { case (s, i) =>
       df = s.apply(df)
-      val ob = new Observation(f"stage_${i + 1}%02d_${s.name}")
+      val name = f"stage_${i + 1}%02d_${s.name}"
+      val ob = new Observation(name)
       df = df.observe(ob, count(lit(1)).as("n"))
-      observations += (s.name -> ob)
+      observations += (name -> ob)
     }
     (df, observations.result())
   }

@@ -212,6 +212,19 @@ object IncrementalDedup {
     (novelDocs, appendBands)
   }
 
+  /** Append band rows (the second frame of [[novelNearDup]]) to the
+    * index. Split out so callers with their OWN commit point — the
+    * curation CLI appends only after its output write lands, else a
+    * failed run would permanently blacklist the batch's documents —
+    * can defer the index mutation past it. */
+  def appendBandRows(spark: SparkSession, appendBands: DataFrame,
+      indexDir: String, nBuckets: Int = 64): Unit = {
+    appendBands.select(col("band"), col("x"), col("y"),
+        col("keep_id"), col("bucket"))
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(indexDir)
+    checkOrWriteBucketMarker(spark, indexDir, nBuckets)
+  }
+
   /** [[novelNearDup]] + append every survivor's band rows to the
     * index. Returns the novel (keeper) docs. */
   def acceptNovelNearDup(spark: SparkSession, batch: DataFrame,
@@ -222,11 +235,7 @@ object IncrementalDedup {
     // materialize BEFORE the append (same re-evaluation hazard as
     // acceptNovel)
     val n = novelDocs.localCheckpoint()
-    val ab = appendBands.localCheckpoint()
-    ab.select(col("band"), col("x"), col("y"),
-        col("keep_id"), col("bucket"))
-      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(indexDir)
-    checkOrWriteBucketMarker(spark, indexDir, nBuckets)
+    appendBandRows(spark, appendBands.localCheckpoint(), indexDir, nBuckets)
     n
   }
 }

@@ -235,32 +235,17 @@ object DedupQueries {
     // runs per-band in parallel. Token counts are integers — the
     // running sum is exact under any partitioning.
     "pipe_token_budget" -> ((s, dir) => {
+      // BandedScan.budgetFilter holds the plan shape (banded two-pass
+      // prefix sum, never an un-partitioned window — see its scaladoc
+      // for why a constant partition key doesn't dodge that); shared
+      // with the curation CLI's token-budget stage.
       val budget = 20000L
       val d = docs(s, dir).select(col("doc_id"), col("lang"),
         graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
           .as("n_tok"),
         graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
-      val banded = d.withColumn("band", floor(col("q") * 4).cast("long"))
-      // each band's offset = total tokens of all STRICTLY HIGHER
-      // (better-quality) bands. ≤ 9 distinct bands, so the prefix sum
-      // is a trivial 9×9 inequality self-join — not a window: an
-      // un-partitioned WindowExec single-partitions its input (and a
-      // constant partition key doesn't dodge that — Spark 4's
-      // EliminateWindowPartitions strips foldable keys), while the
-      // join keeps every stage partition-parallel and warning-free.
-      val bandTotals = banded.groupBy(col("band"))
-        .agg(sum(col("n_tok")).as("btok"))
-      val offsets = bandTotals
-        .join(bandTotals.select(col("band").as("hb"), col("btok").as("hbtok")),
-          col("hb") > col("band"), "left")
-        .groupBy(col("band"))
-        .agg(coalesce(sum(col("hbtok")), lit(0L)).as("off"))
-        .select(col("band"), col("off"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band")).orderBy(col("q").desc, col("doc_id"))
-      banded.join(broadcast(offsets), Seq("band"))
-        .withColumn("cum", sum(col("n_tok")).over(w) + col("off"))
-        .filter(col("cum") <= budget)
+      graft.ops.BandedScan.budgetFilter(d, qualityCol = "q",
+          weightCol = "n_tok", tieCol = "doc_id", budget = budget)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"))
         .orderBy(col("lang"))

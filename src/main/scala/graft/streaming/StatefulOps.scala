@@ -137,7 +137,13 @@ object StatefulOps {
       }
   }
 
-  final case class FunnelEvent(userId: Long, tsNs: Long, eventType: String)
+  // seq (the changelog position / event id) breaks event-time ties:
+  // without it, equal-ts events would process in shuffle-delivery
+  // order and the emitted transitions/stages would be
+  // nondeterministic — and diverge from the batch twins, which order
+  // by (ts, event_id)
+  final case class FunnelEvent(userId: Long, tsNs: Long, seq: Long,
+      eventType: String)
   final case class FunnelState(times: Seq[Long])
   final case class FunnelProgress(userId: Long, stage: Int)
 
@@ -169,7 +175,7 @@ object StatefulOps {
             .getOrElse(Array.fill(k)(Long.MinValue))
           // ascending event time ⇒ the first qualifying hit per stage
           // IS that stage's min qualifying time
-          batch.toSeq.sortBy(_.tsNs).foreach { e =>
+          batch.toSeq.sortBy(e => (e.tsNs, e.seq)).foreach { e =>
             val i = stages.indexOf(e.eventType)
             if (i >= 0 && times(i) == Long.MinValue) {
               val prevOk = i == 0 ||
@@ -203,7 +209,7 @@ object StatefulOps {
             state: GroupState[LastEvent]) =>
           var last = state.getOption.orNull
           val out = Seq.newBuilder[Transition]
-          batch.toSeq.sortBy(_.tsNs).foreach { e =>
+          batch.toSeq.sortBy(e => (e.tsNs, e.seq)).foreach { e =>
             if (last != null)
               out += Transition(uid, last.eventType, e.eventType)
             last = LastEvent(e.tsNs, e.eventType)

@@ -68,8 +68,9 @@ class CurationSpec extends SparkSpec {
     // 5 drops on length, 4 on repetition, 2 on exact dup, 3 on near
     assert(n == 2, s"expected survivors {1, 6}: n=$n funnel=$funnel")
     val names = funnel.map(_._1)
-    assert(names == Seq("input", "length-filter", "repetition-filter",
-      "dedup-exact", "dedup-near", "split"))
+    assert(names == Seq("stage_00_input", "stage_01_length-filter",
+      "stage_02_repetition-filter", "stage_03_dedup-exact",
+      "stage_04_dedup-near", "stage_05_split"))
     val counts = funnel.map(_._2)
     assert(counts.head == 6L)
     assert(counts == counts.sorted.reverse, s"funnel must be monotone: $funnel")
@@ -185,6 +186,36 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("failed validation") &&
       e.getMessage.contains("not_null(text)") &&
       e.getMessage.contains("unique(doc_id)"), e.getMessage)
+  }
+
+  test("dedup-near index append lands only after the output write succeeds") {
+    val dir = Files.createTempDirectory("curate-idx").toString
+    val in = s"$dir/docs.parquet"
+    Seq((1L, good1), (2L, "a different doc with other words in it here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val idx = s"$dir/index"
+    // an output path under a plain FILE → the parquet write fails
+    val blocker = java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/blocker"))
+    def cfg(out: String) =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "dedup-near"
+         |index-dir = "$idx"
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    intercept[Throwable] {
+      graft.CurateMain.run(spark, cfg(s"$blocker/sub/out"))
+    }
+    // the failed run must NOT have blacklisted the batch: a retry
+    // with a good output path still accepts every doc
+    val (n, _) = graft.CurateMain.run(spark, cfg(s"$dir/out"))
+    assert(n == 2L,
+      "docs were blacklisted by a failed run's index append")
+    // and now the index holds their bands (the success-path append)
+    assert(spark.read.parquet(idx).count() > 0)
   }
 
   test("unknown stage type fails loudly") {

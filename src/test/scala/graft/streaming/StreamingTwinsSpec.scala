@@ -124,7 +124,7 @@ class StreamingTwinsSpec extends SparkSpec {
 
     val evs = streamEvents
       .select(col("user_id").as("userId"), col("ts").as("tsNs"),
-        col("event_type").as("eventType"))
+        col("event_id").as("seq"), col("event_type").as("eventType"))
       .as[StatefulOps.FunnelEvent]
     val prog = StatefulOps.funnelStream(evs,
       Seq("view", "click", "purchase")).toDF()
@@ -150,7 +150,7 @@ class StreamingTwinsSpec extends SparkSpec {
 
     val evs = streamEvents
       .select(col("user_id").as("userId"), col("ts").as("tsNs"),
-        col("event_type").as("eventType"))
+        col("event_id").as("seq"), col("event_type").as("eventType"))
       .as[StatefulOps.FunnelEvent]
     val pairs = StatefulOps.transitionsStream(evs).toDF()
     val q = pairs.writeStream.format("memory").queryName("twin_transitions")
