@@ -45,8 +45,17 @@ object Bench {
     if (!skipQueries) ordered.foreach { case (_, fn) =>
       try consume(fn(spark, sfDir)) catch { case _: Throwable => }
     }
-    // two measured passes, keep the min: steady-state for a resident
-    // service (drops one-off GC / scheduling noise from the number)
+    // Per-query System.gc() + MEDIAN-of-3 (was min-of-2): the r5
+    // driver run showed two queries at 5-6× their r3/r4 times with
+    // UNCHANGED code, while a local repro of the identical commit
+    // reproduced the old numbers exactly — the mechanism is
+    // environmental (old-gen GC debt accumulated from NEIGHBORING
+    // queries landing mid-measurement on the driver's much larger
+    // heap, where one collection runs seconds and min-of-2 needs
+    // only two hits to lie). The gc() drains inherited garbage
+    // before the first sample so a query is charged its OWN
+    // allocation, and the median survives one bad sample where min
+    // survives zero.
     def timeOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
@@ -59,10 +68,9 @@ object Bench {
     val results =
       if (skipQueries) Map.empty[String, Double]
       else ordered.flatMap { case (name, fn) =>
-        (timeOnce(name, fn), timeOnce(name, fn)) match {
-          case (Some(a), Some(b)) => Some(name -> math.min(a, b))
-          case _ => None
-        }
+        System.gc()
+        val ts = (1 to 3).flatMap(_ => timeOnce(name, fn))
+        if (ts.size == 3) Some(name -> ts.sorted.apply(1)) else None
       }.toMap
     errors.foreach { case (name, msg) =>
       System.err.println(s"bench query failed: $name: $msg")

@@ -34,6 +34,16 @@ object BandedScan {
     expr(s"(__ok - ((__ok % ${bandWidth}L + ${bandWidth}L) % ${bandWidth}L))" +
       s" div ${bandWidth}L")
 
+  /** A null banding key would make `__band` null and the inner join
+    * on `__band` would silently DROP the row — diverging from the
+    * naive global window these ops claim exact equivalence with (a
+    * window sorts nulls; it never drops rows). Fail loudly instead,
+    * inside the scan stage (no extra pass). */
+  private def failNull(c: Column, what: String): Column =
+    when(c.isNull, raise_error(lit(
+      s"BandedScan: null $what — the banded decomposition requires " +
+        "non-null keys; filter or coalesce nulls first"))).otherwise(c)
+
   /** Adds `prefix_max`: the max of `valCol` over all rows STRICTLY
     * earlier in `orderCol` order (null for the global first row —
     * there is no earlier row). Exclusive on purpose: the row's own
@@ -42,7 +52,8 @@ object BandedScan {
   def prefixMaxExclusive(df: DataFrame, orderCol: String, valCol: String,
       bandWidth: Long = 4096L): DataFrame = {
     require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
-    val banded = df.withColumn("__ok", col(orderCol).cast("long"))
+    val banded = df.withColumn("__ok",
+        failNull(col(orderCol).cast("long"), s"order key '$orderCol'"))
       .withColumn("__band", bandExpr(bandWidth))
     val bmax = banded.groupBy(col("__band"))
       .agg(max(col(valCol)).as("__bm"))
@@ -82,8 +93,9 @@ object BandedScan {
   def budgetFilter(df: DataFrame, qualityCol: String, weightCol: String,
       tieCol: String, budget: Long, bandMultiplier: Int = 4): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
-    val banded = df.withColumn("__band",
-      floor(col(qualityCol) * bandMultiplier).cast("long"))
+    val banded = df.withColumn("__band", failNull(
+      floor(col(qualityCol) * bandMultiplier).cast("long"),
+      s"quality '$qualityCol'"))
     val bandTotals = banded.groupBy(col("__band"))
       .agg(sum(col(weightCol)).as("__btok"))
     // each band's offset = total weight of all STRICTLY HIGHER
@@ -113,7 +125,8 @@ object BandedScan {
   def prevValue(df: DataFrame, orderCol: String, valCol: String,
       bandWidth: Long = 4096L): DataFrame = {
     require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
-    val banded = df.withColumn("__ok", col(orderCol).cast("long"))
+    val banded = df.withColumn("__ok",
+        failNull(col(orderCol).cast("long"), s"order key '$orderCol'"))
       .withColumn("__band", bandExpr(bandWidth))
     val blast = banded.groupBy(col("__band"))
       .agg(max_by(col(valCol), col(orderCol)).as("__lv"),

@@ -40,6 +40,26 @@ object Curation {
       case Some(v) => v.toString.toDouble
       case None => dflt
     }
+    // integer-valued options (token budgets, caps): a TOML integer
+    // must NOT round-trip through Double — above 2^53 that silently
+    // loses precision before .toLong
+    def lng(k: String, dflt: => Long) = conf.get(k) match {
+      case Some(v: Long) => v
+      case Some(v: Int) => v.toLong
+      case Some(v) => v.toString.toLong
+      case None => dflt
+    }
+    // column-list options: a TOML array parses to Seq — stringifying
+    // one would yield a bogus "List(doc_id" column name (same hazard
+    // the langid-filter branch guards); accept both array and
+    // comma-separated string forms
+    def cols(k: String): Seq[String] = conf.get(k) match {
+      case Some(s: Seq[Any @unchecked]) =>
+        s.map(_.toString.trim).filter(_.nonEmpty)
+      case Some(v) =>
+        v.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None => Nil
+    }
     val t = col(textCol)
     str("type") match {
       case "quality-filter" =>
@@ -47,16 +67,8 @@ object Curation {
         Stage("quality-filter",
           _.filter(TextFunctions.qualityScore(t) >= min))
       case "langid-filter" =>
-        // TOML inline arrays parse to Seq — stringifying one would
-        // yield "List(en, fr)" tokens that match nothing and silently
-        // empty the corpus; accept both forms explicitly
-        val langs = conf.get("langs") match {
-          case Some(s: Seq[Any @unchecked]) => s.map(_.toString.trim)
-          case Some(v) =>
-            v.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-          case None => sys.error("missing option langs")
-        }
-        require(langs.nonEmpty, "langid-filter: empty langs")
+        val langs = cols("langs")
+        require(langs.nonEmpty, "langid-filter: missing/empty langs")
         Stage("langid-filter", _.filter(TextFunctions.langId(t).isin(langs: _*)))
       case "length-filter" =>
         val lo = num("min-tokens", 1).toInt
@@ -142,7 +154,7 @@ object Curation {
         // quality-ordered global token budget — BandedScan.budgetFilter
         // (the banded two-pass prefix sum; shared with the
         // pipe_token_budget query, which pins its plan shape)
-        val budget = num("budget", sys.error("missing option budget")).toLong
+        val budget = lng("budget", sys.error("missing option budget"))
         Stage("token-budget", df =>
           BandedScan.budgetFilter(
             df.withColumn("__ntok", TextFunctions.tokenCount(t).cast("long"))
@@ -157,10 +169,8 @@ object Curation {
         // audit is its own action (eager, before the output write):
         // a gate that only fired lazily inside the write would let
         // partial output land first.
-        val notNull = conf.get("not-null").map(_.toString)
-          .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-        val unique = conf.get("unique").map(_.toString)
-          .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val notNull = cols("not-null")
+        val unique = cols("unique")
         val maxViol = num("max-violations", 0).toLong
         require(notNull.nonEmpty || unique.nonEmpty,
           "validate stage needs not-null and/or unique options")

@@ -295,7 +295,7 @@ object Dedup {
     * ngramJaccardPairs).
     */
   def spanScrub(df: DataFrame, textCol: String, idCol: String,
-      width: Int = 10): DataFrame = {
+      width: Int = 10, maxSpanFreq: Option[Int] = None): DataFrame = {
     val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
     // span keys are xxhash64 over the token-array SLICE — no
     // per-window string re-concatenation and no md5: the window loop
@@ -317,13 +317,36 @@ object Dedup {
     // combine, so a corpus-hot boilerplate span lands in ONE sorted
     // partition (occurrence-proportional), where the agg+join form
     // would pre-shrink it map-side at the cost of tokenizing the
-    // corpus twice. For boilerplate-saturated corpora, cap hot spans
-    // first (the ngramJaccardPairs maxDocFreq pattern) or prefer the
-    // two-pass agg form — measured here, one tokenize pass wins 2.3×.
+    // corpus twice — measured here, one tokenize pass wins 2.3×.
+    // For boilerplate-saturated corpora, pass `maxSpanFreq`: the
+    // capped route below bounds every window partition.
     val wSh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-    val covered = spans
-      .withColumn("cnt", count(lit(1)).over(wSh))
-      .filter(col("cnt") > 1L)
+    val dupSpans = maxSpanFreq match {
+      case None =>
+        spans.withColumn("cnt", count(lit(1)).over(wSh))
+          .filter(col("cnt") > 1L).drop("cnt")
+      case Some(cap) =>
+        // Skew-guarded route (opt-in, second tokenize pass accepted):
+        // a hash aggregate finds spans hotter than `cap` — map-side
+        // partial combine shrinks even a corpus-hot span to one row
+        // per map partition, so the count itself never skews. Hot
+        // spans are duplicated BY DEFINITION (freq > cap ≥ 1), so
+        // their positions come straight from the span rows through a
+        // broadcast semi-join — no shuffle, no window. Only the
+        // anti-joined remainder runs the one-pass window, and there
+        // every sh has ≤ cap occurrences: sorted-partition size is
+        // bounded by cap × (rows per sh), not by boilerplate volume.
+        require(cap >= 1, s"maxSpanFreq must be >= 1, got $cap")
+        val hot = spans.groupBy(col("sh"))
+          .agg(count(lit(1)).as("hcnt"))
+          .filter(col("hcnt") > cap).select(col("sh"))
+        val hotCovered = spans.join(broadcast(hot), Seq("sh"), "left_semi")
+        val cold = spans.join(broadcast(hot), Seq("sh"), "left_anti")
+        val coldDup = cold.withColumn("cnt", count(lit(1)).over(wSh))
+          .filter(col("cnt") > 1L).drop("cnt")
+        hotCovered.unionByName(coldDup)
+    }
+    val covered = dupSpans
       // covered = every (doc, pos) under a duplicated span, clamped
       // at the doc end for the sub-width tail of a short document
       .select(col("id"), explode(sequence(col("start"),

@@ -348,6 +348,81 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
+  /** IVF-pruned PQ top-k — the billion-vector serving layout (FAISS
+    * IVF-PQ, composed per the r5 plan audit): IVF cell pruning cuts
+    * the CANDIDATE COUNT (each query probes only its `nProbe`
+    * nearest cells, vs [[pqTopK]]'s full-corpus ADC scan) while PQ
+    * ADC cuts the CANDIDATE PAYLOAD (m code bytes, never vectors).
+    *
+    * Plan shape: the corpus-side pass computes each vector's cell
+    * AND its code words together, so `cell` travels WITH the codes —
+    * no corpus-sized glue join. The per-query distance table is
+    * replicated onto the query's probe cells (|Q|·nProbe·m·k rows,
+    * query-bounded) and broadcast; joining on (cell, j, code) fuses
+    * the IVF pruning INTO the ADC lookup join — one broadcast hash
+    * join whose probe side streams the corpus codes exactly once.
+    * At 100 TB: corpus never shuffles on a skewed (j, code) key, and
+    * ADC work scales with Σ|probed cell| instead of |Q|×|C|.
+    *
+    * @return (qid, nid, rank) — rank by approx distance asc, ties to
+    *         lowest nid; self-pairs excluded
+    */
+  def ivfPqTopK(corpus: DataFrame, vecCol: String, idCol: String,
+      queryPred: Column, topK: Int, dims: Int, m: Int = 4, k: Int = 16,
+      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val subLen = dims / m
+    require(subLen * m == dims, s"m=$m must divide dims=$dims")
+    val codebook = pqCodebook(corpus, vecCol, idCol, dims, m, k)
+    val centroids = centroidFrame(corpus, vecCol, idCol, nCells)
+    val assigned = cellAssign(corpus, vecCol, idCol, nCells)
+    val subs = assigned.select(col(idCol), col("cell"), posexplode(
+        array((0 until m).map(j =>
+          slice(col(vecCol), j * subLen + 1, subLen)): _*)))
+      .select(col(idCol), col("cell"), col("pos").as("j"),
+        col("col").as("xv"), dot(col("col"), col("col")).as("xx"))
+    val cellCodes = subs.join(broadcast(codebook), Seq("j"))
+      .withColumn("dist",
+        col("xx") - lit(2.0) * dot(col("xv"), col("cv")) + col("cc"))
+      .groupBy(col(idCol), col("cell"), col("j"))
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(col(idCol).as("nid"), col("cell"), col("j"),
+        col("best.code").as("code"))
+    // probe list: nProbe nearest cells per query — |Q|×nCells rows,
+    // bounded by the query set, never the corpus
+    val qprobe = corpus.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        dot(col("qv"), col("cvec")) / (col("qn") * col("cn")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("qid"), col("cid").as("cell"))
+    val dtab = pqSubvectors(corpus.filter(queryPred), vecCol, idCol, dims, m)
+      .withColumnRenamed(idCol, "qid")
+      .join(broadcast(codebook), Seq("j"))
+      .select(col("qid"), col("j"), col("code"),
+        (col("xx") - lit(2.0) * dot(col("xv"), col("cv")) + col("cc"))
+          .as("dist"))
+    val dtabCells = dtab.join(qprobe, Seq("qid"))
+    val perJ = (0 until m).map(j =>
+      max(when(col("j") === j, col("dist"))).as(s"d$j"))
+    // a neighbor lives in exactly one cell and qprobe's (qid, cell)
+    // pairs are distinct, so the (cell, j, code) join cannot
+    // duplicate a (qid, nid, j) contribution
+    val summed = cellCodes.join(broadcast(dtabCells), Seq("cell", "j", "code"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(perJ.head, perJ.tail: _*)
+      .select(col("qid"), col("nid"),
+        (0 until m).map(j => col(s"d$j")).reduce(_ + _).as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
+    summed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
   /** Sign bucket over the first `bits` dimensions: bit i set iff
     * vec[i] > 0. Fixed axis-aligned hyperplanes — deterministic in
     * any engine (random-rotation planes would improve recall but
@@ -398,6 +473,14 @@ object Similarity {
     * fixed-size buffer, which no declarative operator expresses —
     * and ships partitions × 16 KB to the reduce. The driver sees
     * d²/2 longs, never data.
+    *
+    * Capacity bound: a cell accumulates up to ~|xᵢ||xⱼ|·scale per
+    * row, so exactness requires n·max|x|²·scale < Long.MaxValue —
+    * ≈9.2e9 unit-magnitude vectors at the default scale=1e9. The
+    * accumulation uses `Math.addExact`, so exceeding the bound fails
+    * the job loudly instead of wrapping silently; the remedy is a
+    * smaller `scale` (1e6 still gives 6 exact decimal digits and
+    * headroom to ~9e12 rows).
     */
   def gramFixedPoint(df: DataFrame, vecCol: String,
       scale: Double = 1e9): DataFrame = {
@@ -420,7 +503,15 @@ object Similarity {
           val vi = v(i).toDouble
           var j = i
           while (j < d) {
-            acc(idx) += math.floor(vi * v(j).toDouble * scale).toLong
+            // addExact: a unit-magnitude embedding contributes ~scale
+            // per row per cell, so past ~Long.MaxValue/scale rows
+            // (≈9e9 at the 1e9 default) a plain += would wrap
+            // SILENTLY — and correctness here rests on exact sums.
+            // The overflow check is a JIT intrinsic (add + jo), not a
+            // measurable cost; on overflow fail the job loudly: the
+            // fix is a smaller `scale`.
+            acc(idx) = Math.addExact(acc(idx),
+              math.floor(vi * v(j).toDouble * scale).toLong)
             idx += 1
             j += 1
           }
@@ -431,7 +522,7 @@ object Similarity {
     }
     val total = partials.reduce { (a, b) =>
       var i = 0
-      while (i < a.length) { a(i) += b(i); i += 1 }
+      while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
       a
     }
     val rows = for {

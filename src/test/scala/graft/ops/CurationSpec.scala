@@ -188,6 +188,27 @@ class CurationSpec extends SparkSpec {
       e.getMessage.contains("unique(doc_id)"), e.getMessage)
   }
 
+  test("validate accepts idiomatic TOML arrays for not-null/unique") {
+    // not-null = ["doc_id", "text"] must parse as a column LIST —
+    // stringifying the Seq would probe the bogus column 'List(doc_id'
+    val dir = Files.createTempDirectory("curate-val-arr").toString
+    val in = s"$dir/in.parquet"
+    Seq((1L, "one doc here"), (2L, "two docs here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val out = s"$dir/out"
+    val cfg =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "validate"
+         |not-null = ["doc_id", "text"]
+         |unique = ["doc_id"]
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    assert(graft.CurateMain.run(spark, cfg)._1 == 2L)
+  }
+
   test("dedup-near index append lands only after the output write succeeds") {
     val dir = Files.createTempDirectory("curate-idx").toString
     val in = s"$dir/docs.parquet"

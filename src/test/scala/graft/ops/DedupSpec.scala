@@ -185,6 +185,73 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, 0L, ""), (2L, 6L, "x y z w q r")))
   }
 
+  test("span scrub capped route ≡ uncapped on randomized skewed corpora") {
+    // BandedScan-style randomized equivalence: corpora where one
+    // boilerplate passage saturates the corpus (the exact skew the
+    // uncapped window is weak to) must scrub IDENTICALLY through the
+    // maxSpanFreq route, for every width × cap combination.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val boiler = "tos copy all rights reserved inc"
+      val docs = (0 until 40).map { i =>
+        val uniq = Seq.fill(3 + rnd.nextInt(6))(
+          s"w${trial}_${i}_${rnd.nextInt(1000)}").mkString(" ")
+        val parts = rnd.nextInt(3) match {
+          case 0 => s"$boiler $uniq"
+          case 1 => s"$uniq $boiler"
+          case _ => s"$uniq $boiler $uniq"
+        }
+        (i.toLong, parts)
+      }
+      val d = docs.toDF("doc_id", "text")
+      for (width <- Seq(2, 4); cap <- Seq(1, 2, 7)) {
+        def rows(o: org.apache.spark.sql.DataFrame) =
+          o.orderBy($"id").select($"id", $"n_kept", $"scrubbed")
+            .as[(Long, Long, String)].collect().toSeq
+        val un = rows(Dedup.spanScrub(d, "text", "doc_id", width))
+        val capped = rows(Dedup.spanScrub(d, "text", "doc_id", width,
+          maxSpanFreq = Some(cap)))
+        assert(capped == un, s"trial=$trial width=$width cap=$cap")
+      }
+      // the fixture genuinely exercises the hot path: the boilerplate
+      // spans occur in all 40 docs, far above every cap tested
+      import graft.functions.TextFunctions.tokens
+      val hotMax = d.select(posexplode(transform(
+          sequence(lit(0), greatest(size(tokens($"text")) - 2, lit(0))),
+          i => xxhash64(slice(tokens($"text"), i + lit(1), lit(2))))))
+        .groupBy($"col").count().agg(max($"count")).as[Long].head()
+      assert(hotMax >= 40L, s"fixture must contain a corpus-hot span, max=$hotMax")
+    }
+  }
+
+  test("span scrub cap bounds the window-side span frequency") {
+    // Direct bounded-partition property: with maxSpanFreq=cap, every
+    // span hash that reaches the window (the cold remainder) has
+    // frequency ≤ cap — the sorted window partition can never be
+    // boilerplate-proportional. Proven by construction: re-derive
+    // the span frequency table and check the hot/cold split line.
+    val d = (0 until 30).map(i => (i.toLong, s"dup dup dup u$i v$i"))
+      .toDF("doc_id", "text")
+    import graft.functions.TextFunctions.tokens
+    val spans = d.select($"doc_id", posexplode(transform(
+        sequence(lit(0), greatest(size(tokens($"text")) - 2, lit(0))),
+        i => xxhash64(slice(tokens($"text"), i + lit(1), lit(2))))))
+      .select($"doc_id", $"col".as("sh"))
+    val freq = spans.groupBy($"sh").count()
+    val cap = 5
+    val hot = freq.filter($"count" > cap).select($"sh")
+    val coldMax = freq.join(hot, Seq("sh"), "left_anti")
+      .agg(max($"count")).as[Long].head()
+    assert(coldMax <= cap,
+      s"cold side must be freq-bounded by cap=$cap, got $coldMax")
+    // and the capped scrub still matches the uncapped on this corpus
+    def rows(o: org.apache.spark.sql.DataFrame) =
+      o.orderBy($"id").select($"id", $"n_kept", $"scrubbed")
+        .as[(Long, Long, String)].collect().toSeq
+    assert(rows(Dedup.spanScrub(d, "text", "doc_id", 2, Some(cap))) ==
+      rows(Dedup.spanScrub(d, "text", "doc_id", 2)))
+  }
+
   test("embedding cosine pairs find planted near-dup") {
     val vs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

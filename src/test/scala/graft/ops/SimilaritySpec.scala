@@ -125,6 +125,46 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.10, s"ADC recall $recall should beat random (~0.02)")
   }
 
+  test("ivfPqTopK: nProbe=nCells degenerates to pqTopK exactly") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def pairs(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // probing every cell restores the full-corpus ADC scan — same
+    // codebook, same fixed-order fold, so results are bit-identical
+    val full = pairs(Similarity.ivfPqTopK(emb, "embedding", "vec_id",
+      queryPred = col("vec_id") < 50, topK = 10, dims = 64, m = 4, k = 16,
+      nCells = 16, nProbe = 16))
+    val pq = pairs(Similarity.pqTopK(emb, "embedding", "vec_id",
+      queryPred = col("vec_id") < 50, topK = 10, dims = 64, m = 4, k = 16))
+    assert(full == pq)
+  }
+
+  test("ivfPqTopK is partitioning-invariant; pruned recall beats random") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Similarity.ivfPqTopK(df, "embedding", "vec_id",
+        queryPred = col("vec_id") < 50, topK = 10, dims = 64, m = 4, k = 16,
+        nCells = 16, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run(emb.repartition(3))
+    assert(a == run(emb.repartition(13)))
+    // recall vs exact cosine top-10: cell pruning at nProbe=3/16 on
+    // top of untrained PQ codebooks — must still clearly beat the
+    // ~2% random baseline (the point is the plan, not tuned recall)
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id",
+      queryPred = col("vec_id") < 50, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = a.count(brute.contains).toDouble / brute.size
+    assert(recall > 0.05, s"IVF-PQ recall $recall should beat random (~0.02)")
+    // the ADC lookup join must be the broadcast-by-construction form
+    // keyed by (cell, j, code) — the cell equi-join IS the pruning
+    val plan = Similarity.ivfPqTopK(emb, "embedding", "vec_id",
+      queryPred = col("vec_id") < 50, topK = 10, dims = 64, m = 4, k = 16,
+      nCells = 16, nProbe = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("cell"),
+      "expected a broadcast hash join keyed on cell")
+  }
+
   test("gramFixedPoint matches the sequential model and is partitioning-invariant") {
     val data = (0 until 37).map { n =>
       (n.toLong, Array.tabulate(5)(i =>
