@@ -30,8 +30,21 @@ object SchemaEvolution {
 
   /** Apply any DDL rows in the batch to the registry (seq order).
     * Returns the number applied. Driver-side: DDL frequency is
-    * human-scale, the collect is a few rows. */
-  def applyDdl(batch: DataFrame, registry: SchemaRegistry): Int = {
+    * human-scale, the collect is a few rows.
+    *
+    * `forward` receives each parsed statement (with its source db)
+    * AFTER the registry update — the hook where a route-gated
+    * [[graft.sinks.JdbcDdlForwarder]] emits the target-dialect ALTER
+    * so it lands before this batch's (and every later batch's) DML
+    * writes. A forwarding failure propagates and fails the batch
+    * BEFORE its checkpoint commits — the restart replays the DDL,
+    * where the forwarder's metadata probe makes a landed ALTER a
+    * no-op. Note the same at-least-once caveat as the watermark: the
+    * registry skip-guard is in-memory, so `forward` implementations
+    * must tolerate replay (the JDBC forwarder does). */
+  def applyDdl(batch: DataFrame, registry: SchemaRegistry,
+      forward: (String, graft.meta.DdlStatement) => Unit =
+        (_, _) => ()): Int = {
     val stmts = batch.filter(col("op") === DdlOp)
       .select(col("db"), col("after").getItem("sql").as("sql"), col("seq"))
       .orderBy(col("seq"))
@@ -41,7 +54,11 @@ object SchemaEvolution {
       // versions twice and desync tableVersion pinning.
       .filter(_.getLong(2) > registry.ddlWatermark)
     stmts.foreach { r =>
-      registry.applySql(r.getString(1), r.getString(0))
+      val (db, sql) = (r.getString(0), r.getString(1))
+      registry.applySql(sql, db)
+      graft.meta.DdlParser.parse(sql, db).foreach { case (pdb, ss) =>
+        ss.foreach(forward(pdb, _))
+      }
       registry.ddlWatermark = r.getLong(2)
     }
     stmts.length
@@ -83,14 +100,20 @@ object SchemaEvolution {
     unified.select(cols ++ Seq(col("op"), col("seq"), col("pos")): _*)
   }
 
-  /** foreachBatch body with evolution: DDL first, then per-table
-    * version-pinned routing → compaction → sink. */
+  /** foreachBatch body with evolution: DDL first (registry update +
+    * optional target forwarding), then per-table version-pinned
+    * routing → compaction → sink. `forward` defaults to a no-op —
+    * pass a route-gated closure (e.g. wrapping
+    * [[graft.sinks.JdbcDdlForwarder]]) to emit target ALTERs before
+    * the DML lands. */
   def processBatch(batch: DataFrame, registry: SchemaRegistry,
       tables: Seq[(String, String)], sink: Pipeline.BatchSink,
-      batchId: Long): Unit = {
+      batchId: Long,
+      forward: (String, graft.meta.DdlStatement) => Unit =
+        (_, _) => ()): Unit = {
     batch.persist()
     try {
-      applyDdl(batch, registry)
+      applyDdl(batch, registry, forward)
       tables.foreach { case (db, table) =>
         registry.current(db, table).foreach { t =>
           val typed = routedVersioned(batch, db, table, registry)

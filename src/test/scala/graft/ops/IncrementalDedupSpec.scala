@@ -161,4 +161,61 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(accepted.sorted == Seq(1L, 11L),
       s"cross-micro-batch near-dups must drop: $accepted")
   }
+
+  test("crash after index append, before checkpoint commit: replay neither double-indexes nor re-admits") {
+    // The deployment ordering is output-write → index append →
+    // checkpoint commit (the curation CLI's deferred-append
+    // contract). The WORST crash point is after the append and
+    // before the commit: on restart the batch replays against an
+    // index that already contains its own bands. Recovery contract
+    // pinned here: the replay admits nothing (output lands exactly
+    // once), appends nothing (the index does not grow), and the
+    // restarted query keeps deduping later batches correctly.
+    val dir = Files.createTempDirectory("inc-near-crash").toString
+    val (idx, out, ckpt) = (s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    @volatile var crashOnce = true
+    def start() = in.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (novel, bands) = IncrementalDedup
+          .novelNearDup(spark, df, "text", "doc_id", idx)
+        val n = novel.localCheckpoint()
+        val b = bands.localCheckpoint()
+        n.select(col("doc_id")).write.mode("append").parquet(out)
+        IncrementalDedup.appendBandRows(spark, b, idx)
+        if (crashOnce) {
+          crashOnce = false
+          sys.error("simulated crash: index appended, checkpoint not committed")
+        }
+        ()
+      }
+      .start()
+    def outIds: Seq[Long] = spark.read.parquet(out)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val q1 = start()
+    in.addData((1L, near1), (2L, other))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    // the crash landed AFTER both writes: output and index hold
+    // batch 0, but the streaming commit log does not
+    val idxAfterCrash = spark.read.parquet(idx).count()
+    assert(idxAfterCrash > 0L && outIds == Seq(1L, 2L))
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // batch 0 REPLAYS from the checkpoint
+      assert(outIds == Seq(1L, 2L),
+        s"replay must not re-admit batch-0 docs: $outIds")
+      assert(spark.read.parquet(idx).count() == idxAfterCrash,
+        "replay must not append duplicate band rows")
+      // the recovered index still filters: near-copy drops, new passes
+      in.addData((10L, near2),
+        (11L, "brand new corpus content entirely unrelated to the rest"))
+      q2.processAllAvailable()
+      assert(outIds == Seq(1L, 2L, 11L), s"post-recovery dedup broken: $outIds")
+    } finally q2.stop()
+  }
 }

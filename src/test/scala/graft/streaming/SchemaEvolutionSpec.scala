@@ -88,6 +88,101 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(state.toSeq == Seq((1L, Some(10)), (2L, Some(20))))
   }
 
+  test("DDL forwarding: ALTER lands on a live Derby target before the DML that needs it") {
+    // Closes the reference's declared-but-dead DDLMsg path: the
+    // in-stream ALTER is forwarded to a REAL JDBC target (in-memory
+    // Derby) at the top of the batch, so the same batch's post-DDL
+    // rows — which carry the new column — insert cleanly. If the
+    // forwarding ordering were wrong, Derby itself would reject the
+    // INSERT on the unknown column.
+    import graft.meta.TableDef
+    import graft.sinks.{DdlForward, JdbcDdlForwarder}
+    val url = "jdbc:derby:memory:ddlfwd;create=true"
+    def connect() = java.sql.DriverManager.getConnection(url)
+    locally {
+      val c = connect()
+      try {
+        val st = c.createStatement()
+        try st.executeUpdate(
+          """CREATE TABLE "t1" ("id" BIGINT PRIMARY KEY, "k" INTEGER)""")
+        finally st.close()
+      } finally c.close()
+    }
+    val registry = new SchemaRegistry
+    registry.applySql("CREATE TABLE t1 (id BIGINT PRIMARY KEY, k INT)", "db1")
+
+    val logDir = Files.createTempDirectory("evo3-log").toString
+    val ckpt = Files.createTempDirectory("evo3-ckpt").toString
+    Files.write(Paths.get(logDir, "s.jsonl"), Seq(
+      dml(0, 0, """{"id":"1","k":"10"}"""),
+      ddl(1, "ALTER TABLE t1 ADD COLUMN c VARCHAR(20)"),
+      dml(2, 1, """{"id":"2","k":"20","c":"new"}""")
+    ).mkString("\n").getBytes("UTF-8"))
+
+    val fwd = new JdbcDdlForwarder(() => connect(), DdlForward.Derby)
+    val fallbacks = scala.collection.mutable.ArrayBuffer
+      .empty[graft.meta.DdlStatement]
+    // gate per route: only db1.t1 forwards, to target table "t1"
+    val forward: (String, graft.meta.DdlStatement) => Unit = {
+      case ("db1", stmt) if stmt.table == "t1" =>
+        if (!fwd.forward(stmt, TableDef("", "t1", Nil))) fallbacks += stmt
+      case _ => ()
+    }
+    // plain-INSERT Derby sink (the upsert dialect is MySQL's; the
+    // point here is the DDL ordering, and all test ops are inserts)
+    val derbySink = new Pipeline.BatchSink {
+      override def write(batch: org.apache.spark.sql.DataFrame,
+          t: TableDef, batchId: Long): Unit = {
+        val cols = t.columnNames
+        val rows = batch
+          .select(cols.map(org.apache.spark.sql.functions.col): _*)
+          .collect()
+        if (rows.nonEmpty) {
+          val conn = connect()
+          try rows.foreach { r =>
+            val sql = s"""INSERT INTO "${t.name}" """ +
+              cols.map("\"" + _ + "\"").mkString("(", ",", ")") +
+              " VALUES " + cols.map(_ => "?").mkString("(", ",", ")")
+            val ps = conn.prepareStatement(sql)
+            try {
+              cols.zipWithIndex.foreach { case (c, i) =>
+                ps.setObject(i + 1, r.getAs[Any](c))
+              }
+              ps.executeUpdate()
+            } finally ps.close()
+          } finally conn.close()
+        }
+      }
+    }
+    val q = spark.readStream.format("graft-changelog")
+      .option("path", logDir).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        SchemaEvolution.processBatch(b, registry, Seq("db1" -> "t1"),
+          derbySink, id, forward)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    assert(fallbacks.isEmpty, s"ADD COLUMN must forward, not fall back: $fallbacks")
+    // the target evolved AND the post-DDL row landed in the new column
+    val c = connect()
+    try {
+      val rs = c.createStatement().executeQuery(
+        """SELECT "id", "k", "c" FROM "t1" ORDER BY "id"""")
+      val got = Iterator.continually(rs)
+        .takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getInt(2), Option(r.getString(3))))
+        .toList
+      assert(got == List((1L, 10, None), (2L, 20, Some("new"))), got.toString)
+    } finally c.close()
+    // at-least-once replay: re-forwarding the landed ALTER is a no-op
+    import graft.meta.{ColumnDef, DdlStatement => D}
+    assert(fwd.forward(
+      D.AddColumn("t1", ColumnDef("c", "varchar(20)"), D.Default),
+      TableDef("", "t1", Nil)))
+  }
+
   test("replayed batch does not re-apply DDL (at-least-once idempotence)") {
     val registry = new SchemaRegistry
     registry.applySql("CREATE TABLE t1 (id BIGINT PRIMARY KEY, k INT)", "db1")
