@@ -71,6 +71,20 @@ object Binlog {
   val GtidEvent = 33
   val AnonymousGtidEvent = 34
   val PreviousGtidsEvent = 35
+  /** MySQL 8.0.20+ `binlog_transaction_compression`: one event
+    * wrapping a whole (ZSTD-compressed) transaction. */
+  val TransactionPayloadEvent = 40
+
+  // ---- MariaDB dialect event codes (MariaDB KB, "Replication
+  // Protocol"): MariaDB forked the numbering space at 160 ----------------
+  val MariaAnnotateRowsEvent = 160
+  val MariaBinlogCheckpointEvent = 161
+  val MariaGtidEvent = 162
+  val MariaGtidListEvent = 163
+  val MariaStartEncryptionEvent = 164
+  val MariaQueryCompressedEvent = 165
+  val MariaCompressedRowsFirst = 166 // WRITE/UPDATE/DELETE_ROWS_COMPRESSED_V1
+  val MariaCompressedRowsLast = 168
 
   // ---- column type codes (MySQL protocol) ------------------------------
   object Type {
@@ -197,6 +211,75 @@ object Binlog {
       off += h.eventSize
     }
     out.result()
+  }
+
+  /** Frame-walk the events INSIDE a decompressed transaction
+    * payload: no magic, no FDE negotiation, and no per-event CRC —
+    * MySQL writes the wrapped events checksum-free (the wrapper's
+    * own CRC already covered the compressed bytes). */
+  private[sources] def innerEvents(bytes: Array[Byte]): Vector[Event] = {
+    val out = Vector.newBuilder[Event]
+    var off = 0
+    while (off < bytes.length) {
+      require(bytes.length - off >= 19,
+        s"truncated payload event header at $off")
+      val c = new Cursor(bytes, off)
+      val h = Header(c.u32(), c.u8(), c.u32(), c.u32().toInt, c.u32(), c.u16())
+      require(h.eventSize >= 19 && off + h.eventSize <= bytes.length,
+        s"truncated payload event (type ${h.eventType}, size ${h.eventSize}) at $off")
+      out += Event(h,
+        java.util.Arrays.copyOfRange(bytes, off + 19, off + h.eventSize), off)
+      off += h.eventSize
+    }
+    out.result()
+  }
+
+  // TRANSACTION_PAYLOAD on-the-wire field codes (MySQL
+  // libbinlogevents control_events.h, Transaction_payload_event):
+  // lenenc (type, length, value) fields, header closed by END_MARK.
+  private val OtwHeaderEndMark = 0L
+  private val OtwPayloadSizeField = 1L
+  private val OtwCompressionTypeField = 2L
+  private val OtwUncompressedSizeField = 3L
+  private val CompressionZstd = 0L
+  private val CompressionNone = 255L
+
+  /** Decode a TRANSACTION_PAYLOAD body to the uncompressed inner
+    * event bytes. ZSTD (algorithm 0) and NONE (255) are the
+    * documented algorithms; anything else fails loudly. */
+  private[sources] def decodeTransactionPayload(body: Array[Byte]): Array[Byte] = {
+    val c = new Cursor(body, 0)
+    var compression = CompressionNone
+    var payloadSize = -1L
+    var uncompressedSize = -1L
+    var end = false
+    while (!end) {
+      c.lenenc() match {
+        case OtwHeaderEndMark => end = true
+        case t =>
+          val vc = new Cursor(c.bytes(c.lenenc().toInt), 0)
+          t match {
+            case OtwPayloadSizeField => payloadSize = vc.lenenc()
+            case OtwCompressionTypeField => compression = vc.lenenc()
+            case OtwUncompressedSizeField => uncompressedSize = vc.lenenc()
+            case _ => () // unknown TLV fields are skippable by design
+          }
+      }
+    }
+    val payload =
+      if (payloadSize >= 0) c.bytes(payloadSize.toInt) else c.bytes(c.remaining)
+    compression match {
+      case CompressionNone => payload
+      case CompressionZstd =>
+        require(uncompressedSize >= 0,
+          "ZSTD transaction payload without an uncompressed-size field")
+        com.github.luben.zstd.Zstd.decompress(payload, uncompressedSize.toInt)
+      case other => throw new IllegalStateException(
+        s"unsupported transaction payload compression algorithm $other " +
+          "(ZSTD=0 and NONE=255 are the documented values) — set " +
+          "binlog_transaction_compression_level_zstd or disable " +
+          "binlog_transaction_compression on the master")
+    }
   }
 
   // ---- TABLE_MAP -------------------------------------------------------
@@ -551,10 +634,27 @@ object Binlog {
       iv.insert(lo, merged)
     }
 
+    // MariaDB dialect: GTID = domain-server-seqno; the executed set
+    // keeps the max seqno per (domain, server) — MariaDB's
+    // gtid_slave_pos form ("0-1-42,1-2-7"), NOT interval-merged
+    // (seqnos are per-domain monotone on a healthy master)
+    private val maria = mutable.LinkedHashMap[(Long, Long), Long]()
+
+    def addMaria(domain: Long, serverId: Long, seqno: Long): Unit = {
+      val k = (domain, serverId)
+      maria(k) = math.max(seqno, maria.getOrElse(k, Long.MinValue))
+    }
+
+    /** A stream is one dialect or the other; when MariaDB GTIDs are
+      * present they ARE the position (a MySQL-uuid set never coexists
+      * on the same master). */
     def render: String =
-      sids.iterator.map { case (sid, iv) =>
-        sid + ":" + iv.map { case (a, b) => if (a == b) s"$a" else s"$a-$b" }.mkString(":")
-      }.mkString(",")
+      if (maria.nonEmpty)
+        maria.iterator.map { case ((d, s), q) => s"$d-$s-$q" }.mkString(",")
+      else
+        sids.iterator.map { case (sid, iv) =>
+          sid + ":" + iv.map { case (a, b) => if (a == b) s"$a" else s"$a-$b" }.mkString(":")
+        }.mkString(",")
   }
 
   private def sidString(b: Array[Byte]): String = {
@@ -620,7 +720,12 @@ object Binlog {
         r(i).map(name -> _)
       }.toMap
 
-    for (ev <- rawEvents(bytes)) {
+    // One event's handling, factored so TRANSACTION_PAYLOAD can
+    // replay its decompressed inner events through the same path.
+    // `seqOf(i)` assigns row i's sequence; `inR` is the byte-range
+    // decision (inner events inherit the WRAPPER's offset for both —
+    // the wrapper is the unit the stream positions/offsets know).
+    def handle(ev: Event, seqOf: Int => Long, inR: Boolean): Unit = {
       val ts = new java.sql.Timestamp(ev.header.timestamp * 1000L)
       ev.header.eventType match {
         case FormatDescriptionEvent | RotateEvent | XidEvent | AnonymousGtidEvent => ()
@@ -640,6 +745,56 @@ object Binlog {
             while (j < nIv) { gtids.addInterval(sid, c.i64(), c.i64()); j += 1 }
             i += 1
           }
+        // MariaDB dialect: GTID is (domain, server_id from the
+        // header, seqno); GTID_LIST seeds the executed set at the
+        // segment head (≙ PREVIOUS_GTIDS)
+        case MariaGtidEvent =>
+          val c = new Cursor(ev.body, 0)
+          val seqno = c.i64()
+          val domain = c.u32()
+          gtids.addMaria(domain, ev.header.serverId, seqno)
+        case MariaGtidListEvent =>
+          val c = new Cursor(ev.body, 0)
+          val n = (c.u32() & 0x0fffffffL).toInt // low 28 bits = count
+          var i = 0
+          while (i < n) {
+            val domain = c.u32(); val server = c.u32(); val seqno = c.i64()
+            gtids.addMaria(domain, server, seqno)
+            i += 1
+          }
+        case MariaAnnotateRowsEvent | MariaBinlogCheckpointEvent =>
+          () // SQL-text annotation / checkpoint marker: informational
+        case MariaStartEncryptionEvent => throw new IllegalStateException(
+          "encrypted binlog (MariaDB START_ENCRYPTION) is unsupported — " +
+            "decoding would need the key file; disable encrypt_binlog " +
+            "for the replication user")
+        case t if t == MariaQueryCompressedEvent ||
+            (t >= MariaCompressedRowsFirst && t <= MariaCompressedRowsLast) =>
+          throw new IllegalStateException(
+            s"MariaDB per-event compression (event type $t) is unsupported — " +
+              "set log_bin_compress=OFF on the master")
+        case TransactionPayloadEvent =>
+          // MySQL 8.0.20+ binlog_transaction_compression: the whole
+          // transaction (BEGIN..COMMIT minus its GTID event) arrives
+          // as one ZSTD-compressed wrapper. Decompress and replay the
+          // inner events through this same handler. Inner rows number
+          // sequentially across the payload under the WRAPPER's
+          // offset; the guard keeps that dense numbering inside the
+          // wrapper's byte footprint so byte-offset seqs stay unique
+          // (a transaction would need to out-compress its own row
+          // COUNT to trip it — fail loudly rather than collide).
+          var cum = 0
+          val limit = ev.header.eventSize
+          val inner = innerEvents(decodeTransactionPayload(ev.body))
+          inner.foreach { ie =>
+            handle(ie, _ => {
+              require(cum < limit,
+                s"transaction payload at offset ${ev.offset} emits more " +
+                  s"rows ($cum) than its wrapper spans bytes ($limit) — " +
+                  "sequence assignment would collide with the next event")
+              val s = seqOf(cum); cum += 1; s
+            }, inR)
+          }
         case TableMapEvent =>
           val tm = decodeTableMap(ev.body)
           tableMaps(tm.tableId) = tm
@@ -656,9 +811,9 @@ object Binlog {
           val shadow = DdlParser.parse(sql, db).exists {
             case (_, stmts) => stmts.exists(s => DdlParser.isShadowTable(s.table))
           }
-          if (upper != "BEGIN" && upper != "COMMIT" && !shadow && inRange(ev.offset)) {
+          if (upper != "BEGIN" && upper != "COMMIT" && !shadow && inR) {
             out += ChangeEvent(db, "", graft.streaming.SchemaEvolution.DdlOp, ts,
-              gtids.render, mkSeq(ev.offset, 0), 0, Map("sql" -> sql), null)
+              gtids.render, seqOf(0), 0, Map("sql" -> sql), null)
           }
         case t if isRows(t) =>
           val tmPre = {
@@ -669,7 +824,7 @@ object Binlog {
           }
           names.get((tmPre.db, tmPre.table)) match {
             case None => () // unrouted table: skip
-            case Some(conf) if inRange(ev.offset) =>
+            case Some(conf) if inR =>
               // "*" = take names from the COLUMN_NAME metadata TLV —
               // a binlog_row_metadata=FULL segment is self-describing
               val cols =
@@ -687,7 +842,7 @@ object Binlog {
               if (isUpdate(t)) {
                 rows.pairs.zipWithIndex.foreach { case ((before, after), i) =>
                   out += ChangeEvent(tmPre.db, tmPre.table, ChangeEvent.Update, ts,
-                    pos, mkSeq(ev.offset, i), 0,
+                    pos, seqOf(i), 0,
                     img(tmPre, cols, after), img(tmPre, cols, before))
                 }
               } else {
@@ -695,7 +850,7 @@ object Binlog {
                   else ChangeEvent.Delete
                 rows.images.zipWithIndex.foreach { case (r, i) =>
                   out += ChangeEvent(tmPre.db, tmPre.table, op, ts,
-                    pos, mkSeq(ev.offset, i), 0, img(tmPre, cols, r), null)
+                    pos, seqOf(i), 0, img(tmPre, cols, r), null)
                 }
               }
             case Some(_) => () // routed but outside this batch's byte range
@@ -704,6 +859,9 @@ object Binlog {
           () // unknown/auxiliary event types are skippable by design (header carries the size)
       }
     }
+
+    for (ev <- rawEvents(bytes))
+      handle(ev, i => mkSeq(ev.offset, i), inRange(ev.offset))
     out.result()
   }
 }

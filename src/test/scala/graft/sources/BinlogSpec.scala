@@ -193,6 +193,54 @@ object BinlogWriter {
 
   def xid(id: Long): Array[Byte] = new Buf().u64(id).result
 
+  /** Inner-event byte stream for a TRANSACTION_PAYLOAD: 19-byte
+    * headers, payload-relative next_pos, NO checksums — matching how
+    * the server writes the wrapped events. */
+  def innerStream(events: Seq[(Int, Array[Byte])]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    var pos = 0L
+    events.foreach { case (t, b) =>
+      val size = 19 + b.length
+      pos += size
+      out ++= new Buf().u32(1700000000L).u8(t).u32(1).u32(size).u32(pos)
+        .u16(0).result
+      out ++= b
+    }
+    out.toArray
+  }
+
+  /** TRANSACTION_PAYLOAD body: lenenc (type, length, value) TLV
+    * header closed by END_MARK, then the (optionally ZSTD) payload —
+    * the MySQL libbinlogevents on-the-wire layout. */
+  def transactionPayload(inner: Array[Byte], zstd: Boolean,
+      algorithmOverride: Option[Long] = None): Array[Byte] = {
+    val payload =
+      if (zstd) com.github.luben.zstd.Zstd.compress(inner, 3) else inner
+    val b = new Buf()
+    def fld(t: Long, value: Long): Unit = {
+      val vb = new Buf().lenenc(value).result
+      b.lenenc(t).lenenc(vb.length.toLong).raw(vb)
+    }
+    fld(2, algorithmOverride.getOrElse(if (zstd) 0L else 255L))
+    if (zstd) fld(3, inner.length.toLong)
+    fld(1, payload.length.toLong)
+    b.lenenc(0).raw(payload)
+    b.result
+  }
+
+  /** MariaDB GTID_EVENT body: seqno(8) domain(4) flags(1); the
+    * server id rides in the event header. */
+  def mariaGtid(domain: Long, seqno: Long): Array[Byte] =
+    new Buf().u64(seqno).u32(domain).u8(0).result
+
+  /** MariaDB GTID_LIST_EVENT body: count(4, low 28 bits) then
+    * (domain, server, seqno) triples. */
+  def mariaGtidList(entries: Seq[(Long, Long, Long)]): Array[Byte] = {
+    val b = new Buf().u32(entries.length.toLong)
+    entries.foreach { case (d, s, q) => b.u32(d).u32(s).u64(q) }
+    b.result
+  }
+
   /** Split a composed binlog file (magic + frames) into the verbatim
     * event frames a dump stream carries (shared by the wire-session
     * and e2e suites — one frame-walk implementation). */
@@ -530,5 +578,105 @@ class BinlogSpec extends AnyFunSuite {
     val g = new Binlog.GtidSet
     g.add("b", 1); g.add("a", 2); g.add("b", 2)
     assert(g.render == "b:1-2,a:2")
+  }
+
+  // ---- TRANSACTION_PAYLOAD (MySQL 8.0.20+ compression) ----------------
+
+  private def txInner(ids: Long*) = {
+    val cols = Seq(Col(T.Long, 0))
+    Seq(Binlog.QueryEvent -> query("d", "BEGIN"),
+      Binlog.TableMapEvent -> tableMap(3, "d", "t", cols)) ++
+      ids.map(id => Binlog.WriteRowsV2 ->
+        rows(Binlog.WriteRowsV2, 3, 1, Seq(Seq(v(new Buf().u32(id)))))) :+
+      (Binlog.XidEvent -> xid(9))
+  }
+
+  test("decode: ZSTD transaction payload ≡ the same transaction uncompressed") {
+    val names = Map(("d", "t") -> Seq("a"))
+    val plain = mkFile(Seq(Binlog.GtidEvent -> gtid(sidA, 1)) ++ txInner(1, 2))
+    val compressed = mkFile(Seq(
+      Binlog.GtidEvent -> gtid(sidA, 1),
+      Binlog.TransactionPayloadEvent ->
+        transactionPayload(innerStream(txInner(1, 2)), zstd = true)))
+    val a = Binlog.changeEvents(plain, names)
+    val b = Binlog.changeEvents(compressed, names)
+    assert(a == b, s"\nplain: $a\npayload: $b")
+    assert(b.map(_.after("a")) == Vector("1", "2"))
+    assert(b.forall(_.pos == s"$sidAStr:1"))
+  }
+
+  test("decode: uncompressed (NONE) transaction payload decodes too") {
+    val compressed = mkFile(Seq(
+      Binlog.TransactionPayloadEvent ->
+        transactionPayload(innerStream(txInner(7)), zstd = false)))
+    val evs = Binlog.changeEvents(compressed, Map(("d", "t") -> Seq("a")))
+    assert(evs.map(_.after("a")) == Vector("7"))
+  }
+
+  test("decode: unknown payload compression algorithm fails loudly") {
+    val f = mkFile(Seq(Binlog.TransactionPayloadEvent ->
+      transactionPayload(innerStream(txInner(1)), zstd = false,
+        algorithmOverride = Some(7L))))
+    val e = intercept[IllegalStateException](
+      Binlog.changeEvents(f, Map(("d", "t") -> Seq("a"))))
+    assert(e.getMessage.contains("compression algorithm 7"))
+  }
+
+  test("payload byte-range seqs stay unique, monotone, inside the wrapper") {
+    val names = Map(("d", "t") -> Seq("a"))
+    val f = mkFile(Seq(
+      Binlog.TransactionPayloadEvent ->
+        transactionPayload(innerStream(txInner(1, 2, 3)), zstd = true),
+      Binlog.TableMapEvent -> tableMap(3, "d", "t", Seq(Col(T.Long, 0))),
+      Binlog.WriteRowsV2 ->
+        rows(Binlog.WriteRowsV2, 3, 1, Seq(Seq(v(new Buf().u32(99)))))))
+    val evs = Binlog.changeEventsByteRange(f, names, 0L, 0L, Long.MaxValue)
+    val seqs = evs.map(_.seq)
+    assert(evs.map(_.after("a")) == Vector("1", "2", "3", "99"))
+    assert(seqs == seqs.sorted && seqs.distinct == seqs, seqs.toString)
+    // the payload rows' seqs live inside the wrapper's byte span, so
+    // they can never collide with the NEXT event's offset-based seqs
+    val wrapperOff = Binlog.rawEvents(f)
+      .find(_.header.eventType == Binlog.TransactionPayloadEvent).get.offset
+    val wrapperSize = Binlog.rawEvents(f)
+      .find(_.header.eventType == Binlog.TransactionPayloadEvent)
+      .get.header.eventSize
+    assert(seqs.take(3).forall(s =>
+      s >= wrapperOff && s < wrapperOff + wrapperSize))
+  }
+
+  // ---- MariaDB dialect ------------------------------------------------
+
+  test("decode: MariaDB GTIDs render domain-server-seqno; GTID_LIST seeds") {
+    val cols = Seq(Col(T.Long, 0))
+    def ins(id: Long) =
+      rows(Binlog.WriteRowsV2, 3, 1, Seq(Seq(v(new Buf().u32(id)))))
+    val f = mkFile(Seq(
+      Binlog.MariaGtidListEvent -> mariaGtidList(Seq((0L, 1L, 41L))),
+      Binlog.TableMapEvent -> tableMap(3, "d", "t", cols),
+      Binlog.MariaGtidEvent -> mariaGtid(0, 42),
+      Binlog.WriteRowsV2 -> ins(1),
+      Binlog.MariaGtidEvent -> mariaGtid(5, 7),
+      Binlog.WriteRowsV2 -> ins(2)))
+    val evs = Binlog.changeEvents(f, Map(("d", "t") -> Seq("a")))
+    // file() writes server id 1 in every header
+    assert(evs(0).pos == "0-1-42")
+    assert(evs(1).pos == "0-1-42,5-1-7")
+    // ANNOTATE_ROWS / BINLOG_CHECKPOINT are informational: skipped
+    val f2 = mkFile(Seq(
+      Binlog.MariaAnnotateRowsEvent -> "INSERT INTO t VALUES (1)".getBytes(UTF_8),
+      Binlog.MariaBinlogCheckpointEvent ->
+        new Buf().u32(13L).raw("binlog.000001".getBytes(UTF_8)).result))
+    assert(Binlog.changeEvents(f2, Map.empty).isEmpty)
+  }
+
+  test("decode: MariaDB encrypted and per-event-compressed binlogs fail loudly") {
+    val enc = mkFile(Seq(Binlog.MariaStartEncryptionEvent ->
+      new Buf().u8(1).u32(1L).raw(new Array[Byte](12)).result))
+    val e1 = intercept[IllegalStateException](Binlog.changeEvents(enc, Map.empty))
+    assert(e1.getMessage.contains("encrypt"))
+    val comp = mkFile(Seq(166 -> new Buf().u48(3).u16(0).result))
+    val e2 = intercept[IllegalStateException](Binlog.changeEvents(comp, Map.empty))
+    assert(e2.getMessage.contains("compression"))
   }
 }

@@ -331,6 +331,48 @@ class MySqlSessionSpec extends AnyFunSuite {
     } finally master.close()
   }
 
+  test("dump carries a ZSTD transaction payload and MariaDB GTIDs through the wire") {
+    // the features a production 8.0.20+/MariaDB master exercises
+    // first: a compressed transaction wrapper and the MariaDB GTID
+    // dialect, streamed over the real loopback socket and decoded
+    // from the relayed frames
+    import BinlogWriter.{innerStream, mariaGtid, tableMap, transactionPayload,
+      rows, Col, V}
+    val cols = Seq(Col(graft.sources.Binlog.Type.Long, 0))
+    def ins(id: Long) = rows(Binlog.WriteRowsV2, 3, 1,
+      Seq(Seq(V(new Buf().u32(id).result))))
+    val masterFile = BinlogWriter.file(Seq(
+      Binlog.MariaGtidEvent -> mariaGtid(0, 5),
+      Binlog.TransactionPayloadEvent -> transactionPayload(
+        innerStream(Seq(
+          Binlog.QueryEvent -> query("d", "BEGIN"),
+          Binlog.TableMapEvent -> tableMap(3, "d", "t", cols),
+          Binlog.WriteRowsV2 -> ins(11),
+          Binlog.WriteRowsV2 -> ins(12))), zstd = true)))
+    val frames = splitFrames(masterFile)
+    val master = new FakeMaster("secret", Seq(Session(NativeOk,
+      artificialRotate("binlog.000009", 4) +: frames)))
+    try {
+      val c = client(master.port)
+      try {
+        val got = c.dump("binlog.000009", 4).toVector
+        assert(got.map(_.eventType) == Vector(Binlog.RotateEvent,
+          Binlog.FormatDescriptionEvent, Binlog.MariaGtidEvent,
+          Binlog.TransactionPayloadEvent))
+        // reassemble the streamed frames into a segment; the decoder
+        // must expand the compressed transaction and track the
+        // MariaDB position
+        val seg = Binlog.Magic ++
+          got.filterNot(_.artificial).flatMap(_.bytes)
+        val evs = Binlog.changeEvents(seg, Map(("d", "t") -> Seq("a")))
+        assert(evs.map(_.after("a")) == Vector("11", "12"))
+        assert(evs.forall(_.op == "insert"))
+        assert(evs.forall(_.pos == "0-1-5"), evs.map(_.pos).toString)
+      } finally c.close()
+      assert(master.firstFailure.isEmpty, master.firstFailure)
+    } finally master.close()
+  }
+
   test("relay survives a mid-stream death and reproduces the master file byte-identically") {
     val masterFile = BinlogWriter.file(Seq(
       Binlog.QueryEvent -> query("app", "BEGIN"),
