@@ -43,7 +43,8 @@ final class BinlogClient(
     serverId: Long,
     connectTimeoutMs: Int = 10000,
     readTimeoutMs: Int = 0, // 0 = block forever (heartbeats cover liveness)
-    heartbeatSeconds: Int = 30) extends AutoCloseable {
+    heartbeatSeconds: Int = 30,
+    semiSync: Boolean = false) extends AutoCloseable {
 
   private val socket = new Socket()
   socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
@@ -126,13 +127,23 @@ final class BinlogClient(
       .exists(_.equalsIgnoreCase("CRC32"))
     if (heartbeatSeconds > 0)
       exec(s"SET @master_heartbeat_period = ${heartbeatSeconds.toLong * 1000000000L}")
+    // semi-sync capability announcement: the master's semisync plugin
+    // reads this user variable and switches the dump stream to
+    // 0xef-prefixed frames that may request per-event ACKs
+    if (semiSync) exec("SET @rpl_semi_sync_slave = 1")
     io.command(comRegisterSlave(serverId))
     orThrow(io.read())
   }
 
+  /** Dump-stream file coordinate for semi-sync ACKs — seeded by the
+    * dump request, updated by every ROTATE frame (artificial or
+    * real: both name the current file). */
+  @volatile private var dumpFile: String = ""
+
   /** Start a position-based dump. Returns the raw frame iterator. */
   def dump(file: String, pos: Long): Iterator[BinlogClient.Frame] = {
     prepareDump()
+    dumpFile = file
     io.command(comBinlogDump(serverId, file, pos))
     frames()
   }
@@ -162,18 +173,39 @@ final class BinlogClient(
           if (isEof(p)) done = true
           else {
             require((p(0) & 0xff) == 0x00, s"unexpected dump packet lead 0x${(p(0) & 0xff).toHexString}")
-            val bytes = java.util.Arrays.copyOfRange(p, 1, p.length)
+            // semi-sync framing: 0x00, then 0xef + flag, then the
+            // event frame; flag bit 0 = the master is waiting for
+            // this event's ACK (rpl_semi_sync_master_wait_point)
+            var start = 1
+            var ackRequested = false
+            if (semiSync) {
+              require(p.length >= 3 && (p(1) & 0xff) == BinlogClient.SemiSyncMagic,
+                "semi-sync announced but the dump packet lacks the 0xef header")
+              ackRequested = (p(2) & 0x01) != 0
+              start = 3
+            }
+            val bytes = java.util.Arrays.copyOfRange(p, start, p.length)
             require(bytes.length >= 19, s"short binlog frame (${bytes.length} bytes)")
             val c = new Binlog.Cursor(bytes, 0)
             val h = Binlog.Header(c.u32(), c.u8(), c.u32(), c.u32().toInt, c.u32(), c.u16())
+            val frame = BinlogClient.Frame(h, bytes,
+              artificial = (h.flags & BinlogClient.ArtificialFlag) != 0,
+              checksummed = checksummed)
+            if (h.eventType == Binlog.RotateEvent)
+              dumpFile = frame.rotateTarget._1
             if (h.eventType == BinlogClient.HeartbeatEvent ||
                 h.eventType == BinlogClient.HeartbeatEventV2) {
               // liveness only — never relayed
             } else {
-              nextFrame = BinlogClient.Frame(h, bytes,
-                artificial = (h.flags & BinlogClient.ArtificialFlag) != 0,
-                checksummed = checksummed)
+              nextFrame = frame
             }
+            // ACK receipt AFTER the rotate bookkeeping so the ack
+            // names the file the event belongs to; position = the
+            // event's end (next_pos), the coordinate the master's
+            // semisync plugin waits on
+            if (ackRequested)
+              io.command(new ByteWriter().u8(BinlogClient.SemiSyncMagic)
+                .u64(h.nextPos).str(dumpFile).result)
           }
         }
       }
@@ -198,6 +230,8 @@ final class BinlogClient(
 object BinlogClient {
   val HeartbeatEvent = 27
   val HeartbeatEventV2 = 41
+  /** Semi-sync frame/ACK magic byte (semisync plugin wire format). */
+  val SemiSyncMagic = 0xef
   /** LOG_EVENT_ARTIFICIAL_F: server-generated frame (the fake ROTATE
     * that names the file at dump start) — positional metadata, not
     * log content. */

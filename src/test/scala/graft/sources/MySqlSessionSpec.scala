@@ -45,7 +45,8 @@ object FakeMaster {
     * trigger), or "hold" (keep the connection open like a live,
     * currently-quiet master; ends when the server closes). */
   final case class Session(auth: Auth, frames: Seq[Array[Byte]] = Nil,
-      afterFrames: String = "eof", greetPlugin: String = NativePasswordPlugin) {
+      afterFrames: String = "eof", greetPlugin: String = NativePasswordPlugin,
+      semiSync: Boolean = false) {
     require(Set("eof", "die", "hold")(afterFrames), afterFrames)
   }
 
@@ -125,6 +126,35 @@ final class FakeMaster(password: String, sessions: Seq[FakeMaster.Session])
     io.write(FakeMaster.eofPacket)
   }
 
+  /** Stream one dump's frames. In semi-sync mode each frame gets the
+    * 0xef+flag prefix; every non-artificial, non-heartbeat frame
+    * requests an ACK, which is read back and VERIFIED (magic +
+    * position + file) before the next frame goes out — the lock-step
+    * a semisync master actually runs in AFTER_SYNC mode. */
+  private def streamFrames(io: PacketIO, session: Session): Unit =
+    session.frames.foreach { f =>
+      if (session.semiSync) {
+        val artificial = (f(17) & BinlogClient.ArtificialFlag) != 0
+        val heartbeat = (f(4) & 0xff) == BinlogClient.HeartbeatEvent ||
+          (f(4) & 0xff) == BinlogClient.HeartbeatEventV2
+        val wantAck = !artificial && !heartbeat
+        io.write(0x00.toByte +: BinlogClient.SemiSyncMagic.toByte +:
+          (if (wantAck) 1 else 0).toByte +: f)
+        if (wantAck) {
+          io.resetSeq()
+          val ack = io.read()
+          require((ack(0) & 0xff) == BinlogClient.SemiSyncMagic,
+            s"bad semi-sync ack magic 0x${(ack(0) & 0xff).toHexString}")
+          val pos = new Binlog.Cursor(ack, 1).i64()
+          val file = new String(ack, 9, ack.length - 9, UTF_8)
+          val expected = new Binlog.Cursor(f, 13).u32()
+          require(pos == expected,
+            s"semi-sync ack position $pos != event next_pos $expected")
+          log.add(s"ack:$file:$pos")
+        }
+      } else io.write(0x00.toByte +: f)
+    }
+
   private def handle(sock: Socket, session: Session): Unit = {
     val io = new PacketIO(new BufferedInputStream(sock.getInputStream),
       new BufferedOutputStream(sock.getOutputStream))
@@ -183,7 +213,7 @@ final class FakeMaster(password: String, sessions: Seq[FakeMaster.Session])
           val pos = c.u32(); c.u16(); c.u32()
           val file = new String(cmd, c.off, cmd.length - c.off, UTF_8)
           log.add(s"dump:$file:$pos")
-          session.frames.foreach(f => io.write(0x00.toByte +: f))
+          streamFrames(io, session)
           session.afterFrames match {
             case "eof" => io.write(eofPacket)
             case "die" => sock.close(); open = false
@@ -204,7 +234,7 @@ final class FakeMaster(password: String, sessions: Seq[FakeMaster.Session])
             s"$sid[${ivs.mkString(",")}]"
           }
           log.add(s"dumpgtid:${new String(fn, UTF_8)}:${sids.mkString(";")}")
-          session.frames.foreach(f => io.write(0x00.toByte +: f))
+          streamFrames(io, session)
           session.afterFrames match {
             case "eof" => io.write(eofPacket)
             case "die" => sock.close(); open = false
@@ -328,6 +358,54 @@ class MySqlSessionSpec extends AnyFunSuite {
       // wire form: [1,6) and [7,8) — stop is exclusive on the wire
       assert(dumpLog.contains(
         "dumpgtid::3e11fa4771ca11e19e33c80aa9429562[1-6,7-8]"), dumpLog)
+    } finally master.close()
+  }
+
+  test("semi-sync: capability announced, every flagged frame ACKed at its next_pos") {
+    val masterFile = BinlogWriter.file(Seq(
+      Binlog.QueryEvent -> query("app", "CREATE TABLE t (id INT)"),
+      Binlog.XidEvent -> BinlogWriter.xid(5)))
+    val frames = splitFrames(masterFile) // FDE, query, xid
+    val master = new FakeMaster("secret", Seq(Session(NativeOk,
+      artificialRotate("binlog.000007", 4) +:
+        frames.take(2) ++: heartbeatFrame("binlog.000007") +: frames.drop(2),
+      semiSync = true)))
+    try {
+      val c = new BinlogClient("127.0.0.1", master.port, "repl", "secret",
+        serverId = 4321, connectTimeoutMs = 5000, readTimeoutMs = 10000,
+        heartbeatSeconds = 30, semiSync = true)
+      try {
+        val got = c.dump("binlog.000007", 4).toVector
+        // the stream still yields the same frames (heartbeat eaten)
+        assert(got.map(_.eventType) == Vector(Binlog.RotateEvent,
+          Binlog.FormatDescriptionEvent, Binlog.QueryEvent, Binlog.XidEvent))
+        assert(got(2).bytes.sameElements(frames(1)))
+      } finally c.close()
+      val log = master.log.asScala.toVector
+      assert(log.contains("query:SET @rpl_semi_sync_slave = 1"))
+      // the master VERIFIED each ack's position in streamFrames; the
+      // log records one ack per real frame, in order, at next_pos
+      val expected = frames.map(f =>
+        s"ack:binlog.000007:${new Binlog.Cursor(f, 13).u32()}")
+      assert(log.filter(_.startsWith("ack:")) == expected)
+      assert(master.firstFailure.isEmpty, master.firstFailure)
+    } finally master.close()
+  }
+
+  test("semi-sync announced but master streams plain frames: fails loudly") {
+    val frames = splitFrames(BinlogWriter.file(Seq(
+      Binlog.XidEvent -> BinlogWriter.xid(1))))
+    val master = new FakeMaster("secret", Seq(Session(NativeOk,
+      artificialRotate("binlog.000007", 4) +: frames))) // semiSync = false
+    try {
+      val c = new BinlogClient("127.0.0.1", master.port, "repl", "secret",
+        serverId = 4321, connectTimeoutMs = 5000, readTimeoutMs = 10000,
+        heartbeatSeconds = 30, semiSync = true)
+      try {
+        val e = intercept[IllegalArgumentException](
+          c.dump("binlog.000007", 4).toVector)
+        assert(e.getMessage.contains("0xef"))
+      } finally c.close()
     } finally master.close()
   }
 
