@@ -32,7 +32,12 @@ import graft.streaming.{Metrics, MetricsHttp, Pipeline, Registry}
   *    script of CREATE TABLEs applied through the engine's DDL
   *    parser — the file IS the schema snapshot) and/or `default-db`
   *    (≙ the reference's LoadMeta from the live target; a JDBC url in
-  *    the file's place plugs in `JdbcMeta` unchanged)
+  *    the file's place plugs in `JdbcMeta` unchanged). Optional
+  *    `evolve = "true"`: in-stream DDL updates the registry
+  *    (version-pinned decode, no restart) and — with
+  *    `forward-ddl-url` (+ `forward-ddl-dialect`/`-user`/`-password`)
+  *    — forwards column-level ALTERs to the JDBC target before the
+  *    carrying batch's DML lands
   *
   * `--available-now` drains the backlog and exits 0 — the
   * catch-up-then-exit replay mode; without it the daemon runs on the
@@ -87,7 +92,14 @@ object Main {
       m.collect { case (k, v) if !v.isInstanceOf[Map[_, _]] =>
         k -> v.toString }
     val sourceKind = conf.input.getOrElse("type", "changelog").toString match {
-      case "mysql" => "changelog" // binlog tail ≙ changelog source
+      // legacy alias from before the live replication source existed:
+      // a `type="mysql"` block that points at a JSONL path (and names
+      // no master) is the changelog tail. A block with `host` is the
+      // REAL mysql input — relay + wire decode (Registry "mysql");
+      // remapping that one would misroute the shipped sample configs
+      // into a source that requires `path` and fail the daemon.
+      case "mysql" if conf.input.contains("path") &&
+        !conf.input.contains("host") => "changelog"
       case other => other
     }
     val envelope = Metrics.observed(
@@ -109,8 +121,61 @@ object Main {
     // silently re-ingest or skip the outage window on every restart
     val checkpoint = opts.getOrElse("checkpoint",
       Paths.get(configPath).toAbsolutePath.toString + ".checkpoint")
-    val query = Pipeline.start(envelope, conf.routes(registry), sink,
-      checkpoint, trigger)
+    // `[meta] evolve = "true"`: run the schema-evolution batch body —
+    // in-stream DDL applies to the registry (version-pinned decode,
+    // no restart) and optionally FORWARDS to a JDBC target
+    // (`forward-ddl-url` + `forward-ddl-dialect`/-user/-password) so
+    // the target ALTERs before the same batch's DML lands. The DDL
+    // connection is deliberately separate from the data path — e.g.
+    // StarRocks/Doris take data over stream-load HTTP but DDL over
+    // their MySQL-protocol FE port.
+    val evolve = conf.meta.get("evolve").exists(_.toString.toBoolean)
+    val query = if (!evolve) {
+      Pipeline.start(envelope, conf.routes(registry), sink, checkpoint, trigger)
+    } else {
+      require(conf.transforms.isEmpty &&
+        conf.routers.forall(_.sourceColumns.isEmpty),
+        "[meta] evolve=true does not compose with transforms/column " +
+          "mappers yet — evolution routes project through the registry")
+      val pairs = conf.routers.map(r => (r.sourceDb, r.sourceTable)).distinct
+      val forward: (String, graft.meta.DdlStatement) => Unit =
+        conf.meta.get("forward-ddl-url").map(_.toString) match {
+          case Some(url) =>
+            val dialect = graft.sinks.DdlForward.dialect(
+              conf.meta.getOrElse("forward-ddl-dialect", "mysql").toString)
+            // credentials only when configured: a default user would
+            // change the target's DEFAULT SCHEMA on engines that
+            // derive it from the login (Derby: user "root" ⇒ schema
+            // ROOT) and break unqualified table resolution
+            val props = new java.util.Properties()
+            conf.meta.get("forward-ddl-user")
+              .foreach(u => props.setProperty("user", u.toString))
+            conf.meta.get("forward-ddl-password")
+              .foreach(p => props.setProperty("password", p.toString))
+            val fwd = new graft.sinks.JdbcDdlForwarder(
+              () => java.sql.DriverManager.getConnection(url, props), dialect)
+            (db, stmt) => conf.routers
+              .filter(r => r.sourceDb == db && r.sourceTable == stmt.table)
+              .foreach { r =>
+                val landed = fwd.forward(stmt,
+                  graft.meta.TableDef(r.targetDb, r.targetTable, Nil))
+                if (!landed) System.err.println(
+                  s"[graft] DDL on ${r.targetDb}.${r.targetTable} not " +
+                    "expressible in the target dialect — registry updated; " +
+                    "apply the target ALTER via the per-version restart runbook")
+              }
+          case None => (_, _) => ()
+        }
+      envelope.writeStream
+        .queryName("graft-cdc-evolve")
+        .option("checkpointLocation", checkpoint)
+        .trigger(trigger)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.streaming.SchemaEvolution.processBatch(
+            b, registry, pairs, sink, id, forward)
+        }
+        .start()
+    }
 
     sys.addShutdownHook {
       try query.stop() catch { case scala.util.control.NonFatal(_) => () }

@@ -125,7 +125,10 @@ object Registry {
       () => new BinlogClient(
         conf("host"), conf("port").toInt,
         conf.getOrElse("user", "root"), conf.getOrElse("password", ""),
-        conf.getOrElse("serverId", "1337").toLong),
+        conf.getOrElse("serverId", "1337").toLong,
+        // semi-sync: announce the capability and ACK flagged frames
+        // (the master blocks its commits on receipt — AFTER_SYNC)
+        semiSync = conf.getOrElse("semiSync", "false").toBoolean),
       start,
       retryBackoffMs = conf.getOrElse("retryBackoffMs", "1000").toLong,
       maxRetries = conf.getOrElse("maxRetries", "-1").toInt)

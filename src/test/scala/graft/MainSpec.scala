@@ -123,4 +123,82 @@ class MainSpec extends SparkSpec {
     assert(state.toSeq == Seq((1L, 11)),
       "binlog-decoded update wins for id 1, delete removes id 2")
   }
+
+  test("[meta] evolve=true: in-stream DDL evolves the sink and forwards to a live JDBC target") {
+    val dir = Files.createTempDirectory("main-evolve")
+    val logDir = dir.resolve("log"); Files.createDirectories(logDir)
+    val sinkDir = dir.resolve("sink").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val url = "jdbc:derby:memory:mainfwd;create=true"
+    locally {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        try st.executeUpdate(
+          """CREATE TABLE "items" ("id" BIGINT PRIMARY KEY, "v" INTEGER)""")
+        finally st.close()
+      } finally c.close()
+    }
+
+    def dml(seq: Long, ver: Int, after: String): String =
+      s"""{"db":"shop","table":"items","op":"insert","ts":${1700000000000L + seq},""" +
+        s""""pos":"g:$seq","seq":$seq,"tableVersion":$ver,"after":$after,"before":null}"""
+    def ddl(seq: Long, sql: String): String =
+      s"""{"db":"shop","table":"items","op":"ddl","ts":${1700000000000L + seq},""" +
+        s""""pos":"g:$seq","seq":$seq,"tableVersion":0,"after":{"sql":"$sql"},"before":null}"""
+    Files.write(logDir.resolve("s.jsonl"), Seq(
+      dml(0, 0, """{"id":"1","v":"10"}"""),
+      ddl(1, "ALTER TABLE items ADD COLUMN note varchar(16)"),
+      dml(2, 1, """{"id":"2","v":"20","note":"hi"}""")
+    ).mkString("\n").getBytes("UTF-8"))
+
+    val ddlFile = dir.resolve("schema.sql")
+    Files.write(ddlFile,
+      "CREATE TABLE shop.items (id bigint primary key, v int);"
+        .getBytes("UTF-8"))
+
+    val toml = dir.resolve("pipeline.toml")
+    Files.write(toml,
+      s"""[input]
+         |type = "changelog"
+         |path = "$logDir"
+         |
+         |[output]
+         |type = "parquet-upsert"
+         |dir = "$sinkDir"
+         |
+         |[meta]
+         |ddl-file = "$ddlFile"
+         |default-db = "shop"
+         |evolve = "true"
+         |forward-ddl-url = "$url"
+         |forward-ddl-dialect = "derby"
+         |
+         |[[routers]]
+         |source-schema = "shop"
+         |source-table = "items"
+         |target-schema = ""
+         |target-table = "items"
+         |""".stripMargin.getBytes("UTF-8"))
+
+    Main.main(Array(
+      "--config", toml.toString,
+      "--checkpoint", ckpt,
+      "--metrics-port", "0",
+      "--available-now"))
+
+    // the parquet state evolved: the post-DDL row carries `note`,
+    // the pre-DDL row null-fills it
+    val state = spark.read.parquet(s"$sinkDir/shop.items")
+      .select($"id", $"v", $"note").as[(Long, Int, Option[String])]
+      .collect().sortBy(_._1)
+    assert(state.toSeq == Seq((1L, 10, None), (2L, 20, Some("hi"))))
+    // and the ALTER reached the live Derby target
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.getMetaData.getColumns(null, null, "items", "note")
+      try assert(rs.next(), "forwarded ALTER must land on the target")
+      finally rs.close()
+    } finally c.close()
+  }
 }
