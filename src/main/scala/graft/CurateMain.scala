@@ -38,7 +38,19 @@ object CurateMain {
 
   /** Assemble + run; returns (output rows, per-stage funnel). Public
     * and driver-free so tests exercise the full config path without
-    * a JVM spawn. */
+    * a JVM spawn.
+    *
+    * `[input] stream = "true"` switches to INCREMENTAL ingestion:
+    * the input dir becomes a file-stream source with a persistent
+    * checkpoint (default `<output.dir>.checkpoint`), so re-running
+    * the same config processes only files that landed since the last
+    * run — the continuous-crawl shape — and the output APPENDS.
+    * Every configured stage must be per-batch-sound
+    * ([[Curation.Stage.streamable]]): row-local filters, split,
+    * decontaminate, and the index-backed dedups (whose persisted
+    * indexes make "seen before" global across batches AND runs);
+    * corpus-global stages are refused loudly rather than silently
+    * weakened to batch-local decisions. */
   def run(spark: SparkSession, configText: String): (Long, Seq[(String, Long)]) = {
     val tree = Toml.parseTree(configText)
     def opt(path: String): Option[String] =
@@ -48,23 +60,60 @@ object CurateMain {
     val textCol = opt("input.text-column").getOrElse("text")
     val outDir = opt("output.dir").getOrElse(sys.error("required: output.dir"))
     val partitionBy = opt("output.partition-by")
+    val streaming = opt("input.stream").exists(_.toBoolean)
 
     val stages = Toml.tablesAt(tree, "stages")
       .map(Curation.stage(_, textCol, idCol, spark))
-    val (curated, observations) =
-      Curation.assemble(spark.read.parquet(inPath), stages)
 
-    val writer = curated.write.mode("overwrite")
-    partitionBy.fold(writer)(c => writer.partitionBy(c)).parquet(outDir)
-    // external side effects (near-dup index append) land ONLY after
-    // the output write succeeded — a failed run must not mutate
-    // anything a re-run depends on
-    stages.foreach(_.postCommit())
-
-    val funnel = observations.map { case (name, ob) =>
-      name -> ob.get.apply("n").asInstanceOf[Long]
+    if (!streaming) {
+      val (curated, observations) =
+        Curation.assemble(spark.read.parquet(inPath), stages)
+      val writer = curated.write.mode("overwrite")
+      partitionBy.fold(writer)(c => writer.partitionBy(c)).parquet(outDir)
+      // external side effects (near-dup index append) land ONLY after
+      // the output write succeeded — a failed run must not mutate
+      // anything a re-run depends on
+      stages.foreach(_.postCommit())
+      val funnel = observations.map { case (name, ob) =>
+        name -> ob.get.apply("n").asInstanceOf[Long]
+      }
+      (funnel.last._2, funnel)
+    } else {
+      val bad = stages.filterNot(_.streamable).map(_.name)
+      require(bad.isEmpty,
+        s"stages not streamable (corpus-global semantics): " +
+          s"${bad.mkString(", ")} — use the index-backed dedup modes " +
+          "or run these in a batch pass over the accumulated output")
+      val ckpt = opt("input.checkpoint").getOrElse(outDir + ".checkpoint")
+      // schema from the files already present (a file-stream source
+      // needs one up front); the stream then watches for NEW files
+      val schema = spark.read.parquet(inPath).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger",
+          opt("input.max-files-per-trigger").getOrElse("1000"))
+        .parquet(inPath)
+      val totals = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      val q = src.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // same ordering contract as the batch path, per micro-batch:
+          // stages → output write → index postCommit
+          val (curated, observations) = Curation.assemble(batch, stages)
+          val writer = curated.write.mode("append")
+          partitionBy.fold(writer)(c => writer.partitionBy(c)).parquet(outDir)
+          stages.foreach(_.postCommit())
+          observations.foreach { case (name, ob) =>
+            totals(name) = totals.getOrElse(name, 0L) +
+              ob.get.apply("n").asInstanceOf[Long]
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val funnel = totals.toSeq
+      (funnel.lastOption.map(_._2).getOrElse(0L), funnel)
     }
-    (funnel.last._2, funnel)
   }
 
   def main(args: Array[String]): Unit = {

@@ -23,9 +23,17 @@ object Curation {
 
   /** `postCommit` runs AFTER the caller's output write succeeds —
     * for stages with external side effects (the near-dup index
-    * append) that must not land when the run fails downstream. */
+    * append) that must not land when the run fails downstream.
+    * `streamable` marks stages whose semantics hold PER MICRO-BATCH:
+    * row-local filters, deterministic split, decontaminate (the eval
+    * set is fixed), and the index-backed dedups (history lives in
+    * the persisted index, so "seen before" is global across batches
+    * and runs). Corpus-global stages (un-indexed dedup, span-scrub,
+    * domain-cap, token-budget, validate-unique) are NOT — applied
+    * per batch they would silently weaken to batch-local decisions,
+    * so the streaming runner refuses them loudly. */
   final case class Stage(name: String, apply: DataFrame => DataFrame,
-      postCommit: () => Unit = () => ())
+      postCommit: () => Unit = () => (), streamable: Boolean = false)
 
   /** Compile one TOML stage table into a combinator. `idCol`/
     * `textCol` name the corpus columns. Unknown types fail loudly —
@@ -65,16 +73,20 @@ object Curation {
       case "quality-filter" =>
         val min = num("min-score", 0.5)
         Stage("quality-filter",
-          _.filter(TextFunctions.qualityScore(t) >= min))
+          _.filter(TextFunctions.qualityScore(t) >= min),
+          streamable = true)
       case "langid-filter" =>
         val langs = cols("langs")
         require(langs.nonEmpty, "langid-filter: missing/empty langs")
-        Stage("langid-filter", _.filter(TextFunctions.langId(t).isin(langs: _*)))
+        Stage("langid-filter",
+          _.filter(TextFunctions.langId(t).isin(langs: _*)),
+          streamable = true)
       case "length-filter" =>
         val lo = num("min-tokens", 1).toInt
         val hi = num("max-tokens", Int.MaxValue).toInt
         Stage("length-filter",
-          _.filter(TextFunctions.tokenCount(t).between(lo, hi)))
+          _.filter(TextFunctions.tokenCount(t).between(lo, hi)),
+          streamable = true)
       case "repetition-filter" =>
         val max = num("max-rep-ratio", 0.5)
         Stage("repetition-filter", df => df.filter(
@@ -82,13 +94,33 @@ object Curation {
             size(sh) === 0 ||
               (lit(1.0) - size(array_distinct(sh)).cast("double")
                 / size(sh).cast("double")) <= max
-          }))
+          }), streamable = true)
       case "dedup-exact" =>
-        Stage("dedup-exact", df => {
-          val keep = Dedup.exactByFingerprint(df, textCol, idCol)
-            .select(col("keep_id").as(idCol))
-          df.join(keep, Seq(idCol), "left_semi")
-        })
+        conf.get("index-dir") match {
+          case Some(dir) =>
+            // incremental mode: the persisted fingerprint index
+            // decides — "never train on a document twice" across
+            // batches AND runs. Append deferred to postCommit, same
+            // contract as the near-dup index stage.
+            val pending =
+              new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+            Stage("dedup-exact-index", df => {
+              val winners = IncrementalDedup
+                .novel(spark, df, textCol, idCol, dir.toString)
+              pending.set(winners
+                .select(col("fp"), col("bucket"), col(idCol).as("keep_id"))
+                .localCheckpoint())
+              winners.drop("fp", "bucket")
+            }, () => Option(pending.get).foreach(w =>
+              IncrementalDedup.appendFpRows(spark, w, dir.toString)),
+              streamable = true)
+          case None =>
+            Stage("dedup-exact", df => {
+              val keep = Dedup.exactByFingerprint(df, textCol, idCol)
+                .select(col("keep_id").as(idCol))
+              df.join(keep, Seq(idCol), "left_semi")
+            })
+        }
       case "dedup-near" =>
         conf.get("index-dir") match {
           case Some(dir) =>
@@ -105,7 +137,8 @@ object Curation {
               pending.set(bands.localCheckpoint())
               novelDocs
             }, () => Option(pending.get).foreach(b =>
-              IncrementalDedup.appendBandRows(spark, b, dir.toString)))
+              IncrementalDedup.appendBandRows(spark, b, dir.toString)),
+              streamable = true)
           case None =>
             // corpus mode: LSH candidates → components → keeper-only
             Stage("dedup-near", df => {
@@ -136,7 +169,7 @@ object Curation {
             spark.read.parquet(evalPath), textCol, idCol, n)
             .filter(col("contaminated")).select(col("id").as(idCol))
           df.join(hits, Seq(idCol), "left_anti")
-        })
+        }, streamable = true)
       case "domain-cap" =>
         // at most K docs per source, deterministic hash order — the
         // C4/CCNet mega-domain guard; rank-then-filter touches each
@@ -201,7 +234,7 @@ object Curation {
           df.withColumn("split",
             when(b < train, "train")
               .when(b < train + valid, "valid").otherwise("test"))
-        })
+        }, streamable = true)
       case other => sys.error(
         s"unknown curation stage type '$other' — a silently skipped " +
           "stage would corrupt the corpus; fix the config")

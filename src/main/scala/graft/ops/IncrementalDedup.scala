@@ -105,6 +105,17 @@ object IncrementalDedup {
     }
   }
 
+  /** Append accepted fingerprint rows (`fp`, `bucket`, `keep_id`) to
+    * the index. Split out so callers with their OWN commit point —
+    * the curation CLI appends only after its output write lands —
+    * can defer the index mutation past it (≙ [[appendBandRows]]). */
+  def appendFpRows(spark: SparkSession, rows: DataFrame,
+      indexDir: String, nBuckets: Int = 64): Unit = {
+    rows.select(col("fp"), col("bucket"), col("keep_id"))
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(indexDir)
+    checkOrWriteBucketMarker(spark, indexDir, nBuckets)
+  }
+
   /** [[novel]] + append the accepted fingerprints to the index.
     * Returns the novel docs (WITHOUT the fp/bucket helper columns). */
   def acceptNovel(spark: SparkSession, batch: DataFrame, textCol: String,
@@ -114,9 +125,9 @@ object IncrementalDedup {
     // and come back empty
     val n = novel(spark, batch, textCol, idCol, indexDir, nBuckets)
       .localCheckpoint()
-    n.select(col("fp"), col("bucket"), col(idCol).as("keep_id"))
-      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(indexDir)
-    checkOrWriteBucketMarker(spark, indexDir, nBuckets)
+    appendFpRows(spark,
+      n.select(col("fp"), col("bucket"), col(idCol).as("keep_id")),
+      indexDir, nBuckets)
     n.drop("fp", "bucket")
   }
 
@@ -223,6 +234,51 @@ object IncrementalDedup {
         col("keep_id"), col("bucket"))
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(indexDir)
     checkOrWriteBucketMarker(spark, indexDir, nBuckets)
+  }
+
+  /** Offline index compaction — the maintenance pass the scaladoc
+    * above promises: at-least-once replays append DUPLICATE index
+    * rows (harmless for membership — the anti-join only asks "is
+    * this key present" — but they accumulate forever). Rewrites the
+    * index with one row per key (min `keep_id`, deterministic),
+    * preserving the bucket-partitioned layout, its pruning, and the
+    * `_graft_buckets` marker. Works on BOTH layouts (exact-fp and
+    * near-dup bands: the key is every column except `keep_id`).
+    *
+    * Crash-safe staging swap (the LakeLayout discipline, over the
+    * index's own Hadoop FS): write `.compacting`, move live →
+    * `.old`, move staging → live, drop `.old`; an interrupted swap
+    * is recovered (live restored from `.old`) before any new work.
+    */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    val (hfs, p) = fs(spark, indexDir)
+    val old = new org.apache.hadoop.fs.Path(indexDir + ".old")
+    val staging = new org.apache.hadoop.fs.Path(indexDir + ".compacting")
+    // recover an interrupted swap: live missing, only copy in .old
+    if (!hfs.exists(p) && hfs.exists(old))
+      require(hfs.rename(old, p), s"failed to recover $indexDir from .old")
+    if (!hfs.exists(p)) return
+    if (hfs.exists(staging)) hfs.delete(staging, true)
+    val idx = spark.read.parquet(indexDir)
+    import org.apache.spark.sql.functions.{col, min}
+    val keyCols = idx.columns.filterNot(_ == "keep_id").toSeq
+    require(keyCols.contains("bucket"),
+      s"$indexDir does not look like a graft dedup index (no bucket column)")
+    idx.groupBy(keyCols.map(col): _*)
+      .agg(min(col("keep_id")).as("keep_id"))
+      .write.partitionBy("bucket").parquet(staging.toString)
+    // carry the layout marker into the staged copy before the swap
+    val marker = new org.apache.hadoop.fs.Path(p, "_graft_buckets")
+    if (hfs.exists(marker))
+      org.apache.hadoop.fs.FileUtil.copy(hfs, marker, hfs,
+        new org.apache.hadoop.fs.Path(staging, "_graft_buckets"),
+        false, spark.sessionState.newHadoopConf())
+    if (hfs.exists(old)) hfs.delete(old, true)
+    require(hfs.rename(p, old), s"compactIndex: could not stage out $indexDir")
+    require(hfs.rename(staging, p),
+      s"compactIndex: could not swap in compacted index at $indexDir — " +
+        s"live data is at $old")
+    hfs.delete(old, true)
   }
 
   /** [[novelNearDup]] + append every survivor's band rows to the

@@ -209,6 +209,53 @@ class CurationSpec extends SparkSpec {
     assert(graft.CurateMain.run(spark, cfg)._1 == 2L)
   }
 
+  test("streaming mode: re-runs process only NEW files; indexes dedup across runs") {
+    val dir = Files.createTempDirectory("curate-stream").toString
+    val (in, out, idx) = (s"$dir/in", s"$dir/out", s"$dir/index")
+    def cfg(extraStage: String = "") =
+      s"""[input]
+         |path = "$in"
+         |stream = "true"
+         |[[stages]]
+         |type = "length-filter"
+         |min-tokens = 3
+         |[[stages]]
+         |type = "dedup-exact"
+         |index-dir = "$idx"
+         |$extraStage
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    // run 1: two good docs land as the first files
+    Seq((1L, good1), (2L, corpus(5)._2)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    val (n1, f1) = graft.CurateMain.run(spark, cfg())
+    assert(n1 == 2L, f1.toString)
+    // run 2: a NEW file arrives — an exact replay of doc 1 (new id),
+    // one genuinely new doc, one too-short doc
+    Seq((3L, good1),
+      (4L, "a brand new document with enough tokens to survive"),
+      (5L, "hi")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    val (n2, f2) = graft.CurateMain.run(spark, cfg())
+    // ONLY the new file was read (checkpoint), and the fp index
+    // dropped the cross-RUN duplicate
+    assert(f2.head._2 == 3L, s"run 2 must see only the new file: $f2")
+    assert(n2 == 1L, s"replayed doc must drop via the index: $f2")
+    val ids = spark.read.parquet(out)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L), ids.toString)
+    // run 3: nothing new → nothing processed, output unchanged
+    val (n3, _) = graft.CurateMain.run(spark, cfg())
+    assert(n3 == 0L && spark.read.parquet(out).count() == 3)
+    // corpus-global stages are refused loudly in stream mode
+    val e = intercept[IllegalArgumentException] {
+      graft.CurateMain.run(spark, cfg(
+        extraStage = "[[stages]]\ntype = \"dedup-near\"\n"))
+    }
+    assert(e.getMessage.contains("not streamable"), e.getMessage)
+  }
+
   test("dedup-near index append lands only after the output write succeeds") {
     val dir = Files.createTempDirectory("curate-idx").toString
     val in = s"$dir/docs.parquet"

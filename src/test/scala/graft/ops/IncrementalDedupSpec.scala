@@ -2,6 +2,8 @@ package graft.ops
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
@@ -160,6 +162,42 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally q.stop()
     assert(accepted.sorted == Seq(1L, 11L),
       s"cross-micro-batch near-dups must drop: $accepted")
+  }
+
+  test("compactIndex collapses replay duplicates, keeps membership and pruning") {
+    val idx = Files.createTempDirectory("inc-compact").toString + "/index"
+    val b1 = Seq((1L, near1), (2L, other)).toDF("doc_id", "text")
+    assert(IncrementalDedup
+      .acceptNovelNearDup(spark, b1, "text", "doc_id", idx).count() == 2)
+    // simulate at-least-once replays re-appending the same band rows
+    val (_, bands) = IncrementalDedup
+      .novelNearDup(spark, b1, "text", "doc_id", idx)
+    // novelNearDup on an indexed batch yields no survivors — rebuild
+    // the original rows by re-reading the index itself and appending
+    val raw = spark.read.parquet(idx)
+    raw.write.mode("append").partitionBy("bucket")
+      .parquet(idx) // duplicate every row once
+    val before = spark.read.parquet(idx).count()
+    assert(bands.count() == 0 && before > 0 && before % 2 == 0)
+
+    IncrementalDedup.compactIndex(spark, idx)
+    val after = spark.read.parquet(idx).count()
+    assert(after == before / 2, s"expected $before/2 rows, got $after")
+    // membership survives: replaying batch 1 still yields zero novel,
+    // a near-copy still drops, a new doc still passes
+    assert(IncrementalDedup
+      .acceptNovelNearDup(spark, b1, "text", "doc_id", idx).count() == 0)
+    val b2 = Seq((10L, near2), (11L, "fresh words never seen anywhere here"))
+      .toDF("doc_id", "text")
+    val a2 = IncrementalDedup
+      .acceptNovelNearDup(spark, b2, "text", "doc_id", idx)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(a2 == Seq(11L), s"near-copy must still drop after compaction: $a2")
+    // the bucket marker and partitioned layout survive the swap
+    val markerPath = java.nio.file.Paths.get(idx, "_graft_buckets")
+    assert(java.nio.file.Files.exists(markerPath))
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(idx))
+      .iterator().asScala.exists(_.getFileName.toString.startsWith("bucket=")))
   }
 
   test("crash after index append, before checkpoint commit: replay neither double-indexes nor re-admits") {

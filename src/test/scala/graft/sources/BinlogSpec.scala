@@ -228,6 +228,32 @@ object BinlogWriter {
     b.result
   }
 
+  /** ROWS body with EXPLICIT present-bitmaps — the
+    * binlog_row_image=MINIMAL shape where the before image carries
+    * only PK columns and the after image only changed columns. Each
+    * image Seq must list exactly the PRESENT columns' values. */
+  def rowsPartial(eventType: Int, tableId: Long,
+      present1: Seq[Boolean], present2: Seq[Boolean],
+      images: Seq[Seq[Val]]): Array[Byte] = {
+    val n = present1.length
+    val b = new Buf().u48(tableId).u16(0)
+    if (eventType >= Binlog.WriteRowsV2) b.u16(2)
+    b.lenenc(n)
+    b.bitmap(present1)
+    if (eventType == Binlog.UpdateRowsV2 || eventType == Binlog.UpdateRowsV1)
+      b.bitmap(present2)
+    val isUpd = eventType == Binlog.UpdateRowsV2 ||
+      eventType == Binlog.UpdateRowsV1
+    images.zipWithIndex.foreach { case (img, idx) =>
+      val present = if (isUpd && idx % 2 == 1) present2 else present1
+      require(img.length == present.count(identity),
+        s"image ${img.length} values != ${present.count(identity)} present")
+      b.bitmap(img.map(_ == Null))
+      img.foreach { case V(bytes) => b.raw(bytes); case Null => () }
+    }
+    b.result
+  }
+
   /** MariaDB GTID_EVENT body: seqno(8) domain(4) flags(1); the
     * server id rides in the event header. */
   def mariaGtid(domain: Long, seqno: Long): Array[Byte] =
@@ -578,6 +604,35 @@ class BinlogSpec extends AnyFunSuite {
     val g = new Binlog.GtidSet
     g.add("b", 1); g.add("a", 2); g.add("b", 2)
     assert(g.render == "b:1-2,a:2")
+  }
+
+  test("decode: binlog_row_image=MINIMAL — sparse before/after images") {
+    // MINIMAL: update before image = PK columns only, after image =
+    // changed columns only; the present-bitmaps say which. Absent
+    // columns must drop out of the maps (None), NOT decode garbage.
+    val cols = Seq(Col(T.Long, 0), Col(T.Long, 0), Col(T.Varchar, 10))
+    val tm = tableMap(3, "d", "t", cols)
+    val body = rowsPartial(Binlog.UpdateRowsV2, 3,
+      present1 = Seq(true, false, false),   // before: id only
+      present2 = Seq(false, true, true),    // after: v + s changed
+      images = Seq(
+        Seq(v(new Buf().u32(7))),                                  // before
+        Seq(v(new Buf().u32(42)),
+          v(new Buf().u8(2).raw("hi".getBytes(UTF_8))))))          // after
+    val f = mkFile(Seq(Binlog.TableMapEvent -> tm,
+      Binlog.UpdateRowsV2 -> body))
+    val evs = Binlog.changeEvents(f, Map(("d", "t") -> Seq("id", "v", "s")))
+    assert(evs.length == 1 && evs.head.op == "update")
+    assert(evs.head.before == Map("id" -> "7"))
+    assert(evs.head.after == Map("v" -> "42", "s" -> "hi"))
+    // delete under MINIMAL: PK-only single image
+    val del = rowsPartial(Binlog.DeleteRowsV2, 3,
+      present1 = Seq(true, false, false), present2 = Nil,
+      images = Seq(Seq(v(new Buf().u32(9)))))
+    val f2 = mkFile(Seq(Binlog.TableMapEvent -> tm,
+      Binlog.DeleteRowsV2 -> del))
+    val evs2 = Binlog.changeEvents(f2, Map(("d", "t") -> Seq("id", "v", "s")))
+    assert(evs2.head.op == "delete" && evs2.head.after == Map("id" -> "9"))
   }
 
   // ---- TRANSACTION_PAYLOAD (MySQL 8.0.20+ compression) ----------------
