@@ -96,12 +96,24 @@ object CurateMain {
       val q = src.writeStream
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
           // same ordering contract as the batch path, per micro-batch:
-          // stages → output write → index postCommit
+          // stages → output write → index postCommit. The write is
+          // IDEMPOTENT under replay: rows land in an
+          // `__ingest_batch=<id>` partition with dynamic partition
+          // overwrite, so a batch replayed after a crash between the
+          // output write and the checkpoint commit OVERWRITES its own
+          // partition instead of appending duplicates (foreachBatch
+          // is at-least-once; a plain append would double-admit —
+          // the column doubles as ingestion provenance).
           val (curated, observations) = Curation.assemble(batch, stages)
-          val writer = curated.write.mode("append")
-          partitionBy.fold(writer)(c => writer.partitionBy(c)).parquet(outDir)
+          val parts = Seq("__ingest_batch") ++ partitionBy.toSeq
+          curated
+            .withColumn("__ingest_batch",
+              org.apache.spark.sql.functions.lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(parts: _*).parquet(outDir)
           stages.foreach(_.postCommit())
           observations.foreach { case (name, ob) =>
             totals(name) = totals.getOrElse(name, 0L) +

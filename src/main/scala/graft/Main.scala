@@ -138,6 +138,10 @@ object Main {
         "[meta] evolve=true does not compose with transforms/column " +
           "mappers yet — evolution routes project through the registry")
       val pairs = conf.routers.map(r => (r.sourceDb, r.sourceTable)).distinct
+      // DML must land under the ROUTE'S TARGET name — the same table
+      // the forwarded DDL alters — not the source's
+      val targetNames = conf.routers.map(r =>
+        (r.sourceDb, r.sourceTable) -> (r.targetDb, r.targetTable)).toMap
       val forward: (String, graft.meta.DdlStatement) => Unit =
         conf.meta.get("forward-ddl-url").map(_.toString) match {
           case Some(url) =>
@@ -172,7 +176,7 @@ object Main {
         .trigger(trigger)
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
           graft.streaming.SchemaEvolution.processBatch(
-            b, registry, pairs, sink, id, forward)
+            b, registry, pairs, sink, id, forward, targetNames)
         }
         .start()
     }

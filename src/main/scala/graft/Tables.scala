@@ -41,10 +41,18 @@ object Tables {
   @volatile var mode: String = sys.env.getOrElse("SPARK_GRAFT_TABLES", "path")
 
   /** Catalog database name for one testdata scale dir (each sfDir
-    * registers into its own namespace). */
-  def catalogDb(sfDir: String): String =
+    * registers into its own namespace). Sanitization alone is NOT
+    * injective (`/data/sf-1` and `/data/sf_1` both flatten to
+    * `data_sf_1`) and a collision would silently serve the FIRST
+    * dir's data for the second — so the raw path's digest is part of
+    * the name. */
+  def catalogDb(sfDir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
     "graft_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
-      .replaceAll("^_+|_+$", "")
+      .replaceAll("^_+|_+$", "") + "_" + digest
+  }
 
   /** Register every testdata table as an EXTERNAL catalog table over
     * its parquet location. Unpartitioned here because the generated

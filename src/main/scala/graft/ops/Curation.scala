@@ -105,15 +105,21 @@ object Curation {
             val pending =
               new java.util.concurrent.atomic.AtomicReference[DataFrame]()
             Stage("dedup-exact-index", df => {
+              // novel() returns a MATERIALIZED frame; hold it so
+              // postCommit can both append from it and release its
+              // checkpoint blocks (a long streaming run calls this
+              // once per micro-batch — leaked blocks would pin
+              // executor storage for the session lifetime)
               val winners = IncrementalDedup
                 .novel(spark, df, textCol, idCol, dir.toString)
-              pending.set(winners
-                .select(col("fp"), col("bucket"), col(idCol).as("keep_id"))
-                .localCheckpoint())
+              pending.set(winners)
               winners.drop("fp", "bucket")
-            }, () => Option(pending.get).foreach(w =>
-              IncrementalDedup.appendFpRows(spark, w, dir.toString)),
-              streamable = true)
+            }, () => Option(pending.getAndSet(null)).foreach { w =>
+              IncrementalDedup.appendFpRows(spark,
+                w.select(col("fp"), col("bucket"), col(idCol).as("keep_id")),
+                dir.toString)
+              w.unpersist()
+            }, streamable = true)
           case None =>
             Stage("dedup-exact", df => {
               val keep = Dedup.exactByFingerprint(df, textCol, idCol)
@@ -129,16 +135,21 @@ object Curation {
             // output write lands): appending during assembly would
             // blacklist the batch's docs permanently even when the
             // run fails before producing output.
-            val pending =
-              new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+            val pending = new java.util.concurrent.atomic
+              .AtomicReference[(DataFrame, DataFrame)]()
             Stage("dedup-near-index", df => {
               val (novelDocs, bands) = IncrementalDedup
                 .novelNearDup(spark, df, textCol, idCol, dir.toString)
-              pending.set(bands.localCheckpoint())
+              pending.set((novelDocs, bands)) // both materialized
               novelDocs
-            }, () => Option(pending.get).foreach(b =>
-              IncrementalDedup.appendBandRows(spark, b, dir.toString)),
-              streamable = true)
+            }, () => Option(pending.getAndSet(null)).foreach {
+              case (n, b) =>
+                IncrementalDedup.appendBandRows(spark, b, dir.toString)
+                // release both checkpoints — postCommit runs after
+                // the output write, so nothing re-reads them; see
+                // dedup-exact-index for the per-batch leak rationale
+                b.unpersist(); n.unpersist()
+            }, streamable = true)
           case None =>
             // corpus mode: LSH candidates → components → keeper-only
             Stage("dedup-near", df => {

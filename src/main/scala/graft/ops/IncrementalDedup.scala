@@ -72,9 +72,19 @@ object IncrementalDedup {
 
   /** Check `batch` against the index at `indexDir` WITHOUT mutating
     * it: returns the batch's novel docs (first-id winner per
-    * fingerprint within the batch, then anti-join on the index). */
+    * fingerprint within the batch, then anti-join on the index).
+    * The returned frame is MATERIALIZED (localCheckpoint) — safe to
+    * consume after a subsequent index append, and the internal
+    * working checkpoint is released before returning (a streaming
+    * caller invokes this once per micro-batch; leaked blocks would
+    * otherwise pin executor storage for the session lifetime).
+    * `materialize = false` returns the LAZY membership plan instead
+    * (plan inspection / diagnostics): the caller must consume it
+    * before any index append, and the working checkpoint stays
+    * pinned. */
   def novel(spark: SparkSession, batch: DataFrame, textCol: String,
-      idCol: String, indexDir: String, nBuckets: Int = 64): DataFrame = {
+      idCol: String, indexDir: String, nBuckets: Int = 64,
+      materialize: Boolean = true): DataFrame = {
     val (hfs, p) = fs(spark, indexDir)
     if (hfs.exists(p)) checkOrWriteBucketMarker(spark, indexDir, nBuckets)
     val fps = batch
@@ -98,10 +108,16 @@ object IncrementalDedup {
       // proportional, not index-proportional
       val touched = winners.select(col("bucket")).distinct()
         .collect().map(_.getLong(0))
-      winners.join(
+      val joined = winners.join(
         idx.filter(col("bucket").isin(touched.toIndexedSeq: _*))
           .select(col("fp"), col("bucket")),
         Seq("bucket", "fp"), "left_anti")
+      if (!materialize) joined
+      else {
+        val out = joined.localCheckpoint()
+        winners.unpersist()
+        out
+      }
     }
   }
 
@@ -117,14 +133,12 @@ object IncrementalDedup {
   }
 
   /** [[novel]] + append the accepted fingerprints to the index.
-    * Returns the novel docs (WITHOUT the fp/bucket helper columns). */
+    * Returns the novel docs (WITHOUT the fp/bucket helper columns).
+    * `novel` already returns a materialized frame, so the append
+    * cannot make the result anti-join against its own fingerprints. */
   def acceptNovel(spark: SparkSession, batch: DataFrame, textCol: String,
       idCol: String, indexDir: String, nBuckets: Int = 64): DataFrame = {
-    // materialize BEFORE the index append: a lazy result re-evaluated
-    // after the append would anti-join against its own fingerprints
-    // and come back empty
     val n = novel(spark, batch, textCol, idCol, indexDir, nBuckets)
-      .localCheckpoint()
     appendFpRows(spark,
       n.select(col("fp"), col("bucket"), col(idCol).as("keep_id")),
       indexDir, nBuckets)
@@ -220,7 +234,14 @@ object IncrementalDedup {
       .drop("keep_id")
     val appendBands = survivorBands.join(
       labeled.select(col(idCol), col("keep_id")), Seq(idCol))
-    (novelDocs, appendBands)
+    // materialize the RESULTS and release the working checkpoint:
+    // per-micro-batch callers would otherwise pin `b`'s blocks for
+    // the session lifetime, and materialized returns are also what
+    // makes "append after" safe for every caller
+    val novelCp = novelDocs.localCheckpoint()
+    val bandsCp = appendBands.localCheckpoint()
+    b.unpersist()
+    (novelCp, bandsCp)
   }
 
   /** Append band rows (the second frame of [[novelNearDup]]) to the
@@ -259,6 +280,15 @@ object IncrementalDedup {
       require(hfs.rename(old, p), s"failed to recover $indexDir from .old")
     if (!hfs.exists(p)) return
     if (hfs.exists(staging)) hfs.delete(staging, true)
+    // an index created by an empty first batch holds only the marker
+    // and _SUCCESS — nothing to compact, and schema inference over
+    // zero data files would throw (novel() defends the same case
+    // with an explicit schema; here the layout could be either)
+    val it = hfs.listFiles(p, true)
+    var hasData = false
+    while (!hasData && it.hasNext)
+      hasData = it.next().getPath.getName.endsWith(".parquet")
+    if (!hasData) return
     val idx = spark.read.parquet(indexDir)
     import org.apache.spark.sql.functions.{col, min}
     val keyCols = idx.columns.filterNot(_ == "keep_id").toSeq
@@ -282,16 +312,15 @@ object IncrementalDedup {
   }
 
   /** [[novelNearDup]] + append every survivor's band rows to the
-    * index. Returns the novel (keeper) docs. */
+    * index. Returns the novel (keeper) docs (already materialized by
+    * novelNearDup, so the append cannot re-evaluate them). */
   def acceptNovelNearDup(spark: SparkSession, batch: DataFrame,
       textCol: String, idCol: String, indexDir: String,
       nBuckets: Int = 64): DataFrame = {
     val (novelDocs, appendBands) =
       novelNearDup(spark, batch, textCol, idCol, indexDir, nBuckets)
-    // materialize BEFORE the append (same re-evaluation hazard as
-    // acceptNovel)
-    val n = novelDocs.localCheckpoint()
-    appendBandRows(spark, appendBands.localCheckpoint(), indexDir, nBuckets)
-    n
+    appendBandRows(spark, appendBands, indexDir, nBuckets)
+    appendBands.unpersist()
+    novelDocs
   }
 }

@@ -158,12 +158,21 @@ final class JdbcDdlForwarder(connect: () => Connection,
     }
 
   /** Case-insensitive metadata probe (Derby folds unquoted
-    * identifiers to upper case; MySQL keeps them as created). */
+    * identifiers to upper case; MySQL keeps them as created).
+    * DatabaseMetaData.getColumns treats its arguments as LIKE
+    * patterns, so `_`/`%` in identifiers must be escaped — an
+    * unescaped probe for column `a_b` would match a sibling `acb`
+    * and flip the replay-idempotence decision the wrong way. */
   private def columnExists(conn: Connection, target: TableDef,
       column: String): Boolean = {
     val md = conn.getMetaData
+    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+    def q(id: String): String = id
+      .replace(esc, esc + esc)
+      .replace("_", esc + "_")
+      .replace("%", esc + "%")
     def probe(s: String, t: String, c: String): Boolean = {
-      val rs = md.getColumns(null, if (s.isEmpty) null else s, t, c)
+      val rs = md.getColumns(null, if (s.isEmpty) null else q(s), q(t), q(c))
       try rs.next() finally rs.close()
     }
     probe(target.schema, target.name, column) ||

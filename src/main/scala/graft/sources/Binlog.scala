@@ -686,7 +686,10 @@ object Binlog {
       names: Map[(String, String), Seq[String]],
       seqBase: Long = 0L): Vector[ChangeEvent] = {
     var seq = seqBase
-    emitCore(bytes, names, (_, _) => { seq += 1; seq }, _ => true)
+    // counter-based seqs: dense, no byte-space constraint — a
+    // compressed transaction may emit arbitrarily many rows
+    emitCore(bytes, names, (_, _) => { seq += 1; seq }, _ => true,
+      boundedSeqSpace = false)
   }
 
   /** Byte-position variant for the streaming source: an event is
@@ -704,13 +707,15 @@ object Binlog {
       fromByte: Long,
       untilByte: Long): Vector[ChangeEvent] =
     emitCore(bytes, names, (off, row) => segBase | (off + row),
-      off => off >= fromByte && off < untilByte)
+      off => off >= fromByte && off < untilByte,
+      boundedSeqSpace = true)
 
   private def emitCore(
       bytes: Array[Byte],
       names: Map[(String, String), Seq[String]],
       mkSeq: (Long, Int) => Long,
-      inRange: Long => Boolean): Vector[ChangeEvent] = {
+      inRange: Long => Boolean,
+      boundedSeqSpace: Boolean): Vector[ChangeEvent] = {
     val tableMaps = mutable.Map[Long, TableMap]()
     val gtids = new GtidSet
     val out = Vector.newBuilder[ChangeEvent]
@@ -779,19 +784,27 @@ object Binlog {
           // as one ZSTD-compressed wrapper. Decompress and replay the
           // inner events through this same handler. Inner rows number
           // sequentially across the payload under the WRAPPER's
-          // offset; the guard keeps that dense numbering inside the
-          // wrapper's byte footprint so byte-offset seqs stay unique
-          // (a transaction would need to out-compress its own row
-          // COUNT to trip it — fail loudly rather than collide).
+          // offset. Only the BYTE-OFFSET seq scheme (the streaming
+          // source) needs the dense numbering to stay inside the
+          // wrapper's byte footprint — past it, row seqs would
+          // collide with the next event's and per-key compaction
+          // order could invert, so that path fails loudly with the
+          // workaround. The counter-based batch path (changeEvents /
+          // BinlogFiles) has no such constraint and ingests
+          // arbitrarily large compressed transactions.
           var cum = 0
           val limit = ev.header.eventSize
           val inner = innerEvents(decodeTransactionPayload(ev.body))
           inner.foreach { ie =>
             handle(ie, _ => {
-              require(cum < limit,
+              require(!boundedSeqSpace || cum < limit,
                 s"transaction payload at offset ${ev.offset} emits more " +
-                  s"rows ($cum) than its wrapper spans bytes ($limit) — " +
-                  "sequence assignment would collide with the next event")
+                  s"rows ($cum) than its wrapper spans bytes ($limit): " +
+                  "the streaming source's byte-offset sequence space " +
+                  "cannot stay unique — ingest this segment through the " +
+                  "batch binlog-files path, or disable " +
+                  "binlog_transaction_compression for ultra-compressible " +
+                  "bulk loads")
               val s = seqOf(cum); cum += 1; s
             }, inR)
           }

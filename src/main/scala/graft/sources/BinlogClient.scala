@@ -165,9 +165,24 @@ final class BinlogClient(
     new Iterator[BinlogClient.Frame] {
       private var nextFrame: BinlogClient.Frame = _
       private var done = false
+      // Deferred semi-sync ACK: a DATA frame's ack is held until the
+      // NEXT advance() — i.e. until the consumer has taken the frame
+      // and come back for more. In the relay loop (next → append →
+      // hasNext) that is AFTER the durable relay append, which is
+      // the point AFTER_SYNC semantics require: an ack on raw
+      // socket receipt would let the master commit a transaction no
+      // replica copy of which survives a crash in between.
+      private var pendingAck: Long = -1L
+
+      private def flushAck(): Unit = if (pendingAck >= 0) {
+        io.command(new ByteWriter().u8(BinlogClient.SemiSyncMagic)
+          .u64(pendingAck).str(dumpFile).result)
+        pendingAck = -1L
+      }
 
       private def advance(): Unit = {
         nextFrame = null
+        flushAck()
         while (nextFrame == null && !done) {
           val p = orThrow(io.read())
           if (isEof(p)) done = true
@@ -193,19 +208,19 @@ final class BinlogClient(
               checksummed = checksummed)
             if (h.eventType == Binlog.RotateEvent)
               dumpFile = frame.rotateTarget._1
-            if (h.eventType == BinlogClient.HeartbeatEvent ||
-                h.eventType == BinlogClient.HeartbeatEventV2) {
-              // liveness only — never relayed
-            } else {
-              nextFrame = frame
+            val isHeartbeat = h.eventType == BinlogClient.HeartbeatEvent ||
+              h.eventType == BinlogClient.HeartbeatEventV2
+            if (!isHeartbeat) nextFrame = frame
+            if (ackRequested) {
+              // position = the event's end (next_pos), the coordinate
+              // the master's semisync plugin waits on. Heartbeats are
+              // content-free → ack immediately; data frames defer to
+              // the next advance() (see pendingAck above).
+              if (isHeartbeat)
+                io.command(new ByteWriter().u8(BinlogClient.SemiSyncMagic)
+                  .u64(h.nextPos).str(dumpFile).result)
+              else pendingAck = h.nextPos
             }
-            // ACK receipt AFTER the rotate bookkeeping so the ack
-            // names the file the event belongs to; position = the
-            // event's end (next_pos), the coordinate the master's
-            // semisync plugin waits on
-            if (ackRequested)
-              io.command(new ByteWriter().u8(BinlogClient.SemiSyncMagic)
-                .u64(h.nextPos).str(dumpFile).result)
           }
         }
       }

@@ -67,13 +67,16 @@ object SchemaEvolution {
   /** Route + type a batch with version-pinned decoding: each
     * tableVersion group projects through ITS schema version, then
     * all groups align onto the current shape via unionByName with
-    * null-fill. */
+    * null-fill. Carries the envelope's op/seq/pos/ts metadata — the
+    * SAME contract as [[Pipeline.routed]], so every sink that reads
+    * `ts` (kafka/canal/lake provenance) works under evolution too. */
   def routedVersioned(batch: DataFrame, db: String, table: String,
       registry: SchemaRegistry): DataFrame = {
+    val meta = Seq(col("op"), col("seq"), col("pos"), col("ts"))
     val routed = batch.filter(col("db") === db && col("table") === table &&
       col("op") =!= DdlOp)
     val current = registry.current(db, table).getOrElse(
-      return routed.select(col("op"), col("seq"), col("pos")))
+      return routed.select(meta: _*))
     val versions = routed.select(col("tableVersion")).distinct()
       .collect().map(_.getInt(0)).sorted
     val frames = versions.toSeq.map { v =>
@@ -87,17 +90,17 @@ object SchemaEvolution {
           .as(registry.nameAt(db, table, v, current.version, c.name))
       }
       routed.filter(col("tableVersion") === v)
-        .select(typedCols ++ Seq(col("op"), col("seq"), col("pos")): _*)
+        .select(typedCols ++ meta: _*)
     }
     val unified = frames.reduceOption(
       _.unionByName(_, allowMissingColumns = true))
-      .getOrElse(routed.select(col("op"), col("seq"), col("pos")))
+      .getOrElse(routed.select(meta: _*))
     // align to the current column order, null-filling columns that
     // no present version carries
     val cols = current.columnNames.map(n =>
       if (unified.columns.contains(n)) col(n)
       else lit(null).cast(current.column(n).get.sparkType).as(n))
-    unified.select(cols ++ Seq(col("op"), col("seq"), col("pos")): _*)
+    unified.select(cols ++ meta: _*)
   }
 
   /** foreachBatch body with evolution: DDL first (registry update +
@@ -110,14 +113,21 @@ object SchemaEvolution {
       tables: Seq[(String, String)], sink: Pipeline.BatchSink,
       batchId: Long,
       forward: (String, graft.meta.DdlStatement) => Unit =
-        (_, _) => ()): Unit = {
+        (_, _) => (),
+      targetNames: Map[(String, String), (String, String)] = Map.empty)
+      : Unit = {
     batch.persist()
     try {
       applyDdl(batch, registry, forward)
       tables.foreach { case (db, table) =>
         registry.current(db, table).foreach { t =>
           val typed = routedVersioned(batch, db, table, registry)
-          sink.write(Pipeline.compacted(typed, t), t, batchId)
+          // the sink names its destination from the TableDef — apply
+          // the route's target-rename so DML lands where the
+          // forwarded DDL went, not under the source's name
+          val (tdb, ttable) = targetNames.getOrElse((db, table), (db, table))
+          val target = t.copy(schema = tdb, name = ttable)
+          sink.write(Pipeline.compacted(typed, t), target, batchId)
         }
       }
     } finally batch.unpersist()

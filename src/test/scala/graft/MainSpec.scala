@@ -135,7 +135,7 @@ class MainSpec extends SparkSpec {
       try {
         val st = c.createStatement()
         try st.executeUpdate(
-          """CREATE TABLE "items" ("id" BIGINT PRIMARY KEY, "v" INTEGER)""")
+          """CREATE TABLE "tgt"."items" ("id" BIGINT PRIMARY KEY, "v" INTEGER)""")
         finally st.close()
       } finally c.close()
     }
@@ -177,7 +177,7 @@ class MainSpec extends SparkSpec {
          |[[routers]]
          |source-schema = "shop"
          |source-table = "items"
-         |target-schema = ""
+         |target-schema = "tgt"
          |target-table = "items"
          |""".stripMargin.getBytes("UTF-8"))
 
@@ -189,14 +189,16 @@ class MainSpec extends SparkSpec {
 
     // the parquet state evolved: the post-DDL row carries `note`,
     // the pre-DDL row null-fills it
-    val state = spark.read.parquet(s"$sinkDir/shop.items")
+    // DML lands under the ROUTE'S TARGET name — the table the
+    // forwarded DDL altered
+    val state = spark.read.parquet(s"$sinkDir/tgt.items")
       .select($"id", $"v", $"note").as[(Long, Int, Option[String])]
       .collect().sortBy(_._1)
     assert(state.toSeq == Seq((1L, 10, None), (2L, 20, Some("hi"))))
     // and the ALTER reached the live Derby target
     val c = java.sql.DriverManager.getConnection(url)
     try {
-      val rs = c.getMetaData.getColumns(null, null, "items", "note")
+      val rs = c.getMetaData.getColumns(null, "tgt", "items", "note")
       try assert(rs.next(), "forwarded ALTER must land on the target")
       finally rs.close()
     } finally c.close()

@@ -80,8 +80,11 @@ class IncrementalDedupSpec extends SparkSpec {
 
     // a one-doc batch touches ONE bucket: the index scan must read
     // only that partition dir
+    // materialize=false keeps the membership plan inspectable (the
+    // default checkpoints the result, which would hide the scan)
     val one = Seq((999L, "a brand new doc")).toDF("doc_id", "text")
-    val q = IncrementalDedup.novel(spark, one, "text", "doc_id", idx)
+    val q = IncrementalDedup.novel(spark, one, "text", "doc_id", idx,
+      materialize = false)
     q.collect()
     // descend through AQE wrappers: scans live inside query stages
     import org.apache.spark.sql.execution.SparkPlan
