@@ -156,7 +156,8 @@ object Bench {
       "q_window_running_total", "q_topk_orders", "cdc_compact_agg",
       "cdc_kafka_json_format", "dedup_exact", "dedup_minhash_lsh",
       "dedup_ngram_jaccard", "dedup_simhash", "ann_bruteforce_topk",
-      "ann_ivf_topk", "ann_pq_topk", "text_quality", "pipe_training_prep",
+      "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "text_quality",
+      "pipe_training_prep",
       "multimodal_meta", "dedup_span_scrub", "cdc_lateness_profile",
       "emb_gram_matrix")
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + fmt(v)))

@@ -129,6 +129,20 @@ object CurateMain {
   }
 
   def main(args: Array[String]): Unit = {
+    // maintenance mode: compact a dedup index in place (collapse
+    // at-least-once replay duplicates, crash-safe swap) and exit
+    args.sliding(2).collectFirst {
+      case Array("--compact-index", dir) => dir
+    }.foreach { dir =>
+      val spark = SparkSession.builder()
+        .master(sys.props.getOrElse("spark.master", "local[*]"))
+        .config("spark.ui.enabled", "false").getOrCreate()
+      try {
+        graft.ops.IncrementalDedup.compactIndex(spark, dir)
+        println(s"""{"compacted_index":"$dir"}""")
+      } finally spark.stop()
+      return
+    }
     val configPath = args.sliding(2).collectFirst {
       case Array("--config", p) => p
     }.getOrElse(sys.error("required: --config <curate.toml>"))
