@@ -215,7 +215,7 @@ object Curation {
         // partial output land first.
         val notNull = cols("not-null")
         val unique = cols("unique")
-        val maxViol = num("max-violations", 0).toLong
+        val maxViol = lng("max-violations", 0L)
         require(notNull.nonEmpty || unique.nonEmpty,
           "validate stage needs not-null and/or unique options")
         Stage("validate", df => {

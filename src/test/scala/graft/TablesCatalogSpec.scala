@@ -36,6 +36,45 @@ class TablesCatalogSpec extends SparkSpec {
     } finally Tables.mode = prev
   }
 
+  test("partitioned catalog table prunes partitions through spark.table") {
+    // the claim behind registerCatalog's "add PARTITIONED BY and no
+    // query changes": a partition-valued filter through spark.table
+    // must reach the catalog's partition metadata and prune files —
+    // proven on a partitioned rewrite of the events table
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-part-demo").toString + "/events_p"
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .write.partitionBy("event_type").option("path", dir)
+      .saveAsTable("graft_demo_events_p")
+    try {
+      val all = spark.table("graft_demo_events_p")
+      val one = all.filter(col("event_type") === "click")
+      val total = all.count()
+      val clicks = one.count()
+      assert(clicks > 0 && clicks < total)
+      def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        def leaves(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+          case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+          case qs: QueryStageExec => leaves(qs.plan)
+          case s: FileSourceScanExec => Seq(s)
+          case other => other.children.flatMap(leaves)
+        }
+        val q = df.queryExecution
+        df.collect()
+        leaves(q.executedPlan).map(_.metrics("numFiles").value).max
+      }
+      val allFiles = scannedFiles(all)
+      val prunedFiles = scannedFiles(one)
+      assert(prunedFiles < allFiles,
+        s"expected partition pruning via the catalog: $prunedFiles of $allFiles files")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_demo_events_p")
+  }
+
   test("unknown access mode fails loudly") {
     val prev = Tables.mode
     Tables.mode = "wat"
