@@ -163,11 +163,22 @@ object Similarity {
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
         norm(col(vecCol)).as("cn"))
 
+  /** Resolve the cell space: a TRAINED centroid frame (cid, cvec) —
+    * e.g. [[kmeansRefine]] output — when provided (norms recomputed
+    * here so the caller need not carry them), else the deterministic
+    * first-nCells seed. Every IVF entry point takes this, which is
+    * what makes the kmeansRefine "drop-in" claim real. */
+  private def resolveCentroids(corpus: DataFrame, vecCol: String,
+      idCol: String, nCells: Int, trained: Option[DataFrame]): DataFrame =
+    trained.map(_.select(col("cid"), col("cvec"),
+        norm(col("cvec")).as("cn")))
+      .getOrElse(centroidFrame(corpus, vecCol, idCol, nCells))
+
   def cellAssign(corpus: DataFrame, vecCol: String, idCol: String,
-      nCells: Int): DataFrame = {
-    val centroids = centroidFrame(corpus, vecCol, idCol, nCells)
+      nCells: Int, centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = resolveCentroids(corpus, vecCol, idCol, nCells, centroids)
     corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(cents))
       .withColumn("ccos",
         dot(col(vecCol), col("cvec")) / (col("nrm") * col("cn")))
       .groupBy(col(idCol))
@@ -184,8 +195,9 @@ object Similarity {
     * way.
     */
   def ivfTopK(corpus: DataFrame, vecCol: String, idCol: String,
-      queryPred: Column, k: Int, nCells: Int = 16): DataFrame = {
-    val assigned = cellAssign(corpus, vecCol, idCol, nCells)
+      queryPred: Column, k: Int, nCells: Int = 16,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val assigned = cellAssign(corpus, vecCol, idCol, nCells, centroids)
     val q = assigned.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qv"),
         col("nrm").as("qn"), col("cell"))
@@ -210,10 +222,13 @@ object Similarity {
     * indexes (FAISS nprobe), expressed as a join-key expansion.
     */
   def ivfTopKMultiProbe(corpus: DataFrame, vecCol: String, idCol: String,
-      queryPred: Column, k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    val centroids = centroidFrame(corpus, vecCol, idCol, nCells)
+      queryPred: Column, k: Int, nCells: Int = 16, nProbe: Int = 2,
+      trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    val centroids = resolveCentroids(corpus, vecCol, idCol, nCells,
+      trainedCentroids)
     // corpus assignment: one cell per vector
-    val assigned = cellAssign(corpus, vecCol, idCol, nCells)
+    val assigned = cellAssign(corpus, vecCol, idCol, nCells,
+      trainedCentroids)
     // query probe list: nProbe nearest cells per query. The window
     // ranks |Q|×nCells rows — bounded by the query set, not the
     // corpus.
@@ -369,12 +384,15 @@ object Similarity {
     */
   def ivfPqTopK(corpus: DataFrame, vecCol: String, idCol: String,
       queryPred: Column, topK: Int, dims: Int, m: Int = 4, k: Int = 16,
-      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 2,
+      trainedCentroids: Option[DataFrame] = None): DataFrame = {
     val subLen = dims / m
     require(subLen * m == dims, s"m=$m must divide dims=$dims")
     val codebook = pqCodebook(corpus, vecCol, idCol, dims, m, k)
-    val centroids = centroidFrame(corpus, vecCol, idCol, nCells)
-    val assigned = cellAssign(corpus, vecCol, idCol, nCells)
+    val centroids = resolveCentroids(corpus, vecCol, idCol, nCells,
+      trainedCentroids)
+    val assigned = cellAssign(corpus, vecCol, idCol, nCells,
+      trainedCentroids)
     val subs = assigned.select(col(idCol), col("cell"), posexplode(
         array((0 until m).map(j =>
           slice(col(vecCol), j * subLen + 1, subLen)): _*)))

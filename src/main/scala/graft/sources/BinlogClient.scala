@@ -156,6 +156,28 @@ final class BinlogClient(
     frames()
   }
 
+  /** MariaDB GTID auto-position dump. MariaDB has no
+    * `COM_BINLOG_DUMP_GTID` — the start coordinate registers through
+    * SESSION VARIABLES (`@slave_connect_state` carries the
+    * domain-server-seqno position; `@mariadb_slave_capability`
+    * announces the feature level) and the dump itself is a plain
+    * `COM_BINLOG_DUMP` with an EMPTY file name, which the server
+    * resolves from the variable. The position string is validated
+    * (it is interpolated into a SET statement). */
+  def dumpGtidMaria(gtidPos: String): Iterator[BinlogClient.Frame] = {
+    require(gtidPos.isEmpty ||
+      gtidPos.split(",").forall(_.matches("""\d+-\d+-\d+""")),
+      s"malformed MariaDB GTID position '$gtidPos' " +
+        "(expected domain-server-seqno[,domain-server-seqno...])")
+    prepareDump()
+    exec(s"SET @slave_connect_state = '$gtidPos'")
+    exec("SET @slave_gtid_strict_mode = 0")
+    exec("SET @mariadb_slave_capability = 4")
+    dumpFile = ""
+    io.command(comBinlogDump(serverId, "", 4))
+    frames()
+  }
+
   /** Blocking frame iterator over the dump stream. Each network
     * packet is `0x00` + one verbatim binlog event frame (19-byte
     * header + body [+ CRC]). Heartbeats keep the connection warm but

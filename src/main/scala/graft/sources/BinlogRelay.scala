@@ -144,6 +144,10 @@ final class BinlogRelay(
           // first-ever GTID start: the SERVER resolves the file; the
           // marker is written when the artificial ROTATE names it
           (client.dumpGtid(set), null: String)
+        case (MariaGtid(pos), None) =>
+          // MariaDB dialect: position registers via session vars,
+          // server resolves the file (same marker discipline)
+          (client.dumpGtidMaria(pos), null: String)
         case _ =>
           val (file, pos) = resumed.getOrElse(bootstrap(client))
           writeMarker(dir, file, pos)
@@ -194,8 +198,8 @@ final class BinlogRelay(
     case FilePos(f, p) => (f, p)
     case MasterCurrent =>
       val (f, p, _) = client.masterStatus(); (f, p)
-    case Gtid(_) =>
-      // GTID mode: the server resolves the file; the dump call uses
+    case Gtid(_) | MariaGtid(_) =>
+      // GTID modes: the server resolves the file; the dump call uses
       // the set. Record the master's current file for the marker only.
       val (f, _, _) = client.masterStatus(); (f, 4L)
   }
@@ -215,6 +219,9 @@ object BinlogRelay {
   final case class FilePos(file: String, pos: Long) extends Start
   /** Auto-position from an executed-GTID-set string (reference mode). */
   final case class Gtid(executedSet: String) extends Start
+  /** MariaDB auto-position: `domain-server-seqno[,...]` registered
+    * via `@slave_connect_state` (no COM_BINLOG_DUMP_GTID dialect). */
+  final case class MariaGtid(gtidPos: String) extends Start
   /** Start at the master's current tail (only post-start changes). */
   case object MasterCurrent extends Start
 

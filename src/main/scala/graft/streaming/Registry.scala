@@ -117,6 +117,7 @@ object Registry {
     import graft.sources.{BinlogClient, BinlogRelay}
     val relayDir = java.nio.file.Paths.get(conf("relayDir"))
     val start = conf.get("gtid").map(BinlogRelay.Gtid(_))
+      .orElse(conf.get("mariadbGtid").map(BinlogRelay.MariaGtid(_)))
       .orElse(conf.get("file").map(f =>
         BinlogRelay.FilePos(f, conf.getOrElse("pos", "4").toLong)))
       .getOrElse(BinlogRelay.MasterCurrent)

@@ -165,6 +165,39 @@ class SimilaritySpec extends SparkSpec {
       "expected a broadcast hash join keyed on cell")
   }
 
+  test("trained centroids drop into every IVF entry point") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val trained = Similarity.kmeansRefine(emb, "embedding", "vec_id",
+      nCells = 16, rounds = 1)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // trained single-probe: well-formed, deterministic, invariant
+    val t1 = pairs(Similarity.ivfTopK(emb, "embedding", "vec_id",
+      queryPred = col("vec_id") < 50, k = 5, nCells = 16,
+      centroids = Some(trained)))
+    val t1b = pairs(Similarity.ivfTopK(emb.repartition(7), "embedding",
+      "vec_id", queryPred = col("vec_id") < 50, k = 5, nCells = 16,
+      centroids = Some(trained)))
+    assert(t1.nonEmpty && t1 == t1b)
+    // trained multi-probe at nProbe = nCells degenerates to brute
+    // force REGARDLESS of the cell space — the structural guarantee
+    // that makes any centroid set safe to drop in
+    val allProbe = pairs(Similarity.ivfTopKMultiProbe(emb, "embedding",
+      "vec_id", queryPred = col("vec_id") < 50, k = 5, nCells = 16,
+      nProbe = 16, trainedCentroids = Some(trained)))
+    val brute = pairs(Similarity.bruteForceTopK(emb, "embedding", "vec_id",
+      queryPred = col("vec_id") < 50, k = 5))
+    assert(allProbe == brute)
+    // trained IVF-PQ runs end-to-end with the same degenerate bound
+    val tpq = pairs(Similarity.ivfPqTopK(emb, "embedding", "vec_id",
+      queryPred = col("vec_id") < 50, topK = 5, dims = 64, m = 4, k = 16,
+      nCells = 16, nProbe = 16, trainedCentroids = Some(trained)))
+    val pq = pairs(Similarity.pqTopK(emb, "embedding", "vec_id",
+      queryPred = col("vec_id") < 50, topK = 5, dims = 64, m = 4, k = 16))
+    assert(tpq == pq,
+      "probing every trained cell must equal the full ADC scan")
+  }
+
   test("gramFixedPoint matches the sequential model and is partitioning-invariant") {
     val data = (0 until 37).map { n =>
       (n.toLong, Array.tabulate(5)(i =>

@@ -451,6 +451,51 @@ class MySqlSessionSpec extends AnyFunSuite {
     } finally master.close()
   }
 
+  test("MariaDB auto-position dump registers via session variables, not DUMP_GTID") {
+    import BinlogWriter.{mariaGtid, tableMap, rows, Col, V}
+    val cols = Seq(Col(graft.sources.Binlog.Type.Long, 0))
+    val masterFile = BinlogWriter.file(Seq(
+      Binlog.MariaGtidEvent -> mariaGtid(0, 6),
+      Binlog.TableMapEvent -> tableMap(3, "d", "t", cols),
+      Binlog.WriteRowsV2 -> rows(Binlog.WriteRowsV2, 3, 1,
+        Seq(Seq(V(new Buf().u32(21).result))))))
+    val frames = splitFrames(masterFile)
+    val master = new FakeMaster("secret", Seq(Session(NativeOk,
+      artificialRotate("mariadb-bin.000002", 4) +: frames)))
+    try {
+      val c = client(master.port)
+      try {
+        val got = c.dumpGtidMaria("0-1-5").toVector
+        assert(got.map(_.eventType) == Vector(Binlog.RotateEvent,
+          Binlog.FormatDescriptionEvent, Binlog.MariaGtidEvent,
+          Binlog.TableMapEvent, Binlog.WriteRowsV2))
+        val seg = Binlog.Magic ++
+          got.filterNot(_.artificial).flatMap(_.bytes)
+        val evs = Binlog.changeEvents(seg, Map(("d", "t") -> Seq("a")))
+        assert(evs.map(_.after("a")) == Vector("21"))
+        assert(evs.head.pos == "0-1-6")
+      } finally c.close()
+      val log = master.log.asScala.toVector
+      // the dialect: position via session vars, then a PLAIN dump
+      // with an empty file name — never COM_BINLOG_DUMP_GTID
+      assert(log.contains("query:SET @slave_connect_state = '0-1-5'"))
+      assert(log.contains("query:SET @mariadb_slave_capability = 4"))
+      assert(log.contains("dump::4"), log.filter(_.startsWith("dump")).toString)
+      assert(!log.exists(_.startsWith("dumpgtid:")))
+      assert(master.firstFailure.isEmpty, master.firstFailure)
+    } finally master.close()
+    // a malformed position cannot reach the SET interpolation
+    val master2 = new FakeMaster("secret", Seq(Session(NativeOk)))
+    try {
+      val c2 = client(master2.port)
+      try {
+        val e = intercept[IllegalArgumentException](
+          c2.dumpGtidMaria("0-1-5'; DROP TABLE x"))
+        assert(e.getMessage.contains("malformed MariaDB GTID"))
+      } finally c2.close()
+    } finally master2.close()
+  }
+
   test("relay survives a mid-stream death and reproduces the master file byte-identically") {
     val masterFile = BinlogWriter.file(Seq(
       Binlog.QueryEvent -> query("app", "BEGIN"),
