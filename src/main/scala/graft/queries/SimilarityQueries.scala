@@ -90,6 +90,20 @@ object SimilarityQueries {
         m = 4, k = 16)
         .orderBy(col("qid"), col("rank"))),
 
+    // IVF over TRAINED centroids: one Lloyd round of kmeansRefine
+    // feeds ivfTopK — the full trained-index serving path, oracle-
+    // checked end to end (the decimal-exact refinement is what makes
+    // the trained cell space cross-engine reproducible)
+    "ann_ivf_trained_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val trained = Similarity.kmeansRefine(e, "embedding", "vec_id",
+        nCells = 16, rounds = 1)
+      Similarity.ivfTopK(e, "embedding", "vec_id",
+        queryPred = col("vec_id") < 100, k = 5, nCells = 16,
+        centroids = Some(trained))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // IVF-pruned PQ top-5 (Similarity.ivfPqTopK): the billion-vector
     // serving composition — cell pruning cuts candidates, ADC code
     // lookup cuts payload; one broadcast join keyed (cell, j, code)
@@ -288,6 +302,61 @@ object SimilarityQueries {
          |ranked AS (
          |  SELECT qid, nid,
          |    row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank
+         |  FROM pairs)
+         |SELECT qid, nid, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+    "ann_ivf_trained_topk" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec,
+         |    $sqlNorm AS cn
+         |  FROM embeddings WHERE vec_id < 16),
+         |base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $sqlNorm AS nrm
+         |  FROM embeddings),
+         |scored0 AS (
+         |  SELECT b.vec_id, c.cid, b.v,
+         |    list_dot_product(b.v, c.cvec) / (b.nrm * c.cn) AS ccos
+         |  FROM base b CROSS JOIN cents c),
+         |assigned0 AS (
+         |  SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn
+         |    FROM scored0) x WHERE rn = 1),
+         |dims AS (
+         |  SELECT cell, CAST(i AS INTEGER) - 1 AS pos,
+         |    CAST(v[CAST(i AS INTEGER)] AS DECIMAL(28,12)) AS xd
+         |  FROM assigned0, unnest(range(1, len(v)+1)) AS t(i)),
+         |means AS (
+         |  SELECT cell AS cid, pos,
+         |    CAST(CAST(CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS REAL) AS DOUBLE)
+         |      AS m
+         |  FROM dims GROUP BY cell, pos),
+         |refined0 AS (
+         |  SELECT cid, list(m ORDER BY pos) AS cvec FROM means GROUP BY cid),
+         |refined AS (
+         |  SELECT c.cid, COALESCE(r.cvec, c.cvec) AS cvec
+         |  FROM cents c LEFT JOIN refined0 r ON c.cid = r.cid),
+         |rcent AS (
+         |  SELECT cid, cvec, sqrt(list_dot_product(cvec, cvec)) AS cn
+         |  FROM refined),
+         |scored AS (
+         |  SELECT b.vec_id, r.cid, b.v, b.nrm,
+         |    list_dot_product(b.v, r.cvec) / (b.nrm * r.cn) AS ccos
+         |  FROM base b CROSS JOIN rcent r),
+         |assigned AS (
+         |  SELECT vec_id, v, nrm, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn
+         |    FROM scored) x WHERE rn = 1),
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM assigned q JOIN assigned c
+         |    ON q.cell = c.cell AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 100),
+         |ranked AS (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
          |  FROM pairs)
          |SELECT qid, nid, rank FROM ranked WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
