@@ -136,7 +136,12 @@ object Similarity {
         .select(col("cid"), coalesce(col("next"), col("prev")).as("cvec"))
         .localCheckpoint()
     }
-    cents
+    // ≤ nCells rows by construction (one per seed cid), but the
+    // checkpoint erased that from the plan (LogicalRDD) — the no-op
+    // limit restores a STRUCTURAL bound, so downstream broadcast()
+    // over trained centroids stays provably cardinality-bounded
+    // (PlanShapeSpec's suite-wide hint audit)
+    cents.limit(nCells)
   }
 
   /** Nearest-centroid cell assignment — the shared first stage of
