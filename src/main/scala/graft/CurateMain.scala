@@ -131,15 +131,18 @@ object CurateMain {
   def main(args: Array[String]): Unit = {
     // maintenance mode: compact a dedup index in place (collapse
     // at-least-once replay duplicates, crash-safe swap) and exit
-    args.sliding(2).collectFirst {
-      case Array("--compact-index", dir) => dir
-    }.foreach { dir =>
+    if (args.contains("--compact-index")) {
+      val dir = args.sliding(2).collectFirst {
+        case Array("--compact-index", d) if !d.startsWith("--") => d
+      }.getOrElse(sys.error("--compact-index requires an index directory"))
       val spark = SparkSession.builder()
         .master(sys.props.getOrElse("spark.master", "local[*]"))
         .config("spark.ui.enabled", "false").getOrCreate()
       try {
         graft.ops.IncrementalDedup.compactIndex(spark, dir)
-        println(s"""{"compacted_index":"$dir"}""")
+        // escape: the dir is user input inside a JSON-line contract
+        val esc = dir.replace("\\", "\\\\").replace("\"", "\\\"")
+        println(s"""{"compacted_index":"$esc"}""")
       } finally spark.stop()
       return
     }

@@ -54,7 +54,14 @@ object Curation {
     def lng(k: String, dflt: => Long) = conf.get(k) match {
       case Some(v: Long) => v
       case Some(v: Int) => v.toLong
-      case Some(v) => v.toString.toLong
+      // a whole-valued TOML float (budget = 2.0) parses as Double —
+      // accept it; a fractional one fails NAMING the option
+      case Some(v: Double) if v.isWhole => v.toLong
+      case Some(v) =>
+        try v.toString.toLong
+        catch { case _: NumberFormatException =>
+          sys.error(s"option $k must be an integer, got '$v'")
+        }
       case None => dflt
     }
     // column-list options: a TOML array parses to Seq — stringifying

@@ -172,11 +172,19 @@ object Similarity {
     * e.g. [[kmeansRefine]] output — when provided (norms recomputed
     * here so the caller need not carry them), else the deterministic
     * first-nCells seed. Every IVF entry point takes this, which is
-    * what makes the kmeansRefine "drop-in" claim real. */
+    * what makes the kmeansRefine "drop-in" claim real.
+    *
+    * Contract: the cell space is AT MOST `nCells` centroids — the
+    * limit enforces it structurally, so (a) the broadcast over the
+    * centroid frame stays provably bounded for ANY caller frame and
+    * (b) `nProbe = nCells` provably probes every cell (the
+    * degenerate brute-force bound the specs pin). Pass a frame of
+    * exactly nCells rows (`kmeansRefine(nCells = n)` produces one);
+    * extra rows would NOT silently widen the cell space. */
   private def resolveCentroids(corpus: DataFrame, vecCol: String,
       idCol: String, nCells: Int, trained: Option[DataFrame]): DataFrame =
     trained.map(_.select(col("cid"), col("cvec"),
-        norm(col("cvec")).as("cn")))
+        norm(col("cvec")).as("cn")).limit(nCells))
       .getOrElse(centroidFrame(corpus, vecCol, idCol, nCells))
 
   def cellAssign(corpus: DataFrame, vecCol: String, idCol: String,
@@ -228,19 +236,17 @@ object Similarity {
     */
   def ivfTopKMultiProbe(corpus: DataFrame, vecCol: String, idCol: String,
       queryPred: Column, k: Int, nCells: Int = 16, nProbe: Int = 2,
-      trainedCentroids: Option[DataFrame] = None): DataFrame = {
-    val centroids = resolveCentroids(corpus, vecCol, idCol, nCells,
-      trainedCentroids)
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = resolveCentroids(corpus, vecCol, idCol, nCells, centroids)
     // corpus assignment: one cell per vector
-    val assigned = cellAssign(corpus, vecCol, idCol, nCells,
-      trainedCentroids)
+    val assigned = cellAssign(corpus, vecCol, idCol, nCells, centroids)
     // query probe list: nProbe nearest cells per query. The window
     // ranks |Q|×nCells rows — bounded by the query set, not the
     // corpus.
     val qprobe = corpus.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qv"),
         norm(col(vecCol)).as("qn"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(cents))
       .withColumn("ccos",
         dot(col("qv"), col("cvec")) / (col("qn") * col("cn")))
       .withColumn("crank", row_number().over(
@@ -390,14 +396,12 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, vecCol: String, idCol: String,
       queryPred: Column, topK: Int, dims: Int, m: Int = 4, k: Int = 16,
       nCells: Int = 16, nProbe: Int = 2,
-      trainedCentroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None): DataFrame = {
     val subLen = dims / m
     require(subLen * m == dims, s"m=$m must divide dims=$dims")
     val codebook = pqCodebook(corpus, vecCol, idCol, dims, m, k)
-    val centroids = resolveCentroids(corpus, vecCol, idCol, nCells,
-      trainedCentroids)
-    val assigned = cellAssign(corpus, vecCol, idCol, nCells,
-      trainedCentroids)
+    val cents = resolveCentroids(corpus, vecCol, idCol, nCells, centroids)
+    val assigned = cellAssign(corpus, vecCol, idCol, nCells, centroids)
     val subs = assigned.select(col(idCol), col("cell"), posexplode(
         array((0 until m).map(j =>
           slice(col(vecCol), j * subLen + 1, subLen)): _*)))
@@ -415,7 +419,7 @@ object Similarity {
     val qprobe = corpus.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qv"),
         norm(col(vecCol)).as("qn"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(cents))
       .withColumn("ccos",
         dot(col("qv"), col("cvec")) / (col("qn") * col("cn")))
       .withColumn("crank", row_number().over(

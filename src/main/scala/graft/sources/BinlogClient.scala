@@ -165,8 +165,11 @@ final class BinlogClient(
     * resolves from the variable. The position string is validated
     * (it is interpolated into a SET statement). */
   def dumpGtidMaria(gtidPos: String): Iterator[BinlogClient.Frame] = {
+    // whole-string match: a per-segment split would vacuously pass
+    // "," (split drops trailing empties) and "0-1-5," — fail loudly
+    // here instead of as an obscure server error at dump time
     require(gtidPos.isEmpty ||
-      gtidPos.split(",").forall(_.matches("""\d+-\d+-\d+""")),
+      gtidPos.matches("""\d+-\d+-\d+(,\d+-\d+-\d+)*"""),
       s"malformed MariaDB GTID position '$gtidPos' " +
         "(expected domain-server-seqno[,domain-server-seqno...])")
     prepareDump()

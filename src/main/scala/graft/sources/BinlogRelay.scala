@@ -198,10 +198,14 @@ final class BinlogRelay(
     case FilePos(f, p) => (f, p)
     case MasterCurrent =>
       val (f, p, _) = client.masterStatus(); (f, p)
-    case Gtid(_) | MariaGtid(_) =>
-      // GTID modes: the server resolves the file; the dump call uses
-      // the set. Record the master's current file for the marker only.
-      val (f, _, _) = client.masterStatus(); (f, 4L)
+    case g @ (Gtid(_) | MariaGtid(_)) =>
+      // unreachable by construction: relayOnce serves first-ever GTID
+      // starts via the dump call directly (the SERVER resolves the
+      // file), and resumed sessions never reach bootstrap — keep
+      // that invariant loud instead of shipping dead marker logic
+      throw new IllegalStateException(
+        s"bootstrap() reached with $g — GTID starts are resolved by " +
+          "the master in relayOnce, not bootstrapped locally")
   }
 
   private def openSegment(file: String): SegmentOut = {

@@ -116,6 +116,13 @@ object Registry {
   registerSource("mysql") { (spark, conf) =>
     import graft.sources.{BinlogClient, BinlogRelay}
     val relayDir = java.nio.file.Paths.get(conf("relayDir"))
+    // the two GTID dialects are mutually exclusive — a stale `gtid`
+    // key beside `mariadbGtid` would silently speak
+    // COM_BINLOG_DUMP_GTID (which MariaDB doesn't implement) and
+    // retry-loop on a protocol error instead of failing loudly
+    require(!(conf.contains("gtid") && conf.contains("mariadbGtid")),
+      "mysql source: set either 'gtid' (MySQL executed-set) or " +
+        "'mariadbGtid' (domain-server-seqno), not both")
     val start = conf.get("gtid").map(BinlogRelay.Gtid(_))
       .orElse(conf.get("mariadbGtid").map(BinlogRelay.MariaGtid(_)))
       .orElse(conf.get("file").map(f =>

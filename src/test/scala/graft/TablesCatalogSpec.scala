@@ -42,8 +42,8 @@ class TablesCatalogSpec extends SparkSpec {
     // must reach the catalog's partition metadata and prune files —
     // proven on a partitioned rewrite of the events table
     import org.apache.spark.sql.functions.col
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-part-demo").toString + "/events_p"
+    val base = java.nio.file.Files.createTempDirectory("graft-part-demo")
+    val dir = base.toString + "/events_p"
     Tables.load(spark, "/root/testdata/sf0.001", "events")
       .select(col("event_id"), col("user_id"), col("event_type"))
       .write.partitionBy("event_type").option("path", dir)
@@ -72,7 +72,14 @@ class TablesCatalogSpec extends SparkSpec {
       val prunedFiles = scannedFiles(one)
       assert(prunedFiles < allFiles,
         s"expected partition pruning via the catalog: $prunedFiles of $allFiles files")
-    } finally spark.sql("DROP TABLE IF EXISTS graft_demo_events_p")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_demo_events_p")
+      // DROP TABLE on a path-based external table leaves the files —
+      // delete them so repeated runs don't accumulate temp copies
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("unknown access mode fails loudly") {

@@ -184,14 +184,14 @@ class SimilaritySpec extends SparkSpec {
     // that makes any centroid set safe to drop in
     val allProbe = pairs(Similarity.ivfTopKMultiProbe(emb, "embedding",
       "vec_id", queryPred = col("vec_id") < 50, k = 5, nCells = 16,
-      nProbe = 16, trainedCentroids = Some(trained)))
+      nProbe = 16, centroids = Some(trained)))
     val brute = pairs(Similarity.bruteForceTopK(emb, "embedding", "vec_id",
       queryPred = col("vec_id") < 50, k = 5))
     assert(allProbe == brute)
     // trained IVF-PQ runs end-to-end with the same degenerate bound
     val tpq = pairs(Similarity.ivfPqTopK(emb, "embedding", "vec_id",
       queryPred = col("vec_id") < 50, topK = 5, dims = 64, m = 4, k = 16,
-      nCells = 16, nProbe = 16, trainedCentroids = Some(trained)))
+      nCells = 16, nProbe = 16, centroids = Some(trained)))
     val pq = pairs(Similarity.pqTopK(emb, "embedding", "vec_id",
       queryPred = col("vec_id") < 50, topK = 5, dims = 64, m = 4, k = 16))
     assert(tpq == pq,
