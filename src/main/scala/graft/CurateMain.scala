@@ -92,7 +92,15 @@ object CurateMain {
         .option("maxFilesPerTrigger",
           opt("input.max-files-per-trigger").getOrElse("1000"))
         .parquet(inPath)
-      val totals = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      // Funnel counts keyed by batchId so a batch retried WITHIN this
+      // run overwrites its own entry instead of double-counting. The
+      // funnel is still PER-RUN diagnostics (it cannot see batches a
+      // previous crashed run wrote): the cumulative corpus truth is
+      // the output dir itself, one `__ingest_batch` partition per
+      // batch. The printed JSON carries "funnel_scope":"run" to make
+      // that contract explicit.
+      val perBatch = scala.collection.mutable
+        .LinkedHashMap.empty[Long, Seq[(String, Long)]]
       val q = src.writeStream
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -115,14 +123,17 @@ object CurateMain {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(parts: _*).parquet(outDir)
           stages.foreach(_.postCommit())
-          observations.foreach { case (name, ob) =>
-            totals(name) = totals.getOrElse(name, 0L) +
-              ob.get.apply("n").asInstanceOf[Long]
+          perBatch(batchId) = observations.map { case (name, ob) =>
+            name -> ob.get.apply("n").asInstanceOf[Long]
           }
           ()
         }
         .start()
       q.awaitTermination()
+      val totals = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      perBatch.values.foreach(_.foreach { case (name, n) =>
+        totals(name) = totals.getOrElse(name, 0L) + n
+      })
       val funnel = totals.toSeq
       (funnel.lastOption.map(_._2).getOrElse(0L), funnel)
     }
@@ -159,12 +170,19 @@ object CurateMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val (n, funnel) = run(spark,
-        Files.readString(Paths.get(configPath)))
+      val configText = Files.readString(Paths.get(configPath))
+      val (n, funnel) = run(spark, configText)
       val stagesJson = funnel.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
+      // funnel_scope: "corpus" = the whole input; "run" = only this
+      // run's micro-batches (stream mode) — the cumulative truth for
+      // an incremental corpus is the output dir's __ingest_batch
+      // partitions, not this line
+      val scope = if (Toml.at(Toml.parseTree(configText), "input.stream")
+          .exists(_.toString.toBoolean)) "run" else "corpus"
       // one parseable line, same contract as Bench's output
-      println(s"""{"curated_rows":$n,"funnel":$stagesJson}""")
+      println(s"""{"curated_rows":$n,"funnel_scope":"$scope",""" +
+        s""""funnel":$stagesJson}""")
     } finally spark.stop()
   }
 }

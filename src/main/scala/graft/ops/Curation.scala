@@ -119,7 +119,12 @@ object Curation {
               // executor storage for the session lifetime)
               val winners = IncrementalDedup
                 .novel(spark, df, textCol, idCol, dir.toString)
-              pending.set(winners)
+              // a batch that failed after apply but before postCommit
+              // leaves its frame in pending — release it rather than
+              // leak its checkpoint blocks when the next batch
+              // displaces it (the failed batch's index append is
+              // correctly dropped: it never committed)
+              Option(pending.getAndSet(winners)).foreach(_.unpersist())
               winners.drop("fp", "bucket")
             }, () => Option(pending.getAndSet(null)).foreach { w =>
               IncrementalDedup.appendFpRows(spark,
@@ -147,7 +152,11 @@ object Curation {
             Stage("dedup-near-index", df => {
               val (novelDocs, bands) = IncrementalDedup
                 .novelNearDup(spark, df, textCol, idCol, dir.toString)
-              pending.set((novelDocs, bands)) // both materialized
+              // release any frames a failed batch left behind (see
+              // dedup-exact-index) before installing the new pair
+              Option(pending.getAndSet((novelDocs, bands))).foreach {
+                case (n, b) => n.unpersist(); b.unpersist()
+              }
               novelDocs
             }, () => Option(pending.getAndSet(null)).foreach {
               case (n, b) =>

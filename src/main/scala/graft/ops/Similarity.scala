@@ -179,13 +179,30 @@ object Similarity {
     * centroid frame stays provably bounded for ANY caller frame and
     * (b) `nProbe = nCells` provably probes every cell (the
     * degenerate brute-force bound the specs pin). Pass a frame of
-    * exactly nCells rows (`kmeansRefine(nCells = n)` produces one);
-    * extra rows would NOT silently widen the cell space. */
+    * AT MOST nCells rows (`kmeansRefine(nCells = n)` produces one);
+    * an oversized frame FAILS LOUDLY — truncating it would pick an
+    * arbitrary plan-dependent subset, and the entry points that
+    * resolve twice (qprobe + cellAssign) could truncate a
+    * non-materialized frame to two DIFFERENT subsets, silently
+    * missing neighbors. The guard count is driver-side on a
+    * centroid-sized frame (kmeansRefine output is checkpointed), so
+    * it is cheap. */
   private def resolveCentroids(corpus: DataFrame, vecCol: String,
       idCol: String, nCells: Int, trained: Option[DataFrame]): DataFrame =
-    trained.map(_.select(col("cid"), col("cvec"),
-        norm(col("cvec")).as("cn")).limit(nCells))
-      .getOrElse(centroidFrame(corpus, vecCol, idCol, nCells))
+    trained.map { t =>
+      val sel = t.select(col("cid"), col("cvec"),
+        norm(col("cvec")).as("cn"))
+      val n = sel.count()
+      require(n <= nCells,
+        s"trained centroid frame has $n rows but nCells=$nCells — " +
+          "refusing to truncate to an arbitrary subset; pass " +
+          s"kmeansRefine(nCells = $nCells) output or raise nCells")
+      // no-op at runtime (n ≤ nCells just verified) but restores the
+      // STRUCTURAL cardinality bound after plan nodes that erase it,
+      // keeping every broadcast over centroids provably bounded
+      // (PlanShapeSpec's suite-wide hint audit)
+      sel.limit(nCells)
+    }.getOrElse(centroidFrame(corpus, vecCol, idCol, nCells))
 
   def cellAssign(corpus: DataFrame, vecCol: String, idCol: String,
       nCells: Int, centroids: Option[DataFrame] = None): DataFrame = {

@@ -162,15 +162,25 @@ object Core3Queries {
 
     // approx percentile — the 100 TB percentile path: a bounded
     // sketch (no per-group full materialization like exact
-    // percentile). Sketch internals are engine-specific, so there is
-    // no cross-engine oracle (driver records rows-only);
-    // QueriesSpec asserts approx-vs-exact tolerance instead.
+    // percentile). Sketch internals are engine-specific, so the raw
+    // sketch value has no cross-engine oracle; instead the query
+    // emits a TOLERANCE VERDICT — each engine checks ITS OWN sketch
+    // against ITS OWN exact percentile (|approx−exact| ≤ 5%·exact)
+    // and outputs the boolean + the group count. Both engines compute
+    // the same booleans on the same data, so the driver's hash
+    // compare applies. The exact percentile here is the referee, not
+    // the scale path — production callers use the sketch alone.
     "q_percentiles_approx" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("med_price"),
-          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99_price"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("am"),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("a99"),
+          expr("percentile(l_extendedprice, 0.5)").as("em"),
+          expr("percentile(l_extendedprice, 0.99)").as("e99"))
+        .select(col("l_returnflag"), col("n_rows"),
+          (abs(col("am") - col("em")) <= lit(0.05) * col("em")).as("med_ok"),
+          (abs(col("a99") - col("e99")) <= lit(0.05) * col("e99")).as("p99_ok"))
         .orderBy(col("l_returnflag"))),
 
     // ≙ TPC-H Q4 shape: EXISTS as a semi join with a NON-equi extra
@@ -262,14 +272,25 @@ object Core3Queries {
 
     // HLL distinct counting — the 100 TB countDistinct path: a
     // bounded sketch per group instead of Expand+exact-dedup. Sketch
-    // internals are engine-specific → no cross-engine oracle (driver
-    // records rows-only); QueriesSpec bounds the error vs the exact
-    // count (rsd 2%).
+    // internals are engine-specific (Spark HLL++ vs DuckDB HLL), so
+    // like q_percentiles_approx the output is a TOLERANCE VERDICT:
+    // exact distinct counts plus a boolean per sketch —
+    // |approx−exact| ≤ 6%·exact (3σ at the requested rsd 2%) — each
+    // engine judging its own sketch. The exact counts are the
+    // referee; the sketch remains the production scale path.
     "q_distinct_approx" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("nd_parts"),
-          approx_count_distinct(col("l_suppkey"), 0.02).as("nd_supps"))
+        .agg(countDistinct(col("l_partkey")).as("nd_parts_exact"),
+          countDistinct(col("l_suppkey")).as("nd_supps_exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("asup"))
+        .select(col("l_returnflag"),
+          col("nd_parts_exact"), col("nd_supps_exact"),
+          (abs(col("ap") - col("nd_parts_exact")).cast("double")
+            <= lit(0.06) * col("nd_parts_exact")).as("parts_ok"),
+          (abs(col("asup") - col("nd_supps_exact")).cast("double")
+            <= lit(0.06) * col("nd_supps_exact")).as("supps_ok"))
         .orderBy(col("l_returnflag"))),
 
     // RANGE window frame: peers defined by VALUE distance (totalprice
@@ -436,10 +457,32 @@ object Core3Queries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    // q_percentiles_approx / q_distinct_approx: deliberately NO
-    // oracle — t-digest/HLL sketches are engine-specific; the driver
-    // records rows-only checks and QueriesSpec bounds the
-    // approx-vs-exact error for both.
+    // q_percentiles_approx / q_distinct_approx: the raw sketch values
+    // are engine-specific, so each engine judges ITS OWN sketch
+    // against ITS OWN exact aggregate and both emit the same
+    // (exact, within-tolerance boolean) shape — hash-comparable.
+    "q_percentiles_approx" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        | ABS(approx_quantile(l_extendedprice, 0.5)
+        |   - quantile_cont(l_extendedprice, 0.5))
+        |   <= 0.05 * quantile_cont(l_extendedprice, 0.5) AS med_ok,
+        | ABS(approx_quantile(l_extendedprice, 0.99)
+        |   - quantile_cont(l_extendedprice, 0.99))
+        |   <= 0.05 * quantile_cont(l_extendedprice, 0.99) AS p99_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
+    "q_distinct_approx" ->
+      """SELECT l_returnflag,
+        | COUNT(DISTINCT l_partkey) AS nd_parts_exact,
+        | COUNT(DISTINCT l_suppkey) AS nd_supps_exact,
+        | ABS(approx_count_distinct(l_partkey)
+        |   - COUNT(DISTINCT l_partkey))
+        |   <= 0.06 * COUNT(DISTINCT l_partkey) AS parts_ok,
+        | ABS(approx_count_distinct(l_suppkey)
+        |   - COUNT(DISTINCT l_suppkey))
+        |   <= 0.06 * COUNT(DISTINCT l_suppkey) AS supps_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
     "q_window_range_frame" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         | COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice

@@ -171,12 +171,35 @@ final class JdbcDdlForwarder(connect: () => Connection,
       .replace(esc, esc + esc)
       .replace("_", esc + "_")
       .replace("%", esc + "%")
-    def probe(s: String, t: String, c: String): Boolean = {
-      val rs = md.getColumns(null, if (s.isEmpty) null else q(s), q(t), q(c))
-      try rs.next() finally rs.close()
+    // Drivers disagree on whether a database maps to the CATALOG or
+    // the SCHEMA position (MySQL Connector/J defaults
+    // databaseTerm=CATALOG and ignores schemaPattern; Derby/Postgres
+    // use the schema position). Probe both positions, and accept only
+    // rows whose own TABLE_CAT/TABLE_SCHEM actually names the routed
+    // database — a null-catalog probe otherwise matches a same-named
+    // table in ANY database, and a fresh ALTER would be silently
+    // skipped as a "completed replay", diverging target from registry.
+    def probe(cat: String, schPat: String, t: String, c: String): Boolean = {
+      val rs = md.getColumns(cat, schPat, q(t), q(c))
+      try {
+        var found = false
+        while (!found && rs.next()) {
+          if (target.schema.isEmpty) found = true
+          else {
+            val rCat = Option(rs.getString("TABLE_CAT")).getOrElse("")
+            val rSch = Option(rs.getString("TABLE_SCHEM")).getOrElse("")
+            found = rCat.equalsIgnoreCase(target.schema) ||
+              rSch.equalsIgnoreCase(target.schema)
+          }
+        }
+        found
+      } finally rs.close()
     }
-    probe(target.schema, target.name, column) ||
-      probe(target.schema.toUpperCase, target.name.toUpperCase,
+    def both(s: String, t: String, c: String): Boolean =
+      if (s.isEmpty) probe(null, null, t, c)
+      else probe(null, q(s), t, c) || probe(s, null, t, c)
+    both(target.schema, target.name, column) ||
+      both(target.schema.toUpperCase, target.name.toUpperCase,
         column.toUpperCase)
   }
 

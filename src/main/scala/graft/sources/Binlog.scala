@@ -635,22 +635,27 @@ object Binlog {
     }
 
     // MariaDB dialect: GTID = domain-server-seqno; the executed set
-    // keeps the max seqno per (domain, server) — MariaDB's
-    // gtid_slave_pos form ("0-1-42,1-2-7"), NOT interval-merged
-    // (seqnos are per-domain monotone on a healthy master)
-    private val maria = mutable.LinkedHashMap[(Long, Long), Long]()
+    // keeps the max-seqno GTID per DOMAIN — MariaDB's gtid_slave_pos
+    // form ("0-1-42,1-2-7") allows at most one GTID per domain, so a
+    // server-id change within a domain (failover, multi-server
+    // GTID_LIST seed) must replace, not accumulate: seqnos are
+    // per-domain monotone across servers on a healthy topology, and a
+    // two-GTIDs-per-domain pos would be rejected at resume by
+    // `@slave_connect_state`.
+    private val maria = mutable.LinkedHashMap[Long, (Long, Long)]()
 
-    def addMaria(domain: Long, serverId: Long, seqno: Long): Unit = {
-      val k = (domain, serverId)
-      maria(k) = math.max(seqno, maria.getOrElse(k, Long.MinValue))
-    }
+    def addMaria(domain: Long, serverId: Long, seqno: Long): Unit =
+      maria.get(domain) match {
+        case Some((_, q)) if q >= seqno => ()
+        case _ => maria(domain) = (serverId, seqno)
+      }
 
     /** A stream is one dialect or the other; when MariaDB GTIDs are
       * present they ARE the position (a MySQL-uuid set never coexists
       * on the same master). */
     def render: String =
       if (maria.nonEmpty)
-        maria.iterator.map { case ((d, s), q) => s"$d-$s-$q" }.mkString(",")
+        maria.iterator.map { case (d, (s, q)) => s"$d-$s-$q" }.mkString(",")
       else
         sids.iterator.map { case (sid, iv) =>
           sid + ":" + iv.map { case (a, b) => if (a == b) s"$a" else s"$a-$b" }.mkString(":")

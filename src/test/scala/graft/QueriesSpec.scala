@@ -26,41 +26,26 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("q_percentiles_approx tracks the exact percentile (no oracle by design)") {
-    import org.apache.spark.sql.functions.col
-    val approx = SparkEntry.queries("q_percentiles_approx")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val exact = SparkEntry.queries("q_percentiles")(spark, sfDir)
-      .select(col("l_returnflag"), col("p75_price")) // any exact column works for scale
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    // medians vs p75 aren't comparable directly — recompute the exact
-    // median for the tolerance check
-    val exactMed = graft.Tables.load(spark, sfDir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(org.apache.spark.sql.functions.expr(
-        "percentile(l_extendedprice, 0.5)").as("m"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    exactMed.foreach { case (flag, m) =>
-      val a = approx(flag)
-      assert(math.abs(a - m) / m < 0.05,
-        s"approx median for $flag drifted >5%: approx=$a exact=$m")
+  test("q_percentiles_approx verdict: every in-engine sketch is within tolerance") {
+    val rows = SparkEntry.queries("q_percentiles_approx")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"empty group ${r.getString(0)}")
+      assert(r.getBoolean(2) && r.getBoolean(3),
+        s"approx percentile for ${r.getString(0)} outside 5% of exact")
     }
-    assert(exact.nonEmpty)
   }
 
-  test("q_distinct_approx tracks exact countDistinct (no oracle by design)") {
-    import org.apache.spark.sql.functions.{col, countDistinct}
-    val approx = SparkEntry.queries("q_distinct_approx")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = graft.Tables.load(spark, sfDir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("nd"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (flag, e) =>
-      val a = approx(flag)
-      // rsd 2% requested; allow 3σ
-      assert(math.abs(a - e).toDouble / e < 0.06,
-        s"approx distinct for $flag drifted >6%: approx=$a exact=$e")
+  test("q_distinct_approx verdict: every in-engine sketch is within tolerance") {
+    val rows = SparkEntry.queries("q_distinct_approx")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      assert(r.getBoolean(3) && r.getBoolean(4),
+        s"approx distinct for ${r.getString(0)} outside 6% of exact " +
+          s"(parts exact=${r.getLong(1)}, supps exact=${r.getLong(2)})")
     }
   }
 }

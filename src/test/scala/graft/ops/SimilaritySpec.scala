@@ -196,6 +196,17 @@ class SimilaritySpec extends SparkSpec {
       queryPred = col("vec_id") < 50, topK = 5, dims = 64, m = 4, k = 16))
     assert(tpq == pq,
       "probing every trained cell must equal the full ADC scan")
+    // an OVERSIZED trained frame fails loudly instead of truncating
+    // to an arbitrary (and, across the two resolutions inside
+    // multi-probe, potentially inconsistent) subset
+    val over = emb.limit(20).select(col("vec_id").as("cid"),
+      col("embedding").as("cvec"))
+    val e = intercept[IllegalArgumentException](
+      Similarity.ivfTopK(emb, "embedding", "vec_id",
+        queryPred = col("vec_id") < 50, k = 5, nCells = 16,
+        centroids = Some(over)))
+    assert(e.getMessage.contains("20 rows") &&
+      e.getMessage.contains("nCells=16"))
   }
 
   test("gramFixedPoint matches the sequential model and is partitioning-invariant") {

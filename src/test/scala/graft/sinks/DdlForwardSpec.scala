@@ -67,6 +67,87 @@ class DdlForwardSpec extends AnyFunSuite {
     }
   }
 
+  /** Minimal MySQL-Connector/J-shaped JDBC metadata fake: with
+    * databaseTerm=CATALOG the driver IGNORES the schemaPattern
+    * argument entirely, and a null catalog means ALL databases. The
+    * replay-idempotence probe must therefore not trust a bare
+    * `rs.next()` — it has to check the returned row's TABLE_CAT
+    * against the routed database, or a same-named table in another
+    * database makes a fresh ALTER look like a completed replay. */
+  private class MySqlShapedConn(
+      rows: Seq[(String, String, String)], // (catalog, table, column)
+      val executed: scala.collection.mutable.Buffer[String]) {
+    import java.lang.reflect.{InvocationHandler, Method, Proxy}
+    import java.sql.{Connection, DatabaseMetaData, ResultSet, Statement}
+
+    private def mk[T](cls: Class[T])(h: (String, Array[AnyRef]) => AnyRef): T =
+      Proxy.newProxyInstance(cls.getClassLoader, Array(cls),
+        new InvocationHandler {
+          def invoke(p: AnyRef, m: Method, a: Array[AnyRef]): AnyRef =
+            h(m.getName, if (a == null) Array.empty else a)
+        }).asInstanceOf[T]
+
+    private def unesc(p: String): String = p.replace("\\", "")
+    private def rsOver(hits: Seq[(String, String, String)]): ResultSet = {
+      var i = -1
+      mk(classOf[ResultSet]) {
+        case ("next", _) => i += 1; java.lang.Boolean.valueOf(i < hits.length)
+        case ("getString", a) => a(0).asInstanceOf[String] match {
+          case "TABLE_CAT" => hits(i)._1
+          case "TABLE_SCHEM" => null // Connector/J reports null schema
+          case other => sys.error(s"unexpected column $other")
+        }
+        case ("close", _) => null
+        case (n, _) => sys.error(s"unexpected ResultSet.$n")
+      }
+    }
+    private val md = mk(classOf[DatabaseMetaData]) {
+      case ("getSearchStringEscape", _) => "\\"
+      case ("getColumns", a) =>
+        val cat = a(0).asInstanceOf[String] // exact, null = ALL dbs
+        // a(1) schemaPattern: IGNORED, like Connector/J CATALOG mode
+        val tbl = unesc(a(2).asInstanceOf[String])
+        val col = unesc(a(3).asInstanceOf[String])
+        rsOver(rows.filter { case (c, t, n) =>
+          (cat == null || c.equalsIgnoreCase(cat)) &&
+            t.equalsIgnoreCase(tbl) && n.equalsIgnoreCase(col) })
+      case (n, _) => sys.error(s"unexpected DatabaseMetaData.$n")
+    }
+    val conn: Connection = mk(classOf[Connection]) {
+      case ("getMetaData", _) => md
+      case ("createStatement", _) => mk(classOf[Statement]) {
+        case ("executeUpdate", a) =>
+          executed += a(0).asInstanceOf[String]; Integer.valueOf(0)
+        case ("close", _) => null
+        case (n, _) => sys.error(s"unexpected Statement.$n")
+      }
+      case ("close", _) => null
+      case (n, _) => sys.error(s"unexpected Connection.$n")
+    }
+  }
+
+  test("replay probe is catalog-exact on MySQL-shaped metadata " +
+      "(same-named table in another database is NOT a completed replay)") {
+    val executed = scala.collection.mutable.Buffer.empty[String]
+    // db 'other' already has orders.note; routed db1.orders does not
+    val fake = new MySqlShapedConn(
+      Seq(("other", "orders", "note"), ("db1", "orders", "status")), executed)
+    val fw = new JdbcDdlForwarder(() => fake.conn, DdlForward.MySql)
+    val add = D.AddColumn("orders",
+      ColumnDef("note", "varchar(32)"), D.Default)
+    assert(fw.forward(add, t)) // must EXECUTE, not skip
+    assert(executed ==
+      Seq("ALTER TABLE `db1`.`orders` ADD COLUMN `note` varchar(32)"))
+
+    // and once db1 itself has the column, the replay IS a no-op
+    executed.clear()
+    val fake2 = new MySqlShapedConn(
+      Seq(("other", "orders", "note"), ("db1", "orders", "note")), executed)
+    val fw2 = new JdbcDdlForwarder(() => fake2.conn, DdlForward.MySql)
+    assert(fw2.forward(add, t))
+    assert(executed.isEmpty)
+  }
+
   test("derby type map covers the MySQL family, escapes unknowns to text") {
     import DdlForward.derbyType
     assert(derbyType("int") == "INTEGER")

@@ -717,6 +717,18 @@ class BinlogSpec extends AnyFunSuite {
     // file() writes server id 1 in every header
     assert(evs(0).pos == "0-1-42")
     assert(evs(1).pos == "0-1-42,5-1-7")
+    // gtid_slave_pos allows ONE GTID per domain: a GTID_LIST seeded
+    // with two servers in the same domain (failover history) must
+    // collapse to the max-seqno entry, or resume via
+    // @slave_connect_state is rejected by the server
+    val f3 = mkFile(Seq(
+      Binlog.MariaGtidListEvent ->
+        mariaGtidList(Seq((0L, 1L, 42L), (0L, 2L, 50L), (3L, 9L, 7L))),
+      Binlog.TableMapEvent -> tableMap(3, "d", "t", cols),
+      Binlog.MariaGtidEvent -> mariaGtid(0, 41), // stale seqno: ignored
+      Binlog.WriteRowsV2 -> ins(1)))
+    val evs3 = Binlog.changeEvents(f3, Map(("d", "t") -> Seq("a")))
+    assert(evs3(0).pos == "0-2-50,3-9-7")
     // ANNOTATE_ROWS / BINLOG_CHECKPOINT are informational: skipped
     val f2 = mkFile(Seq(
       Binlog.MariaAnnotateRowsEvent -> "INSERT INTO t VALUES (1)".getBytes(UTF_8),

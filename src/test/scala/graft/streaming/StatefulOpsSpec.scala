@@ -235,17 +235,20 @@ class StatefulOpsSpec extends SparkSpec {
         .select($"user_id", $"n", $"total").as[(Long, Long, Long)]
         .collect().map(r => r._1 -> (r._2, r._3)).toMap
 
+    // AvailableNow snapshots the available offsets at start, so the data
+    // must be in the stream BEFORE the query starts or the run can
+    // legitimately process nothing.
+    mem.addData((1L, 10L), (1L, 5L), (2L, 7L))
     val q = StatefulOps.materializedView(agg, target, sink, ckpt,
       trigger = Trigger.AvailableNow())
-    mem.addData((1L, 10L), (1L, 5L), (2L, 7L))
     q.awaitTermination(120000)
     assert(state() == Map(1L -> (2L, 15L), 2L -> (1L, 7L)))
 
     // second increment: only touched keys change; untouched key 2
     // keeps its row (the view is over the full history)
+    mem.addData((1L, 1L), (3L, 99L))
     val q2 = StatefulOps.materializedView(agg, target, sink, ckpt,
       trigger = Trigger.AvailableNow())
-    mem.addData((1L, 1L), (3L, 99L))
     q2.awaitTermination(120000)
     assert(state() == Map(1L -> (3L, 16L), 2L -> (1L, 7L), 3L -> (1L, 99L)))
   }
