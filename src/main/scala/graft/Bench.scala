@@ -4,6 +4,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // ambient machine load BEFORE this run adds its own — the value
+    // that explains "same code, different numbers" across machines
+    val loadAtStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -177,11 +181,28 @@ object Bench {
         System.err.println(s"bench dump failed: $e")
       }
     }
+    // Environment fingerprint: driver-vs-builder deltas on UNCHANGED
+    // code have hit 1.3-1.5× in past rounds and could only be
+    // inferred; with cpu/load/jvm/heap in the artifact they are
+    // attributable. Kept compact — the driver tail-parses the last
+    // 2000 chars, so every byte here trades against the query map.
+    val env = {
+      val cpu = try {
+        scala.io.Source.fromFile("/proc/cpuinfo").getLines()
+          .collectFirst { case l if l.startsWith("model name") =>
+            l.split(":", 2)(1).trim }.getOrElse("?")
+      } catch { case _: Throwable => "?" }
+      val esc = cpu.replace("\\", "\\\\").replace("\"", "\\\"").take(48)
+      s""""env":{"cpu":"$esc","cores":${Runtime.getRuntime.availableProcessors},""" +
+        s""""load_start":${fmt(loadAtStart)},""" +
+        s""""jvm":"${System.getProperty("java.version")}",""" +
+        s""""heap_gb":${fmt(Runtime.getRuntime.maxMemory / 1e9)}}"""
+    }
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""errors":${errors.size},""" +
         s""""queries":$qs,"cdc_rows":$cdcRows,"cdc_rows_per_sec":${fmt(cdcRowsPerSec)},""" +
-        s""""sf":"$sfDir"}"""
+        s"""$env,"sf":"$sfDir"}"""
     spark.stop()
     // the JSON line is the LAST stdout line (after spark shutdown) so
     // the driver's tail-parse finds it inside its window

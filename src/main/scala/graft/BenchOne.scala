@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-query timing harness for A/B-ing bench methodology —
+  * born from two rounds of driver-vs-builder deltas on UNCHANGED
+  * code (r5: q_window_running_total/cdc_compact_agg; r6:
+  * dedup_minhash_lsh). Runs ONE named query N times after a warmup
+  * and prints every sample plus min/median/max as one JSON line, so
+  * a regression claim can be tested against the sample DISTRIBUTION
+  * instead of a single min-of-2 or median-of-3 point.
+  *
+  * Usage:
+  *   SPARK_GRAFT_SF_DIR=... runMain graft.BenchOne <query> [reps] [gc|nogc]
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BenchOne <query> [reps] [gc|nogc]")
+    val name = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 5
+    val doGc = args.length <= 2 || args(2) == "gc"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name'"))
+    def consume(): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+      (System.nanoTime() - t0) / 1e9
+    }
+    consume() // warmup: JIT + codegen + FS cache
+    val samples = (1 to reps).map { _ =>
+      if (doGc) System.gc()
+      consume()
+    }
+    def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val sorted = samples.sorted
+    val line = s"""{"query":"$name","reps":$reps,"gc":$doGc,""" +
+      s""""samples":[${samples.map(fmt).mkString(",")}],""" +
+      s""""min":${fmt(sorted.head)},""" +
+      s""""median":${fmt(sorted(reps / 2))},""" +
+      s""""max":${fmt(sorted.last)},"sf":"$sfDir"}"""
+    spark.stop()
+    println(line)
+  }
+}

@@ -28,10 +28,13 @@ object Curation {
     * row-local filters, deterministic split, decontaminate (the eval
     * set is fixed), and the index-backed dedups (history lives in
     * the persisted index, so "seen before" is global across batches
-    * and runs). Corpus-global stages (un-indexed dedup, span-scrub,
-    * domain-cap, token-budget, validate-unique) are NOT — applied
-    * per batch they would silently weaken to batch-local decisions,
-    * so the streaming runner refuses them loudly. */
+    * and runs), and the LEDGER-backed domain-cap / token-budget
+    * (state-dir mode: [[IncrementalCuration]] keeps the cap/budget
+    * global across batches and runs, first-come in arrival order).
+    * Corpus-global stages (un-indexed dedup, span-scrub, un-ledgered
+    * domain-cap/token-budget, validate-unique) are NOT — applied per
+    * batch they would silently weaken to batch-local decisions, so
+    * the streaming runner refuses them loudly. */
   final case class Stage(name: String, apply: DataFrame => DataFrame,
       postCommit: () => Unit = () => (), streamable: Boolean = false)
 
@@ -203,25 +206,70 @@ object Curation {
         // row once, AQE skew-splits the mega-domain's partition
         val sourceCol = str("source-column")
         val k = num("max-per-source", 1000).toInt
-        Stage("domain-cap", df => {
-          val h = TextFunctions.hashBucket(col(idCol), 1000000)
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col(sourceCol)).orderBy(h, col(idCol))
-          df.withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") <= k).drop("__rn")
-        })
+        conf.get("state-dir") match {
+          case Some(dir) =>
+            // incremental mode: the persisted admission ledger makes
+            // the cap global across batches AND runs (first-come in
+            // arrival order, batch order within a batch) — the
+            // streaming form of the stage. Ledger append deferred to
+            // postCommit, same contract as the index-backed dedups.
+            val pending =
+              new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+            Stage("domain-cap-state", df => {
+              val admitted = IncrementalCuration.admitDomainCap(
+                spark, df, sourceCol, idCol, dir.toString, k)
+              Option(pending.getAndSet(admitted)).foreach(_.unpersist())
+              admitted
+            }, () => Option(pending.getAndSet(null)).foreach { a =>
+              IncrementalCuration.appendDomainRows(spark,
+                a.select(col(idCol).as("doc_id"),
+                  col(sourceCol).as("source")),
+                dir.toString)
+              a.unpersist()
+            }, streamable = true)
+          case None =>
+            Stage("domain-cap", df => {
+              val h = TextFunctions.hashBucket(col(idCol), 1000000)
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(sourceCol)).orderBy(h, col(idCol))
+              df.withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") <= k).drop("__rn")
+            })
+        }
       case "token-budget" =>
         // quality-ordered global token budget — BandedScan.budgetFilter
         // (the banded two-pass prefix sum; shared with the
         // pipe_token_budget query, which pins its plan shape)
         val budget = lng("budget", sys.error("missing option budget"))
-        Stage("token-budget", df =>
-          BandedScan.budgetFilter(
-            df.withColumn("__ntok", TextFunctions.tokenCount(t).cast("long"))
-              .withColumn("__q", TextFunctions.qualityScore(t)),
-            qualityCol = "__q", weightCol = "__ntok", tieCol = idCol,
-            budget = budget)
-            .drop("__ntok", "__q"))
+        conf.get("state-dir") match {
+          case Some(dir) =>
+            // incremental mode: the ledger carries tokens already
+            // admitted, so each batch spends only the REMAINING
+            // budget — the streaming form (quality-ordered within a
+            // batch, first-come across batches)
+            val pending =
+              new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+            Stage("token-budget-state", df => {
+              val admitted = IncrementalCuration.admitTokenBudget(
+                spark, df, textCol, idCol, dir.toString, budget)
+              Option(pending.getAndSet(admitted)).foreach(_.unpersist())
+              admitted.drop("__ntok")
+            }, () => Option(pending.getAndSet(null)).foreach { a =>
+              IncrementalCuration.appendBudgetRows(spark,
+                a.select(col(idCol).as("doc_id"), col("__ntok").as("ntok")),
+                dir.toString)
+              a.unpersist()
+            }, streamable = true)
+          case None =>
+            Stage("token-budget", df =>
+              BandedScan.budgetFilter(
+                df.withColumn("__ntok",
+                  TextFunctions.tokenCount(t).cast("long"))
+                  .withColumn("__q", TextFunctions.qualityScore(t)),
+                qualityCol = "__q", weightCol = "__ntok", tieCol = idCol,
+                budget = budget)
+                .drop("__ntok", "__q"))
+        }
       case "validate" =>
         // data-quality GATE (ops/Constraints): fail the run loudly if
         // the corpus at this point violates its contract — shipping a

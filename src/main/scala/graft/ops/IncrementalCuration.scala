@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.functions.TextFunctions
+
+/** Incremental (streaming) forms of the two corpus-GLOBAL curation
+  * stages — per-domain caps and the global token budget — backed by a
+  * persisted admission ledger, the same continuous-ingestion shape as
+  * [[IncrementalDedup]]'s fingerprint index: each micro-batch admits
+  * against the ledger of everything admitted so far (across batches
+  * AND runs), and the batch's own admissions append after the
+  * caller's output commit.
+  *
+  * Semantics trade-off, stated openly: the batch stages order the
+  * WHOLE corpus (domain-cap by id-hash, token-budget by quality) —
+  * an online pipeline cannot, because it cannot un-ship documents it
+  * already emitted. The incremental forms therefore admit in ARRIVAL
+  * order across batches (first-come against the remaining cap /
+  * budget) while keeping the batch stage's deterministic order
+  * WITHIN each batch. The invariants that survive unchanged — and
+  * that the equivalence spec pins against a batch run over the
+  * concatenated input — are: per-domain admitted counts equal
+  * min(cap, domain total); admitted token total never exceeds the
+  * budget and equals the batch total under the same arrival order;
+  * and a document is never admitted twice.
+  *
+  * Ledger size is BOUNDED BY THE POLICY, not the corpus: domain-cap
+  * stores only admitted docs (≤ cap × #domains rows); token-budget
+  * stores only admitted docs (≤ budget / min-doc-tokens rows). Both
+  * stay driver-aggregatable at any corpus scale, which is why —
+  * unlike the dedup indexes — no bucket partitioning is needed.
+  *
+  * Replay safety (foreachBatch is at-least-once): admission rows
+  * dedupe by doc id on read, and a batch's OWN docs are excluded
+  * from the prior-state view before deciding — so a batch replayed
+  * after its ledger append sees exactly the prior state its original
+  * run saw, re-derives the identical admission set, and its
+  * re-append collapses into the existing rows.
+  */
+object IncrementalCuration {
+
+  private val domainSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType)))
+
+  private val budgetSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ntok", LongType)))
+
+  private def fsPath(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Admit `batch` docs whose domain still has room under `cap`,
+    * given the persisted ledger at `stateDir`. Within the batch the
+    * order is the batch stage's (id-hash, id) — deterministic under
+    * any partitioning. Returns a MATERIALIZED frame with the batch's
+    * original columns (consume-after-append safe). */
+  def admitDomainCap(spark: SparkSession, batch: DataFrame,
+      sourceCol: String, idCol: String, stateDir: String,
+      cap: Int): DataFrame = {
+    val (hfs, p) = fsPath(spark, stateDir)
+    val h = TextFunctions.hashBucket(col(idCol), 1000000)
+    val w = Window.partitionBy(col(sourceCol)).orderBy(h, col(idCol))
+    val ranked = batch.withColumn("__rn", row_number().over(w))
+    val admitted =
+      if (!hfs.exists(p)) ranked.filter(col("__rn") <= cap)
+      else {
+        val ledger = spark.read.schema(domainSchema).parquet(stateDir)
+          // replay exclusion: a crash between ledger append and
+          // checkpoint commit replays this batch WITH its own rows
+          // already present — without this anti-join the replay
+          // would see its own admissions as prior state and admit a
+          // different (smaller) set than the original run emitted
+          .join(batch.select(col(idCol).as("doc_id")), Seq("doc_id"),
+            "left_anti")
+        val prior = ledger.select(col("doc_id"), col("source")).distinct()
+          .groupBy(col("source")).agg(count(lit(1)).as("__prior"))
+          .withColumnRenamed("source", "__src")
+        ranked.join(prior, col(sourceCol) === col("__src"), "left")
+          .filter(coalesce(col("__prior"), lit(0L)) + col("__rn") <= cap)
+          .drop("__src", "__prior")
+      }
+    admitted.drop("__rn").localCheckpoint()
+  }
+
+  /** Append admitted (doc_id, source) rows to the domain ledger. */
+  def appendDomainRows(spark: SparkSession, rows: DataFrame,
+      stateDir: String): Unit =
+    rows.select(col("doc_id"), col("source"))
+      .write.mode(SaveMode.Append).parquet(stateDir)
+
+  /** Admit `batch` docs under the REMAINING token budget (total
+    * budget minus tokens already admitted per the ledger), quality-
+    * ordered within the batch via [[BandedScan.budgetFilter]].
+    * Returns a MATERIALIZED frame carrying a `__ntok` helper column
+    * (the caller's postCommit appends it, then drops it). */
+  def admitTokenBudget(spark: SparkSession, batch: DataFrame,
+      textCol: String, idCol: String, stateDir: String,
+      budget: Long): DataFrame = {
+    val (hfs, p) = fsPath(spark, stateDir)
+    val spent: Long =
+      if (!hfs.exists(p)) 0L
+      else spark.read.schema(budgetSchema).parquet(stateDir)
+        .join(batch.select(col(idCol).as("doc_id")), Seq("doc_id"),
+          "left_anti") // replay exclusion, as in admitDomainCap
+        .groupBy(col("doc_id")).agg(max(col("ntok")).as("ntok"))
+        .agg(coalesce(sum(col("ntok")), lit(0L)))
+        .head().getLong(0) // one scalar — bounded driver-side read
+    val remaining = math.max(0L, budget - spent)
+    BandedScan.budgetFilter(
+      batch
+        .withColumn("__ntok",
+          TextFunctions.tokenCount(col(textCol)).cast("long"))
+        .withColumn("__q", TextFunctions.qualityScore(col(textCol))),
+      qualityCol = "__q", weightCol = "__ntok", tieCol = idCol,
+      budget = remaining)
+      .drop("__q")
+      .localCheckpoint()
+  }
+
+  /** Append admitted (doc_id, ntok) rows to the budget ledger. */
+  def appendBudgetRows(spark: SparkSession, rows: DataFrame,
+      stateDir: String): Unit =
+    rows.select(col("doc_id"), col("ntok"))
+      .write.mode(SaveMode.Append).parquet(stateDir)
+}

@@ -325,6 +325,88 @@ object Similarity {
       .select(col("j"), col(idCol).cast("int").as("code"),
         col("xv").as("cv"), col("xx").as("cc"))
 
+  /** Train a PQ codebook: per-subspace Lloyd refinement of the
+    * deterministic seed ([[pqCodebook]]), exactly the spherical
+    * k-means recipe of [[kmeansRefine]] applied independently to each
+    * of the m subspaces — assignment is argmin-L2 to the current
+    * centroids, the new centroid is the coordinate mean of its
+    * members (fixed-scale decimal sums, so the result is
+    * partitioning-invariant), and a code that loses all members keeps
+    * its previous centroid. `rounds = 0` returns the seed codebook
+    * bit-for-bit — the degenerate case the trained≡inline spec pins.
+    *
+    * Lifecycle: train once, persist the returned (j, code, cv) frame
+    * (plain parquet round-trips it), and pass it to
+    * [[pqEncode]]/[[pqTopK]]/[[ivfPqTopK]] as `codebook` — serving
+    * never re-trains. Cost per round: |C|·m·k narrow rows for the
+    * assignment (codebook broadcast, argmin as one hash agg) + one
+    * (j, code, pos) mean agg — linear in the corpus.
+    *
+    * @return (j, code, cv) — m·k rows, structurally bounded
+    */
+  def trainPqCodebook(corpus: DataFrame, vecCol: String, idCol: String,
+      dims: Int, m: Int = 4, k: Int = 16, rounds: Int = 1): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val subs = pqSubvectors(corpus, vecCol, idCol, dims, m)
+    var cb = pqCodebook(corpus, vecCol, idCol, dims, m, k)
+      .select(col("j"), col("code"), col("cv"))
+    for (_ <- 0 until rounds) {
+      val withCc = cb.withColumn("cc", dot(col("cv"), col("cv")))
+      // (dist, code) is unique per (id, j, candidate), so the xv
+      // payload never decides the min — same struct-argmin trick as
+      // cellAssign
+      val assigned = subs.join(broadcast(withCc), Seq("j"))
+        .withColumn("dist",
+          col("xx") - lit(2.0) * dot(col("xv"), col("cv")) + col("cc"))
+        .groupBy(col(idCol), col("j"))
+        .agg(min(struct(col("dist"), col("code"), col("xv").as("v")))
+          .as("best"))
+        .select(col("j"), col("best.code").as("code"), col("best.v").as("v"))
+      val means = assigned
+        .select(col("j"), col("code"), posexplode(col("v")))
+        .select(col("j"), col("code"), col("pos"),
+          col("col").cast("double").cast(DecimalType(28, 12)).as("xd"))
+        .groupBy(col("j"), col("code"), col("pos"))
+        .agg(sum(col("xd")).as("sx"), count(lit(1)).as("n"))
+        .select(col("j"), col("code"), col("pos"),
+          (col("sx").cast("double") / col("n")).cast("float").as("mcoord"))
+      val rebuilt = means.groupBy(col("j"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mcoord")))),
+          s => s.getField("mcoord")).as("next"))
+      cb = cb.select(col("j"), col("code"), col("cv").as("prev"))
+        .join(rebuilt, Seq("j", "code"), "left")
+        .select(col("j"), col("code"),
+          coalesce(col("next"), col("prev")).as("cv"))
+        .localCheckpoint()
+    }
+    // structural m·k bound (the checkpoint erased it) — downstream
+    // broadcast(codebook) stays provably cardinality-bounded
+    cb.limit(m * k)
+  }
+
+  /** Resolve the codebook: a TRAINED (j, code, cv) frame — e.g.
+    * [[trainPqCodebook]] output, possibly parquet-round-tripped —
+    * when provided (cc recomputed here), else the deterministic
+    * first-k seed. Same contract as [[resolveCentroids]]: an
+    * oversized frame fails loudly instead of being truncated to an
+    * arbitrary subset (pqTopK/ivfPqTopK resolve once but the encoder
+    * and distance table both consume the result — they must see the
+    * SAME codebook). */
+  private def resolvePqCodebook(corpus: DataFrame, vecCol: String,
+      idCol: String, dims: Int, m: Int, k: Int,
+      trained: Option[DataFrame]): DataFrame =
+    trained.map { t =>
+      val sel = t.select(col("j"), col("code"), col("cv").as("cv"),
+        dot(col("cv"), col("cv")).as("cc"))
+      val n = sel.count()
+      require(n <= m.toLong * k,
+        s"trained PQ codebook has $n rows but m*k=${m * k} — " +
+          "refusing to truncate to an arbitrary subset; pass " +
+          s"trainPqCodebook(m = $m, k = $k) output or raise m/k")
+      sel.limit(m * k)
+    }.getOrElse(pqCodebook(corpus, vecCol, idCol, dims, m, k))
+
   private def pqEncodeWith(subs: DataFrame, codebook: DataFrame,
       idCol: String): DataFrame =
     subs.join(broadcast(codebook), Seq("j"))
@@ -335,9 +417,10 @@ object Similarity {
       .select(col(idCol), col("j"), col("best.code").as("code"))
 
   def pqEncode(corpus: DataFrame, vecCol: String, idCol: String,
-      dims: Int, m: Int = 4, k: Int = 16): DataFrame =
+      dims: Int, m: Int = 4, k: Int = 16,
+      codebook: Option[DataFrame] = None): DataFrame =
     pqEncodeWith(pqSubvectors(corpus, vecCol, idCol, dims, m),
-      pqCodebook(corpus, vecCol, idCol, dims, m, k), idCol)
+      resolvePqCodebook(corpus, vecCol, idCol, dims, m, k, codebook), idCol)
 
   /** PQ top-k via asymmetric distance computation (ADC): queries stay
     * exact; candidates are scored from their code words through a
@@ -360,8 +443,9 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, vecCol: String, idCol: String,
       queryPred: Column, topK: Int, dims: Int, m: Int = 4,
-      k: Int = 16): DataFrame = {
-    val codebook = pqCodebook(corpus, vecCol, idCol, dims, m, k)
+      k: Int = 16, trainedCodebook: Option[DataFrame] = None): DataFrame = {
+    val codebook =
+      resolvePqCodebook(corpus, vecCol, idCol, dims, m, k, trainedCodebook)
     val codes = pqEncodeWith(
         pqSubvectors(corpus, vecCol, idCol, dims, m), codebook, idCol)
       .select(col(idCol).as("nid"), col("j"), col("code"))
@@ -413,10 +497,11 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, vecCol: String, idCol: String,
       queryPred: Column, topK: Int, dims: Int, m: Int = 4, k: Int = 16,
       nCells: Int = 16, nProbe: Int = 2,
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None,
+      codebook: Option[DataFrame] = None): DataFrame = {
     val subLen = dims / m
     require(subLen * m == dims, s"m=$m must divide dims=$dims")
-    val codebook = pqCodebook(corpus, vecCol, idCol, dims, m, k)
+    val cb = resolvePqCodebook(corpus, vecCol, idCol, dims, m, k, codebook)
     val cents = resolveCentroids(corpus, vecCol, idCol, nCells, centroids)
     val assigned = cellAssign(corpus, vecCol, idCol, nCells, centroids)
     val subs = assigned.select(col(idCol), col("cell"), posexplode(
@@ -424,7 +509,7 @@ object Similarity {
           slice(col(vecCol), j * subLen + 1, subLen)): _*)))
       .select(col(idCol), col("cell"), col("pos").as("j"),
         col("col").as("xv"), dot(col("col"), col("col")).as("xx"))
-    val cellCodes = subs.join(broadcast(codebook), Seq("j"))
+    val cellCodes = subs.join(broadcast(cb), Seq("j"))
       .withColumn("dist",
         col("xx") - lit(2.0) * dot(col("xv"), col("cv")) + col("cc"))
       .groupBy(col(idCol), col("cell"), col("j"))
@@ -445,7 +530,7 @@ object Similarity {
       .select(col("qid"), col("cid").as("cell"))
     val dtab = pqSubvectors(corpus.filter(queryPred), vecCol, idCol, dims, m)
       .withColumnRenamed(idCol, "qid")
-      .join(broadcast(codebook), Seq("j"))
+      .join(broadcast(cb), Seq("j"))
       .select(col("qid"), col("j"), col("code"),
         (col("xx") - lit(2.0) * dot(col("xv"), col("cv")) + col("cc"))
           .as("dist"))

@@ -113,6 +113,21 @@ object SimilarityQueries {
         m = 4, k = 16, nCells = 16, nProbe = 3)
         .orderBy(col("qid"), col("rank"))),
 
+    // IVF-PQ over a TRAINED codebook: one Lloyd round of
+    // trainPqCodebook (decimal-exact per-subspace means — the same
+    // cross-engine-reproducible refinement as ann_kmeans_refine)
+    // feeds ivfPqTopK — the persisted train→serve codebook lifecycle,
+    // oracle-checked end to end
+    "ann_ivfpq_trained_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = Similarity.trainPqCodebook(e, "embedding", "vec_id",
+        dims = 64, m = 4, k = 16, rounds = 1)
+      Similarity.ivfPqTopK(e, "embedding", "vec_id",
+        queryPred = col("vec_id") < 100, topK = 5, dims = 64,
+        m = 4, k = 16, nCells = 16, nProbe = 3, codebook = Some(cb))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // int8 symmetric quantization (Similarity.quantizeInt8) — scalar
     // summaries of the code vector (min/max/sum are integer-exact,
     // so the oracle hash-matches without comparing arrays)
@@ -390,6 +405,93 @@ object SimilarityQueries {
          |  SELECT j, CAST(vec_id AS INTEGER) AS code, xv AS cv,
          |    list_dot_product(xv, xv) AS cc
          |  FROM subs WHERE vec_id < 16),
+         |enc AS (
+         |  SELECT vec_id AS nid, j, code FROM (
+         |    SELECT s.vec_id, s.j, cb.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.j
+         |        ORDER BY (list_dot_product(s.xv, s.xv)
+         |          - 2*list_dot_product(s.xv, cb.cv) + cb.cc), cb.code) AS rn
+         |    FROM subs s JOIN cb ON s.j = cb.j) x WHERE rn = 1),
+         |enccell AS (
+         |  SELECT enc.nid, a.cell, enc.j, enc.code
+         |  FROM enc JOIN assigned a ON enc.nid = a.vec_id),
+         |dtab AS (
+         |  SELECT q.vec_id AS qid, q.j, cb.code,
+         |    (list_dot_product(q.xv, q.xv)
+         |      - 2*list_dot_product(q.xv, cb.cv) + cb.cc) AS dist
+         |  FROM subs q JOIN cb ON q.j = cb.j WHERE q.vec_id < 100),
+         |pairs AS (
+         |  SELECT d.qid, ec.nid,
+         |    MAX(CASE WHEN d.j = 0 THEN d.dist END)
+         |      + MAX(CASE WHEN d.j = 1 THEN d.dist END)
+         |      + MAX(CASE WHEN d.j = 2 THEN d.dist END)
+         |      + MAX(CASE WHEN d.j = 3 THEN d.dist END) AS adist
+         |  FROM enccell ec
+         |    JOIN qprobe p ON ec.cell = p.cell
+         |    JOIN dtab d ON d.qid = p.qid AND ec.j = d.j AND ec.code = d.code
+         |  WHERE d.qid <> ec.nid
+         |  GROUP BY d.qid, ec.nid),
+         |ranked AS (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank
+         |  FROM pairs)
+         |SELECT qid, nid, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+    "ann_ivfpq_trained_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $sqlNorm AS nrm
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS cid, v AS cvec, nrm AS cn FROM e
+         |  WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT e.vec_id, cent.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, cent.cvec)
+         |                   / (e.nrm * cent.cn) DESC, cent.cid) AS crn
+         |    FROM e CROSS JOIN cent) x WHERE crn = 1),
+         |qprobe AS (
+         |  SELECT qid, cid AS cell FROM (
+         |    SELECT e.vec_id AS qid, cent.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, cent.cvec)
+         |                   / (e.nrm * cent.cn) DESC, cent.cid) AS crn
+         |    FROM e CROSS JOIN cent WHERE e.vec_id < 100) x
+         |  WHERE crn <= 3),
+         |subs AS (
+         |  SELECT vec_id, CAST(t.j AS INTEGER) AS j,
+         |    v[(CAST(t.j AS INTEGER)*16+1):(CAST(t.j AS INTEGER)*16+16)] AS xv
+         |  FROM e, (SELECT unnest(range(4)) AS j) t),
+         |cb0 AS (
+         |  SELECT j, CAST(vec_id AS INTEGER) AS code, xv AS cv,
+         |    list_dot_product(xv, xv) AS cc
+         |  FROM subs WHERE vec_id < 16),
+         |enc0 AS (
+         |  SELECT j, code, xv FROM (
+         |    SELECT s.j, cb0.code, s.xv,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.j
+         |        ORDER BY (list_dot_product(s.xv, s.xv)
+         |          - 2*list_dot_product(s.xv, cb0.cv) + cb0.cc), cb0.code)
+         |        AS rn
+         |    FROM subs s JOIN cb0 ON s.j = cb0.j) x WHERE rn = 1),
+         |cdims AS (
+         |  SELECT j, code, CAST(i AS INTEGER) - 1 AS pos,
+         |    CAST(xv[CAST(i AS INTEGER)] AS DECIMAL(28,12)) AS xd
+         |  FROM enc0, unnest(range(1, len(xv)+1)) AS t(i)),
+         |cmeans AS (
+         |  SELECT j, code, pos,
+         |    CAST(CAST(CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS REAL) AS DOUBLE)
+         |      AS mcoord
+         |  FROM cdims GROUP BY j, code, pos),
+         |next0 AS (
+         |  SELECT j, code, list(mcoord ORDER BY pos) AS cv
+         |  FROM cmeans GROUP BY j, code),
+         |cb AS (
+         |  SELECT c.j, c.code, COALESCE(n.cv, c.cv) AS cv,
+         |    list_dot_product(COALESCE(n.cv, c.cv), COALESCE(n.cv, c.cv))
+         |      AS cc
+         |  FROM cb0 c LEFT JOIN next0 n ON c.j = n.j AND c.code = n.code),
          |enc AS (
          |  SELECT vec_id AS nid, j, code FROM (
          |    SELECT s.vec_id, s.j, cb.code,

@@ -145,7 +145,7 @@ final class BinlogClient(
     prepareDump()
     dumpFile = file
     io.command(comBinlogDump(serverId, file, pos))
-    frames()
+    framesOrExplainPurged(s"file=$file pos=$pos")
   }
 
   /** Start a GTID auto-position dump from an executed-set string
@@ -153,7 +153,7 @@ final class BinlogClient(
   def dumpGtid(executedGtidSet: String): Iterator[BinlogClient.Frame] = {
     prepareDump()
     io.command(comBinlogDumpGtid(serverId, parseGtidSetString(executedGtidSet)))
-    frames()
+    framesOrExplainPurged(s"gtid set '$executedGtidSet'")
   }
 
   /** MariaDB GTID auto-position dump. MariaDB has no
@@ -178,7 +178,42 @@ final class BinlogClient(
     exec("SET @mariadb_slave_capability = 4")
     dumpFile = ""
     io.command(comBinlogDump(serverId, "", 4))
-    frames()
+    framesOrExplainPurged(s"MariaDB gtid pos '$gtidPos'")
+  }
+
+  /** The dump error every long-lived pipeline eventually meets:
+    * error 1236 (`ER_MASTER_FATAL_ERROR_READING_BINLOG`) — the master
+    * has PURGED the binlogs covering the requested resume position
+    * (expire_logs_days / PURGE BINARY LOGS outran the checkpoint).
+    * The raw server text ("Could not find first log file name..." /
+    * "...have been purged...") names neither what WE asked for nor
+    * the recovery, so rethrow with both: continuing from the
+    * checkpoint is impossible and events in the gap are gone — the
+    * only correct recovery is a fresh snapshot backfill
+    * (Backfill/ChunkedSnapshot) before resuming from the master's
+    * CURRENT coordinates. The ERR arrives as the first dump-stream
+    * response, i.e. inside the iterator's first advance — hence the
+    * wrapper, not a try around the command write. */
+  private def framesOrExplainPurged(
+      resumeFrom: String): Iterator[BinlogClient.Frame] = {
+    val it = frames()
+    def explain[T](body: => T): T =
+      try body catch {
+        case e: MySqlErrorException
+            if e.err.code == BinlogClient.ErMasterFatalErrorReadingBinlog =>
+          throw new IllegalStateException(
+            s"cannot resume replication from $resumeFrom: the master " +
+              s"reports error 1236 (${e.err.message}) — the binlogs " +
+              "covering that position have been purged. Events between " +
+              "the checkpoint and the earliest retained log are " +
+              "unrecoverable from the stream; run a snapshot backfill " +
+              "and restart from the master's current executed set " +
+              "(SHOW MASTER STATUS).", e)
+      }
+    new Iterator[BinlogClient.Frame] {
+      override def hasNext: Boolean = explain(it.hasNext)
+      override def next(): BinlogClient.Frame = explain(it.next())
+    }
   }
 
   /** Blocking frame iterator over the dump stream. Each network
@@ -270,6 +305,9 @@ final class BinlogClient(
 object BinlogClient {
   val HeartbeatEvent = 27
   val HeartbeatEventV2 = 41
+  /** ER_MASTER_FATAL_ERROR_READING_BINLOG: the resume position's
+    * binlogs no longer exist on the master (purged). */
+  val ErMasterFatalErrorReadingBinlog = 1236
   /** Semi-sync frame/ACK magic byte (semisync plugin wire format). */
   val SemiSyncMagic = 0xef
   /** LOG_EVENT_ARTIFICIAL_F: server-generated frame (the fake ROTATE

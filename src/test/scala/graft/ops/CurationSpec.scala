@@ -256,6 +256,144 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("not streamable"), e.getMessage)
   }
 
+  test("streaming domain-cap: ledgered cap is global across runs and " +
+      "matches the batch stage's per-domain counts on the concatenated input") {
+    val dir = Files.createTempDirectory("curate-dcap").toString
+    val (in, out, state) = (s"$dir/in", s"$dir/out", s"$dir/state")
+    def cfg() =
+      s"""[input]
+         |path = "$in"
+         |stream = "true"
+         |[[stages]]
+         |type = "domain-cap"
+         |source-column = "source"
+         |max-per-source = 2
+         |state-dir = "$state"
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val b1 = Seq((1L, "alpha words one", "srcA"), (2L, "beta words two", "srcA"),
+      (3L, "gamma words three", "srcA"), (4L, "delta words four", "srcB"))
+    val b2 = Seq((5L, "epsilon words five", "srcA"),
+      (6L, "zeta words six", "srcB"), (7L, "eta words seven", "srcB"),
+      (8L, "theta words eight", "srcC"))
+    b1.toDF("doc_id", "text", "source").coalesce(1)
+      .write.mode("append").parquet(in)
+    val (n1, _) = graft.CurateMain.run(spark, cfg())
+    assert(n1 == 3L) // srcA capped 3→2, srcB 1
+    b2.toDF("doc_id", "text", "source").coalesce(1)
+      .write.mode("append").parquet(in)
+    val (n2, _) = graft.CurateMain.run(spark, cfg())
+    // srcA is FULL from run 1 (the ledger carried it over), srcB has
+    // one slot left, srcC is fresh
+    assert(n2 == 2L, s"run 2 admitted $n2")
+    val outDf = spark.read.parquet(out)
+    // never admitted twice, and per-domain counts equal the BATCH
+    // stage's counts on the concatenated input: min(cap, |domain|)
+    assert(outDf.select($"doc_id").as[Long].collect().distinct.length ==
+      outDf.count().toInt)
+    val streamCounts = outDf.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    val concat = (b1 ++ b2).toDF("doc_id", "text", "source")
+    val batchStage = Curation.stage(Map("type" -> "domain-cap",
+      "source-column" -> "source", "max-per-source" -> 2L),
+      "text", "doc_id", spark)
+    val batchCounts = batchStage.apply(concat).groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    assert(streamCounts == batchCounts,
+      s"stream $streamCounts != batch $batchCounts")
+    // the admitted SET follows the first-come model: within a batch
+    // the stage's (id-hash, id) order, across batches arrival order
+    val order = concat
+      .select($"doc_id", $"source",
+        graft.functions.TextFunctions.hashBucket($"doc_id", 1000000)
+          .as("h"))
+      .as[(Long, String, Long)].collect()
+      .map { case (id, src, h) => id -> ((src, h)) }.toMap
+    def firstCome(batches: Seq[Seq[Long]]): Set[Long] = {
+      val perDomain = scala.collection.mutable.Map.empty[String, Int]
+      val admitted = Set.newBuilder[Long]
+      batches.foreach { ids =>
+        ids.sortBy(id => (order(id)._2, id)).foreach { id =>
+          val src = order(id)._1
+          if (perDomain.getOrElse(src, 0) < 2) {
+            perDomain(src) = perDomain.getOrElse(src, 0) + 1
+            admitted += id
+          }
+        }
+      }
+      admitted.result()
+    }
+    val expected = firstCome(Seq(b1.map(_._1), b2.map(_._1)))
+    assert(outDf.select($"doc_id").as[Long].collect().toSet == expected)
+  }
+
+  test("streaming token-budget: the ledger carries spent tokens across " +
+      "runs; stream-total ≡ the sequential first-come model") {
+    val dir = Files.createTempDirectory("curate-tbud").toString
+    val (in, out, state) = (s"$dir/in", s"$dir/out", s"$dir/state")
+    val budget = 30L
+    def cfg() =
+      s"""[input]
+         |path = "$in"
+         |stream = "true"
+         |[[stages]]
+         |type = "token-budget"
+         |budget = $budget
+         |state-dir = "$state"
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val b1 = Seq(
+      (1L, "a modest document with a handful of plain words in it"),
+      (2L, "spam spam spam spam spam spam spam spam"),
+      (3L, "another ordinary sentence with several everyday words here"))
+    val b2 = Seq(
+      (4L, "a later arrival with some reasonable words of its own"),
+      (5L, "yet another document that may or may not fit the budget"))
+    b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val (n1, _) = graft.CurateMain.run(spark, cfg())
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    graft.CurateMain.run(spark, cfg())
+    val outIds = spark.read.parquet(out).select($"doc_id").as[Long]
+      .collect().toSet
+    // sequential reference: walk each batch in (quality desc, id)
+    // order, admit while spent + ntok <= budget (budgetFilter is a
+    // monotone prefix within a batch), carry spent across batches —
+    // computed with the SAME quality/token functions
+    val metrics = (b1 ++ b2).toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.functions.TextFunctions.qualityScore($"text").as("q"),
+        graft.functions.TextFunctions.tokenCount($"text")
+          .cast("long").as("ntok"))
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    var spent = 0L
+    val expected = Set.newBuilder[Long]
+    Seq(b1.map(_._1), b2.map(_._1)).foreach { ids =>
+      var cum = 0L
+      var open = true
+      ids.sortBy(id => (-metrics(id)._1, id)).foreach { id =>
+        val ntok = metrics(id)._2
+        if (open && cum + ntok <= budget - spent) {
+          cum += ntok; expected += id
+        } else open = false // prefix semantics: first overflow closes
+      }
+      spent += cum
+    }
+    val exp = expected.result()
+    assert(outIds == exp, s"stream $outIds != sequential model $exp")
+    assert(n1 > 0 && outIds.nonEmpty)
+    // the total never exceeds the budget
+    val totalTok = outIds.toSeq.map(id => metrics(id)._2).sum
+    assert(totalTok <= budget, s"admitted $totalTok tokens > $budget")
+    // a third run with nothing new admits nothing and leaves the
+    // output untouched
+    val before = spark.read.parquet(out).count()
+    val (n3, _) = graft.CurateMain.run(spark, cfg())
+    assert(n3 == 0L && spark.read.parquet(out).count() == before)
+  }
+
   test("dedup-near index append lands only after the output write succeeds") {
     val dir = Files.createTempDirectory("curate-idx").toString
     val in = s"$dir/docs.parquet"

@@ -209,6 +209,57 @@ class SimilaritySpec extends SparkSpec {
       e.getMessage.contains("nCells=16"))
   }
 
+  test("trained PQ codebook: rounds=0 ≡ inline; parquet round-trip; oversized fails") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // rounds=0 is the seed codebook bit-for-bit, so serving through
+    // the trained path must equal the inline path exactly — for the
+    // encoder, the full-ADC search, AND the IVF-PQ composition
+    val cb0 = Similarity.trainPqCodebook(emb, "embedding", "vec_id",
+      dims = 64, m = 4, k = 16, rounds = 0)
+    val encInline = Similarity.pqEncode(emb, "embedding", "vec_id",
+      dims = 64, m = 4, k = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val encTrained = Similarity.pqEncode(emb, "embedding", "vec_id",
+      dims = 64, m = 4, k = 16, codebook = Some(cb0))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(encInline == encTrained)
+    val inline = pairs(Similarity.ivfPqTopK(emb, "embedding", "vec_id",
+      queryPred = col("vec_id") < 50, topK = 5, dims = 64, m = 4, k = 16,
+      nCells = 16, nProbe = 3))
+    val seeded = pairs(Similarity.ivfPqTopK(emb, "embedding", "vec_id",
+      queryPred = col("vec_id") < 50, topK = 5, dims = 64, m = 4, k = 16,
+      nCells = 16, nProbe = 3, codebook = Some(cb0)))
+    assert(inline == seeded)
+    // the persisted lifecycle: train → save → load → serve must equal
+    // serving from the in-memory trained frame (rounds=1 now, so the
+    // codebook actually differs from the seed)
+    val cb1 = Similarity.trainPqCodebook(emb, "embedding", "vec_id",
+      dims = 64, m = 4, k = 16, rounds = 1)
+    val dir = java.nio.file.Files.createTempDirectory("pq-cb").toString
+    cb1.write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val servedMem = pairs(Similarity.pqTopK(emb, "embedding", "vec_id",
+      queryPred = col("vec_id") < 50, topK = 5, dims = 64, m = 4, k = 16,
+      trainedCodebook = Some(cb1)))
+    val servedDisk = pairs(Similarity.pqTopK(emb, "embedding", "vec_id",
+      queryPred = col("vec_id") < 50, topK = 5, dims = 64, m = 4, k = 16,
+      trainedCodebook = Some(loaded)))
+    assert(servedMem == servedDisk && servedMem.nonEmpty)
+    // an oversized codebook fails loudly, same contract as centroids
+    val over = Similarity.pqEncode(emb, "embedding", "vec_id",
+      dims = 64, m = 4, k = 16) // (vec_id, j, code): way over m·k rows
+      .select(col("j"), col("code"),
+        org.apache.spark.sql.functions.array(
+          (0 until 16).map(_ => org.apache.spark.sql.functions.lit(0f)): _*)
+          .as("cv"))
+    val e = intercept[IllegalArgumentException](
+      Similarity.pqEncode(emb, "embedding", "vec_id",
+        dims = 64, m = 4, k = 16, codebook = Some(over)))
+    assert(e.getMessage.contains("m*k=64"))
+  }
+
   test("gramFixedPoint matches the sequential model and is partitioning-invariant") {
     val data = (0 until 37).map { n =>
       (n.toLong, Array.tabulate(5)(i =>

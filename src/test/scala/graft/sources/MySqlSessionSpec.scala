@@ -46,7 +46,10 @@ object FakeMaster {
     * currently-quiet master; ends when the server closes). */
   final case class Session(auth: Auth, frames: Seq[Array[Byte]] = Nil,
       afterFrames: String = "eof", greetPlugin: String = NativePasswordPlugin,
-      semiSync: Boolean = false) {
+      semiSync: Boolean = false,
+      // respond to the dump command with this ERR instead of frames —
+      // the purged-binlog refusal path (error 1236)
+      dumpErr: Option[(Int, String, String)] = None) {
     require(Set("eof", "die", "hold")(afterFrames), afterFrames)
   }
 
@@ -213,12 +216,16 @@ final class FakeMaster(password: String, sessions: Seq[FakeMaster.Session])
           val pos = c.u32(); c.u16(); c.u32()
           val file = new String(cmd, c.off, cmd.length - c.off, UTF_8)
           log.add(s"dump:$file:$pos")
-          streamFrames(io, session)
-          session.afterFrames match {
-            case "eof" => io.write(eofPacket)
-            case "die" => sock.close(); open = false
-            case "hold" => // loop re-enters io.read(), which blocks
-              // until a side closes — a live master between events
+          session.dumpErr match {
+            case Some((code, state, msg)) => io.write(errPacket(code, state, msg))
+            case None =>
+              streamFrames(io, session)
+              session.afterFrames match {
+                case "eof" => io.write(eofPacket)
+                case "die" => sock.close(); open = false
+                case "hold" => // loop re-enters io.read(), which blocks
+                  // until a side closes — a live master between events
+              }
           }
         case ComBinlogDumpGtid =>
           val c = new Binlog.Cursor(cmd, 1)
@@ -234,11 +241,15 @@ final class FakeMaster(password: String, sessions: Seq[FakeMaster.Session])
             s"$sid[${ivs.mkString(",")}]"
           }
           log.add(s"dumpgtid:${new String(fn, UTF_8)}:${sids.mkString(";")}")
-          streamFrames(io, session)
-          session.afterFrames match {
-            case "eof" => io.write(eofPacket)
-            case "die" => sock.close(); open = false
-            case "hold" => ()
+          session.dumpErr match {
+            case Some((code, state, msg)) => io.write(errPacket(code, state, msg))
+            case None =>
+              streamFrames(io, session)
+              session.afterFrames match {
+                case "eof" => io.write(eofPacket)
+                case "die" => sock.close(); open = false
+                case "hold" => ()
+              }
           }
         case ComQuit => open = false
         case other =>
@@ -494,6 +505,107 @@ class MySqlSessionSpec extends AnyFunSuite {
         assert(e.getMessage.contains("malformed MariaDB GTID"))
       } finally c2.close()
     } finally master2.close()
+  }
+
+  test("purged-binlog resume (error 1236) raises an actionable error naming the position") {
+    // GTID auto-position path: the checkpointed set asks for gnos the
+    // master has already expired
+    val master = new FakeMaster("secret", Seq(Session(NativeOk,
+      dumpErr = Some((1236, "HY000",
+        "Cannot replicate because the master purged required binary logs")))))
+    try {
+      val c = client(master.port)
+      try {
+        val set = "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-5"
+        val it = c.dumpGtid(set)
+        val e = intercept[IllegalStateException](it.hasNext)
+        // names what WE asked for, the server's reason, and the
+        // recovery (snapshot backfill + current coordinates)
+        assert(e.getMessage.contains(set))
+        assert(e.getMessage.contains("1236"))
+        assert(e.getMessage.contains("purged"))
+        assert(e.getMessage.contains("snapshot backfill"))
+        assert(e.getCause.isInstanceOf[MySqlErrorException])
+      } finally c.close()
+    } finally master.close()
+    // file/pos path: same contract
+    val master2 = new FakeMaster("secret", Seq(Session(NativeOk,
+      dumpErr = Some((1236, "HY000",
+        "Could not find first log file name in binary log index file")))))
+    try {
+      val c2 = client(master2.port)
+      try {
+        val e2 = intercept[IllegalStateException](
+          c2.dump("binlog.000001", 4).hasNext)
+        assert(e2.getMessage.contains("file=binlog.000001 pos=4"))
+        assert(e2.getMessage.contains("snapshot backfill"))
+      } finally c2.close()
+    } finally master2.close()
+    // any OTHER server error passes through untranslated — the 1236
+    // wrapper must not swallow unrelated failures
+    val master3 = new FakeMaster("secret", Seq(Session(NativeOk,
+      dumpErr = Some((1045, "28000", "not allowed")))))
+    try {
+      val c3 = client(master3.port)
+      try {
+        val e3 = intercept[MySqlErrorException](
+          c3.dump("binlog.000001", 4).hasNext)
+        assert(e3.err.code == 1045)
+      } finally c3.close()
+    } finally master3.close()
+  }
+
+  test("soak: thousands of events, interleaved heartbeats, repeated forced " +
+      "reconnects — relay byte-identical") {
+    val nEvents = 3000
+    val masterFile = BinlogWriter.file(
+      (0 until nEvents).map(i =>
+        Binlog.QueryEvent -> query("app", s"INSERT INTO t VALUES ($i)")))
+    val frames = splitFrames(masterFile) // FDE + nEvents query frames
+    assert(frames.length == nEvents + 1)
+    def posAfter(frameIdx: Int): Long =
+      new Binlog.Cursor(frames(frameIdx), 13).u32()
+    // 4 sessions = 3 forced mid-stream deaths; each resumed session
+    // re-sends the FDE (as a real server does) which the relay must
+    // skip, and every session interleaves heartbeats every 50 frames
+    val cuts = Seq(0, 900, 1900, 2500, frames.length)
+    def withHeartbeats(fs: Seq[Array[Byte]]): Seq[Array[Byte]] =
+      fs.grouped(50).flatMap(g => g :+ heartbeatFrame("binlog.000007"))
+        .toSeq
+    val sessions = (0 until 4).map { k =>
+      val start = cuts(k); val end = cuts(k + 1)
+      val resumePos = if (k == 0) 4L else posAfter(start - 1)
+      val body = if (k == 0) frames.slice(start, end)
+        else frames.take(1) ++ frames.slice(start, end) // re-sent FDE
+      Session(NativeOk,
+        artificialRotate("binlog.000007", resumePos) +: withHeartbeats(body),
+        afterFrames = if (k == 3) "eof" else "die")
+    }
+    val master = new FakeMaster("secret", sessions)
+    val dir = Files.createTempDirectory("graft-relay-soak")
+    try {
+      val relay = new BinlogRelay(dir, () => client(master.port),
+        BinlogRelay.FilePos("binlog.000007", 4),
+        retryBackoffMs = 10, maxRetries = 10, stopAtEof = true)
+      relay.startRelay()
+      assert(relay.awaitTermination(120000), "relay did not finish")
+      // every reconnect resumed at the last durable frame's next_pos
+      val dumps = master.log.asScala.filter(_.startsWith("dump:")).toVector
+      assert(dumps == Vector(
+        "dump:binlog.000007:4",
+        s"dump:binlog.000007:${posAfter(899)}",
+        s"dump:binlog.000007:${posAfter(1899)}",
+        s"dump:binlog.000007:${posAfter(2499)}"), dumps)
+      // byte-identical reproduction, no duplicated or dropped frames
+      val seg = Files.readAllBytes(dir.resolve("binlog.000007"))
+      assert(seg.sameElements(masterFile),
+        s"segment ${seg.length}B != master file ${masterFile.length}B")
+      assert(relay.appendedFrames == frames.length)
+      assert(master.firstFailure.isEmpty, master.firstFailure)
+    } finally {
+      master.close()
+      dir.toFile.listFiles().foreach(_.delete()); Files.delete(dir)
+    }
   }
 
   test("relay survives a mid-stream death and reproduces the master file byte-identically") {
