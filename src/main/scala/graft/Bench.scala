@@ -192,7 +192,10 @@ object Bench {
           .collectFirst { case l if l.startsWith("model name") =>
             l.split(":", 2)(1).trim }.getOrElse("?")
       } catch { case _: Throwable => "?" }
-      val esc = cpu.replace("\\", "\\\\").replace("\"", "\\\"").take(48)
+      // truncate BEFORE escaping: take(48) after escaping could cut
+      // an escape sequence in half (a trailing lone backslash would
+      // escape the closing quote and break the driver's JSON parse)
+      val esc = cpu.take(48).replace("\\", "\\\\").replace("\"", "\\\"")
       s""""env":{"cpu":"$esc","cores":${Runtime.getRuntime.availableProcessors},""" +
         s""""load_start":${fmt(loadAtStart)},""" +
         s""""jvm":"${System.getProperty("java.version")}",""" +

@@ -18,6 +18,7 @@ object BenchOne {
     require(args.nonEmpty, "usage: BenchOne <query> [reps] [gc|nogc]")
     val name = args(0)
     val reps = if (args.length > 1) args(1).toInt else 5
+    require(reps >= 1, s"reps must be >= 1, got $reps")
     val doGc = args.length <= 2 || args(2) == "gc"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -45,10 +46,15 @@ object BenchOne {
     }
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val sorted = samples.sorted
+    // conventional median: mean of the two mid samples for even reps
+    // (upper-mid alone would bias A/B regression calls high)
+    val median =
+      if (reps % 2 == 1) sorted(reps / 2)
+      else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2.0
     val line = s"""{"query":"$name","reps":$reps,"gc":$doGc,""" +
       s""""samples":[${samples.map(fmt).mkString(",")}],""" +
       s""""min":${fmt(sorted.head)},""" +
-      s""""median":${fmt(sorted(reps / 2))},""" +
+      s""""median":${fmt(median)},""" +
       s""""max":${fmt(sorted.last)},"sf":"$sfDir"}"""
     spark.stop()
     println(line)

@@ -60,7 +60,7 @@ object CurateMain {
     val textCol = opt("input.text-column").getOrElse("text")
     val outDir = opt("output.dir").getOrElse(sys.error("required: output.dir"))
     val partitionBy = opt("output.partition-by")
-    val streaming = opt("input.stream").exists(_.toBoolean)
+    val streaming = streamingMode(tree)
 
     val stages = Toml.tablesAt(tree, "stages")
       .map(Curation.stage(_, textCol, idCol, spark))
@@ -139,6 +139,12 @@ object CurateMain {
     }
   }
 
+  /** THE stream-mode decision — one definition shared by [[run]] and
+    * [[main]]'s `funnel_scope` label, so the printed scope can never
+    * drift from the mode the run actually executed in. */
+  private def streamingMode(tree: Map[String, Any]): Boolean =
+    Toml.at(tree, "input.stream").exists(_.toString.toBoolean)
+
   def main(args: Array[String]): Unit = {
     // maintenance mode: compact a dedup index in place (collapse
     // at-least-once replay duplicates, crash-safe swap) and exit
@@ -178,8 +184,8 @@ object CurateMain {
       // run's micro-batches (stream mode) — the cumulative truth for
       // an incremental corpus is the output dir's __ingest_batch
       // partitions, not this line
-      val scope = if (Toml.at(Toml.parseTree(configText), "input.stream")
-          .exists(_.toString.toBoolean)) "run" else "corpus"
+      val scope =
+        if (streamingMode(Toml.parseTree(configText))) "run" else "corpus"
       // one parseable line, same contract as Bench's output
       println(s"""{"curated_rows":$n,"funnel_scope":"$scope",""" +
         s""""funnel":$stagesJson}""")

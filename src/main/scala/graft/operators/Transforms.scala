@@ -128,14 +128,22 @@ object Transforms {
     * both sides — a column appearing in only one map counts as
     * changed). Downstream consumers use this for audit trails and
     * for building sparse column-level updates instead of full-row
-    * upserts. Pure map/array expressions — codegen'd, scan-stage,
-    * no shuffle.
+    * upserts. One fused scan-stage pass over the map buffers
+    * ([[graft.functions.MapChangedKeys]]) — no shuffle, no
+    * intermediate arrays; the function self-registers on the active
+    * session, so callers on a plain SparkSession (no
+    * `spark.sql.extensions=graft.GraftExtensions`) keep working.
     */
-  def changedColumns(before: Column, after: Column): Column =
-    // the fused native pass ([[graft.functions.MapChangedKeys]]);
+  def changedColumns(before: Column, after: Column): Column = {
+    // the old formulation was pure built-ins and worked on ANY
+    // session; the native function must not silently narrow that
+    // contract to extension-configured sessions
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.GraftExtensions.ensure)
     // [[changedColumnsHof]] is the four-operator reference pipeline
-    // it replaced — kept as the spec's equivalence cross-check
+    // this replaced — kept as the spec's equivalence cross-check
     call_function("map_changed_keys", before, after)
+  }
 
   /** Reference formulation of [[changedColumns]] via built-in
     * higher-order functions — semantically identical (spec-pinned),

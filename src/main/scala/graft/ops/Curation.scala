@@ -127,13 +127,13 @@ object Curation {
               // leak its checkpoint blocks when the next batch
               // displaces it (the failed batch's index append is
               // correctly dropped: it never committed)
-              Option(pending.getAndSet(winners)).foreach(_.unpersist())
+              Option(pending.getAndSet(winners)).foreach(CheckpointRelease.release)
               winners.drop("fp", "bucket")
             }, () => Option(pending.getAndSet(null)).foreach { w =>
               IncrementalDedup.appendFpRows(spark,
                 w.select(col("fp"), col("bucket"), col(idCol).as("keep_id")),
                 dir.toString)
-              w.unpersist()
+              CheckpointRelease.release(w)
             }, streamable = true)
           case None =>
             Stage("dedup-exact", df => {
@@ -158,7 +158,8 @@ object Curation {
               // release any frames a failed batch left behind (see
               // dedup-exact-index) before installing the new pair
               Option(pending.getAndSet((novelDocs, bands))).foreach {
-                case (n, b) => n.unpersist(); b.unpersist()
+                case (n, b) =>
+                  CheckpointRelease.release(n); CheckpointRelease.release(b)
               }
               novelDocs
             }, () => Option(pending.getAndSet(null)).foreach {
@@ -167,7 +168,7 @@ object Curation {
                 // release both checkpoints — postCommit runs after
                 // the output write, so nothing re-reads them; see
                 // dedup-exact-index for the per-batch leak rationale
-                b.unpersist(); n.unpersist()
+                CheckpointRelease.release(b); CheckpointRelease.release(n)
             }, streamable = true)
           case None =>
             // corpus mode: LSH candidates → components → keeper-only
@@ -218,14 +219,14 @@ object Curation {
             Stage("domain-cap-state", df => {
               val admitted = IncrementalCuration.admitDomainCap(
                 spark, df, sourceCol, idCol, dir.toString, k)
-              Option(pending.getAndSet(admitted)).foreach(_.unpersist())
+              Option(pending.getAndSet(admitted)).foreach(CheckpointRelease.release)
               admitted
             }, () => Option(pending.getAndSet(null)).foreach { a =>
               IncrementalCuration.appendDomainRows(spark,
                 a.select(col(idCol).as("doc_id"),
                   col(sourceCol).as("source")),
                 dir.toString)
-              a.unpersist()
+              CheckpointRelease.release(a)
             }, streamable = true)
           case None =>
             Stage("domain-cap", df => {
@@ -252,13 +253,13 @@ object Curation {
             Stage("token-budget-state", df => {
               val admitted = IncrementalCuration.admitTokenBudget(
                 spark, df, textCol, idCol, dir.toString, budget)
-              Option(pending.getAndSet(admitted)).foreach(_.unpersist())
+              Option(pending.getAndSet(admitted)).foreach(CheckpointRelease.release)
               admitted.drop("__ntok")
             }, () => Option(pending.getAndSet(null)).foreach { a =>
               IncrementalCuration.appendBudgetRows(spark,
                 a.select(col(idCol).as("doc_id"), col("__ntok").as("ntok")),
                 dir.toString)
-              a.unpersist()
+              CheckpointRelease.release(a)
             }, streamable = true)
           case None =>
             Stage("token-budget", df =>

@@ -34,12 +34,17 @@ import graft.functions.TextFunctions
   * stay driver-aggregatable at any corpus scale, which is why —
   * unlike the dedup indexes — no bucket partitioning is needed.
   *
-  * Replay safety (foreachBatch is at-least-once): admission rows
-  * dedupe by doc id on read, and a batch's OWN docs are excluded
-  * from the prior-state view before deciding — so a batch replayed
-  * after its ledger append sees exactly the prior state its original
-  * run saw, re-derives the identical admission set, and its
-  * re-append collapses into the existing rows.
+  * Replay safety (foreachBatch is at-least-once) and re-delivery
+  * both reduce to ONE rule: a doc already in the ledger is never
+  * admitted again. A batch replayed after its ledger append derives
+  * an EMPTY admission — and an empty frame under dynamic partition
+  * overwrite writes no partitions, so the crashed attempt's output
+  * stands; replayed before the append, the deterministic ranking
+  * re-derives the identical set and overwrites its own partition
+  * identically. A doc genuinely re-delivered in a LATER batch is
+  * dropped rather than double-admitted or double-counted (admission
+  * rows additionally dedupe by doc id on read, so even a double
+  * ledger append cannot inflate counts).
   */
 object IncrementalCuration {
 
@@ -57,9 +62,19 @@ object IncrementalCuration {
   }
 
   /** Admit `batch` docs whose domain still has room under `cap`,
-    * given the persisted ledger at `stateDir`. Within the batch the
-    * order is the batch stage's (id-hash, id) — deterministic under
-    * any partitioning. Returns a MATERIALIZED frame with the batch's
+    * given the persisted ledger at `stateDir`. Docs ALREADY IN the
+    * ledger are dropped, never re-admitted — that one rule covers
+    * both failure modes: a crash-REPLAYED batch (ledger appended,
+    * checkpoint uncommitted) re-derives an all-ledgered → EMPTY
+    * admission, and dynamic partition overwrite writes NO partitions
+    * for an empty frame, so the crashed attempt's output survives
+    * untouched; a genuine RE-DELIVERY of an admitted doc in a later
+    * batch is dropped instead of consuming cap twice. (A crash
+    * BEFORE the ledger append replays to the identical admission —
+    * deterministic ranking against unchanged prior counts — and
+    * overwrites its own partition identically.) Within the batch the
+    * order is the batch stage's (id-hash, id), computed over the
+    * NOVEL docs only. Returns a MATERIALIZED frame with the batch's
     * original columns (consume-after-append safe). */
   def admitDomainCap(spark: SparkSession, batch: DataFrame,
       sourceCol: String, idCol: String, stateDir: String,
@@ -67,22 +82,19 @@ object IncrementalCuration {
     val (hfs, p) = fsPath(spark, stateDir)
     val h = TextFunctions.hashBucket(col(idCol), 1000000)
     val w = Window.partitionBy(col(sourceCol)).orderBy(h, col(idCol))
-    val ranked = batch.withColumn("__rn", row_number().over(w))
     val admitted =
-      if (!hfs.exists(p)) ranked.filter(col("__rn") <= cap)
+      if (!hfs.exists(p))
+        batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= cap)
       else {
         val ledger = spark.read.schema(domainSchema).parquet(stateDir)
-          // replay exclusion: a crash between ledger append and
-          // checkpoint commit replays this batch WITH its own rows
-          // already present — without this anti-join the replay
-          // would see its own admissions as prior state and admit a
-          // different (smaller) set than the original run emitted
-          .join(batch.select(col(idCol).as("doc_id")), Seq("doc_id"),
-            "left_anti")
+        val novel = batch.join(
+          ledger.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
         val prior = ledger.select(col("doc_id"), col("source")).distinct()
           .groupBy(col("source")).agg(count(lit(1)).as("__prior"))
           .withColumnRenamed("source", "__src")
-        ranked.join(prior, col(sourceCol) === col("__src"), "left")
+        novel.withColumn("__rn", row_number().over(w))
+          .join(prior, col(sourceCol) === col("__src"), "left")
           .filter(coalesce(col("__prior"), lit(0L)) + col("__rn") <= cap)
           .drop("__src", "__prior")
       }
@@ -98,23 +110,31 @@ object IncrementalCuration {
   /** Admit `batch` docs under the REMAINING token budget (total
     * budget minus tokens already admitted per the ledger), quality-
     * ordered within the batch via [[BandedScan.budgetFilter]].
+    * Ledgered docs are dropped, never re-admitted — same
+    * crash-replay / re-delivery rule as [[admitDomainCap]] (spent is
+    * counted over the FULL ledger, so a re-delivered doc can neither
+    * re-consume budget nor duplicate in the output).
     * Returns a MATERIALIZED frame carrying a `__ntok` helper column
     * (the caller's postCommit appends it, then drops it). */
   def admitTokenBudget(spark: SparkSession, batch: DataFrame,
       textCol: String, idCol: String, stateDir: String,
       budget: Long): DataFrame = {
     val (hfs, p) = fsPath(spark, stateDir)
-    val spent: Long =
-      if (!hfs.exists(p)) 0L
-      else spark.read.schema(budgetSchema).parquet(stateDir)
-        .join(batch.select(col(idCol).as("doc_id")), Seq("doc_id"),
-          "left_anti") // replay exclusion, as in admitDomainCap
-        .groupBy(col("doc_id")).agg(max(col("ntok")).as("ntok"))
-        .agg(coalesce(sum(col("ntok")), lit(0L)))
-        .head().getLong(0) // one scalar — bounded driver-side read
+    val (novel, spent) =
+      if (!hfs.exists(p)) (batch, 0L)
+      else {
+        val ledger = spark.read.schema(budgetSchema).parquet(stateDir)
+        val nv = batch.join(
+          ledger.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+        val sp = ledger
+          .groupBy(col("doc_id")).agg(max(col("ntok")).as("ntok"))
+          .agg(coalesce(sum(col("ntok")), lit(0L)))
+          .head().getLong(0) // one scalar — bounded driver-side read
+        (nv, sp)
+      }
     val remaining = math.max(0L, budget - spent)
     BandedScan.budgetFilter(
-      batch
+      novel
         .withColumn("__ntok",
           TextFunctions.tokenCount(col(textCol)).cast("long"))
         .withColumn("__q", TextFunctions.qualityScore(col(textCol))),

@@ -115,7 +115,7 @@ object IncrementalDedup {
       if (!materialize) joined
       else {
         val out = joined.localCheckpoint()
-        winners.unpersist()
+        CheckpointRelease.release(winners)
         out
       }
     }
@@ -240,7 +240,7 @@ object IncrementalDedup {
     // makes "append after" safe for every caller
     val novelCp = novelDocs.localCheckpoint()
     val bandsCp = appendBands.localCheckpoint()
-    b.unpersist()
+    CheckpointRelease.release(b)
     (novelCp, bandsCp)
   }
 
@@ -320,7 +320,7 @@ object IncrementalDedup {
     val (novelDocs, appendBands) =
       novelNearDup(spark, batch, textCol, idCol, indexDir, nBuckets)
     appendBandRows(spark, appendBands, indexDir, nBuckets)
-    appendBands.unpersist()
+    CheckpointRelease.release(appendBands)
     novelDocs
   }
 }

@@ -175,10 +175,16 @@ final class JdbcDdlForwarder(connect: () => Connection,
     // the SCHEMA position (MySQL Connector/J defaults
     // databaseTerm=CATALOG and ignores schemaPattern; Derby/Postgres
     // use the schema position). Probe both positions, and accept only
-    // rows whose own TABLE_CAT/TABLE_SCHEM actually names the routed
-    // database — a null-catalog probe otherwise matches a same-named
-    // table in ANY database, and a fresh ALTER would be silently
-    // skipped as a "completed replay", diverging target from registry.
+    // rows whose own namespace actually names the routed database —
+    // a null-catalog probe otherwise matches a same-named table in
+    // ANY database, and a fresh ALTER would be silently skipped as a
+    // "completed replay", diverging target from registry. The
+    // acceptance is namespace-aware, not an OR: when the row REPORTS
+    // a schema, that schema must match — on a schema-position driver
+    // (Postgres) whose CATALOG happens to equal the routed name (db
+    // also called 'app'), a row from another schema would otherwise
+    // pass on its TABLE_CAT. Only schema-less rows (Connector/J
+    // reports TABLE_SCHEM = null) fall back to the catalog compare.
     def probe(cat: String, schPat: String, t: String, c: String): Boolean = {
       val rs = md.getColumns(cat, schPat, q(t), q(c))
       try {
@@ -188,8 +194,9 @@ final class JdbcDdlForwarder(connect: () => Connection,
           else {
             val rCat = Option(rs.getString("TABLE_CAT")).getOrElse("")
             val rSch = Option(rs.getString("TABLE_SCHEM")).getOrElse("")
-            found = rCat.equalsIgnoreCase(target.schema) ||
-              rSch.equalsIgnoreCase(target.schema)
+            found =
+              if (rSch.nonEmpty) rSch.equalsIgnoreCase(target.schema)
+              else rCat.equalsIgnoreCase(target.schema)
           }
         }
         found

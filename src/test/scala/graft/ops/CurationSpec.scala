@@ -326,6 +326,19 @@ class CurationSpec extends SparkSpec {
     }
     val expected = firstCome(Seq(b1.map(_._1), b2.map(_._1)))
     assert(outDf.select($"doc_id").as[Long].collect().toSet == expected)
+    // genuine RE-DELIVERY of an already-admitted doc in a later batch:
+    // dropped by the ledger (never admitted twice, no duplicate
+    // output row, no cap consumed) while a genuinely new doc in the
+    // same batch is admitted normally
+    assert(expected.contains(4L), "test setup: doc 4 must be admitted")
+    Seq((4L, "delta words four", "srcB"), (9L, "iota words nine", "srcC"))
+      .toDF("doc_id", "text", "source").coalesce(1)
+      .write.mode("append").parquet(in)
+    val (n3, _) = graft.CurateMain.run(spark, cfg())
+    assert(n3 == 1L, s"re-delivered doc must not re-admit: $n3")
+    val ids3 = spark.read.parquet(out).select($"doc_id").as[Long].collect()
+    assert(ids3.count(_ == 4L) == 1, "doc 4 duplicated across partitions")
+    assert(ids3.toSet == expected + 9L)
   }
 
   test("streaming token-budget: the ledger carries spent tokens across " +

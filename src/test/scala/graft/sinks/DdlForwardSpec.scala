@@ -76,7 +76,12 @@ class DdlForwardSpec extends AnyFunSuite {
     * database makes a fresh ALTER look like a completed replay. */
   private class MySqlShapedConn(
       rows: Seq[(String, String, String)], // (catalog, table, column)
-      val executed: scala.collection.mutable.Buffer[String]) {
+      val executed: scala.collection.mutable.Buffer[String],
+      // Postgres-shaped variant: rows carry a SCHEMA (reported in
+      // TABLE_SCHEM), the schemaPattern argument IS honored, and
+      // TABLE_CAT reports the connected database's name for every row
+      schemaOf: Map[(String, String, String), String] = Map.empty,
+      honorSchemaPattern: Boolean = false) {
     import java.lang.reflect.{InvocationHandler, Method, Proxy}
     import java.sql.{Connection, DatabaseMetaData, ResultSet, Statement}
 
@@ -94,7 +99,8 @@ class DdlForwardSpec extends AnyFunSuite {
         case ("next", _) => i += 1; java.lang.Boolean.valueOf(i < hits.length)
         case ("getString", a) => a(0).asInstanceOf[String] match {
           case "TABLE_CAT" => hits(i)._1
-          case "TABLE_SCHEM" => null // Connector/J reports null schema
+          case "TABLE_SCHEM" => // Connector/J reports null schema
+            schemaOf.get(hits(i)).orNull
           case other => sys.error(s"unexpected column $other")
         }
         case ("close", _) => null
@@ -105,11 +111,15 @@ class DdlForwardSpec extends AnyFunSuite {
       case ("getSearchStringEscape", _) => "\\"
       case ("getColumns", a) =>
         val cat = a(0).asInstanceOf[String] // exact, null = ALL dbs
-        // a(1) schemaPattern: IGNORED, like Connector/J CATALOG mode
+        // schemaPattern: IGNORED in Connector/J CATALOG mode,
+        // honored by schema-position drivers
+        val schPat = Option(a(1).asInstanceOf[String]).map(unesc)
         val tbl = unesc(a(2).asInstanceOf[String])
         val col = unesc(a(3).asInstanceOf[String])
-        rsOver(rows.filter { case (c, t, n) =>
+        rsOver(rows.filter { case r @ (c, t, n) =>
           (cat == null || c.equalsIgnoreCase(cat)) &&
+            (!honorSchemaPattern || schPat.forall(sp =>
+              schemaOf.get(r).exists(_.equalsIgnoreCase(sp)))) &&
             t.equalsIgnoreCase(tbl) && n.equalsIgnoreCase(col) })
       case (n, _) => sys.error(s"unexpected DatabaseMetaData.$n")
     }
@@ -143,6 +153,35 @@ class DdlForwardSpec extends AnyFunSuite {
     executed.clear()
     val fake2 = new MySqlShapedConn(
       Seq(("other", "orders", "note"), ("db1", "orders", "note")), executed)
+    val fw2 = new JdbcDdlForwarder(() => fake2.conn, DdlForward.MySql)
+    assert(fw2.forward(add, t))
+    assert(executed.isEmpty)
+  }
+
+  test("replay probe is schema-exact on Postgres-shaped metadata " +
+      "(a db named like the schema cannot vouch for another schema's column)") {
+    // schema-position driver: database ALSO named 'db1' (= the routed
+    // schema name), orders.note exists only in schema 'public'. The
+    // probe's catalog-position pass returns that row with
+    // TABLE_CAT='db1' — the namespace-aware acceptance must reject it
+    // because the row REPORTS a schema ('public') that is not the
+    // routed one, so the ALTER executes instead of being skipped.
+    val executed = scala.collection.mutable.Buffer.empty[String]
+    val row = ("db1", "orders", "note")
+    val fake = new MySqlShapedConn(Seq(row), executed,
+      schemaOf = Map(row -> "public"), honorSchemaPattern = true)
+    val fw = new JdbcDdlForwarder(() => fake.conn, DdlForward.MySql)
+    val add = D.AddColumn("orders",
+      ColumnDef("note", "varchar(32)"), D.Default)
+    assert(fw.forward(add, t))
+    assert(executed ==
+      Seq("ALTER TABLE `db1`.`orders` ADD COLUMN `note` varchar(32)"))
+    // and when the column exists in the ROUTED schema, the replay IS
+    // a no-op — the schemaPattern-position probe finds it
+    executed.clear()
+    val row2 = ("db1", "orders", "note")
+    val fake2 = new MySqlShapedConn(Seq(row2), executed,
+      schemaOf = Map(row2 -> "db1"), honorSchemaPattern = true)
     val fw2 = new JdbcDdlForwarder(() => fake2.conn, DdlForward.MySql)
     assert(fw2.forward(add, t))
     assert(executed.isEmpty)

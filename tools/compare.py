@@ -7,6 +7,10 @@ For each query dir in <verifyOutDir>, read the Spark parquet result,
 run the matching oracle SQL from oracle_sql.json in DuckDB (with each
 testdata table registered as a view), sort columns by name, canonical-
 ize values, and diff. Exit nonzero on any mismatch.
+
+The per-query core lives in compare_one() so the timed/skip-list
+variant (compare_timed.py) shares ONE comparison semantics — a fix
+here is a fix there.
 """
 import sys, os, json, glob, math
 from decimal import Decimal
@@ -47,12 +51,59 @@ class NonScalarCell(Exception):
     pass
 
 
-def main(sf_dir, out_dir):
+def connect(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def compare_one(con, name, spark_tbl, sql):
+    """Compare one query's Spark parquet table against its oracle SQL.
+    Returns (ok, message) — message is the failure detail, or the
+    pass line's row count as a string."""
+    if spark_tbl is None:
+        return False, "no Spark output parquet (Verify died mid-query?)"
+    try:
+        duck = con.execute(sql)
+        dcols = [d[0] for d in duck.description]
+        drows = duck.fetchall()
+    except Exception as e:
+        return False, f"oracle SQL error: {e}"
+    scols = spark_tbl.column_names
+    if sorted(scols) != sorted(dcols):
+        return False, f"columns spark={sorted(scols)} duck={sorted(dcols)}"
+    # sort columns by name (driver semantics), keep row order
+    sidx = sorted(range(len(scols)), key=lambda i: scols[i])
+    didx = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    spy = spark_tbl.to_pylist()
+    try:
+        srows = [tuple(canon(r[scols[i]]) for i in sidx) for r in spy]
+        drows2 = [tuple(canon(r[i]) for i in didx) for r in drows]
+    except NonScalarCell as e:
+        return False, (f"non-scalar output column ({e}) — the driver's "
+                       f"harness cannot verify array/struct cells; "
+                       f"serialize them (array_join/to_json) in the final "
+                       f"projection of BOTH the query and its oracle")
+    if len(srows) != len(drows2):
+        return False, f"rowcount spark={len(srows)} duck={len(drows2)}"
+    bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows, drows2)) if a != b]
+    if bad:
+        i, a, b = bad[0]
+        return False, (f"{len(bad)} mismatched rows; first at {i}:\n"
+                       f"   spark: {a}\n   duck : {b}")
+    return True, str(len(srows))
+
+
+def read_spark(qdir):
+    files = glob.glob(os.path.join(qdir, "*.parquet"))
+    return pq.read_table(files[0]) if files else None
+
+
+def main(sf_dir, out_dir):
+    con = connect(sf_dir)
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
 
@@ -61,53 +112,18 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(qdir):
             continue
         name = os.path.basename(qdir)
-        files = glob.glob(os.path.join(qdir, "*.parquet"))
-        spark_tbl = pq.read_table(files[0]) if files else None
+        spark_tbl = read_spark(qdir)
         if name not in oracles:
             n_noracle += 1
             print(f"  [rows-only] {name}: {spark_tbl.num_rows if spark_tbl else 0} rows")
             continue
-        try:
-            duck = con.execute(oracles[name])
-            dcols = [d[0] for d in duck.description]
-            drows = duck.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            n_fail += 1
-            continue
-        scols = spark_tbl.column_names
-        if sorted(scols) != sorted(dcols):
-            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
-            n_fail += 1
-            continue
-        # sort columns by name (driver semantics), keep row order
-        sidx = sorted(range(len(scols)), key=lambda i: scols[i])
-        didx = sorted(range(len(dcols)), key=lambda i: dcols[i])
-        spy = spark_tbl.to_pylist()
-        try:
-            srows = [tuple(canon(r[scols[i]]) for i in sidx) for r in spy]
-            drows2 = [tuple(canon(r[i]) for i in didx) for r in drows]
-        except NonScalarCell as e:
-            print(f"FAIL {name}: non-scalar output column ({e}) — the "
-                  f"driver's harness cannot verify array/struct cells; "
-                  f"serialize them (array_join/to_json) in the final "
-                  f"projection of BOTH the query and its oracle")
-            n_fail += 1
-            continue
-        if len(srows) != len(drows2):
-            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows2)}")
-            n_fail += 1
-            continue
-        bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows, drows2)) if a != b]
-        if bad:
-            i, a, b = bad[0]
-            print(f"FAIL {name}: {len(bad)} mismatched rows; first at {i}:")
-            print(f"   spark: {a}")
-            print(f"   duck : {b}")
-            n_fail += 1
-        else:
-            print(f"  PASS {name} ({len(srows)} rows)")
+        ok, msg = compare_one(con, name, spark_tbl, oracles[name])
+        if ok:
+            print(f"  PASS {name} ({msg} rows)")
             n_pass += 1
+        else:
+            print(f"FAIL {name}: {msg}")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
     return 1 if n_fail else 0
 
