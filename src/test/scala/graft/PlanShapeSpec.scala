@@ -395,6 +395,40 @@ class PlanShapeSpec extends SparkSpec {
       s"un-partitioned Window found:\n${unpartitioned.mkString("\n")}")
   }
 
+  test("payload formatters project AFTER the output sort " +
+      "(no double-eval via range sampling, no payload-carrying sort shuffle)") {
+    // the r7 sf1 measurement's lesson: an expensive projection BELOW
+    // a global Sort is evaluated twice (the range partitioner's
+    // sampling pass computes the child — serialization and all —
+    // before the real pass) and the sort exchange then ships the
+    // payloads. Every payload-formatting query must keep the heavy
+    // expression ABOVE its Sort. Checked on the optimized logical
+    // plan (the executed plan is one AQE leaf).
+    import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, StructsToJson}
+    for (q <- Seq("cdc_json_format", "cdc_canal_format",
+        "cdc_kafka_json_format", "cdc_streamload_format",
+        "cdc_changed_columns", "cdc_outbox_route", "q_json_extract")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val sorts = df.queryExecution.optimizedPlan.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s
+      }
+      assert(sorts.nonEmpty, s"$q: expected the oracle-contract Sort")
+      sorts.foreach { s =>
+        val heavyBelow = s.collect {
+          case p if p.expressions.exists(_.exists {
+            case _: StructsToJson => true
+            case _: GetJsonObject => true
+            case _: graft.functions.MapChangedKeys => true
+            case _ => false
+          }) => p
+        }
+        assert(heavyBelow.isEmpty,
+          s"$q: expensive projection at/below the Sort — the range " +
+            s"sampling pass would evaluate it twice:\n$s")
+      }
+    }
+  }
+
   test("text_heavy_hitters: candidates broadcast; exact pass semi-joins") {
     // Pass B must probe the bounded candidate set with a broadcast
     // semi join (shuffling the token stream against candidates would
