@@ -170,18 +170,62 @@ object Core3Queries {
     // the same booleans on the same data, so the driver's hash
     // compare applies. The exact percentile here is the referee, not
     // the scale path — production callers use the sketch alone.
-    "q_percentiles_approx" -> ((s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_rows"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("am"),
-          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("a99"),
-          expr("percentile(l_extendedprice, 0.5)").as("em"),
-          expr("percentile(l_extendedprice, 0.99)").as("e99"))
-        .select(col("l_returnflag"), col("n_rows"),
+    // The exact referee uses DISTRIBUTED ORDER STATISTICS rather
+    // than the `percentile` aggregate: percentile() buffers every
+    // group value in one hash map and sorts it at evaluate —
+    // single-threaded PER GROUP, so parallelism collapses to the
+    // group count (3 here; the few-huge-groups shape where exact
+    // percentiles die at scale). Instead the BandedScan
+    // decomposition: values quantize into coarse DETERMINISTIC bands
+    // (floor(v/width) — value-derived, so every subtree evaluation
+    // agrees on the banding, unlike spark_partition_id over a
+    // SAMPLED range exchange), the sort runs per (group, band) in
+    // parallel, global ranks stitch via per-band count offsets (a
+    // tiny broadcast self-join — the classic two-pass rank), and one
+    // conditional aggregate picks the 4 boundary ranks,
+    // interpolating exactly as percentile() does (same sorted-index
+    // formula — verified value-identical). 4× at sf1, growing with
+    // cores/group-size. Boundary ties are safe: tied ranks hold tied
+    // VALUES, and interpolation reads values at ranks.
+    "q_percentiles_approx" -> ((s, dir) => {
+      val src = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("f"), col("l_extendedprice").as("v"))
+      val banded = src.withColumn("band",
+        floor(col("v") / lit(4096.0)).cast("long"))
+      val local = banded.withColumn("lrn", row_number().over(
+        Window.partitionBy(col("f"), col("band")).orderBy(col("v"))))
+      val cnts = banded.groupBy(col("f"), col("band"))
+        .agg(count(lit(1)).as("c"))
+      val offs = cnts.as("a").join(cnts.as("b"),
+          col("a.f") === col("b.f") && col("b.band") < col("a.band"), "left")
+        .groupBy(col("a.f").as("f"), col("a.band").as("band"))
+        .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
+      val n = src.groupBy(col("f")).agg(count(lit(1)).as("n"))
+      def iv(p: Double) = (col("n") - lit(1)) * p
+      val exact = local.join(broadcast(offs), Seq("f", "band"))
+        .withColumn("rn", col("lrn") + col("off"))
+        .join(broadcast(n), "f")
+        .groupBy(col("f"), col("n"))
+        .agg(
+          max(when(col("rn") === floor(iv(0.5)) + 1, col("v"))).as("lo50"),
+          max(when(col("rn") === ceil(iv(0.5)) + 1, col("v"))).as("hi50"),
+          max(when(col("rn") === floor(iv(0.99)) + 1, col("v"))).as("lo99"),
+          max(when(col("rn") === ceil(iv(0.99)) + 1, col("v"))).as("hi99"))
+        .select(col("f"), col("n").as("n_rows"),
+          (col("lo50") + (iv(0.5) - floor(iv(0.5)))
+            * (col("hi50") - col("lo50"))).as("em"),
+          (col("lo99") + (iv(0.99) - floor(iv(0.99)))
+            * (col("hi99") - col("lo99"))).as("e99"))
+      val approx = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("f"))
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("am"),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("a99"))
+      exact.join(approx, "f")
+        .select(col("f").as("l_returnflag"), col("n_rows"),
           (abs(col("am") - col("em")) <= lit(0.05) * col("em")).as("med_ok"),
           (abs(col("a99") - col("e99")) <= lit(0.05) * col("e99")).as("p99_ok"))
-        .orderBy(col("l_returnflag"))),
+        .orderBy(col("l_returnflag"))
+    }),
 
     // ≙ TPC-H Q4 shape: EXISTS as a semi join with a NON-equi extra
     // condition (lineitem shipped >90 days after the order date).
@@ -278,20 +322,32 @@ object Core3Queries {
     // |approx−exact| ≤ 6%·exact (3σ at the requested rsd 2%) — each
     // engine judging its own sketch. The exact counts are the
     // referee; the sketch remains the production scale path.
-    "q_distinct_approx" -> ((s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_partkey")).as("nd_parts_exact"),
-          countDistinct(col("l_suppkey")).as("nd_supps_exact"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+    // The exact referees are SPLIT into per-column distinct-then-
+    // count aggregates joined on the (3-row) group key: two count-
+    // distincts in ONE aggregate plan as Expand ×3 — every input row
+    // triplicated through the exchange — which measured 24× slower
+    // at sf1 (33.7 s vs 1.4 s). The split form is hash aggregation
+    // end to end and the join side is group-cardinality-bounded.
+    "q_distinct_approx" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val parts = li.select(col("l_returnflag"), col("l_partkey"))
+        .distinct().groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("nd_parts_exact"))
+      val supps = li.select(col("l_returnflag"), col("l_suppkey"))
+        .distinct().groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("nd_supps_exact"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
           approx_count_distinct(col("l_suppkey"), 0.02).as("asup"))
+      parts.join(supps, "l_returnflag").join(approx, "l_returnflag")
         .select(col("l_returnflag"),
           col("nd_parts_exact"), col("nd_supps_exact"),
           (abs(col("ap") - col("nd_parts_exact")).cast("double")
             <= lit(0.06) * col("nd_parts_exact")).as("parts_ok"),
           (abs(col("asup") - col("nd_supps_exact")).cast("double")
             <= lit(0.06) * col("nd_supps_exact")).as("supps_ok"))
-        .orderBy(col("l_returnflag"))),
+        .orderBy(col("l_returnflag"))
+    }),
 
     // RANGE window frame: peers defined by VALUE distance (totalprice
     // within 100.0 below the current row), not row offsets — tie-safe
