@@ -98,6 +98,12 @@ object Similarity {
     * corpus, no quadratic term. Spherical-k-means objective (sum of
     * member-to-centroid cosines) is non-decreasing per round.
     *
+    * The result (`rounds` ≥ 1) is backed by a localCheckpoint: after
+    * persisting it (or handing it to a serving call for the last
+    * time), call [[CheckpointRelease.release]] on the returned frame
+    * to free its blocks; superseded rounds are released internally.
+    * `rounds = 0` returns the un-checkpointed seed.
+    *
     * @return refined centroid frame (cid, cvec) — drop-in for the
     *         seed frame shape ivfTopK builds internally
     */
@@ -107,6 +113,10 @@ object Similarity {
     val seed = corpus.filter(col(idCol) < nCells)
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
     var cents = seed
+    // each round's eager localCheckpoint CONSUMES the previous
+    // round's — release the superseded blocks as we go instead of
+    // pinning every round's centroids for the session lifetime
+    var prevCp: DataFrame = null
     for (_ <- 0 until rounds) {
       val withNorm = cents.select(col("cid"), col("cvec"),
         norm(col("cvec")).as("cn"))
@@ -135,6 +145,8 @@ object Similarity {
         .join(rebuilt, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("next"), col("prev")).as("cvec"))
         .localCheckpoint()
+      if (prevCp ne null) CheckpointRelease.release(prevCp)
+      prevCp = cents
     }
     // ≤ nCells rows by construction (one per seed cid), but the
     // checkpoint erased that from the plan (LogicalRDD) — the no-op
@@ -205,8 +217,17 @@ object Similarity {
     }.getOrElse(centroidFrame(corpus, vecCol, idCol, nCells))
 
   def cellAssign(corpus: DataFrame, vecCol: String, idCol: String,
-      nCells: Int, centroids: Option[DataFrame] = None): DataFrame = {
-    val cents = resolveCentroids(corpus, vecCol, idCol, nCells, centroids)
+      nCells: Int, centroids: Option[DataFrame] = None): DataFrame =
+    cellAssignWith(corpus, vecCol, idCol,
+      resolveCentroids(corpus, vecCol, idCol, nCells, centroids))
+
+  /** [[cellAssign]] against an ALREADY-RESOLVED centroid frame —
+    * entry points that need the centroids for their own query-side
+    * ranking (multi-probe, IVF-PQ) resolve ONCE and share the frame,
+    * instead of paying [[resolveCentroids]]'s trained-path validation
+    * count() a second time per serving call. */
+  private def cellAssignWith(corpus: DataFrame, vecCol: String,
+      idCol: String, cents: DataFrame): DataFrame = {
     corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
       .crossJoin(broadcast(cents))
       .withColumn("ccos",
@@ -255,8 +276,9 @@ object Similarity {
       queryPred: Column, k: Int, nCells: Int = 16, nProbe: Int = 2,
       centroids: Option[DataFrame] = None): DataFrame = {
     val cents = resolveCentroids(corpus, vecCol, idCol, nCells, centroids)
-    // corpus assignment: one cell per vector
-    val assigned = cellAssign(corpus, vecCol, idCol, nCells, centroids)
+    // corpus assignment: one cell per vector (shares the resolved
+    // centroid frame — one validation, one construction)
+    val assigned = cellAssignWith(corpus, vecCol, idCol, cents)
     // query probe list: nProbe nearest cells per query. The window
     // ranks |Q|×nCells rows — bounded by the query set, not the
     // corpus.
@@ -338,8 +360,15 @@ object Similarity {
     * Lifecycle: train once, persist the returned (j, code, cv) frame
     * (plain parquet round-trips it), and pass it to
     * [[pqEncode]]/[[pqTopK]]/[[ivfPqTopK]] as `codebook` — serving
-    * never re-trains. Cost per round: |C|·m·k narrow rows for the
-    * assignment (codebook broadcast, argmin as one hash agg) + one
+    * never re-trains. The result (`rounds` ≥ 1) is backed by a
+    * localCheckpoint: after persisting it, call
+    * [[CheckpointRelease.release]] on the returned frame to free its
+    * executor-storage blocks (superseded intermediate rounds are
+    * released internally as training progresses; `rounds = 0`
+    * returns the un-checkpointed seed — nothing to release).
+    *
+    * Cost per round: |C|·m·k narrow rows for the assignment
+    * (codebook broadcast, argmin as one hash agg) + one
     * (j, code, pos) mean agg — linear in the corpus.
     *
     * @return (j, code, cv) — m·k rows, structurally bounded
@@ -350,6 +379,9 @@ object Similarity {
     val subs = pqSubvectors(corpus, vecCol, idCol, dims, m)
     var cb = pqCodebook(corpus, vecCol, idCol, dims, m, k)
       .select(col("j"), col("code"), col("cv"))
+    // see kmeansRefine: superseded rounds' checkpoint blocks are
+    // released as soon as the next round's checkpoint materializes
+    var prevCp: DataFrame = null
     for (_ <- 0 until rounds) {
       val withCc = cb.withColumn("cc", dot(col("cv"), col("cv")))
       // (dist, code) is unique per (id, j, candidate), so the xv
@@ -379,6 +411,8 @@ object Similarity {
         .select(col("j"), col("code"),
           coalesce(col("next"), col("prev")).as("cv"))
         .localCheckpoint()
+      if (prevCp ne null) CheckpointRelease.release(prevCp)
+      prevCp = cb
     }
     // structural m·k bound (the checkpoint erased it) — downstream
     // broadcast(codebook) stays provably cardinality-bounded
@@ -503,7 +537,7 @@ object Similarity {
     require(subLen * m == dims, s"m=$m must divide dims=$dims")
     val cb = resolvePqCodebook(corpus, vecCol, idCol, dims, m, k, codebook)
     val cents = resolveCentroids(corpus, vecCol, idCol, nCells, centroids)
-    val assigned = cellAssign(corpus, vecCol, idCol, nCells, centroids)
+    val assigned = cellAssignWith(corpus, vecCol, idCol, cents)
     val subs = assigned.select(col(idCol), col("cell"), posexplode(
         array((0 until m).map(j =>
           slice(col(vecCol), j * subLen + 1, subLen)): _*)))

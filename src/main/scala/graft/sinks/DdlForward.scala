@@ -185,19 +185,51 @@ final class JdbcDdlForwarder(connect: () => Connection,
     // also called 'app'), a row from another schema would otherwise
     // pass on its TABLE_CAT. Only schema-less rows (Connector/J
     // reports TABLE_SCHEM = null) fall back to the catalog compare.
+    // Schema-less routes resolve the namespace to accept from the
+    // CONNECTION's current database (getCatalog/getSchema — whichever
+    // the driver populates) instead of accepting any row: a null-
+    // catalog probe enumerates same-named tables in EVERY database,
+    // and a bare rs.next() would make a fresh ALTER look like a
+    // completed replay whenever any sibling database has the table —
+    // the exact divergence the routed-schema acceptance below
+    // prevents. getSchema is JDBC 4.1; a driver that predates it (or
+    // rejects it) contributes no constraint rather than failing the
+    // probe.
+    lazy val curCat =
+      try Option(conn.getCatalog).getOrElse("")
+      catch { case _: java.sql.SQLException => "" }
+    lazy val curSch =
+      try Option(conn.getSchema).getOrElse("")
+      catch {
+        case _: java.sql.SQLException => ""
+        case _: AbstractMethodError => ""
+      }
     def probe(cat: String, schPat: String, t: String, c: String): Boolean = {
       val rs = md.getColumns(cat, schPat, q(t), q(c))
       try {
         var found = false
         while (!found && rs.next()) {
-          if (target.schema.isEmpty) found = true
-          else {
-            val rCat = Option(rs.getString("TABLE_CAT")).getOrElse("")
-            val rSch = Option(rs.getString("TABLE_SCHEM")).getOrElse("")
-            found =
+          val rCat = Option(rs.getString("TABLE_CAT")).getOrElse("")
+          val rSch = Option(rs.getString("TABLE_SCHEM")).getOrElse("")
+          found =
+            if (target.schema.nonEmpty) {
               if (rSch.nonEmpty) rSch.equalsIgnoreCase(target.schema)
               else rCat.equalsIgnoreCase(target.schema)
-          }
+            } else {
+              // accept only the connection's own namespace, comparing
+              // the row's reported position against the connection's
+              // corresponding one (schema↔schema, catalog↔catalog),
+              // crossing positions only when the matching one is
+              // unpopulated; a row reporting NO namespace can't be
+              // discriminated and is accepted (pre-JDBC-4.1 drivers)
+              if (rSch.nonEmpty)
+                (if (curSch.nonEmpty) rSch.equalsIgnoreCase(curSch)
+                 else curCat.isEmpty || rSch.equalsIgnoreCase(curCat))
+              else if (rCat.nonEmpty)
+                (if (curCat.nonEmpty) rCat.equalsIgnoreCase(curCat)
+                 else curSch.isEmpty || rCat.equalsIgnoreCase(curSch))
+              else true
+            }
         }
         found
       } finally rs.close()

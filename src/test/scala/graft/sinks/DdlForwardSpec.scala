@@ -81,7 +81,11 @@ class DdlForwardSpec extends AnyFunSuite {
       // TABLE_SCHEM), the schemaPattern argument IS honored, and
       // TABLE_CAT reports the connected database's name for every row
       schemaOf: Map[(String, String, String), String] = Map.empty,
-      honorSchemaPattern: Boolean = false) {
+      honorSchemaPattern: Boolean = false,
+      // connection-level current namespace (JDBC getCatalog/getSchema)
+      // — what the schema-less replay probe resolves against
+      curCatalog: String = null,
+      curSchema: String = null) {
     import java.lang.reflect.{InvocationHandler, Method, Proxy}
     import java.sql.{Connection, DatabaseMetaData, ResultSet, Statement}
 
@@ -125,6 +129,8 @@ class DdlForwardSpec extends AnyFunSuite {
     }
     val conn: Connection = mk(classOf[Connection]) {
       case ("getMetaData", _) => md
+      case ("getCatalog", _) => curCatalog
+      case ("getSchema", _) => curSchema
       case ("createStatement", _) => mk(classOf[Statement]) {
         case ("executeUpdate", a) =>
           executed += a(0).asInstanceOf[String]; Integer.valueOf(0)
@@ -184,6 +190,48 @@ class DdlForwardSpec extends AnyFunSuite {
       schemaOf = Map(row2 -> "db1"), honorSchemaPattern = true)
     val fw2 = new JdbcDdlForwarder(() => fake2.conn, DdlForward.MySql)
     assert(fw2.forward(add, t))
+    assert(executed.isEmpty)
+  }
+
+  test("schema-less replay probe resolves the connection's own database " +
+      "(a same-named table in ANY other database is NOT a completed replay)") {
+    val add = D.AddColumn("t1", ColumnDef("note", "varchar(32)"), D.Default)
+    // MySQL-shaped (catalog position): connected to db1; t1.note
+    // exists only in 'other' — the null-catalog probe RETURNS that
+    // row, and the old bare-rs.next() acceptance skipped the ALTER
+    val executed = scala.collection.mutable.Buffer.empty[String]
+    val fake = new MySqlShapedConn(
+      Seq(("other", "t1", "note"), ("db1", "t1", "status")), executed,
+      curCatalog = "db1")
+    val fw = new JdbcDdlForwarder(() => fake.conn, DdlForward.MySql)
+    assert(fw.forward(add, bare)) // must EXECUTE, not skip
+    assert(executed == Seq("ALTER TABLE `t1` ADD COLUMN `note` varchar(32)"))
+    // once the CONNECTED database has the column, the replay IS a no-op
+    executed.clear()
+    val fake2 = new MySqlShapedConn(
+      Seq(("other", "t1", "note"), ("db1", "t1", "note")), executed,
+      curCatalog = "db1")
+    val fw2 = new JdbcDdlForwarder(() => fake2.conn, DdlForward.MySql)
+    assert(fw2.forward(add, bare))
+    assert(executed.isEmpty)
+
+    // schema-position driver (Derby/Postgres shape): current schema
+    // APP; the column exists only in schema OTHER → execute
+    executed.clear()
+    val row = ("db1", "t1", "note")
+    val fake3 = new MySqlShapedConn(Seq(row), executed,
+      schemaOf = Map(row -> "OTHER"), honorSchemaPattern = true,
+      curCatalog = "db1", curSchema = "APP")
+    val fw3 = new JdbcDdlForwarder(() => fake3.conn, DdlForward.MySql)
+    assert(fw3.forward(add, bare))
+    assert(executed == Seq("ALTER TABLE `t1` ADD COLUMN `note` varchar(32)"))
+    // and in the CURRENT schema → completed replay, no-op
+    executed.clear()
+    val fake4 = new MySqlShapedConn(Seq(row), executed,
+      schemaOf = Map(row -> "APP"), honorSchemaPattern = true,
+      curCatalog = "db1", curSchema = "APP")
+    val fw4 = new JdbcDdlForwarder(() => fake4.conn, DdlForward.MySql)
+    assert(fw4.forward(add, bare))
     assert(executed.isEmpty)
   }
 
