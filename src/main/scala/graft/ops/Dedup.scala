@@ -185,6 +185,56 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Two-stage near-dup detection — candidate generation then
+    * verification, the standard production recipe (Spark MLlib's
+    * MinHashLSH approxSimilarityJoin has the same shape): (1)
+    * MinHash-LSH banding proposes candidate pairs ([[minhashCandidates]]
+    * — pairs form only inside band buckets, never corpus²), (2) each
+    * candidate is VERIFIED by its exact word-n-gram Jaccard, computed
+    * ONLY for the candidate set. LSH alone over-reports (a band is 2
+    * of 8 mins — unrelated docs collide); the verify stage makes the
+    * output exact w.r.t. the similarity measure while keeping the
+    * exact computation candidate-proportional.
+    *
+    * Stage-2 plan: the pair list joins to A's shingles (shuffle on
+    * id), then equi-joins (id, shingle-hash) against B's — a doc's
+    * shingles are compared only against its candidates' shingles, and
+    * no corpus-hot shingle key ever becomes a join key fanout
+    * (contrast [[ngramJaccardPairs]]'s inverted index, which needs
+    * `maxDocFreq` for that). Candidates sharing NO shingle simply
+    * drop out of the intersection — they can't reach any positive
+    * Jaccard threshold.
+    *
+    * @return (a, b, n_inter, n_a, n_b, jaccard) — the
+    *         [[ngramJaccardPairs]] shape, restricted to LSH
+    *         candidates and `jaccard ≥ minJaccard`
+    */
+  def minhashVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
+                           n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol)
+      .select(col("a"), col("b"))
+    // same hashed-shingle table as ngramJaccardPairs (the oracle
+    // joins on the raw string and agrees; collision odds ~1e-12)
+    val sh = Caching.cacheOnce(df.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("sh")))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(sh.toDF("a", "sh"), "a")
+      .join(sh.toDF("b", "sh"), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
+    // size table is data-proportional — no broadcast hint (AQE
+    // decides), same reasoning as ngramJaccardPairs
+    inter
+      .join(sizes.toDF("a", "n_a"), "a")
+      .join(sizes.toDF("b", "n_b"), "b")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("n_inter"), col("n_a"), col("n_b"),
+        col("jaccard"))
+  }
+
   /** Embedding cosine near-dup pairs; see Similarity.cosine for the
     * exact-parity formula. `queryPred` bounds the left side so the
     * pair space is (bounded q) × corpus, not corpus². */

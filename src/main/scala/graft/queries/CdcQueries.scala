@@ -194,6 +194,30 @@ object CdcQueries {
       Formats.kafkaJson(env, keep = Seq(col("seq").as("row_id")))
     }),
 
+    // ≙ Debezium envelope through the real formatter
+    // (Formats.debeziumJson): create/update/delete transcoded to
+    // c/u/d with null before/after images emitted explicitly.
+    "cdc_debezium_format" -> ((s, dir) => {
+      // sort narrow, format after (see cdc_json_format)
+      val env = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+        .orderBy(col("event_id"))
+        .select(
+          lit("app").as("db"),
+          lit("events").as("table"),
+          when(col("event_type") === "error", "delete")
+            .when(col("event_type") === "signup", "insert")
+            .otherwise("update").as("op"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          concat(lit("seq:"), col("event_id")).as("pos"),
+          col("event_id").as("seq"),
+          map(lit("event_id"), col("event_id").cast("string"),
+            lit("user_id"), col("user_id").cast("string")).as("after"),
+          map(lit("event_id"), col("event_id").cast("string")).as("before"))
+      Formats.debeziumJson(env, keep = Seq(col("seq").as("row_id")))
+    }),
+
     // as-of (point-in-time) join: each event enriched with the
     // latest signup value at-or-before its timestamp, per user —
     // composed from one keyed sort (graft.ops.AsOfJoin), no
@@ -452,6 +476,23 @@ object CdcQueries {
         |   data := MAP {'event_id': CAST(event_id AS VARCHAR),
         |                'user_id': CAST(user_id AS VARCHAR)},
         |   old := MAP {'event_id': CAST(event_id AS VARCHAR)})) AS value,
+        | event_id AS row_id
+        |FROM events ORDER BY row_id""".stripMargin,
+    "cdc_debezium_format" ->
+      """SELECT to_json(struct_pack(
+        |   before := CASE WHEN event_type = 'signup' THEN NULL
+        |     ELSE MAP {'event_id': CAST(event_id AS VARCHAR)} END,
+        |   after := CASE WHEN event_type = 'error' THEN NULL
+        |     ELSE MAP {'event_id': CAST(event_id AS VARCHAR),
+        |               'user_id': CAST(user_id AS VARCHAR)} END,
+        |   source := struct_pack(
+        |     connector := 'graft', db := 'app', "table" := 'events',
+        |     pos := concat('seq:', CAST(event_id AS VARCHAR))),
+        |   op := CASE WHEN event_type = 'error' THEN 'd'
+        |              WHEN event_type = 'signup' THEN 'c'
+        |              ELSE 'u' END,
+        |   ts_ms := CAST(floor(epoch(make_timestamp(epoch_ns(ts) // 1000)))
+        |              AS BIGINT) * 1000)) AS value,
         | event_id AS row_id
         |FROM events ORDER BY row_id""".stripMargin,
     "q_asof_join" ->

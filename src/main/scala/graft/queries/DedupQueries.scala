@@ -52,6 +52,17 @@ object DedupQueries {
         "text", "doc_id")
         .orderBy(col("a"), col("b"))),
 
+    // two-stage near-dup: LSH candidates VERIFIED by exact 3-gram
+    // Jaccard computed only for the candidate pairs (the
+    // candidate→verify production shape; same bounded-slice
+    // repartition rationale as dedup_minhash_lsh above)
+    "dedup_lsh_verified" -> ((s, dir) =>
+      Dedup.minhashVerifiedPairs(
+        docs(s, dir).filter(col("doc_id") < 500)
+          .repartition(32, col("doc_id")),
+        "text", "doc_id", minJaccard = 0.5)
+        .orderBy(col("a"), col("b"))),
+
     // 16-bit SimHash groups (identical fingerprint = near-dup bucket)
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashCandidates(docs(s, dir), "text", "doc_id")
@@ -476,6 +487,47 @@ object DedupQueries {
          |  ON l.band = r.band AND l.x = r.x AND l.y = r.y
          | AND l.doc_id < r.doc_id
          |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+    "dedup_lsh_verified" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest($sqlToks) AS t
+         |  FROM documents WHERE doc_id < 500),
+         |h AS (SELECT doc_id, $sqlTokHash % ${Dedup.MinhashP} AS hp FROM tok),
+         |m AS (SELECT doc_id,
+         |   ${minhashMins("hp")}
+         | FROM h GROUP BY doc_id),
+         |bands AS (
+         | SELECT doc_id, 0 AS band, m0 AS x, m1 AS y FROM m UNION ALL
+         | SELECT doc_id, 1, m2, m3 FROM m UNION ALL
+         | SELECT doc_id, 2, m4, m5 FROM m UNION ALL
+         | SELECT doc_id, 3, m6, m7 FROM m),
+         |cand AS (
+         | SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         | FROM bands l JOIN bands r
+         |   ON l.band = r.band AND l.x = r.x AND l.y = r.y
+         |  AND l.doc_id < r.doc_id),
+         |d AS (SELECT doc_id, $sqlToks AS toks
+         |      FROM documents WHERE doc_id < 500),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    toks[CAST(i AS INTEGER)+1] || ' ' || toks[CAST(i AS INTEGER)+2]
+         |      || ' ' || toks[CAST(i AS INTEGER)+3] AS s
+         |  FROM d, unnest(range(0, len(toks)-2)) AS t(i)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.a, c.b, COUNT(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a
+         |  JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+         |  GROUP BY 1, 2)
+         |SELECT a, b, n_inter, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+         |    AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a
+         |JOIN sizes sb ON sb.doc_id = b
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+         |      >= 0.5
+         |ORDER BY a, b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (
          |  SELECT DISTINCT doc_id, unnest($sqlToks) AS t FROM documents),

@@ -163,6 +163,28 @@ object TextQueries {
             .otherwise(lit(0.0)).as("rep_ratio"))
         .orderBy(col("doc_id"))),
 
+    // MassiveText-style top-n-gram coverage: the fraction of a doc's
+    // characters covered by its single most frequent word 2-gram
+    // (high fraction = boilerplate/templated text; the published
+    // repetition-filter family's other half next to text_repetition's
+    // duplicate-shingle fraction). Top-1 per doc as a hash-agg argmin
+    // over (-cnt, gram) — map-side partial agg, ties to the
+    // lexicographically smallest gram, no per-doc sort.
+    "text_top_ngram_frac" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), col("n_chars"),
+          explode(TextFunctions.shingles(col("text"), 2)).as("g"))
+        .groupBy(col("doc_id"), col("n_chars"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"), col("n_chars"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("g"),
+          col("cnt"))).as("top"))
+        .select(col("doc_id"),
+          col("top.g").as("top_gram"),
+          col("top.cnt").as("n_occ"),
+          ((col("top.cnt") * length(col("top.g"))).cast("double")
+            / col("n_chars").cast("double")).as("top_frac"))
+        .orderBy(col("doc_id"))),
+
     // per-language length-outlier filter (curation: drop docs whose
     // char count sits beyond ±2σ of their language's distribution).
     // Two bounded aggregates: exact integer moments per language
@@ -453,6 +475,23 @@ object TextQueries {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents d JOIN m ON d.lang = m.lang
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "text_top_ngram_frac" ->
+      s"""WITH d AS (SELECT doc_id, n_chars, $sqlToks AS toks
+         |           FROM documents),
+         |g AS (
+         |  SELECT doc_id, n_chars,
+         |    toks[CAST(i AS INTEGER)+1] || ' ' || toks[CAST(i AS INTEGER)+2]
+         |      AS g
+         |  FROM d, unnest(range(0, greatest(len(toks) - 1, 0))) AS t(i)),
+         |c AS (SELECT doc_id, n_chars, g, COUNT(*) AS cnt
+         |      FROM g GROUP BY 1, 2, 3),
+         |r AS (SELECT *, row_number()
+         |        OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+         |      FROM c)
+         |SELECT doc_id, g AS top_gram, cnt AS n_occ,
+         |  CAST(cnt * length(g) AS DOUBLE) / CAST(n_chars AS DOUBLE)
+         |    AS top_frac
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       s"""WITH d AS (
          |  SELECT doc_id,

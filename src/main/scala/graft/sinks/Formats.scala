@@ -54,6 +54,35 @@ object Formats {
         col("after").as("data"),
         col("before").as("old"))).as("value") +: keep: _*)
 
+  /** Debezium-style change envelope — the other de-facto-standard
+    * CDC JSON shape next to Canal (public format, debezium.io MySQL
+    * connector docs): {before, after, source{connector, db, table,
+    * pos}, op, ts_ms} with op codes c(reate)/u(pdate)/d(elete)/
+    * r(ead). A create has `before: null`, a delete `after: null` —
+    * and those nulls are EMITTED (`ignoreNullFields` off): Debezium
+    * consumers distinguish "no before image" (JSON null) from an
+    * absent field. Operates on the same generic envelope stream as
+    * [[kafkaJson]]; `op` holds the engine's insert/update/delete
+    * verbs and is transcoded here. */
+  def debeziumJson(envelope: DataFrame, keep: Seq[Column] = Nil): DataFrame = {
+    val opCode = when(col("op") === "insert", "c")
+      .when(col("op") === "update", "u")
+      .when(col("op") === "delete", "d")
+      .otherwise("r")
+    envelope.select(
+      to_json(
+        struct(
+          when(opCode === "c", lit(null)).otherwise(col("before"))
+            .as("before"),
+          when(opCode === "d", lit(null)).otherwise(col("after"))
+            .as("after"),
+          struct(lit("graft").as("connector"), col("db"), col("table"),
+            col("pos")).as("source"),
+          opCode.as("op"),
+          (unix_timestamp(col("ts")) * 1000L).as("ts_ms")),
+        Map("ignoreNullFields" -> "false")).as("value") +: keep: _*)
+  }
+
   /** Canal-envelope type code + normalized mysqlType name, matching
     * the reference's Aliyun/MySQL-protocol table EXACTLY
     * (`outputs/kafka/kafka_utils.go:128-230`): tinyint 1, smallint 2,

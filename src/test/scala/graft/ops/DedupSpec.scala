@@ -51,6 +51,26 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not be a candidate")
   }
 
+  test("LSH+verify: candidates filtered to exact Jaccard, scores match " +
+      "the inverted-index path") {
+    val verified = Dedup.minhashVerifiedPairs(corpus, "text", "doc_id",
+      minJaccard = 0.3)
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val cands = Dedup.minhashCandidates(corpus, "text", "doc_id")
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(verified.keySet.subsetOf(cands),
+      "verified pairs must be a subset of the LSH candidates")
+    // on pairs BOTH paths emit, the exact Jaccard must be identical
+    val inverted = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+      minJaccard = 0.3)
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    verified.foreach { case (p, j) => assert(inverted(p) == j) }
+    assert(verified((1L, 2L)) == 1.0)
+    assert(!verified.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("simhash groups exact dups") {
     val sh = Dedup.simhash(corpus, "text", "doc_id")
       .as[(Long, Long)].collect().toMap

@@ -47,6 +47,20 @@ class FormatsSpec extends SparkSpec {
     assert(v.contains(""""ts":1700000000"""))
   }
 
+  test("debeziumJson: c/u/d op codes, explicit null images, source block") {
+    val rows = Formats.debeziumJson(envelope).as[String].collect()
+    // insert → op c, before image EXPLICITLY null (not absent)
+    assert(rows(0).contains(""""op":"c""""))
+    assert(rows(0).contains(""""before":null"""))
+    assert(rows(0).contains(""""after":{"id":"1","k":"10","c":"a"}"""))
+    assert(rows(0).contains(
+      """"source":{"connector":"graft","db":"db1","table":"t1","pos":"gtid:1"}"""))
+    assert(rows(0).contains(""""ts_ms":1700000000000"""))
+    // delete → op d, after image null
+    assert(rows(1).contains(""""op":"d""""))
+    assert(rows(1).contains(""""after":null"""))
+  }
+
   test("canalJson has sqlType/mysqlType/pkNames/serverId and stringified data") {
     val v = Formats.canalJson(envelope, t).as[String].collect().head
     assert(v.contains(""""pkNames":["id"]"""))
