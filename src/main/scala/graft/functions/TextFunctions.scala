@@ -121,4 +121,24 @@ object TextFunctions {
     * replayable nor cross-engine checkable). */
   def hashBucket(key: Column, buckets: Int = 100): Column =
     pmod(tokenHash(key.cast("string")), lit(buckets.toLong))
+
+  /** Luhn checksum validity of a digit string — the verification
+    * step behind payment-card PII detection: a regex alone flags
+    * every 13–19-digit run, but only ~10% of random runs pass Luhn,
+    * so checking the checksum is what separates "redact this" from
+    * drowning the scrubber in phone numbers and ids. Pure fold over
+    * the reversed digits (double every 2nd, subtract 9 above 9, sum
+    * % 10) as a codegen'd higher-order aggregate — scan-stage cost,
+    * no UDF. Non-digit characters are the caller's problem (feed it
+    * `regexp_extract_all("[0-9]{13,19}")` output). */
+  def luhnValid(digits: Column): Column = Exprs.bind(reverse(digits)) { r =>
+    (aggregate(
+      sequence(lit(1), length(r)),
+      lit(0L),
+      (acc, i) => {
+        val d = (ascii(r.substr(i, lit(1))) - 48).cast(LongType)
+        acc + when(pmod(i, lit(2)) === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }) % 10) === 0
+  }
 }

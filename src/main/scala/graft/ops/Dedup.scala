@@ -140,7 +140,39 @@ object Dedup {
     * self-join, so AQE reuses the exchange. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, minJaccard: Double = 0.5,
-                        maxDocFreq: Option[Long] = None): DataFrame = {
+                        maxDocFreq: Option[Long] = None): DataFrame =
+    shinglePairStats(df, textCol, idCol, n, maxDocFreq)
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("n_inter"), col("n_a"), col("n_b"),
+        col("jaccard"))
+
+  /** Shingle-containment near-dup pairs: containment(A,B) =
+    * |A∩B| / min(|A|,|B|) — the doc-inside-doc detector. A long page
+    * that embeds a short page verbatim (wire-service article inside
+    * a portal wrapper, quoted post inside a thread, mirror + added
+    * boilerplate) has LOW Jaccard (the union is dominated by the
+    * wrapper) but containment ≈ 1.0, so symmetric-Jaccard pipelines
+    * systematically miss exactly the duplication pattern news/forum
+    * crawls are full of. Same inverted-index plan and `maxDocFreq`
+    * hot-shingle guard as [[ngramJaccardPairs]] — only the final
+    * scoring expression differs ([[shinglePairStats]] is shared). */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, minContainment: Double = 0.8,
+                       maxDocFreq: Option[Long] = None): DataFrame =
+    shinglePairStats(df, textCol, idCol, n, maxDocFreq)
+      .withColumn("containment", col("n_inter").cast("double") /
+        least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("a"), col("b"), col("n_inter"), col("n_a"), col("n_b"),
+        col("containment"))
+
+  /** Candidate-pair overlap statistics shared by [[ngramJaccardPairs]]
+    * and [[containmentPairs]]: distinct word-n-gram shingles per doc,
+    * inverted-index self-join, exact (a, b, n_inter, n_a, n_b). */
+  private def shinglePairStats(df: DataFrame, textCol: String,
+      idCol: String, n: Int, maxDocFreq: Option[Long]): DataFrame = {
     // Join on a 64-bit hash of the shingle, not the string: long
     // shuffle keys beat variable-length strings, and the (bounded)
     // shingle table is computed once and cached instead of 3× for
@@ -178,11 +210,6 @@ object Dedup {
     inter
       .join(sizes.toDF("a", "n_a"), "a")
       .join(sizes.toDF("b", "n_b"), "b")
-      .withColumn("jaccard", col("n_inter").cast("double") /
-        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("a"), col("b"), col("n_inter"), col("n_a"), col("n_b"),
-        col("jaccard"))
   }
 
   /** Two-stage near-dup detection — candidate generation then

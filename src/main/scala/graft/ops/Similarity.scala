@@ -239,6 +239,38 @@ object Similarity {
         (-col("best.ncid")).as("cell"))
   }
 
+  /** Cluster-balanced corpus sampling: keep at most `cap` vectors
+    * per embedding cluster (nearest-centroid cell), chosen in
+    * deterministic hash order — the embedding-space analogue of the
+    * per-domain document cap (pipe_domain_cap). Web corpora are
+    * wildly imbalanced in CONTENT space too (one template family can
+    * be 30% of a crawl while sharing no domain); capping per learned
+    * cluster flattens that before training sampling, which is the
+    * SemDeDup/DBSCAN-prune family's cheap cousin: no pair
+    * computation at all, just assignment + a per-cell rank.
+    *
+    * Plan: [[cellAssign]]'s one aggregate, then a per-cell
+    * row_number — the rank partitions by cell (≤ nCells of them),
+    * and a skewed mega-cluster is exactly the case the cap exists
+    * for: rank-then-filter touches each of its rows once and AQE
+    * splits the hot partition. md5-derived hash order makes the
+    * kept set identical across engines, runs, and partitionings.
+    *
+    * @return (idCol, cell) — the kept sample
+    */
+  def clusterBalancedSample(corpus: DataFrame, vecCol: String,
+      idCol: String, nCells: Int, cap: Int,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(graft.functions.TextFunctions.hashBucket(col(idCol), 1000000),
+        col(idCol))
+    cellAssign(corpus, vecCol, idCol, nCells, centroids)
+      .select(col(idCol), col("cell"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col(idCol), col("cell"))
+  }
+
   /** IVF (inverted-file) top-k: vectors are assigned to the cell of
     * their nearest centroid ([[cellAssign]]), and search probes only
     * the query's cell. The probe is an equi-join on cell — the same

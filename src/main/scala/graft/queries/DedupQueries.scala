@@ -74,6 +74,31 @@ object DedupQueries {
         docs(s, dir).filter(col("doc_id") < 3000), "text", "doc_id")
         .orderBy(col("a"), col("b"))),
 
+    // shingle CONTAINMENT ≥ 0.8 — the doc-inside-doc detector
+    // (wire-article-in-portal-wrapper, quote-in-thread): high
+    // containment pairs can sit far below any Jaccard threshold
+    // when the union is wrapper-dominated. Same inverted-index plan.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(
+        docs(s, dir).filter(col("doc_id") < 3000), "text", "doc_id")
+        .orderBy(col("a"), col("b"))),
+
+    // URL-identity dedup (crawl stage 0): canonicalize the synthetic
+    // messy URL (tracking params, case, default port, trailing
+    // slash, fragment — TextQueries.messyUrl), then exact-dedup on
+    // the canonical string. A scan-stage projection + one digest-
+    // sized shuffle: the cheapest dedup a crawl pipeline runs, and
+    // it happens BEFORE content ever needs fetching or shingling.
+    "dedup_url" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.UrlFunctions.canonicalizeUrl(
+            TextQueries.messyUrl).as("canon"))
+        .groupBy(col("canon"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("canon"))),
+
     // same, with the 100 TB guard: shingles in > 20 docs are
     // stop-shingles — dropped from the universe before the
     // inverted-index self-join (kills the hot-key quadratic blowup)
@@ -561,6 +586,34 @@ object DedupQueries {
          |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
          |      >= 0.5
          |ORDER BY a, b""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks
+         |           FROM documents WHERE doc_id < 3000),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    toks[CAST(i AS INTEGER)+1] || ' ' || toks[CAST(i AS INTEGER)+2]
+         |      || ' ' || toks[CAST(i AS INTEGER)+3] AS s
+         |  FROM d, unnest(range(0, len(toks)-2)) AS t(i)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
+         |  FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, n_inter, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(n_inter AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+         |    AS containment
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a
+         |JOIN sizes sb ON sb.doc_id = b
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+         |      >= 0.8
+         |ORDER BY a, b""".stripMargin,
+    "dedup_url" ->
+      s"""WITH u AS (SELECT doc_id, ${TextQueries.sqlUrl} AS url
+         |           FROM documents),
+         |${TextQueries.sqlCanonStages}
+         |SELECT canon, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM c GROUP BY canon ORDER BY canon""".stripMargin,
     "dedup_ngram_jaccard_capped" ->
       s"""WITH d AS (SELECT doc_id, $sqlToks AS toks
          |           FROM documents WHERE doc_id < 3000),

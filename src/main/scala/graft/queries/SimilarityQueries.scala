@@ -21,6 +21,16 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // cluster-balanced corpus sampling: ≤ 20 vectors kept per
+    // nearest-centroid cell in deterministic hash order — the
+    // embedding-space analogue of pipe_domain_cap (one template
+    // family can dominate a crawl's CONTENT space while sharing no
+    // domain). cellAssign's single aggregate + a per-cell rank.
+    "pipe_cluster_balance" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(emb(s, dir), "embedding", "vec_id",
+        nCells = 16, cap = 20)
+        .orderBy(col("vec_id"))),
+
     // exact brute-force cosine top-5 for the first 100 vectors
     "ann_bruteforce_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir), "embedding", "vec_id",
@@ -159,6 +169,31 @@ object SimilarityQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "pipe_cluster_balance" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $sqlNorm AS nrm
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS cid, v AS cvec, nrm AS cn FROM e
+         |  WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT e.vec_id, cent.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, cent.cvec)
+         |                   / (e.nrm * cent.cn) DESC, cent.cid) AS crn
+         |    FROM e CROSS JOIN cent) x WHERE crn = 1),
+         |h AS (
+         |  SELECT vec_id, cell,
+         |    CAST(concat('0x', substring(
+         |      md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % 1000000 AS hb
+         |  FROM assigned)
+         |SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY cell ORDER BY hb, vec_id) AS rn
+         |  FROM h) x
+         |WHERE rn <= 20 ORDER BY vec_id""".stripMargin,
     "ann_bruteforce_topk" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $sqlNorm AS nrm

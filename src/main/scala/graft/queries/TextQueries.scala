@@ -328,6 +328,45 @@ object TextQueries {
         .orderBy(id)
     }),
 
+    // URL canonicalization (crawl-dedup stage 0): each row builds a
+    // messy-but-realistic URL from its columns (case-variant scheme/
+    // host, www., default port, trailing slash, tracking params,
+    // fragment) and UrlFunctions.canonicalizeUrl collapses the
+    // aliases. The oracle mirrors every rule in DuckDB SQL, so the
+    // canonical string — not just a count — is cross-checked.
+    "text_url_normalize" -> ((s, dir) => {
+      val id = col("doc_id")
+      docs(s, dir).select(id, messyUrl.as("url"))
+        .select(id, col("url"),
+          graft.functions.UrlFunctions.canonicalizeUrl(col("url"))
+            .as("canon"))
+        .orderBy(id)
+    }),
+
+    // PII detection with checksum verification: 13–19-digit runs are
+    // extracted by regex, then VALIDATED with the Luhn checksum (the
+    // payment-card check) — the step that separates "card number,
+    // redact" from phone numbers/ids that a bare regex would flag.
+    // Candidates are synthesized from doc_id (the corpus text has no
+    // digits), both engines run their own Luhn fold over the same
+    // derived strings, so agreement proves the extraction AND the
+    // checksum arithmetic. Scan-stage only — no shuffle, no UDF.
+    "text_pii_luhn" -> ((s, dir) => {
+      val id = col("doc_id")
+      val c1 = lpad(pmod(id * 7919 + 123456789L, lit(10000000000000000L))
+        .cast("string"), 16, "0")
+      val c2 = lpad(pmod(id * 104729 + 87654321L, lit(10000000000000L))
+        .cast("string"), 13, "0")
+      val blob = concat(lit("contact 42 office card "), c1,
+        lit(" alt "), c2, lit(" end"))
+      docs(s, dir).select(id, blob.as("t"))
+        .select(id, explode(regexp_extract_all(col("t"),
+          lit("[0-9]{13,19}"), lit(0))).as("cand"))
+        .select(id, col("cand"),
+          TextFunctions.luhnValid(col("cand")).as("luhn_valid"))
+        .orderBy(id, col("cand"))
+    }),
+
     // TF-IDF-style top terms: per-doc term frequency × corpus
     // document frequency, top-3 terms per doc ranked (tf desc, df
     // asc, term asc — rarer-in-corpus breaks tf ties). All-integer
@@ -354,7 +393,88 @@ object TextQueries {
     })
   )
 
+  /** The synthetic messy URL both text_url_normalize and dedup_url
+    * build over a `documents` row (Column form; [[sqlUrl]] is the
+    * DuckDB mirror — one rule set, two renderings). */
+  private[queries] def messyUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/Cat/"),
+      pmod(id, lit(5)).cast("string"),
+      when(pmod(id, lit(3)) === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&b="), pmod(id, lit(4)).cast("string"),
+      lit("&a="), pmod(id, lit(3)).cast("string"),
+      when(pmod(id, lit(4)) === 0, lit("&gclid=x")).otherwise(lit("")),
+      lit("#sec"), pmod(id, lit(7)).cast("string"))
+  }
+
+  /** DuckDB rendering of [[messyUrl]]. Line-trailing `||` only: this
+    * fragment is re-embedded in s"..".stripMargin oracle templates,
+    * and a line STARTING with `||` would lose its first pipe to the
+    * outer stripMargin. */
+  private[queries] val sqlUrl: String =
+    """'HTTPS://WWW.' || source || '.Example.COM:443/Cat/' ||
+      | CAST(doc_id % 5 AS VARCHAR) ||
+      | CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+      | '?utm_source=feed&b=' || CAST(doc_id % 4 AS VARCHAR) ||
+      | '&a=' || CAST(doc_id % 3 AS VARCHAR) ||
+      | CASE WHEN doc_id % 4 = 0 THEN '&gclid=x' ELSE '' END ||
+      | '#sec' || CAST(doc_id % 7 AS VARCHAR)""".stripMargin
+
+  /** DuckDB mirror of UrlFunctions.canonicalizeUrl: CTE stages over a
+    * relation `u(doc_id, url)`; the final expression is `canon`. */
+  private[queries] val sqlCanonStages: String =
+    """p AS (SELECT doc_id, url,
+      |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |    AS scheme,
+      |  regexp_replace(lower(regexp_extract(url, '://([^/?#:]*)', 1)),
+      |    '^www\.', '') AS host,
+      |  regexp_extract(url, '://[^/?#:]*:([0-9]+)', 1) AS port,
+      |  regexp_replace(regexp_extract(url, '://[^/?#]*(/[^?#]*)', 1),
+      |    '/+$', '') AS path0,
+      |  regexp_extract(url, '\?([^#]*)', 1) AS q
+      |  FROM u),
+      |k AS (SELECT doc_id, url, scheme, host, port, path0,
+      |  list_sort(list_filter(string_split(q, '&'),
+      |    x -> x <> '' AND NOT starts_with(string_split(x, '=')[1], 'utm_')
+      |      AND string_split(x, '=')[1] NOT IN ('fbclid', 'gclid', 'ref')))
+      |    AS kept
+      |  FROM p),
+      |c AS (SELECT doc_id, url,
+      |  scheme || '://' || host ||
+      |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+      |         OR (scheme = 'https' AND port = '443')
+      |       THEN '' ELSE ':' || port END ||
+      |  CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+      |  CASE WHEN len(kept) = 0 THEN ''
+      |       ELSE '?' || array_to_string(kept, '&') END AS canon
+      |  FROM k)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "text_url_normalize" ->
+      s"""WITH u AS (SELECT doc_id, $sqlUrl AS url FROM documents),
+         |$sqlCanonStages
+         |SELECT doc_id, url, canon FROM c ORDER BY doc_id""".stripMargin,
+    "text_pii_luhn" ->
+      """WITH cand AS (
+        |  SELECT doc_id, lpad(CAST((doc_id * 7919 + 123456789)
+        |    % 10000000000000000 AS VARCHAR), 16, '0') AS cand
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, lpad(CAST((doc_id * 104729 + 87654321)
+        |    % 10000000000000 AS VARCHAR), 13, '0')
+        |  FROM documents),
+        |d AS (SELECT doc_id, cand, reverse(cand) AS r FROM cand),
+        |g AS (SELECT doc_id, cand, i,
+        |        CAST(substring(r, CAST(i AS INTEGER), 1) AS BIGINT) AS dg
+        |      FROM d, unnest(range(1, length(r) + 1)) AS t(i)),
+        |s AS (SELECT doc_id, cand,
+        |        SUM(CASE WHEN i % 2 = 0 THEN
+        |              CASE WHEN 2 * dg > 9 THEN 2 * dg - 9 ELSE 2 * dg END
+        |            ELSE dg END) AS tot
+        |      FROM g GROUP BY doc_id, cand)
+        |SELECT doc_id, cand, (tot % 10 = 0) AS luhn_valid
+        |FROM s ORDER BY doc_id, cand""".stripMargin,
     "text_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($sqlToks) AS term FROM documents),
          |tot AS (SELECT COUNT(*) AS total FROM tok)

@@ -272,6 +272,40 @@ class DedupSpec extends SparkSpec {
       rows(Dedup.spanScrub(d, "text", "doc_id", 2)))
   }
 
+  test("containment catches doc-inside-doc that jaccard misses") {
+    // doc 2 embeds doc 1 verbatim inside a long wrapper: every
+    // shingle of 1 appears in 2 (containment 1.0), but the union is
+    // wrapper-dominated so Jaccard is far below any usual threshold
+    val inner = "alpha beta gamma delta epsilon zeta"
+    val wrapper = (1 to 40).map(i => s"wrap$i").mkString(" ")
+    val d = Seq(
+      (1L, inner),
+      (2L, s"$wrapper $inner $wrapper"),
+      (3L, "totally unrelated content with its own words here")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(d, "text", "doc_id",
+      minContainment = 0.9)
+      .select($"a", $"b", $"containment").as[(Long, Long, Double)]
+      .collect()
+    assert(cont.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    assert(cont.head._3 == 1.0)
+    // the same pair is invisible to Jaccard at 0.5
+    val jac = Dedup.ngramJaccardPairs(d, "text", "doc_id")
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
+  test("containment respects the hot-shingle cap like jaccard does") {
+    val boiler = "same same same same same"
+    val d = Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler), (4L, boiler)
+    ).toDF("doc_id", "text")
+    // every shingle is in 4 docs; cap 3 empties the universe
+    val out = Dedup.containmentPairs(d, "text", "doc_id",
+      maxDocFreq = Some(3L))
+    assert(out.count() == 0)
+  }
+
   test("embedding cosine pairs find planted near-dup") {
     val vs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

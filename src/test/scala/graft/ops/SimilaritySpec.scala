@@ -63,6 +63,30 @@ class SimilaritySpec extends SparkSpec {
     assert(all == brute)
   }
 
+  test("clusterBalancedSample caps per cell, deterministically, " +
+    "invariant to partitioning") {
+    // 2 seed cells (vec_id < 2): x-axis vs y-axis; 20 extra vectors
+    // all near the x-axis make cell 0 a mega-cluster
+    val crowd = (10L to 29L).map(i =>
+      (i, Array(1.0f, i.toFloat / 100f))) :+
+      (0L, Array(1.0f, 0.0f)) :+ (1L, Array(0.0f, 1.0f))
+    val df = crowd.toDF("vec_id", "embedding")
+    val out = Similarity.clusterBalancedSample(df, "embedding", "vec_id",
+      nCells = 2, cap = 5)
+    val perCell = out.groupBy($"cell").count()
+      .as[(Long, Long)].collect().toMap
+    // the mega-cluster is capped; the singleton cell keeps its vector
+    assert(perCell.values.forall(_ <= 5))
+    assert(perCell(1L) == 1L)
+    assert(perCell(0L) == 5L)
+    // deterministic: same result from a different partitioning
+    val again = Similarity.clusterBalancedSample(
+      df.repartition(7, $"vec_id"), "embedding", "vec_id",
+      nCells = 2, cap = 5)
+    assert(out.orderBy($"vec_id").collect().toSeq ==
+      again.orderBy($"vec_id").collect().toSeq)
+  }
+
   test("kmeansRefine is partitioning-invariant (decimal-exact means)") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     def run(parts: Int): Map[Long, Seq[Float]] =
