@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ByteAtU8, DotProduct, JsonbDecode, MapChangedKeys, RollingHash, Sum128, TopKLargest, WavRms}
+import graft.functions.{ByteAtU8, DotProduct, JsonbDecode, MapChangedKeys, MultiMatch, RollingHash, Sum128, TopKLargest, WavRms}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst
   * surface (SURVEY §7.4). Enable with:
@@ -63,7 +63,9 @@ object GraftExtensions {
     fn("topk_largest", classOf[TopKLargest], 2, "topk_largest(value, k)")(
       es => TopKLargest(es.head, es(1))),
     fn("rolling_hash", classOf[RollingHash], 1, "rolling_hash(s)")(
-      es => RollingHash(es.head)))
+      es => RollingHash(es.head)),
+    fn("multi_match", classOf[MultiMatch], 2, "multi_match(text, patterns)")(
+      es => MultiMatch(es.head, es(1))))
 
   /** Idempotently register the native functions on an EXISTING
     * session — the path for host applications whose SparkSession was

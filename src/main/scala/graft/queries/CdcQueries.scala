@@ -409,7 +409,33 @@ object CdcQueries {
         startSeq = 500L, chunkWidth = 4L, seqPerChunk = 20L)
         .select(col("chunk_id"), col("user_id"), col("event_id"),
           col("event_type"), col("value"))
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+
+    // source<->target consistency checksums (ops/TableChecksum —
+    // the pt-table-checksum shape the reference family assumes users
+    // run out-of-band): orders vs a drifted replica (keys % 7919
+    // missing, prices % 997 off by +1.00); per-500-key chunks reduce
+    // to (n_rows, order-independent 60-bit md5 sum), and only the
+    // divergent chunks — the re-sync worklist — survive the diff.
+    // Each side is one scan + one map-side-combinable aggregate; the
+    // join moves #chunks rows, never table rows.
+    "cdc_table_checksum" -> ((s, dir) => {
+      val src = Tables.load(s, dir, "orders")
+      val tgt = src
+        .filter(pmod(col("o_orderkey"), lit(7919L)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(997L)) === 0,
+            col("o_totalprice") + 1).otherwise(col("o_totalprice")))
+      def side(df: DataFrame) = graft.ops.TableChecksum.chunkChecksums(
+        df, col("o_orderkey"),
+        Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)),
+          unix_micros(col("o_orderdate").cast(TimestampType)),
+          col("o_orderpriority")),
+        chunkSize = 500L)
+      graft.ops.TableChecksum.diff(side(src), side(tgt))
+        .orderBy(col("chunk"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -598,6 +624,48 @@ object CdcQueries {
         |  WHERE e.user_id = c.user_id
         |    AND e.event_id > 500 + c.chunk_id * 20
         |    AND e.event_id <= 500 + c.chunk_id * 20 + 20)
-        |ORDER BY c.user_id""".stripMargin
+        |ORDER BY c.user_id""".stripMargin,
+    "cdc_table_checksum" ->
+      """WITH src_r AS (
+        |  SELECT o_orderkey, concat_ws(chr(1),
+        |    coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
+        |    coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+        |    coalesce(o_orderstatus, chr(0)),
+        |    coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |             chr(0)),
+        |    coalesce(CAST(epoch_us(o_orderdate) AS VARCHAR), chr(0)),
+        |    coalesce(o_orderpriority, chr(0))) AS r
+        |  FROM orders),
+        |tgt_r AS (
+        |  SELECT o_orderkey, concat_ws(chr(1),
+        |    coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
+        |    coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+        |    coalesce(o_orderstatus, chr(0)),
+        |    coalesce(CAST(CAST(CASE WHEN o_orderkey % 997 = 0
+        |        THEN o_totalprice + 1 ELSE o_totalprice END
+        |      AS DECIMAL(18,2)) AS VARCHAR), chr(0)),
+        |    coalesce(CAST(epoch_us(o_orderdate) AS VARCHAR), chr(0)),
+        |    coalesce(o_orderpriority, chr(0))) AS r
+        |  FROM orders WHERE o_orderkey % 7919 <> 0),
+        |s AS (
+        |  SELECT o_orderkey // 500 AS chunk, COUNT(*) AS src_rows,
+        |    CAST(SUM(CAST(concat('0x', substring(md5(r), 1, 15)) AS BIGINT))
+        |      AS DECIMAL(38,0)) AS src_sum
+        |  FROM src_r GROUP BY 1),
+        |t AS (
+        |  SELECT o_orderkey // 500 AS chunk, COUNT(*) AS tgt_rows,
+        |    CAST(SUM(CAST(concat('0x', substring(md5(r), 1, 15)) AS BIGINT))
+        |      AS DECIMAL(38,0)) AS tgt_sum
+        |  FROM tgt_r GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT coalesce(s.chunk, t.chunk) AS chunk, s.src_rows, t.tgt_rows,
+        |    s.src_sum, t.tgt_sum,
+        |    CASE WHEN s.chunk IS NULL THEN 'missing_in_source'
+        |         WHEN t.chunk IS NULL THEN 'missing_in_target'
+        |         WHEN s.src_rows <> t.tgt_rows THEN 'row_count'
+        |         WHEN s.src_sum <> t.tgt_sum THEN 'checksum'
+        |         ELSE 'ok' END AS status
+        |  FROM s FULL OUTER JOIN t ON s.chunk = t.chunk) x
+        |WHERE status <> 'ok' ORDER BY chunk""".stripMargin
   )
 }

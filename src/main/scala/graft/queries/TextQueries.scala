@@ -367,6 +367,22 @@ object TextQueries {
         .orderBy(id, col("cand"))
     }),
 
+    // one-pass blocklist / canary-phrase matching: the native
+    // Aho-Corasick expression (functions/MultiMatch) finds every
+    // blocklist pattern in ONE scan of each document — O(text+hits),
+    // independent of pattern count — where the oracle (and a naive
+    // pipeline) runs #patterns contains() scans. Byte-level exact
+    // substring semantics: "ector t" matches mid-word, and the
+    // overlapping patterns ("fast table" / "table value") each
+    // report independently.
+    "text_blocklist_hits" -> ((s, dir) => {
+      val id = col("doc_id")
+      docs(s, dir).select(id,
+        explode(call_function("multi_match", col("text"),
+          array(blocklist.map(lit): _*))).as("pat_id"))
+        .orderBy(id, col("pat_id"))
+    }),
+
     // TF-IDF-style top terms: per-doc term frequency × corpus
     // document frequency, top-3 terms per doc ranked (tf desc, df
     // asc, term asc — rarer-in-corpus breaks tf ties). All-integer
@@ -392,6 +408,14 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rnk"))
     })
   )
+
+  /** Blocklist for text_blocklist_hits — phrases over the corpus
+    * vocabulary, chosen to exercise overlap ("fast table" vs "table
+    * value" share a word), mid-word byte matching ("ector t"), a
+    * single-token pattern ("vector"), and a guaranteed miss. */
+  private[queries] val blocklist: Seq[String] = Seq(
+    "slow fast", "fast table", "table value", "value table",
+    "agg row scan", "vector", "ector t", "zz-never-matches", "a a the")
 
   /** The synthetic messy URL both text_url_normalize and dedup_url
     * build over a `documents` row (Column form; [[sqlUrl]] is the
@@ -451,6 +475,11 @@ object TextQueries {
       |  FROM k)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_blocklist_hits" ->
+      (blocklist.zipWithIndex.map { case (p, i) =>
+        s"SELECT doc_id, $i AS pat_id FROM documents WHERE contains(text, '$p')"
+      }.mkString("WITH hits AS (\n", "\nUNION ALL ", ")\n") +
+        "SELECT doc_id, pat_id FROM hits ORDER BY doc_id, pat_id"),
     "text_url_normalize" ->
       s"""WITH u AS (SELECT doc_id, $sqlUrl AS url FROM documents),
          |$sqlCanonStages
