@@ -23,6 +23,20 @@ import graft.streaming.Pipeline.BatchSink
   * Statement-level retry: 3 tries with linear 5s·attempt backoff
   * ≙ `executeSQL` (`outputs/mysql/mysql.go:204-226`).
   *
+  * Poison-row quarantine (opt-in via `quarantineTable`): when a
+  * multi-row statement still fails after its transient retries, the
+  * chunk is BISECTED — halves re-execute (single-try: the full-chunk
+  * retries already absorbed transients) until the failure isolates to
+  * individual rows, which are written to the quarantine table with
+  * the target table, op, batch id, a JSON rendering of the row, and
+  * the error. Healthy rows in the same chunk still land, so one
+  * malformed event (constraint violation, oversized value, bad cast)
+  * stops poisoning the whole pipeline — the sink-side counterpart of
+  * the changelog source's onCorrupt=mark DLQ. Cost is O(log chunk)
+  * statements per poison row, paid only on failure. Without a
+  * quarantine table the batch fails before the checkpoint advances
+  * (the default, exactly-once-preserving behavior).
+  *
   * @param connect serializable connection factory, invoked on the
   *                executor (e.g. `() => DriverManager.getConnection(url)`)
   * @param assumeCompacted skip the defensive per-batch compaction.
@@ -31,13 +45,18 @@ import graft.streaming.Pipeline.BatchSink
   *                pipeline-wired instances set this to avoid paying a
   *                second full aggregate+shuffle of every micro-batch;
   *                direct users keep the default (defended) path.
+  * @param quarantineTable DLQ table for poison rows; expected columns
+  *                `(target_table VARCHAR, op VARCHAR, batch_id BIGINT,
+  *                row_json VARCHAR, error VARCHAR)`. None = fail the
+  *                batch (default).
   */
 final class JdbcUpsertSink(
     connect: () => Connection,
     maxRowsPerStatement: Int = 1024,
     retries: Int = 3,
     retryBackoffMs: Long = 5000,
-    assumeCompacted: Boolean = false) extends BatchSink {
+    assumeCompacted: Boolean = false,
+    quarantineTable: Option[String] = None) extends BatchSink {
 
   override def write(batch: DataFrame, t: TableDef, batchId: Long): Unit = {
     val cols = t.columnNames
@@ -68,8 +87,9 @@ final class JdbcUpsertSink(
             "'seq' column to compact on — compact upstream or add 'seq'")
         batch
       }
-    val (cf, tt, mx, rt, bo) =
-      (connect, t, maxRowsPerStatement, retries, retryBackoffMs)
+    val (cf, tt, mx, rt, bo, qt) =
+      (connect, t, maxRowsPerStatement, retries, retryBackoffMs,
+        quarantineTable)
     safe.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val conn = cf()
@@ -78,13 +98,13 @@ final class JdbcUpsertSink(
             val (dels, ups) = chunk.partition(_.getAs[String]("op") == "delete")
             if (ups.nonEmpty) {
               val maps = ups.map(r => cols.map(c => c -> r.getAs[Any](c)).toMap)
-              val (sql, binds) = SqlGen.upsertSql(tt, maps)
-              JdbcUpsertSink.execute(conn, sql, binds, rt, bo)
+              JdbcUpsertSink.executeOrQuarantine(conn, tt, "upsert", maps,
+                ms => SqlGen.upsertSql(tt, ms), rt, bo, qt, batchId)
             }
             if (dels.nonEmpty) {
               val maps = dels.map(r => pks.map(c => c -> r.getAs[Any](c)).toMap)
-              val (sql, binds) = SqlGen.deleteSql(tt, maps)
-              JdbcUpsertSink.execute(conn, sql, binds, rt, bo)
+              JdbcUpsertSink.executeOrQuarantine(conn, tt, "delete", maps,
+                ms => SqlGen.deleteSql(tt, ms), rt, bo, qt, batchId)
             }
           }
         } finally conn.close()
@@ -107,4 +127,77 @@ object JdbcUpsertSink {
         ps.executeUpdate()
       } finally ps.close()
     }
+
+  /** Full-retry execute; on exhausted failure, either rethrow (no
+    * quarantine table — the exactly-once default) or bisect the row
+    * set to isolate and quarantine the poison rows (see class doc).
+    * The bisect levels run SINGLE-try: the full-chunk retries already
+    * absorbed transient faults, so what is left fails
+    * deterministically and backing off per level would multiply the
+    * isolation latency by retries·log(chunk). */
+  private[sinks] def executeOrQuarantine(conn: Connection, t: TableDef,
+      op: String, rows: Seq[Map[String, Any]],
+      mkSql: Seq[Map[String, Any]] => (String, Seq[Any]),
+      retries: Int, backoffMs: Long,
+      quarantine: Option[String], batchId: Long): Unit = {
+    val (sql, binds) = mkSql(rows)
+    try execute(conn, sql, binds, retries, backoffMs)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        quarantine match {
+          case None => throw e
+          case Some(qt) => bisect(conn, t, op, rows, mkSql, qt, batchId, e)
+        }
+    }
+  }
+
+  private def bisect(conn: Connection, t: TableDef, op: String,
+      rows: Seq[Map[String, Any]],
+      mkSql: Seq[Map[String, Any]] => (String, Seq[Any]),
+      qt: String, batchId: Long, cause: Throwable): Unit =
+    if (rows.length == 1) {
+      quarantineRow(conn, t, op, rows.head, qt, batchId, cause)
+    } else {
+      val (lo, hi) = rows.splitAt(rows.length / 2)
+      Seq(lo, hi).foreach { half =>
+        val (sql, binds) = mkSql(half)
+        try execute(conn, sql, binds, retries = 1, backoffMs = 0)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            bisect(conn, t, op, half, mkSql, qt, batchId, e)
+        }
+      }
+    }
+
+  private def quarantineRow(conn: Connection, t: TableDef, op: String,
+      row: Map[String, Any], qt: String, batchId: Long,
+      cause: Throwable): Unit = {
+    val ins = s"INSERT INTO $qt (target_table, op, batch_id, row_json," +
+      " error) VALUES (?, ?, ?, ?, ?)"
+    // the DLQ write itself gets no quarantine fallback: if even the
+    // DLQ rejects the row, fail the batch — silently dropping data
+    // is the one outcome this path must never produce
+    execute(conn, ins, Seq(s"${t.schema}.${t.name}", op,
+      java.lang.Long.valueOf(batchId), rowJson(row),
+      String.valueOf(cause.getMessage).take(512)),
+      retries = 1, backoffMs = 0)
+  }
+
+  /** Sorted-key JSON rendering of a row for the DLQ (diagnostic
+    * payload — values via toString, strings escaped). */
+  private[sinks] def rowJson(row: Map[String, Any]): String =
+    row.toSeq.sortBy(_._1).map { case (k, v) =>
+      val rendered = v match {
+        case null => "null"
+        case n: java.lang.Number => n.toString
+        case b: java.lang.Boolean => b.toString
+        case other => "\"" + other.toString.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+      }
+      s""""$k":$rendered"""
+    }.mkString("{", ",", "}")
 }
