@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ByteAtU8, DotProduct, JsonbDecode, MapChangedKeys, MultiMatch, RollingHash, Sum128, TopKLargest, WavRms}
+import graft.functions.{ByteAtU8, DotProduct, JsonbDecode, MapChangedKeys, MultiMatch, MultiMatchAny, RollingHash, Sum128, TopKLargest, WavRms}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst
   * surface (SURVEY §7.4). Enable with:
@@ -65,7 +65,10 @@ object GraftExtensions {
     fn("rolling_hash", classOf[RollingHash], 1, "rolling_hash(s)")(
       es => RollingHash(es.head)),
     fn("multi_match", classOf[MultiMatch], 2, "multi_match(text, patterns)")(
-      es => MultiMatch(es.head, es(1))))
+      es => MultiMatch(es.head, es(1))),
+    fn("multi_match_any", classOf[MultiMatchAny], 2,
+      "multi_match_any(text, patterns)")(
+      es => MultiMatchAny(es.head, es(1))))
 
   /** Idempotently register the native functions on an EXISTING
     * session — the path for host applications whose SparkSession was

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Byte-level Aho–Corasick automaton over a fixed pattern set.
@@ -81,6 +81,21 @@ final class AhoCorasick private (
       p += 1
     }
     res
+  }
+
+  /** True iff ANY pattern occurs — EARLY-EXITS at the first hit, so
+    * a blocklist filter over mostly-clean text pays far less than a
+    * full [[matches]] scan, and a blocked document stops at its
+    * first offending byte. */
+  def anyMatch(text: Array[Byte]): Boolean = {
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      s = step(s, text(i))
+      if (outputs(s).length > 0) return true
+      i += 1
+    }
+    false
   }
 
   /** Boxed-array form for [[GenericArrayData]] without reflection. */
@@ -160,38 +175,49 @@ object AhoCorasick {
   }
 }
 
-/** `multi_match(text, array('p1','p2',…))` → sorted distinct indices
-  * (0-based) of the patterns occurring in `text`, via the ONE-pass
-  * [[AhoCorasick]] automaton. The pattern array must be foldable
-  * (a literal blocklist): the automaton is compiled once at plan
-  * time, referenced from generated code, and shared by every row.
-  * Registered by [[graft.GraftExtensions]].
-  */
-case class MultiMatch(left: Expression, right: Expression)
-    extends BinaryExpression {
-
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+/** Shared analysis + automaton plumbing for the multi_match family:
+  * text on the left, a FOLDABLE literal array of patterns on the
+  * right, compiled once per plan into an [[AhoCorasick]] referenced
+  * from generated code and shared by every row. */
+trait MultiMatchBase extends BinaryExpression {
+  def fnName: String
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, ArrayType(StringType, _)) =>
         if (right.foldable) TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(
-          "multi_match patterns must be a foldable (literal) array")
+          s"$fnName patterns must be a foldable (literal) array")
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"multi_match expects (string, array<string>), got " +
+        s"$fnName expects (string, array<string>), got " +
           s"(${l.simpleString}, ${r.simpleString})")
     }
 
-  @transient private lazy val automaton: AhoCorasick = {
+  @transient protected lazy val automaton: AhoCorasick = {
     val arr = right.eval().asInstanceOf[ArrayData]
-    require(arr != null, "multi_match pattern array must not be null")
+    require(arr != null, s"$fnName pattern array must not be null")
     AhoCorasick.build((0 until arr.numElements()).map { i =>
       val s = arr.getUTF8String(i)
-      require(s != null, "multi_match patterns must not be null")
+      require(s != null, s"$fnName patterns must not be null")
       s.getBytes
     })
   }
+
+  protected def automatonRef(ctx: CodegenContext): String =
+    ctx.addReferenceObj("ahoCorasick", automaton,
+      classOf[AhoCorasick].getName)
+}
+
+/** `multi_match(text, array('p1','p2',…))` → sorted distinct indices
+  * (0-based) of the patterns occurring in `text`, via the ONE-pass
+  * [[AhoCorasick]] automaton. Registered by
+  * [[graft.GraftExtensions]]. */
+case class MultiMatch(left: Expression, right: Expression)
+    extends MultiMatchBase {
+
+  override def fnName: String = "multi_match"
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def nullSafeEval(text: Any, pats: Any): Any =
     new GenericArrayData(
@@ -199,8 +225,7 @@ case class MultiMatch(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
-    val ac = ctx.addReferenceObj("ahoCorasick", automaton,
-      classOf[AhoCorasick].getName)
+    val ac = automatonRef(ctx)
     nullSafeCodeGen(ctx, ev, (text, _) =>
       s"""${ev.value} =
          |  new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -209,5 +234,33 @@ case class MultiMatch(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MultiMatch =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `multi_match_any(text, patterns)` → boolean; EARLY-EXITS at the
+  * first hit (a blocked document stops at its first offending byte),
+  * which is the right shape for blocklist FILTERS — `size(
+  * multi_match(...)) > 0` would keep scanning to enumerate every
+  * match it is about to discard. Registered by
+  * [[graft.GraftExtensions]]. */
+case class MultiMatchAny(left: Expression, right: Expression)
+    extends MultiMatchBase {
+
+  override def fnName: String = "multi_match_any"
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(text: Any, pats: Any): Any =
+    automaton.anyMatch(text.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ac = automatonRef(ctx)
+    nullSafeCodeGen(ctx, ev, (text, _) =>
+      s"${ev.value} = $ac.anyMatch($text.getBytes());")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MultiMatchAny =
     copy(left = newLeft, right = newRight)
 }

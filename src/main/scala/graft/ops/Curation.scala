@@ -97,6 +97,21 @@ object Curation {
         Stage("length-filter",
           _.filter(TextFunctions.tokenCount(t).between(lo, hi)),
           streamable = true)
+      case "blocklist-filter" =>
+        // drop any document containing ANY blocklist phrase — the
+        // native Aho-Corasick multi_match_any finds all patterns in
+        // ONE early-exiting pass per doc (pattern-count-independent),
+        // vs #patterns contains() scans. Byte-exact substring
+        // semantics; scan-stage, streamable.
+        val pats = cols("patterns")
+        require(pats.nonEmpty, "blocklist-filter: missing/empty patterns")
+        Stage("blocklist-filter",
+          df => {
+            graft.GraftExtensions.ensure(df.sparkSession)
+            df.filter(!call_function("multi_match_any", t,
+              array(pats.map(lit): _*)))
+          },
+          streamable = true)
       case "repetition-filter" =>
         val max = num("max-rep-ratio", 0.5)
         Stage("repetition-filter", df => df.filter(

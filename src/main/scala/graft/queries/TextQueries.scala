@@ -383,6 +383,19 @@ object TextQueries {
         .orderBy(id, col("pat_id"))
     }),
 
+    // blocklist FILTER (the curation stage form): survivors are the
+    // docs matching NO pattern, via multi_match_any — which
+    // EARLY-EXITS at the first hit instead of enumerating matches
+    // it is about to discard. Same automaton, boolean output.
+    "text_blocklist_filter" -> ((s, dir) => {
+      val id = col("doc_id")
+      docs(s, dir)
+        .filter(!call_function("multi_match_any", col("text"),
+          array(blocklist.map(lit): _*)))
+        .select(id)
+        .orderBy(id)
+    }),
+
     // TF-IDF-style top terms: per-doc term frequency × corpus
     // document frequency, top-3 terms per doc ranked (tf desc, df
     // asc, term asc — rarer-in-corpus breaks tf ties). All-integer
@@ -480,6 +493,10 @@ object TextQueries {
         s"SELECT doc_id, $i AS pat_id FROM documents WHERE contains(text, '$p')"
       }.mkString("WITH hits AS (\n", "\nUNION ALL ", ")\n") +
         "SELECT doc_id, pat_id FROM hits ORDER BY doc_id, pat_id"),
+    "text_blocklist_filter" ->
+      ("SELECT doc_id FROM documents WHERE NOT (" +
+        blocklist.map(p => s"contains(text, '$p')").mkString(" OR ") +
+        ") ORDER BY doc_id"),
     "text_url_normalize" ->
       s"""WITH u AS (SELECT doc_id, $sqlUrl AS url FROM documents),
          |$sqlCanonStages

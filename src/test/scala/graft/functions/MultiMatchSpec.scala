@@ -54,6 +54,15 @@ class AhoCorasickSpec extends AnyFunSuite {
     assert(run(ac(pats), "aazzaazz") == Seq(0, 1))
   }
 
+
+  test("anyMatch equals matches.nonEmpty, incl. early-exit inputs") {
+    val pats = Seq("abc", "bd", "zz")
+    val a = ac(pats)
+    Seq("xxabcyy", "abd", "nothing", "", "zz" * 5, "ab").foreach { t =>
+      assert(a.anyMatch(t.getBytes("UTF-8")) == run(a, t).nonEmpty, t)
+    }
+  }
+
   test("empty text matches nothing; empty patterns are rejected") {
     assert(run(ac(Seq("a")), "") == Seq())
     intercept[IllegalArgumentException](ac(Seq("a", "")))
@@ -94,6 +103,17 @@ class MultiMatchSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), plan)
     assert(out.agg(sum($"n")).as[Long].head == 100L + 19L)
+  }
+
+
+  test("multi_match_any filters with early exit, same semantics") {
+    val df = Seq((1L, "clean text"), (2L, "has vector inside"),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val kept = df.filter(!call_function("multi_match_any", $"text",
+      array(lit("vector"), lit("zz")))).select($"id").as[Long]
+      .collect().toSeq
+    // null text -> null predicate -> filtered out (SQL semantics)
+    assert(kept == Seq(1L))
   }
 
   test("non-foldable pattern array is rejected at analysis") {

@@ -443,4 +443,20 @@ class CurationSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unknown curation stage"))
   }
+
+  test("blocklist-filter stage drops docs containing any pattern") {
+    val d = Seq(
+      (1L, "perfectly clean document"),
+      (2L, "mentions the forbidden phrase here"),
+      (3L, "has for bidden split so it survives"),
+      (4L, "also bad phrase two appears")
+    ).toDF("doc_id", "text")
+    val st = Curation.stage(Map("type" -> "blocklist-filter",
+      "patterns" -> Seq("forbidden phrase", "bad phrase two")),
+      "text", "doc_id", spark)
+    assert(st.streamable)
+    assert(st.apply(d).select($"doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L))
+  }
+
 }
