@@ -62,6 +62,64 @@ object TableChecksum {
         min(col("__pk")).as("pk_min"), max(col("__pk")).as("pk_max"))
   }
 
+  /** Incremental checksum MAINTENANCE from a changelog — continuous
+    * verification without rescanning: each change event contributes
+    * signed deltas to its chunk's `(n_rows, checksum)`, and
+    * `baseline + accumulated deltas == fresh [[chunkChecksums]] of
+    * the target` iff the pipeline applied every change exactly once.
+    * Contributions per op (the sum telescopes, so replays/reorders
+    * within a key are visible as non-zero residue):
+    *   - insert:  +hash(after),  rows +1, in chunk(after pk)
+    *   - update:  +hash(after) in chunk(after pk) AND −hash(before)
+    *              in chunk(before pk) — a pk-moving update
+    *              transfers the row between chunks
+    *   - delete:  −hash(before), rows −1, in chunk(before pk)
+    * Any other op (e.g. `replace`, whose semantics depend on target
+    * state the stream does not carry) FAILS LOUDLY — silently
+    * skipping an op class would make every later verification lie.
+    *
+    * One scan: each event emits its (≤2) contributions through a
+    * single explode, then the same map-side-combinable per-chunk
+    * aggregate as [[chunkChecksums]]. Applied to a changelog that
+    * starts from an empty table, the deltas EQUAL the final state's
+    * checksums (spec-pinned); in production the same aggregate runs
+    * as a streaming update-mode query maintaining the running sums.
+    *
+    * @return (chunk, d_rows, d_sum)
+    */
+  def incrementalChecksums(changes: DataFrame, op: Column,
+      afterPk: Column, afterRendered: Seq[Column],
+      beforePk: Column, beforeRendered: Seq[Column],
+      chunkSize: Long): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    def chunkOf(pk: Column) = (pk.cast(LongType) / chunkSize).cast(LongType)
+    val h = DecimalType(38, 0)
+    // updates carry +1 on the after side and -1 on the before side:
+    // for the usual in-place update the two cancel inside the
+    // aggregate, while a pk-MOVING update correctly transfers the
+    // row count between chunks
+    val pos = when(op.isin("insert", "update"),
+      struct(chunkOf(afterPk).as("chunk"),
+        rowHash(afterRendered).cast(h).as("d_sum"),
+        lit(1L).as("d_rows")))
+    val neg = when(op.isin("update", "delete"),
+      struct(chunkOf(beforePk).as("chunk"),
+        (-rowHash(beforeRendered)).cast(h).as("d_sum"),
+        lit(-1L).as("d_rows")))
+    // the op guard lives INSIDE the exploded expression (a separate
+    // guard column would be pruned away before it could fire)
+    val contribs = when(op.isin("insert", "update", "delete"),
+      filter(array(pos, neg), c => c.isNotNull))
+      .otherwise(raise_error(concat(
+        lit("incrementalChecksums: unsupported op '"), op,
+        lit("' — only insert/update/delete carry the images needed " +
+          "to maintain checksums"))))
+    changes
+      .select(explode(contribs).as("c"))
+      .groupBy(col("c.chunk").as("chunk"))
+      .agg(sum(col("c.d_rows")).as("d_rows"), sum(col("c.d_sum")).as("d_sum"))
+  }
+
   /** Chunk-level comparison of two [[chunkChecksums]] outputs.
     * Returns ONLY the divergent chunks, each with a status naming
     * what diverged — the re-sync worklist. Matching chunks (the

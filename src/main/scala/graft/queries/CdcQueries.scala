@@ -435,6 +435,48 @@ object CdcQueries {
         chunkSize = 500L)
       graft.ops.TableChecksum.diff(side(src), side(tgt))
         .orderBy(col("chunk"))
+    }),
+
+    // incremental checksum MAINTENANCE (continuous verification):
+    // the event stream is read as a per-user changelog (first event
+    // = insert, rest = updates whose before image is the lagged
+    // value), each event contributes signed per-chunk deltas in ONE
+    // scan, and — because the sums telescope — the accumulated
+    // deltas must EQUAL a fresh checksum of the compacted final
+    // state. The query emits both sides per chunk plus the verdict,
+    // so target drift would surface as consistent=false without ever
+    // rescanning history against state.
+    "cdc_incremental_checksum" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        col("value"))
+      def rendered(v: Column): Column =
+        floor(v * 1000000d).cast(LongType)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val ch = ev
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .select(
+          when(col("rn") === 1, lit("insert")).otherwise(lit("update"))
+            .as("op"),
+          col("user_id").as("a_pk"), rendered(col("value")).as("a_v"),
+          col("user_id").as("b_pk"), rendered(col("prev_value")).as("b_v"))
+      val inc = graft.ops.TableChecksum.incrementalChecksums(ch, col("op"),
+        col("a_pk"), Seq(col("a_pk"), col("a_v")),
+        col("b_pk"), Seq(col("b_pk"), col("b_v")), chunkSize = 25L)
+      val state = ev
+        .withColumn("rnd", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)))
+        .filter(col("rnd") === 1)
+        .select(col("user_id"), rendered(col("value")).as("v"))
+      val fresh = graft.ops.TableChecksum.chunkChecksums(state,
+        col("user_id"), Seq(col("user_id"), col("v")), chunkSize = 25L)
+        .select(col("chunk"), col("n_rows"), col("checksum"))
+      fresh.join(inc, Seq("chunk"), "full_outer")
+        .select(col("chunk"), col("n_rows"), col("checksum"),
+          col("d_rows"), col("d_sum"),
+          (col("n_rows") <=> col("d_rows") &&
+            col("checksum") <=> col("d_sum")).as("consistent"))
+        .orderBy(col("chunk"))
     })
   )
 
@@ -666,6 +708,47 @@ object CdcQueries {
         |         WHEN s.src_sum <> t.tgt_sum THEN 'checksum'
         |         ELSE 'ok' END AS status
         |  FROM s FULL OUTER JOIN t ON s.chunk = t.chunk) x
-        |WHERE status <> 'ok' ORDER BY chunk""".stripMargin
+        |WHERE status <> 'ok' ORDER BY chunk""".stripMargin,
+    "cdc_incremental_checksum" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v FROM events),
+        |ord AS (SELECT user_id, v,
+        |    lag(v) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS rn
+        |  FROM ev),
+        |contrib AS (
+        |  SELECT user_id // 25 AS chunk, 1 AS d_rows,
+        |    CAST(concat('0x', substring(md5(concat_ws(chr(1),
+        |      coalesce(CAST(user_id AS VARCHAR), chr(0)),
+        |      coalesce(CAST(v AS VARCHAR), chr(0)))), 1, 15)) AS BIGINT)
+        |      AS d_sum
+        |  FROM ord
+        |  UNION ALL
+        |  SELECT user_id // 25, -1,
+        |    - CAST(concat('0x', substring(md5(concat_ws(chr(1),
+        |      coalesce(CAST(user_id AS VARCHAR), chr(0)),
+        |      coalesce(CAST(pv AS VARCHAR), chr(0)))), 1, 15)) AS BIGINT)
+        |  FROM ord WHERE rn > 1),
+        |inc AS (SELECT chunk, CAST(SUM(d_rows) AS BIGINT) AS d_rows,
+        |    CAST(SUM(d_sum) AS DECIMAL(38,0)) AS d_sum
+        |  FROM contrib GROUP BY 1),
+        |state AS (SELECT user_id, v FROM (
+        |    SELECT user_id, v, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY event_id DESC) AS rnd FROM ev) x
+        |  WHERE rnd = 1),
+        |fresh AS (SELECT user_id // 25 AS chunk,
+        |    COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(concat('0x', substring(md5(concat_ws(chr(1),
+        |      coalesce(CAST(user_id AS VARCHAR), chr(0)),
+        |      coalesce(CAST(v AS VARCHAR), chr(0)))), 1, 15)) AS BIGINT))
+        |      AS DECIMAL(38,0)) AS checksum
+        |  FROM state GROUP BY 1)
+        |SELECT coalesce(f.chunk, i.chunk) AS chunk, f.n_rows, f.checksum,
+        |  i.d_rows, i.d_sum,
+        |  (f.n_rows IS NOT DISTINCT FROM i.d_rows AND
+        |   f.checksum IS NOT DISTINCT FROM i.d_sum) AS consistent
+        |FROM fresh f FULL OUTER JOIN inc i ON f.chunk = i.chunk
+        |ORDER BY chunk""".stripMargin
   )
 }

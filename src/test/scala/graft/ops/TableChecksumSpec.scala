@@ -76,4 +76,102 @@ class TableChecksumSpec extends SparkSpec {
     assert(r == Seq((0L, 3L, 0L, 2L), (1L, 3L, 10L, 12L),
       (2L, 2L, 20L, 21L)))
   }
+
+  // ---- incremental maintenance ----
+
+  private def incSide(ch: org.apache.spark.sql.DataFrame) =
+    TableChecksum.incrementalChecksums(ch, col("op"),
+      col("a_pk"), Seq(col("a_pk"), col("a_s"), col("a_v")),
+      col("b_pk"), Seq(col("b_pk"), col("b_s"), col("b_v")),
+      chunkSize = 10L)
+
+  test("deltas from an empty table equal the final state's checksums") {
+    // scripted changelog: inserts, value updates, a delete, and a
+    // pk-moving update (5 -> 25 crosses chunks)
+    val ch = Seq(
+      ("insert", 1L, "a", 10L, null.asInstanceOf[java.lang.Long], null, null),
+      ("insert", 5L, "b", 20L, null.asInstanceOf[java.lang.Long], null, null),
+      ("insert", 12L, "c", 30L, null.asInstanceOf[java.lang.Long], null, null),
+      ("update", 1L, "a2", 11L, java.lang.Long.valueOf(1L), "a", "10"),
+      ("update", 25L, "b", 20L, java.lang.Long.valueOf(5L), "b", "20"),
+      ("insert", 13L, "d", 40L, null.asInstanceOf[java.lang.Long], null, null),
+      ("delete", -1L, null, -1L, java.lang.Long.valueOf(13L), "d", "40")
+    ).map { case (op, apk, as_, av, bpk, bs, bv) =>
+      (op, apk, as_, av, bpk,
+        bs, Option(bv).map(_.toLong).map(java.lang.Long.valueOf(_)).orNull)
+    }.toDF("op", "a_pk", "a_s", "a_v", "b_pk", "b_s", "b_v")
+    // final state: 1->(a2,11), 25->(b,20), 12->(c,30)
+    val state = Seq((1L, "a2", 11L), (25L, "b", 20L), (12L, "c", 30L))
+      .toDF("pk", "s", "v")
+    val fresh = TableChecksum.chunkChecksums(state, col("pk"),
+      Seq(col("pk"), col("s"), col("v")), 10L)
+      .select($"chunk", $"n_rows", $"checksum")
+      .as[(Long, Long, BigDecimal)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val inc = incSide(ch).as[(Long, Long, BigDecimal)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // every chunk with residue must equal fresh; zero-residue chunks
+    // may be absent from fresh
+    val chunks = (fresh.keySet ++ inc.keySet)
+    chunks.foreach { c =>
+      val (fr, fs) = fresh.getOrElse(c, (0L, BigDecimal(0)))
+      val (ir, is) = inc.getOrElse(c, (0L, BigDecimal(0)))
+      assert(ir == fr, s"chunk $c rows: inc $ir vs fresh $fr")
+      assert(is == fs, s"chunk $c sum: inc $is vs fresh $fs")
+    }
+  }
+
+  test("a replayed update leaves non-zero residue (detection works)") {
+    val once = Seq(
+      ("insert", 1L, "a", 10L, null.asInstanceOf[java.lang.Long],
+        null.asInstanceOf[String], null.asInstanceOf[java.lang.Long]),
+      ("update", 1L, "b", 20L, java.lang.Long.valueOf(1L), "a",
+        java.lang.Long.valueOf(10L))
+    ).toDF("op", "a_pk", "a_s", "a_v", "b_pk", "b_s", "b_v")
+    val twice = once.union(once.filter($"op" === "update"))
+    val a = incSide(once).orderBy($"chunk")
+      .as[(Long, Long, BigDecimal)].collect().toSeq
+    val b = incSide(twice).orderBy($"chunk")
+      .as[(Long, Long, BigDecimal)].collect().toSeq
+    assert(a != b)
+  }
+
+  test("unsupported ops fail loudly instead of skewing the sums") {
+    val ch = Seq(("replace", 1L, "a", 10L,
+      null.asInstanceOf[java.lang.Long], null.asInstanceOf[String],
+      null.asInstanceOf[java.lang.Long]))
+      .toDF("op", "a_pk", "a_s", "a_v", "b_pk", "b_s", "b_v")
+    val e = intercept[Exception] { incSide(ch).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("unsupported op")))
+  }
+
+
+  test("incremental aggregate runs as a streaming update (complete mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String, Long, Long, String, Long)]
+    // data lands BEFORE the AvailableNow start (offset snapshot)
+    mem.addData(("insert", 1L, "a", 10L, 0L, null, 0L),
+      ("insert", 12L, "c", 30L, 0L, null, 0L))
+    mem.addData(("update", 1L, "b", 20L, 1L, "a", 10L))
+    val ch = mem.toDF().toDF("op", "a_pk", "a_s", "a_v", "b_pk", "b_s",
+      "b_v")
+    val q = incSide(ch).writeStream.format("memory")
+      .queryName("cksum_stream").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "checksum stream did not finish")
+    val streamed = spark.table("cksum_stream")
+      .as[(Long, Long, BigDecimal)].collect().toSeq.sortBy(_._1)
+    val batch = incSide(Seq(
+      ("insert", 1L, "a", 10L, 0L, null.asInstanceOf[String], 0L),
+      ("insert", 12L, "c", 30L, 0L, null.asInstanceOf[String], 0L),
+      ("update", 1L, "b", 20L, 1L, "a", 10L))
+      .toDF("op", "a_pk", "a_s", "a_v", "b_pk", "b_s", "b_v"))
+      .as[(Long, Long, BigDecimal)].collect().toSeq.sortBy(_._1)
+    assert(streamed == batch)
+  }
+
 }
