@@ -23,6 +23,45 @@ import org.apache.spark.sql.functions._
   */
 object Transforms {
 
+  /** Sensitive-column masking — the transform every CDC deployment
+    * adds the day compliance reads the topic list (Debezium ships it
+    * as an SMT; the reference's Transform chain has no equivalent, a
+    * gap this closes). Three modes, all scan-stage projections:
+    *   - `hash`: sha256 hex — deterministic, so masked values still
+    *     JOIN and GROUP (the referential-integrity-preserving mask)
+    *   - `partial`: keep the last `keep` chars, star the rest (card
+    *     and phone tails); values at or under `keep` chars mask
+    *     FULLY — echoing a short secret because it is short is
+    *     exactly the leak the mask exists to stop
+    *   - `redact`: constant `"***"` — no length or equality signal
+    * Nulls stay null in every mode (a null is not a secret, and
+    * sinks rely on null-vs-present for sparse images). */
+  def maskColumn(c: Column, mode: String, keep: Int = 4): Column =
+    mode match {
+      case "hash" => sha2(c.cast("string"), 256)
+      case "partial" =>
+        val s = c.cast("string")
+        // (?s): mask newlines too — an unmasked byte is a leak
+        when(c.isNull, lit(null).cast("string"))
+          .when(length(s) <= keep, regexp_replace(s, "(?s).", "*"))
+          .otherwise(concat(
+            regexp_replace(s.substr(lit(1), length(s) - keep), "(?s).", "*"),
+            s.substr(length(s) - keep + 1, lit(keep))))
+      case "redact" => when(c.isNull, lit(null).cast("string"))
+        .otherwise(lit("***"))
+      case other => throw new IllegalArgumentException(
+        s"maskColumn: unknown mode '$other' (hash|partial|redact)")
+    }
+
+  /** Apply [[maskColumn]] to each named column (missing columns are
+    * a no-op, matching the other transforms' silent-skip contract). */
+  def maskColumns(masks: (String, String)*): DataFrame => DataFrame = df =>
+    masks.foldLeft(df) { case (d, (name, mode)) =>
+      if (d.columns.contains(name))
+        d.withColumn(name, maskColumn(col(name), mode))
+      else d
+    }
+
   /** Rename columns `(from -> to)*`. Missing sources are a no-op,
     * matching the reference's silent skip on absent columns. */
   def renameColumn(pairs: (String, String)*): DataFrame => DataFrame = df =>

@@ -411,6 +411,20 @@ object CdcQueries {
           col("event_type"), col("value"))
         .orderBy(col("user_id"))),
 
+    // sensitive-column masking (Transforms.maskColumns — the
+    // Debezium-SMT-style compliance transform the reference chain
+    // lacks): props partially masked (last 4 chars survive),
+    // event_type hashed (sha256 — masked values still join/group),
+    // value redacted to a constant. All scan-stage projections;
+    // nulls stay null in every mode.
+    "cdc_mask_columns" -> ((s, dir) =>
+      Transforms.maskColumns(
+        "props" -> "partial", "event_type" -> "hash",
+        "value" -> "redact")(
+        events(s, dir).select(col("event_id"), col("event_type"),
+          col("value"), col("props")))
+        .orderBy(col("event_id"))),
+
     // source<->target consistency checksums (ops/TableChecksum —
     // the pt-table-checksum shape the reference family assumes users
     // run out-of-band): orders vs a drifted replica (keys % 7919
@@ -709,6 +723,17 @@ object CdcQueries {
         |         ELSE 'ok' END AS status
         |  FROM s FULL OUTER JOIN t ON s.chunk = t.chunk) x
         |WHERE status <> 'ok' ORDER BY chunk""".stripMargin,
+    "cdc_mask_columns" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type IS NULL THEN NULL
+        |       ELSE sha256(event_type) END AS event_type,
+        |  CASE WHEN value IS NULL THEN NULL ELSE '***' END AS value,
+        |  CASE WHEN props IS NULL THEN NULL
+        |       WHEN length(props) <= 4
+        |         THEN regexp_replace(props, '(?s).', '*', 'g')
+        |       ELSE regexp_replace(substring(props, 1, length(props) - 4),
+        |              '(?s).', '*', 'g') || right(props, 4) END AS props
+        |FROM events ORDER BY event_id""".stripMargin,
     "cdc_incremental_checksum" ->
       """WITH ev AS (SELECT user_id, event_id,
         |    CAST(floor(value * 1000000) AS BIGINT) AS v FROM events),

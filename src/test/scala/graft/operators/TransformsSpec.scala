@@ -132,4 +132,42 @@ class TransformsSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("db", "table", "seq", "value"))
     assert(out.count() == 3)
   }
+
+  test("maskColumn: hash is deterministic, partial keeps the tail, " +
+    "redact is constant, nulls stay null everywhere") {
+    val d = Seq(
+      (1L, "4111111111111111", "secret", "x"),
+      (2L, "4111111111111111", "ab", null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String], "abcd", "y")
+    ).toDF("id", "card", "s", "t")
+    val out = Transforms.maskColumns(
+      "card" -> "partial", "s" -> "hash", "t" -> "redact",
+      "absent" -> "hash")(d)
+      .orderBy($"id")
+      .as[(Long, String, String, String)].collect().toSeq
+    assert(out(0)._2 == "************1111")
+    assert(out(1)._2 == out(0)._2)            // same input, same mask
+    assert(out(2)._2 == null)                  // null stays null
+    // hash: 64 lowercase hex chars, equal inputs collide on purpose
+    assert(out(0)._3.matches("[0-9a-f]{64}"))
+    assert(out(1)._3 != out(0)._3)
+    // at-or-under keep chars masks FULLY (no short-secret echo)
+    assert(out(2)._3.matches("[0-9a-f]{64}"))
+    assert(out(0)._4 == "***" && out(1)._4 == null && out(2)._4 == "***")
+  }
+
+  test("maskColumn partial fully masks short values and newlines") {
+    val d = Seq((1L, "abc"), (2L, "a\nb\ncdef")).toDF("id", "v")
+    val out = Transforms.maskColumns("v" -> "partial")(d)
+      .orderBy($"id").as[(Long, String)].collect().toSeq
+    assert(out(0)._2 == "***")
+    assert(out(1)._2 == "****cdef")
+  }
+
+  test("maskColumn rejects unknown modes loudly") {
+    intercept[IllegalArgumentException] {
+      Transforms.maskColumn(col("x"), "rot13")
+    }
+  }
+
 }
