@@ -62,6 +62,24 @@ object TableChecksum {
         min(col("__pk")).as("pk_min"), max(col("__pk")).as("pk_max"))
   }
 
+  /** One Merkle-style rollup level: `fanout` child chunks collapse
+    * into one parent (chunk div fanout), sums and row counts adding,
+    * pk ranges unioning. Comparing two sides top-down — parents
+    * first, then [[diff]] only inside mismatched parents' child
+    * ranges — turns a full-table audit into O(log) chunk-list
+    * exchanges when divergence is localized (the common case: a few
+    * poison rows, one bad backfill range). Apply repeatedly for more
+    * levels; checksums stay exact at every level because the row
+    * hashes sum associatively. */
+  def rollup(checksums: DataFrame, fanout: Long): DataFrame = {
+    require(fanout > 1, s"fanout must exceed 1, got $fanout")
+    checksums
+      .groupBy((col("chunk") / fanout).cast(LongType).as("chunk"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("checksum")).cast(DecimalType(38, 0)).as("checksum"),
+        min(col("pk_min")).as("pk_min"), max(col("pk_max")).as("pk_max"))
+  }
+
   /** Incremental checksum MAINTENANCE from a changelog — continuous
     * verification without rescanning: each change event contributes
     * signed deltas to its chunk's `(n_rows, checksum)`, and

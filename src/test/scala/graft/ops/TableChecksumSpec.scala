@@ -174,4 +174,38 @@ class TableChecksumSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+
+  test("rollup sums exactly and localizes divergence top-down") {
+    val wide = (0L until 40L).map(i => (i, s"s$i", i * 3)).toDF("pk", "s", "v")
+    val l0 = TableChecksum.chunkChecksums(wide, col("pk"),
+      Seq(col("pk"), col("s"), col("v")), 2L)         // 20 chunks
+    val l1 = TableChecksum.rollup(l0, 5L)              // 4 parents
+    val l2 = TableChecksum.rollup(l1, 4L)              // 1 root
+    val root = l2.as[(Long, Long, BigDecimal, Long, Long)].collect()
+    assert(root.length == 1)
+    assert(root.head._2 == 40L && root.head._4 == 0L && root.head._5 == 39L)
+    // root checksum equals the single-chunk checksum of the table
+    val direct = TableChecksum.chunkChecksums(wide, col("pk"),
+      Seq(col("pk"), col("s"), col("v")), 1000L)
+      .as[(Long, Long, BigDecimal, Long, Long)].collect().head
+    assert(root.head._3 == direct._3)
+    // one drifted row: the divergence shows at every level, and only
+    // in the ancestors of its chunk
+    val drift = wide.withColumn("v",
+      when($"pk" === 17L, lit(999L)).otherwise($"v"))
+    def lvls(df: org.apache.spark.sql.DataFrame) = {
+      val d0 = TableChecksum.chunkChecksums(df, col("pk"),
+        Seq(col("pk"), col("s"), col("v")), 2L)
+      (d0, TableChecksum.rollup(d0, 5L))
+    }
+    val (d0, d1) = lvls(drift)
+    val diff1 = TableChecksum.diff(l1, d1)
+      .select($"chunk").as[Long].collect().toSeq
+    assert(diff1 == Seq(1L))                           // parent of chunk 8
+    val diff0 = TableChecksum.diff(l0.filter($"chunk".between(5, 9)),
+      d0.filter($"chunk".between(5, 9)))
+      .select($"chunk").as[Long].collect().toSeq
+    assert(diff0 == Seq(8L))                           // pk 17 -> chunk 8
+  }
+
 }
