@@ -66,7 +66,10 @@ object Registry {
     // (a second full aggregate+shuffle per micro-batch otherwise)
     new JdbcUpsertSink(() =>
       java.sql.DriverManager.getConnection(url, user, pass),
-      assumeCompacted = true)
+      assumeCompacted = true,
+      // opt-in poison-row DLQ (see JdbcUpsertSink doc); absent =
+      // fail the batch pre-checkpoint, the exactly-once default
+      quarantineTable = conf.get("quarantine-table"))
   }
   registerSink("starrocks") { conf =>
     new StreamLoadSink(conf("url"), conf.getOrElse("user", "root"),

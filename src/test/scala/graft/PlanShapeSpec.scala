@@ -439,4 +439,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("MapPartitions"),
       s"expected the Misra-Gries candidate stage:\n$p")
   }
+
+  test("cdc_table_checksum: per-side partial aggregation; chunk-only join") {
+    val p = plan("cdc_table_checksum")
+    // each side: partial + final HashAggregate around its exchange
+    // (4 total for two sides) — the shuffle carries chunk rows only
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 4, s"expected partial+final per side:\n$p")
+    assert(p.contains("hashpartitioning(chunk"), p)
+    // no shuffle may carry a raw table column — only digests/chunks
+    assert(!p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("o_orderpriority")), p)
+  }
+
+  test("text_blocklist_hits: ONE documents scan, match inside codegen") {
+    val p = plan("text_blocklist_hits")
+    // the formatted tree names each node twice (tree + detail) —
+    // count the numbered detail headers
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans == 1,
+      s"one pass finds every pattern — got $scans scans:\n$p")
+    assert(p.contains("multimatch"), p)
+  }
+
 }
