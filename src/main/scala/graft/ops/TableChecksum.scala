@@ -45,6 +45,23 @@ object TableChecksum {
     conv(substring(md5(joined), 1, 15), 16, 10).cast(LongType)
   }
 
+  /** xxhash64-based row digest — the fast path when BOTH sides are
+    * this engine (the usual production deployment: source checksum
+    * job and target checksum job run the same library). xxhash64 is
+    * whole-stage-codegen native with no digest/hex-string
+    * allocation; [[rowHash]]'s md5 form exists for CROSS-engine
+    * verification, where the hash must be computable by the other
+    * engine. Masked into [0, 2^60) so the same no-overflow-below-
+    * 10^18-rows-per-chunk sum bound holds. Same NUL/U+0001 sealing.
+    * Pass to [[chunkChecksums]]/[[incrementalChecksums]] via their
+    * `hashFn` parameter — BOTH sides (and any maintained ledger)
+    * must use the same function, or every chunk diverges. */
+  def fastRowHash(rendered: Seq[Column]): Column = {
+    val joined = concat_ws("\u0001",
+      rendered.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)
+    pmod(xxhash64(joined), lit(1152921504606846976L)) // 2^60
+  }
+
   /** Per-chunk (n_rows, checksum, pk_min, pk_max) for one side.
     *
     * @param pk        numeric primary-key column (chunking key)
@@ -52,11 +69,12 @@ object TableChecksum {
     *                  (include the pk itself to catch pk drift)
     */
   def chunkChecksums(df: DataFrame, pk: Column, rendered: Seq[Column],
-                     chunkSize: Long): DataFrame = {
+                     chunkSize: Long,
+                     hashFn: Seq[Column] => Column = rowHash): DataFrame = {
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
     df.select((pk.cast(LongType) / chunkSize).cast(LongType).as("chunk"),
         pk.cast(LongType).as("__pk"),
-        rowHash(rendered).cast(DecimalType(38, 0)).as("__h"))
+        hashFn(rendered).cast(DecimalType(38, 0)).as("__h"))
       .groupBy(col("chunk"))
       .agg(count(lit(1)).as("n_rows"), sum(col("__h")).as("checksum"),
         min(col("__pk")).as("pk_min"), max(col("__pk")).as("pk_max"))
@@ -108,7 +126,8 @@ object TableChecksum {
   def incrementalChecksums(changes: DataFrame, op: Column,
       afterPk: Column, afterRendered: Seq[Column],
       beforePk: Column, beforeRendered: Seq[Column],
-      chunkSize: Long): DataFrame = {
+      chunkSize: Long,
+      hashFn: Seq[Column] => Column = rowHash): DataFrame = {
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
     def chunkOf(pk: Column) = (pk.cast(LongType) / chunkSize).cast(LongType)
     val h = DecimalType(38, 0)
@@ -118,11 +137,11 @@ object TableChecksum {
     // row count between chunks
     val pos = when(op.isin("insert", "update"),
       struct(chunkOf(afterPk).as("chunk"),
-        rowHash(afterRendered).cast(h).as("d_sum"),
+        hashFn(afterRendered).cast(h).as("d_sum"),
         lit(1L).as("d_rows")))
     val neg = when(op.isin("update", "delete"),
       struct(chunkOf(beforePk).as("chunk"),
-        (-rowHash(beforeRendered)).cast(h).as("d_sum"),
+        (-hashFn(beforeRendered)).cast(h).as("d_sum"),
         lit(-1L).as("d_rows")))
     // the op guard lives INSIDE the exploded expression (a separate
     // guard column would be pruned away before it could fire)

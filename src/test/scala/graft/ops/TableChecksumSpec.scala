@@ -208,4 +208,38 @@ class TableChecksumSpec extends SparkSpec {
     assert(diff0 == Seq(8L))                           // pk 17 -> chunk 8
   }
 
+
+  test("fastRowHash path: same invariants, bounded range, both sides " +
+    "must agree on the hash") {
+    val fast = TableChecksum.chunkChecksums(base, col("pk"),
+      Seq(col("pk"), col("s"), col("v")), 10L, TableChecksum.fastRowHash)
+    // identical sides -> empty diff; order-independent
+    val fast2 = TableChecksum.chunkChecksums(
+      base.repartition(5, $"v"), col("pk"),
+      Seq(col("pk"), col("s"), col("v")), 10L, TableChecksum.fastRowHash)
+    assert(TableChecksum.diff(fast, fast2).count() == 0)
+    // hashes stay in [0, 2^60): a chunk sum of k rows < k * 2^60
+    val sums = fast.select($"checksum").as[BigDecimal].collect()
+    assert(sums.forall(s0 => s0 >= 0 &&
+      s0 < BigDecimal(2).pow(60) * base.count()))
+    // incremental with the fast hash reconciles against a fresh fast
+    // checksum of the final state (hashFn threads through both)
+    val ch = Seq(("insert", 1L, "a", 10L, 0L,
+      null.asInstanceOf[String], 0L))
+      .toDF("op", "a_pk", "a_s", "a_v", "b_pk", "b_s", "b_v")
+    val inc = TableChecksum.incrementalChecksums(ch, col("op"),
+      col("a_pk"), Seq(col("a_pk"), col("a_s"), col("a_v")),
+      col("b_pk"), Seq(col("b_pk"), col("b_s"), col("b_v")), 10L,
+      TableChecksum.fastRowHash)
+      .select($"chunk", $"d_rows".as("n_rows"), $"d_sum".as("checksum"))
+    val fresh = TableChecksum.chunkChecksums(
+      Seq((1L, "a", 10L)).toDF("pk", "s", "v"), col("pk"),
+      Seq(col("pk"), col("s"), col("v")), 10L, TableChecksum.fastRowHash)
+      .select($"chunk", $"n_rows", $"checksum")
+    assert(TableChecksum.diff(fresh, inc).count() == 0)
+    // mixing hash functions across sides diverges on every chunk
+    val md5Side = side(base)
+    assert(TableChecksum.diff(md5Side, fast).count() == 3)
+  }
+
 }
