@@ -141,6 +141,22 @@ object Core2Queries {
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // correlated LATERAL subquery with per-row LIMIT: top-2
+    // customers by balance per nation — the "top-k per outer row"
+    // idiom SQL users reach for before window functions. Catalyst
+    // decorrelates it; ties broken by name so both engines agree.
+    "q_lateral_topk" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n.n_name, c.c_name,
+          |  CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
+          |FROM nation n,
+          |LATERAL (SELECT c_name, c_acctbal FROM customer c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+          |ORDER BY n.n_name, bal DESC, c.c_name""".stripMargin)
+    }),
+
     // JSON scalar extraction from the events props column — sorted
     // narrow FIRST so the range-sampling pass doesn't run the JSON
     // parse a second time (see cdc_json_format)
@@ -315,6 +331,14 @@ object Core2Queries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'HOUSEHOLD'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_lateral_topk" ->
+      """SELECT n.n_name, c.c_name,
+        |  CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n.n_name, bal DESC, c.c_name""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
