@@ -100,6 +100,31 @@ object ChecksumLedger {
       target: DataFrame): DataFrame =
     TableChecksum.diff(current(spark, stateDir), target)
 
+  /** Streaming maintenance: run a changelog stream's per-batch
+    * deltas into the ledger. One `foreachBatch` — compute the
+    * batch's [[TableChecksum.incrementalChecksums]] and [[record]]
+    * it under the batch id, which is exactly what makes replays
+    * safe (same id → same partition → overwrite, and post-compact
+    * replays no-op at the watermark). The returned query runs until
+    * stopped; verification stays a separate [[verify]] call at
+    * whatever cadence the operator wants.
+    *
+    * @param changes   STREAMING frame carrying the changelog
+    * @param mkDeltas  batch → deltas, typically a closure over
+    *                  [[TableChecksum.incrementalChecksums]] with the
+    *                  table's op/pk/rendering columns
+    */
+  def maintain(changes: DataFrame, stateDir: String,
+      checkpointDir: String,
+      mkDeltas: DataFrame => DataFrame):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        record(batch.sparkSession, mkDeltas(batch), stateDir, batchId)
+      }
+      .start()
+
   /** Collapse the ledger to one row per chunk (crash-safe staging
     * swap, the compactIndex pattern): keeps [[current]]'s input at
     * #chunks rows however many batches have run. The compacted rows

@@ -105,4 +105,29 @@ class ChecksumLedgerSpec extends SparkSpec {
       ("delete", 0L, null.asInstanceOf[String], 0L, 1L, "a", 10L))), d, 1L)
     assert(ChecksumLedger.current(spark, d).count() == 0)
   }
+
+  test("maintain() runs the deltas into the ledger from a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("cksum-ledger").toString + "/l"
+    val ckp = Files.createTempDirectory("cksum-ledger").toString + "/ckp"
+    val mem = MemoryStream[(String, Long, String, Long, Long, String, Long)]
+    mem.addData(b0: _*)
+    mem.addData(b1: _*)
+    mem.addData(b2: _*)
+    val ch = mem.toDF().toDF("op", "a_pk", "a_s", "a_v", "b_pk", "b_s",
+      "b_v")
+    val q = ChecksumLedger.maintain(ch, dir, ckp, b =>
+      TableChecksum.incrementalChecksums(b, col("op"),
+        col("a_pk"), Seq(col("a_pk"), col("a_s"), col("a_v")),
+        col("b_pk"), Seq(col("b_pk"), col("b_s"), col("b_v")), 10L))
+    q.processAllAvailable()
+    q.stop()
+    val fresh = finalChecksums.orderBy($"chunk")
+      .as[(Long, Long, BigDecimal)].collect().toSeq
+    assert(cur(dir) == fresh)
+    assert(ChecksumLedger.verify(spark, dir, finalChecksums).count() == 0)
+  }
+
 }
