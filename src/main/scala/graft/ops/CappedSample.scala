@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-key cap — keep the `cap` smallest rows per key by
+  * `(hash, id)` — WITHOUT ever sorting a mega-key's full partition.
+  *
+  * The naive form (`row_number() OVER (PARTITION BY key ORDER BY
+  * hash, id) <= cap`) is what the cap exists to defend against: a
+  * window partition cannot be split across tasks (every row of the
+  * key must colocate for the rank), so the one mega-domain /
+  * mega-cluster the cap targets becomes a single task sorting that
+  * key's entire row set — AQE's skew handling applies to joins and
+  * aggregates, not to window colocation. At 100 TB, one 30%-of-corpus
+  * template family = one task sorting 30 TB.
+  *
+  * This form bounds every stage by `cap`, not by `|key|`:
+  *   1. per-key counts (map-side-combinable aggregate);
+  *   2. keys at or under the cap keep ALL rows — no ordering at all;
+  *   3. over-cap keys pre-filter to `hash < t(key)` where `t` is
+  *      sized so ~2·cap rows pass (`hash` is uniform — it is a
+  *      digest); if any key got fewer than `cap` candidates (hash
+  *      clustering — possible, just exponentially unlikely), the
+  *      threshold DOUBLES and the filter re-runs, so the result is
+  *      EXACT, never sampled: a row with `hash >= t` is
+  *      lexicographically greater than every candidate, so once a
+  *      key has `cap` candidates the true top-cap is inside them;
+  *   4. the rank runs over candidates only — partitions of ~2·cap
+  *      rows however large the key was.
+  *
+  * Output is row-identical to the window form (spec-pinned on
+  * adversarial mega-key data), so the DuckDB window oracles keep
+  * hash-matching.
+  *
+  * @param hash      deterministic order column in `[0, hashRange)`
+  *                  (e.g. `TextFunctions.hashBucket(id, 1000000)`)
+  * @param tiebreak  total-order tiebreak within equal hashes
+  */
+object CappedSample {
+  def perKeyCap(df: DataFrame, keyCols: Seq[String], hash: Column,
+      tiebreak: Column, cap: Int,
+      hashRange: Long = 1000000L): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    require(hashRange > 0, s"hashRange must be positive, got $hashRange")
+    val outCols = df.columns.toSeq
+    val ks = keyCols.map(col)
+    val withH = df.withColumn("__csh", hash)
+    val counts = withH.groupBy(ks: _*).agg(count(lit(1)).as("__csn"))
+    val joined = withH.join(counts, keyCols)
+    val small = joined.filter(col("__csn") <= cap)
+      .select(outCols.map(col): _*)
+    val big = joined.filter(col("__csn") > cap)
+    var factor = 2L
+    var cand: DataFrame = null
+    var done = false
+    while (!done) {
+      val t = least(lit(hashRange),
+        lit(factor) * cap * hashRange / col("__csn") + 1)
+      cand = big.filter(col("__csh") < t)
+      // a key is short only if it has under cap candidates AND its
+      // threshold has room to grow (at t = hashRange every row
+      // passes and got = __csn > cap, so termination is structural)
+      val short = counts.filter(col("__csn") > cap)
+        .join(cand.groupBy(ks: _*).agg(count(lit(1)).as("__got")),
+          keyCols, "left")
+        .filter(coalesce(col("__got"), lit(0L)) < cap)
+      if (short.isEmpty) done = true else factor *= 2L
+    }
+    val w = Window.partitionBy(ks: _*).orderBy(col("__csh"), tiebreak)
+    val kept = cand.withColumn("__csrn", row_number().over(w))
+      .filter(col("__csrn") <= cap)
+      .select(outCols.map(col): _*)
+    small.union(kept)
+  }
+}

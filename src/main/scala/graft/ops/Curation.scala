@@ -218,8 +218,9 @@ object Curation {
         }, streamable = true)
       case "domain-cap" =>
         // at most K docs per source, deterministic hash order — the
-        // C4/CCNet mega-domain guard; rank-then-filter touches each
-        // row once, AQE skew-splits the mega-domain's partition
+        // C4/CCNet mega-domain guard; CappedSample bounds every
+        // stage by K (a window rank would colocate the mega-domain
+        // in one task — window partitions cannot split)
         val sourceCol = str("source-column")
         val k = num("max-per-source", 1000).toInt
         conf.get("state-dir") match {
@@ -244,13 +245,9 @@ object Curation {
               CheckpointRelease.release(a)
             }, streamable = true)
           case None =>
-            Stage("domain-cap", df => {
-              val h = TextFunctions.hashBucket(col(idCol), 1000000)
-              val w = org.apache.spark.sql.expressions.Window
-                .partitionBy(col(sourceCol)).orderBy(h, col(idCol))
-              df.withColumn("__rn", row_number().over(w))
-                .filter(col("__rn") <= k).drop("__rn")
-            })
+            Stage("domain-cap", df => CappedSample.perKeyCap(df,
+              Seq(sourceCol), TextFunctions.hashBucket(col(idCol), 1000000),
+              col(idCol), k))
         }
       case "token-budget" =>
         // quality-ordered global token budget — BandedScan.budgetFilter

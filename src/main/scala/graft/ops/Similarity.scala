@@ -249,27 +249,25 @@ object Similarity {
     * SemDeDup/DBSCAN-prune family's cheap cousin: no pair
     * computation at all, just assignment + a per-cell rank.
     *
-    * Plan: [[cellAssign]]'s one aggregate, then a per-cell
-    * row_number — the rank partitions by cell (≤ nCells of them),
-    * and a skewed mega-cluster is exactly the case the cap exists
-    * for: rank-then-filter touches each of its rows once and AQE
-    * splits the hot partition. md5-derived hash order makes the
+    * Plan: [[cellAssign]]'s one aggregate, then
+    * [[CappedSample.perKeyCap]] — a plain per-cell window rank would
+    * colocate the mega-cluster (the exact case the cap exists for)
+    * in ONE task, since window partitions cannot split; the
+    * capped-sample form bounds every stage by `cap` and is
+    * row-identical to the rank. md5-derived hash order makes the
     * kept set identical across engines, runs, and partitionings.
     *
     * @return (idCol, cell) — the kept sample
     */
   def clusterBalancedSample(corpus: DataFrame, vecCol: String,
       idCol: String, nCells: Int, cap: Int,
-      centroids: Option[DataFrame] = None): DataFrame = {
-    val w = Window.partitionBy(col("cell"))
-      .orderBy(graft.functions.TextFunctions.hashBucket(col(idCol), 1000000),
-        col(idCol))
-    cellAssign(corpus, vecCol, idCol, nCells, centroids)
-      .select(col(idCol), col("cell"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= cap)
-      .select(col(idCol), col("cell"))
-  }
+      centroids: Option[DataFrame] = None): DataFrame =
+    CappedSample.perKeyCap(
+      cellAssign(corpus, vecCol, idCol, nCells, centroids)
+        .select(col(idCol), col("cell")),
+      Seq("cell"),
+      graft.functions.TextFunctions.hashBucket(col(idCol), 1000000),
+      col(idCol), cap)
 
   /** IVF (inverted-file) top-k: vectors are assigned to the cell of
     * their nearest centroid ([[cellAssign]]), and search probes only

@@ -245,18 +245,19 @@ object DedupQueries {
     // per-domain document cap (the C4/CCNet per-domain guard): keep
     // at most K docs per source, chosen by deterministic hash order
     // (md5 bucket, tie → doc_id) so the "random" K are identical
-    // across engines, runs, and partitionings. One window rank per
-    // source — a skewed mega-domain is exactly the case the cap
-    // exists for, and rank-then-filter touches each of its rows once
-    // (no blowup; AQE splits the hot partition).
+    // across engines, runs, and partitionings. ops/CappedSample: a
+    // window rank would colocate the mega-domain — the exact case
+    // the cap exists for — in ONE task (window partitions cannot
+    // split); the capped-sample form bounds every stage by K via a
+    // count + exact iterative hash-threshold prefilter, and stays
+    // row-identical to the window form (so this DuckDB window oracle
+    // keeps matching).
     "pipe_domain_cap" -> ((s, dir) => {
       val k = 15
       val h = graft.functions.TextFunctions.hashBucket(col("doc_id"), 1000000)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(h, col("doc_id"))
-      docs(s, dir).select(col("doc_id"), col("source"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k).drop("rn")
+      graft.ops.CappedSample.perKeyCap(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        Seq("source"), h, col("doc_id"), k)
         .orderBy(col("doc_id"))
     }),
 

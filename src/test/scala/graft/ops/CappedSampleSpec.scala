@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CappedSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def windowForm(df: DataFrame, key: String, hash: org.apache.spark.sql.Column,
+      tiebreak: String, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(hash, col(tiebreak))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
+  }
+
+  private def rows(df: DataFrame): Set[(Long, String)] =
+    df.select($"id", $"key").as[(Long, String)].collect().toSet
+
+  test("row-identical to the window form on a skewed corpus") {
+    // mega-key 'big' (500 rows), mid key (30), tiny keys (< cap)
+    val data = ((1L to 500L).map(i => (i, "big")) ++
+      (501L to 530L).map(i => (i, "mid")) ++
+      Seq((900L, "solo1"), (901L, "solo2"), (902L, "solo2")))
+      .toDF("id", "key")
+    val h = graft.functions.TextFunctions.hashBucket($"id", 1000000)
+    (1 to 20 by 6).foreach { cap =>
+      val fast = CappedSample.perKeyCap(data, Seq("key"), h, $"id", cap)
+      val ref = windowForm(data, "key", h, "id", cap)
+      assert(rows(fast) == rows(ref), s"cap=$cap")
+    }
+  }
+
+  test("hash ties break by the tiebreak column, same as the window") {
+    // constant hash forces the tiebreak to decide everything
+    val data = (1L to 100L).map(i => (i, "k")).toDF("id", "key")
+    val fast = CappedSample.perKeyCap(data, Seq("key"), lit(0L), $"id", 7,
+      hashRange = 1L)
+    assert(rows(fast) == (1L to 7L).map((_, "k")).toSet)
+  }
+
+  test("clustered hashes force the threshold loop and stay exact") {
+    // all hashes packed at the TOP of the range: the initial
+    // threshold (sized for uniform hashes) catches nothing, so the
+    // doubling loop must walk up — and the result is still exactly
+    // the cap smallest by (hash, id)
+    val data = (1L to 200L).map(i => (i, "k")).toDF("id", "key")
+    val packed = lit(999000L) + pmod($"id", lit(1000L))
+    val fast = CappedSample.perKeyCap(data, Seq("key"), packed, $"id", 5)
+    val ref = windowForm(data, "key", packed, "id", 5)
+    assert(rows(fast) == rows(ref))
+  }
+
+  test("keys at or under the cap keep every row with no rank at all") {
+    val data = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "key")
+    val h = graft.functions.TextFunctions.hashBucket($"id", 1000000)
+    assert(rows(CappedSample.perKeyCap(data, Seq("key"), h, $"id", 5)) ==
+      Set((1L, "a"), (2L, "a"), (3L, "b")))
+  }
+
+  test("partitioning-invariant") {
+    val data = (1L to 300L).map(i => (i, s"k${i % 3}")).toDF("id", "key")
+    val h = graft.functions.TextFunctions.hashBucket($"id", 1000000)
+    val a = rows(CappedSample.perKeyCap(data, Seq("key"), h, $"id", 10))
+    val b = rows(CappedSample.perKeyCap(
+      data.repartition(13, $"id"), Seq("key"), h, $"id", 10))
+    assert(a == b)
+  }
+}
