@@ -84,8 +84,7 @@ object IncrementalCuration {
     val w = Window.partitionBy(col(sourceCol)).orderBy(h, col(idCol))
     val admitted =
       if (!hfs.exists(p))
-        batch.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= cap)
+        CappedSample.perKeyCap(batch, Seq(sourceCol), h, col(idCol), cap)
       else {
         val ledger = spark.read.schema(domainSchema).parquet(stateDir)
         val novel = batch.join(
@@ -93,7 +92,15 @@ object IncrementalCuration {
         val prior = ledger.select(col("doc_id"), col("source")).distinct()
           .groupBy(col("source")).agg(count(lit(1)).as("__prior"))
           .withColumnRenamed("source", "__src")
-        novel.withColumn("__rn", row_number().over(w))
+        // bound the rank's partitions by cap, not by the batch's
+        // largest domain (a backfill mega-batch is the hazard):
+        // whatever `prior` is, the admitted set is inside the
+        // novel top-cap by (hash, id), so the exact CappedSample
+        // prefilter loses nothing and the window ranks <= cap rows
+        // per domain
+        val bounded = CappedSample.perKeyCap(novel, Seq(sourceCol),
+          h, col(idCol), cap)
+        bounded.withColumn("__rn", row_number().over(w))
           .join(prior, col(sourceCol) === col("__src"), "left")
           .filter(coalesce(col("__prior"), lit(0L)) + col("__rn") <= cap)
           .drop("__src", "__prior")
