@@ -36,7 +36,8 @@ object Transforms {
     *   - `redact`: constant `"***"` — no length or equality signal
     * Nulls stay null in every mode (a null is not a secret, and
     * sinks rely on null-vs-present for sparse images). */
-  def maskColumn(c: Column, mode: String, keep: Int = 4): Column =
+  def maskColumn(c: Column, mode: String, keep: Int = 4): Column = {
+    require(keep >= 0, s"maskColumn: keep must be non-negative, got $keep")
     mode match {
       case "hash" => sha2(c.cast("string"), 256)
       case "partial" =>
@@ -52,6 +53,7 @@ object Transforms {
       case other => throw new IllegalArgumentException(
         s"maskColumn: unknown mode '$other' (hash|partial|redact)")
     }
+  }
 
   /** Apply [[maskColumn]] to each named column (missing columns are
     * a no-op, matching the other transforms' silent-skip contract). */

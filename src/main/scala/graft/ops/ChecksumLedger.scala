@@ -129,7 +129,11 @@ object ChecksumLedger {
     * swap, the compactIndex pattern): keeps [[current]]'s input at
     * #chunks rows however many batches have run. The compacted rows
     * land under one reserved partition; later batches append their
-    * own partitions beside it. */
+    * own partitions beside it. Run OFFLINE — with the maintenance
+    * query stopped — like the dedup-index compaction: the directory
+    * swap would race an in-flight [[record]]. The watermark it
+    * leaves behind is what keeps REPLAYS safe after the restart; the
+    * offline requirement is only about concurrent writes. */
   def compact(spark: SparkSession, stateDir: String): Unit = {
     val (hfs, p) = fs(spark, stateDir)
     val old = new org.apache.hadoop.fs.Path(stateDir + ".old")
