@@ -61,20 +61,45 @@ object Similarity {
 
   /** Exact top-k neighbors per query (cosine), self-pairs excluded.
     * Norms are precomputed per side BEFORE the join — |Q|+|C| norm
-    * evaluations instead of |Q|×|C|, identical values. */
+    * evaluations instead of |Q|×|C|, identical values. Selection is
+    * the bounded-heap `topk_pairs` aggregate, not a window: a
+    * per-query window partition holds the query's ENTIRE candidate
+    * set (here the corpus — the worst case of the whole ANN family),
+    * while the heap ships at most k (cos, id) pairs per query per
+    * task into the exchange. Ties break by id inside the aggregate —
+    * the identical (cos desc, nid asc) rank contract. */
   def bruteForceTopK(corpus: DataFrame, vecCol: String, idCol: String,
                      queryPred: Column, k: Int): DataFrame = {
     val q = corpus.filter(queryPred).select(col(idCol).as("qid"),
       col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("nid"),
       col(vecCol).as("nv"), norm(col(vecCol)).as("nn"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    q.crossJoin(c).filter(col("qid") =!= col("nid"))
-      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"))
+    topKByScore(
+      q.crossJoin(c).filter(col("qid") =!= col("nid"))
+        .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn"))),
+      col("cos"), k)
+  }
+
+
+  /** Shared top-k selection for the ANN family: candidates
+    * `(qid, nid, score)` reduce through the bounded-heap
+    * `topk_pairs` aggregate to `(qid, nid, rank)` with the
+    * `(score DESC, nid ASC)` rank contract. A per-qid window sort
+    * would colocate each query's whole candidate set in one task
+    * (the brute-force case sorts |corpus| rows per query); the heap
+    * participates in map-side partial aggregation, so the exchange
+    * carries at most k pairs per query per task. For ascending
+    * orders (ADC distances) pass the negated score. */
+  private def topKByScore(cand: DataFrame, score: Column,
+      k: Int): DataFrame = {
+    graft.GraftExtensions.ensure(cand.sparkSession)
+    cand
+      .groupBy(col("qid"))
+      .agg(call_function("topk_pairs", score,
+        col("nid").cast("long"), lit(k)).as("__tk"))
+      .select(col("qid"), posexplode(col("__tk")))
+      .select(col("qid"), col("col.id").as("nid"),
+        (col("pos") + 1).as("rank"))
   }
 
   /** Lloyd k-means refinement of IVF centroids — the distributed
@@ -285,13 +310,10 @@ object Similarity {
     val c = assigned
       .select(col(idCol).as("nid"), col(vecCol).as("nv"),
         col("nrm").as("nn"), col("cell"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    q.join(c, Seq("cell")).filter(col("qid") =!= col("nid"))
-      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"))
+    topKByScore(
+      q.join(c, Seq("cell")).filter(col("qid") =!= col("nid"))
+        .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn"))),
+      col("cos"), k)
   }
 
   /** Multi-probe IVF top-k: corpus vectors live in ONE cell (their
@@ -324,15 +346,12 @@ object Similarity {
       .select(col("qid"), col("qv"), col("qn"), col("cid").as("cell"))
     val c = assigned.select(col(idCol).as("nid"), col(vecCol).as("nv"),
       col("nrm").as("nn"), col("cell"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
     // a neighbor lives in exactly one cell, so probing distinct cells
     // can't duplicate (qid, nid) pairs — no dedup needed before rank
-    qprobe.join(c, Seq("cell")).filter(col("qid") =!= col("nid"))
-      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"))
+    topKByScore(
+      qprobe.join(c, Seq("cell")).filter(col("qid") =!= col("nid"))
+        .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn"))),
+      col("cos"), k)
   }
 
   /** Product-quantization codebook + encoder. The vector space is
@@ -532,11 +551,9 @@ object Similarity {
       .agg(perJ.head, perJ.tail: _*)
       .select(col("qid"), col("nid"),
         (0 until m).map(j => col(s"d$j")).reduce(_ + _).as("adist"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("adist"), col("nid"))
-    summed.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("qid"), col("nid"), col("rank"))
+    // ascending ADC distance == descending negated distance; double
+    // negation is exact, so the (adist ASC, nid ASC) contract holds
+    topKByScore(summed, -col("adist"), topK)
   }
 
   /** IVF-pruned PQ top-k — the billion-vector serving layout (FAISS
@@ -610,10 +627,7 @@ object Similarity {
       .agg(perJ.head, perJ.tail: _*)
       .select(col("qid"), col("nid"),
         (0 until m).map(j => col(s"d$j")).reduce(_ + _).as("adist"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
-    summed.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("qid"), col("nid"), col("rank"))
+    topKByScore(summed, -col("adist"), topK)
   }
 
   /** Sign bucket over the first `bits` dimensions: bit i set iff
@@ -638,13 +652,10 @@ object Similarity {
     val c = bucketed
       .select(col(idCol).as("nid"), col(vecCol).as("nv"), col("bucket"),
         col("nrm").as("nn"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    q.join(c, Seq("bucket")).filter(col("qid") =!= col("nid"))
-      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"))
+    topKByScore(
+      q.join(c, Seq("bucket")).filter(col("qid") =!= col("nid"))
+        .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn"))),
+      col("cos"), k)
   }
 
   /** Upper-triangular Gram/covariance matrix Σxᵢxⱼ over the corpus,
