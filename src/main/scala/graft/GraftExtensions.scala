@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // row_number()=1 last-event-per-key becomes a max/min(struct)
     // hash aggregate — map-side partial agg, no per-partition sort
     e.injectOptimizerRule(_ => graft.plans.CompactionRewrite)
+    // size(multi_match(...)) existence tests → early-exiting
+    // multi_match_any (SURVEY §7.4(c) — the second rewrite where no
+    // built-in rule recovers the cheaper operator)
+    e.injectOptimizerRule(_ => graft.plans.MultiMatchAnyRewrite)
     GraftExtensions.functions.foreach(e.injectFunction)
   }
 }
