@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ByteAtU8, DotProduct, JsonbDecode, MapChangedKeys, MultiMatch, MultiMatchAny, RollingHash, Sum128, TopKLargest, TopKPairs, WavRms}
+import graft.functions.{ByteAtU8, DotProduct, JsonbDecode, MapChangedKeys, MultiMatch, MultiMatchAny, NfcNormalize, RollingHash, Sum128, TopKLargest, TopKPairs, WavRms}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst
   * surface (SURVEY §7.4). Enable with:
@@ -74,7 +74,9 @@ object GraftExtensions {
       "multi_match_any(text, patterns)")(
       es => MultiMatchAny(es.head, es(1))),
     fn("topk_pairs", classOf[TopKPairs], 3, "topk_pairs(score, id, k)")(
-      es => TopKPairs(es.head, es(1), es(2))))
+      es => TopKPairs(es.head, es(1), es(2))),
+    fn("nfc_normalize", classOf[NfcNormalize], 1, "nfc_normalize(s)")(
+      es => NfcNormalize(es.head)))
 
   /** Idempotently register the native functions on an EXISTING
     * session — the path for host applications whose SparkSession was

@@ -97,6 +97,18 @@ object Curation {
         Stage("length-filter",
           _.filter(TextFunctions.tokenCount(t).between(lo, hi)),
           streamable = true)
+      case "nfc-normalize" =>
+        // canonical Unicode composition IN PLACE, before any
+        // hash-based stage: composed vs decomposed accents are
+        // byte-different render-identical strings, so an
+        // un-normalized corpus under-deduplicates and blocklists
+        // silently miss. ASCII rows take the identity fast path.
+        Stage("nfc-normalize",
+          df => {
+            graft.GraftExtensions.ensure(df.sparkSession)
+            df.withColumn(textCol, call_function("nfc_normalize", t))
+          },
+          streamable = true)
       case "blocklist-filter" =>
         // drop any document containing ANY blocklist phrase — the
         // native Aho-Corasick multi_match_any finds all patterns in

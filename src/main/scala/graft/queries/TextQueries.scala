@@ -367,6 +367,28 @@ object TextQueries {
         .orderBy(id, col("cand"))
     }),
 
+    // Unicode NFC normalization (functions/NfcNormalize — the stage
+    // that must run BEFORE hash dedup/shingling: composed vs
+    // decomposed accents are byte-different, render-identical
+    // strings, so un-normalized corpora under-deduplicate). Each doc
+    // gets a synthetic messy-unicode string (decomposed e+U+0301,
+    // composed U+00E9, double-accented, pure ASCII); both engines
+    // normalize independently and the canonical string, codepoint
+    // counts, and changed flag all cross-check (java.text.Normalizer
+    // vs DuckDB's utf8proc — same TR15 forms).
+    "text_unicode_nfc" -> ((s, dir) => {
+      val id = col("doc_id")
+      val raw = element_at(array(nfcSamples.map(lit): _*),
+        (pmod(id, lit(4)) + 1).cast("int"))
+      docs(s, dir).select(id, raw.as("raw"))
+        .select(id, col("raw"),
+          call_function("nfc_normalize", col("raw")).as("norm"))
+        .select(id, length(col("raw")).as("raw_cp"),
+          length(col("norm")).as("norm_cp"), col("norm"),
+          (col("norm") =!= col("raw")).as("changed"))
+        .orderBy(id)
+    }),
+
     // one-pass blocklist / canary-phrase matching: the native
     // Aho-Corasick expression (functions/MultiMatch) finds every
     // blocklist pattern in ONE scan of each document — O(text+hits),
@@ -421,6 +443,16 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rnk"))
     })
   )
+
+  /** Messy-unicode samples for text_unicode_nfc, built from \\u
+    * escapes so no editor/tool can silently normalize them: [0]
+    * decomposed e+COMBINING ACUTE, [1] the composed U+00E9 twin
+    * (same NFC), [2] decomposed diaeresis + ring, [3] pure ASCII
+    * (the fast-path identity). Interpolated RAW into the oracle SQL
+    * — the bytes, not an escape syntax, cross the engine boundary. */
+  private[queries] val nfcSamples: Seq[String] = Seq(
+    "café menu", "café menu",
+    "Angström Å unit", "plain ascii text")
 
   /** Blocklist for text_blocklist_hits — phrases over the corpus
     * vocabulary, chosen to exercise overlap ("fast table" vs "table
@@ -488,6 +520,19 @@ object TextQueries {
       |  FROM k)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_unicode_nfc" ->
+      (s"""WITH r AS (SELECT doc_id,
+         |  CASE CAST(doc_id % 4 AS INTEGER)
+         |    WHEN 0 THEN '${nfcSamples(0)}'
+         |    WHEN 1 THEN '${nfcSamples(1)}'
+         |    WHEN 2 THEN '${nfcSamples(2)}'
+         |    ELSE '${nfcSamples(3)}' END AS raw
+         |  FROM documents)
+         |SELECT doc_id, CAST(length(raw) AS INTEGER) AS raw_cp,
+         |  CAST(length(nfc_normalize(raw)) AS INTEGER) AS norm_cp,
+         |  nfc_normalize(raw) AS norm,
+         |  nfc_normalize(raw) <> raw AS changed
+         |FROM r ORDER BY doc_id""").stripMargin,
     "text_blocklist_hits" ->
       (blocklist.zipWithIndex.map { case (p, i) =>
         s"SELECT doc_id, $i AS pat_id FROM documents WHERE contains(text, '$p')"

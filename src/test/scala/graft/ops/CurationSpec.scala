@@ -459,4 +459,16 @@ class CurationSpec extends SparkSpec {
       == Seq(1L, 3L))
   }
 
+
+  test("nfc-normalize stage composes text in place") {
+    val d = Seq((1L, "cafe\u0301 here"), (2L, "plain"))
+      .toDF("doc_id", "text")
+    val st = Curation.stage(Map("type" -> "nfc-normalize"),
+      "text", "doc_id", spark)
+    assert(st.streamable)
+    val out = st.apply(d).orderBy($"doc_id").as[(Long, String)]
+      .collect().toSeq
+    assert(out == Seq((1L, "caf\u00e9 here"), (2L, "plain")))
+  }
+
 }
