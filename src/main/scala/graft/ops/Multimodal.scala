@@ -82,6 +82,103 @@ object Multimodal {
     substring(blob, 1, 4) === lit("RIFF".getBytes) &&
       substring(blob, 9, 4) === lit("WAVE".getBytes)
 
+  /** P6 PPM (binary RGB) probe: "P6" magic. */
+  def isPpm(blob: Column): Column =
+    substring(blob, 1, 2) === lit("P6".getBytes)
+
+  /** Unsigned byte at a COLUMN position (1-based). */
+  private def u8c(blob: Column, pos: Column): Column =
+    call_function("byte_at_u8", blob, pos.cast(IntegerType)).cast(LongType)
+
+  /** REAL P6 PPM decode — the whole file, not just a header probe,
+    * with no codec library and no UDF:
+    *
+    *  1. the ASCII header's three VARIABLE-WIDTH decimal fields
+    *     (`P6 <w> <h> <maxval>`, any single-byte whitespace) parse
+    *     via an expression fold over the leading bytes — a state
+    *     machine in pure Catalyst when-chains (phase = which field
+    *     is being read; digits accumulate, whitespace commits);
+    *  2. every raster byte then feeds EXACT integer per-channel sums
+    *     through the codegen'd byte_at_u8 — real pixel math, cost
+    *     O(bytes), fused into the scan stage.
+    *
+    * Returns `struct(width, height, n_pix, r_sum, g_sum, b_sum)`;
+    * NULL when the blob is not P6, the header exceeds 24 bytes
+    * (dims past 7 total digits), maxval != 255 (2-byte samples), a
+    * `#` comment appears (rare in machine-written files), or the
+    * raster is truncated. Exact integer sums keep the result
+    * engine-independent — the oracle reproduces them from the blob
+    * GENERATOR's arithmetic, so agreement proves the parser read
+    * the bytes it was supposed to. */
+  def ppmStats(blob: Column): Column = {
+    val hdrMax = 24
+    // header fold state: ph (0=w,1=h,2=maxval,3=done), acc, inNum
+    // (0/1), w, h, mx, off (1-based first raster byte once ph=3)
+    val init = struct(lit(0L).as("ph"), lit(0L).as("acc"),
+      lit(0L).as("inNum"), lit(0L).as("w"), lit(0L).as("h"),
+      lit(0L).as("mx"), lit(0L).as("off"))
+    val folded = aggregate(sequence(lit(3), lit(hdrMax)), init, (st, p) => {
+      val b = u8c(blob, p)
+      val isDigit = b >= 48L && b <= 57L
+      val isWs = b === 32L || b === 9L || b === 10L || b === 13L
+      val committing = st.getField("ph") < 3L &&
+        isWs && st.getField("inNum") === 1L
+      val newPh = when(committing, st.getField("ph") + 1L)
+        .otherwise(st.getField("ph"))
+      // ph 9 = poisoned (a '#' comment byte: its content could
+      // contain digits that would accumulate into fields — refuse
+      // rather than misparse); ph >= 3 states are terminal
+      when(st.getField("ph") >= 3L || b.isNull, st)
+        .when(b === 35L, struct(lit(9L).as("ph"),
+          st.getField("acc").as("acc"), st.getField("inNum").as("inNum"),
+          st.getField("w").as("w"), st.getField("h").as("h"),
+          st.getField("mx").as("mx"), st.getField("off").as("off")))
+        .otherwise(struct(
+        newPh.as("ph"),
+        when(st.getField("ph") === 3L, st.getField("acc"))
+          .when(isDigit, st.getField("acc") * 10L + (b - 48L))
+          .when(committing, 0L)
+          .otherwise(st.getField("acc")).as("acc"),
+        when(isDigit, 1L).when(isWs, 0L)
+          .otherwise(st.getField("inNum")).as("inNum"),
+        when(committing && st.getField("ph") === 0L, st.getField("acc"))
+          .otherwise(st.getField("w")).as("w"),
+        when(committing && st.getField("ph") === 1L, st.getField("acc"))
+          .otherwise(st.getField("h")).as("h"),
+        when(committing && st.getField("ph") === 2L, st.getField("acc"))
+          .otherwise(st.getField("mx")).as("mx"),
+        when(committing && newPh === 3L, p + 1L)
+          .otherwise(st.getField("off")).as("off")))
+    })
+    val ok = isPpm(blob) && folded.getField("ph") === 3L &&
+      folded.getField("mx") === 255L &&
+      folded.getField("w") > 0L && folded.getField("h") > 0L
+    val stats = {
+      val w = folded.getField("w")
+      val h = folded.getField("h")
+      val off = folded.getField("off")
+      val nBytes = w * h * 3L
+      val complete = length(blob).cast(LongType) >= off + nBytes - 1L
+      val sums = aggregate(sequence(lit(0L), nBytes - 1L),
+        struct(lit(0L).as("r"), lit(0L).as("g"), lit(0L).as("b")),
+        (s, j) => {
+          val v = u8c(blob, off + j)
+          struct(
+            (s.getField("r") + when(pmod(j, lit(3L)) === 0L, v)
+              .otherwise(0L)).as("r"),
+            (s.getField("g") + when(pmod(j, lit(3L)) === 1L, v)
+              .otherwise(0L)).as("g"),
+            (s.getField("b") + when(pmod(j, lit(3L)) === 2L, v)
+              .otherwise(0L)).as("b"))
+        })
+      when(complete, struct(
+        w.cast(IntegerType).as("width"), h.cast(IntegerType).as("height"),
+        (w * h).as("n_pix"), sums.getField("r").as("r_sum"),
+        sums.getField("g").as("g_sum"), sums.getField("b").as("b_sum")))
+    }
+    when(ok, stats)
+  }
+
   /** Schema of [[headerDecode]]'s parsed-header struct. */
   val headerSchema: StructType = StructType(Seq(
     StructField("mime", StringType),

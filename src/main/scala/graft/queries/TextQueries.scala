@@ -367,6 +367,34 @@ object TextQueries {
         .orderBy(id, col("cand"))
     }),
 
+    // REAL full-file image decode (Multimodal.ppmStats): each row
+    // synthesizes a P6 PPM — variable-width ASCII dims (7..18 x
+    // 4..8 crosses the 1/2-digit boundary, so the header state
+    // machine is genuinely exercised) + a doc_id-derived raster —
+    // and the engine parses the BYTES back: header fold + per-channel
+    // exact integer sums over every raster byte via byte_at_u8. The
+    // oracle recomputes the sums from the GENERATOR arithmetic, so
+    // agreement proves the parser read what was written. No codec
+    // library, no UDF — O(bytes) scan-stage work.
+    "multimodal_ppm_stats" -> ((s, dir) => {
+      val id = col("doc_id")
+      val w = pmod(id, lit(12)) + 7
+      val h = pmod(id, lit(5)) + 4
+      val n = w * h * 3
+      val header = concat(lit("P6\n"), w.cast("string"), lit(" "),
+        h.cast("string"), lit("\n255\n"))
+      val rasterHex = array_join(transform(sequence(lit(0L), n - 1),
+        j => lpad(hex(pmod(id * 7 + j * 13, lit(256))), 2, "0")), "")
+      val blob = unhex(concat(hex(header), rasterHex))
+      docs(s, dir).select(id, blob.as("blob"))
+        .select(id, Multimodal.ppmStats(col("blob")).as("st"))
+        .select(id, col("st.width").as("width"),
+          col("st.height").as("height"), col("st.n_pix").as("n_pix"),
+          col("st.r_sum").as("r_sum"), col("st.g_sum").as("g_sum"),
+          col("st.b_sum").as("b_sum"))
+        .orderBy(id)
+    }),
+
     // Unicode NFC normalization (functions/NfcNormalize — the stage
     // that must run BEFORE hash dedup/shingling: composed vs
     // decomposed accents are byte-different, render-identical
@@ -520,6 +548,24 @@ object TextQueries {
       |  FROM k)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "multimodal_ppm_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(doc_id % 12 + 7 AS BIGINT) AS w,
+        |    CAST(doc_id % 5 + 4 AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pix,
+        |  CAST(list_sum(list_transform(range(0, w*h*3),
+        |    j -> CASE WHEN j % 3 = 0 THEN (doc_id*7 + j*13) % 256
+        |         ELSE 0 END)) AS BIGINT) AS r_sum,
+        |  CAST(list_sum(list_transform(range(0, w*h*3),
+        |    j -> CASE WHEN j % 3 = 1 THEN (doc_id*7 + j*13) % 256
+        |         ELSE 0 END)) AS BIGINT) AS g_sum,
+        |  CAST(list_sum(list_transform(range(0, w*h*3),
+        |    j -> CASE WHEN j % 3 = 2 THEN (doc_id*7 + j*13) % 256
+        |         ELSE 0 END)) AS BIGINT) AS b_sum
+        |FROM d ORDER BY doc_id""".stripMargin,
     "text_unicode_nfc" ->
       (s"""WITH r AS (SELECT doc_id,
          |  CASE CAST(doc_id % 4 AS INTEGER)

@@ -96,4 +96,43 @@ class MultimodalSpec extends SparkSpec {
     // fake path: mime from byte length, width in the fake's 64..639 band
     assert(rows(1).getInt(1) >= 64)
   }
+
+  // ---- real P6 PPM decode ----
+
+  private def ppm(header: String, raster: Array[Byte]): Array[Byte] =
+    header.getBytes("US-ASCII") ++ raster
+
+  test("ppmStats parses variable-width headers and sums every channel") {
+    // 2x2: pixels (1,2,3)(4,5,6)(7,8,9)(10,11,12)
+    val small = ppm("P6\n2 2\n255\n", (1 to 12).map(_.toByte).toArray)
+    // 12x3 exercises multi-digit width; bytes j % 251
+    val wide = ppm("P6\n12 3\n255\n",
+      (0 until 12 * 3 * 3).map(j => (j % 251).toByte).toArray)
+    val df = Seq((1L, small), (2L, wide)).toDF("id", "blob")
+    val out = df.select($"id", Multimodal.ppmStats($"blob").as("s"))
+      .select($"id", $"s.width", $"s.height", $"s.n_pix",
+        $"s.r_sum", $"s.g_sum", $"s.b_sum")
+      .as[(Long, Int, Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == (1L, 2, 2, 4L, 1L + 4 + 7 + 10, 2L + 5 + 8 + 11,
+      3L + 6 + 9 + 12))
+    val expect = (c: Int) =>
+      (0 until 12 * 3 * 3).filter(_ % 3 == c).map(_ % 251).sum.toLong
+    assert(out(2L) == (2L, 12, 3, 36L, expect(0), expect(1), expect(2)))
+  }
+
+  test("ppmStats refuses what it cannot decode exactly") {
+    val good = ppm("P6\n1 1\n255\n", Array[Byte](9, 9, 9))
+    val comment = ppm("P6\n# 4 4\n1 1\n255\n", Array[Byte](9, 9, 9))
+    val maxval = ppm("P6\n1 1\n65535\n", Array[Byte](9, 9, 9, 9, 9, 9))
+    val truncated = ppm("P6\n2 2\n255\n", Array[Byte](1, 2, 3))
+    val notPpm = "P5\n1 1\n255\nx".getBytes("US-ASCII")
+    val df = Seq((1L, good), (2L, comment), (3L, maxval),
+      (4L, truncated), (5L, notPpm)).toDF("id", "blob")
+    val out = df.select($"id", Multimodal.ppmStats($"blob").isNull.as("n"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true,
+      5L -> true))
+  }
+
 }
