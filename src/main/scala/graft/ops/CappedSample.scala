@@ -45,13 +45,27 @@ object CappedSample {
     require(cap > 0, s"cap must be positive, got $cap")
     require(hashRange > 0, s"hashRange must be positive, got $hashRange")
     val outCols = df.columns.toSeq
-    val ks = keyCols.map(col)
-    val withH = df.withColumn("__csh", hash)
-    val counts = withH.groupBy(ks: _*).agg(count(lit(1)).as("__csn"))
-    val joined = withH.join(counts, keyCols)
-    val small = joined.filter(col("__csn") <= cap)
+    // NULL-SAFE key plumbing: a plain using-column join would DROP
+    // rows whose key is null (null never equals null in a join),
+    // silently losing the null-key group the window form keeps.
+    // Keys are copied to working aliases (__csk_i) and every join
+    // here uses <=> (null-safe equality); groupBy already treats
+    // null as an ordinary group.
+    val keyAliases = keyCols.indices.map(i => s"__csk_$i")
+    val masked = keyCols.indices.foldLeft(df.withColumn("__csh", hash)) {
+      case (d, i) => d.withColumn(keyAliases(i), col(keyCols(i)))
+    }
+    val ks = keyAliases.map(col)
+    val grpCounts = masked.groupBy(ks: _*).agg(count(lit(1)).as("__csn"))
+    val joinedN = masked.join(
+      grpCounts.withColumnRenamed("__csn", "__csn2")
+        .toDF(keyAliases.map(_ + "_r") :+ "__csn2": _*),
+      keyAliases.map(a => col(a) <=> col(a + "_r")).reduce(_ && _))
+      .drop(keyAliases.map(_ + "_r"): _*)
+      .withColumnRenamed("__csn2", "__csn")
+    val small = joinedN.filter(col("__csn") <= cap)
       .select(outCols.map(col): _*)
-    val big = joined.filter(col("__csn") > cap)
+    val big = joinedN.filter(col("__csn") > cap)
     var factor = 2L
     var cand: DataFrame = null
     var done = false
@@ -62,9 +76,12 @@ object CappedSample {
       // a key is short only if it has under cap candidates AND its
       // threshold has room to grow (at t = hashRange every row
       // passes and got = __csn > cap, so termination is structural)
-      val short = counts.filter(col("__csn") > cap)
-        .join(cand.groupBy(ks: _*).agg(count(lit(1)).as("__got")),
-          keyCols, "left")
+      val candCounts = cand.groupBy(ks: _*).agg(count(lit(1)).as("__got"))
+        .toDF(keyAliases.map(_ + "_r") :+ "__got": _*)
+      val short = grpCounts.filter(col("__csn") > cap)
+        .join(candCounts,
+          keyAliases.map(a => col(a) <=> col(a + "_r")).reduce(_ && _),
+          "left")
         .filter(coalesce(col("__got"), lit(0L)) < cap)
       if (short.isEmpty) done = true else factor *= 2L
     }

@@ -152,7 +152,13 @@ object Multimodal {
     })
     val ok = isPpm(blob) && folded.getField("ph") === 3L &&
       folded.getField("mx") === 255L &&
-      folded.getField("w") > 0L && folded.getField("h") > 0L
+      folded.getField("w") > 0L && folded.getField("h") > 0L &&
+      // the channel-sum fold materializes a sequence of 3·w·h
+      // positions; a HOSTILE header claiming absurd dims must not
+      // allocate it (the truncation check alone runs after the
+      // sequence exists). 16M pixels = a 48MB raster — generous for
+      // real PPMs, tiny for the executor.
+      folded.getField("w") * folded.getField("h") <= 16777216L
     val stats = {
       val w = folded.getField("w")
       val h = folded.getField("h")

@@ -67,4 +67,20 @@ class CappedSampleSpec extends SparkSpec {
       data.repartition(13, $"id"), Seq("key"), h, $"id", 10))
     assert(a == b)
   }
+
+  test("null keys form an ordinary group, like the window form") {
+    val data = (Seq((1L, null.asInstanceOf[String]), (2L, null),
+      (3L, null), (4L, "k")) ++ (5L to 20L).map((_, "k")))
+      .toDF("id", "key")
+    val h = graft.functions.TextFunctions.hashBucket($"id", 1000000)
+    val fast = CappedSample.perKeyCap(data, Seq("key"), h, $"id", 2)
+    val ref = windowForm(data, "key", h, "id", 2)
+    val fr = fast.select($"id", coalesce($"key", lit("<null>")))
+      .as[(Long, String)].collect().toSet
+    val rr = ref.select($"id", coalesce($"key", lit("<null>")))
+      .as[(Long, String)].collect().toSet
+    assert(fr == rr)
+    assert(fr.count(_._2 == "<null>") == 2) // null group capped at 2
+  }
+
 }
