@@ -35,6 +35,15 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   */
 object TableChecksum {
 
+  /** Integral division on longs (`div`, truncating toward zero —
+    * DuckDB's `//` semantics, verified: `-7 // 2 = -3`). The r8 form
+    * `(pk / n).cast(Long)` promoted to DOUBLE first, which silently
+    * loses exactness above 2^53 — a wrong chunk id there produces
+    * false divergences in exactly the cross-engine verification the
+    * row hashes exist for. */
+  private def longDiv(p: Column, n: Long): Column =
+    call_function("div", p.cast(LongType), lit(n))
+
   /** 60-bit md5 row digest over canonical renderings. Nulls become
     * U+0000 (distinct from any cast output), fields join on U+0001 —
     * both mirrored exactly in the DuckDB oracle (`chr(0)`/`chr(1)`,
@@ -72,7 +81,7 @@ object TableChecksum {
                      chunkSize: Long,
                      hashFn: Seq[Column] => Column = rowHash): DataFrame = {
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
-    df.select((pk.cast(LongType) / chunkSize).cast(LongType).as("chunk"),
+    df.select(longDiv(pk, chunkSize).as("chunk"),
         pk.cast(LongType).as("__pk"),
         hashFn(rendered).cast(DecimalType(38, 0)).as("__h"))
       .groupBy(col("chunk"))
@@ -92,7 +101,7 @@ object TableChecksum {
   def rollup(checksums: DataFrame, fanout: Long): DataFrame = {
     require(fanout > 1, s"fanout must exceed 1, got $fanout")
     checksums
-      .groupBy((col("chunk") / fanout).cast(LongType).as("chunk"))
+      .groupBy(longDiv(col("chunk"), fanout).as("chunk"))
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("checksum")).cast(DecimalType(38, 0)).as("checksum"),
         min(col("pk_min")).as("pk_min"), max(col("pk_max")).as("pk_max"))
@@ -129,7 +138,7 @@ object TableChecksum {
       chunkSize: Long,
       hashFn: Seq[Column] => Column = rowHash): DataFrame = {
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
-    def chunkOf(pk: Column) = (pk.cast(LongType) / chunkSize).cast(LongType)
+    def chunkOf(pk: Column) = longDiv(pk, chunkSize)
     val h = DecimalType(38, 0)
     // updates carry +1 on the after side and -1 on the before side:
     // for the usual in-place update the two cancel inside the

@@ -447,7 +447,14 @@ object CdcQueries {
           unix_micros(col("o_orderdate").cast(TimestampType)),
           col("o_orderpriority")),
         chunkSize = 500L)
+      // sums render as VARCHAR: the driver's pandas bridge collapses
+      // DECIMAL(38,0) to float64 (exact above 2^53 only as a string),
+      // so a raw decimal column can never driver-hash-match even when
+      // the values agree — r8's only correctness failures were this
       graft.ops.TableChecksum.diff(side(src), side(tgt))
+        .select(col("chunk"), col("src_rows"), col("tgt_rows"),
+          col("src_sum").cast("string").as("src_sum"),
+          col("tgt_sum").cast("string").as("tgt_sum"), col("status"))
         .orderBy(col("chunk"))
     }),
 
@@ -486,8 +493,12 @@ object CdcQueries {
         col("user_id"), Seq(col("user_id"), col("v")), chunkSize = 25L)
         .select(col("chunk"), col("n_rows"), col("checksum"))
       fresh.join(inc, Seq("chunk"), "full_outer")
-        .select(col("chunk"), col("n_rows"), col("checksum"),
-          col("d_rows"), col("d_sum"),
+        // consistency compares the exact decimals; the OUTPUT renders
+        // them as VARCHAR (driver's pandas bridge turns DECIMAL(38,0)
+        // into lossy float64 — see cdc_table_checksum)
+        .select(col("chunk"), col("n_rows"),
+          col("checksum").cast("string").as("checksum"),
+          col("d_rows"), col("d_sum").cast("string").as("d_sum"),
           (col("n_rows") <=> col("d_rows") &&
             col("checksum") <=> col("d_sum")).as("consistent"))
         .orderBy(col("chunk"))
@@ -715,7 +726,8 @@ object CdcQueries {
         |  FROM tgt_r GROUP BY 1)
         |SELECT * FROM (
         |  SELECT coalesce(s.chunk, t.chunk) AS chunk, s.src_rows, t.tgt_rows,
-        |    s.src_sum, t.tgt_sum,
+        |    CAST(s.src_sum AS VARCHAR) AS src_sum,
+        |    CAST(t.tgt_sum AS VARCHAR) AS tgt_sum,
         |    CASE WHEN s.chunk IS NULL THEN 'missing_in_source'
         |         WHEN t.chunk IS NULL THEN 'missing_in_target'
         |         WHEN s.src_rows <> t.tgt_rows THEN 'row_count'
@@ -769,8 +781,9 @@ object CdcQueries {
         |      coalesce(CAST(v AS VARCHAR), chr(0)))), 1, 15)) AS BIGINT))
         |      AS DECIMAL(38,0)) AS checksum
         |  FROM state GROUP BY 1)
-        |SELECT coalesce(f.chunk, i.chunk) AS chunk, f.n_rows, f.checksum,
-        |  i.d_rows, i.d_sum,
+        |SELECT coalesce(f.chunk, i.chunk) AS chunk, f.n_rows,
+        |  CAST(f.checksum AS VARCHAR) AS checksum,
+        |  i.d_rows, CAST(i.d_sum AS VARCHAR) AS d_sum,
         |  (f.n_rows IS NOT DISTINCT FROM i.d_rows AND
         |   f.checksum IS NOT DISTINCT FROM i.d_sum) AS consistent
         |FROM fresh f FULL OUTER JOIN inc i ON f.chunk = i.chunk

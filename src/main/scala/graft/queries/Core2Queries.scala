@@ -149,7 +149,7 @@ object Core2Queries {
       graft.Tables.registerAll(s, dir)
       s.sql(
         """SELECT n.n_name, c.c_name,
-          |  CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
+          |  CAST(c.c_acctbal AS DOUBLE) AS bal
           |FROM nation n,
           |LATERAL (SELECT c_name, c_acctbal FROM customer c
           |         WHERE c.c_nationkey = n.n_nationkey
@@ -333,7 +333,7 @@ object Core2Queries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_lateral_topk" ->
       """SELECT n.n_name, c.c_name,
-        |  CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
+        |  CAST(c.c_acctbal AS DOUBLE) AS bal
         |FROM nation n,
         |LATERAL (SELECT c_name, c_acctbal FROM customer c
         |         WHERE c.c_nationkey = n.n_nationkey

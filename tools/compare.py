@@ -26,10 +26,16 @@ def canon(v):
     if v is None:
         return None
     if isinstance(v, Decimal):
-        # NO normalize(): the driver hashes the exact-scale rendering, so
-        # DECIMAL(38,6) "1.500000" != DECIMAL(18,2) "1.50". Normalizing here
-        # hid 6 real driver failures in round 1.
-        return ("dec", str(v))
+        # FAIL-CLOSED (round 9): the driver's pandas bridge renders
+        # decimals as float64 (DECIMAL(38,0) "287764517185566771601"
+        # becomes 2.877646e+20), so a decimal-typed output column can
+        # hash-differently on the driver even when this script's exact
+        # Decimal comparison passes — exactly how the r8 checksum
+        # queries shipped red. Local green must predict driver green:
+        # reject decimals outright; queries must cast them to a
+        # driver-stable rendering (VARCHAR for exactness, DOUBLE when
+        # the magnitude fits) on BOTH the Spark and oracle sides.
+        raise DecimalCell(str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
@@ -48,6 +54,10 @@ def canon(v):
 
 
 class NonScalarCell(Exception):
+    pass
+
+
+class DecimalCell(Exception):
     pass
 
 
@@ -87,6 +97,12 @@ def compare_one(con, name, spark_tbl, sql):
                        f"harness cannot verify array/struct cells; "
                        f"serialize them (array_join/to_json) in the final "
                        f"projection of BOTH the query and its oracle")
+    except DecimalCell as e:
+        return False, (f"decimal-typed output cell ({e}) — the driver's "
+                       f"pandas bridge renders decimals as lossy float64, "
+                       f"so the hash cannot match; cast to VARCHAR (exact) "
+                       f"or DOUBLE (below 2^53) in the final projection of "
+                       f"BOTH the query and its oracle")
     if len(srows) != len(drows2):
         return False, f"rowcount spark={len(srows)} duck={len(drows2)}"
     bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows, drows2)) if a != b]
@@ -128,5 +144,34 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 
+def selftest():
+    """Prove the gate fails loudly on decimal outputs (the r8 escape):
+    a decimal-typed Spark column must FAIL compare_one even when the
+    values agree exactly, and the VARCHAR rendering of the same values
+    must PASS."""
+    import pyarrow as pa
+    con = duckdb.connect()
+    big = "287764517185566771601"  # > 2^53: float64 cannot hold it
+    dec_tbl = pa.table({"v": pa.array([Decimal(big)],
+                                      type=pa.decimal128(38, 0))})
+    ok, msg = compare_one(con, "dec", dec_tbl,
+                          f"SELECT CAST('{big}' AS DECIMAL(38,0)) AS v")
+    assert not ok and "decimal" in msg, (ok, msg)
+    str_tbl = pa.table({"v": pa.array([big], type=pa.string())})
+    ok, msg = compare_one(con, "str", str_tbl,
+                          f"SELECT CAST(CAST('{big}' AS DECIMAL(38,0)) "
+                          f"AS VARCHAR) AS v")
+    assert ok, (ok, msg)
+    # duck-side-only decimal must fail too (fail-closed on either side)
+    dbl_tbl = pa.table({"v": pa.array([1.5], type=pa.float64())})
+    ok, msg = compare_one(con, "mix", dbl_tbl,
+                          "SELECT CAST(1.5 AS DECIMAL(18,2)) AS v")
+    assert not ok and "decimal" in msg, (ok, msg)
+    print("selftest ok: decimal outputs fail closed, VARCHAR passes")
+
+
 if __name__ == "__main__":
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
+        sys.exit(0)
     sys.exit(main(sys.argv[1], sys.argv[2]))
