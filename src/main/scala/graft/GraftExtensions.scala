@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ByteAtU8, DotProduct, JsonbDecode, MapChangedKeys, MultiMatch, MultiMatchAny, NfcNormalize, RollingHash, Sum128, TopKLargest, TopKPairs, WavRms}
+import graft.functions.{ByteAtU8, DotProduct, JsonbDecode, MapChangedKeys, MultiMatch, MultiMatchAny, NfcNormalize, PpmStats, RollingHash, Sum128, TopKLargest, TopKPairs, WavRms}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst
   * surface (SURVEY §7.4). Enable with:
@@ -62,6 +62,8 @@ object GraftExtensions {
     fn("map_changed_keys", classOf[MapChangedKeys], 2,
       "map_changed_keys(before, after)")(
       es => MapChangedKeys(es.head, es(1))),
+    fn("ppm_stats", classOf[PpmStats], 1, "ppm_stats(blob)")(
+      es => PpmStats(es.head)),
     fn("wav_rms", classOf[WavRms], 1, "wav_rms(blob)")(
       es => WavRms(es.head)),
     fn("topk_largest", classOf[TopKLargest], 2, "topk_largest(value, k)")(

@@ -91,16 +91,13 @@ object Multimodal {
     call_function("byte_at_u8", blob, pos.cast(IntegerType)).cast(LongType)
 
   /** REAL P6 PPM decode — the whole file, not just a header probe,
-    * with no codec library and no UDF:
-    *
-    *  1. the ASCII header's three VARIABLE-WIDTH decimal fields
-    *     (`P6 <w> <h> <maxval>`, any single-byte whitespace) parse
-    *     via an expression fold over the leading bytes — a state
-    *     machine in pure Catalyst when-chains (phase = which field
-    *     is being read; digits accumulate, whitespace commits);
-    *  2. every raster byte then feeds EXACT integer per-channel sums
-    *     through the codegen'd byte_at_u8 — real pixel math, cost
-    *     O(bytes), fused into the scan stage.
+    * with no codec library and no UDF: the ASCII header's three
+    * VARIABLE-WIDTH decimal fields (`P6 <w> <h> <maxval>`, any
+    * single-byte whitespace) and exact per-channel raster sums over
+    * every pixel byte, in ONE native whole-stage-codegen kernel
+    * ([[graft.functions.PpmStats]], the [[graft.functions.WavRms]]
+    * shape) — O(bytes) with a ~ns/byte constant, fused into the
+    * scan stage.
     *
     * Returns `struct(width, height, n_pix, r_sum, g_sum, b_sum)`;
     * NULL when the blob is not P6, the header exceeds 24 bytes
@@ -110,7 +107,17 @@ object Multimodal {
     * engine-independent — the oracle reproduces them from the blob
     * GENERATOR's arithmetic, so agreement proves the parser read
     * the bytes it was supposed to. */
-  def ppmStats(blob: Column): Column = {
+  def ppmStats(blob: Column): Column =
+    call_function("ppm_stats", blob)
+
+  /** Round-8 higher-order-function form of [[ppmStats]] — RETAINED
+    * ONLY as the executable spec the native kernel is differential-
+    * tested against (PpmStatsSpec runs both on randomized + crafted
+    * blobs and asserts identical rows). Do not call it from queries:
+    * Catalyst evaluates HOF lambdas interpreted per element, which
+    * made this form 251 s at sf0.1 vs sub-second for the kernel —
+    * see [[graft.functions.PpmStats]]. */
+  private[graft] def ppmStatsHof(blob: Column): Column = {
     val hdrMax = 24
     // header fold state: ph (0=w,1=h,2=maxval,3=done), acc, inNum
     // (0/1), w, h, mx, off (1-based first raster byte once ph=3)
