@@ -167,9 +167,16 @@ object Bench {
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // local profiling aid: full per-query timings to a file (the
-    // stdout line stays headline-only for the driver's tail window)
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
+    // full per-query timings ALWAYS go to a file (the stdout line
+    // stays headline-only for the driver's 2000-char tail window):
+    // r8's total quadrupled on ONE query and locating it took a
+    // judge-side 168-query sweep — with this artifact in the repo a
+    // single-query blowup is visible from the dump alone. Default
+    // lands in the working directory (the repo root under both the
+    // driver's and the local recipe's invocation).
+    locally {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "BENCH_full_latest.json")
       try {
         val full = results.toSeq.sortBy(-_._2)
           .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")

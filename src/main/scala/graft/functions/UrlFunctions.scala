@@ -52,8 +52,13 @@ object UrlFunctions {
     when(p === "", lit("/")).otherwise(p)
   }
 
-  /** Raw query string (between `?` and `#`/end), no `?`. */
-  def urlQuery(url: Column): Column = regexp_extract(url, "\\?([^#]*)", 1)
+  /** Raw query string (between `?` and `#`/end), no `?`. The first
+    * `?` must precede any `#` (`[^#?]*` prefix): a URL whose only
+    * `?` lives INSIDE the fragment (`http://h/p#a?b=1`) has no query
+    * — the r8 pattern `\?([^#]*)` matched that fragment `?`, letting
+    * fragment content survive the 'fragment dropped' rule. */
+  def urlQuery(url: Column): Column =
+    regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
 
   /** Kept query params, sorted: drops empties, `utm_*`, and
     * [[trackingKeys]]. */

@@ -35,7 +35,12 @@ import org.apache.spark.sql.functions._
   * hash-matching.
   *
   * @param hash      deterministic order column in `[0, hashRange)`
-  *                  (e.g. `TextFunctions.hashBucket(id, 1000000)`)
+  *                  (e.g. `TextFunctions.hashBucket(id, 1000000)`).
+  *                  NULLs are allowed and rank FIRST (Spark's
+  *                  ascending null ordering — identical to what the
+  *                  window form produces): internally they map to -1,
+  *                  below every real hash, so they are always
+  *                  candidates and never silently dropped.
   * @param tiebreak  total-order tiebreak within equal hashes
   */
 object CappedSample {
@@ -52,7 +57,14 @@ object CappedSample {
     // here uses <=> (null-safe equality); groupBy already treats
     // null as an ordinary group.
     val keyAliases = keyCols.indices.map(i => s"__csk_$i")
-    val masked = keyCols.indices.foldLeft(df.withColumn("__csh", hash)) {
+    // null hashes → -1: below every real hash (contract: [0,
+    // hashRange)), so null-hash rows rank first — the window form's
+    // nulls-first ascending order — AND always pass the `__csh < t`
+    // candidate filter. The r8 form dropped them for over-cap keys
+    // (null < t is null → filtered) while keeping them for under-cap
+    // keys: silently inconsistent.
+    val masked = keyCols.indices.foldLeft(
+      df.withColumn("__csh", coalesce(hash, lit(-1L)))) {
       case (d, i) => d.withColumn(keyAliases(i), col(keyCols(i)))
     }
     val ks = keyAliases.map(col)
@@ -65,7 +77,16 @@ object CappedSample {
       .withColumnRenamed("__csn2", "__csn")
     val small = joinedN.filter(col("__csn") <= cap)
       .select(outCols.map(col): _*)
-    val big = joinedN.filter(col("__csn") > cap)
+    // materialize the over-cap set ONCE (eager localCheckpoint):
+    // every convergence-loop pass below — and the final candidate
+    // rank — re-reads these blocks instead of re-running the
+    // scan + count-join lineage, so an adversarial hash-clustered
+    // key that forces N threshold doublings costs N cheap
+    // checkpoint-local jobs, not N full input passes
+    // (CappedSampleSpec pins input-pass independence from N). Size
+    // is bounded by the over-cap rows only; MEMORY_AND_DISK spills.
+    val big = joinedN.filter(col("__csn") > cap).localCheckpoint()
+    val overCounts = grpCounts.filter(col("__csn") > cap).localCheckpoint()
     var factor = 2L
     var cand: DataFrame = null
     var done = false
@@ -78,13 +99,19 @@ object CappedSample {
       // passes and got = __csn > cap, so termination is structural)
       val candCounts = cand.groupBy(ks: _*).agg(count(lit(1)).as("__got"))
         .toDF(keyAliases.map(_ + "_r") :+ "__got": _*)
-      val short = grpCounts.filter(col("__csn") > cap)
+      val short = overCounts
         .join(candCounts,
           keyAliases.map(a => col(a) <=> col(a + "_r")).reduce(_ && _),
           "left")
         .filter(coalesce(col("__got"), lit(0L)) < cap)
       if (short.isEmpty) done = true else factor *= 2L
     }
+    // the per-key over-cap counts have no consumer past the loop;
+    // the `big` checkpoint stays live — `kept` below reads it when
+    // the caller consumes the result (blocks free on GC, or the
+    // caller can CheckpointRelease.release(big) via the returned
+    // plan once consumed)
+    CheckpointRelease.release(overCounts)
     val w = Window.partitionBy(ks: _*).orderBy(col("__csh"), tiebreak)
     val kept = cand.withColumn("__csrn", row_number().over(w))
       .filter(col("__csrn") <= cap)

@@ -25,6 +25,28 @@ object CdcQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.loadEventsNs(s, dir)
 
+  /** Per-500-key chunk checksums of `orders` (source) and a drifted
+    * replica (keys % 7919 missing, prices % 997 off by +1.00) —
+    * shared by cdc_table_checksum (chunk-level diff) and
+    * cdc_checksum_rollup (Merkle parent-level diff). */
+  private def orderChecksumSides(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val src = Tables.load(s, dir, "orders")
+    val tgt = src
+      .filter(pmod(col("o_orderkey"), lit(7919L)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(997L)) === 0,
+          col("o_totalprice") + 1).otherwise(col("o_totalprice")))
+    def side(df: DataFrame) = graft.ops.TableChecksum.chunkChecksums(
+      df, col("o_orderkey"),
+      Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)),
+        unix_micros(col("o_orderdate").cast(TimestampType)),
+        col("o_orderpriority")),
+      chunkSize = 500L)
+    (side(src), side(tgt))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ≙ rename-column transform (trans_rename_column.go:62-74)
@@ -434,24 +456,32 @@ object CdcQueries {
     // Each side is one scan + one map-side-combinable aggregate; the
     // join moves #chunks rows, never table rows.
     "cdc_table_checksum" -> ((s, dir) => {
-      val src = Tables.load(s, dir, "orders")
-      val tgt = src
-        .filter(pmod(col("o_orderkey"), lit(7919L)) =!= 0)
-        .withColumn("o_totalprice",
-          when(pmod(col("o_orderkey"), lit(997L)) === 0,
-            col("o_totalprice") + 1).otherwise(col("o_totalprice")))
-      def side(df: DataFrame) = graft.ops.TableChecksum.chunkChecksums(
-        df, col("o_orderkey"),
-        Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          col("o_totalprice").cast(DecimalType(18, 2)),
-          unix_micros(col("o_orderdate").cast(TimestampType)),
-          col("o_orderpriority")),
-        chunkSize = 500L)
+      val (src, tgt) = orderChecksumSides(s, dir)
       // sums render as VARCHAR: the driver's pandas bridge collapses
       // DECIMAL(38,0) to float64 (exact above 2^53 only as a string),
       // so a raw decimal column can never driver-hash-match even when
       // the values agree — r8's only correctness failures were this
-      graft.ops.TableChecksum.diff(side(src), side(tgt))
+      graft.ops.TableChecksum.diff(src, tgt)
+        .select(col("chunk"), col("src_rows"), col("tgt_rows"),
+          col("src_sum").cast("string").as("src_sum"),
+          col("tgt_sum").cast("string").as("tgt_sum"), col("status"))
+        .orderBy(col("chunk"))
+    }),
+
+    // Merkle rollup localization (TableChecksum.rollup): 8 child
+    // chunks collapse into one parent (sums adding exactly, row
+    // counts adding, pk ranges unioning), and the top-down diff
+    // names only the DIVERGENT parents — the O(log) protocol that
+    // turns a full-table audit into a few chunk-list exchanges when
+    // divergence is localized. The oracle re-aggregates directly at
+    // parent granularity (o_orderkey // 500 // 8), which must equal
+    // the engine's level-1 rollup because the 60-bit row hashes sum
+    // associatively — a green row proves the rollup arithmetic, not
+    // just the leaf checksums.
+    "cdc_checksum_rollup" -> ((s, dir) => {
+      val (src, tgt) = orderChecksumSides(s, dir)
+      def up(df: DataFrame) = graft.ops.TableChecksum.rollup(df, 8L)
+      graft.ops.TableChecksum.diff(up(src), up(tgt))
         .select(col("chunk"), col("src_rows"), col("tgt_rows"),
           col("src_sum").cast("string").as("src_sum"),
           col("tgt_sum").cast("string").as("tgt_sum"), col("status"))
@@ -721,6 +751,49 @@ object CdcQueries {
         |  FROM src_r GROUP BY 1),
         |t AS (
         |  SELECT o_orderkey // 500 AS chunk, COUNT(*) AS tgt_rows,
+        |    CAST(SUM(CAST(concat('0x', substring(md5(r), 1, 15)) AS BIGINT))
+        |      AS DECIMAL(38,0)) AS tgt_sum
+        |  FROM tgt_r GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT coalesce(s.chunk, t.chunk) AS chunk, s.src_rows, t.tgt_rows,
+        |    CAST(s.src_sum AS VARCHAR) AS src_sum,
+        |    CAST(t.tgt_sum AS VARCHAR) AS tgt_sum,
+        |    CASE WHEN s.chunk IS NULL THEN 'missing_in_source'
+        |         WHEN t.chunk IS NULL THEN 'missing_in_target'
+        |         WHEN s.src_rows <> t.tgt_rows THEN 'row_count'
+        |         WHEN s.src_sum <> t.tgt_sum THEN 'checksum'
+        |         ELSE 'ok' END AS status
+        |  FROM s FULL OUTER JOIN t ON s.chunk = t.chunk) x
+        |WHERE status <> 'ok' ORDER BY chunk""".stripMargin,
+    "cdc_checksum_rollup" ->
+      """WITH src_r AS (
+        |  SELECT o_orderkey, concat_ws(chr(1),
+        |    coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
+        |    coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+        |    coalesce(o_orderstatus, chr(0)),
+        |    coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |             chr(0)),
+        |    coalesce(CAST(epoch_us(o_orderdate) AS VARCHAR), chr(0)),
+        |    coalesce(o_orderpriority, chr(0))) AS r
+        |  FROM orders),
+        |tgt_r AS (
+        |  SELECT o_orderkey, concat_ws(chr(1),
+        |    coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
+        |    coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+        |    coalesce(o_orderstatus, chr(0)),
+        |    coalesce(CAST(CAST(CASE WHEN o_orderkey % 997 = 0
+        |        THEN o_totalprice + 1 ELSE o_totalprice END
+        |      AS DECIMAL(18,2)) AS VARCHAR), chr(0)),
+        |    coalesce(CAST(epoch_us(o_orderdate) AS VARCHAR), chr(0)),
+        |    coalesce(o_orderpriority, chr(0))) AS r
+        |  FROM orders WHERE o_orderkey % 7919 <> 0),
+        |s AS (
+        |  SELECT o_orderkey // 500 // 8 AS chunk, COUNT(*) AS src_rows,
+        |    CAST(SUM(CAST(concat('0x', substring(md5(r), 1, 15)) AS BIGINT))
+        |      AS DECIMAL(38,0)) AS src_sum
+        |  FROM src_r GROUP BY 1),
+        |t AS (
+        |  SELECT o_orderkey // 500 // 8 AS chunk, COUNT(*) AS tgt_rows,
         |    CAST(SUM(CAST(concat('0x', substring(md5(r), 1, 15)) AS BIGINT))
         |      AS DECIMAL(38,0)) AS tgt_sum
         |  FROM tgt_r GROUP BY 1)

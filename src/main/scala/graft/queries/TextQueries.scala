@@ -529,7 +529,7 @@ object TextQueries {
       |  regexp_extract(url, '://[^/?#:]*:([0-9]+)', 1) AS port,
       |  regexp_replace(regexp_extract(url, '://[^/?#]*(/[^?#]*)', 1),
       |    '/+$', '') AS path0,
-      |  regexp_extract(url, '\?([^#]*)', 1) AS q
+      |  regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS q
       |  FROM u),
       |k AS (SELECT doc_id, url, scheme, host, port, path0,
       |  list_sort(list_filter(string_split(q, '&'),

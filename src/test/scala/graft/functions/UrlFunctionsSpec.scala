@@ -39,6 +39,16 @@ class UrlFunctionsSpec extends SparkSpec {
         "https://example.com/"))
   }
 
+  test("a ? inside the fragment is NOT a query") {
+    // r8 regression: \?([^#]*) matched the first ? anywhere, so a
+    // no-query URL with ? in its fragment kept fragment content
+    assert(canon("http://example.com/p#a?b=1") ==
+      Seq("http://example.com/p"))
+    // and a real query still stops at the fragment
+    assert(canon("http://example.com/p?a=1#x?b=2") ==
+      Seq("http://example.com/p?a=1"))
+  }
+
   test("path case is preserved; only one leading www strips") {
     assert(canon("https://www.www.example.com/CaseSensitive/Path") ==
       Seq("https://www.example.com/CaseSensitive/Path"))

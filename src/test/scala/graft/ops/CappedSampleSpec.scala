@@ -68,6 +68,50 @@ class CappedSampleSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("null hashes rank first and are kept, like the window form") {
+    // nulls in BOTH an over-cap and an under-cap key: the r8 form
+    // silently dropped over-cap-key null-hash rows (__csh < t is
+    // null → filtered) while keeping under-cap ones
+    val data = (1L to 60L).map(i => (i, "big")) ++ Seq((100L, "small"))
+    val df = data.toDF("id", "key")
+    val h = when($"id" <= 3 || $"id" === 100L, lit(null))
+      .otherwise(graft.functions.TextFunctions.hashBucket($"id", 1000000))
+    val fast = CappedSample.perKeyCap(df, Seq("key"), h, $"id", 5)
+    val ref = windowForm(df, "key", h, "id", 5)
+    assert(rows(fast) == rows(ref))
+    // the three null-hash rows of the over-cap key rank first
+    assert(rows(fast).filter(_._2 == "big").map(_._1)
+      .intersect(Set(1L, 2L, 3L)) == Set(1L, 2L, 3L))
+    assert(rows(fast).contains((100L, "small")))
+  }
+
+  test("convergence-loop passes do NOT re-read the input (checkpoint)") {
+    // adversarial: every hash packed at the very top of the range, so
+    // the threshold must double 5 times before any candidate
+    // appears. An accumulator on the SOURCE counts actual input-row
+    // reads: with the over-cap set checkpointed, the total is a
+    // small constant multiple of the input, independent of the
+    // number of doubling passes (un-checkpointed, each pass re-ran
+    // the scan + count-join lineage: ~3 more passes per doubling,
+    // ~23 source passes here vs ~8 checkpointed).
+    val reads = spark.sparkContext.longAccumulator("src-reads")
+    val n = 100L
+    val src = spark.range(1, n + 1).as[Long]
+      .map { i => reads.add(1); (i, "k") }.toDF("id", "key")
+    val fast = CappedSample.perKeyCap(src, Seq("key"),
+      lit(999999L), $"id", 5)
+    val ref = windowForm(src, "key", lit(999999L), "id", 5)
+    assert(rows(fast) == rows(ref))
+    // consume once more so the count below includes the final read
+    fast.collect()
+    // bound: big checkpoint (2 passes) + overCounts (1) + two
+    // consumptions of the small side (2×2) + the window reference
+    // (2) ≈ 8 passes; the un-checkpointed form adds ~3 per doubling
+    assert(reads.value <= 12 * n,
+      s"input read ${reads.value} times for $n rows — the convergence " +
+        "loop is re-reading the source instead of the checkpoint")
+  }
+
   test("null keys form an ordinary group, like the window form") {
     val data = (Seq((1L, null.asInstanceOf[String]), (2L, null),
       (3L, null), (4L, "k")) ++ (5L to 20L).map((_, "k")))
