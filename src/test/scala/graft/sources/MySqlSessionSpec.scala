@@ -608,6 +608,82 @@ class MySqlSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("soak: mid-stream master restart with GTID auto-position start — " +
+      "rotate to a new binlog file, both segments byte-identical, " +
+      "resume gapless") {
+    // the restart scenario the per-file soak does not cover: the
+    // master dies mid-file-000007, comes back, finishes 000007, ends
+    // it with a REAL ROTATE (as a restarting/rotating master does),
+    // and continues into 000008 (which starts with its OWN FDE). The
+    // relay must (a) resume exactly at its own last durable frame's
+    // next_pos, (b) skip the re-sent FDE, (c) append the rotate and
+    // switch segments, so BOTH local segments are byte-identical to
+    // the master's files and each is independently decodable.
+    val n1 = 800; val n2 = 800
+    val rotateBody = new Buf().u64(4L)
+      .raw("binlog.000008".getBytes(UTF_8)).result
+    val file1 = BinlogWriter.file(
+      (0 until n1).map(i =>
+        Binlog.QueryEvent -> query("app", s"INSERT INTO t VALUES ($i)")) :+
+        (Binlog.RotateEvent -> rotateBody))
+    val file2 = BinlogWriter.file(
+      (0 until n2).map(i =>
+        Binlog.QueryEvent -> query("app", s"INSERT INTO t VALUES (${n1 + i})")))
+    val frames1 = splitFrames(file1) // FDE1 + n1 queries + real rotate
+    val frames2 = splitFrames(file2) // FDE2 + n2 queries
+    assert(frames1.length == n1 + 2 && frames2.length == n2 + 1)
+    val cut = 351 // session 1 dies after FDE1 + 350 data frames
+    def posAfter(fs: Seq[Array[Byte]], idx: Int): Long =
+      new Binlog.Cursor(fs(idx), 13).u32()
+    def hb(fs: Seq[Array[Byte]], f: String): Seq[Array[Byte]] =
+      fs.grouped(40).flatMap(g => g :+ heartbeatFrame(f)).toSeq
+    val sessions = Seq(
+      // pre-restart: GTID auto-position — the SERVER resolves the
+      // file and announces it via the artificial ROTATE — then dies
+      Session(NativeOk,
+        artificialRotate("binlog.000007", 4) +:
+          hb(frames1.take(cut), "binlog.000007"),
+        afterFrames = "die"),
+      // post-restart: resume from the relay's own coordinate;
+      // re-sent FDE1, rest of file1 incl the real ROTATE, then
+      // file2 from its head, to clean EOF
+      Session(NativeOk,
+        artificialRotate("binlog.000007", posAfter(frames1, cut - 1)) +:
+          (frames1.take(1) ++
+            hb(frames1.slice(cut, frames1.length), "binlog.000007") ++
+            hb(frames2, "binlog.000008")),
+        afterFrames = "eof"))
+    val master = new FakeMaster("secret", sessions)
+    val dir = Files.createTempDirectory("graft-relay-restart")
+    try {
+      val relay = new BinlogRelay(dir, () => client(master.port),
+        BinlogRelay.Gtid("3E11FA47-71CA-11E1-9E33-C80AA9429562:1-77"),
+        retryBackoffMs = 10, maxRetries = 10, stopAtEof = true)
+      relay.startRelay()
+      assert(relay.awaitTermination(120000), "relay did not finish")
+      // session 1 asked by GTID set (wire-encoded half-open), session
+      // 2 by the exact durable resume coordinate — gapless
+      val dumps = master.log.asScala.filter(s =>
+        s.startsWith("dump:") || s.startsWith("dumpgtid:")).toVector
+      assert(dumps == Vector(
+        "dumpgtid::3e11fa4771ca11e19e33c80aa9429562[1-78]",
+        s"dump:binlog.000007:${posAfter(frames1, cut - 1)}"), dumps)
+      // golden: both relay segments ARE the master's files
+      val seg1 = Files.readAllBytes(dir.resolve("binlog.000007"))
+      assert(seg1.sameElements(file1),
+        s"segment1 ${seg1.length}B != master file1 ${file1.length}B")
+      val seg2 = Files.readAllBytes(dir.resolve("binlog.000008"))
+      assert(seg2.sameElements(file2),
+        s"segment2 ${seg2.length}B != master file2 ${file2.length}B")
+      // every frame appended exactly once (FDE re-send skipped)
+      assert(relay.appendedFrames == frames1.length + frames2.length)
+      assert(master.firstFailure.isEmpty, master.firstFailure)
+    } finally {
+      master.close()
+      dir.toFile.listFiles().foreach(_.delete()); Files.delete(dir)
+    }
+  }
+
   test("relay survives a mid-stream death and reproduces the master file byte-identically") {
     val masterFile = BinlogWriter.file(Seq(
       Binlog.QueryEvent -> query("app", "BEGIN"),
