@@ -396,9 +396,18 @@ object DedupQueries {
     // windows (any alignment, stride 1) are cut out of every doc and
     // the survivors re-concatenate in order — Lee et al.'s exact
     // substring dedup as a dataflow, with the scrubbed corpus as
-    // output rather than a score.
+    // output rather than a score. maxSpanFreq engages the
+    // skew-guarded route: this corpus's 31-word vocabulary is
+    // boilerplate-saturated by construction (the densest case the
+    // one-pass window is weak to), so corpus-hot spans resolve
+    // through the map-side-combined hot-span aggregate + broadcast
+    // semi-join instead of landing in one sorted window partition.
+    // Output-identical to the uncapped form for EVERY cap (DedupSpec
+    // pins capped ≡ uncapped on randomized skewed corpora), so the
+    // cap is a pure execution-strategy choice, like a join hint.
     "dedup_span_scrub" -> ((s, dir) =>
-      Dedup.spanScrub(docs(s, dir), "text", "doc_id")
+      Dedup.spanScrub(docs(s, dir), "text", "doc_id",
+        maxSpanFreq = Some(32))
         .orderBy(col("id"))),
 
     // batched model scoring (ops/BatchInfer): rows stream through the
