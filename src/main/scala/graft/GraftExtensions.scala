@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // multi_match_any (SURVEY §7.4(c) — the second rewrite where no
     // built-in rule recovers the cheaper operator)
     e.injectOptimizerRule(_ => graft.plans.MultiMatchAnyRewrite)
+    // fail-loud analysis check for the Spark 4.1 LATERAL + LIMIT +
+    // type-coerced-correlation wrong-results hazard (see
+    // plans/LateralLimitGuard)
+    e.injectCheckRule(_ => graft.plans.LateralLimitGuard)
     GraftExtensions.functions.foreach(e.injectFunction)
   }
 }

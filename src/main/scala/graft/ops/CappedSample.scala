@@ -21,18 +21,38 @@ import org.apache.spark.sql.functions._
   *   2. keys at or under the cap keep ALL rows — no ordering at all;
   *   3. over-cap keys pre-filter to `hash < t(key)` where `t` is
   *      sized so ~2·cap rows pass (`hash` is uniform — it is a
-  *      digest); if any key got fewer than `cap` candidates (hash
-  *      clustering — possible, just exponentially unlikely), the
-  *      threshold DOUBLES and the filter re-runs, so the result is
+  *      digest); if a key's hashes cluster above the threshold
+  *      (possible, just exponentially unlikely) the threshold
+  *      DOUBLES until the key has `cap` candidates, so the result is
   *      EXACT, never sampled: a row with `hash >= t` is
   *      lexicographically greater than every candidate, so once a
   *      key has `cap` candidates the true top-cap is inside them;
   *   4. the rank runs over candidates only — partitions of ~2·cap
   *      rows however large the key was.
   *
+  * The doubling search is DECLARATIVE, not a driver loop (round 9 —
+  * two prior forms both had scale or correctness defects: a
+  * re-filter-and-count loop re-ran the scan + count-join lineage per
+  * doubling, and caching/checkpointing the over-cap set to fix that
+  * runs an eager action inside plan ASSEMBLY, which completes any
+  * upstream `observe()` funnel with empty metrics — found by
+  * CurationSpec's domain-cap funnel). Instead, each row computes the
+  * smallest doubling EXPONENT at which it becomes a candidate
+  * (`hash < t(2^k)` ⟺ `2^k·cap·hashRange ≥ hash·|key|`, exact long
+  * arithmetic, so `k = ceil_log2(ceil(hash·|key| / (cap·hashRange)))`
+  * — ≤ 64 values however large the key), a per-(key, k) count builds
+  * each key's ≤64-bucket candidate histogram, a tiny in-row fold
+  * picks the key's first exponent with ≥ cap cumulative candidates,
+  * and one join + filter materializes exactly the candidate set the
+  * loop would have converged to. One pass, no actions, no caches —
+  * the plan composes with `observe()`, streaming foreachBatch, and
+  * whatever else wraps it.
+  *
   * Output is row-identical to the window form (spec-pinned on
   * adversarial mega-key data), so the DuckDB window oracles keep
-  * hash-matching.
+  * hash-matching. Equal hashes share an exponent, so a hash-tie at
+  * the boundary is never split — the candidate set is a prefix of
+  * the (hash, tiebreak) order, exactly like a threshold filter.
   *
   * @param hash      deterministic order column in `[0, hashRange)`
   *                  (e.g. `TextFunctions.hashBucket(id, 1000000)`).
@@ -59,10 +79,8 @@ object CappedSample {
     val keyAliases = keyCols.indices.map(i => s"__csk_$i")
     // null hashes → -1: below every real hash (contract: [0,
     // hashRange)), so null-hash rows rank first — the window form's
-    // nulls-first ascending order — AND always pass the `__csh < t`
-    // candidate filter. The r8 form dropped them for over-cap keys
-    // (null < t is null → filtered) while keeping them for under-cap
-    // keys: silently inconsistent.
+    // nulls-first ascending order — AND are always candidates
+    // (exponent 0), never silently dropped.
     val masked = keyCols.indices.foldLeft(
       df.withColumn("__csh", coalesce(hash, lit(-1L)))) {
       case (d, i) => d.withColumn(keyAliases(i), col(keyCols(i)))
@@ -77,41 +95,45 @@ object CappedSample {
       .withColumnRenamed("__csn2", "__csn")
     val small = joinedN.filter(col("__csn") <= cap)
       .select(outCols.map(col): _*)
-    // materialize the over-cap set ONCE (eager localCheckpoint):
-    // every convergence-loop pass below — and the final candidate
-    // rank — re-reads these blocks instead of re-running the
-    // scan + count-join lineage, so an adversarial hash-clustered
-    // key that forces N threshold doublings costs N cheap
-    // checkpoint-local jobs, not N full input passes
-    // (CappedSampleSpec pins input-pass independence from N). Size
-    // is bounded by the over-cap rows only; MEMORY_AND_DISK spills.
-    val big = joinedN.filter(col("__csn") > cap).localCheckpoint()
-    val overCounts = grpCounts.filter(col("__csn") > cap).localCheckpoint()
-    var factor = 2L
-    var cand: DataFrame = null
-    var done = false
-    while (!done) {
-      val t = least(lit(hashRange),
-        lit(factor) * cap * hashRange / col("__csn") + 1)
-      cand = big.filter(col("__csh") < t)
-      // a key is short only if it has under cap candidates AND its
-      // threshold has room to grow (at t = hashRange every row
-      // passes and got = __csn > cap, so termination is structural)
-      val candCounts = cand.groupBy(ks: _*).agg(count(lit(1)).as("__got"))
-        .toDF(keyAliases.map(_ + "_r") :+ "__got": _*)
-      val short = overCounts
-        .join(candCounts,
-          keyAliases.map(a => col(a) <=> col(a + "_r")).reduce(_ && _),
-          "left")
-        .filter(coalesce(col("__got"), lit(0L)) < cap)
-      if (short.isEmpty) done = true else factor *= 2L
-    }
-    // the per-key over-cap counts have no consumer past the loop;
-    // the `big` checkpoint stays live — `kept` below reads it when
-    // the caller consumes the result (blocks free on GC, or the
-    // caller can CheckpointRelease.release(big) via the returned
-    // plan once consumed)
-    CheckpointRelease.release(overCounts)
+
+    // minimal doubling exponent per row: the row passes the factor-f
+    // threshold `hash < f·cap·hashRange div |key| + 1` iff
+    // f·cap·hashRange ≥ hash·|key| (exact for non-negative longs),
+    // so x = ceil(hash·|key| / (cap·hashRange)) is the minimal REAL
+    // factor and the minimal exponent is ceil_log2(x) =
+    // length(bin(x-1)) for x > 1 (bit length needs no libm). hash
+    // ≤ 0 (incl. the null -1) ⇒ exponent 0: always a candidate.
+    val bigC = cap * hashRange
+    val x = call_function("div",
+      col("__csh") * col("__csn") + lit(bigC - 1), lit(bigC))
+    val kNeeded = when(col("__csh") <= 0 || x <= 1, lit(0))
+      .otherwise(length(bin(x - 1)))
+    val big = joinedN.filter(col("__csn") > cap)
+      .withColumn("__csb", kNeeded)
+
+    // per-key candidate histogram over ≤ 64 exponent buckets, then
+    // the key's exponent = first bucket with cumulative count ≥ cap
+    // (exists: the total is |key| > cap). The fold runs over a
+    // sorted ≤64-element array per over-cap key — driver-free.
+    val hist = big.groupBy((ks :+ col("__csb")): _*)
+      .agg(count(lit(1)).as("__csc"))
+    val keyK = hist.groupBy(ks: _*)
+      .agg(sort_array(collect_list(struct(col("__csb"), col("__csc"))))
+        .as("__ch"))
+      .select((ks :+ aggregate(col("__ch"),
+        struct(lit(0L).as("cum"), lit(-1).as("ans")),
+        (st, e) => struct(
+          (st.getField("cum") + e.getField("__csc")).as("cum"),
+          when(st.getField("ans") >= 0, st.getField("ans"))
+            .when(st.getField("cum") + e.getField("__csc") >= cap,
+              e.getField("__csb"))
+            .otherwise(lit(-1)).as("ans")),
+        st => st.getField("ans")).as("__cskk")): _*)
+      .toDF(keyAliases.map(_ + "_r") :+ "__cskk": _*)
+
+    val cand = big.join(keyK,
+        keyAliases.map(a => col(a) <=> col(a + "_r")).reduce(_ && _))
+      .filter(col("__csb") <= col("__cskk"))
     val w = Window.partitionBy(ks: _*).orderBy(col("__csh"), tiebreak)
     val kept = cand.withColumn("__csrn", row_number().over(w))
       .filter(col("__csrn") <= cap)

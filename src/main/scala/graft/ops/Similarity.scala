@@ -81,6 +81,54 @@ object Similarity {
   }
 
 
+  /** Attribute-filtered exact top-k (cosine): neighbors must share
+    * the query's value in `attrCol` — the "filtered vector search"
+    * serving shape (tenant isolation, same-language neighbors,
+    * same-label hard negatives). The filter is not a post-filter on
+    * a wider top-k (which can return < k survivors) and not a
+    * per-query scan predicate: it becomes the JOIN KEY, so the
+    * all-pairs cross join collapses to an equi-join on the attribute
+    * — Σ|class|² candidate pairs instead of corpus², the same
+    * reduction the sign-bucket/IVF paths get from their synthetic
+    * keys, here for free from real metadata. Selection through the
+    * bounded-heap `topk_pairs` as everywhere in the family. */
+  def filteredTopK(corpus: DataFrame, vecCol: String, idCol: String,
+                   attrCol: String, queryPred: Column, k: Int): DataFrame = {
+    val q = corpus.filter(queryPred).select(col(idCol).as("qid"),
+      col(attrCol).as("__qa"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("nid"),
+      col(attrCol).as("__na"), col(vecCol).as("nv"),
+      norm(col(vecCol)).as("nn"))
+    topKByScore(
+      q.join(c, col("__qa") === col("__na") && col("qid") =!= col("nid"))
+        .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn"))),
+      col("cos"), k)
+  }
+
+  /** Semantic decontamination — the embedding twin of
+    * [[Dedup.contamination]]'s n-gram overlap: flag corpus vectors
+    * whose max cosine against ANY eval-set vector reaches `tau`
+    * (paraphrased eval leakage that shares no shingle). The eval set
+    * is small by definition → broadcast; cost is one scan at
+    * |eval|·d flops per row, no corpus shuffle. `max` (unlike a
+    * double sum) is shuffle-order-independent, so the score is exact
+    * cross-engine. Returns every non-eval row with its max eval
+    * cosine and the ≥-tau flag — the filter AND the audit trail. */
+  def semanticContamination(corpus: DataFrame, vecCol: String,
+      idCol: String, evalPred: Column, tau: Double): DataFrame = {
+    val ev = corpus.filter(evalPred).select(col(idCol).as("__eid"),
+      col(vecCol).as("__ev"), norm(col(vecCol)).as("__en"))
+    corpus.filter(!evalPred)
+      .select(col(idCol), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"))
+      .crossJoin(broadcast(ev))
+      .groupBy(col(idCol))
+      .agg(max(dot(col("__cv"), col("__ev")) / (col("__cn") * col("__en")))
+        .as("max_eval_cos"))
+      .withColumn("contaminated", col("max_eval_cos") >= lit(tau))
+  }
+
   /** Shared top-k selection for the ANN family: candidates
     * `(qid, nid, score)` reduce through the bounded-heap
     * `topk_pairs` aggregate to `(qid, nid, rank)` with the

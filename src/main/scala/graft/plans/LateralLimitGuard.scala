@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Expression, OuterReference}
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LateralJoin, LocalLimit, LogicalPlan}
+
+/** Fail-loud guard for a Spark 4.1 wrong-results hazard (verified on
+  * 4.1.2 with a 5-row repro): a correlated LATERAL subquery with
+  * ORDER BY ... LIMIT whose correlated equality is TYPE-COERCED —
+  * e.g. an int key matched against a bigint outer key, so analysis
+  * wraps one side in a Cast:
+  *
+  * {{{
+  * SELECT ... FROM outer o,
+  * LATERAL (SELECT ... FROM inner i WHERE i.k = o.k   -- i.k int, o.k bigint
+  *          ORDER BY s DESC LIMIT 2) i
+  * }}}
+  *
+  * Decorrelation then silently DROPS the correlation and applies the
+  * LIMIT globally: the optimized plan is an uncorrelated
+  * `GlobalLimit 2` joined back to the outer table — the "top-2 per
+  * outer row" query answers "first 2 rows of the table". With
+  * matching key types the same query decorrelates correctly into the
+  * per-key `WindowGroupLimit` plan.
+  *
+  * An engine whose contract is oracle-exact answers must never let a
+  * plan that returns wrong DATA through silently, so this analysis
+  * check rule rejects exactly the hazardous shape — a LateralJoin
+  * whose subquery contains a Limit AND a correlated equality with a
+  * Cast on either side — with an actionable message (align the key
+  * types explicitly). Queries with matching key types, or without a
+  * LIMIT, are untouched.
+  */
+object LateralLimitGuard extends (LogicalPlan => Unit) {
+
+  override def apply(plan: LogicalPlan): Unit = plan.foreach {
+    case lj: LateralJoin =>
+      val sub = lj.right.plan
+      val limited = sub.exists {
+        case _: GlobalLimit | _: LocalLimit => true
+        case _ => false
+      }
+      lazy val coercedCorrelation =
+        sub.exists(_.expressions.exists(_.exists {
+          case EqualTo(l, r) if hasOuter(l) || hasOuter(r) =>
+            l.isInstanceOf[Cast] || r.isInstanceOf[Cast]
+          case _ => false
+        }))
+      if (limited && coercedCorrelation) {
+        throw new SparkException(
+          "LATERAL subquery with LIMIT correlates on a type-coerced " +
+            "equality (one side is a Cast) — Spark's decorrelation " +
+            "silently drops the correlation and applies the LIMIT " +
+            "globally, returning wrong results. Align the join key " +
+            "types explicitly (e.g. CAST the outer key to the inner " +
+            "key's type in the query, or fix the table schemas) and " +
+            "re-run.")
+      }
+    case _ => ()
+  }
+
+  private def hasOuter(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[OuterReference])
+}

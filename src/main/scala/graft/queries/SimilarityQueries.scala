@@ -161,7 +161,44 @@ object SimilarityQueries {
     // partitioning.
     "emb_gram_matrix" -> ((s, dir) =>
       Similarity.gramFixedPoint(emb(s, dir), "embedding")
-        .orderBy(col("i"), col("j")))
+        .orderBy(col("i"), col("j"))),
+
+    // semantic decontamination: max cosine vs a broadcast eval set
+    // (vec_id < 20), flag ≥ 0.45 — catches paraphrased eval leakage
+    // the n-gram text_decontaminate can't see
+    "emb_decontaminate" -> ((s, dir) =>
+      Similarity.semanticContamination(emb(s, dir), "embedding",
+        "vec_id", evalPred = col("vec_id") < 20, tau = 0.45)
+        .orderBy(col("vec_id"))),
+
+    // attribute-filtered exact ANN: neighbors must share the query's
+    // label — the filter IS the join key (Σ|class|² pairs, not
+    // corpus²), not a post-filter that can under-fill k
+    "ann_filtered_topk" -> ((s, dir) =>
+      Similarity.filteredTopK(emb(s, dir), "embedding", "vec_id",
+        "label", queryPred = col("vec_id") < 100, k = 5)
+        .orderBy(col("qid"), col("rank"))),
+
+    // hybrid retrieval: RRF fusion (ops/Fusion) of a lexical ranker
+    // (BM25 top-20, the fixed TextQueries.bm25Queries) with a
+    // semantic one (brute-force cosine top-20, anchor vector = the
+    // query's id — documents and embeddings share the id space).
+    // RRF consumes only the integer ranks, so the fused doubles are
+    // trivially cross-engine exact. Both inputs are O(queries·k);
+    // the fusion join and re-selection never see the corpus.
+    "hybrid_rrf_topk" -> ((s, dir) => {
+      val lex = graft.ops.Bm25.topK(
+          Tables.load(s, dir, "documents"), "doc_id",
+          graft.functions.TextFunctions.tokens(col("text")),
+          TextQueries.bm25Queries, 20)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+      val sem = Similarity.bruteForceTopK(emb(s, dir), "embedding",
+          "vec_id", queryPred = col("vec_id").isin(1L, 2L, 3L, 4L), k = 20)
+        .select(col("qid").as("query_id"), col("nid").as("doc_id"),
+          col("rank").as("rnk"))
+      graft.ops.Fusion.rrfTopK(Seq(lex, sem), k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    })
   )
 
   private val sqlBucket: String = (0 until 8).map { i =>
@@ -604,6 +641,97 @@ object SimilarityQueries {
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
          |  FROM scored)
          |SELECT qid, nid, rank FROM ranked WHERE rank <= 5
-         |ORDER BY qid, rank""".stripMargin
+         |ORDER BY qid, rank""".stripMargin,
+    "emb_decontaminate" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $sqlNorm AS nrm
+         |  FROM embeddings)
+         |SELECT c.vec_id,
+         |  max(list_dot_product(c.v, q.v) / (c.nrm * q.nrm)) AS max_eval_cos,
+         |  max(list_dot_product(c.v, q.v) / (c.nrm * q.nrm)) >= 0.45
+         |    AS contaminated
+         |FROM e c, e q
+         |WHERE c.vec_id >= 20 AND q.vec_id < 20
+         |GROUP BY c.vec_id
+         |ORDER BY c.vec_id""".stripMargin,
+    "ann_filtered_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |    $sqlNorm AS nrm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM e q JOIN e c
+         |    ON q.label = c.label AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 100),
+         |ranked AS (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored)
+         |SELECT qid, nid, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+    // mirrors ops/Fusion.rrfTopK over the two rankers: the BM25 CTE
+    // chain is TextQueries' text_bm25_topk oracle verbatim (top-20),
+    // the cosine chain is ann_bruteforce_topk's (anchors 1..4); the
+    // fused score is the same fixed left-to-right
+    // 1.0/(60.0 + rank) sum
+    "hybrid_rrf_topk" ->
+      s"""WITH dl AS (SELECT doc_id,
+         |    len(string_split_regex(trim(text), ' +')) AS dl FROM documents),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |              CAST(SUM(dl) AS DOUBLE) AS s FROM dl),
+         |tok AS (SELECT doc_id,
+         |    unnest(string_split_regex(trim(text), ' +')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |       WHERE term IN ${TextQueries.sqlBm25Terms} GROUP BY 1, 2),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |q(query_id, term) AS (VALUES ${TextQueries.sqlBm25Queries}),
+         |cb AS (SELECT q.query_id, tf.doc_id, tf.term,
+         |    ((n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |    * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+         |       / (CAST(tf AS DOUBLE)
+         |          + 1.2 * ((1.0 - 0.75)
+         |                   + 0.75 * (CAST(dl AS DOUBLE) / (s / n)))))
+         |      AS contrib
+         |  FROM q JOIN tf USING (term) JOIN dfq USING (term)
+         |       JOIN dl USING (doc_id), st),
+         |sc AS (SELECT query_id, doc_id,
+         |    list_reduce(list_prepend(0.0, list(contrib ORDER BY term)),
+         |                (a, b) -> a + b) AS score
+         |  FROM cb GROUP BY 1, 2),
+         |lex0 AS (SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY score DESC, doc_id) AS rnk
+         |  FROM sc),
+         |lex AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rnk
+         |        FROM lex0 WHERE rnk <= 20),
+         |e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $sqlNorm AS nrm
+         |  FROM embeddings),
+         |cos0 AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id IN (1, 2, 3, 4)),
+         |sem0 AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, doc_id) AS rnk
+         |  FROM cos0),
+         |sem AS (SELECT query_id, doc_id, rnk FROM sem0 WHERE rnk <= 20),
+         |f AS (SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+         |    coalesce(1.0 / (60.0 + CAST(l.rnk AS DOUBLE)), 0.0)
+         |      + coalesce(1.0 / (60.0 + CAST(s.rnk AS DOUBLE)), 0.0) AS score
+         |  FROM lex l FULL OUTER JOIN sem s
+         |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+         |r AS (SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY score DESC, doc_id) AS rnk
+         |  FROM f)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, score
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
   )
 }

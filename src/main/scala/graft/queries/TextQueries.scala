@@ -469,8 +469,35 @@ object TextQueries {
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
         .orderBy(col("doc_id"), col("rnk"))
-    })
+    }),
+
+    // BM25 keyword retrieval (rational-idf variant — see ops/Bm25
+    // for the scoring + determinism contract): top-10 docs for each
+    // of four fixed queries. Query terms filter the token explode at
+    // the scan; df/query-map broadcast; per-query top-k through the
+    // bounded-heap topk_pairs aggregate (shuffle O(queries·k), never
+    // a posting-list window sort).
+    "text_bm25_topk" -> ((s, dir) =>
+      graft.ops.Bm25.topK(docs(s, dir), "doc_id",
+          TextFunctions.tokens(col("text")), bm25Queries, 10)
+        .orderBy(col("query_id"), col("rnk")))
   )
+
+  /** Fixed BM25 demo query set over the corpus vocabulary — mixed
+    * df (rare-ish "fast" vs stopword-grade "the") exercises the idf
+    * spread; [[sqlBm25Queries]] is the VALUES mirror. */
+  private[queries] val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("fast", "hash", "join"),
+    2 -> Seq("slow", "table", "scan"),
+    3 -> Seq("vector", "agg", "stream"),
+    4 -> Seq("the", "spark", "query"))
+
+  private[queries] val sqlBm25Queries: String = bm25Queries
+    .flatMap { case (qid, ts) => ts.map(t => s"($qid,'$t')") }
+    .mkString(", ")
+
+  private[queries] val sqlBm25Terms: String = bm25Queries
+    .flatMap(_._2).distinct.map(t => s"'$t'").mkString("(", ",", ")")
 
   /** Messy-unicode samples for text_unicode_nfc, built from \\u
     * escapes so no editor/tool can silently normalize them: [0]
@@ -632,6 +659,38 @@ object TextQueries {
          |  FROM tf JOIN dfreq USING (term))
          |SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3
          |ORDER BY doc_id, rnk""".stripMargin,
+    // mirrors ops/Bm25.topK verbatim: same rational-idf expression
+    // tree (constants written as the same arithmetic — `(1.2 + 1.0)`,
+    // `(1.0 - 0.75)` — so both engines round identically), same
+    // sorted-term left-fold from 0.0, same (score DESC, doc_id) rank
+    "text_bm25_topk" ->
+      s"""WITH dl AS (SELECT doc_id, len($sqlToks) AS dl FROM documents),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |              CAST(SUM(dl) AS DOUBLE) AS s FROM dl),
+         |tok AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |       WHERE term IN $sqlBm25Terms GROUP BY 1, 2),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |q(query_id, term) AS (VALUES $sqlBm25Queries),
+         |c AS (SELECT q.query_id, tf.doc_id, tf.term,
+         |    ((n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |    * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+         |       / (CAST(tf AS DOUBLE)
+         |          + 1.2 * ((1.0 - 0.75)
+         |                   + 0.75 * (CAST(dl AS DOUBLE) / (s / n)))))
+         |      AS contrib
+         |  FROM q JOIN tf USING (term) JOIN dfq USING (term)
+         |       JOIN dl USING (doc_id), st),
+         |sc AS (SELECT query_id, doc_id,
+         |    list_reduce(list_prepend(0.0, list(contrib ORDER BY term)),
+         |                (a, b) -> a + b) AS score
+         |  FROM c GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY score DESC, doc_id) AS rnk
+         |  FROM sc)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, score
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "text_lexical_stats" ->
       s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
          |base AS (SELECT doc_id, len(toks) AS n_tok,

@@ -85,15 +85,16 @@ class CappedSampleSpec extends SparkSpec {
     assert(rows(fast).contains((100L, "small")))
   }
 
-  test("convergence-loop passes do NOT re-read the input (checkpoint)") {
+  test("threshold doubling does NOT re-read the input per step") {
     // adversarial: every hash packed at the very top of the range, so
     // the threshold must double 5 times before any candidate
     // appears. An accumulator on the SOURCE counts actual input-row
-    // reads: with the over-cap set checkpointed, the total is a
-    // small constant multiple of the input, independent of the
-    // number of doubling passes (un-checkpointed, each pass re-ran
-    // the scan + count-join lineage: ~3 more passes per doubling,
-    // ~23 source passes here vs ~8 checkpointed).
+    // reads: with the doubling search DECLARATIVE (per-row minimal
+    // exponent + per-key histogram, one plan, no driver loop), the
+    // total is a small constant multiple of the input, independent
+    // of how many doublings the data forces (the old driver-loop
+    // form re-ran the scan + count-join lineage per doubling: ~3
+    // more passes per doubling, ~23 source passes here vs ~8).
     val reads = spark.sparkContext.longAccumulator("src-reads")
     val n = 100L
     val src = spark.range(1, n + 1).as[Long]
@@ -104,12 +105,13 @@ class CappedSampleSpec extends SparkSpec {
     assert(rows(fast) == rows(ref))
     // consume once more so the count below includes the final read
     fast.collect()
-    // bound: big checkpoint (2 passes) + overCounts (1) + two
-    // consumptions of the small side (2×2) + the window reference
-    // (2) ≈ 8 passes; the un-checkpointed form adds ~3 per doubling
+    // bound: a handful of passes per consuming action (count-join +
+    // histogram + candidate branches, exchanges reused within each
+    // plan) × three actions here; the driver-loop form added ~3 per
+    // doubling on top
     assert(reads.value <= 12 * n,
-      s"input read ${reads.value} times for $n rows — the convergence " +
-        "loop is re-reading the source instead of the checkpoint")
+      s"input read ${reads.value} times for $n rows — the doubling " +
+        "search is re-reading the source per step")
   }
 
   test("null keys form an ordinary group, like the window form") {

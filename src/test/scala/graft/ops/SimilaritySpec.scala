@@ -20,6 +20,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq(2L, 3L, 4L))
   }
 
+  test("filteredTopK: attribute is the join key, exact within class") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(0.9f, 0.1f), "a"),
+      (3L, Array(0.95f, 0.05f), "b"), // closest overall but wrong class
+      (4L, Array(0.0f, 1.0f), "a"),
+      (5L, Array(-1.0f, 0.0f), "b")
+    ).toDF("vec_id", "embedding", "lab")
+    val out = Similarity.filteredTopK(df, "embedding", "vec_id", "lab",
+      queryPred = col("vec_id") === 1, k = 10)
+      .orderBy("rank").select($"nid").as[Long].collect().toSeq
+    assert(out == Seq(2L, 4L),
+      s"same-class neighbors in cosine order, got $out")
+  }
+
   test("signBucket groups by sign pattern of leading dims") {
     val b = vecs.select($"vec_id",
       Similarity.signBucket($"embedding", bits = 2).as("b"))

@@ -28,10 +28,10 @@ def write(name, table):
 
 # --- fixed dimensions ---------------------------------------------------
 write("region", pa.table({
-    "r_regionkey": pa.array(range(5), pa.int64()),
+    "r_regionkey": pa.array(range(5), pa.int32()),
     "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]}))
 write("nation", pa.table({
-    "n_nationkey": pa.array(range(25), pa.int64()),
+    "n_nationkey": pa.array(range(25), pa.int32()),
     "n_name": [f"NATION_{i}" for i in range(25)],
     "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32())}))
 
