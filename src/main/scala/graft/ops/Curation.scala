@@ -228,6 +228,30 @@ object Curation {
             .filter(col("contaminated")).select(col("id").as(idCol))
           df.join(hits, Seq(idCol), "left_anti")
         }, streamable = true)
+      case "decontaminate-semantic" =>
+        // embedding-cosine eval-set drop: catches PARAPHRASED eval
+        // leakage sharing no n-gram. Corpus embeddings join on id
+        // (stream-static, streamable); the eval embeddings broadcast
+        // inside Similarity.semanticContamination. Docs without an
+        // embedding row pass through (no silent drop on coverage
+        // gaps — flag what you can score, keep the rest).
+        val evalPath = str("eval-path")
+        val embPath = str("embedding-path")
+        val embCol = conf.get("embedding-column")
+          .map(_.toString).getOrElse("embedding")
+        val embId = conf.get("embedding-id-column")
+          .map(_.toString).getOrElse("vec_id")
+        val tau = num("tau", 0.9)
+        Stage("decontaminate-semantic", df => {
+          val corpusVecs = df.select(col(idCol)).join(
+            spark.read.parquet(embPath).withColumnRenamed(embId, idCol),
+            Seq(idCol))
+          val hits = Similarity.semanticContaminationAgainst(
+            corpusVecs, spark.read.parquet(evalPath),
+            embCol, idCol, tau)
+            .filter(col("contaminated")).select(col(idCol))
+          df.join(hits, Seq(idCol), "left_anti")
+        }, streamable = true)
       case "domain-cap" =>
         // at most K docs per source, deterministic hash order — the
         // C4/CCNet mega-domain guard; CappedSample bounds every

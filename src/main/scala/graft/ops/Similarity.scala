@@ -116,10 +116,18 @@ object Similarity {
     * cross-engine. Returns every non-eval row with its max eval
     * cosine and the ≥-tau flag — the filter AND the audit trail. */
   def semanticContamination(corpus: DataFrame, vecCol: String,
-      idCol: String, evalPred: Column, tau: Double): DataFrame = {
-    val ev = corpus.filter(evalPred).select(col(idCol).as("__eid"),
-      col(vecCol).as("__ev"), norm(col(vecCol)).as("__en"))
-    corpus.filter(!evalPred)
+      idCol: String, evalPred: Column, tau: Double): DataFrame =
+    semanticContaminationAgainst(corpus.filter(!evalPred),
+      corpus.filter(evalPred), vecCol, idCol, tau)
+
+  /** Two-frame form: score `corpus` against a separate eval-vector
+    * frame (the curation-stage shape — eval set ships as its own
+    * parquet). Same plan: eval broadcasts, one corpus scan. */
+  def semanticContaminationAgainst(corpus: DataFrame, evalVecs: DataFrame,
+      vecCol: String, idCol: String, tau: Double): DataFrame = {
+    val ev = evalVecs.select(col(vecCol).as("__ev"))
+      .select(col("__ev"), norm(col("__ev")).as("__en"))
+    corpus
       .select(col(idCol), col(vecCol).as("__cv"),
         norm(col(vecCol)).as("__cn"))
       .crossJoin(broadcast(ev))

@@ -462,4 +462,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("multimatch"), p)
   }
 
+  test("text_bm25_topk: heap selection, keyed joins, no cartesian") {
+    val p = plan("text_bm25_topk")
+    // the per-query selection must be the bounded-heap aggregate, not
+    // a posting-list window sort
+    assert(p.contains("topk_pairs"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // df / query-map joins broadcast (tiny literal-derived sides)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("ann_filtered_topk: the attribute filter IS the join key") {
+    // the label must be an equi-join key (Σ|class|² candidate pairs),
+    // never a post-filter on an all-pairs nested loop
+    val p = plan("ann_filtered_topk")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"filtered ANN degenerated to an all-pairs join:\n$p")
+    assert(p.contains("topk_pairs"), p)
+  }
+
+  test("hybrid_rrf_topk: fusion selects through the heap aggregate") {
+    val p = plan("hybrid_rrf_topk")
+    // both rankers AND the fused re-selection use topk_pairs; the
+    // fusion join runs over two already-top-k inputs
+    assert(p.contains("topk_pairs"), p)
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("EVERY query emits driver-renderable column types (no decimals)") {
+    // The driver's pandas bridge renders DECIMAL as lossy float64
+    // (round-8: cdc_table_checksum, cdc_incremental_checksum,
+    // q_lateral_topk shipped hash-red on exactly this) —
+    // tools/compare.py fails closed on decimal cells, and this pins
+    // the same property at the source: no declared query may emit a
+    // decimal-typed column; cast to VARCHAR (exact) or DOUBLE (below
+    // 2^53) in the final projection. Schema-only, nothing executes.
+    import org.apache.spark.sql.types.DecimalType
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, q) =>
+      q(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[DecimalType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"decimal output columns cannot driver-verify:\n" +
+        offenders.mkString("\n"))
+  }
+
 }

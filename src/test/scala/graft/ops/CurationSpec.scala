@@ -105,6 +105,41 @@ class CurationSpec extends SparkSpec {
     assert(texts(6L) == corpus.toMap.apply(6L))
   }
 
+  test("decontaminate-semantic stage drops embedding-near eval docs") {
+    val dir = Files.createTempDirectory("curate-sem").toString
+    val in = s"$dir/docs.parquet"
+    Seq((1L, "paraphrased leak of the eval question", "srcA"),
+      (2L, "entirely unrelated document", "srcA"),
+      (3L, "doc with no embedding row survives", "srcB"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in)
+    // doc 1's vector is near the eval vector; doc 2's is orthogonal;
+    // doc 3 has NO embedding row (coverage gap → passes through)
+    val embPath = s"$dir/emb.parquet"
+    Seq((1L, Array(0.98f, 0.2f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(embPath)
+    val evalPath = s"$dir/eval.parquet"
+    Seq((100L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(evalPath)
+    val out = Files.createTempDirectory("curate-sem-out").toString + "/c"
+    val config =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "decontaminate-semantic"
+         |eval-path = "$evalPath"
+         |embedding-path = "$embPath"
+         |tau = 0.9
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val (n, funnel) = graft.CurateMain.run(spark, config)
+    assert(n == 2)
+    assert(funnel.map(_._2) == Seq(3L, 2L), s"funnel: $funnel")
+    val ids = spark.read.parquet(out).select($"doc_id").as[Long]
+      .collect().toSet
+    assert(ids == Set(2L, 3L), s"doc 1 must be semantically dropped: $ids")
+  }
+
   test("decontaminate, domain-cap and token-budget stages") {
     val dir = Files.createTempDirectory("curate-in3").toString
     val in = s"$dir/docs.parquet"
