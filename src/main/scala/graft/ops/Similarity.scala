@@ -137,6 +137,24 @@ object Similarity {
       .withColumn("contaminated", col("max_eval_cos") >= lit(tau))
   }
 
+  /** Recall@k of an approximate ANN result against exact ground
+    * truth — the quality meter every approximate index needs before
+    * its recall dial (nProbe, bits, codebook size) can be tuned on
+    * real data instead of faith. Both inputs are (qid, nid[, rank])
+    * top-k frames, already O(queries·k): the join and aggregate
+    * never see the corpus, so the meter is free to run continuously
+    * against a sampled query set at any scale. Integer hit counts ⇒
+    * cross-engine exact; recall = n_hit/k exact below 2^53. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"recallAtK: k must be positive, got $k")
+    exact.select(col("qid"), col("nid"))
+      .join(approx.select(col("qid"), col("nid"))
+        .withColumn("__hit", lit(1)), Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+      .withColumn("recall", col("n_hit") / lit(k.toDouble))
+  }
+
   /** Shared top-k selection for the ANN family: candidates
     * `(qid, nid, score)` reduce through the bounded-heap
     * `topk_pairs` aggregate to `(qid, nid, rank)` with the

@@ -163,6 +163,37 @@ object SimilarityQueries {
       Similarity.gramFixedPoint(emb(s, dir), "embedding")
         .orderBy(col("i"), col("j"))),
 
+    // recall@5 of single-probe IVF vs exact brute force, per query —
+    // the meter that justifies (or indicts) an index's recall dial;
+    // both inputs are O(queries·k), the meter never sees the corpus
+    "ann_ivf_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id",
+        queryPred = col("vec_id") < 100, k = 5)
+      val approx = Similarity.ivfTopK(e, "embedding", "vec_id",
+        queryPred = col("vec_id") < 100, k = 5, nCells = 16)
+      Similarity.recallAtK(approx, exact, 5).orderBy(col("qid"))
+    }),
+
+    // hard-negative mining: docs the semantic ranker surfaces that
+    // the lexical ranker does NOT — semantically close, lexically
+    // unmatched: exactly the negatives a retrieval model learns most
+    // from. Pure anti-join of two already-top-k frames.
+    "hybrid_hard_negatives" -> ((s, dir) => {
+      val lex = graft.ops.Bm25.topK(
+          Tables.load(s, dir, "documents"), "doc_id",
+          graft.functions.TextFunctions.tokens(col("text")),
+          TextQueries.bm25Queries, 20)
+        .select(col("query_id"), col("doc_id"))
+      val sem = Similarity.bruteForceTopK(emb(s, dir), "embedding",
+          "vec_id", queryPred = col("vec_id").isin(1L, 2L, 3L, 4L), k = 20)
+        .select(col("qid").cast("long").as("query_id"),
+          col("nid").as("doc_id"), col("rank").as("sem_rank"))
+      sem.join(lex.select(col("query_id").cast("long").as("query_id"),
+          col("doc_id")), Seq("query_id", "doc_id"), "left_anti")
+        .orderBy(col("query_id"), col("sem_rank"))
+    }),
+
     // semantic decontamination: max cosine vs a broadcast eval set
     // (vec_id < 20), flag ≥ 0.45 — catches paraphrased eval leakage
     // the n-gram text_decontaminate can't see
@@ -642,6 +673,95 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT qid, nid, rank FROM ranked WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+    "ann_ivf_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $sqlNorm AS nrm
+         |  FROM embeddings),
+         |bf0 AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 100),
+         |exact AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS r
+         |  FROM bf0) x WHERE r <= 5),
+         |cent AS (
+         |  SELECT vec_id AS cid, v AS cvec, nrm AS cn FROM e
+         |  WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, v, nrm, cid AS cell FROM (
+         |    SELECT e.vec_id, e.v, e.nrm, cent.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, cent.cvec)
+         |                   / (e.nrm * cent.cn) DESC, cent.cid) AS crn
+         |    FROM e CROSS JOIN cent) x WHERE crn = 1),
+         |iv0 AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM assigned q JOIN assigned c
+         |    ON q.cell = c.cell AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 100),
+         |approx AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS r
+         |  FROM iv0) x WHERE r <= 5)
+         |SELECT exact.qid,
+         |  CAST(SUM(CASE WHEN approx.nid IS NULL THEN 0 ELSE 1 END)
+         |       AS BIGINT) AS n_hit,
+         |  CAST(SUM(CASE WHEN approx.nid IS NULL THEN 0 ELSE 1 END)
+         |       AS BIGINT) / 5.0 AS recall
+         |FROM exact LEFT JOIN approx
+         |  ON exact.qid = approx.qid AND exact.nid = approx.nid
+         |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin,
+    "hybrid_hard_negatives" ->
+      s"""WITH dl AS (SELECT doc_id,
+         |    len(string_split_regex(trim(text), ' +')) AS dl FROM documents),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |              CAST(SUM(dl) AS DOUBLE) AS s FROM dl),
+         |tok AS (SELECT doc_id,
+         |    unnest(string_split_regex(trim(text), ' +')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |       WHERE term IN ${TextQueries.sqlBm25Terms} GROUP BY 1, 2),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |q(query_id, term) AS (VALUES ${TextQueries.sqlBm25Queries}),
+         |cb AS (SELECT q.query_id, tf.doc_id, tf.term,
+         |    ((n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |    * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+         |       / (CAST(tf AS DOUBLE)
+         |          + 1.2 * ((1.0 - 0.75)
+         |                   + 0.75 * (CAST(dl AS DOUBLE) / (s / n)))))
+         |      AS contrib
+         |  FROM q JOIN tf USING (term) JOIN dfq USING (term)
+         |       JOIN dl USING (doc_id), st),
+         |sc AS (SELECT query_id, doc_id,
+         |    list_reduce(list_prepend(0.0, list(contrib ORDER BY term)),
+         |                (a, b) -> a + b) AS score
+         |  FROM cb GROUP BY 1, 2),
+         |lex AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id FROM (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY score DESC, doc_id) AS rnk
+         |  FROM sc) x WHERE rnk <= 20),
+         |e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $sqlNorm AS nrm
+         |  FROM embeddings),
+         |cos0 AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id IN (1, 2, 3, 4)),
+         |sem AS (SELECT query_id, doc_id, rnk AS sem_rank FROM (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, doc_id) AS rnk
+         |  FROM cos0) x WHERE rnk <= 20)
+         |SELECT s.query_id, s.doc_id, CAST(s.sem_rank AS INTEGER) AS sem_rank
+         |FROM sem s
+         |WHERE NOT EXISTS (SELECT 1 FROM lex l
+         |  WHERE l.query_id = s.query_id AND l.doc_id = s.doc_id)
+         |ORDER BY s.query_id, s.sem_rank""".stripMargin,
     "emb_decontaminate" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $sqlNorm AS nrm

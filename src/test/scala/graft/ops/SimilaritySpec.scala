@@ -35,6 +35,18 @@ class SimilaritySpec extends SparkSpec {
       s"same-class neighbors in cosine order, got $out")
   }
 
+  test("recallAtK counts hits per query, zero-hit queries included") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("qid", "nid")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 98L), (2L, 97L))
+      .toDF("qid", "nid")
+    val m = Similarity.recallAtK(approx, exact, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m(1L) == ((1L, 0.5)))
+    assert(m(2L) == ((0L, 0.0)), "a query the index missed entirely " +
+      "must still appear with recall 0")
+  }
+
   test("signBucket groups by sign pattern of leading dims") {
     val b = vecs.select($"vec_id",
       Similarity.signBucket($"embedding", bits = 2).as("b"))
