@@ -5,6 +5,7 @@ import org.scalacheck.rng.Seed
 
 // top-level so Spark can synthesize an Encoder without an outer scope
 case class Ev(id: Long, seq: Long, op: String, v: Int)
+case class CapRow(key: String, h: Option[Long], id: Long)
 case class AsOfL(id: Long, k: Long, ts: Long)
 case class AsOfR(k: Long, rts: Long, pv: Int)
 
@@ -160,6 +161,42 @@ class PropertySpec extends SparkSpec {
             .expr(s"topk_largest(v, $k)").as("top"))
           .as[(String, Seq[Double])].collect().toMap
       assert(got == model, s"k=$k rows=$rows")
+    }
+  }
+
+  test("perKeyCap ≡ window rank model (random ties/clusters/nulls)") {
+    // the declarative doubling-exponent math (f·cap·hashRange ≥
+    // hash·|key| ⟺ the row passes the factor-f threshold, exponent =
+    // bit length) is the trickiest arithmetic in the sampler —
+    // randomized equivalence against the plain window-rank model,
+    // with adversarial ingredients mixed in: hash ties (never split),
+    // top-clustered hashes (force many doublings), null hashes
+    // (rank first), keys under/at/over the cap.
+    val gen: Gen[(Int, List[CapRow])] = for {
+      cap <- Gen.choose(1, 4)
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b", "c")
+        h <- Gen.frequency(
+          6 -> Gen.choose(0L, 99L).map(Option(_)),   // ties likely
+          3 -> Gen.choose(95L, 99L).map(Option(_)),  // top cluster
+          1 -> Gen.const(Option.empty[Long]))        // null hash
+      } yield (k, h))
+    } yield (cap, rows.zipWithIndex.map { case ((k, h), i) =>
+      CapRow(k, h, i.toLong) })
+    forAllSamples(gen, 12) { case (cap, rows) =>
+      val model = rows.groupBy(_.key).view.mapValues(
+        _.sortBy(r => (r.h.isDefined, r.h.getOrElse(-1L), r.id))
+          .take(cap).map(r => (r.h, r.id)).toSet)
+        .toMap.filter(_._2.nonEmpty)
+      val got =
+        if (rows.isEmpty) Map.empty[String, Set[(Option[Long], Long)]]
+        else graft.ops.CappedSample.perKeyCap(
+            rows.toDF("key", "h", "id").repartition(5),
+            Seq("key"), $"h", $"id", cap, hashRange = 100L)
+          .as[CapRow].collect().groupBy(_.key).view
+          .mapValues(_.map(r => (r.h, r.id)).toSet).toMap
+      assert(got == model, s"cap=$cap rows=$rows")
     }
   }
 
