@@ -182,18 +182,29 @@ object Core2Queries {
 
     // exact interpolated percentiles (sort-based, not approx —
     // matches DuckDB quantile_cont bit-for-bit on these inputs)
-    "q_percentiles" -> ((s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        // ONE percentile aggregate per source column: each call keeps
-        // its own full buffer of the group's values, so asking for
-        // p25/p75 separately would buffer + sort l_extendedprice twice
-        .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
-          expr("percentile(l_extendedprice, array(0.25, 0.75))").as("pp"))
-        .select(col("l_returnflag"), col("med_qty"),
-          element_at(col("pp"), 1).as("p25_price"),
-          element_at(col("pp"), 2).as("p75_price"))
-        .orderBy(col("l_returnflag"))),
+    "q_percentiles" -> ((s, dir) => {
+      // distributed exact selection (ops/ExactQuantiles), NOT the
+      // built-in percentile() aggregate: percentile() buffers every
+      // value of a group inside ONE task (an unsplittable
+      // ObjectHashAggregate buffer, single-threaded sort) — 20 s at
+      // sf1 and a straight OOM at 100 TB. The banded form keeps every
+      // stage bounded and reproduces percentile()'s interpolation
+      // bit-for-bit (same formula), so the quantile_cont oracle is
+      // unchanged.
+      val q = graft.ops.ExactQuantiles.percentiles(
+        Tables.load(s, dir, "lineitem"), "l_returnflag",
+        Seq("l_quantity" -> Seq(0.5),
+          "l_extendedprice" -> Seq(0.25, 0.75)))
+      q.groupBy(col("l_returnflag"))
+        .agg(
+          max(when(col("vcol") === "l_quantity" && col("p") === 0.5,
+            col("value"))).as("med_qty"),
+          max(when(col("vcol") === "l_extendedprice" && col("p") === 0.25,
+            col("value"))).as("p25_price"),
+          max(when(col("vcol") === "l_extendedprice" && col("p") === 0.75,
+            col("value"))).as("p75_price"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // range (band) join: non-equi condition against a small broadcast
     // side — the plan is BroadcastNestedLoopJoin, the right shape for
