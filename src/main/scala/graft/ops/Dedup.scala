@@ -176,12 +176,16 @@ object Dedup {
     // Join on a 64-bit hash of the shingle, not the string: long
     // shuffle keys beat variable-length strings, and the (bounded)
     // shingle table is computed once and cached instead of 3× for
-    // the two join sides + the size table. Collision odds across
+    // the two join sides + the size table. Hashes come from the
+    // native shingle_hash64 kernel — one byte pass per doc, no
+    // interpreted per-shingle lambdas (value-identical to
+    // xxhash64(shingle), ShingleHashSpec). Collision odds across
     // ~10^5 distinct shingles are ~1e-12 — the DuckDB oracle joins
     // on the raw string and agrees.
+    graft.GraftExtensions.ensure(df.sparkSession)
     val shAll = Caching.cacheOnce(df.select(col(idCol).as("id"),
-        explode(array_distinct(shingles(col(textCol), n))).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("sh")))
+        explode(call_function("shingle_hash64", col(textCol), lit(n)))
+          .as("sh")))
     val sh = maxDocFreq match {
       case Some(cap) =>
         // rows are distinct (id, shingle), so count(*) per shingle IS
@@ -242,9 +246,10 @@ object Dedup {
       .select(col("a"), col("b"))
     // same hashed-shingle table as ngramJaccardPairs (the oracle
     // joins on the raw string and agrees; collision odds ~1e-12)
+    graft.GraftExtensions.ensure(df.sparkSession)
     val sh = Caching.cacheOnce(df.select(col(idCol).as("id"),
-        explode(array_distinct(shingles(col(textCol), n))).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("sh")))
+        explode(call_function("shingle_hash64", col(textCol), lit(n)))
+          .as("sh")))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = cands
       .join(sh.toDF("a", "sh"), "a")
@@ -293,10 +298,11 @@ object Dedup {
     */
   def contamination(corpus: DataFrame, evalSet: DataFrame, textCol: String,
       idCol: String, n: Int = 3): DataFrame = {
+    graft.GraftExtensions.ensure(corpus.sparkSession)
     def hashed(df: DataFrame, out: String) = df
       .select(col(idCol).as(out),
-        explode(array_distinct(shingles(col(textCol), n))).as("s"))
-      .select(col(out), xxhash64(col("s")).as("sh"))
+        explode(call_function("shingle_hash64", col(textCol), lit(n)))
+          .as("sh"))
     val evalHashes = hashed(evalSet, "eid").select(col("sh")).distinct()
     val hits = hashed(corpus, "id")
       .join(broadcast(evalHashes), Seq("sh"))
