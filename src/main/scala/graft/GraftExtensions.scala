@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ByteAtU8, DotProduct, JsonbDecode, MapChangedKeys, MultiMatch, MultiMatchAny, NfcNormalize, PpmStats, RollingHash, ShingleHash64, Sum128, TopKLargest, TopKPairs, WavRms}
+import graft.functions.{ByteAtU8, DotProduct, JsonbDecode, MapChangedKeys, MultiMatch, MultiMatchAny, NfcNormalize, PpmStats, RollingHash, ShingleHash64, Sum128, TokenWindowHash64, TopKLargest, TopKPairs, WavRms}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst
   * surface (SURVEY §7.4). Enable with:
@@ -85,7 +85,10 @@ object GraftExtensions {
       es => NfcNormalize(es.head)),
     fn("shingle_hash64", classOf[ShingleHash64], 2,
       "shingle_hash64(text, n)")(
-      es => ShingleHash64(es.head, es(1))))
+      es => ShingleHash64(es.head, es(1))),
+    fn("token_window_hash64", classOf[TokenWindowHash64], 2,
+      "token_window_hash64(text, width)")(
+      es => TokenWindowHash64(es.head, es(1))))
 
   /** Idempotently register the native functions on an EXISTING
     * session — the path for host applications whose SparkSession was

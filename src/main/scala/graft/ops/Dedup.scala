@@ -379,17 +379,25 @@ object Dedup {
     */
   def spanScrub(df: DataFrame, textCol: String, idCol: String,
       width: Int = 10, maxSpanFreq: Option[Int] = None): DataFrame = {
+    graft.GraftExtensions.ensure(df.sparkSession)
     val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-    // span keys are xxhash64 over the token-array SLICE — no
-    // per-window string re-concatenation and no md5: the window loop
-    // is one scan-stage HOF over the already-split array (tokens
-    // can't contain the split char, so array equality ≡ the joined
-    // string equality the oracle states)
-    val spans = base.select(col("id"), size(col("toks")).as("n"),
-      posexplode(transform(
-        sequence(lit(0), greatest(size(col("toks")) - width, lit(0))),
-        i => xxhash64(slice(col("toks"), i + lit(1), lit(width)))))
-        .as(Seq("start", "sh")))
+    // span keys via the native token_window_hash64 kernel — the
+    // xxhash64-of-token-slice fold, one byte pass per doc instead of
+    // an interpreted lambda + slice allocation per position
+    // (value-identical, TokenWindowHashSpec; tokens can't contain
+    // the split char, so array equality ≡ the joined string equality
+    // the oracle states)
+    // kernel array and token count materialize BELOW the explode:
+    // expressions in the same projection as a posexplode re-evaluate
+    // per EXPLODED row (measured: the re-split alone made the whole
+    // query ~3× slower — O(tokens²) regex work per doc)
+    val spans = df
+      .select(col(idCol).as("id"),
+        size(tokens(col(textCol))).as("n"),
+        call_function("token_window_hash64", col(textCol), lit(width))
+          .as("__wh"))
+      .select(col("id"), col("n"),
+        posexplode(col("__wh")).as(Seq("start", "sh")))
     // duplicated-span detection as ONE pass: count over a
     // partition-by-sh window instead of aggregate + self-join — the
     // spans subtree (scan + tokenize + hash) would otherwise run
