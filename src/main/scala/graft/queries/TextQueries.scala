@@ -53,16 +53,27 @@ object TextQueries {
     // carries 64-bit hashes, not text. All-integer counts; the two
     // divisions are single IEEE ops, exact on both engines.
     "text_lexical_stats" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
       val d = docs(s, dir)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       val base = d.select(col("doc_id"), size(col("toks")).as("n_tok"),
         size(array_distinct(col("toks"))).as("n_unique"))
-      val bg = d.select(col("doc_id"), explode(
-          when(size(col("toks")) < 2,
+      // bigram hashes via the native token_window_hash64 kernel
+      // (value-identical to the xxhash64-of-slice fold). The kernel
+      // emits ONE whole-doc window for docs under 2 tokens (slice
+      // clamping); this query's contract is NO bigrams there — the
+      // guard drops it. Kernel + sizes materialize BELOW the explode
+      // (same-projection expressions re-run per exploded row).
+      val bg = docs(s, dir)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).as("__nt"),
+          call_function("token_window_hash64", col("text"), lit(2))
+            .as("__wh"))
+        .select(col("doc_id"), explode(
+          when(col("__nt") < 2,
             array().cast(org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.LongType)))
-            .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
-              i => xxhash64(slice(col("toks"), i + lit(1), lit(2))))))
+            .otherwise(col("__wh")))
           .as("bh"))
       val cnt = bg.groupBy(col("bh")).agg(count(lit(1)).as("c"))
       val pd = bg.join(cnt, Seq("bh")).groupBy(col("doc_id"))
