@@ -338,10 +338,15 @@ object Dedup {
   def spanDupStats(df: DataFrame, textCol: String, idCol: String,
       width: Int = 10): DataFrame = {
     import graft.functions.TextFunctions.{chunks, tokenHash}
+    graft.GraftExtensions.ensure(df.sparkSession)
+    // chunk hashes via the native chunk_hash60 kernel (≡ md5-based
+    // tokenHash over chunks(), ChunkHashSpec) — kernel below the
+    // explode, per the posexplode re-evaluation pitfall
     val spans = df
       .select(col(idCol).as("id"),
-        explode(chunks(col(textCol), width, width)).as("span"))
-      .select(col("id"), tokenHash(col("span")).as("sh"))
+        call_function("chunk_hash60", col(textCol),
+          lit(width), lit(width)).as("__ch"))
+      .select(col("id"), explode(col("__ch")).as("sh"))
     val freq = spans.groupBy(col("sh"))
       .agg(countDistinct(col("id")).as("nd"))
     spans.join(freq, Seq("sh"))
