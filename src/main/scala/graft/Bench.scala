@@ -163,7 +163,8 @@ object Bench {
       "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "text_quality",
       "pipe_training_prep",
       "multimodal_meta", "dedup_span_scrub", "cdc_lateness_profile",
-      "emb_gram_matrix", "text_blocklist_hits", "cdc_table_checksum")
+      "emb_gram_matrix", "text_blocklist_hits", "cdc_table_checksum",
+      "text_bm25_topk", "hybrid_rrf_topk", "q_percentiles")
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
