@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   *
   *   1. per-group count/min/max (map-side-combinable, broadcastable);
   *   2. each row maps to one of `bands` equal-width value bands —
-  *      a (group, band) COUNT histogram (hash aggregate, no buffers);
-  *   3. a ≤`bands`-row-per-group prefix sum locates, for each target
-  *      rank `1 + p·(n−1)` (its floor and ceil), the single band
-  *      containing it;
+  *      a (group, column, band) COUNT histogram (hash aggregate, no
+  *      buffers);
+  *   3. a ≤`bands`-row-per-(group, column) prefix sum locates, for
+  *      each target rank `1 + p·(n−1)` (its floor and ceil), the
+  *      single band containing it;
   *   4. only the rows of LOCATED bands (~n/bands each under any
   *      roughly-even spread) are ranked — a window over band-sized
   *      partitions, never group-sized;
@@ -28,6 +29,13 @@ import org.apache.spark.sql.functions._
   *      are bit-identical to `percentile()` (and to the DuckDB
   *      `quantile_cont` oracle that formula already hash-matches).
   *
+  * ALL target columns ride the same scans: one stats aggregate, one
+  * histogram pass, one candidate pass (each a posexplode into
+  * (group, column, value) long form) — asking for three percentiles
+  * over two columns costs the same three scans as one percentile
+  * over one column, where a per-column composition would multiply
+  * the fixed stage cost by the column count.
+  *
   * Constant groups (min = max) short-circuit: every percentile IS
   * that value — no candidate scan, and the all-values-equal band
   * degeneracy cannot arise. Remaining pathological case: a group
@@ -35,10 +43,9 @@ import org.apache.spark.sql.functions._
   * values keeps that band's rank partition large (recursing into the
   * band would bound it; not needed at this engine's data shapes).
   *
-  * Cost: two scans of (group, value) + small shuffles, vs one scan
-  * into unbounded per-group buffers. Null values are excluded (the
-  * `percentile()` contract); null GROUPS are excluded by the keyed
-  * joins — callers with nullable group keys should coalesce first.
+  * Null values are excluded per column (the `percentile()`
+  * contract); null GROUPS are excluded by the keyed joins — callers
+  * with nullable group keys should coalesce first.
   */
 object ExactQuantiles {
 
@@ -50,26 +57,39 @@ object ExactQuantiles {
       bands: Int = 1024): DataFrame = {
     require(targets.nonEmpty, "percentiles: no targets")
     require(bands > 1, s"percentiles: need bands > 1, got $bands")
-    targets.map { case (vcol, ps) =>
+    targets.foreach { case (vcol, ps) =>
       require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
         s"percentiles($vcol): p must be in [0,1], got $ps")
-      onColumn(df, grp, vcol, ps, bands)
-    }.reduce(_ unionByName _)
-  }
-
-  private def onColumn(df: DataFrame, grp: String, vcol: String,
-      ps: Seq[Double], bands: Int): DataFrame = {
+    }
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(col(grp).as("__g"), col(vcol).cast("double")
-      .as("__v")).filter(col("__v").isNotNull)
-    val stats = base.groupBy(col("__g")).agg(count(lit(1)).as("__n"),
-      min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val vcols = targets.map(_._1)
+    val nm = vcols.indices.map(i => s"__v$i")
+    val base = df.select(col(grp).as("__g") +:
+      vcols.zipWithIndex.map { case (c, i) =>
+        col(c).cast("double").as(nm(i)) }: _*)
 
-    val psDf = ps.toDF("__p")
-    // target rank (Spark percentile definition): pos = 1 + (n−1)·p,
-    // needed row indices = floor(pos) and ceil(pos), 1-based
-    val tg = stats.crossJoin(broadcast(psDf))
+    // ONE stats aggregate for every column: per-column non-null
+    // count (the percentile() null contract) + min + max
+    val stats = base.groupBy(col("__g")).agg(
+      count(col(nm.head)).as("__n0"),
+      (Seq(min(col(nm.head)).as("__lo0"), max(col(nm.head)).as("__hi0")) ++
+        vcols.indices.drop(1).flatMap(i => Seq(
+          count(col(nm(i))).as(s"__n$i"),
+          min(col(nm(i))).as(s"__lo$i"),
+          max(col(nm(i))).as(s"__hi$i")))): _*)
+    // long form: (g, cid, n, lo, hi)
+    val statsLong = stats.select(col("__g"),
+      posexplode(array(vcols.indices.map(i => struct(
+        col(s"__n$i").as("n"), col(s"__lo$i").as("lo"),
+        col(s"__hi$i").as("hi"))): _*)).as(Seq("__cid", "__s")))
+      .select(col("__g"), col("__cid"), col("__s.n").as("__n"),
+        col("__s.lo").as("__lo"), col("__s.hi").as("__hi"))
+      .filter(col("__n") > 0)
+
+    val tps = targets.zipWithIndex.flatMap { case ((_, ps), i) =>
+      ps.map(p => (i, p)) }.toDF("__cid", "__p")
+    val tg = statsLong.join(broadcast(tps), Seq("__cid"))
       .withColumn("__pos",
         lit(1.0) + (col("__n") - 1).cast("double") * col("__p"))
       .withColumn("__li", floor(col("__pos")).cast("long"))
@@ -77,66 +97,82 @@ object ExactQuantiles {
 
     // constant groups: every percentile is the single value
     val flat = tg.filter(col("__lo") === col("__hi"))
-      .select(col("__g"), col("__p"), col("__lo").as("__val"))
-
+      .select(col("__g"), col("__cid"), col("__p"),
+        col("__lo").as("__val"))
     val varied = tg.filter(col("__lo") < col("__hi"))
-    val width = (col("__hi") - col("__lo")) / lit(bands.toDouble)
-    val bandOf = least(lit(bands - 1),
-      floor((col("__v") - col("__lo")) / width).cast("int"))
-    val banded = base
-      .join(broadcast(stats.filter(col("__lo") < col("__hi"))
-        .select(col("__g").as("__g2"), col("__lo"), col("__hi"))),
-        col("__g") === col("__g2"))
-      .select(col("__g"), col("__v"), bandOf.as("__b"))
-    // (group, band) histogram + exclusive prefix count — ≤ bands
-    // rows per group, so the window partition is bounded by `bands`
-    val wPrev = Window.partitionBy(col("__g")).orderBy(col("__b"))
+
+    // ONE banding pass for every column: stats broadcast back onto
+    // the base scan, rows explode to (g, cid, v, band) long form
+    val statsB = broadcast(stats)
+    val bandExpr: Int => Column = { i =>
+      least(lit(bands - 1), floor((col(nm(i)) - col(s"__lo$i")) /
+        ((col(s"__hi$i") - col(s"__lo$i")) / lit(bands.toDouble)))
+        .cast("int"))
+    }
+    val bandedLong = base.join(statsB, Seq("__g"))
+      .select(col("__g"), posexplode(array(vcols.indices.map(i =>
+        struct(lit(i).as("cid"), col(nm(i)).as("v"),
+          when(col(nm(i)).isNotNull && col(s"__lo$i") < col(s"__hi$i"),
+            bandExpr(i)).otherwise(lit(-1)).as("b"))): _*))
+        .as(Seq("__x", "__e")))
+      .select(col("__g"), col("__e.cid").as("__cid"),
+        col("__e.v").as("__v"), col("__e.b").as("__b"))
+      .filter(col("__b") >= 0)
+
+    // (group, column, band) histogram + exclusive prefix count —
+    // ≤ bands rows per (group, column) window partition
+    val wPrev = Window.partitionBy(col("__g"), col("__cid"))
+      .orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bc = banded.groupBy(col("__g"), col("__b"))
+    val bc = bandedLong.groupBy(col("__g"), col("__cid"), col("__b"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__cb", coalesce(sum(col("__c")).over(wPrev), lit(0L)))
 
-    // locate the band holding each needed index: band b covers global
-    // ranks (cb, cb + c]; bc is G×bands rows — broadcastable for any
-    // sane group count
-    val need = varied
-      .select(col("__g"), col("__p"), col("__pos"), col("__li"),
-        col("__hi2"))
-      .select(col("__g"), col("__p"), col("__pos"), col("__li"),
-        col("__hi2"), explode(array(col("__li"), col("__hi2"))).as("__i"))
+    // locate the band holding each needed index: band covers global
+    // ranks (cb, cb + c]; bc is G × columns × bands rows —
+    // broadcastable for any sane group count
+    val need = varied.select(col("__g"), col("__cid"), col("__p"),
+      col("__pos"), col("__li"), col("__hi2"),
+      explode(array(col("__li"), col("__hi2"))).as("__i"))
     val loc = need.join(
-      broadcast(bc.select(col("__g").as("__g3"), col("__b"),
-        col("__c"), col("__cb"))),
-      col("__g") === col("__g3") && col("__cb") < col("__i") &&
-        col("__i") <= col("__cb") + col("__c"))
+      broadcast(bc.select(col("__g").as("__g3"), col("__cid").as("__c3"),
+        col("__b"), col("__c"), col("__cb"))),
+      col("__g") === col("__g3") && col("__cid") === col("__c3") &&
+        col("__cb") < col("__i") && col("__i") <= col("__cb") + col("__c"))
 
     // rank ONLY the located bands' rows; partition size ≈ n/bands
-    val wanted = loc.select(col("__g"), col("__b")).distinct()
-    val wRank = Window.partitionBy(col("__g"), col("__b"))
+    val wanted = loc.select(col("__g"), col("__cid"), col("__b")).distinct()
+    val wRank = Window.partitionBy(col("__g"), col("__cid"), col("__b"))
       .orderBy(col("__v"))
-    val ranked = banded.join(broadcast(wanted), Seq("__g", "__b"))
+    val ranked = bandedLong.join(broadcast(wanted),
+        Seq("__g", "__cid", "__b"))
       .withColumn("__rn", row_number().over(wRank))
     val at = loc.join(ranked.select(col("__g").as("__g4"),
-        col("__b").as("__b4"), col("__rn"), col("__v")),
-      col("__g") === col("__g4") && col("__b") === col("__b4") &&
+        col("__cid").as("__c4"), col("__b").as("__b4"), col("__rn"),
+        col("__v")),
+      col("__g") === col("__g4") && col("__cid") === col("__c4") &&
+        col("__b") === col("__b4") &&
         col("__i") === col("__cb") + col("__rn"))
 
     // Spark Percentile's interpolation, verbatim:
     // lower·(highIdx − pos) + higher·(pos − lowIdx); integer pos ⇒
     // the single value
-    val interp = at.groupBy(col("__g"), col("__p"), col("__pos"),
-        col("__li"), col("__hi2"))
+    val interp = at.groupBy(col("__g"), col("__cid"), col("__p"),
+        col("__pos"), col("__li"), col("__hi2"))
       .agg(max(when(col("__i") === col("__li"), col("__v"))).as("__lv"),
         max(when(col("__i") === col("__hi2"), col("__v"))).as("__hv"))
-      .select(col("__g"), col("__p"),
+      .select(col("__g"), col("__cid"), col("__p"),
         when(col("__li") === col("__hi2"), col("__lv"))
           .otherwise(
             col("__lv") * (col("__hi2").cast("double") - col("__pos")) +
               col("__hv") * (col("__pos") - col("__li").cast("double")))
           .as("__val"))
 
+    val names = vcols.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__cid", "vcol")
     interp.unionByName(flat)
-      .select(col("__g").as(grp), lit(vcol).as("vcol"),
+      .join(broadcast(names), Seq("__cid"))
+      .select(col("__g").as(grp), col("vcol"),
         col("__p").as("p"), col("__val").as("value"))
   }
 }
