@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference single-machine BPE trainer — the textbook algorithm,
+    * independent of the Spark dataflow. */
+  private def referenceBpe(wc: Map[String, Long],
+      k: Int): Seq[(String, String)] = {
+    var words: Map[Vector[String], Long] =
+      wc.map { case (w, c) => w.split("").toVector -> c }
+    val out = Seq.newBuilder[(String, String)]
+    var i = 0
+    var stop = false
+    while (i < k && !stop) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; j <- 0 until syms.length - 1)
+        counts((syms(j), syms(j + 1))) =
+          counts.getOrElse((syms(j), syms(j + 1)), 0L) + c
+      if (counts.isEmpty || counts.values.max < 2) stop = true
+      else {
+        val (l, r) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+        out += ((l, r))
+        def merge(s: Vector[String]): Vector[String] = {
+          val b = Vector.newBuilder[String]
+          var j = 0
+          while (j < s.length) {
+            if (j < s.length - 1 && s(j) == l && s(j + 1) == r) {
+              b += (l + r); j += 2
+            } else { b += s(j); j += 1 }
+          }
+          b.result()
+        }
+        words = words.groupBy { case (s, _) => merge(s) }
+          .map { case (s, m) => s -> m.values.sum }
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  private def trainOn(wc: Map[String, Long], k: Int,
+      parts: Int = 1): Seq[(String, String)] =
+    BpeTrain.train(
+      wc.toSeq.toDF("word", "cnt").repartition(parts), k)
+      .orderBy($"rank").select($"left", $"right")
+      .as[(String, String)].collect().toSeq
+
+  test("textbook merge order on the classic aaab-style corpus") {
+    // 'aaab' x10, 'aab' x5: (a,a) dominates (15), then merged 'aa'
+    // pairs with 'a'/'b'
+    val wc = Map("aaab" -> 10L, "aab" -> 5L)
+    val got = trainOn(wc, 3)
+    assert(got == referenceBpe(wc, 3), s"got $got")
+    assert(got.head == (("a", "a")))
+  }
+
+  test("left-to-right non-overlap: 'aaa' + (a,a) merges once") {
+    val merged = Seq(Seq("a", "a", "a")).toDF("syms")
+      .select(BpeTrain.mergePair($"syms", "a", "a").as("m"))
+      .as[Seq[String]].head()
+    assert(merged == Seq("aa", "a"))
+  }
+
+  test("randomized equivalence with the reference implementation") {
+    val rng = new scala.util.Random(13)
+    val alpha = "abcde"
+    for (trial <- 1 to 5) {
+      val wc = (1 to 20).map { _ =>
+        val w = (1 to (2 + rng.nextInt(6)))
+          .map(_ => alpha(rng.nextInt(alpha.length))).mkString
+        w -> (1L + rng.nextInt(9))
+      }.groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+      val exp = referenceBpe(wc, 6)
+      val got = trainOn(wc, 6)
+      assert(got == exp, s"trial $trial: wc=$wc got=$got exp=$exp")
+    }
+  }
+
+  test("partitioning-invariant merge table") {
+    val wc = Map("spark" -> 7L, "sparse" -> 4L, "parse" -> 6L,
+      "park" -> 3L, "stark" -> 2L)
+    assert(trainOn(wc, 5, parts = 1) == trainOn(wc, 5, parts = 7))
+  }
+
+  test("stops early when no pair repeats; wordCounts feeds train") {
+    val docs = Seq("ab cd", "ef gh").toDF("text")
+    val rules = BpeTrain.train(BpeTrain.wordCounts(docs, "text"), 10)
+    assert(rules.count() == 0, "all pairs unique -> no rule earns merging")
+    val docs2 = Seq("aa aa", "aa bb").toDF("text")
+    val r2 = BpeTrain.train(BpeTrain.wordCounts(docs2, "text"), 10)
+      .select($"left", $"right", $"freq").as[(String, String, Long)]
+      .collect().toSeq
+    assert(r2.head == (("a", "a", 3L)), s"got $r2") // 'aa' occurs 3x
+  }
+}
