@@ -88,6 +88,18 @@ object BpeTrain {
     rules.result().toDF("rank", "left", "right", "merged", "freq")
   }
 
+  /** ENCODE with a trained merge table: apply the rules to a word in
+    * rank order — K chained per-word folds, each bounded by the
+    * word's (shrinking) symbol count. This is the serving side of
+    * the trainer: rules are a driver-side list (a vocabulary is
+    * small by definition), so encoding is a pure scan-stage
+    * projection — no join, no shuffle, fused into whatever reads
+    * the corpus. */
+  def applyMerges(word: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(split(word, "")) {
+      case (syms, (l, r)) => mergePair(syms, l, r)
+    }
+
   /** Adjacent symbol pairs of one word: [(s1,s2), (s2,s3), ...]. */
   private def adjacentPairs(syms: Column): Column =
     when(size(syms) < 2, array().cast("array<struct<l:string,r:string>>"))

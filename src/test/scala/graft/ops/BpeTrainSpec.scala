@@ -87,6 +87,29 @@ class BpeTrainSpec extends SparkSpec {
     assert(trainOn(wc, 5, parts = 1) == trainOn(wc, 5, parts = 7))
   }
 
+  test("applyMerges encodes like the reference, in rank order") {
+    def refEncode(w: String, rules: Seq[(String, String)]): Seq[String] =
+      rules.foldLeft(w.split("").toVector) { case (s, (l, r)) =>
+        val b = Vector.newBuilder[String]
+        var j = 0
+        while (j < s.length) {
+          if (j < s.length - 1 && s(j) == l && s(j + 1) == r) {
+            b += (l + r); j += 2
+          } else { b += s(j); j += 1 }
+        }
+        b.result()
+      }
+    val wc = Map("spark" -> 7L, "sparse" -> 4L, "parse" -> 6L)
+    val rules = trainOn(wc, 4)
+    val words = Seq("sparks", "parsed", "xyz", "s")
+    val got = words.toDF("w")
+      .select(BpeTrain.applyMerges($"w", rules).as("e"))
+      .as[Seq[String]].collect().toSeq
+    words.zip(got).foreach { case (w, e) =>
+      assert(e == refEncode(w, rules), s"word=$w got=$e")
+    }
+  }
+
   test("stops early when no pair repeats; wordCounts feeds train") {
     val docs = Seq("ab cd", "ef gh").toDF("text")
     val rules = BpeTrain.train(BpeTrain.wordCounts(docs, "text"), 10)
