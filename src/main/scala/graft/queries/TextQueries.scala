@@ -158,21 +158,25 @@ object TextQueries {
 
     // Gopher-style repetition filter: fraction of duplicate 3-gram
     // shingles per doc (1 - distinct/total). Counts are order-free,
-    // so cross-engine exact; the shingle array binds once per row
-    // (lambda-var let — no double shingle build)
-    "text_repetition" -> ((s, dir) =>
+    // so cross-engine exact. Distinct count = size of the native
+    // shingle_hash64 kernel's output (one byte pass — no shingle
+    // strings ever materialize); total count is arithmetic on the
+    // token count (the kernel is empty under 3 tokens, matching
+    // shingles()'s empty-array contract).
+    "text_repetition" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
       docs(s, dir).select(col("doc_id"),
-        graft.functions.Exprs.bind(TextFunctions.shingles(col("text"), 3))(
-          sh => struct(size(sh).as("n_sh"),
-            size(array_distinct(sh)).as("n_uniq"))).as("t"))
-        .select(col("doc_id"),
-          col("t.n_sh").as("n_shingles"),
-          col("t.n_uniq").as("n_unique"),
-          when(col("t.n_sh") > 0,
-            lit(1.0) - col("t.n_uniq").cast("double")
-              / col("t.n_sh").cast("double"))
+          greatest(size(TextFunctions.tokens(col("text"))) - 2, lit(0))
+            .as("n_shingles"),
+          size(call_function("shingle_hash64", col("text"), lit(3)))
+            .as("n_unique"))
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+          when(col("n_shingles") > 0,
+            lit(1.0) - col("n_unique").cast("double")
+              / col("n_shingles").cast("double"))
             .otherwise(lit(0.0)).as("rep_ratio"))
-        .orderBy(col("doc_id"))),
+        .orderBy(col("doc_id"))
+    }),
 
     // MassiveText-style top-n-gram coverage: the fraction of a doc's
     // characters covered by its single most frequent word 2-gram
