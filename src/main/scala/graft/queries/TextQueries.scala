@@ -148,13 +148,16 @@ object TextQueries {
     // context-window chunking (RAG/pretraining prep): 32-token
     // windows, stride 24 (8-token overlap); chunk identity via md5 so
     // the oracle checks content, not just counts
-    "text_chunking" -> ((s, dir) =>
+    "text_chunking" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
       docs(s, dir).select(col("doc_id"),
-        posexplode(TextFunctions.chunks(col("text"), width = 32, stride = 24)))
+        posexplode(call_function("shingle_utf8", col("text"),
+          lit(32), lit(24))))
         .select(col("doc_id"), col("pos").as("cid"),
           size(split(col("col"), " ", -1)).as("n_tok"),
           md5(col("col")).as("chunk_md5"))
-        .orderBy(col("doc_id"), col("cid"))),
+        .orderBy(col("doc_id"), col("cid"))
+    }),
 
     // Gopher-style repetition filter: fraction of duplicate 3-gram
     // shingles per doc (1 - distinct/total). Counts are order-free,
@@ -185,9 +188,11 @@ object TextQueries {
     // duplicate-shingle fraction). Top-1 per doc as a hash-agg argmin
     // over (-cnt, gram) — map-side partial agg, ties to the
     // lexicographically smallest gram, no per-doc sort.
-    "text_top_ngram_frac" -> ((s, dir) =>
+    "text_top_ngram_frac" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
       docs(s, dir).select(col("doc_id"), col("n_chars"),
-          explode(TextFunctions.shingles(col("text"), 2)).as("g"))
+          explode(call_function("shingle_utf8", col("text"),
+            lit(2), lit(1))).as("g"))
         .groupBy(col("doc_id"), col("n_chars"), col("g"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("doc_id"), col("n_chars"))
@@ -198,7 +203,8 @@ object TextQueries {
           col("top.cnt").as("n_occ"),
           ((col("top.cnt") * length(col("top.g"))).cast("double")
             / col("n_chars").cast("double")).as("top_frac"))
-        .orderBy(col("doc_id"))),
+        .orderBy(col("doc_id"))
+    }),
 
     // per-language length-outlier filter (curation: drop docs whose
     // char count sits beyond ±2σ of their language's distribution).
