@@ -126,12 +126,16 @@ object Curation {
           streamable = true)
       case "repetition-filter" =>
         val max = num("max-rep-ratio", 0.5)
-        Stage("repetition-filter", df => df.filter(
-          Exprs.bind(TextFunctions.shingles(t, 3)) { sh =>
-            size(sh) === 0 ||
-              (lit(1.0) - size(array_distinct(sh)).cast("double")
-                / size(sh).cast("double")) <= max
-          }), streamable = true)
+        // counts via the native shingle_hash64 kernel (one byte pass,
+        // no shingle strings) — the same swap as text_repetition:
+        // distinct = kernel size, total = token-count arithmetic
+        Stage("repetition-filter", df => {
+          graft.GraftExtensions.ensure(df.sparkSession)
+          val total = greatest(size(TextFunctions.tokens(t)) - 2, lit(0))
+          val uniq = size(call_function("shingle_hash64", t, lit(3)))
+          df.filter(total === 0 ||
+            (lit(1.0) - uniq.cast("double") / total.cast("double")) <= max)
+        }, streamable = true)
       case "dedup-exact" =>
         conf.get("index-dir") match {
           case Some(dir) =>
