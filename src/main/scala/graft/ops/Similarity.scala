@@ -164,7 +164,7 @@ object Similarity {
     * participates in map-side partial aggregation, so the exchange
     * carries at most k pairs per query per task. For ascending
     * orders (ADC distances) pass the negated score. */
-  private def topKByScore(cand: DataFrame, score: Column,
+  private[ops] def topKByScore(cand: DataFrame, score: Column,
       k: Int): DataFrame = {
     graft.GraftExtensions.ensure(cand.sparkSession)
     cand

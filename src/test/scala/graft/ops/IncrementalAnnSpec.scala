@@ -1,0 +1,124 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+class IncrementalAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 24 vectors spread over 4 directions, ids 0..23; ids < 16 seed
+  // the centroids (kmeansRefine's deterministic seeding)
+  private def corpus(n: Int = 24, offset: Long = 0L) =
+    (0 until n).map { i =>
+      val base = i % 4 match {
+        case 0 => Array(1.0f, 0.0f)
+        case 1 => Array(0.0f, 1.0f)
+        case 2 => Array(-1.0f, 0.0f)
+        case _ => Array(0.0f, -1.0f)
+      }
+      (i.toLong + offset,
+        Array(base(0) + 0.01f * i, base(1) + 0.005f * i))
+    }.toDF("vec_id", "embedding")
+
+  private def newDir() =
+    Files.createTempDirectory("ivf-idx").toString + "/idx"
+
+  test("index search ≡ ivfTopKMultiProbe on the same corpus/centroids") {
+    val dir = newDir()
+    val c = corpus()
+    IncrementalAnn.create(spark, c, "embedding", "vec_id", dir,
+      nCells = 4, rounds = 1)
+    val got = IncrementalAnn.searchTopK(spark,
+      c.filter($"vec_id" < 6), "embedding", "vec_id", dir,
+      k = 3, nProbe = 2)
+      .select($"qid", $"nid", $"rank").as[(Long, Long, Int)]
+      .collect().toSet
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val exp = Similarity.ivfTopKMultiProbe(c, "embedding", "vec_id",
+      queryPred = col("vec_id") < 6, k = 3, nCells = 4, nProbe = 2,
+      centroids = Some(cents))
+      .select($"qid", $"nid", $"rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(got == exp)
+  }
+
+  test("appendBatch assigns against STORED centroids; vectors findable") {
+    val dir = newDir()
+    IncrementalAnn.create(spark, corpus(), "embedding", "vec_id", dir,
+      nCells = 4)
+    val batch = corpus(n = 8, offset = 100L)
+    val assigned = IncrementalAnn.appendBatch(spark, batch, "embedding",
+      "vec_id", dir)
+    // assignments equal a cellAssign against the stored centroids
+    val exp = Similarity.cellAssign(batch, "embedding", "vec_id", 4,
+      centroids = Some(spark.read.parquet(s"$dir/centroids")))
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toMap
+    val gotAssign = assigned.select($"id", $"cell").as[(Long, Long)]
+      .collect().toMap
+    assert(gotAssign == exp)
+    // an appended vector's own neighborhood now includes it
+    val res = IncrementalAnn.searchTopK(spark,
+      batch.filter($"vec_id" === 100L), "embedding", "vec_id", dir,
+      k = 5, nProbe = 1).select($"nid").as[Long].collect().toSet
+    assert(res.nonEmpty)
+    assert(!res.contains(100L), "self-pair must be excluded")
+  }
+
+  test("search reads only the probed cells' partitions (pruning)") {
+    val dir = newDir()
+    IncrementalAnn.create(spark, corpus(n = 32), "embedding", "vec_id",
+      dir, nCells = 4)
+    val totalFiles = spark.read.parquet(s"$dir/vectors").inputFiles.length
+    val q = IncrementalAnn.searchTopK(spark,
+      corpus().filter($"vec_id" === 0L), "embedding", "vec_id", dir,
+      k = 2, nProbe = 1)
+    q.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leaves(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case qs: QueryStageExec => leaves(qs.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(leaves)
+    }
+    val vecScans = leaves(q.queryExecution.executedPlan)
+      .filter(_.tableIdentifier.isEmpty)
+      .map(_.metrics("numFiles").value)
+    assert(vecScans.nonEmpty)
+    assert(vecScans.max < totalFiles,
+      s"expected cell pruning: read ${vecScans.max} of $totalFiles files")
+  }
+
+  test("staleness ≈ 1 when fresh; drifted cell reports lower cosine") {
+    val dir = newDir()
+    IncrementalAnn.create(spark, corpus(), "embedding", "vec_id", dir,
+      nCells = 4)
+    val fresh = IncrementalAnn.staleness(spark, dir)
+      .select($"cell", $"centroid_mean_cos").as[(Long, Double)]
+      .collect().toMap
+    assert(fresh.values.forall(_ > 0.95), s"fresh index drifted? $fresh")
+    // flood one direction with vectors rotated well away from it
+    val drift = (0 until 40).map(i =>
+      (1000L + i, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    IncrementalAnn.appendBatch(spark, drift, "embedding", "vec_id", dir)
+    val after = IncrementalAnn.staleness(spark, dir)
+      .select($"cell", $"centroid_mean_cos").as[(Long, Double)]
+      .collect().toMap
+    assert(after.values.min < fresh.values.min,
+      s"drift must lower some cell's cosine: $fresh -> $after")
+  }
+
+  test("cell-count marker mismatch fails loudly") {
+    val dir = newDir()
+    IncrementalAnn.create(spark, corpus(), "embedding", "vec_id", dir,
+      nCells = 4)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAnn.create(spark, corpus(), "embedding", "vec_id", dir,
+        nCells = 8)
+    }
+    assert(e.getMessage.contains("nCells=4"))
+  }
+}
