@@ -64,11 +64,50 @@ import org.apache.spark.sql.functions._
   * @param tiebreak  total-order tiebreak within equal hashes
   */
 object CappedSample {
+
+  /** Minimal doubling exponent for a row with hash `h` in a key of
+    * `n` rows: the row passes the factor-f threshold
+    * `hash < f·cap·hashRange div n + 1` iff f·cap·hashRange ≥ h·n
+    * (exact for non-negative longs), so x = ceil(h·n / (cap·
+    * hashRange)) is the minimal REAL factor and the minimal exponent
+    * is ceil_log2(x) = length(bin(x−1)) for x > 1 (bit length needs
+    * no libm). h ≤ 0 (incl. the null −1 mask) ⇒ exponent 0: always a
+    * candidate.
+    *
+    * h·n overflows a long once n > Long.MaxValue/hashRange (~9e12
+    * rows in one key at the default range) — and a wrapped product
+    * would collapse some rows' exponents to 0 but not others,
+    * silently breaking the hash-prefix exactness argument. So the
+    * ceiling is computed WITHOUT that product: with C = cap·hashRange
+    * and n = q·C + r (q = n div C, r = n mod C),
+    *
+    *   ceil(h·n/C) = h·q + ceil(h·r/C)
+    *
+    * where h·q ≤ n/cap and h·r < hashRange·C both fit a long for any
+    * n up to Long.MaxValue, given the cap·hashRange² bound
+    * [[perKeyCap]] requires. Spec-pinned against BigInt arithmetic
+    * on boundary-adversarial (h, n) pairs. */
+  private[ops] def minExponent(h: Column, n: Column, cap: Int,
+      hashRange: Long): Column = {
+    val bigC = cap * hashRange
+    val q = call_function("div", n, lit(bigC))
+    val r = n - q * lit(bigC)
+    val x = h * q +
+      call_function("div", h * r + lit(bigC - 1), lit(bigC))
+    when(h <= 0 || x <= 1, lit(0)).otherwise(length(bin(x - 1)))
+  }
+
   def perKeyCap(df: DataFrame, keyCols: Seq[String], hash: Column,
       tiebreak: Column, cap: Int,
       hashRange: Long = 1000000L): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
     require(hashRange > 0, s"hashRange must be positive, got $hashRange")
+    // overflow bound for minExponent's h·r term (h < hashRange,
+    // r < cap·hashRange): cap·hashRange² must fit a long. Defaults
+    // (hashRange = 1e6) allow caps up to ~9.2e6.
+    require(cap <= Long.MaxValue / hashRange / hashRange,
+      s"cap·hashRange² must fit a long (cap=$cap, hashRange=" +
+        s"$hashRange) — lower cap or hashRange")
     val outCols = df.columns.toSeq
     // NULL-SAFE key plumbing: a plain using-column join would DROP
     // rows whose key is null (null never equals null in a join),
@@ -96,20 +135,9 @@ object CappedSample {
     val small = joinedN.filter(col("__csn") <= cap)
       .select(outCols.map(col): _*)
 
-    // minimal doubling exponent per row: the row passes the factor-f
-    // threshold `hash < f·cap·hashRange div |key| + 1` iff
-    // f·cap·hashRange ≥ hash·|key| (exact for non-negative longs),
-    // so x = ceil(hash·|key| / (cap·hashRange)) is the minimal REAL
-    // factor and the minimal exponent is ceil_log2(x) =
-    // length(bin(x-1)) for x > 1 (bit length needs no libm). hash
-    // ≤ 0 (incl. the null -1) ⇒ exponent 0: always a candidate.
-    val bigC = cap * hashRange
-    val x = call_function("div",
-      col("__csh") * col("__csn") + lit(bigC - 1), lit(bigC))
-    val kNeeded = when(col("__csh") <= 0 || x <= 1, lit(0))
-      .otherwise(length(bin(x - 1)))
     val big = joinedN.filter(col("__csn") > cap)
-      .withColumn("__csb", kNeeded)
+      .withColumn("__csb", minExponent(col("__csh"), col("__csn"),
+        cap, hashRange))
 
     // per-key candidate histogram over ≤ 64 exponent buckets, then
     // the key's exponent = first bucket with cumulative count ≥ cap

@@ -128,13 +128,17 @@ object Curation {
         val max = num("max-rep-ratio", 0.5)
         // counts via the native shingle_hash64 kernel (one byte pass,
         // no shingle strings) — the same swap as text_repetition:
-        // distinct = kernel size, total = token-count arithmetic
+        // distinct = kernel size, total = token-count arithmetic.
+        // NULL text drops, as the pre-kernel composed form did (its
+        // predicate evaluated to NULL): greatest() would otherwise
+        // turn a null token count into total=0 and silently KEEP the
+        // null doc, changing semantics under the kernel swap.
         Stage("repetition-filter", df => {
           graft.GraftExtensions.ensure(df.sparkSession)
           val total = greatest(size(TextFunctions.tokens(t)) - 2, lit(0))
           val uniq = size(call_function("shingle_hash64", t, lit(3)))
-          df.filter(total === 0 ||
-            (lit(1.0) - uniq.cast("double") / total.cast("double")) <= max)
+          df.filter(t.isNotNull && (total === 0 ||
+            (lit(1.0) - uniq.cast("double") / total.cast("double")) <= max))
         }, streamable = true)
       case "dedup-exact" =>
         conf.get("index-dir") match {

@@ -56,22 +56,19 @@ object IncrementalAnn {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  private def checkOrWriteCellMarker(spark: SparkSession, dir: String,
+  /** Unconditional marker (over)write — [[create]] is the declared
+    * retrain/retune action, so a DIFFERENT nCells on an existing
+    * index is legitimate there (it rewrites centroids and vectors
+    * anyway); the geometry-mismatch check lives in [[readCells]],
+    * guarding the paths that CONSUME an existing layout
+    * (appendBatch/searchTopK/staleness/compact). */
+  private def writeCellMarker(spark: SparkSession, dir: String,
       nCells: Int): Unit = {
     val (hfs, p) = fs(spark, dir)
     val marker = new org.apache.hadoop.fs.Path(p, "_graft_cells")
-    if (hfs.exists(marker)) {
-      val in = hfs.open(marker)
-      val stored = try scala.io.Source.fromInputStream(in).mkString.trim
-      finally in.close()
-      require(stored == nCells.toString,
-        s"index at $dir was built with nCells=$stored; called with " +
-          s"$nCells — a mismatch would probe the wrong geometry")
-    } else {
-      hfs.mkdirs(p)
-      val out = hfs.create(marker, true)
-      try out.write(nCells.toString.getBytes("UTF-8")) finally out.close()
-    }
+    hfs.mkdirs(p)
+    val out = hfs.create(marker, true)
+    try out.write(nCells.toString.getBytes("UTF-8")) finally out.close()
   }
 
   private def readCells(spark: SparkSession, dir: String): Int = {
@@ -84,11 +81,17 @@ object IncrementalAnn {
   }
 
   /** Train centroids on `corpus` (Lloyd rounds over deterministic
-    * seeds — [[Similarity.kmeansRefine]]) and write the index. */
+    * seeds — [[Similarity.kmeansRefine]]) and write the index.
+    * This IS the retrain/retune action: on an existing index it
+    * overwrites centroids, vectors, AND the cell-count marker (so
+    * retuning nCells needs no manual `_graft_cells` surgery). The
+    * marker commits LAST — a create() that dies mid-train leaves no
+    * marker on a fresh dir, so readCells() correctly refuses the
+    * half-built index instead of treating a marker-only directory
+    * as valid. */
   def create(spark: SparkSession, corpus: DataFrame, vecCol: String,
       idCol: String, dir: String, nCells: Int = 16,
       rounds: Int = 1): Unit = {
-    checkOrWriteCellMarker(spark, dir, nCells)
     val cents = Similarity.kmeansRefine(corpus, vecCol, idCol,
       nCells, rounds)
     cents.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
@@ -98,6 +101,7 @@ object IncrementalAnn {
         col("nrm"), col("cell"))
     assigned.write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$dir/vectors")
+    writeCellMarker(spark, dir, nCells)
   }
 
   /** Assign a new batch against the STORED centroids and append its

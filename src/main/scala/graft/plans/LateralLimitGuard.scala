@@ -23,13 +23,27 @@ import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LateralJoin, Lo
   * matching key types the same query decorrelates correctly into the
   * per-key `WindowGroupLimit` plan.
   *
+  * The hazard is NOT limited to coercion-inserted casts. All three
+  * cast placements were tested on the 5-row repro (Spark 4.1.2) and
+  * all three return the global top-1 instead of top-1 per key:
+  * implicit coercion (`i.k = o.k`, mismatched types), an explicit
+  * outer-side cast (`i.k = CAST(o.k AS INT)`), and an explicit
+  * inner-side cast (`CAST(i.k AS BIGINT) = o.k`). The only
+  * remediation that decorrelates correctly is moving the cast OUT of
+  * the correlated equality — pre-cast the key in a derived table
+  * (`FROM (SELECT CAST(k AS INT) AS k, ... FROM outer_tbl) o`), so
+  * the equality itself is cast-free (spec-verified to return the
+  * per-key answer). Exempting user-tagged casts
+  * (Cast.USER_SPECIFIED_CAST) was considered and rejected: it would
+  * wave the wrong-results plan through.
+  *
   * An engine whose contract is oracle-exact answers must never let a
   * plan that returns wrong DATA through silently, so this analysis
   * check rule rejects exactly the hazardous shape — a LateralJoin
   * whose subquery contains a Limit AND a correlated equality with a
-  * Cast on either side — with an actionable message (align the key
-  * types explicitly). Queries with matching key types, or without a
-  * LIMIT, are untouched.
+  * Cast on either side — with a message prescribing the derived-table
+  * rewrite. Queries with matching key types, or without a LIMIT, are
+  * untouched.
   */
 object LateralLimitGuard extends (LogicalPlan => Unit) {
 
@@ -48,13 +62,16 @@ object LateralLimitGuard extends (LogicalPlan => Unit) {
         }))
       if (limited && coercedCorrelation) {
         throw new SparkException(
-          "LATERAL subquery with LIMIT correlates on a type-coerced " +
-            "equality (one side is a Cast) — Spark's decorrelation " +
+          "LATERAL subquery with LIMIT correlates on an equality " +
+            "with a Cast on one side — Spark's decorrelation " +
             "silently drops the correlation and applies the LIMIT " +
-            "globally, returning wrong results. Align the join key " +
-            "types explicitly (e.g. CAST the outer key to the inner " +
-            "key's type in the query, or fix the table schemas) and " +
-            "re-run.")
+            "globally, returning wrong results. This happens whether " +
+            "the cast was inserted by type coercion or written " +
+            "explicitly (both verified wrong on Spark 4.1.2). Fix: " +
+            "pre-cast the key in a derived table so the correlated " +
+            "equality itself is cast-free — e.g. FROM (SELECT " +
+            "CAST(k AS <inner type>) AS k, ... FROM outer_tbl) o — " +
+            "or align the table schemas.")
       }
     case _ => ()
   }

@@ -168,8 +168,12 @@ object TextQueries {
     // shingles()'s empty-array contract).
     "text_repetition" -> ((s, dir) => {
       graft.GraftExtensions.ensure(s)
+      // null text keeps a NULL shingle count (the oracle's len(NULL)
+      // and the pre-kernel size(shingles()) both yield NULL —
+      // greatest() alone would skip the null and report 0)
       docs(s, dir).select(col("doc_id"),
-          greatest(size(TextFunctions.tokens(col("text"))) - 2, lit(0))
+          when(col("text").isNotNull,
+            greatest(size(TextFunctions.tokens(col("text"))) - 2, lit(0)))
             .as("n_shingles"),
           size(call_function("shingle_hash64", col("text"), lit(3)))
             .as("n_unique"))

