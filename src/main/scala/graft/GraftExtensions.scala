@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ByteAtU8, ChunkHash60, DotProduct, JsonbDecode, MapChangedKeys, MultiMatch, MultiMatchAny, NfcNormalize, PpmStats, RollingHash, ShingleHash64, ShingleUtf8, Sum128, TokenWindowHash64, TopKLargest, TopKPairs, WavRms}
+import graft.functions.{BpeEncode, BpeMergeStep, ByteAtU8, ChunkHash60, DotProduct, JsonbDecode, MapChangedKeys, MultiMatch, MultiMatchAny, NfcNormalize, PpmStats, RollingHash, ShingleHash64, ShingleUtf8, Sum128, TokenWindowHash64, TopKLargest, TopKPairs, WavRms}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst
   * surface (SURVEY §7.4). Enable with:
@@ -94,7 +94,13 @@ object GraftExtensions {
       es => ChunkHash60(es.head, es(1), es(2))),
     fn("shingle_utf8", classOf[ShingleUtf8], 3,
       "shingle_utf8(text, n, stride)")(
-      es => ShingleUtf8(es.head, es(1), es(2))))
+      es => ShingleUtf8(es.head, es(1), es(2))),
+    fn("bpe_encode", classOf[BpeEncode], 3,
+      "bpe_encode(word, lefts, rights)")(
+      es => BpeEncode(es.head, es(1), es(2))),
+    fn("bpe_merge_pair", classOf[BpeMergeStep], 3,
+      "bpe_merge_pair(syms, l, r)")(
+      es => BpeMergeStep(es.head, es(1), es(2))))
 
   /** Idempotently register the native functions on an EXISTING
     * session — the path for host applications whose SparkSession was

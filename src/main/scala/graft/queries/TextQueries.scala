@@ -253,6 +253,51 @@ object TextQueries {
           lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe"))
         .orderBy(col("doc_id"))),
 
+    // BPE vocabulary induction over the corpus: the corpus-
+    // proportional wordCounts reduction feeds the delta-maintained
+    // trainer (driver-local fast path below 2M distinct words — the
+    // production-tokenizer shape). 1200 merges at real-vocabulary
+    // scale; deterministic (exact integer counts, code-point tie
+    // order), so the output table is stable across partitionings.
+    // Training rounds are inherently sequential — not one SQL query —
+    // so this rides the rows-only check; the algorithm itself is
+    // pinned by BpeTrainSpec's three-way differential (local ==
+    // distributed delta == full recount == textbook reference).
+    "text_bpe_vocab" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      graft.ops.BpeTrain.train(
+        graft.ops.BpeTrain.wordCounts(docs(s, dir), "text"), 1200)
+        .orderBy(col("rank"))
+    }),
+
+    // BPE ENCODE with the trained vocabulary via the native
+    // bpe_encode kernel: per-word cost bounded by the word length,
+    // independent of the 1000-rule table (the interpreted HOF form
+    // would be a 1000-deep expression tree). Scan-stage projection —
+    // the rule table ships inside the expression, no join.
+    "text_bpe_encode" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val d = docs(s, dir)
+      // 40 merges: the synthetic corpus has a small closed
+      // vocabulary (≈90 productive merges at sf0.01), and a larger
+      // vocab degenerately absorbs every word into one token —
+      // 40 keeps the per-word split non-trivial so the output
+      // actually exercises partial merges
+      val rules = graft.ops.BpeTrain.train(
+        graft.ops.BpeTrain.wordCounts(d, "text"), 40)
+        .orderBy(col("rank")).select(col("left"), col("right"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      d.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"),
+          graft.ops.BpeTrain.encodeNative(col("w"), rules).as("e"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(col("e"))).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // polynomial rolling-hash fingerprint via the native codegen
     // expression (graft.functions.RollingHash)
     "text_rolling_fp" -> ((s, dir) =>
