@@ -44,10 +44,20 @@ import Similarity.{dot, norm}
   *
   * Replay safety matches the dedup index: re-appending a batch
   * duplicates rows (bounded by the replay count) — membership-style
-  * consumers are unaffected and an offline compaction can dedupe;
-  * search would report a duplicated neighbor id twice, so exactly-
-  * once appends (foreachBatch + checkpoint) are the streaming
-  * contract.
+  * consumers are unaffected, and [[compact]] is the offline
+  * maintenance pass that rewrites the index back to one row per
+  * (id, cell) (search over an uncompacted replay would report a
+  * duplicated neighbor id twice, so run compact after any replay, or
+  * use exactly-once appends — foreachBatch + checkpoint — as the
+  * streaming contract).
+  *
+  * When this index runs NEXT TO the dedup fingerprint index in one
+  * ingest pipeline, append THIS index first and the dedup ledger
+  * last: the ledger is the admission commit point, so a crash
+  * between the two appends replays as "still novel" (bounded ANN
+  * duplicate, fixed by [[compact]]) instead of "already admitted"
+  * (vectors lost forever). IndexSoakSpec pins the protocol with an
+  * interleaved crash + replay.
   */
 object IncrementalAnn {
 
@@ -144,6 +154,49 @@ object IncrementalAnn {
       .select(col("cell"), col("n_vecs"),
         (dot(col("mvec"), col("cvec")) /
           (norm(col("mvec")) * col("cn"))).as("centroid_mean_cos"))
+  }
+
+  /** Offline index compaction — closes the replay caveat in the
+    * class doc: at-least-once re-appends duplicate (id, cell) rows,
+    * and a duplicated id would surface TWICE in searchTopK's
+    * neighbor list. Rewrites `vectors/` with one row per (id, cell)
+    * (deterministic representative: min (vec, nrm) struct — replay
+    * duplicates are byte-identical so this is a no-op choice, and a
+    * conflicting re-ingest of the same id resolves reproducibly),
+    * preserving the cell-partitioned layout, its pruning, and the
+    * `_graft_cells` marker. Reference analogue: at-least-once replay
+    * idempotence around position commits
+    * (`inputs/mysql/mysql_position.go:150-170` — the reference
+    * replays from the last committed GTID and relies on sink
+    * idempotence; here the index IS the sink).
+    *
+    * Crash-safe staging swap, same discipline as
+    * [[IncrementalDedup.compactIndex]]: write `.compacting`, move
+    * live → `.old`, move staging → live, drop `.old`; an interrupted
+    * swap is recovered (live restored from `.old`) before any new
+    * work. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val vecDir = s"$dir/vectors"
+    val (hfs, p) = fs(spark, vecDir)
+    val old = new org.apache.hadoop.fs.Path(vecDir + ".old")
+    val staging = new org.apache.hadoop.fs.Path(vecDir + ".compacting")
+    if (!hfs.exists(p) && hfs.exists(old))
+      require(hfs.rename(old, p), s"failed to recover $vecDir from .old")
+    if (!hfs.exists(p)) return
+    readCells(spark, dir) // fail loudly on a half-built index
+    if (hfs.exists(staging)) hfs.delete(staging, true)
+    val vectors = spark.read.parquet(vecDir)
+    vectors.groupBy(col("cell"), col("id"))
+      .agg(min(struct(col("vec"), col("nrm"))).as("v"))
+      .select(col("id"), col("v.vec").as("vec"),
+        col("v.nrm").as("nrm"), col("cell"))
+      .write.partitionBy("cell").parquet(staging.toString)
+    if (hfs.exists(old)) hfs.delete(old, true)
+    require(hfs.rename(p, old), s"compact: could not stage out $vecDir")
+    require(hfs.rename(staging, p),
+      s"compact: could not swap in compacted vectors at $vecDir — " +
+        s"live data is at $old")
+    hfs.delete(old, true)
   }
 
   /** Serve top-k from the index files: rank the broadcast centroids

@@ -150,6 +150,68 @@ class IncrementalAnnSpec extends SparkSpec {
       s"expected a loud refusal, got: ${e.getMessage.take(200)}")
   }
 
+  test("compact dedupes a replayed append: each neighbor once, results " +
+      "identical to a never-replayed index, layout preserved") {
+    val dir = newDir()
+    val c = corpus()
+    IncrementalAnn.create(spark, c, "embedding", "vec_id", dir, nCells = 4)
+    val batch = corpus(n = 8, offset = 100L)
+    IncrementalAnn.appendBatch(spark, batch, "embedding", "vec_id", dir)
+    // at-least-once replay: the SAME batch lands again
+    IncrementalAnn.appendBatch(spark, batch, "embedding", "vec_id", dir)
+    val queries = c.filter($"vec_id" < 4)
+    def results() = IncrementalAnn
+      .searchTopK(spark, queries, "embedding", "vec_id", dir,
+        k = 5, nProbe = 2)
+      .select($"qid", $"rank", $"nid").as[(Long, Int, Long)]
+      .collect().toSet
+    val dup = results()
+    // uncompacted: replayed ids CAN appear twice in one query's list
+    val dupCounts = dup.groupBy(r => (r._1, r._3)).values.map(_.size)
+    assert(dupCounts.exists(_ > 1),
+      "replay should surface duplicate neighbors before compaction " +
+        s"(got per-(qid,nid) multiplicities ${dupCounts.toSet})")
+    IncrementalAnn.compact(spark, dir)
+    val got = results()
+    assert(got.groupBy(r => (r._1, r._3)).values.forall(_.size == 1),
+      s"duplicate neighbor after compact: $got")
+    // reference: the same data appended exactly once
+    val refDir = newDir()
+    IncrementalAnn.create(spark, c, "embedding", "vec_id", refDir,
+      nCells = 4)
+    IncrementalAnn.appendBatch(spark, batch, "embedding", "vec_id", refDir)
+    val ref = IncrementalAnn
+      .searchTopK(spark, queries, "embedding", "vec_id", refDir,
+        k = 5, nProbe = 2)
+      .select($"qid", $"rank", $"nid").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(got == ref, s"compacted results diverge: $got vs $ref")
+    // layout: still cell-partitioned (pruning intact) + marker intact
+    val vecPath = new java.io.File(s"$dir/vectors")
+    assert(vecPath.listFiles().exists(_.getName.startsWith("cell=")),
+      "compact lost the cell partitioning")
+    assert(new java.io.File(s"$dir/_graft_cells").exists())
+    // row economics: one row per (id, cell)
+    val n = spark.read.parquet(s"$dir/vectors").count()
+    assert(n == 24 + 8, s"expected 32 unique rows, got $n")
+  }
+
+  test("compact on a never-replayed index is a semantic no-op") {
+    val dir = newDir()
+    val c = corpus()
+    IncrementalAnn.create(spark, c, "embedding", "vec_id", dir, nCells = 4)
+    val before = IncrementalAnn.searchTopK(spark, c.filter($"vec_id" < 3),
+      "embedding", "vec_id", dir, k = 3, nProbe = 2)
+      .select($"qid", $"rank", $"nid").as[(Long, Int, Long)]
+      .collect().toSet
+    IncrementalAnn.compact(spark, dir)
+    val after = IncrementalAnn.searchTopK(spark, c.filter($"vec_id" < 3),
+      "embedding", "vec_id", dir, k = 3, nProbe = 2)
+      .select($"qid", $"rank", $"nid").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(before == after)
+  }
+
   test("appendBatch against a mismatched caller assumption still fails " +
       "loudly via the stored marker") {
     val dir = newDir()
