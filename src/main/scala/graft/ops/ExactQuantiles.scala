@@ -49,12 +49,26 @@ import org.apache.spark.sql.functions._
   */
 object ExactQuantiles {
 
+  /** Histogram rows (groups × columns × bands) at or under this
+    * broadcast freely; above it the per-group relations are joined by
+    * SHUFFLE instead — a high-cardinality group key at 1024 bands
+    * would otherwise push a multi-GB broadcast to every executor.
+    * ~4M rows ≈ 100 MB serialized, inside Spark's comfort zone. */
+  val MaxBroadcastHistRows: Long = 4000000L
+
   /** @param targets (valueColumn, percentiles) pairs
+    * @param maxBroadcastHistRows gate for the broadcast-vs-shuffle
+    *        decision on the per-group relations (see
+    *        [[MaxBroadcastHistRows]]); the gate itself costs one
+    *        count of the group-stats aggregate — an eager action, so
+    *        like `Similarity.resolvePqCodebook`'s count this operator
+    *        should not be assembled under a pending `observe()`
     * @return (grp, vcol, p, value) — one row per group × target
     */
   def percentiles(df: DataFrame, grp: String,
       targets: Seq[(String, Seq[Double])],
-      bands: Int = 1024): DataFrame = {
+      bands: Int = 1024,
+      maxBroadcastHistRows: Long = MaxBroadcastHistRows): DataFrame = {
     require(targets.nonEmpty, "percentiles: no targets")
     require(bands > 1, s"percentiles: need bands > 1, got $bands")
     targets.foreach { case (vcol, ps) =>
@@ -101,9 +115,19 @@ object ExactQuantiles {
         col("__lo").as("__val"))
     val varied = tg.filter(col("__lo") < col("__hi"))
 
-    // ONE banding pass for every column: stats broadcast back onto
+    // broadcast-vs-shuffle gate: ONE count of the stats aggregate
+    // decides whether the per-group relations (stats row per group,
+    // the (group × column × band) histogram, the located-band set)
+    // fit a broadcast. Values are identical either way — only the
+    // join strategy changes (spec-pinned both sides of the gate).
+    val nGroups = stats.count()
+    val smallHist =
+      nGroups * vcols.size.toLong * bands.toLong <= maxBroadcastHistRows
+    def maybeB(d: DataFrame): DataFrame = if (smallHist) broadcast(d) else d
+
+    // ONE banding pass for every column: stats joined back onto
     // the base scan, rows explode to (g, cid, v, band) long form
-    val statsB = broadcast(stats)
+    val statsB = maybeB(stats)
     val bandExpr: Int => Column = { i =>
       least(lit(bands - 1), floor((col(nm(i)) - col(s"__lo$i")) /
         ((col(s"__hi$i") - col(s"__lo$i")) / lit(bands.toDouble)))
@@ -129,22 +153,26 @@ object ExactQuantiles {
       .withColumn("__cb", coalesce(sum(col("__c")).over(wPrev), lit(0L)))
 
     // locate the band holding each needed index: band covers global
-    // ranks (cb, cb + c]; bc is G × columns × bands rows —
-    // broadcastable for any sane group count
+    // ranks (cb, cb + c]. The match is an EQUI-join on (group,
+    // column) with the rank-range as a post-join filter — each need
+    // row meets ≤ bands candidates — so it plans as a hash join
+    // under BOTH strategies (the old non-equi broadcast form would
+    // have degraded to a nested loop in shuffle mode)
     val need = varied.select(col("__g"), col("__cid"), col("__p"),
       col("__pos"), col("__li"), col("__hi2"),
       explode(array(col("__li"), col("__hi2"))).as("__i"))
     val loc = need.join(
-      broadcast(bc.select(col("__g").as("__g3"), col("__cid").as("__c3"),
+      maybeB(bc.select(col("__g").as("__g3"), col("__cid").as("__c3"),
         col("__b"), col("__c"), col("__cb"))),
-      col("__g") === col("__g3") && col("__cid") === col("__c3") &&
-        col("__cb") < col("__i") && col("__i") <= col("__cb") + col("__c"))
+      col("__g") === col("__g3") && col("__cid") === col("__c3"))
+      .filter(col("__cb") < col("__i") &&
+        col("__i") <= col("__cb") + col("__c"))
 
     // rank ONLY the located bands' rows; partition size ≈ n/bands
     val wanted = loc.select(col("__g"), col("__cid"), col("__b")).distinct()
     val wRank = Window.partitionBy(col("__g"), col("__cid"), col("__b"))
       .orderBy(col("__v"))
-    val ranked = bandedLong.join(broadcast(wanted),
+    val ranked = bandedLong.join(maybeB(wanted),
         Seq("__g", "__cid", "__b"))
       .withColumn("__rn", row_number().over(wRank))
     val at = loc.join(ranked.select(col("__g").as("__g4"),

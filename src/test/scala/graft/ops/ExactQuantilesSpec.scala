@@ -69,4 +69,55 @@ class ExactQuantilesSpec extends SparkSpec {
     assert(rows(("x", 0.25)) == 15.0)
     assert(rows(("x", 0.75)) == 25.0)
   }
+
+  test("high-cardinality group keys fall back to shuffle joins with " +
+      "identical values, and the plan really loses the broadcasts") {
+    // 2000 groups × 1 col × 16 bands = 32000 hist rows: force the
+    // gate with a 1000-row threshold; every group has 5 rows so the
+    // built-in stays cheap to compare against
+    val rng = new scala.util.Random(23)
+    val rows = for (g <- 1 to 2000; _ <- 1 to 5)
+      yield (f"g$g%04d", math.floor(rng.nextDouble() * 10000) / 100.0)
+    val df = rows.toDF("g", "v").repartition(13)
+    // disable size-based auto-broadcast so the plan shows ONLY the
+    // operator's own hints (at production scale the gated relations
+    // exceed the threshold anyway; at test scale everything is tiny
+    // and AQE would re-broadcast them, hiding the gate from the plan)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = ExactQuantiles.percentiles(df, "g",
+        Seq("v" -> Seq(0.5)), bands = 16, maxBroadcastHistRows = 1000L)
+      // the gated plan keeps ONLY the constant-bounded broadcasts
+      // (the (cid, p) target list and the column-name table — both
+      // bounded by the call signature, not the data); the three
+      // data-shaped relations (stats, histogram, located bands) must
+      // lose theirs: 5 hinted joins ungated, 2 gated
+      def nBcast(d: org.apache.spark.sql.DataFrame): Int =
+        "BroadcastHashJoin".r
+          .findAllIn(d.queryExecution.executedPlan.toString).length
+      // the two constant hints appear twice each (the tg/names
+      // subtrees duplicate across the flat/varied union branches),
+      // all joining on __cid — 4 constant-bounded broadcasts max
+      assert(nBcast(shuffled) <= 4,
+        s"gate left ${nBcast(shuffled)} broadcast joins in the plan")
+      val ungated = ExactQuantiles.percentiles(df, "g",
+        Seq("v" -> Seq(0.5)), bands = 16)
+      assert(nBcast(ungated) > nBcast(shuffled),
+        s"expected the data-shaped hinted joins in the ungated plan, " +
+          s"got ${nBcast(ungated)} vs gated ${nBcast(shuffled)}")
+      val got = shuffled.collect()
+        .map(r => r.getString(0) -> r.getDouble(3)).toMap
+      val exp = builtin(df, 0.5)
+      assert(got.keySet == exp.keySet)
+      exp.foreach { case (g, e) =>
+        assert(java.lang.Double.doubleToLongBits(got(g)) ==
+          java.lang.Double.doubleToLongBits(e), s"g=$g")
+      }
+      // and the broadcast side of the gate agrees row-for-row
+      val bcast = ungated.collect()
+        .map(r => r.getString(0) -> r.getDouble(3)).toMap
+      assert(bcast == got)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
