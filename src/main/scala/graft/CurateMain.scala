@@ -62,8 +62,10 @@ object CurateMain {
     val partitionBy = opt("output.partition-by")
     val streaming = streamingMode(tree)
 
-    val stages = Toml.tablesAt(tree, "stages")
-      .map(Curation.stage(_, textCol, idCol, spark))
+    // compile with ONE shared ranking-slot registry, so retrieve
+    // stages can feed fuse/hard-negatives stages downstream
+    val stages = Curation.compile(
+      Toml.tablesAt(tree, "stages"), textCol, idCol, spark)
 
     if (!streaming) {
       val (curated, observations) =

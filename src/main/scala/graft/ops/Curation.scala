@@ -21,6 +21,33 @@ import graft.functions.{Exprs, TextFunctions}
   */
 object Curation {
 
+  /** Named rankings shared BETWEEN stages of one pipeline: retrieve
+    * stages deposit their (query_id, doc_id, rnk) plan under a slot
+    * name and pass the corpus through unchanged; fuse/hard-negatives
+    * stages consume slots by name and REPLACE the flow with their
+    * result. Purely plan-level (lazy DataFrames, no actions) — the
+    * deposit happens when the earlier stage's combinator runs during
+    * assembly, so declaration order in the TOML is the dependency
+    * order, and a consumer naming a missing slot fails loudly at
+    * assembly, not with an empty result. */
+  final class RankingSlots {
+    private val m =
+      scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    def put(name: String, df: DataFrame): Unit = { m.put(name, df); () }
+    def get(name: String): DataFrame = m.getOrElse(name,
+      sys.error(s"no ranking slot '$name' — declare a retrieve stage " +
+        s"""with as = "$name" BEFORE the stage that consumes it"""))
+  }
+
+  /** Compile a full `[[stages]]` list with ONE shared slot registry,
+    * so retrieve stages can feed fuse/hard-negatives stages later in
+    * the same pipeline. This is the entry [[graft.CurateMain]] uses. */
+  def compile(confs: Seq[Map[String, Any]], textCol: String,
+      idCol: String, spark: SparkSession): Seq[Stage] = {
+    val slots = new RankingSlots
+    confs.map(stage(_, textCol, idCol, spark, slots))
+  }
+
   /** `postCommit` runs AFTER the caller's output write succeeds —
     * for stages with external side effects (the near-dup index
     * append) that must not land when the run fails downstream.
@@ -35,14 +62,29 @@ object Curation {
     * domain-cap/token-budget, validate-unique) are NOT — applied per
     * batch they would silently weaken to batch-local decisions, so
     * the streaming runner refuses them loudly. */
+  /** `replacesFlow` marks stages whose output is a NEW relation
+    * (fuse, hard-negatives) rather than a filtered/augmented view of
+    * the incoming corpus: [[assemble]] must complete the corpus-side
+    * funnel observations before such a stage discards the flow —
+    * otherwise a funnel reader blocks forever on observations no
+    * action will ever execute. */
   final case class Stage(name: String, apply: DataFrame => DataFrame,
-      postCommit: () => Unit = () => (), streamable: Boolean = false)
+      postCommit: () => Unit = () => (), streamable: Boolean = false,
+      replacesFlow: Boolean = false)
 
   /** Compile one TOML stage table into a combinator. `idCol`/
     * `textCol` name the corpus columns. Unknown types fail loudly —
-    * a silently-skipped curation stage is corrupted training data. */
+    * a silently-skipped curation stage is corrupted training data.
+    * This arity compiles the stage with a PRIVATE slot registry —
+    * fine for every stage type except the retrieve/fuse family,
+    * which needs [[compile]]'s shared registry to see each other. */
   def stage(conf: Map[String, Any], textCol: String, idCol: String,
-      spark: SparkSession): Stage = {
+      spark: SparkSession): Stage =
+    stage(conf, textCol, idCol, spark, new RankingSlots)
+
+  /** [[stage]] with an explicit slot registry (see [[compile]]). */
+  def stage(conf: Map[String, Any], textCol: String, idCol: String,
+      spark: SparkSession, slots: RankingSlots): Stage = {
     def str(k: String): String = conf.get(k).map(_.toString)
       .getOrElse(sys.error(s"missing option $k"))
     def num(k: String, dflt: => Double) = conf.get(k) match {
@@ -355,6 +397,85 @@ object Curation {
               s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
           cp
         })
+      case "bm25-retrieve" =>
+        // lexical ranker over the corpus AS OF this pipeline point
+        // (post-filter docs only): deposits top-k per query into a
+        // named slot, corpus passes through. queries are TOML
+        // strings "qid:term term ..."; rankings over the whole
+        // corpus, so NOT streamable (per-batch BM25 stats would
+        // silently change scores).
+        val slotName = conf.get("as").map(_.toString).getOrElse("lex")
+        val k = num("k", 20).toInt
+        val qspecs = cols("queries")
+        require(qspecs.nonEmpty, "bm25-retrieve: missing/empty queries")
+        val parsed = qspecs.map { q =>
+          val i = q.indexOf(':')
+          require(i > 0, s"bm25-retrieve query '$q' is not 'qid:terms'")
+          (q.substring(0, i).trim.toInt,
+            q.substring(i + 1).split("\\s+").toSeq.filter(_.nonEmpty))
+        }
+        Stage("bm25-retrieve", df => {
+          slots.put(slotName,
+            Bm25.topK(df, idCol, TextFunctions.tokens(t), parsed, k)
+              .select(col("query_id").cast("long").as("query_id"),
+                col("doc_id"), col("rnk")))
+          df
+        })
+      case "ann-retrieve" =>
+        // semantic ranker: corpus ids join their embeddings, queries
+        // are anchor ids sharing the embedding table's id space
+        // (exact brute-force ranking — the slot is O(queries × k))
+        val slotName = conf.get("as").map(_.toString).getOrElse("sem")
+        val k = num("k", 20).toInt
+        val embPath = str("embedding-path")
+        val embCol = conf.get("embedding-column")
+          .map(_.toString).getOrElse("embedding")
+        val embId = conf.get("embedding-id-column")
+          .map(_.toString).getOrElse("vec_id")
+        val qids = cols("query-ids").map(_.toLong)
+        require(qids.nonEmpty, "ann-retrieve: missing/empty query-ids")
+        Stage("ann-retrieve", df => {
+          val vecs = df.select(col(idCol)).join(
+            spark.read.parquet(embPath)
+              .withColumnRenamed(embId, idCol)
+              .withColumnRenamed(embCol, "__emb"),
+            Seq(idCol))
+          slots.put(slotName,
+            Similarity.bruteForceTopK(vecs, "__emb", idCol,
+              queryPred = col(idCol).isin(qids: _*), k = k)
+              .select(col("qid").cast("long").as("query_id"),
+                col("nid").cast("long").as("doc_id"),
+                col("rank").as("rnk")))
+          df
+        })
+      case "fuse" =>
+        // RRF fusion of named ranking slots — REPLACES the flow with
+        // (query_id, rnk, doc_id, score); the expensive candidate
+        // generation already happened inside the retrieve stages, so
+        // this fuses O(queries × k) relations only
+        val inputs = cols("inputs")
+        require(inputs.size >= 2,
+          "fuse: need at least two input slots (inputs = [\"lex\", ...])")
+        val k = num("k", 10).toInt
+        val c = num("c", 60).toInt
+        Stage("fuse", _ => Fusion.rrfTopK(inputs.map(slots.get), k, c),
+          replacesFlow = true)
+      case "hard-negatives" =>
+        // docs the semantic ranker surfaces that the lexical one does
+        // NOT — semantically close, lexically unmatched: the training
+        // pairs a retrieval model learns most from. REPLACES the flow
+        // with (query_id, doc_id, sem_rank); pure anti-join of two
+        // already-top-k slots.
+        val semName = conf.get("semantic").map(_.toString).getOrElse("sem")
+        val lexName = conf.get("lexical").map(_.toString).getOrElse("lex")
+        Stage("hard-negatives", _ => {
+          val sem = slots.get(semName)
+          val lex = slots.get(lexName)
+          sem.select(col("query_id"), col("doc_id"),
+              col("rnk").as("sem_rank"))
+            .join(lex.select(col("query_id"), col("doc_id")),
+              Seq("query_id", "doc_id"), "left_anti")
+        }, replacesFlow = true)
       case "split" =>
         val train = num("train", 80).toInt
         val valid = num("valid", 10).toInt
@@ -387,6 +508,18 @@ object Curation {
     // thresholds) must not collapse into one JSON key downstream
     observations += ("stage_00_input" -> obs0)
     stages.zipWithIndex.foreach { case (s, i) =>
+      if (s.replacesFlow) {
+        // the stage is about to DISCARD the corpus flow (its output
+        // is a new relation built from ranking slots): execute the
+        // flow once so every observation attached so far completes —
+        // without this a funnel reader blocks forever. Must be a
+        // DATASET action (count goes through SQLExecution, firing the
+        // CollectMetrics listeners; a raw toRdd.foreach would not).
+        // One extra corpus pass, only in hybrid-retrieval pipelines
+        // (replacing stages are batch-only, so an assembly-time
+        // action is safe here, unlike in the streamable stages).
+        df.count()
+      }
       df = s.apply(df)
       val name = f"stage_${i + 1}%02d_${s.name}"
       val ob = new Observation(name)

@@ -140,6 +140,147 @@ class CurationSpec extends SparkSpec {
     assert(ids == Set(2L, 3L), s"doc 1 must be semantically dropped: $ids")
   }
 
+  test("hybrid retrieval TOML end-to-end: filter -> bm25 + ann retrieve " +
+      "-> hard negatives mined to parquet") {
+    val dir = Files.createTempDirectory("curate-hyb").toString
+    val in = s"$dir/docs.parquet"
+    // docs 1-2 lexically match 'spark engine'; docs 3-4 are
+    // semantically near the query anchor but share no query term;
+    // doc 5 is noise; doc 6 is a too-short row the upstream filter
+    // must drop BEFORE retrieval sees it
+    Seq(
+      (1L, "the spark engine answers queries with a distributed plan"),
+      (2L, "a spark engine tutorial for the analytics of big corpora"),
+      (3L, "fast cluster computation framework for petabyte analytics"),
+      (4L, "distributed query planners and their cost models in depth"),
+      (5L, "cooking recipes for a quiet sunday afternoon at home here"),
+      (6L, "short"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    // anchor id 1 (the embedding id space == doc id space); docs
+    // 3, 4 near the anchor, 2 mid, 5 far
+    val embPath = s"$dir/emb.parquet"
+    Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.6f, 0.8f)),
+      (3L, Array(0.99f, 0.1f)), (4L, Array(0.97f, 0.15f)),
+      (5L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(embPath)
+    val out = Files.createTempDirectory("curate-hyb-out").toString + "/c"
+    val config =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "length-filter"
+         |min-tokens = 5
+         |[[stages]]
+         |type = "bm25-retrieve"
+         |as = "lex"
+         |k = 3
+         |queries = ["1:spark engine"]
+         |[[stages]]
+         |type = "ann-retrieve"
+         |as = "sem"
+         |k = 3
+         |embedding-path = "$embPath"
+         |query-ids = ["1"]
+         |[[stages]]
+         |type = "hard-negatives"
+         |semantic = "sem"
+         |lexical = "lex"
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val (n, funnel) = graft.CurateMain.run(spark, config)
+    val mined = spark.read.parquet(out)
+      .select($"query_id", $"doc_id", $"sem_rank")
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    // semantic top-3 of anchor 1 (self excluded): 3, 4, then 2;
+    // lexical top-3 for 'spark engine': docs 1, 2 (the only term
+    // matches) — so the hard negatives are exactly {3, 4}
+    assert(mined.map(_._2).toSet == Set(3L, 4L),
+      s"hard negatives: ${mined.toSeq}")
+    assert(n == mined.length.toLong)
+    // the funnel observed every stage boundary, including the
+    // pass-through retrieve stages
+    assert(funnel.map(_._1) == Seq("stage_00_input",
+      "stage_01_length-filter", "stage_02_bm25-retrieve",
+      "stage_03_ann-retrieve", "stage_04_hard-negatives"),
+      s"funnel: $funnel")
+  }
+
+  test("fuse stage RRF-combines named slots into a ranked flow") {
+    val dir = Files.createTempDirectory("curate-fuse").toString
+    val in = s"$dir/docs.parquet"
+    Seq(
+      (1L, "the spark engine answers queries with a distributed plan"),
+      (2L, "a spark engine tutorial for the analytics of big corpora"),
+      (3L, "fast cluster computation framework for petabyte analytics"),
+      (4L, "distributed query planners and their cost models in depth"),
+      (5L, "cooking recipes for a quiet sunday afternoon at home here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val embPath = s"$dir/emb.parquet"
+    Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.6f, 0.8f)),
+      (3L, Array(0.99f, 0.1f)), (4L, Array(0.97f, 0.15f)),
+      (5L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(embPath)
+    val out = Files.createTempDirectory("curate-fuse-out").toString + "/c"
+    val config =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "bm25-retrieve"
+         |as = "lex"
+         |k = 3
+         |queries = ["1:spark engine"]
+         |[[stages]]
+         |type = "ann-retrieve"
+         |as = "sem"
+         |k = 3
+         |embedding-path = "$embPath"
+         |query-ids = ["1"]
+         |[[stages]]
+         |type = "fuse"
+         |inputs = ["lex", "sem"]
+         |k = 4
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    graft.CurateMain.run(spark, config)
+    val fused = spark.read.parquet(out)
+      .select($"query_id", $"rnk", $"doc_id").as[(Long, Int, Long)]
+      .collect().sortBy(_._2)
+    // doc 2 is the only doc BOTH rankers surface → two RRF terms →
+    // it must fuse to rank 1
+    assert(fused.head._3 == 2L, s"fused: ${fused.toSeq}")
+    assert(fused.map(_._3).distinct.length == fused.length)
+    // cross-check against Fusion.rrfTopK on hand-built rankings:
+    // lex = [1, 2], sem = [3, 4, 2] (self excluded)
+    val lex = Seq((1L, 1L, 1), (1L, 2L, 2)).toDF("query_id", "doc_id", "rnk")
+    val sem = Seq((1L, 3L, 1), (1L, 4L, 2), (1L, 2L, 3))
+      .toDF("query_id", "doc_id", "rnk")
+    val exp = Fusion.rrfTopK(Seq(lex, sem), 4)
+      .select($"query_id", $"rnk", $"doc_id").as[(Long, Int, Long)]
+      .collect().sortBy(_._2).toSeq
+    assert(fused.toSeq == exp, s"fused ${fused.toSeq} != expected $exp")
+  }
+
+  test("a fuse stage naming a missing slot fails loudly at assembly") {
+    val in = writeCorpus()
+    val out = Files.createTempDirectory("curate-noslot").toString + "/c"
+    val config =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "fuse"
+         |inputs = ["lex", "sem"]
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val e = intercept[RuntimeException] {
+      graft.CurateMain.run(spark, config)
+    }
+    assert(e.getMessage.contains("no ranking slot"),
+      s"got: ${e.getMessage}")
+  }
+
   test("decontaminate, domain-cap and token-budget stages") {
     val dir = Files.createTempDirectory("curate-in3").toString
     val in = s"$dir/docs.parquet"
