@@ -177,10 +177,14 @@ object Bench {
     // contention marker: headline queries whose 3-sample spread
     // exceeded 40% of the median — a judge reading a slow number can
     // tell one-shot noise (high spread here) from a plan regression
-    // (absent here, median itself moved) without re-measuring
+    // (absent here, median itself moved) without re-measuring. Top-8
+    // only: the driver tail-parses the LAST 2000 stdout chars, and a
+    // fully-contended run would otherwise blow that budget (the
+    // complete map is in the .spread.json dump)
     val noisy = headline
-      .flatMap(k => spreads.get(k).filter(_ > 0.4)
-        .map(s => s"\"" + k + "\":" + fmt(s)))
+      .flatMap(k => spreads.get(k).filter(_ > 0.4).map(k -> _))
+      .sortBy(-_._2).take(8)
+      .map { case (k, s) => s"\"" + k + "\":" + fmt(s) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // full per-query timings ALWAYS go to a file (the stdout line
