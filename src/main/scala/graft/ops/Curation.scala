@@ -397,6 +397,33 @@ object Curation {
               s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
           cp
         })
+      case "bpe-tokenize" =>
+        // tokenize each doc with a TRAINED vocabulary (parquet merge
+        // table from BpeTrain.train — rank/left/right): adds a
+        // token-count column via the native bpe_encode kernel, whose
+        // per-word cost is independent of the vocabulary size. The
+        // vocabulary is fixed at compile time (a tokenizer mid-run is
+        // a training-data bug), so the stage is row-local and
+        // STREAMABLE; train with BpeTrain.train as a separate
+        // deliberate action, like the ANN index's create().
+        val vocabPath = str("vocab-path")
+        val outCol = conf.get("output-column").map(_.toString)
+          .getOrElse("n_bpe_tokens")
+        val rules = spark.read.parquet(vocabPath)
+          .orderBy(col("rank")).select(col("left"), col("right"))
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        Stage("bpe-tokenize", df => {
+          graft.GraftExtensions.ensure(df.sparkSession)
+          val toks = TextFunctions.tokens(t)
+          // sum of per-word symbol counts; empty/null text → 0/null
+          df.withColumn(outCol,
+            when(t.isNull, lit(null).cast("long")).otherwise(
+              aggregate(
+                filter(toks, w => length(w) > 0),
+                lit(0L),
+                (acc, w) => acc +
+                  size(BpeTrain.encodeNative(w, rules)).cast("long"))))
+        }, streamable = true)
       case "bm25-retrieve" =>
         // lexical ranker over the corpus AS OF this pipeline point
         // (post-filter docs only): deposits top-k per query into a

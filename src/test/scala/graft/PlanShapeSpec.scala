@@ -491,6 +491,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("text_bpe_encode: the kernel runs at the scan stage; partial " +
+      "aggregation before the shuffle; one corpus scan") {
+    val p = plan("text_bpe_encode")
+    // encoding is a projection fused into the scan stage — the rule
+    // table ships inside the expression, so there must be NO join in
+    // the plan and exactly one documents scan
+    assert(p.contains("bpeencode"), p) // the expression's plan name
+    assert(!p.contains("Join"), s"encode must not join:\n$p")
+    // formatted explain names each node twice (tree + detail
+    // section) — count the numbered detail headers only
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
+    // per-doc count/sum aggregate combines map-side
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q_percentiles: located-band join is an EQUI hash join (shuffle-" +
+      "safe shape), never a nested loop") {
+    // the r10 gate restructured the band-location join from non-equi
+    // broadcast to equi + range filter; if someone reverts it, the
+    // shuffle fallback silently becomes a BroadcastNestedLoopJoin
+    val p = plan("q_percentiles")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"band location degenerated to a nested loop:\n$p")
+  }
+
   test("EVERY query emits driver-renderable column types (no decimals)") {
     // The driver's pandas bridge renders DECIMAL as lossy float64
     // (round-8: cdc_table_checksum, cdc_incremental_checksum,

@@ -262,6 +262,62 @@ class CurationSpec extends SparkSpec {
     assert(fused.toSeq == exp, s"fused ${fused.toSeq} != expected $exp")
   }
 
+  test("bpe-tokenize stage counts tokens with a trained vocabulary " +
+      "from parquet, matching a driver-side sequential encode") {
+    val dir = Files.createTempDirectory("curate-bpe").toString
+    val in = s"$dir/docs.parquet"
+    val docs = Seq(
+      (1L, "banana bandana banana"),
+      (2L, "ban ban banana"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    // train on the corpus the stage will tokenize (the normal flow:
+    // train once as a deliberate action, serve from parquet)
+    val vocabPath = s"$dir/vocab.parquet"
+    val vocab = BpeTrain.train(
+      BpeTrain.wordCounts(spark.read.parquet(in), "text"), 20)
+    vocab.write.mode("overwrite").parquet(vocabPath)
+    val rules = vocab.orderBy($"rank").select($"left", $"right")
+      .as[(String, String)].collect().toSeq
+    assert(rules.nonEmpty)
+    val out = Files.createTempDirectory("curate-bpe-out").toString + "/c"
+    val config =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "bpe-tokenize"
+         |vocab-path = "$vocabPath"
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    graft.CurateMain.run(spark, config)
+    val got = spark.read.parquet(out)
+      .select($"doc_id", $"n_bpe_tokens")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    def refEncodeLen(w: String): Long = {
+      var syms = w.split("").toVector
+      rules.foreach { case (l, r) =>
+        val b = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            b += (l + r); j += 2
+          } else { b += syms(j); j += 1 }
+        }
+        syms = b.result()
+      }
+      syms.length.toLong
+    }
+    docs.foreach { case (id, text) =>
+      val exp =
+        if (text == null) -1L
+        else text.split("\\s+").filter(_.nonEmpty).map(refEncodeLen).sum
+      assert(got(id) == exp, s"doc $id: got ${got(id)}, expected $exp")
+    }
+  }
+
   test("a fuse stage naming a missing slot fails loudly at assembly") {
     val in = writeCorpus()
     val out = Files.createTempDirectory("curate-noslot").toString + "/c"
