@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * unsplittable window partition: at 100 TB a popular group is tens
   * of gigabytes in one JVM. This operator keeps every stage bounded:
   *
-  *   1. per-group count/min/max (map-side-combinable, broadcastable);
+  *   1. per-group count/min/max (map-side-combinable);
   *   2. each row maps to one of `bands` equal-width value bands —
   *      a (group, column, band) COUNT histogram (hash aggregate, no
   *      buffers);
@@ -38,10 +38,28 @@ import org.apache.spark.sql.functions._
   *
   * Constant groups (min = max) short-circuit: every percentile IS
   * that value — no candidate scan, and the all-values-equal band
-  * degeneracy cannot arise. Remaining pathological case: a group
-  * whose values pile into one narrow band that still spans distinct
-  * values keeps that band's rank partition large (recursing into the
-  * band would bound it; not needed at this engine's data shapes).
+  * degeneracy cannot arise.
+  *
+  * PATHOLOGICAL VALUE CONCENTRATION (round 10, opt-in via
+  * `maxDepth > 1`): a group whose values pile into one narrow band
+  * that still spans distinct values would keep that band's rank
+  * partition large. With recursion enabled, a located band whose
+  * count exceeds `bandRowBound` RECURSES instead of ranking: its
+  * rows re-band over the band's own (tighter) min/max, the target
+  * rank shifts to the within-band rank `i − cb`, and the same
+  * locate-or-recurse step repeats. Each level divides the value
+  * range by `bands` (or hits the all-values-equal short-circuit,
+  * whose answer needs no ranking at all), so the partition a window
+  * ever sorts is bounded by max(n/bands^maxDepth, bandRowBound) —
+  * the final level ranks whatever remains, preserving exactness.
+  * The levels run as a DRIVER LOOP over localCheckpoint'd level
+  * inputs, not an unrolled plan: a blind `maxDepth`-deep plan
+  * re-expands the whole upstream at every reference (measured
+  * minutes of planning on a 3k-row spec), where the loop executes
+  * only the levels the data actually needs — zero extra levels on
+  * well-spread data — at the cost of per-level eager actions, which
+  * is why the dial is opt-in rather than default: the default plan
+  * is byte-identical to the depth-1 form.
   *
   * Null values are excluded per column (the `percentile()`
   * contract); null GROUPS are excluded by the keyed joins — callers
@@ -56,6 +74,10 @@ object ExactQuantiles {
     * ~4M rows ≈ 100 MB serialized, inside Spark's comfort zone. */
   val MaxBroadcastHistRows: Long = 4000000L
 
+  /** A located band with more rows than this recurses instead of
+    * ranking: 4M doubles ≈ 32 MB per window-sort task. */
+  val BandRowBound: Long = 4000000L
+
   /** @param targets (valueColumn, percentiles) pairs
     * @param maxBroadcastHistRows gate for the broadcast-vs-shuffle
     *        decision on the per-group relations (see
@@ -63,14 +85,25 @@ object ExactQuantiles {
     *        count of the group-stats aggregate — an eager action, so
     *        like `Similarity.resolvePqCodebook`'s count this operator
     *        should not be assembled under a pending `observe()`
+    * @param bandRowBound located bands above this row count recurse
+    *        (see class doc) when `maxDepth > 1`
+    * @param maxDepth total locate levels (≥ 1); 1 = today's
+    *        single-locate plan (the default — no extra actions);
+    *        raise it for pathological value concentration. The last
+    *        level ranks whatever remains, so exactness never
+    *        depends on it.
     * @return (grp, vcol, p, value) — one row per group × target
     */
   def percentiles(df: DataFrame, grp: String,
       targets: Seq[(String, Seq[Double])],
       bands: Int = 1024,
-      maxBroadcastHistRows: Long = MaxBroadcastHistRows): DataFrame = {
+      maxBroadcastHistRows: Long = MaxBroadcastHistRows,
+      bandRowBound: Long = BandRowBound,
+      maxDepth: Int = 1): DataFrame = {
     require(targets.nonEmpty, "percentiles: no targets")
     require(bands > 1, s"percentiles: need bands > 1, got $bands")
+    require(maxDepth >= 1, s"percentiles: need maxDepth >= 1, got $maxDepth")
+    require(bandRowBound >= 1, s"percentiles: bad bandRowBound $bandRowBound")
     targets.foreach { case (vcol, ps) =>
       require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
         s"percentiles($vcol): p must be in [0,1], got $ps")
@@ -161,6 +194,7 @@ object ExactQuantiles {
     val need = varied.select(col("__g"), col("__cid"), col("__p"),
       col("__pos"), col("__li"), col("__hi2"),
       explode(array(col("__li"), col("__hi2"))).as("__i"))
+      .distinct() // integer pos ⇒ li == hi2 explodes to one row, not two
     val loc = need.join(
       maybeB(bc.select(col("__g").as("__g3"), col("__cid").as("__c3"),
         col("__b"), col("__c"), col("__cb"))),
@@ -168,24 +202,76 @@ object ExactQuantiles {
       .filter(col("__cb") < col("__i") &&
         col("__i") <= col("__cb") + col("__c"))
 
-    // rank ONLY the located bands' rows; partition size ≈ n/bands
-    val wanted = loc.select(col("__g"), col("__cid"), col("__b")).distinct()
+    // split: bands small enough rank NOW; oversized bands recurse
+    // (unless this is the only level, where ranking is the contract)
+    val canRecurse = maxDepth > 1
+    val resolveNow =
+      if (canRecurse) loc.filter(col("__c") <= bandRowBound) else loc
+    // rank ONLY the located bands' rows; partition size ≈ n/bands,
+    // and with recursion on, never above bandRowBound
+    val wanted = resolveNow.select(col("__g"), col("__cid"), col("__b"))
+      .distinct()
     val wRank = Window.partitionBy(col("__g"), col("__cid"), col("__b"))
       .orderBy(col("__v"))
     val ranked = bandedLong.join(maybeB(wanted),
         Seq("__g", "__cid", "__b"))
       .withColumn("__rn", row_number().over(wRank))
-    val at = loc.join(ranked.select(col("__g").as("__g4"),
+    val at = resolveNow.join(ranked.select(col("__g").as("__g4"),
         col("__cid").as("__c4"), col("__b").as("__b4"), col("__rn"),
         col("__v")),
       col("__g") === col("__g4") && col("__cid") === col("__c4") &&
         col("__b") === col("__b4") &&
         col("__i") === col("__cb") + col("__rn"))
+      .select(col("__g"), col("__cid"), col("__p"), col("__pos"),
+        col("__li"), col("__hi2"), col("__i"), col("__v"))
+
+    val atAll =
+      if (!canRecurse) at
+      else {
+        // DRIVER LOOP over checkpointed level inputs (see class doc):
+        // each level's frames are small plans over the previous
+        // checkpoint, and the loop stops the moment nothing pends
+        val pending = loc.filter(col("__c") > bandRowBound)
+        var pendTargets = pending.select(col("__g"), col("__cid"),
+          col("__b").cast("string").as("__key"), col("__p"),
+          col("__pos"), col("__li"), col("__hi2"),
+          col("__i").as("__i0"),
+          (col("__i") - col("__cb")).as("__i"))
+          .localCheckpoint()
+        var out = at
+        if (!pendTargets.isEmpty) {
+          val pendBands = pending
+            .select(col("__g"), col("__cid"), col("__b")).distinct()
+          var pendRows = bandedLong
+            .join(maybeB(pendBands), Seq("__g", "__cid", "__b"))
+            .select(col("__g"), col("__cid"),
+              col("__b").cast("string").as("__key"), col("__v"))
+            .localCheckpoint()
+          var depthLeft = maxDepth - 1
+          var doneLoop = false
+          while (!doneLoop) {
+            val lvl = resolveLevel(pendRows, pendTargets, bands,
+              bandRowBound, lastLevel = depthLeft <= 1)
+            out = out.unionByName(lvl.resolved)
+            depthLeft -= 1
+            if (depthLeft <= 0) doneLoop = true
+            else {
+              val nt = lvl.nextTargets.localCheckpoint()
+              if (nt.isEmpty) doneLoop = true
+              else {
+                pendTargets = nt
+                pendRows = lvl.nextRows.localCheckpoint()
+              }
+            }
+          }
+        }
+        out
+      }
 
     // Spark Percentile's interpolation, verbatim:
     // lower·(highIdx − pos) + higher·(pos − lowIdx); integer pos ⇒
     // the single value
-    val interp = at.groupBy(col("__g"), col("__cid"), col("__p"),
+    val interp = atAll.groupBy(col("__g"), col("__cid"), col("__p"),
         col("__pos"), col("__li"), col("__hi2"))
       .agg(max(when(col("__i") === col("__li"), col("__v"))).as("__lv"),
         max(when(col("__i") === col("__hi2"), col("__v"))).as("__hv"))
@@ -202,5 +288,96 @@ object ExactQuantiles {
       .join(broadcast(names), Seq("__cid"))
       .select(col("__g").as(grp), col("vcol"),
         col("__p").as("p"), col("__val").as("value"))
+  }
+
+  /** One level's output: targets resolved AT this level, plus the
+    * next level's inputs (empty when nothing pended). */
+  private final case class Level(resolved: DataFrame,
+      nextRows: DataFrame, nextTargets: DataFrame)
+
+  /** One level of the narrow-band resolver: rows/targets are keyed
+    * by (__g, __cid, __key) where __key is the band path so far;
+    * `__i` is the 1-based rank of the wanted value WITHIN that key's
+    * rows, and `__i0` the ORIGINAL global rank (what the caller's
+    * interpolation matches against __li/__hi2). With `lastLevel`
+    * every located band resolves by ranking regardless of size, so
+    * exactness never depends on the depth budget.
+    *
+    * All bookkeeping relations here are bounded by targets × bands
+    * per level (only oversized bands reach a deeper level), so they
+    * broadcast unconditionally; the data rows join by the band-path
+    * key. The all-values-equal short-circuit (klo == khi) answers
+    * duplicate pileups without ranking — the case no amount of
+    * re-banding can shrink. */
+  private def resolveLevel(rows: DataFrame, targets: DataFrame,
+      bands: Int, bandRowBound: Long, lastLevel: Boolean): Level = {
+    val keyCols = Seq(col("__g"), col("__cid"), col("__key"))
+    val stats = rows.groupBy(keyCols: _*)
+      .agg(min(col("__v")).as("__klo"), max(col("__v")).as("__khi"))
+    val t2 = targets.join(broadcast(stats), Seq("__g", "__cid", "__key"))
+    val flatK = t2.filter(col("__klo") === col("__khi"))
+      .select(col("__g"), col("__cid"), col("__p"), col("__pos"),
+        col("__li"), col("__hi2"), col("__i0").as("__i"),
+        col("__klo").as("__v"))
+    val variedK = t2.filter(col("__klo") < col("__khi"))
+
+    val banded = rows.join(broadcast(stats), Seq("__g", "__cid", "__key"))
+      .filter(col("__klo") < col("__khi"))
+      .select(col("__g"), col("__cid"), col("__key"), col("__v"),
+        least(lit(bands - 1),
+          floor((col("__v") - col("__klo")) /
+            ((col("__khi") - col("__klo")) / lit(bands.toDouble))))
+          .cast("int").as("__b"))
+    val wPrev = Window.partitionBy(col("__g"), col("__cid"), col("__key"))
+      .orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bcK = banded
+      .groupBy(col("__g"), col("__cid"), col("__key"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cb", coalesce(sum(col("__c")).over(wPrev), lit(0L)))
+    val locK = variedK.join(broadcast(
+        bcK.select(col("__g").as("__g3"), col("__cid").as("__c3"),
+          col("__key").as("__k3"), col("__b"), col("__c"), col("__cb"))),
+      col("__g") === col("__g3") && col("__cid") === col("__c3") &&
+        col("__key") === col("__k3"))
+      .filter(col("__cb") < col("__i") &&
+        col("__i") <= col("__cb") + col("__c"))
+
+    val resolveNow =
+      if (lastLevel) locK else locK.filter(col("__c") <= bandRowBound)
+    val wantedK = resolveNow
+      .select(col("__g"), col("__cid"), col("__key"), col("__b"))
+      .distinct()
+    val wRank = Window
+      .partitionBy(col("__g"), col("__cid"), col("__key"), col("__b"))
+      .orderBy(col("__v"))
+    val ranked = banded
+      .join(broadcast(wantedK), Seq("__g", "__cid", "__key", "__b"))
+      .withColumn("__rn", row_number().over(wRank))
+    val atK = resolveNow.join(ranked.select(col("__g").as("__g4"),
+        col("__cid").as("__c4"), col("__key").as("__k4"),
+        col("__b").as("__b4"), col("__rn"), col("__v")),
+      col("__g") === col("__g4") && col("__cid") === col("__c4") &&
+        col("__key") === col("__k4") && col("__b") === col("__b4") &&
+        col("__i") === col("__cb") + col("__rn"))
+      .select(col("__g"), col("__cid"), col("__p"), col("__pos"),
+        col("__li"), col("__hi2"), col("__i0").as("__i"), col("__v"))
+
+    val pending =
+      if (lastLevel) locK.limit(0) else locK.filter(col("__c") > bandRowBound)
+    val pendBands = pending
+      .select(col("__g"), col("__cid"), col("__key"), col("__b"))
+      .distinct()
+    val nextRows = banded
+      .join(broadcast(pendBands), Seq("__g", "__cid", "__key", "__b"))
+      .select(col("__g"), col("__cid"),
+        concat(col("__key"), lit("/"), col("__b")).as("__key"),
+        col("__v"))
+    val nextTargets = pending.select(col("__g"), col("__cid"),
+      concat(col("__key"), lit("/"), col("__b")).as("__key"),
+      col("__p"), col("__pos"), col("__li"), col("__hi2"),
+      col("__i0"),
+      (col("__i") - col("__cb")).as("__i"))
+    Level(flatK.unionByName(atK), nextRows, nextTargets)
   }
 }

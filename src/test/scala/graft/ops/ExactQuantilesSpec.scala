@@ -70,6 +70,61 @@ class ExactQuantilesSpec extends SparkSpec {
     assert(rows(("x", 0.75)) == 25.0)
   }
 
+  test("narrow-band pileup recurses into located bands and still " +
+      "matches the built-in bit-for-bit") {
+    // adversarial concentration: 99% of values inside one band-width
+    // sliver [0, 1e-4) of a [0, 10000] range (so level-0 banding
+    // piles them into band 0), including heavy DUPLICATES (the
+    // all-values-equal sub-band short-circuit), plus a sprinkle of
+    // spread values. A tiny bandRowBound forces recursion; depth 3
+    // exercises multi-level shifts of the target rank.
+    val rng = new scala.util.Random(41)
+    val sliver = (1 to 3000).map { i =>
+      ("n", if (i % 3 == 0) 5.0e-5 // duplicate pileup
+            else math.floor(rng.nextDouble() * 1e6) / 1e10)
+    }
+    val spread = (1 to 30).map(_ =>
+      ("n", math.floor(rng.nextDouble() * 1e8) / 1e4))
+    val df = (sliver ++ spread).toDF("g", "v").repartition(11)
+    for (p <- Seq(0.05, 0.25, 0.5, 0.75, 0.95)) {
+      val exp = builtin(df, p)
+      // forced recursion: any located band over 64 rows recurses
+      val got = ExactQuantiles.percentiles(df, "g",
+        Seq("v" -> Seq(p)), bands = 16, bandRowBound = 64L,
+        maxDepth = 3)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      assert(got.keySet == exp.keySet, s"p=$p")
+      exp.foreach { case (g, e) =>
+        assert(java.lang.Double.doubleToLongBits(got(g)) ==
+          java.lang.Double.doubleToLongBits(e),
+          s"p=$p g=$g: got ${got(g)}, percentile() says $e")
+      }
+      // and the no-recursion plan (maxDepth=1) agrees — the bound is
+      // purely a partition-size decision, never a value decision
+      val flat1 = ExactQuantiles.percentiles(df, "g",
+        Seq("v" -> Seq(p)), bands = 16, bandRowBound = 64L,
+        maxDepth = 1)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      assert(flat1 == got, s"p=$p: depth-1 and depth-3 disagree")
+    }
+  }
+
+  test("every-value-identical band terminates recursion via the " +
+      "sub-band short-circuit") {
+    // one group: 10k copies of the same value + 3 outliers; the
+    // pileup band cannot shrink by re-banding — the klo==khi branch
+    // must answer without ranking (and without infinite descent)
+    val rows = (1 to 10000).map(_ => ("d", 7.25)) ++
+      Seq(("d", 1.0), ("d", 99.0), ("d", 50.0))
+    val df = rows.toDF("g", "v").repartition(7)
+    for (p <- Seq(0.1, 0.5, 0.9)) {
+      val got = ExactQuantiles.percentiles(df, "g",
+        Seq("v" -> Seq(p)), bands = 8, bandRowBound = 32L, maxDepth = 4)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      assert(got == builtin(df, p), s"p=$p")
+    }
+  }
+
   test("high-cardinality group keys fall back to shuffle joins with " +
       "identical values, and the plan really loses the broadcasts") {
     // 2000 groups × 1 col × 16 bands = 32000 hist rows: force the
