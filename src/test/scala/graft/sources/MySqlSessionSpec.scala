@@ -726,4 +726,61 @@ class MySqlSessionSpec extends AnyFunSuite {
       dir.toFile.listFiles().foreach(_.delete()); Files.delete(dir)
     }
   }
+
+  test("soak: SILENT master stall — heartbeats stop, the socket stays " +
+      "open — read timeout fires and the relay reconnects at the exact " +
+      "position") {
+    // the failure mode the heartbeat protocol exists for
+    // (mysql_replication.go:38-65 territory): a master that neither
+    // sends nor closes. 'die' tests a broken socket; this holds the
+    // socket OPEN with no bytes, so only the client's read timeout
+    // (sized to the heartbeat period on a real deployment) can
+    // detect the stall.
+    val masterFile = BinlogWriter.file(Seq(
+      Binlog.QueryEvent -> query("app", "INSERT 1"),
+      Binlog.QueryEvent -> query("app", "INSERT 2"),
+      Binlog.QueryEvent -> query("app", "INSERT 3")))
+    val frames = splitFrames(masterFile) // FDE, q1, q2, q3
+    val posAfterQ2 = new Binlog.Cursor(frames(2), 13).u32()
+    val master = new FakeMaster("secret", Seq(
+      // session 1: serves through q2 with a heartbeat proving
+      // liveness handling, then goes SILENT (socket open, no bytes)
+      Session(NativeOk,
+        artificialRotate("binlog.000007", 4) +: frames.take(2) ++:
+          heartbeatFrame("binlog.000007") +: Seq(frames(2)),
+        afterFrames = "hold"),
+      // session 2: post-reconnect resume; re-sent FDE skipped
+      Session(NativeOk,
+        artificialRotate("binlog.000007", posAfterQ2) +: frames.take(1) ++:
+          Seq(frames(3)))))
+    val dir = Files.createTempDirectory("graft-relay-stall")
+    try {
+      // read timeout well under the test budget: the stall must be
+      // DETECTED by the timeout, not by anything the master does
+      val stallClient = () => new BinlogClient("127.0.0.1", master.port,
+        "repl", "secret", serverId = 4321, connectTimeoutMs = 5000,
+        readTimeoutMs = 750, heartbeatSeconds = 30)
+      val relay = new BinlogRelay(dir, stallClient,
+        BinlogRelay.FilePos("binlog.000007", 4),
+        retryBackoffMs = 10, maxRetries = 5, stopAtEof = true)
+      relay.startRelay()
+      assert(relay.awaitTermination(60000), "relay did not finish")
+      // the stall surfaced as a read timeout, and the reconnect
+      // resumed at q2's next_pos — nothing lost, nothing replayed
+      assert(relay.lastError.exists(
+        _.isInstanceOf[java.net.SocketTimeoutException]),
+        s"expected a socket timeout, got ${relay.lastError}")
+      val dumps = master.log.asScala.filter(_.startsWith("dump:")).toVector
+      assert(dumps == Vector("dump:binlog.000007:4",
+        s"dump:binlog.000007:$posAfterQ2"), dumps)
+      val seg = Files.readAllBytes(dir.resolve("binlog.000007"))
+      assert(seg.sameElements(masterFile),
+        s"segment ${seg.length}B != master file ${masterFile.length}B")
+      assert(relay.appendedFrames == 4)
+      assert(master.firstFailure.isEmpty, master.firstFailure)
+    } finally {
+      master.close()
+      dir.toFile.listFiles().foreach(_.delete()); Files.delete(dir)
+    }
+  }
 }
