@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeEncode, BpeMergeStep, ByteAtU8, ChunkHash60, DotProduct, JsonbDecode, MapChangedKeys, MultiMatch, MultiMatchAny, NfcNormalize, PpmStats, RollingHash, ShingleHash64, ShingleUtf8, Sum128, TokenWindowHash64, TopKLargest, TopKPairs, WavRms}
+import graft.functions.{BpeEncode, BpeMergeStep, BpeTokenCount, ByteAtU8, ChunkHash60, DotProduct, JsonbDecode, MapChangedKeys, MultiMatch, MultiMatchAny, NfcNormalize, PpmStats, RollingHash, ShingleHash64, ShingleUtf8, Sum128, TokenWindowHash64, TopKLargest, TopKPairs, WavRms}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst
   * surface (SURVEY §7.4). Enable with:
@@ -100,7 +100,10 @@ object GraftExtensions {
       es => BpeEncode(es.head, es(1), es(2))),
     fn("bpe_merge_pair", classOf[BpeMergeStep], 3,
       "bpe_merge_pair(syms, l, r)")(
-      es => BpeMergeStep(es.head, es(1), es(2))))
+      es => BpeMergeStep(es.head, es(1), es(2))),
+    fn("bpe_token_count", classOf[BpeTokenCount], 3,
+      "bpe_token_count(text, lefts, rights)")(
+      es => BpeTokenCount(es.head, es(1), es(2))))
 
   /** Idempotently register the native functions on an EXISTING
     * session — the path for host applications whose SparkSession was

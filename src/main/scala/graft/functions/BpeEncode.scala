@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Compiled BPE merge-rule table — the serving-side kernel of
@@ -84,11 +84,10 @@ final class BpeRules(lefts: Array[String], rights: Array[String])
     }
   }
 
-  /** Encode one word: split to code-point symbols (matching Spark's
-    * `split(word, "")` — empty word ⇒ one empty symbol), then replay
-    * the rule table under the sequential contract. */
-  def encode(word: UTF8String): GenericArrayData = {
-    var syms = BpeRules.splitCodepoints(word.toString)
+  /** Shared encode core: code-point symbols after replaying the rule
+    * table under the sequential contract. */
+  private def encodeSyms(word: String): Array[String] = {
+    var syms = BpeRules.splitCodepoints(word)
     var cursor = 0
     var running = true
     while (running && syms.length >= 2) {
@@ -106,6 +105,14 @@ final class BpeRules(lefts: Array[String], rights: Array[String])
         cursor = best + 1
       }
     }
+    syms
+  }
+
+  /** Encode one word: split to code-point symbols (matching Spark's
+    * `split(word, "")` — empty word ⇒ one empty symbol), then replay
+    * the rule table under the sequential contract. */
+  def encode(word: UTF8String): GenericArrayData = {
+    val syms = encodeSyms(word.toString)
     val out = new Array[Any](syms.length)
     var i = 0
     while (i < syms.length) {
@@ -113,6 +120,31 @@ final class BpeRules(lefts: Array[String], rights: Array[String])
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** FUSED tokenize + encode + count over a whole document: split on
+    * runs of ' ' exactly like `split(trim(text), " +")` (spaces only
+    * — tabs/newlines stay inside tokens, matching
+    * TextFunctions.tokens), skip empty tokens, sum each token's
+    * encoded symbol count. One kernel dispatch per DOCUMENT — the
+    * composed `aggregate(tokens, …, size(bpe_encode(w)))` form pays
+    * an interpreted-lambda dispatch per TOKEN on the curation scan
+    * path. Spec-pinned equal to the composed form. */
+  def tokenCount(text: UTF8String): Long = {
+    val s = text.toString
+    val n = s.length
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == ' ') i += 1
+      else {
+        var j = i
+        while (j < n && s.charAt(j) != ' ') j += 1
+        total += encodeSyms(s.substring(i, j)).length.toLong
+        i = j
+      }
+    }
+    total
   }
 }
 
@@ -299,5 +331,57 @@ case class BpeMergeStep(first: Expression, second: Expression,
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): BpeMergeStep =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `bpe_token_count(text, lefts, rights)` → bigint: tokenize (space
+  * runs, matching `split(trim(text), " +")`), encode every token
+  * with the trained rule table, and sum the symbol counts — the
+  * curation pipeline's "how many tokens is this document" in ONE
+  * kernel dispatch per document. NULL text → NULL. Registered by
+  * [[graft.GraftExtensions]]. */
+case class BpeTokenCount(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        if (second.foldable && third.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "bpe_token_count rule arrays must be foldable (literal) — a " +
+            "vocabulary is fixed at plan time")
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        "bpe_token_count expects (string, array<string>, array<string>), " +
+          s"got (${a.simpleString}, ${b.simpleString}, ${c.simpleString})")
+    }
+
+  @transient private lazy val rules: BpeRules = {
+    def strings(e: Expression, side: String): Array[String] = {
+      val arr = e.eval().asInstanceOf[ArrayData]
+      require(arr != null, s"bpe_token_count $side rule array must not be null")
+      Array.tabulate(arr.numElements()) { i =>
+        val s = arr.getUTF8String(i)
+        require(s != null, s"bpe_token_count $side rules must not contain null")
+        s.toString
+      }
+    }
+    new BpeRules(strings(second, "left"), strings(third, "right"))
+  }
+
+  override def nullSafeEval(w: Any, l: Any, r: Any): Any =
+    rules.tokenCount(w.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRules", rules,
+      classOf[BpeRules].getName)
+    nullSafeCodeGen(ctx, ev, (w, _, _) =>
+      s"${ev.value} = $ref.tokenCount($w);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): BpeTokenCount =
     copy(first = newFirst, second = newSecond, third = newThird)
 }

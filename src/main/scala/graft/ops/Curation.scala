@@ -414,15 +414,17 @@ object Curation {
           .collect().map(r => (r.getString(0), r.getString(1))).toSeq
         Stage("bpe-tokenize", df => {
           graft.GraftExtensions.ensure(df.sparkSession)
-          val toks = TextFunctions.tokens(t)
-          // sum of per-word symbol counts; empty/null text → 0/null
-          df.withColumn(outCol,
-            when(t.isNull, lit(null).cast("long")).otherwise(
-              aggregate(
-                filter(toks, w => length(w) > 0),
-                lit(0L),
-                (acc, w) => acc +
-                  size(BpeTrain.encodeNative(w, rules)).cast("long"))))
+          // ONE fused kernel dispatch per document (tokenize +
+          // encode + count; null text → null) — the composed
+          // aggregate-over-tokens form pays an interpreted-lambda
+          // dispatch per token on this scan path
+          // an EMPTY vocab (all-unique corpus) still types the
+          // literal arrays as array<string>
+          def litArr(xs: Seq[String]) =
+            if (xs.isEmpty) array().cast("array<string>")
+            else array(xs.map(lit): _*)
+          df.withColumn(outCol, call_function("bpe_token_count", t,
+            litArr(rules.map(_._1)), litArr(rules.map(_._2))))
         }, streamable = true)
       case "bm25-retrieve" =>
         // lexical ranker over the corpus AS OF this pipeline point
@@ -470,6 +472,45 @@ object Curation {
           slots.put(slotName,
             Similarity.bruteForceTopK(vecs, "__emb", idCol,
               queryPred = col(idCol).isin(qids: _*), k = k)
+              .select(col("qid").cast("long").as("query_id"),
+                col("nid").cast("long").as("doc_id"),
+                col("rank").as("rnk")))
+          df
+        })
+      case "ann-index-retrieve" =>
+        // semantic ranker served from a PERSISTED IncrementalAnn
+        // index (create/appendBatch/compact are the maintenance
+        // actions): probes read only the ranked cells' partitions.
+        // Query vectors come from query-path parquet, or — for
+        // anchor ids that live in the index — from the index itself.
+        // The ranking is over the INDEX's corpus as of its last
+        // append, decoupled from this pipeline's flow (which passes
+        // through unchanged).
+        val slotName = conf.get("as").map(_.toString).getOrElse("sem")
+        val k = num("k", 20).toInt
+        val nProbe = num("n-probe", 2).toInt
+        val indexDir = str("index-dir")
+        val queryPath = conf.get("query-path").map(_.toString)
+        val qids = cols("query-ids").map(_.toLong)
+        require(queryPath.nonEmpty || qids.nonEmpty,
+          "ann-index-retrieve: need query-path or query-ids")
+        Stage("ann-index-retrieve", df => {
+          val queries = queryPath match {
+            case Some(p) =>
+              val embCol2 = conf.get("embedding-column")
+                .map(_.toString).getOrElse("embedding")
+              val embId2 = conf.get("embedding-id-column")
+                .map(_.toString).getOrElse("vec_id")
+              spark.read.parquet(p)
+                .select(col(embId2).as("__qid"), col(embCol2).as("__qv"))
+            case None =>
+              spark.read.parquet(s"$indexDir/vectors")
+                .filter(col("id").isin(qids: _*))
+                .select(col("id").as("__qid"), col("vec").as("__qv"))
+          }
+          slots.put(slotName,
+            IncrementalAnn.searchTopK(spark, queries, "__qv", "__qid",
+              indexDir, k = k, nProbe = nProbe)
               .select(col("qid").cast("long").as("query_id"),
                 col("nid").cast("long").as("doc_id"),
                 col("rank").as("rnk")))

@@ -113,6 +113,40 @@ class BpeEncodeSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("bpe_token_count == composed tokenize+encode+count, edge cases " +
+      "and randomized text included") {
+    val rules = Seq(("a", "b"), ("ab", "c"), ("x", "y"), ("é", "😀"))
+    def composed(texts: Seq[Option[String]]): Seq[Option[Long]] =
+      texts.toDF("t").select(
+        when($"t".isNull, lit(null).cast("long")).otherwise(
+          aggregate(
+            filter(graft.functions.TextFunctions.tokens($"t"),
+              w => length(w) > 0),
+            lit(0L),
+            (acc, w) => acc +
+              size(BpeTrain.encodeNative(w, rules)).cast("long")))
+          .as("n"))
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+        .toSeq
+    def fused(texts: Seq[Option[String]]): Seq[Option[Long]] =
+      texts.toDF("t").select(
+        call_function("bpe_token_count", $"t",
+          array(rules.map(p => lit(p._1)): _*),
+          array(rules.map(p => lit(p._2)): _*)).as("n"))
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+        .toSeq
+    val edge = Seq(Some("abc abc"), Some(""), Some("   "), None,
+      Some("  ab  c  "), Some("a\tb c"), Some("é😀 xy é😀é😀"),
+      Some("single"))
+    assert(fused(edge) == composed(edge), s"edge: ${fused(edge)}")
+    val rng = new scala.util.Random(19)
+    val alpha = "abcxy é😀\t"
+    val rand = (1 to 60).map(_ => Some(
+      (0 until rng.nextInt(25)).map(_ => alpha(rng.nextInt(alpha.length)))
+        .mkString))
+    assert(fused(rand) == composed(rand))
+  }
+
   test("non-foldable rule arrays are rejected loudly") {
     val e = intercept[Exception] {
       Seq(("ab", Seq("a")), ("cd", Seq("c"))).toDF("w", "ls")

@@ -318,6 +318,58 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ann-index-retrieve serves the persisted IVF index from TOML, " +
+      "matching a direct searchTopK call") {
+    val dir = Files.createTempDirectory("curate-annidx").toString
+    val in = s"$dir/docs.parquet"
+    Seq((1L, "alpha document body here"), (2L, "beta document body here"),
+      (3L, "gamma document body here"), (4L, "delta document body here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    // persisted index over a 12-vector corpus sharing the id space
+    val vecs = (1 to 12).map { i =>
+      val base = i % 4 match {
+        case 0 => Array(1.0f, 0.0f)
+        case 1 => Array(0.0f, 1.0f)
+        case 2 => Array(-1.0f, 0.0f)
+        case _ => Array(0.0f, -1.0f)
+      }
+      (i.toLong, Array(base(0) + 0.01f * i, base(1) + 0.005f * i))
+    }.toDF("vec_id", "embedding")
+    val idxDir = s"$dir/ann-index"
+    IncrementalAnn.create(spark, vecs, "embedding", "vec_id", idxDir,
+      nCells = 4)
+    val out = Files.createTempDirectory("curate-annidx-out").toString + "/c"
+    val config =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "ann-index-retrieve"
+         |as = "sem"
+         |k = 3
+         |n-probe = 2
+         |index-dir = "$idxDir"
+         |query-ids = ["1", "2"]
+         |[[stages]]
+         |type = "fuse"
+         |inputs = ["sem", "sem"]
+         |k = 3
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    graft.CurateMain.run(spark, config)
+    val got = spark.read.parquet(out)
+      .select($"query_id", $"rnk", $"doc_id").as[(Long, Int, Long)]
+      .collect().toSet
+    // fusing a ranking with itself preserves its order: the output
+    // must equal the direct index search's (qid, rank, nid)
+    val direct = IncrementalAnn.searchTopK(spark,
+      vecs.filter($"vec_id".isin(1L, 2L)), "embedding", "vec_id",
+      idxDir, k = 3, nProbe = 2)
+      .select($"qid", $"rank", $"nid").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(got == direct, s"got $got, direct $direct")
+  }
+
   test("a fuse stage naming a missing slot fails loudly at assembly") {
     val in = writeCorpus()
     val out = Files.createTempDirectory("curate-noslot").toString + "/c"
