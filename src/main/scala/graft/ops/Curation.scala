@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Exprs, TextFunctions}
@@ -61,8 +61,9 @@ object Curation {
     * Corpus-global stages (un-indexed dedup, span-scrub, un-ledgered
     * domain-cap/token-budget, validate-unique) are NOT — applied per
     * batch they would silently weaken to batch-local decisions, so
-    * the streaming runner refuses them loudly. */
-  /** `replacesFlow` marks stages whose output is a NEW relation
+    * the streaming runner refuses them loudly.
+    *
+    * `replacesFlow` marks stages whose output is a NEW relation
     * (fuse, hard-negatives) rather than a filtered/augmented view of
     * the incoming corpus: [[assemble]] must complete the corpus-side
     * funnel observations before such a stage discards the flow —
@@ -338,8 +339,24 @@ object Curation {
       case "token-budget" =>
         // quality-ordered global token budget — BandedScan.budgetFilter
         // (the banded two-pass prefix sum; shared with the
-        // pipe_token_budget query, which pins its plan shape)
+        // pipe_token_budget query, which pins its plan shape).
+        // With vocab-path the budget counts REAL tokenizer tokens
+        // (the fused bpe_token_count kernel over the trained merge
+        // table) instead of whitespace tokens — what a training-data
+        // budget actually means.
         val budget = lng("budget", sys.error("missing option budget"))
+        val tokCounter: Option[Column] =
+          conf.get("vocab-path").map { vp =>
+            graft.GraftExtensions.ensure(spark)
+            val rules = spark.read.parquet(vp.toString)
+              .orderBy(col("rank")).select(col("left"), col("right"))
+              .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+            def litArr(xs: Seq[String]) =
+              if (xs.isEmpty) array().cast("array<string>")
+              else array(xs.map(lit): _*)
+            call_function("bpe_token_count", t,
+              litArr(rules.map(_._1)), litArr(rules.map(_._2)))
+          }
         conf.get("state-dir") match {
           case Some(dir) =>
             // incremental mode: the ledger carries tokens already
@@ -350,7 +367,8 @@ object Curation {
               new java.util.concurrent.atomic.AtomicReference[DataFrame]()
             Stage("token-budget-state", df => {
               val admitted = IncrementalCuration.admitTokenBudget(
-                spark, df, textCol, idCol, dir.toString, budget)
+                spark, df, textCol, idCol, dir.toString, budget,
+                tokenCount = tokCounter)
               Option(pending.getAndSet(admitted)).foreach(CheckpointRelease.release)
               admitted.drop("__ntok")
             }, () => Option(pending.getAndSet(null)).foreach { a =>
@@ -362,8 +380,8 @@ object Curation {
           case None =>
             Stage("token-budget", df =>
               BandedScan.budgetFilter(
-                df.withColumn("__ntok",
-                  TextFunctions.tokenCount(t).cast("long"))
+                df.withColumn("__ntok", tokCounter.getOrElse(
+                  TextFunctions.tokenCount(t).cast("long")))
                   .withColumn("__q", TextFunctions.qualityScore(t)),
                 qualityCol = "__q", weightCol = "__ntok", tieCol = idCol,
                 budget = budget)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -125,7 +125,7 @@ object IncrementalCuration {
     * (the caller's postCommit appends it, then drops it). */
   def admitTokenBudget(spark: SparkSession, batch: DataFrame,
       textCol: String, idCol: String, stateDir: String,
-      budget: Long): DataFrame = {
+      budget: Long, tokenCount: Option[Column] = None): DataFrame = {
     val (hfs, p) = fsPath(spark, stateDir)
     val (novel, spent) =
       if (!hfs.exists(p)) (batch, 0L)
@@ -142,8 +142,8 @@ object IncrementalCuration {
     val remaining = math.max(0L, budget - spent)
     BandedScan.budgetFilter(
       novel
-        .withColumn("__ntok",
-          TextFunctions.tokenCount(col(textCol)).cast("long"))
+        .withColumn("__ntok", tokenCount.getOrElse(
+          TextFunctions.tokenCount(col(textCol)).cast("long")))
         .withColumn("__q", TextFunctions.qualityScore(col(textCol))),
       qualityCol = "__q", weightCol = "__ntok", tieCol = idCol,
       budget = remaining)
