@@ -27,7 +27,8 @@ class SampleConfigSpec extends SparkSpec {
 
   test("every CDC sample parses, names registered plugins, and assembles routes") {
     val cdcSamples = samples("-sample.toml")
-      .filterNot(_.getFileName.toString.startsWith("curate"))
+      .filterNot(p => p.getFileName.toString.startsWith("curate") ||
+        p.getFileName.toString.startsWith("hybrid-mining"))
     assert(cdcSamples.size >= 4)
     cdcSamples.foreach { p =>
       val cfg = PipelineConfig.fromToml(read(p))
@@ -61,5 +62,47 @@ class SampleConfigSpec extends SparkSpec {
     assert(compiled.map(_.name).distinct.size >= 10)
     assert(Toml.at(tree, "input.path").isDefined)
     assert(Toml.at(tree, "output.dir").isDefined)
+  }
+
+  test("the hybrid-mining sample's stages all compile (real fixtures " +
+      "substituted for the vocab/index placeholders)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the BPE stages load their vocabulary at COMPILE time by design
+    // (a tokenizer is fixed for a run), so the anti-rot check needs
+    // real fixture paths in place of the sample's /data placeholders
+    val tmp = java.nio.file.Files.createTempDirectory("sample-hybrid")
+    val vocabPath = s"$tmp/vocab.parquet"
+    Seq((1, "a", "b", "ab", 4L))
+      .toDF("rank", "left", "right", "merged", "freq")
+      .write.parquet(vocabPath)
+    val idxDir = s"$tmp/ann"
+    graft.ops.IncrementalAnn.create(spark,
+      (1 to 8).map(i => (i.toLong, Array(i.toFloat, 1.0f)))
+        .toDF("vec_id", "embedding"),
+      "embedding", "vec_id", idxDir, nCells = 2)
+    val text = read(docs.resolve("hybrid-mining-sample.toml"))
+      .replace("/data/vocab/bpe-32k.parquet", vocabPath)
+      .replace("/data/index/ann", idxDir)
+    val tree = Toml.parseTree(text)
+    val stages = Toml.tablesAt(tree, "stages")
+    assert(stages.size >= 6, s"expected the full pipeline, got ${stages.size}")
+    // one shared slot registry, like CurateMain
+    val compiled = graft.ops.Curation.compile(stages, "text", "doc_id", spark)
+    assert(compiled.map(_.name) == Seq("quality-filter", "bpe-tokenize",
+      "token-budget", "bm25-retrieve", "ann-index-retrieve",
+      "hard-negatives"), compiled.map(_.name))
+    // the mining tail replaces the corpus flow; the budget is batch-only
+    assert(compiled.last.replacesFlow)
+    assert(!compiled.exists(s => s.name == "token-budget" && s.streamable))
+    // and the sample's retrieval stages really run against the
+    // fixtures end-to-end (apply the chain on a tiny corpus)
+    val corpus = Seq((1L, "ab ab spark query engine"),
+      (2L, "tokenizer vocabulary training text"),
+      (3L, "unrelated body of words here")).toDF("doc_id", "text")
+    val mined = compiled.foldLeft(corpus)((df, s) => s.apply(df))
+    assert(mined.columns.toSeq ==
+      Seq("query_id", "doc_id", "sem_rank"))
+    mined.collect() // executes: slots resolve, index probes run
   }
 }
