@@ -147,9 +147,31 @@ object CurateMain {
   private def streamingMode(tree: Map[String, Any]): Boolean =
     Toml.at(tree, "input.stream").exists(_.toString.toBoolean)
 
+  /** Layout-dispatching index compaction (the `--compact-index`
+    * body): an IncrementalAnn dir carries `_graft_cells`, a dedup
+    * index `_graft_buckets` — the filesystem marker, not the
+    * operator's memory, decides. Returns the kind compacted. The
+    * marker check goes through the path's own Hadoop FS, like every
+    * other index access. */
+  def compactAnyIndex(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (hfs.exists(new org.apache.hadoop.fs.Path(p, "_graft_cells"))) {
+      graft.ops.IncrementalAnn.compact(spark, dir)
+      "ann"
+    } else {
+      graft.ops.IncrementalDedup.compactIndex(spark, dir)
+      "dedup"
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    // maintenance mode: compact a dedup index in place (collapse
-    // at-least-once replay duplicates, crash-safe swap) and exit
+    // maintenance mode: compact a persisted index in place (collapse
+    // at-least-once replay duplicates, crash-safe swap) and exit.
+    // The flag dispatches on the LAYOUT: an IncrementalAnn dir
+    // carries a `_graft_cells` marker, a dedup index `_graft_buckets`
+    // — one maintenance entry covers both, so an operator's replay
+    // runbook is the same command either way.
     if (args.contains("--compact-index")) {
       val dir = args.sliding(2).collectFirst {
         case Array("--compact-index", d) if !d.startsWith("--") => d
@@ -158,10 +180,10 @@ object CurateMain {
         .master(sys.props.getOrElse("spark.master", "local[*]"))
         .config("spark.ui.enabled", "false").getOrCreate()
       try {
-        graft.ops.IncrementalDedup.compactIndex(spark, dir)
+        val kind = compactAnyIndex(spark, dir)
         // escape: the dir is user input inside a JSON-line contract
         val esc = dir.replace("\\", "\\\\").replace("\"", "\\\"")
-        println(s"""{"compacted_index":"$esc"}""")
+        println(s"""{"compacted_index":"$esc","kind":"$kind"}""")
       } finally spark.stop()
       return
     }

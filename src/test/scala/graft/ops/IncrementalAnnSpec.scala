@@ -196,6 +196,32 @@ class IncrementalAnnSpec extends SparkSpec {
     assert(n == 24 + 8, s"expected 32 unique rows, got $n")
   }
 
+  test("the CLI maintenance entry dispatches on the layout marker: " +
+      "ann vs dedup index, one command") {
+    // ANN layout → IncrementalAnn.compact
+    val annDir = newDir()
+    val c = corpus()
+    IncrementalAnn.create(spark, c, "embedding", "vec_id", annDir,
+      nCells = 4)
+    val b = corpus(n = 4, offset = 50L)
+    IncrementalAnn.appendBatch(spark, b, "embedding", "vec_id", annDir)
+    IncrementalAnn.appendBatch(spark, b, "embedding", "vec_id", annDir)
+    assert(graft.CurateMain.compactAnyIndex(spark, annDir) == "ann")
+    assert(spark.read.parquet(s"$annDir/vectors").count() == 28)
+    // dedup layout → IncrementalDedup.compactIndex
+    import spark.implicits._
+    val dedupDir = newDir()
+    val batch = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val novel = IncrementalDedup.novel(spark, batch, "text", "doc_id",
+      dedupDir)
+    IncrementalDedup.appendFpRows(spark,
+      novel.select($"fp", $"bucket", $"doc_id".as("keep_id")), dedupDir)
+    IncrementalDedup.appendFpRows(spark,
+      novel.select($"fp", $"bucket", $"doc_id".as("keep_id")), dedupDir)
+    assert(graft.CurateMain.compactAnyIndex(spark, dedupDir) == "dedup")
+    assert(spark.read.parquet(dedupDir).count() == 2)
+  }
+
   test("compact on a never-replayed index is a semantic no-op") {
     val dir = newDir()
     val c = corpus()
