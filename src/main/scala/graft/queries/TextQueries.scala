@@ -259,8 +259,10 @@ object TextQueries {
     // production-tokenizer shape). 1200 merges at real-vocabulary
     // scale; deterministic (exact integer counts, code-point tie
     // order), so the output table is stable across partitionings.
-    // Training rounds are inherently sequential — not one SQL query —
-    // so this rides the rows-only check; the algorithm itself is
+    // Training rounds are inherently sequential, but DuckDB's
+    // recursive CTE carries the trainer state one iteration per row,
+    // so the gate hash-checks this against a full second
+    // implementation (sqlBpeTrainCte); the algorithm is additionally
     // pinned by BpeTrainSpec's three-way differential (local ==
     // distributed delta == full recount == textbook reference).
     "text_bpe_vocab" -> ((s, dir) => {
@@ -465,6 +467,32 @@ object TextQueries {
         .orderBy(id)
     }),
 
+    // REAL PNG raster decode with JDK-only zlib (functions/PngStats):
+    // each row builds a REAL compressed PNG — genuine Deflater IDAT
+    // stream split across two chunks, CRC32'd chunks, scanline y
+    // filtered with type y%5 so every image exercises all five PNG
+    // filters — over the SAME doc_id raster arithmetic as the PPM
+    // fixture, then the engine decodes the bytes back: chunk walk →
+    // Inflater → per-scanline un-filter → exact channel sums. The
+    // oracle recomputes the sums from the generator arithmetic, so
+    // agreement proves the whole encode→inflate→unfilter path
+    // reconstructed the raster (and PngStatsSpec pins the decoder
+    // against the JDK's independent ImageIO codec both directions).
+    "multimodal_png_stats" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val id = col("doc_id")
+      docs(s, dir).select(id,
+          call_function("png_stats", call_function("png_fixture",
+            id.cast("long"),
+            (pmod(id, lit(12)) + 7).cast("int"),
+            (pmod(id, lit(6)) + 5).cast("int"))).as("st"))
+        .select(id, col("st.width").as("width"),
+          col("st.height").as("height"), col("st.n_pix").as("n_pix"),
+          col("st.r_sum").as("r_sum"), col("st.g_sum").as("g_sum"),
+          col("st.b_sum").as("b_sum"))
+        .orderBy(id)
+    }),
+
     // Unicode NFC normalization (functions/NfcNormalize — the stage
     // that must run BEFORE hash dedup/shingling: composed vs
     // decomposed accents are byte-different, render-identical
@@ -644,7 +672,151 @@ object TextQueries {
       |       ELSE '?' || array_to_string(kept, '&') END AS canon
       |  FROM k)""".stripMargin
 
+  /** DuckDB second-implementation BPE trainer: a recursive CTE whose
+    * working table is ONE row carrying the whole trainer state (the
+    * word table as a list column + the rule just emitted). Each
+    * iteration re-derives adjacent-pair counts with list lambdas
+    * (sort + run-length fold = the GROUP BY), picks the best pair
+    * under the exact trainer tie-break (freq DESC, left ASC, right
+    * ASC — DuckDB VARCHAR order is binary UTF-8 = code-point order,
+    * matching Spark UTF8String), and rewrites every word with one
+    * left-to-right non-overlapping merge pass (list_reduce; after a
+    * merge the new tail symbol is left||right ≠ left, so the fold
+    * cannot re-merge into a just-merged token — the same argument
+    * that makes BpeTrain.mergePair's justMerged flag redundant).
+    * Stops when the best pair's count < 2 or maxMerges is reached —
+    * BpeTrain.train's contract, derived independently from the
+    * trainer's documented semantics, NOT from its code path. The
+    * corpus feeding it is ~30 distinct words, so the single-row
+    * state stays tiny at every scale factor. */
+  private[queries] def sqlBpeTrainCte(maxMerges: Int): String =
+    s"""WITH RECURSIVE
+       |wc AS (
+       |  SELECT w AS word, count(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest($sqlToks) AS w FROM documents)
+       |  WHERE len(w) > 0
+       |  GROUP BY w
+       |),
+       |init AS (
+       |  SELECT list({'s': string_split(word, ''), 'c': cnt}
+       |              ORDER BY word) AS words
+       |  FROM wc
+       |),
+       |bpe AS (
+       |  SELECT 0 AS rnk, words,
+       |         CAST(NULL AS STRUCT(l VARCHAR, r VARCHAR, f BIGINT)) AS rule
+       |  FROM init
+       |  UNION ALL
+       |  SELECT rnk + 1,
+       |         list_transform(words, w -> CASE WHEN len(w.s) < 2 THEN w ELSE
+       |           {'s': list_reduce(list_transform(w.s, x -> [x]),
+       |                   (acc, x) -> CASE WHEN acc[-1] = best.l AND x[1] = best.r
+       |                               THEN acc[:len(acc)-1] || [best.l || best.r]
+       |                               ELSE acc || x END),
+       |            'c': w.c} END),
+       |         best
+       |  FROM (
+       |    SELECT rnk, words,
+       |      CASE WHEN len(grouped) = 0 THEN NULL ELSE
+       |        {'l': list_sort(list_transform(grouped,
+       |                g -> {'nf': -g.f, 'l': g.l, 'r': g.r}))[1].l,
+       |         'r': list_sort(list_transform(grouped,
+       |                g -> {'nf': -g.f, 'l': g.l, 'r': g.r}))[1].r,
+       |         'f': -list_sort(list_transform(grouped,
+       |                g -> {'nf': -g.f, 'l': g.l, 'r': g.r}))[1].nf}
+       |      END AS best
+       |    FROM (
+       |      SELECT rnk, words,
+       |        CASE WHEN len(pairs) = 0
+       |          THEN CAST([] AS STRUCT(l VARCHAR, r VARCHAR, f BIGINT)[])
+       |          ELSE list_reduce(
+       |            list_transform(list_sort(pairs),
+       |              p -> [{'l': p.l, 'r': p.r, 'f': p.c}]),
+       |            (acc, x) -> CASE
+       |              WHEN acc[-1].l = x[1].l AND acc[-1].r = x[1].r
+       |              THEN acc[:len(acc)-1] ||
+       |                [{'l': x[1].l, 'r': x[1].r, 'f': acc[-1].f + x[1].f}]
+       |              ELSE acc || x END)
+       |        END AS grouped
+       |      FROM (
+       |        SELECT rnk, words,
+       |          flatten(list_transform(words, w ->
+       |            list_transform(range(1, len(w.s)),
+       |              i -> {'l': w.s[i], 'r': w.s[i+1], 'c': w.c}))) AS pairs
+       |        FROM bpe
+       |      )
+       |    )
+       |  )
+       |  WHERE rnk < $maxMerges AND best.f >= 2
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "text_bpe_vocab" ->
+      (sqlBpeTrainCte(1200) +
+        """
+          |SELECT rnk::INTEGER AS rank, rule.l AS "left", rule.r AS "right",
+          |  rule.l || rule.r AS merged, rule.f AS freq
+          |FROM bpe WHERE rnk >= 1 ORDER BY rank""".stripMargin),
+    // train 40 rules, then encode each DISTINCT word by replaying the
+    // rule table in rank order (one merge pass per rule — the
+    // sequential contract applyMerges/bpe_encode implement), and join
+    // the per-word token counts back to the exploded corpus
+    "text_bpe_encode" ->
+      (sqlBpeTrainCte(40) +
+        s""",
+           |rules AS (
+           |  SELECT list({'l': rule.l, 'r': rule.r} ORDER BY rnk) AS rl
+           |  FROM bpe WHERE rnk >= 1
+           |),
+           |dw AS (
+           |  SELECT DISTINCT w
+           |  FROM (SELECT unnest($sqlToks) AS w FROM documents)
+           |  WHERE len(w) > 0
+           |),
+           |enc AS (
+           |  SELECT w, len(
+           |    list_reduce(
+           |      [CAST({'s': string_split(w, ''), 'l': NULL, 'r': NULL}
+           |            AS STRUCT(s VARCHAR[], l VARCHAR, r VARCHAR))] ||
+           |      list_transform(rl, q -> {'s': NULL, 'l': q.l, 'r': q.r}),
+           |      (acc, x) -> {'s': CASE WHEN len(acc.s) < 2 THEN acc.s ELSE
+           |          list_reduce(list_transform(acc.s, y -> [y]),
+           |            (a2, y) -> CASE WHEN a2[-1] = x.l AND y[1] = x.r
+           |                       THEN a2[:len(a2)-1] || [x.l || x.r]
+           |                       ELSE a2 || y END) END,
+           |        'l': NULL, 'r': NULL}
+           |    ).s)::BIGINT AS n_tok
+           |  FROM dw, rules
+           |),
+           |docw AS (
+           |  SELECT doc_id, unnest($sqlToks) AS w FROM documents
+           |)
+           |SELECT d.doc_id, count(*)::BIGINT AS n_words,
+           |  CAST(sum(e.n_tok) AS BIGINT) AS n_bpe_tokens
+           |FROM docw d JOIN enc e ON d.w = e.w
+           |WHERE len(d.w) > 0
+           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+    // same generator arithmetic as the PPM oracle, different height
+    // modulus (h = id%6+5 keeps every fixture ≥ 5 rows so all five
+    // PNG filter types appear in every image)
+    "multimodal_png_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(doc_id % 12 + 7 AS BIGINT) AS w,
+        |    CAST(doc_id % 6 + 5 AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pix,
+        |  CAST(list_sum(list_transform(range(0, w*h*3),
+        |    j -> CASE WHEN j % 3 = 0 THEN (doc_id*7 + j*13) % 256
+        |         ELSE 0 END)) AS BIGINT) AS r_sum,
+        |  CAST(list_sum(list_transform(range(0, w*h*3),
+        |    j -> CASE WHEN j % 3 = 1 THEN (doc_id*7 + j*13) % 256
+        |         ELSE 0 END)) AS BIGINT) AS g_sum,
+        |  CAST(list_sum(list_transform(range(0, w*h*3),
+        |    j -> CASE WHEN j % 3 = 2 THEN (doc_id*7 + j*13) % 256
+        |         ELSE 0 END)) AS BIGINT) AS b_sum
+        |FROM d ORDER BY doc_id""".stripMargin,
     "multimodal_ppm_stats" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(doc_id % 12 + 7 AS BIGINT) AS w,
