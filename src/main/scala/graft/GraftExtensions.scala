@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeEncode, BpeMergeStep, BpeTokenCount, ByteAtU8, ChunkHash60, DotProduct, JsonbDecode, MapChangedKeys, MultiMatch, MultiMatchAny, NfcNormalize, PpmStats, RollingHash, ShingleHash64, ShingleUtf8, Sum128, TokenWindowHash64, TopKLargest, TopKPairs, WavRms}
+import graft.functions.{BpeEncode, BpeMergeStep, BpeTokenCount, ByteAtU8, ChunkHash60, DotProduct, JsonbDecode, MapChangedKeys, MultiMatch, MultiMatchAny, NfcNormalize, PngFixture, PngStats, PpmStats, RollingHash, ShingleHash64, ShingleUtf8, Sum128, TokenWindowHash64, TopKLargest, TopKPairs, WavRms}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst
   * surface (SURVEY §7.4). Enable with:
@@ -70,6 +70,10 @@ object GraftExtensions {
       es => PpmStats(es.head)),
     fn("wav_rms", classOf[WavRms], 1, "wav_rms(blob)")(
       es => WavRms(es.head)),
+    fn("png_stats", classOf[PngStats], 1, "png_stats(blob)")(
+      es => PngStats(es.head)),
+    fn("png_fixture", classOf[PngFixture], 3, "png_fixture(id, w, h)")(
+      es => PngFixture(es.head, es(1), es(2))),
     fn("topk_largest", classOf[TopKLargest], 2, "topk_largest(value, k)")(
       es => TopKLargest(es.head, es(1))),
     fn("rolling_hash", classOf[RollingHash], 1, "rolling_hash(s)")(
