@@ -61,6 +61,15 @@ object BpeTrain {
     * driver heap while covering any natural-language vocabulary. */
   val LocalWordLimit: Long = 2000000L
 
+  /** Second local-path gate: total WORD CHARACTERS. Row count alone
+    * under-estimates the driver footprint on high-pair-cardinality
+    * corpora (CJK/unicode): the inverted pair→occurrences index is
+    * proportional to total adjacent symbol positions (≤ total chars),
+    * not to row count. 64M chars × ~16 B/position keeps the index
+    * around 1 GB worst-case; larger corpora take the distributed
+    * delta trainer. */
+  val LocalCharLimit: Long = 64000000L
+
   /** Corpus → (word, weight): the one data-proportional stage. */
   def wordCounts(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
@@ -76,11 +85,18 @@ object BpeTrain {
     require(merges > 0, s"bpe: merges must be positive, got $merges")
     val spark = wordCounts.sparkSession
     import spark.implicits._
-    // the count re-runs the wordCounts aggregate once; the local
+    // the stats pass re-runs the wordCounts aggregate once; the local
     // path then collects it — two passes over a bounded table, vs
-    // collecting an unbounded one blind
-    val n = wordCounts.count()
-    if (n <= localWordLimit) {
+    // collecting an unbounded one blind. The char sum gates the
+    // pair-occurrence index (∝ adjacent positions), which row count
+    // alone under-estimates on high-pair-cardinality corpora.
+    val stats = wordCounts
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(length(col("word"))), lit(0L)).as("chars"))
+      .collect().head
+    val n = stats.getLong(0)
+    val chars = stats.getLong(1)
+    if (n <= localWordLimit && chars <= LocalCharLimit) {
       val rows = wordCounts
         .select(col("word").cast("string"), col("cnt").cast("long"))
         .collect()
@@ -206,7 +222,15 @@ object BpeTrain {
         }
       }
     val pairCount = mutable.HashMap.empty[(String, String), Long]
-    val occ = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // occurrences as GROWABLE Int buffers, not BitSets: a BitSet is
+    // sized by its highest set bit (a rare pair first seen near the
+    // word-table tail would cost O(nWords/8) bytes on its own), so on
+    // high-pair-cardinality corpora the index was O(pairs × words)
+    // worst-case. Buffers are O(total adjacent positions) across ALL
+    // pairs. Entries may repeat a word index after re-adds — the
+    // stale-entry holds() check at use makes duplicates a skip, never
+    // a double merge (mergeOnce removes every occurrence at once).
+    val occ = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
     val sel = mutable.TreeSet.empty[(Long, String, String)]
 
     def bump(p: (String, String), d: Long): Unit = {
@@ -216,7 +240,10 @@ object BpeTrain {
       if (nu != 0L) {
         pairCount(p) = nu
         sel.add((nu, p._1, p._2))
-      } else pairCount.remove(p)
+      } else {
+        pairCount.remove(p)
+        occ.remove(p) // dead pair: drop its occurrence list too
+      }
     }
     def addPairs(i: Int, sign: Long): Unit = {
       val s = syms(i)
@@ -225,7 +252,7 @@ object BpeTrain {
         val p = (s(k), s(k + 1))
         bump(p, sign * cnt(i))
         if (sign > 0)
-          occ.getOrElseUpdate(p, mutable.BitSet.empty) += i
+          occ.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int]) += i
         k += 1
       }
     }

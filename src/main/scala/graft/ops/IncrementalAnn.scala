@@ -82,6 +82,7 @@ object IncrementalAnn {
   }
 
   private def readCells(spark: SparkSession, dir: String): Int = {
+    recoverInterruptedSwap(spark, dir)
     val (hfs, p) = fs(spark, dir)
     val marker = new org.apache.hadoop.fs.Path(p, "_graft_cells")
     require(hfs.exists(marker), s"no IVF index at $dir (missing _graft_cells)")
@@ -90,18 +91,35 @@ object IncrementalAnn {
     finally in.close()
   }
 
+  /** Self-heal an interrupted [[compact]] swap (crash between the two
+    * renames leaves `vectors.old` but no `vectors/`) on ANY index
+    * open, not only the next compact() — every consumer goes through
+    * [[readCells]], so a torn swap never surfaces as a missing-dir
+    * read error that waits for an operator to re-run compact. */
+  private def recoverInterruptedSwap(spark: SparkSession,
+      dir: String): Unit = {
+    val (hfs, p) = fs(spark, s"$dir/vectors")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/vectors.old")
+    if (!hfs.exists(p) && hfs.exists(old))
+      require(hfs.rename(old, p), s"failed to recover $dir/vectors from .old")
+  }
+
   /** Train centroids on `corpus` (Lloyd rounds over deterministic
     * seeds — [[Similarity.kmeansRefine]]) and write the index.
     * This IS the retrain/retune action: on an existing index it
     * overwrites centroids, vectors, AND the cell-count marker (so
     * retuning nCells needs no manual `_graft_cells` surgery). The
-    * marker commits LAST — a create() that dies mid-train leaves no
-    * marker on a fresh dir, so readCells() correctly refuses the
-    * half-built index instead of treating a marker-only directory
-    * as valid. */
+    * marker is deleted FIRST and committed LAST: a create() that
+    * dies anywhere in between — fresh dir OR re-create over an
+    * existing index — leaves no marker, so readCells() refuses the
+    * torn state loudly instead of silently probing new centroids
+    * against old cell-partitioned vectors. */
   def create(spark: SparkSession, corpus: DataFrame, vecCol: String,
       idCol: String, dir: String, nCells: Int = 16,
       rounds: Int = 1): Unit = {
+    val (hfs, p) = fs(spark, dir)
+    val marker = new org.apache.hadoop.fs.Path(p, "_graft_cells")
+    if (hfs.exists(marker)) hfs.delete(marker, false)
     val cents = Similarity.kmeansRefine(corpus, vecCol, idCol,
       nCells, rounds)
     cents.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
@@ -135,6 +153,7 @@ object IncrementalAnn {
     * whose ingest outran the training. */
   def staleness(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    readCells(spark, dir) // marker check + torn-swap self-heal
     val vectors = spark.read.parquet(s"$dir/vectors")
     val cents = spark.read.parquet(s"$dir/centroids")
       .select(col("cid"), col("cvec"), norm(col("cvec")).as("cn"))
@@ -206,6 +225,7 @@ object IncrementalAnn {
   def searchTopK(spark: SparkSession, queries: DataFrame, vecCol: String,
       idCol: String, dir: String, k: Int, nProbe: Int = 2): DataFrame = {
     graft.GraftExtensions.ensure(spark)
+    readCells(spark, dir) // marker check + torn-swap self-heal
     val cents = spark.read.parquet(s"$dir/centroids")
       .select(col("cid"), col("cvec"), norm(col("cvec")).as("cn"))
     val qprobe = queries
