@@ -37,6 +37,11 @@ import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LateralJoin, Lo
   * (Cast.USER_SPECIFIED_CAST) was considered and rejected: it would
   * wave the wrong-results plan through.
   *
+  * Upstream: a prepared Apache JIRA report (full public-API repro +
+  * plan analysis) is at `docs/spark-lateral-limit-bug-report.md` —
+  * file it when a connected machine is available and link the issue
+  * id here; this guard retires when the fix ships.
+  *
   * An engine whose contract is oracle-exact answers must never let a
   * plan that returns wrong DATA through silently, so this analysis
   * check rule rejects exactly the hazardous shape — a LateralJoin
