@@ -116,7 +116,11 @@ object CurateMain {
           // partition instead of appending duplicates (foreachBatch
           // is at-least-once; a plain append would double-admit —
           // the column doubles as ingestion provenance).
-          val (curated, observations) = Curation.assemble(batch, stages)
+          // assembleStaged, not assemble: observe() instrumentation
+          // is unreliable across the stage-internal actions of a
+          // multi-micro-batch query (see Curation.assembleStaged's
+          // doc; CurationMultiBatchSpec pins this path)
+          val (curated, taps) = Curation.assembleStaged(batch, stages)
           val parts = Seq("__ingest_batch") ++ partitionBy.toSeq
           curated
             .withColumn("__ingest_batch",
@@ -124,10 +128,13 @@ object CurateMain {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(parts: _*).parquet(outDir)
-          stages.foreach(_.postCommit())
-          perBatch(batchId) = observations.map { case (name, ob) =>
-            name -> ob.get.apply("n").asInstanceOf[Long]
+          // funnel counts BEFORE postCommit: postCommit may release
+          // the index stages' materialized frames, and counting them
+          // afterwards would re-run the index lookups
+          perBatch(batchId) = taps.map { case (name, df) =>
+            name -> df.count()
           }
+          stages.foreach(_.postCommit())
           ()
         }
         .start()

@@ -589,7 +589,7 @@ object Curation {
     val obs0 = new Observation("stage_00_input")
     var df = corpus.observe(obs0, count(lit(1)).as("n"))
     val observations = Seq.newBuilder[(String, Observation)]
-    // funnel keys = the observations' unique indexed names: a stage
+    // funnel keys = the stages' unique indexed names: a stage
     // type appearing twice (two quality-filters at different
     // thresholds) must not collapse into one JSON key downstream
     observations += ("stage_00_input" -> obs0)
@@ -613,5 +613,35 @@ object Curation {
       observations += (name -> ob)
     }
     (df, observations.result())
+  }
+
+  /** Stream-path funnel assembly: the SAME stage chain, but the
+    * intermediate frames are captured for EXPLICIT counting after
+    * the batch's output write instead of `observe()` instrumentation.
+    *
+    * Why not observe() here like the batch path: inside one
+    * streaming query's foreachBatch, stage-internal actions (the
+    * index-backed dedups materialize their lookups) can execute a
+    * plan that carries a later stage's CollectMetrics node without
+    * reporting physical metrics for it — Spark's ObservationManager
+    * then completes that Observation with Row.empty (its
+    * optimized-away fallback), and the funnel read dies with
+    * `key not found: n`. Found by the round-11 sf1 soak on the first
+    * multi-micro-batch run; regression-pinned by
+    * CurationMultiBatchSpec. Explicit counts re-execute only the
+    * row-local filter segments (the index stages return MATERIALIZED
+    * frames), so the cost is a couple of extra scans of one
+    * micro-batch — and the numbers are the same deterministic counts
+    * the observe() form reports in batch mode. */
+  def assembleStaged(corpus: DataFrame, stages: Seq[Stage])
+      : (DataFrame, Seq[(String, DataFrame)]) = {
+    var df = corpus
+    val taps = Seq.newBuilder[(String, DataFrame)]
+    taps += ("stage_00_input" -> df)
+    stages.zipWithIndex.foreach { case (s, i) =>
+      df = s.apply(df)
+      taps += (f"stage_${i + 1}%02d_${s.name}" -> df)
+    }
+    (df, taps.result())
   }
 }

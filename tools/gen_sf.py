@@ -130,6 +130,38 @@ for i in range(nDoc):
 # exact dups: ~0.2% of docs repeat an earlier text
 for j in rng.integers(1, nDoc, max(1, nDoc // 500)):
     texts[j] = texts[j // 2]
+
+# Optional REALISTIC-vocabulary variant (3rd CLI arg "zipf50k"): the
+# default 31-word vocabulary makes every 3-shingle corpus-hot — the
+# adversarially DENSE regime for the inverted-index dedup family
+# (SCALE.md caveat). This mode swaps ONLY the texts for a Zipf-
+# weighted 50K-word vocabulary (the sparse regime real web corpora
+# live in); an INDEPENDENT rng keeps every other table byte-identical
+# to the default run, so dense-vs-sparse measurements differ in text
+# statistics alone. Words are pronounceable-ish base-20 encodings of
+# their rank so lengths (2..8 chars) and characters vary.
+if len(sys.argv) > 3 and sys.argv[3] == "zipf50k":
+    V = 50000
+    rng2 = np.random.default_rng(777)
+    cons = "bcdfghjklmnpqrstvwxz"
+    vow = "aeiou"
+    def mkword(r):
+        # CV syllables from the rank digits: distinct per rank
+        w, n = [], r
+        while True:
+            w.append(cons[n % 20]); n //= 20
+            w.append(vow[n % 5]); n //= 5
+            if n == 0:
+                break
+        return "".join(w) + ("x" if r % 7 == 0 else "")
+    vocab50 = np.array([mkword(r) for r in range(V)])
+    p = 1.0 / np.power(np.arange(1, V + 1), 1.07)
+    p /= p.sum()
+    texts = []
+    for i in range(nDoc):
+        texts.append(" ".join(vocab50[rng2.choice(V, nw[i], p=p)]))
+    for j in rng2.integers(1, nDoc, max(1, nDoc // 500)):
+        texts[j] = texts[j // 2]
 n_chars = np.array([len(t) for t in texts], np.int64)
 write("documents", pa.table({
     "doc_id": pa.array(range(nDoc), pa.int64()),
