@@ -171,7 +171,11 @@ object TextQueries {
       // null text keeps a NULL shingle count (the oracle's len(NULL)
       // and the pre-kernel size(shingles()) both yield NULL —
       // greatest() alone would skip the null and report 0)
-      docs(s, dir).select(col("doc_id"),
+      // sort (id, text) FIRST so the shingle kernel runs once, above
+      // the exchange (see multimodal_ppm_stats)
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"),
           when(col("text").isNotNull,
             greatest(size(TextFunctions.tokens(col("text"))) - 2, lit(0)))
             .as("n_shingles"),
@@ -182,7 +186,6 @@ object TextQueries {
             lit(1.0) - col("n_unique").cast("double")
               / col("n_shingles").cast("double"))
             .otherwise(lit(0.0)).as("rep_ratio"))
-        .orderBy(col("doc_id"))
     }),
 
     // MassiveText-style top-n-gram coverage: the fraction of a doc's
@@ -363,7 +366,8 @@ object TextQueries {
       // ATTRIBUTE of the previous one, and CollapseProject keeps the
       // stages separate because the referenced aliases are non-cheap
       // and used more than once.
-      docs(s, dir).select(id, blob.as("blob"))
+      docs(s, dir).select(id).orderBy(id) // narrow sort below the build
+        .select(id, blob.as("blob"))
         .select(id, Multimodal.headerDecode(col("blob")).as("hdr"))
         .select(id,
           col("hdr.mime").as("mime"),
@@ -372,7 +376,6 @@ object TextQueries {
           col("hdr.n_frames").as("n_frames"),
           col("hdr.sample_rate").as("sample_rate"),
           col("hdr.channels").as("channels"))
-        .orderBy(id)
     })
     ,
     // multimodal: REAL per-sample audio feature extraction. Each row
@@ -395,9 +398,9 @@ object TextQueries {
         repeat(le16(amp), nSamp.cast("int")))
       // staged projections (see multimodal_real_header: keeps the
       // plan small instead of duplicating the construction tree)
-      docs(s, dir).select(id, unhex(wavHex).as("blob"))
+      docs(s, dir).select(id).orderBy(id) // narrow sort below the build
+        .select(id, unhex(wavHex).as("blob"))
         .select(id, call_function("wav_rms", col("blob")).as("rms"))
-        .orderBy(id)
     }),
 
     // URL canonicalization (crawl-dedup stage 0): each row builds a
@@ -458,13 +461,19 @@ object TextQueries {
       val rasterHex = array_join(transform(sequence(lit(0L), n - 1),
         j => lpad(hex(pmod(id * 7 + j * 13, lit(256))), 2, "0")), "")
       val blob = unhex(concat(hex(header), rasterHex))
-      docs(s, dir).select(id, blob.as("blob"))
+      // NARROW sort first, kernels above it: orderBy-last would make
+      // the range partitioner's sampling pass evaluate the blob
+      // build + decode a second time — measured 3.9 s of the 27 s
+      // sf3 point before this rewrite (the r7 cdc-payload lesson,
+      // SCALE.md; sampling is only free when an AQE-materialized
+      // exchange sits between the kernel and the sort)
+      docs(s, dir).select(id).orderBy(id)
+        .select(id, blob.as("blob"))
         .select(id, Multimodal.ppmStats(col("blob")).as("st"))
         .select(id, col("st.width").as("width"),
           col("st.height").as("height"), col("st.n_pix").as("n_pix"),
           col("st.r_sum").as("r_sum"), col("st.g_sum").as("g_sum"),
           col("st.b_sum").as("b_sum"))
-        .orderBy(id)
     }),
 
     // REAL PNG raster decode with JDK-only zlib (functions/PngStats):
@@ -481,7 +490,9 @@ object TextQueries {
     "multimodal_png_stats" -> ((s, dir) => {
       graft.GraftExtensions.ensure(s)
       val id = col("doc_id")
-      docs(s, dir).select(id,
+      // narrow sort below the kernels (see multimodal_ppm_stats)
+      docs(s, dir).select(id).orderBy(id)
+        .select(id,
           call_function("png_stats", call_function("png_fixture",
             id.cast("long"),
             (pmod(id, lit(12)) + 7).cast("int"),
@@ -490,7 +501,6 @@ object TextQueries {
           col("st.height").as("height"), col("st.n_pix").as("n_pix"),
           col("st.r_sum").as("r_sum"), col("st.g_sum").as("g_sum"),
           col("st.b_sum").as("b_sum"))
-        .orderBy(id)
     }),
 
     // Unicode NFC normalization (functions/NfcNormalize — the stage
