@@ -12,5 +12,34 @@ import org.apache.spark.storage.StorageLevel
   * cached data" on every run. */
 private[graft] object Caching {
   def cacheOnce(df: DataFrame): DataFrame =
-    if (df.storageLevel == StorageLevel.NONE) df.cache() else df
+    if (df.storageLevel == StorageLevel.NONE) {
+      val cached = df.cache()
+      // a frame first cached inside an open scope belongs to that
+      // scope; already-cached frames no-op above and never enter it
+      ledger.get().lastOption.foreach(_ += cached)
+      cached
+    } else df
+
+  /** Scoped release for a RESIDENT service embedding these operators
+    * (r10 verdict note: cacheOnce'd shingle/pass tables accumulate
+    * across a long session — harmless under the bench, where Spark's
+    * MEMORY_AND_DISK LRU evicts, but a long-lived host may want the
+    * storage back deterministically). Unpersists every frame FIRST
+    * cached through [[cacheOnce]] during `body` (same thread),
+    * including on failure; frames cached before the scope are left
+    * alone. Scopes nest — each releases only its own frames. */
+  def scoped[T](body: => T): T = {
+    val mine = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    ledger.get() += mine
+    try body
+    finally {
+      ledger.get() -= mine
+      mine.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  private val ledger = ThreadLocal.withInitial[
+    scala.collection.mutable.ArrayBuffer[
+      scala.collection.mutable.ArrayBuffer[DataFrame]]](
+    () => scala.collection.mutable.ArrayBuffer.empty)
 }
