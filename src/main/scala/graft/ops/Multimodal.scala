@@ -86,6 +86,10 @@ object Multimodal {
   def isPpm(blob: Column): Column =
     substring(blob, 1, 2) === lit("P6".getBytes)
 
+  /** MP4 / ISO-BMFF probe: an `ftyp` box first (bytes 5-8). */
+  def isMp4(blob: Column): Column =
+    substring(blob, 5, 4) === lit("ftyp".getBytes)
+
   /** Unsigned byte at a COLUMN position (1-based). */
   private def u8c(blob: Column, pos: Column): Column =
     call_function("byte_at_u8", blob, pos.cast(IntegerType)).cast(LongType)
@@ -234,17 +238,35 @@ object Multimodal {
       when(isWav(blob), wavCh).otherwise(nullI).as("channels"))
   }
 
+  /** REAL MP4 / ISO-BMFF metadata — the full box walk (ftyp/moov/
+    * mvhd/trak/tkhd/hdlr/stsd/stts, 32/64-bit sizes, v0/v1 FullBoxes)
+    * as a native scan-stage kernel. See [[graft.functions.Mp4Meta]];
+    * requires [[graft.GraftExtensions]] functions on the session. */
+  def mp4Meta(blob: Column): Column = call_function("mp4_meta", blob)
+
   /** Production decode: REAL header parse for recognized media
-    * signatures; the deterministic fake only for opaque (text-as-
-    * blob) fixtures. */
-  def decode(blob: Column): Column =
-    when(isPng(blob) || isWav(blob), {
+    * signatures (PNG + WAV header fields; MP4 via the box-walk
+    * kernel); the deterministic fake only for opaque (text-as-blob)
+    * fixtures. */
+  def decode(blob: Column): Column = {
+    val m = mp4Meta(blob)
+    // a VALID parse is required, not just the signature probe: a blob
+    // whose bytes 5-8 happen to read "ftyp" but isn't a box tree must
+    // fall through to the opaque path (codegen subexpression
+    // elimination evaluates the kernel once)
+    when(isMp4(blob) && m.isNotNull,
+      struct(lit("video/mp4").as("mime"),
+        m.getField("width").as("width"),
+        m.getField("height").as("height"),
+        m.getField("n_frames").cast(IntegerType).as("n_frames"))
+    ).when(isPng(blob) || isWav(blob), {
       val h = headerDecode(blob)
       struct(h.getField("mime").as("mime"),
         h.getField("width").as("width"),
         h.getField("height").as("height"),
         h.getField("n_frames").as("n_frames"))
     }).otherwise(fakeDecode(blob))
+  }
 
   /** Attach blob + decoded metadata to a DataFrame. */
   def withMedia(df: DataFrame, srcCol: String): DataFrame =

@@ -503,6 +503,36 @@ object TextQueries {
           col("st.b_sum").as("b_sum"))
     }),
 
+    // REAL MP4 / ISO-BMFF metadata walk (functions/Mp4Codec): each
+    // row builds a genuinely spec-compliant MP4 — size-chained nested
+    // boxes, v0/v1 FullBoxes by id residue, an audio trak BEFORE the
+    // video trak on odd ids (handler-based selection, not position),
+    // frame count split across two stts runs, a 64-bit-largesize mdat
+    // on id%3==0, unknown boxes to skip — and mp4_meta walks the tree
+    // back out: brand, track count, timescale, duration, 16.16 dims,
+    // stts frame total, stsd codec. The oracle recomputes every field
+    // from the generator arithmetic, so agreement proves the box walk
+    // (and Mp4MetaSpec pins the parser against hand-assembled
+    // byte-level fixtures the builder never touched).
+    "multimodal_mp4_meta" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val id = col("doc_id")
+      // narrow sort below the kernels (see multimodal_ppm_stats)
+      docs(s, dir).select(id).orderBy(id)
+        .select(id,
+          call_function("mp4_meta", call_function("mp4_fixture",
+            id.cast("long"),
+            (pmod(id, lit(640)) + 16).cast("int"),
+            (pmod(id * 3, lit(480)) + 16).cast("int"),
+            (pmod(id, lit(24)) + 1).cast("int"))).as("m"))
+        .select(id, col("m.brand").as("brand"),
+          col("m.n_tracks").as("n_tracks"),
+          col("m.timescale").as("timescale"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.n_frames").as("n_frames"), col("m.codec").as("codec"))
+    }),
+
     // Unicode NFC normalization (functions/NfcNormalize — the stage
     // that must run BEFORE hash dedup/shingling: composed vs
     // decomposed accents are byte-different, render-identical
@@ -844,6 +874,26 @@ object TextQueries {
         |  CAST(list_sum(list_transform(range(0, w*h*3),
         |    j -> CASE WHEN j % 3 = 2 THEN (doc_id*7 + j*13) % 256
         |         ELSE 0 END)) AS BIGINT) AS b_sum
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // every field recomputed from the mp4_fixture generator
+    // arithmetic (timescale/delta/duration derive from doc_id; the
+    // duration_ms division is exact integer floor on both engines)
+    "multimodal_mp4_meta" ->
+      """WITH d AS (SELECT doc_id,
+        |    doc_id % 640 + 16 AS w,
+        |    (doc_id * 3) % 480 + 16 AS h,
+        |    doc_id % 24 + 1 AS nf,
+        |    600 + (doc_id % 10) * 100 AS ts,
+        |    100 + doc_id % 50 AS delta
+        |  FROM documents)
+        |SELECT doc_id, 'isom' AS brand,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks,
+        |  CAST(ts AS INTEGER) AS timescale,
+        |  CAST((nf * delta * 1000) // ts AS BIGINT) AS duration_ms,
+        |  CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  'avc1' AS codec
         |FROM d ORDER BY doc_id""".stripMargin,
     "text_unicode_nfc" ->
       (s"""WITH r AS (SELECT doc_id,
