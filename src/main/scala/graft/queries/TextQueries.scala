@@ -503,6 +503,39 @@ object TextQueries {
           col("st.b_sum").as("b_sum"))
     }),
 
+    // REAL G.711 audio decode (telephony μ-law/A-law, ITU's public
+    // spec): each row builds a companded 8-bit WAV the way real
+    // encoders write them — 18-byte fmt chunk (cbSize=0) + a fact
+    // chunk BEFORE data, so the kernel's RIFF chunk walk is exercised
+    // at the gate, not just in specs — and wav_rms expands every
+    // sample through the G.711 segment tables to 16-bit linear before
+    // the RMS fold. Constant samples make the RMS |decoded|/32768 in
+    // EXACT IEEE arithmetic, so the oracle recomputes the companding
+    // arithmetic in SQL and never parses a byte; the tables
+    // themselves are pinned against the JDK's independent javax.sound
+    // codecs in WavRmsSpec.
+    "multimodal_wav_g711_rms" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val id = col("doc_id")
+      val v = pmod(id, lit(256))
+      val fmtCode = when(pmod(id, lit(2)) === 1, 6).otherwise(7)
+      val nSamp = lit(50) + pmod(id, lit(25)) * 2 // even: no pad byte
+      val wavHex = concat(
+        lit("52494646"), le32(nSamp + 50), lit("57415645"),
+        lit("666D7420"), le32(lit(18)), le16(fmtCode), le16(lit(1)),
+        le32(lit(8000)), le32(lit(8000)), le16(lit(1)), le16(lit(8)),
+        le16(lit(0)),
+        lit("66616374"), le32(lit(4)), le32(nSamp),
+        lit("64617461"), le32(nSamp),
+        repeat(hex2(v), nSamp.cast("int")))
+      // staged projections + narrow sort below the kernel (the
+      // multimodal_wav_rms shape)
+      docs(s, dir).select(id).orderBy(id)
+        .select(id, fmtCode.as("fmt"), unhex(wavHex).as("blob"))
+        .select(id, col("fmt"),
+          call_function("wav_rms", col("blob")).as("rms"))
+    }),
+
     // REAL MP4 / ISO-BMFF metadata walk (functions/Mp4Codec): each
     // row builds a genuinely spec-compliant MP4 — size-chained nested
     // boxes, v0/v1 FullBoxes by id residue, an audio trak BEFORE the
@@ -875,6 +908,31 @@ object TextQueries {
         |    j -> CASE WHEN j % 3 = 2 THEN (doc_id*7 + j*13) % 256
         |         ELSE 0 END)) AS BIGINT) AS b_sum
         |FROM d ORDER BY doc_id""".stripMargin,
+    // the G.711 companding arithmetic recomputed in SQL: for a
+    // constant sample byte the RMS is |decoded|/32768 exactly (the
+    // |μ-law| value needs no sign branch: |±(t-132)| = t-132; A-law's
+    // |±t| = t), so integer segment math + one exact dyadic division
+    // reproduce the kernel's double bit-for-bit
+    "multimodal_wav_g711_rms" ->
+      """WITH d AS (SELECT doc_id, doc_id % 256 AS v,
+        |    CASE WHEN doc_id % 2 = 1 THEN 6 ELSE 7 END AS fmt
+        |  FROM documents),
+        |e AS (SELECT doc_id, fmt,
+        |    CASE WHEN fmt = 6 THEN
+        |      CASE ((xor(v, 85) // 16) % 8)
+        |        WHEN 0 THEN (xor(v, 85) % 16) * 16 + 8
+        |        WHEN 1 THEN (xor(v, 85) % 16) * 16 + 264
+        |        ELSE ((xor(v, 85) % 16) * 16 + 264)
+        |          * (1 << (CAST((xor(v, 85) // 16) % 8 AS INTEGER) - 1))
+        |      END
+        |    ELSE
+        |      (((255 - v) % 16) * 8 + 132)
+        |        * (1 << CAST(((255 - v) // 16) % 8 AS INTEGER)) - 132
+        |    END AS lin
+        |  FROM d)
+        |SELECT doc_id, CAST(fmt AS INTEGER) AS fmt,
+        |  CAST(lin AS DOUBLE) / 32768.0 AS rms
+        |FROM e ORDER BY doc_id""".stripMargin,
     // every field recomputed from the mp4_fixture generator
     // arithmetic (timescale/delta/duration derive from doc_id; the
     // duration_ms division is exact integer floor on both engines)

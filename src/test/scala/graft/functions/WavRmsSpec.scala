@@ -80,4 +80,90 @@ class WavRmsSpec extends SparkSpec {
     val Seq(r) = rmsOf(Seq(b))
     assert(r.get == expected)
   }
+
+  /** G.711 WAV: 18-byte fmt (cbSize=0) + a `fact` chunk before
+    * `data` — the layout real telephony encoders write. */
+  private def g711Wav(fmtCode: Int, samples: Array[Byte]): Array[Byte] = {
+    val n = samples.length
+    val buf = ByteBuffer.allocate(12 + 26 + 12 + 8 + n)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(4 + 26 + 12 + 8 + n)
+    buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(18)
+    buf.putShort(fmtCode.toShort); buf.putShort(1) // mono
+    buf.putInt(8000); buf.putInt(8000)
+    buf.putShort(1); buf.putShort(8); buf.putShort(0) // cbSize
+    buf.put("fact".getBytes); buf.putInt(4); buf.putInt(n)
+    buf.put("data".getBytes); buf.putInt(n)
+    buf.put(samples)
+    buf.array()
+  }
+
+  test("G.711 decode tables match the JDK's independent javax.sound " +
+    "codecs over all 256 byte values") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    def jdkDecode(enc: AudioFormat.Encoding, v: Int): Short = {
+      val src = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val dst = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false) // 16-bit LE
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(Array(v.toByte)), src, 1)
+      val out = AudioSystem.getAudioInputStream(dst, in)
+      val two = out.readAllBytes()
+      assert(two.length == 2)
+      (((two(0) & 0xff) | (two(1) << 8)).toShort)
+    }
+    for (v <- 0 until 256) {
+      assert(WavRms.UlawTable(v) ==
+        jdkDecode(AudioFormat.Encoding.ULAW, v), s"ulaw($v)")
+      assert(WavRms.AlawTable(v) ==
+        jdkDecode(AudioFormat.Encoding.ALAW, v), s"alaw($v)")
+    }
+  }
+
+  test("constant-byte G.711 gives RMS = |decoded|/32768 exactly, " +
+    "through the fact-chunk + 18-byte-fmt walk") {
+    for ((fmtCode, table) <- Seq((7, WavRms.UlawTable),
+        (6, WavRms.AlawTable)); v <- Seq(0, 1, 42, 127, 128, 200, 255)) {
+      val b = g711Wav(fmtCode, Array.fill(64)(v.toByte))
+      val Seq(r) = rmsOf(Seq(b))
+      assert(r.isDefined, s"fmt=$fmtCode v=$v must parse")
+      assert(r.get == math.abs(table(v).toInt) / 32768.0,
+        s"fmt=$fmtCode v=$v")
+    }
+  }
+
+  test("randomized G.711 payload: kernel RMS equals a naive " +
+    "table-decode fold") {
+    val rnd = new scala.util.Random(11)
+    for (fmtCode <- Seq(6, 7)) {
+      val samples = Array.fill(777)(rnd.nextInt(256).toByte)
+      val table = if (fmtCode == 6) WavRms.AlawTable else WavRms.UlawTable
+      val expected = math.sqrt(samples.map { s =>
+        val x = table(s & 0xff) / 32768.0; x * x
+      }.sum / samples.length)
+      val Seq(r) = rmsOf(Seq(g711Wav(fmtCode, samples)))
+      assert(r.get == expected, s"fmt=$fmtCode")
+    }
+  }
+
+  test("chunk walk: PCM behind LIST/fact chunks now parses; odd-size " +
+    "chunks advance word-aligned; G.711 with wrong bit width is null") {
+    // PCM file with a 7-byte LIST chunk (odd size → pad byte) between
+    // fmt and data
+    val pcm = wav(Seq.fill(10)(16384.toShort))
+    val buf = ByteBuffer.allocate(pcm.length + 8 + 7 + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(pcm, 0, 36) // RIFF..WAVE + fmt chunk
+    buf.put("LIST".getBytes); buf.putInt(7)
+    buf.put("INFOxyz".getBytes); buf.put(0.toByte) // word-align pad
+    buf.put(pcm, 36, pcm.length - 36) // data chunk
+    val shifted = buf.array()
+    // G.711 claiming 16 bits per sample: malformed → null
+    val bad = g711Wav(7, Array.fill(8)(5.toByte))
+    bad(34) = 16
+    val Seq(a, b) = rmsOf(Seq(shifted, bad))
+    assert(a.contains(0.5), s"LIST-shifted PCM must parse: $a")
+    assert(b.isEmpty, "g711 with 16 bits must be null")
+  }
 }
