@@ -503,6 +503,35 @@ object TextQueries {
           col("st.b_sum").as("b_sum"))
     }),
 
+    // REAL GIF raster decode with a from-scratch LZW decompressor
+    // (functions/GifCodec — variable-width codes, clear/EOI,
+    // 4096-entry dictionary, the spec's deferred growth off-by-one):
+    // each row builds a real GIF89a — 256-entry palette + LZW-encoded
+    // raster over the PPM/PNG generator arithmetic, a skipped
+    // graphic-control extension, a comment extension, and a second
+    // 2x2 local-color-table frame on id%4==0 — and gif_stats decodes
+    // the bytes back into frame counts and exact per-channel sums.
+    // The oracle recomputes palette[index(j)] sums from the generator
+    // arithmetic; GifStatsSpec pins the codec both directions against
+    // the JDK's independent ImageIO GIF codec.
+    "multimodal_gif_stats" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val id = col("doc_id")
+      // narrow sort below the kernels (see multimodal_ppm_stats)
+      docs(s, dir).select(id).orderBy(id)
+        .select(id,
+          call_function("gif_stats", call_function("gif_fixture",
+            id.cast("long"),
+            (pmod(id, lit(12)) + 7).cast("int"),
+            (pmod(id, lit(6)) + 5).cast("int"))).as("st"))
+        .select(id, col("st.width").as("width"),
+          col("st.height").as("height"),
+          col("st.n_frames").as("n_frames"),
+          col("st.n_pix").as("n_pix"),
+          col("st.r_sum").as("r_sum"), col("st.g_sum").as("g_sum"),
+          col("st.b_sum").as("b_sum"))
+    }),
+
     // REAL G.711 audio decode (telephony μ-law/A-law, ITU's public
     // spec): each row builds a companded 8-bit WAV the way real
     // encoders write them — 18-byte fmt chunk (cbSize=0) + a fact
@@ -907,6 +936,29 @@ object TextQueries {
         |  CAST(list_sum(list_transform(range(0, w*h*3),
         |    j -> CASE WHEN j % 3 = 2 THEN (doc_id*7 + j*13) % 256
         |         ELSE 0 END)) AS BIGINT) AS b_sum
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // palette[pixel-index] sums recomputed from the gif_fixture
+    // generator arithmetic: index(j) = (id*7+j*13)%256, palette[i] =
+    // ((id*3+i*7)%256, (id*5+i*11)%256, (id*7+i*13)%256)
+    "multimodal_gif_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(doc_id % 12 + 7 AS BIGINT) AS w,
+        |    CAST(doc_id % 6 + 5 AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INTEGER)
+        |    AS n_frames,
+        |  CAST(w * h AS BIGINT) AS n_pix,
+        |  CAST(list_sum(list_transform(range(0, w*h),
+        |    j -> (doc_id*3 + ((doc_id*7 + j*13) % 256) * 7) % 256))
+        |    AS BIGINT) AS r_sum,
+        |  CAST(list_sum(list_transform(range(0, w*h),
+        |    j -> (doc_id*5 + ((doc_id*7 + j*13) % 256) * 11) % 256))
+        |    AS BIGINT) AS g_sum,
+        |  CAST(list_sum(list_transform(range(0, w*h),
+        |    j -> (doc_id*7 + ((doc_id*7 + j*13) % 256) * 13) % 256))
+        |    AS BIGINT) AS b_sum
         |FROM d ORDER BY doc_id""".stripMargin,
     // the G.711 companding arithmetic recomputed in SQL: for a
     // constant sample byte the RMS is |decoded|/32768 exactly (the
