@@ -503,6 +503,35 @@ object TextQueries {
           col("st.b_sum").as("b_sum"))
     }),
 
+    // REAL baseline JPEG decode (functions/JpegCodec — canonical
+    // Huffman entropy decoding, byte unstuffing, DRI/RST predictor
+    // resets, dequant, double-precision IDCT): each row builds a real
+    // JPEG whose raster is constant per 8x8 block, which makes the
+    // decode EXACT in every conformant decoder (a DC-only block's
+    // IDCT is a constant — T.81's rounding freedom never engages), so
+    // the oracle recomputes sums from the generator arithmetic while
+    // the stream still exercises DC-difference coding, category bit
+    // emission, stuffing, and (id%3==0) restart markers. Arbitrary-
+    // content decode is pinned against ImageIO per-pixel (±1, the
+    // conformance bound) in JpegStatsSpec.
+    "multimodal_jpeg_stats" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val id = col("doc_id")
+      // narrow sort below the kernels (see multimodal_ppm_stats)
+      docs(s, dir).select(id).orderBy(id)
+        .select(id,
+          call_function("jpeg_stats", call_function("jpeg_fixture",
+            id.cast("long"),
+            ((pmod(id, lit(6)) + 1) * 8).cast("int"),
+            ((pmod(id, lit(4)) + 1) * 8).cast("int"))).as("st"))
+        .select(id, col("st.width").as("width"),
+          col("st.height").as("height"),
+          col("st.channels").as("channels"),
+          col("st.n_pix").as("n_pix"),
+          col("st.r_sum").as("r_sum"), col("st.g_sum").as("g_sum"),
+          col("st.b_sum").as("b_sum"))
+    }),
+
     // REAL GIF raster decode with a from-scratch LZW decompressor
     // (functions/GifCodec — variable-width codes, clear/EOI,
     // 4096-entry dictionary, the spec's deferred growth off-by-one):
@@ -937,6 +966,23 @@ object TextQueries {
         |    j -> CASE WHEN j % 3 = 2 THEN (doc_id*7 + j*13) % 256
         |         ELSE 0 END)) AS BIGINT) AS b_sum
         |FROM d ORDER BY doc_id""".stripMargin,
+    // block k of the DC-only jpeg fixture decodes to the constant
+    // (id*7 + k*13) % 256 over its 64 pixels, exactly
+    "multimodal_jpeg_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |    (doc_id % 6 + 1) * 8 AS w,
+        |    (doc_id % 4 + 1) * 8 AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, w, h,
+        |    CAST(list_sum(list_transform(range(0, (w//8)*(h//8)),
+        |      k -> 64 * ((doc_id*7 + k*13) % 256))) AS BIGINT) AS gsum
+        |  FROM d)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(w * h AS BIGINT) AS n_pix,
+        |  gsum AS r_sum, gsum AS g_sum, gsum AS b_sum
+        |FROM s ORDER BY doc_id""".stripMargin,
     // palette[pixel-index] sums recomputed from the gif_fixture
     // generator arithmetic: index(j) = (id*7+j*13)%256, palette[i] =
     // ((id*3+i*7)%256, (id*5+i*11)%256, (id*7+i*13)%256)
