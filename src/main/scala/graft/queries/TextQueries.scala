@@ -503,6 +503,51 @@ object TextQueries {
           col("st.b_sum").as("b_sum"))
     }),
 
+    // REAL BMP raster decode (functions/BmpCodec): bottom-up BGR rows
+    // with 4-byte padding (top-down on id%5==0), decoded back into
+    // exact channel sums. w = id%12+7 sweeps every padding residue.
+    // The oracle recomputes from the generator arithmetic; BmpStatsSpec
+    // pins the codec both directions against ImageIO (lossless, so
+    // the foreign-writer comparison is exact, and positional reads
+    // pin the row-direction handling).
+    "multimodal_bmp_stats" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val id = col("doc_id")
+      // narrow sort below the kernels (see multimodal_ppm_stats)
+      docs(s, dir).select(id).orderBy(id)
+        .select(id,
+          call_function("bmp_stats", call_function("bmp_fixture",
+            id.cast("long"),
+            (pmod(id, lit(12)) + 7).cast("int"),
+            (pmod(id, lit(6)) + 5).cast("int"))).as("st"))
+        .select(id, col("st.width").as("width"),
+          col("st.height").as("height"),
+          col("st.channels").as("channels"),
+          col("st.n_pix").as("n_pix"),
+          col("st.r_sum").as("r_sum"), col("st.g_sum").as("g_sum"),
+          col("st.b_sum").as("b_sum"))
+    }),
+
+    // frame sampling driven by REAL container metadata: the stride-4
+    // frame expansion (the multimodal_framesample shape) running on
+    // n_frames values parsed out of genuine MP4 box trees rather than
+    // the opaque-blob stub — the integration the curation pipeline
+    // uses to budget per-video work. Bounded explode: nf ≤ 24.
+    "multimodal_mp4_framesample" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val id = col("doc_id")
+      docs(s, dir).select(id).filter(id < 200).orderBy(id)
+        .select(id,
+          call_function("mp4_meta", call_function("mp4_fixture",
+            id.cast("long"), lit(320), lit(240),
+            (pmod(id, lit(24)) + 1).cast("int"))).as("m"))
+        .select(id, col("m.n_frames").as("n_frames"))
+        .select(id, col("n_frames"),
+          explode(sequence(lit(0L), col("n_frames") - 1, lit(4L)))
+            .as("frame_idx"))
+        .orderBy(id, col("frame_idx"))
+    }),
+
     // REAL baseline JPEG decode (functions/JpegCodec — canonical
     // Huffman entropy decoding, byte unstuffing, DRI/RST predictor
     // resets, dequant, double-precision IDCT): each row builds a real
@@ -966,6 +1011,31 @@ object TextQueries {
         |    j -> CASE WHEN j % 3 = 2 THEN (doc_id*7 + j*13) % 256
         |         ELSE 0 END)) AS BIGINT) AS b_sum
         |FROM d ORDER BY doc_id""".stripMargin,
+    // pixel j: r = (id*3+j*7)%256, g = (id*5+j*11)%256,
+    // b = (id*7+j*13)%256 — padding/row-direction cancel out of sums
+    "multimodal_bmp_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(doc_id % 12 + 7 AS BIGINT) AS w,
+        |    CAST(doc_id % 6 + 5 AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  CAST(w * h AS BIGINT) AS n_pix,
+        |  CAST(list_sum(list_transform(range(0, w*h),
+        |    j -> (doc_id*3 + j*7) % 256)) AS BIGINT) AS r_sum,
+        |  CAST(list_sum(list_transform(range(0, w*h),
+        |    j -> (doc_id*5 + j*11) % 256)) AS BIGINT) AS g_sum,
+        |  CAST(list_sum(list_transform(range(0, w*h),
+        |    j -> (doc_id*7 + j*13) % 256)) AS BIGINT) AS b_sum
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "multimodal_mp4_framesample" ->
+      """WITH d AS (SELECT doc_id, doc_id % 24 + 1 AS nf
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(f AS BIGINT) AS frame_idx
+        |FROM d, unnest(range(0, nf, 4)) AS t(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // block k of the DC-only jpeg fixture decodes to the constant
     // (id*7 + k*13) % 256 over its 64 pixels, exactly
     "multimodal_jpeg_stats" ->
