@@ -183,6 +183,50 @@ object Curation {
           df.filter(t.isNotNull && (total === 0 ||
             (lit(1.0) - uniq.cast("double") / total.cast("double")) <= max))
         }, streamable = true)
+      case "media-filter" =>
+        // drop rows whose BLOB column does not decode as an accepted
+        // image format within the dimension bounds — the image-corpus
+        // analog of quality-filter, running the REAL codec kernels
+        // (PNG/GIF/JPEG/BMP). Every kernel probes its magic bytes in
+        // O(1) and bails, so per row only the matching format pays a
+        // decode; NULL blobs and unrecognized formats drop. Scan-stage
+        // only: blobs never shuffle (the Multimodal contract).
+        val blobCol = conf.get("blob-col").map(_.toString)
+          .getOrElse("payload")
+        val minW = num("min-width", 1).toInt
+        val minH = num("min-height", 1).toInt
+        val fmts = { val f = cols("formats")
+          if (f.isEmpty) Seq("png", "gif", "jpeg", "bmp") else f }
+        val known = Map("png" -> "png_stats", "gif" -> "gif_stats",
+          "jpeg" -> "jpeg_stats", "bmp" -> "bmp_stats")
+        fmts.foreach(f => require(known.contains(f),
+          s"media-filter: unknown format '$f' (know ${known.keys.mkString(",")})"))
+        Stage("media-filter",
+          df => {
+            graft.GraftExtensions.ensure(df.sparkSession)
+            val b = col(blobCol)
+            def field(n: String) =
+              coalesce(fmts.map(f =>
+                call_function(known(f), b).getField(n)): _*)
+            df.filter(field("width") >= minW && field("height") >= minH)
+          },
+          streamable = true)
+      case "audio-filter" =>
+        // drop rows whose BLOB column is not decodable audio inside
+        // the RMS band — the silence/clipping filter audio corpora
+        // run before training. wav_rms consumes EVERY sample (PCM or
+        // G.711) in the scan stage; non-WAV blobs yield NULL and drop.
+        val blobCol = conf.get("blob-col").map(_.toString)
+          .getOrElse("payload")
+        val lo = num("min-rms", 0.0)
+        val hi = num("max-rms", 1.0)
+        Stage("audio-filter",
+          df => {
+            graft.GraftExtensions.ensure(df.sparkSession)
+            df.filter(call_function("wav_rms", col(blobCol))
+              .between(lo, hi))
+          },
+          streamable = true)
       case "dedup-exact" =>
         conf.get("index-dir") match {
           case Some(dir) =>

@@ -804,4 +804,59 @@ class CurationSpec extends SparkSpec {
     assert(out == Seq((1L, "caf\u00e9 here"), (2L, "plain")))
   }
 
+  test("media-filter stage keeps only decodable images inside the " +
+    "dimension bounds, across all four codecs") {
+    import graft.functions.{BmpFixture, GifFixture, JpegFixture, PngFixture}
+    val rows = Seq(
+      (1L, PngFixture.build(1L, 64, 48)),            // keep
+      (2L, GifFixture.build(2L, 40, 40)),            // keep
+      (3L, JpegFixture.build(3L, 64, 32)),           // keep
+      (4L, BmpFixture.build(4L, 33, 33)),            // keep
+      (5L, PngFixture.build(5L, 8, 8)),              // too small
+      (6L, "not an image at all".getBytes("UTF-8")), // undecodable
+      (7L, null.asInstanceOf[Array[Byte]]))          // null blob
+    val d = rows.toDF("doc_id", "payload")
+    val st = Curation.stage(Map("type" -> "media-filter",
+      "min-width" -> 32L, "min-height" -> 32L), "text", "doc_id", spark)
+    assert(st.streamable)
+    assert(st.apply(d).select($"doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L, 4L))
+    // formats accept-list: png-only now drops the GIF/JPEG/BMP rows
+    val pngOnly = Curation.stage(Map("type" -> "media-filter",
+      "min-width" -> 32L, "min-height" -> 32L,
+      "formats" -> Seq("png")), "text", "doc_id", spark)
+    assert(pngOnly.apply(d).select($"doc_id").as[Long].collect()
+      .toSeq == Seq(1L))
+    // unknown format name fails loudly
+    intercept[IllegalArgumentException] {
+      Curation.stage(Map("type" -> "media-filter",
+        "formats" -> Seq("webp")), "text", "doc_id", spark)
+    }
+  }
+
+  test("audio-filter stage drops silence, clipping, and non-audio") {
+    def wav(amp: Short, n: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes); buf.putInt(36 + n * 2)
+      buf.put("WAVE".getBytes); buf.put("fmt ".getBytes)
+      buf.putInt(16); buf.putShort(1); buf.putShort(1)
+      buf.putInt(8000); buf.putInt(16000); buf.putShort(2)
+      buf.putShort(16); buf.put("data".getBytes); buf.putInt(n * 2)
+      (0 until n).foreach(_ => buf.putShort(amp))
+      buf.array()
+    }
+    val rows = Seq(
+      (1L, wav(16384, 50)),                 // rms 0.5: keep
+      (2L, wav(0, 50)),                     // silence: drop
+      (3L, wav(32767, 50)),                 // ~clipping: drop at hi=0.9
+      (4L, "text".getBytes("UTF-8")))       // not audio: drop
+    val d = rows.toDF("doc_id", "payload")
+    val st = Curation.stage(Map("type" -> "audio-filter",
+      "min-rms" -> 0.05, "max-rms" -> 0.9), "text", "doc_id", spark)
+    assert(st.streamable)
+    assert(st.apply(d).select($"doc_id").as[Long].collect().toSeq ==
+      Seq(1L))
+  }
+
 }
