@@ -58,6 +58,40 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).getString(1) == "audio/wav" && rows(1).getInt(3) == 16000)
   }
 
+  test("binaryFile source -> the full codec family: every format " +
+    "decodes from real files on disk") {
+    import java.nio.file.{Files, Paths}
+    import graft.functions.{BmpFixture, GifFixture, JpegFixture, Mp4Fixture, PngFixture}
+    graft.GraftExtensions.ensure(spark)
+    val dir = Files.createTempDirectory("media").toString
+    Files.write(Paths.get(dir, "a.png"), PngFixture.build(1L, 20, 10))
+    Files.write(Paths.get(dir, "b.gif"), GifFixture.build(2L, 16, 12))
+    Files.write(Paths.get(dir, "c.jpg"), JpegFixture.build(3L, 24, 16))
+    Files.write(Paths.get(dir, "d.bmp"), BmpFixture.build(4L, 9, 7))
+    Files.write(Paths.get(dir, "e.mp4"), Mp4Fixture.build(5L, 320, 240, 12))
+    val df = spark.read.format("binaryFile").load(dir)
+      .select(col("path"),
+        call_function("png_stats", col("content")).as("png"),
+        call_function("gif_stats", col("content")).as("gif"),
+        call_function("jpeg_stats", col("content")).as("jpg"),
+        call_function("bmp_stats", col("content")).as("bmp"),
+        call_function("mp4_meta", col("content")).as("mp4"))
+      .withColumn("fmt", element_at(split(col("path"), "\\."), -1))
+      .orderBy(col("path"))
+    val byFmt = df.collect().map(r => r.getString(6) -> r).toMap
+    // exactly the matching kernel decodes; the other four return null
+    assert(byFmt("png").getStruct(1).getInt(0) == 20)
+    assert(byFmt("gif").getStruct(2).getInt(0) == 16)
+    assert(byFmt("jpg").getStruct(3).getInt(0) == 24)
+    assert(byFmt("bmp").getStruct(4).getInt(0) == 9)
+    assert(byFmt("mp4").getStruct(5).getInt(4) == 320)
+    for ((fmt, r) <- byFmt; i <- 1 to 5) {
+      val matches = Map("png" -> 1, "gif" -> 2, "jpg" -> 3,
+        "bmp" -> 4, "mp4" -> 5)(fmt)
+      if (i != matches) assert(r.isNullAt(i), s"$fmt column $i")
+    }
+  }
+
   test("headerDecode parses a real PNG's IHDR width/height") {
     val r = decodeOne(png1x1)
     assert(r.getString(0) == "image/png")
