@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BmpFixture, BmpStats, BpeEncode, BpeMergeStep, BpeTokenCount, ByteAtU8, ChunkHash60, DotProduct, GifFixture, GifStats, JpegFixture, JpegStats, JsonbDecode, MapChangedKeys, Mp4Fixture, Mp4Meta, MultiMatch, MultiMatchAny, NfcNormalize, PngFixture, PngStats, PpmStats, RollingHash, ShingleHash64, ShingleUtf8, Sum128, TokenWindowHash64, TopKLargest, TopKPairs, WavRms}
+import graft.functions.{BmpFixture, BmpStats, BpeEncode, BpeMergeStep, BpeTokenCount, ByteAtU8, ChunkHash60, DotProduct, GifFixture, GifStats, JpegFixture, JpegStats, JsonbDecode, MapChangedKeys, Mp4Fixture, Mp4Meta, MultiMatch, MultiMatchAny, NfcNormalize, PngFixture, PngStats, PpmStats, RollingHash, ShingleHash64, ShingleUtf8, Sum128, TiffFixture, TiffStats, TokenWindowHash64, TopKLargest, TopKPairs, WavRms}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst
   * surface (SURVEY §7.4). Enable with:
@@ -74,6 +74,10 @@ object GraftExtensions {
       es => PngStats(es.head)),
     fn("png_fixture", classOf[PngFixture], 3, "png_fixture(id, w, h)")(
       es => PngFixture(es.head, es(1), es(2))),
+    fn("tiff_stats", classOf[TiffStats], 1, "tiff_stats(blob)")(
+      es => TiffStats(es.head)),
+    fn("tiff_fixture", classOf[TiffFixture], 3, "tiff_fixture(id, w, h)")(
+      es => TiffFixture(es.head, es(1), es(2))),
     fn("bmp_stats", classOf[BmpStats], 1, "bmp_stats(blob)")(
       es => BmpStats(es.head)),
     fn("bmp_fixture", classOf[BmpFixture], 3, "bmp_fixture(id, w, h)")(

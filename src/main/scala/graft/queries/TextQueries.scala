@@ -503,6 +503,32 @@ object TextQueries {
           col("st.b_sum").as("b_sum"))
     }),
 
+    // REAL TIFF decode (functions/TiffCodec): both byte orders by id
+    // parity, IFD tag walk with inline-or-offset values, multi-strip
+    // raster assembly, multi-page chains (n_pages counts the IFDs,
+    // id%4==0 files carry two). Gray on id%3==0 — exercising both
+    // photometric shapes at the gate. Oracle recomputes channel sums
+    // from the generator arithmetic; TiffStatsSpec pins the codec
+    // both directions against ImageIO's independent TIFF plugin.
+    "multimodal_tiff_stats" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val id = col("doc_id")
+      // narrow sort below the kernels (see multimodal_ppm_stats)
+      docs(s, dir).select(id).orderBy(id)
+        .select(id,
+          call_function("tiff_stats", call_function("tiff_fixture",
+            id.cast("long"),
+            (pmod(id, lit(12)) + 7).cast("int"),
+            (pmod(id, lit(9)) + 3).cast("int"))).as("st"))
+        .select(id, col("st.width").as("width"),
+          col("st.height").as("height"),
+          col("st.channels").as("channels"),
+          col("st.n_pages").as("n_pages"),
+          col("st.n_pix").as("n_pix"),
+          col("st.r_sum").as("r_sum"), col("st.g_sum").as("g_sum"),
+          col("st.b_sum").as("b_sum"))
+    }),
+
     // REAL BMP raster decode (functions/BmpCodec): bottom-up BGR rows
     // with 4-byte padding (top-down on id%5==0), decoded back into
     // exact channel sums. w = id%12+7 sweeps every padding residue.
@@ -1010,6 +1036,29 @@ object TextQueries {
         |  CAST(list_sum(list_transform(range(0, w*h*3),
         |    j -> CASE WHEN j % 3 = 2 THEN (doc_id*7 + j*13) % 256
         |         ELSE 0 END)) AS BIGINT) AS b_sum
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // RGB pages use the three-channel generator; gray pages (id%3==0)
+    // sum the b-channel generator into all three outputs
+    "multimodal_tiff_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(doc_id % 12 + 7 AS BIGINT) AS w,
+        |    CAST(doc_id % 9 + 3 AS BIGINT) AS h,
+        |    (doc_id % 3 = 0) AS gray
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(CASE WHEN gray THEN 1 ELSE 3 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INTEGER)
+        |    AS n_pages,
+        |  CAST(w * h AS BIGINT) AS n_pix,
+        |  CAST(list_sum(list_transform(range(0, w*h),
+        |    j -> CASE WHEN gray THEN (doc_id*7 + j*13) % 256
+        |         ELSE (doc_id*3 + j*7) % 256 END)) AS BIGINT) AS r_sum,
+        |  CAST(list_sum(list_transform(range(0, w*h),
+        |    j -> CASE WHEN gray THEN (doc_id*7 + j*13) % 256
+        |         ELSE (doc_id*5 + j*11) % 256 END)) AS BIGINT) AS g_sum,
+        |  CAST(list_sum(list_transform(range(0, w*h),
+        |    j -> (doc_id*7 + j*13) % 256)) AS BIGINT) AS b_sum
         |FROM d ORDER BY doc_id""".stripMargin,
     // pixel j: r = (id*3+j*7)%256, g = (id*5+j*11)%256,
     // b = (id*7+j*13)%256 — padding/row-direction cancel out of sums
