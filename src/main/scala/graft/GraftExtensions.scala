@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BmpFixture, BmpStats, BpeEncode, BpeMergeStep, BpeTokenCount, ByteAtU8, ChunkHash60, DotProduct, GifFixture, GifStats, JpegFixture, JpegStats, JsonbDecode, MapChangedKeys, Mp4Fixture, Mp4Meta, MultiMatch, MultiMatchAny, NfcNormalize, PngFixture, PngStats, PpmStats, RollingHash, ShingleHash64, ShingleUtf8, Sum128, TiffFixture, TiffStats, TokenWindowHash64, TopKLargest, TopKPairs, WavRms}
+import graft.functions.{BmpFixture, BmpStats, BpeEncode, BpeMergeStep, BpeTokenCount, ByteAtU8, ChunkHash60, DotProduct, FlacFixture, FlacMeta, GifFixture, GifStats, JpegFixture, JpegStats, JsonbDecode, MapChangedKeys, Mp3Fixture, Mp3Meta, Mp4Fixture, Mp4Meta, MultiMatch, MultiMatchAny, NfcNormalize, PngFixture, PngStats, PpmStats, RollingHash, ShingleHash64, ShingleUtf8, Sum128, TiffFixture, TiffStats, TokenWindowHash64, TopKLargest, TopKPairs, WavRms}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst
   * surface (SURVEY §7.4). Enable with:
@@ -74,6 +74,14 @@ object GraftExtensions {
       es => PngStats(es.head)),
     fn("png_fixture", classOf[PngFixture], 3, "png_fixture(id, w, h)")(
       es => PngFixture(es.head, es(1), es(2))),
+    fn("flac_meta", classOf[FlacMeta], 1, "flac_meta(blob)")(
+      es => FlacMeta(es.head)),
+    fn("flac_fixture", classOf[FlacFixture], 1, "flac_fixture(id)")(
+      es => FlacFixture(es.head)),
+    fn("mp3_meta", classOf[Mp3Meta], 1, "mp3_meta(blob)")(
+      es => Mp3Meta(es.head)),
+    fn("mp3_fixture", classOf[Mp3Fixture], 2, "mp3_fixture(id, n_frames)")(
+      es => Mp3Fixture(es.head, es(1))),
     fn("tiff_stats", classOf[TiffStats], 1, "tiff_stats(blob)")(
       es => TiffStats(es.head)),
     fn("tiff_fixture", classOf[TiffFixture], 3, "tiff_fixture(id, w, h)")(

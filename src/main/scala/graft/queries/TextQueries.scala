@@ -503,6 +503,47 @@ object TextQueries {
           col("st.b_sum").as("b_sum"))
     }),
 
+    // REAL FLAC metadata decode (functions/AudioMeta): the block walk
+    // + STREAMINFO's byte-straddling bit fields (20-bit sample rate,
+    // 3-bit channels, 5-bit bits, 36-bit total samples). Oracle
+    // recomputes every field from the fixture arithmetic; the packing
+    // itself is pinned against hand-assembled bytes in AudioMetaSpec.
+    "multimodal_flac_meta" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val id = col("doc_id")
+      docs(s, dir).select(id).orderBy(id)
+        .select(id,
+          call_function("flac_meta", call_function("flac_fixture",
+            id.cast("long"))).as("m"))
+        .select(id, col("m.sample_rate").as("sample_rate"),
+          col("m.channels").as("channels"),
+          col("m.bits_per_sample").as("bits_per_sample"),
+          col("m.total_samples").as("total_samples"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.n_blocks").as("n_blocks"))
+    }),
+
+    // REAL MP3 metadata decode (functions/AudioMeta): ID3v2 syncsafe
+    // skip + a full Layer III frame walk with table-driven lengths
+    // (version/bitrate/sample-rate/padding all id-derived, padding
+    // ALTERNATING per frame so lengths genuinely vary), ID3v1
+    // trailer tolerated. Duration comes from per-frame sample counts
+    // — the walk's point vs filesize/bitrate guessing.
+    "multimodal_mp3_meta" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val id = col("doc_id")
+      docs(s, dir).select(id).orderBy(id)
+        .select(id,
+          call_function("mp3_meta", call_function("mp3_fixture",
+            id.cast("long"), (pmod(id, lit(20)) + 1).cast("int"))).as("m"))
+        .select(id, col("m.mpeg_version").as("mpeg_version"),
+          col("m.bitrate_kbps").as("bitrate_kbps"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.channels").as("channels"),
+          col("m.n_frames").as("n_frames"),
+          col("m.duration_ms").as("duration_ms"))
+    }),
+
     // REAL TIFF decode (functions/TiffCodec): both byte orders by id
     // parity, IFD tag walk with inline-or-offset values, multi-strip
     // raster assembly, multi-page chains (n_pages counts the IFDs,
@@ -1037,6 +1078,49 @@ object TextQueries {
         |    j -> CASE WHEN j % 3 = 2 THEN (doc_id*7 + j*13) % 256
         |         ELSE 0 END)) AS BIGINT) AS b_sum
         |FROM d ORDER BY doc_id""".stripMargin,
+    // fixture arithmetic: sr = 8000+(id%12)*4000, ch = 1+id%8,
+    // bps = 8+id%17, total = id*1000+1, 3 metadata blocks
+    "multimodal_flac_meta" ->
+      """WITH d AS (SELECT doc_id,
+        |    8000 + (doc_id % 12) * 4000 AS sr,
+        |    doc_id * 1000 + 1 AS total
+        |  FROM documents)
+        |SELECT doc_id, CAST(sr AS INTEGER) AS sample_rate,
+        |  CAST(1 + doc_id % 8 AS INTEGER) AS channels,
+        |  CAST(8 + doc_id % 17 AS INTEGER) AS bits_per_sample,
+        |  CAST(total AS BIGINT) AS total_samples,
+        |  CAST((total * 1000) // sr AS BIGINT) AS duration_ms,
+        |  CAST(3 AS INTEGER) AS n_blocks
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // fixture arithmetic: MPEG1 on even ids (1152 samples/frame, the
+    // 44.1k-family tables), MPEG2 on odd (576, the 22.05k family);
+    // bitrate index 1+id%14, rate index id%3, mono on id%7==0
+    "multimodal_mp3_meta" ->
+      """WITH d AS (SELECT doc_id,
+        |    (doc_id % 2 = 0) AS v1,
+        |    CAST(doc_id % 14 AS INTEGER) + 1 AS bri,
+        |    CAST(doc_id % 3 AS INTEGER) + 1 AS sri,
+        |    doc_id % 20 + 1 AS nf
+        |  FROM documents),
+        |e AS (SELECT doc_id, v1, nf,
+        |    CASE WHEN v1 THEN
+        |      ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[bri]
+        |    ELSE
+        |      ([8,16,24,32,40,48,56,64,80,96,112,128,144,160])[bri]
+        |    END AS br,
+        |    CASE WHEN v1 THEN ([44100,48000,32000])[sri]
+        |    ELSE ([22050,24000,16000])[sri] END AS sr,
+        |    CASE WHEN v1 THEN 1152 ELSE 576 END AS spf
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN v1 THEN 1 ELSE 2 END AS INTEGER) AS mpeg_version,
+        |  CAST(br AS INTEGER) AS bitrate_kbps,
+        |  CAST(sr AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 2 END AS INTEGER)
+        |    AS channels,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST((spf * nf * 1000) // sr AS BIGINT) AS duration_ms
+        |FROM e ORDER BY doc_id""".stripMargin,
     // RGB pages use the three-channel generator; gray pages (id%3==0)
     // sum the b-channel generator into all three outputs
     "multimodal_tiff_stats" ->
