@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BmpFixture, BmpStats, BpeEncode, BpeMergeStep, BpeTokenCount, ByteAtU8, ChunkHash60, DotProduct, FlacFixture, FlacMeta, GifFixture, GifStats, JpegFixture, JpegStats, JsonbDecode, MapChangedKeys, Mp3Fixture, Mp3Meta, Mp4Fixture, Mp4Meta, MultiMatch, MultiMatchAny, NfcNormalize, PngFixture, PngStats, PpmStats, RollingHash, ShingleHash64, ShingleUtf8, Sum128, TiffFixture, TiffStats, TokenWindowHash64, TopKLargest, TopKPairs, WavRms}
+import graft.functions.{BmpFixture, BmpStats, BpeEncode, BpeMergeStep, BpeTokenCount, ByteAtU8, ChunkHash60, DotProduct, FlacFixture, FlacMeta, GifFixture, GifStats, JpegFixture, JpegStats, JsonbDecode, MapChangedKeys, Mp3Fixture, Mp3Meta, Mp4Fixture, Mp4Meta, MultiMatch, MultiMatchAny, NfcNormalize, PngFixture, PngStats, PpmStats, RollingHash, ShingleHash64, ShingleUtf8, Sum128, TarEntries, TarFixture, TiffFixture, TiffStats, TokenWindowHash64, TopKLargest, TopKPairs, WarcFixture, WarcRecords, WavRms}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst
   * surface (SURVEY §7.4). Enable with:
@@ -74,6 +74,14 @@ object GraftExtensions {
       es => PngStats(es.head)),
     fn("png_fixture", classOf[PngFixture], 3, "png_fixture(id, w, h)")(
       es => PngFixture(es.head, es(1), es(2))),
+    fn("tar_entries", classOf[TarEntries], 1, "tar_entries(blob)")(
+      es => TarEntries(es.head)),
+    fn("tar_fixture", classOf[TarFixture], 2, "tar_fixture(id, n_samples)")(
+      es => TarFixture(es.head, es(1))),
+    fn("warc_records", classOf[WarcRecords], 1, "warc_records(blob)")(
+      es => WarcRecords(es.head)),
+    fn("warc_fixture", classOf[WarcFixture], 2, "warc_fixture(id, n_pages)")(
+      es => WarcFixture(es.head, es(1))),
     fn("flac_meta", classOf[FlacMeta], 1, "flac_meta(blob)")(
       es => FlacMeta(es.head)),
     fn("flac_fixture", classOf[FlacFixture], 1, "flac_fixture(id)")(

@@ -503,6 +503,66 @@ object TextQueries {
           col("st.b_sum").as("b_sum"))
     }),
 
+    // WebDataset ingestion end-to-end (functions/TarCodec): each row
+    // is a REAL ustar shard (checksummed headers, 512-alignment, pax
+    // and directory entries to skip) holding 3 samples of
+    // png+txt+cls members; tar_entries walks it, substring slices
+    // members out of the blob, png_stats decodes the image member,
+    // and the sample reassembles by key — the standard multimodal
+    // training-data format, parsed for real at the gate. Oracle
+    // recomputes dims/label/text-length/red-sum from the generator
+    // arithmetic.
+    "pipe_webdataset_ingest" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val id = col("doc_id")
+      docs(s, dir).select(id).filter(id < 200).orderBy(id)
+        .select(id, call_function("tar_fixture", id.cast("long"),
+          lit(3).cast("int")).as("shard"))
+        .select(id, col("shard"),
+          explode(call_function("tar_entries", col("shard"))).as("e"))
+        .select(id, col("shard"),
+          substring_index(col("e.name"), ".", 1).as("key"),
+          substring_index(col("e.name"), ".", -1).as("ext"),
+          expr("substring(shard, e.offset + 1, e.size)").as("payload"))
+        .groupBy(id, col("key"))
+        .agg(
+          min(when(col("ext") === "png",
+            call_function("png_stats", col("payload")).getField("width")))
+            .as("png_w"),
+          min(when(col("ext") === "png",
+            call_function("png_stats", col("payload")).getField("height")))
+            .as("png_h"),
+          min(when(col("ext") === "png",
+            call_function("png_stats", col("payload")).getField("r_sum")))
+            .as("png_r_sum"),
+          min(when(col("ext") === "cls", col("payload").cast("string")))
+            .as("label"),
+          min(when(col("ext") === "txt", length(col("payload"))))
+            .as("txt_len"))
+        .orderBy(id, col("key"))
+    }),
+
+    // Common Crawl-shape WARC ingestion (functions/WarcCodec): each
+    // row is a REAL ISO 28500 stream — request/response/metadata
+    // records, and per-record-gzip transport on odd ids (the .warc.gz
+    // convention, walked through the JDK inflater) — exploded to
+    // response records with SQL-side title extraction. The oracle
+    // reconstructs the deterministic HTML and its byte length.
+    "pipe_warc_ingest" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val id = col("doc_id")
+      docs(s, dir).select(id).filter(id < 300).orderBy(id)
+        .select(id, explode(call_function("warc_records",
+          call_function("warc_fixture", id.cast("long"),
+            (pmod(id, lit(5)) + 1).cast("int")))).as("r"))
+        .filter(col("r.rec_type") === "response")
+        .select(id, col("r.target_uri").as("uri"),
+          col("r.content_length").as("content_length"),
+          regexp_extract(col("r.payload").cast("string"),
+            "<title>([^<]*)</title>", 1).as("title"))
+        .orderBy(id, col("uri"))
+    }),
+
     // REAL FLAC metadata decode (functions/AudioMeta): the block walk
     // + STREAMINFO's byte-straddling bit fields (20-bit sample rate,
     // 3-bit channels, 5-bit bits, 36-bit total samples). Oracle
@@ -1078,6 +1138,44 @@ object TextQueries {
         |    j -> CASE WHEN j % 3 = 2 THEN (doc_id*7 + j*13) % 256
         |         ELSE 0 END)) AS BIGINT) AS b_sum
         |FROM d ORDER BY doc_id""".stripMargin,
+    // per shard: 3 samples; sample i has a png of dims (i%5+3, i%4+3)
+    // built from generator id*31+i, label (id+i)%10, and the literal
+    // sample text — all recomputable without touching a tar byte
+    "pipe_webdataset_ingest" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |s AS (SELECT doc_id, i FROM d, unnest([0,1,2]) AS t(i)),
+        |e AS (SELECT doc_id, i,
+        |    CAST(i % 5 + 3 AS BIGINT) AS w,
+        |    CAST(i % 4 + 3 AS BIGINT) AS h,
+        |    doc_id * 31 + i AS pid
+        |  FROM s)
+        |SELECT doc_id, lpad(CAST(i AS VARCHAR), 6, '0') AS key,
+        |  CAST(w AS INTEGER) AS png_w, CAST(h AS INTEGER) AS png_h,
+        |  CAST(list_sum(list_transform(range(0, w*h*3),
+        |    j -> CASE WHEN j % 3 = 0 THEN (pid*7 + j*13) % 256
+        |         ELSE 0 END)) AS BIGINT) AS png_r_sum,
+        |  CAST((doc_id + i) % 10 AS VARCHAR) AS label,
+        |  CAST(length('sample ' || i || ' of shard ' || doc_id)
+        |    AS INTEGER) AS txt_len
+        |FROM e ORDER BY doc_id, key""".stripMargin,
+    // response record i of page i: deterministic HTML reconstructed
+    // in SQL, so the byte length and title cross-check the record
+    // walk (and the per-record-gzip inflation on odd ids)
+    "pipe_warc_ingest" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 5 + 1 AS INTEGER) AS np
+        |    FROM documents WHERE doc_id < 300),
+        |p AS (SELECT doc_id, i FROM d, unnest(range(0, np)) AS t(i)),
+        |h AS (SELECT doc_id, i,
+        |    '<html><head><title>doc ' || doc_id || '-' || i ||
+        |    '</title></head><body>' ||
+        |    repeat('crawl text ' || doc_id || ' ' || i || ' ',
+        |      CAST(i % 4 + 1 AS INTEGER)) || '</body></html>' AS html
+        |  FROM p)
+        |SELECT doc_id,
+        |  'https://example.com/' || doc_id || '/' || i AS uri,
+        |  CAST(length(html) AS BIGINT) AS content_length,
+        |  'doc ' || doc_id || '-' || i AS title
+        |FROM h ORDER BY doc_id, uri""".stripMargin,
     // fixture arithmetic: sr = 8000+(id%12)*4000, ch = 1+id%8,
     // bps = 8+id%17, total = id*1000+1, 3 metadata blocks
     "multimodal_flac_meta" ->
