@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BmpFixture, BmpStats, BpeEncode, BpeMergeStep, BpeTokenCount, ByteAtU8, ChunkHash60, DotProduct, FlacFixture, FlacMeta, GifFixture, GifStats, JpegFixture, JpegStats, JsonbDecode, MapChangedKeys, Mp3Fixture, Mp3Meta, Mp4Fixture, Mp4Meta, MultiMatch, MultiMatchAny, NfcNormalize, PngFixture, PngStats, PpmStats, RollingHash, ShingleHash64, ShingleUtf8, Sum128, TarEntries, TarFixture, TiffFixture, TiffStats, TokenWindowHash64, TopKLargest, TopKPairs, WarcFixture, WarcRecords, WavRms}
+import graft.functions.{BmpFixture, BmpStats, BpeEncode, BpeMergeStep, BpeTokenCount, ByteAtU8, ChunkHash60, DotProduct, FlacFixture, FlacMeta, GifFixture, GifStats, HtmlText, JpegFixture, JpegStats, JsonbDecode, MapChangedKeys, Mp3Fixture, Mp3Meta, Mp4Fixture, Mp4Meta, MultiMatch, MultiMatchAny, NfcNormalize, PngFixture, PngStats, PpmStats, RollingHash, ShingleHash64, ShingleUtf8, Sum128, TarEntries, TarFixture, TiffFixture, TiffStats, TokenWindowHash64, TopKLargest, TopKPairs, WarcFixture, WarcRecords, WavRms}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst
   * surface (SURVEY §7.4). Enable with:
@@ -74,6 +74,8 @@ object GraftExtensions {
       es => PngStats(es.head)),
     fn("png_fixture", classOf[PngFixture], 3, "png_fixture(id, w, h)")(
       es => PngFixture(es.head, es(1), es(2))),
+    fn("html_text", classOf[HtmlText], 1, "html_text(html)")(
+      es => HtmlText(es.head)),
     fn("tar_entries", classOf[TarEntries], 1, "tar_entries(blob)")(
       es => TarEntries(es.head)),
     fn("tar_fixture", classOf[TarFixture], 2, "tar_fixture(id, n_samples)")(

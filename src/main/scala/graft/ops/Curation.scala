@@ -183,6 +183,17 @@ object Curation {
           df.filter(t.isNotNull && (total === 0 ||
             (lit(1.0) - uniq.cast("double") / total.cast("double")) <= max))
         }, streamable = true)
+      case "html-extract" =>
+        // strip markup IN PLACE before any tokenizing/hashing stage —
+        // the boilerplate-removal step a web corpus needs first (tags
+        // out, script/style/head content dropped, entities decoded,
+        // whitespace collapsed). Scan-stage, streamable.
+        Stage("html-extract",
+          df => {
+            graft.GraftExtensions.ensure(df.sparkSession)
+            df.withColumn(textCol, call_function("html_text", t))
+          },
+          streamable = true)
       case "media-filter" =>
         // drop rows whose BLOB column does not decode as an accepted
         // image format within the dimension bounds — the image-corpus

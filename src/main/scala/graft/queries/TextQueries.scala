@@ -503,6 +503,49 @@ object TextQueries {
           col("st.b_sum").as("b_sum"))
     }),
 
+    // HTML → text extraction (functions/HtmlText): the boilerplate-
+    // removal step between WARC records and every quality stage. Each
+    // row builds a deterministic page (head/style dropped, blocks vs
+    // inlines, named + numeric entities, attribute soup) and the
+    // oracle constructs the EXPECTED extraction directly — the
+    // extractor's edge cases are pinned in HtmlTextSpec; the gate
+    // proves the common shape end to end.
+    "text_html_extract" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><head><title>skip</title><style>p{}</style></head>"),
+        lit("<body><h1>Header "), id, lit("</h1>"),
+        lit("<p>one "), id, lit(" &amp; two</p>"),
+        lit("<script>var x = 1;</script>"),
+        lit("<p>three &#189; <b>four</b></p> tail</body></html>"))
+      docs(s, dir).select(id).orderBy(id)
+        .select(id, html.as("html"))
+        .select(id, call_function("html_text", col("html")).as("text"))
+        .select(id, col("text"), length(col("text")).as("n_chars"))
+    }),
+
+    // the full Common Crawl pipeline at the gate: WARC records →
+    // response HTML → html_text → token counts. The oracle
+    // reconstructs the extracted text from the fixture arithmetic
+    // (WarcFixture body text is k repeats of a known phrase; head —
+    // and the title inside it — drops).
+    "pipe_warc_text" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val id = col("doc_id")
+      docs(s, dir).select(id).filter(id < 300).orderBy(id)
+        .select(id, explode(call_function("warc_records",
+          call_function("warc_fixture", id.cast("long"),
+            (pmod(id, lit(5)) + 1).cast("int")))).as("r"))
+        .filter(col("r.rec_type") === "response")
+        .select(id, col("r.target_uri").as("uri"),
+          call_function("html_text",
+            col("r.payload").cast("string")).as("text"))
+        .select(id, col("uri"), col("text"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .orderBy(id, col("uri"))
+    }),
+
     // WebDataset ingestion end-to-end (functions/TarCodec): each row
     // is a REAL ustar shard (checksummed headers, 512-alignment, pax
     // and directory entries to skip) holding 3 samples of
@@ -1138,6 +1181,33 @@ object TextQueries {
         |    j -> CASE WHEN j % 3 = 2 THEN (doc_id*7 + j*13) % 256
         |         ELSE 0 END)) AS BIGINT) AS b_sum
         |FROM d ORDER BY doc_id""".stripMargin,
+    // the oracle CONSTRUCTS the expected extraction: head/style/
+    // script content gone, h1/p boundaries as paragraph breaks,
+    // entities decoded, whitespace collapsed, the trailing bare text
+    // separated by the single </p> newline
+    "text_html_extract" ->
+      """WITH t AS (SELECT doc_id,
+        |    'Header ' || doc_id || chr(10) || chr(10) ||
+        |    'one ' || doc_id || ' & two' || chr(10) || chr(10) ||
+        |    'three ½ four' || chr(10) || 'tail' AS text
+        |  FROM documents)
+        |SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n_chars
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // response i's extracted text is k = i%4+1 repeats of the crawl
+    // phrase, right-trimmed (the head — title included — drops)
+    "pipe_warc_text" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 5 + 1 AS INTEGER) AS np
+        |    FROM documents WHERE doc_id < 300),
+        |p AS (SELECT doc_id, i FROM d, unnest(range(0, np)) AS t(i)),
+        |e AS (SELECT doc_id, i,
+        |    rtrim(repeat('crawl text ' || doc_id || ' ' || i || ' ',
+        |      CAST(i % 4 + 1 AS INTEGER))) AS text
+        |  FROM p)
+        |SELECT doc_id,
+        |  'https://example.com/' || doc_id || '/' || i AS uri,
+        |  text,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |FROM e ORDER BY doc_id, uri""".stripMargin,
     // per shard: 3 samples; sample i has a png of dims (i%5+3, i%4+3)
     // built from generator id*31+i, label (id+i)%10, and the literal
     // sample text — all recomputable without touching a tar byte

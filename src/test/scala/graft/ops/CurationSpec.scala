@@ -834,6 +834,18 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("html-extract stage strips markup in place") {
+    val d = Seq(
+      (1L, "<html><head><title>x</title></head><body><p>real &amp; text</p></body></html>"),
+      (2L, "already plain")).toDF("doc_id", "text")
+    val st = Curation.stage(Map("type" -> "html-extract"),
+      "text", "doc_id", spark)
+    assert(st.streamable)
+    val out = st.apply(d).orderBy($"doc_id").as[(Long, String)]
+      .collect().toSeq
+    assert(out == Seq((1L, "real & text"), (2L, "already plain")))
+  }
+
   test("audio-filter stage drops silence, clipping, and non-audio") {
     def wav(amp: Short, n: Int): Array[Byte] = {
       val buf = java.nio.ByteBuffer.allocate(44 + n * 2)
