@@ -58,6 +58,11 @@ object CurateMain {
     val inPath = opt("input.path").getOrElse(sys.error("required: input.path"))
     val idCol = opt("input.id-column").getOrElse("doc_id")
     val textCol = opt("input.text-column").getOrElse("text")
+    // input.format: parquet (default) | warc | webdataset — the
+    // container formats ingest through their native walks
+    // (functions/WarcCodec, functions/TarCodec) into the standard
+    // (id, text, ...) corpus shape before any stage runs
+    val inFormat = opt("input.format").getOrElse("parquet")
     val outDir = opt("output.dir").getOrElse(sys.error("required: output.dir"))
     val partitionBy = opt("output.partition-by")
     val streaming = streamingMode(tree)
@@ -68,8 +73,18 @@ object CurateMain {
       Toml.tablesAt(tree, "stages"), textCol, idCol, spark)
 
     if (!streaming) {
-      val (curated, observations) =
-        Curation.assemble(spark.read.parquet(inPath), stages)
+      val corpus = inFormat match {
+        case "parquet" => spark.read.parquet(inPath)
+        case "warc" | "webdataset" =>
+          CurateMain.fromContainers(
+            spark.read.format("binaryFile")
+              .option("pathGlobFilter", containerGlob(inFormat))
+              .load(inPath),
+            inFormat, idCol, textCol)
+        case other => sys.error(s"unknown input.format '$other' " +
+          "(know parquet, warc, webdataset)")
+      }
+      val (curated, observations) = Curation.assemble(corpus, stages)
       val writer = curated.write.mode("overwrite")
       partitionBy.fold(writer)(c => writer.partitionBy(c)).parquet(outDir)
       // external side effects (near-dup index append) land ONLY after
@@ -87,13 +102,37 @@ object CurateMain {
           s"${bad.mkString(", ")} — use the index-backed dedup modes " +
           "or run these in a batch pass over the accumulated output")
       val ckpt = opt("input.checkpoint").getOrElse(outDir + ".checkpoint")
-      // schema from the files already present (a file-stream source
-      // needs one up front); the stream then watches for NEW files
-      val schema = spark.read.parquet(inPath).schema
-      val src = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger",
-          opt("input.max-files-per-trigger").getOrElse("1000"))
-        .parquet(inPath)
+      val maxFiles = opt("input.max-files-per-trigger").getOrElse("1000")
+      val src = inFormat match {
+        case "parquet" =>
+          // schema from the files already present (a file-stream
+          // source needs one up front); then it watches for NEW files
+          val schema = spark.read.parquet(inPath).schema
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", maxFiles)
+            .parquet(inPath)
+        case "warc" =>
+          // binaryFile streams with a FIXED schema; the record
+          // explode is a narrow per-batch transform, so the drain
+          // stays incremental (one shard file = one unit of arrival)
+          CurateMain.fromContainers(
+            spark.readStream.format("binaryFile")
+              .schema(CurateMain.binaryFileSchema)
+              .option("pathGlobFilter", containerGlob("warc"))
+              .option("maxFilesPerTrigger", maxFiles)
+              .load(inPath),
+            "warc", idCol, textCol)
+        case "webdataset" =>
+          // sample reassembly is a per-shard AGGREGATION — per-batch
+          // it would silently weaken to batch-local grouping only if
+          // a sample could span shards; it cannot (WebDataset keys
+          // are shard-local), so grouping inside foreachBatch is
+          // sound. Still, keep the contract simple: refuse here and
+          // point at the batch path until a use case needs it.
+          sys.error("input.format=webdataset is batch-only " +
+            "(sample reassembly groups per shard); drop stream=true")
+        case other => sys.error(s"unknown input.format '$other'")
+      }
       // Funnel counts keyed by batchId so a batch retried WITHIN this
       // run overwrites its own entry instead of double-counting. The
       // funnel is still PER-RUN diagnostics (it cannot see batches a
@@ -153,6 +192,73 @@ object CurateMain {
     * drift from the mode the run actually executed in. */
   private def streamingMode(tree: Map[String, Any]): Boolean =
     Toml.at(tree, "input.stream").exists(_.toString.toBoolean)
+
+  /** binaryFile's fixed source schema (a file-STREAM source must be
+    * given one up front). */
+  val binaryFileSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+
+  private def containerGlob(format: String): String = format match {
+    case "warc" => "*.{warc,warc.gz}"
+    case _ => "*.tar"
+  }
+
+  /** Container shards (binaryFile rows) → the (id, text, ...) corpus
+    * shape the stages consume. Ids are stable content-path hashes, so
+    * re-ingesting the same shard yields the same ids (what the
+    * index-backed dedups key on across runs).
+    *
+    *  - warc: response records only; text = [[graft.functions
+    *    .HtmlText]] of the payload; uri kept as provenance.
+    *  - webdataset: members reassemble by sample key (name before
+    *    the first dot); the `.txt` member becomes text, `.cls` the
+    *    label, the first image member rides along as `payload` for
+    *    media stages. */
+  def fromContainers(files: org.apache.spark.sql.DataFrame,
+      format: String, idCol: String, textCol: String):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.GraftExtensions.ensure(files.sparkSession)
+    format match {
+      case "warc" =>
+        files.select(col("path"),
+          explode(call_function("warc_records", col("content"))).as("r"))
+          .filter(col("r.rec_type") === "response")
+          .select(
+            xxhash64(col("path"), col("r.target_uri")).as(idCol),
+            col("r.target_uri").as("uri"),
+            call_function("html_text",
+              col("r.payload").cast("string")).as(textCol))
+      case "webdataset" =>
+        files.select(col("path"), col("content").as("shard"))
+          .select(col("path"), col("shard"),
+            explode(call_function("tar_entries", col("shard"))).as("e"))
+          .select(col("path"),
+            substring_index(col("e.name"), ".", 1).as("__key"),
+            substring_index(col("e.name"), ".", -1).as("__ext"),
+            expr("substring(shard, e.offset + 1, e.size)").as("__payload"))
+          .groupBy(col("path"), col("__key"))
+          .agg(
+            min(when(col("__ext") === "txt",
+              col("__payload").cast("string"))).as(textCol),
+            min(when(col("__ext") === "cls",
+              col("__payload").cast("string"))).as("label"),
+            min(when(col("__ext").isin("png", "jpg", "jpeg", "gif",
+              "bmp", "tiff"), col("__payload"))).as("payload"))
+          .select(xxhash64(col("path"), col("__key")).as(idCol),
+            col("__key").as("sample_key"), col(textCol), col("label"),
+            col("payload"))
+      case other => sys.error(s"unknown container format '$other'")
+    }
+  }
 
   /** Layout-dispatching index compaction (the `--compact-index`
     * body): an IncrementalAnn dir carries `_graft_cells`, a dedup

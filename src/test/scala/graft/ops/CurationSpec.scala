@@ -834,6 +834,114 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("warc input format: curate straight from .warc/.warc.gz shards") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("warcin").toString
+    val outDir = Files.createTempDirectory("warcout").toString + "/out"
+    // two shards, one plain (id 2) one per-record-gzip (id 3)
+    Files.write(Paths.get(dir, "a.warc"),
+      graft.functions.WarcFixture.build(2L, 4))
+    Files.write(Paths.get(dir, "b.warc.gz"),
+      graft.functions.WarcFixture.build(3L, 3))
+    val config =
+      s"""[input]
+         |path = "$dir"
+         |format = "warc"
+         |[output]
+         |dir = "$outDir"
+         |[[stages]]
+         |type = "length-filter"
+         |min-tokens = 1
+         |""".stripMargin
+    val (n, _) = graft.CurateMain.run(spark, config)
+    assert(n == 7L, s"4 + 3 response records, got $n")
+    val out = spark.read.parquet(outDir)
+    assert(out.columns.toSet == Set("doc_id", "uri", "text"))
+    val rows = out.orderBy($"uri").collect()
+    assert(rows.length == 7)
+    // html_text already ran: body text only, no tags
+    rows.foreach { r =>
+      val t = r.getAs[String]("text")
+      assert(t.startsWith("crawl text") && !t.contains("<"), t)
+    }
+    // ids are stable content hashes: re-running yields identical ids
+    val ids1 = out.select($"doc_id").as[Long].collect().sorted.toSeq
+    val (n2, _) = graft.CurateMain.run(spark, config)
+    assert(n2 == 7L)
+    val again = spark.read.parquet(outDir).select($"doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(again == ids1)
+  }
+
+  test("webdataset input format: tar shards reassemble into samples " +
+    "and feed media stages") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("wdsin").toString
+    val outDir = Files.createTempDirectory("wdsout").toString + "/out"
+    Files.write(Paths.get(dir, "shard0.tar"),
+      graft.functions.TarFixture.build(10L, 3))
+    Files.write(Paths.get(dir, "shard1.tar"),
+      graft.functions.TarFixture.build(11L, 2))
+    val config =
+      s"""[input]
+         |path = "$dir"
+         |format = "webdataset"
+         |[output]
+         |dir = "$outDir"
+         |[[stages]]
+         |type = "media-filter"
+         |blob-col = "payload"
+         |min-width = 4
+         |min-height = 3
+         |""".stripMargin
+    val (n, _) = graft.CurateMain.run(spark, config)
+    // 5 samples total; sample i's png is (i%5+3)x(i%4+3): i=0 → 3x3
+    // fails min-width 4; i=1 → 4x4 passes; i=2 → 5x5 passes. Shard 1:
+    // i=0 fails, i=1 passes. → 3 survivors
+    assert(n == 3L, s"got $n")
+    val out = spark.read.parquet(outDir).orderBy($"sample_key")
+    val rows = out.collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("text").startsWith("sample "))
+      assert(r.getAs[String]("label").length == 1)
+    }
+  }
+
+  test("streaming warc input: the crawl-shard drain processes only " +
+    "newly-landed shards") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("warcstream").toString
+    val (in, out) = (s"$dir/in", s"$dir/out")
+    Files.createDirectories(Paths.get(in))
+    val config =
+      s"""[input]
+         |path = "$in"
+         |format = "warc"
+         |stream = "true"
+         |[output]
+         |dir = "$out"
+         |[[stages]]
+         |type = "length-filter"
+         |min-tokens = 1
+         |""".stripMargin
+    Files.write(Paths.get(in, "s0.warc"),
+      graft.functions.WarcFixture.build(2L, 3))
+    val (n1, _) = graft.CurateMain.run(spark, config)
+    assert(n1 == 3L, s"got $n1")
+    // a new shard lands (gzip transport); only IT drains on run 2
+    Files.write(Paths.get(in, "s1.warc.gz"),
+      graft.functions.WarcFixture.build(3L, 2))
+    val (n2, f2) = graft.CurateMain.run(spark, config)
+    assert(n2 == 2L, s"run 2 must drain only the new shard: $f2")
+    assert(spark.read.parquet(out).count() == 5)
+    // webdataset is batch-only: refused loudly in stream mode
+    val e = intercept[RuntimeException] {
+      graft.CurateMain.run(spark, config.replace("\"warc\"",
+        "\"webdataset\""))
+    }
+    assert(e.getMessage.contains("batch-only"), e.getMessage)
+  }
+
   test("html-extract stage strips markup in place") {
     val d = Seq(
       (1L, "<html><head><title>x</title></head><body><p>real &amp; text</p></body></html>"),
