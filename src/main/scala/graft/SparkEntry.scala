@@ -32,7 +32,8 @@ object SparkEntry {
       CoreQueries.queries ++ Core2Queries.queries ++ Core3Queries.queries ++
         Core4Queries.queries ++ Core5Queries.queries ++
         CdcQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-        SimilarityQueries.queries ++ EventQueries.queries
+        SimilarityQueries.queries ++ EventQueries.queries ++
+        ModelQueries.queries
     raw.map { case (name, f) =>
       name -> ((s: SparkSession, dir: String) => {
         GraftExtensions.ensure(s); f(s, dir)
@@ -46,5 +47,6 @@ object SparkEntry {
     CoreQueries.oracle ++ Core2Queries.oracle ++ Core3Queries.oracle ++
       Core4Queries.oracle ++ Core5Queries.oracle ++
       CdcQueries.oracle ++ TextQueries.oracle ++ DedupQueries.oracle ++
-      SimilarityQueries.oracle ++ EventQueries.oracle
+      SimilarityQueries.oracle ++ EventQueries.oracle ++
+      ModelQueries.oracle
 }

@@ -358,6 +358,58 @@ object Curation {
             .filter(col("contaminated")).select(col(idCol))
           df.join(hits, Seq(idCol), "left_anti")
         }, streamable = true)
+      case "nb-filter" =>
+        // trainable binary Naive-Bayes quality filter (the CCNet /
+        // DCLM / FineWeb-Edu shape): a labeled seed set at ref-path
+        // trains the token model ONCE at assembly (lazy frames,
+        // cached on first batch); every incoming doc is scored by
+        // the prefix likelihood ratio and kept when it clears
+        // min-score. The model is fixed — independent of the
+        // incoming batch — so the stage is streamable, same contract
+        // as decontaminate's fixed eval set. Docs with NULL text
+        // never reach the score table and drop (filter semantics).
+        val refPath = str("ref-path")
+        val labelCol = conf.get("label-column")
+          .map(_.toString).getOrElse("label")
+        val posLabel = str("pos-label")
+        val minScore = num("min-score", 1.0)
+        val minCount = num("min-count", 2).toInt
+        val prefix = num("prefix", 40).toInt
+        val refDocs = spark.read.parquet(refPath)
+        val counts = Caching.cacheOnce(NbClassifier.trainCounts(
+          refDocs, TextFunctions.tokens(col(textCol)), col(labelCol),
+          minCount))
+        val priors = Caching.cacheOnce(
+          NbClassifier.docPriors(refDocs, col(labelCol)))
+        Stage("nb-filter", df => {
+          val keep = NbClassifier.scoreBinary(df, idCol,
+            TextFunctions.tokens(t), counts, priors, posLabel, prefix)
+            .filter(col("score") >= minScore)
+            .select(col("doc_id").as(idCol))
+          df.join(keep, Seq(idCol), "left_semi")
+        }, streamable = true)
+      case "lm-filter" =>
+        // stupid-backoff LM fluency filter (Brants et al. 2007; the
+        // CCNet perplexity-filter shape with distributed counts): a
+        // reference corpus at ref-path trains unigram + pruned
+        // bigram tables once at assembly; docs keep when their mean
+        // transition score clears min-score. Fixed model ⇒
+        // streamable.
+        val refPath = str("ref-path")
+        val minScore = num("min-score", 0.0)
+        val minCount = num("min-count", 2).toInt
+        val refDocs = spark.read.parquet(refPath)
+        val uni = Caching.cacheOnce(LangModel.unigrams(
+          refDocs, TextFunctions.tokens(col(textCol))))
+        val big = Caching.cacheOnce(LangModel.bigrams(
+          refDocs, TextFunctions.tokens(col(textCol)), minCount))
+        Stage("lm-filter", df => {
+          val keep = LangModel.score(df, idCol,
+            TextFunctions.tokens(t), uni, big)
+            .filter(col("mean_p") >= minScore)
+            .select(col("doc_id").as(idCol))
+          df.join(keep, Seq(idCol), "left_semi")
+        }, streamable = true)
       case "domain-cap" =>
         // at most K docs per source, deterministic hash order — the
         // C4/CCNet mega-domain guard; CappedSample bounds every

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based n-gram language model with stupid backoff (Brants et
+  * al. 2007, "Large Language Models in Machine Translation") — the
+  * distributed-counts LM that CCNet-style pipelines use to score
+  * corpus fluency when a full Kneser-Ney/KenLM model is overkill:
+  * training is nothing but n-gram counting (embarrassingly parallel,
+  * the reason the paper proposed it at terabyte scale), and scoring
+  * is a per-token table lookup.
+  *
+  * Per-transition score of token w following v:
+  *   S(w|v) = cnt(v w) / cnt(v)        when the bigram survives the
+  *                                      minCount prune and v is in
+  *                                      the unigram table,
+  *          = 0.4 · (cnt(w)+1)/(N+V)   otherwise (backoff to the
+  *                                      add-one-smoothed unigram,
+  *                                      0.4 the paper's constant).
+  * A document's score is the MEAN transition score — every op is a
+  * correctly-rounded IEEE ÷, × or ordered +, so the double is
+  * bit-identical across engines and partitionings (the per-doc sum
+  * folds in transition order, the Bm25/rolling-fp discipline; no
+  * log(), same rationale as Bm25's rational idf).
+  *
+  * Scale shape: training is two hash aggregates (unigrams, bigrams)
+  * with map-side partial combine; the minCount prune bounds the
+  * bigram table (the paper's own device for web-scale counts), so
+  * scoring joins a corpus-proportional exploded stream against
+  * model-bounded tables — AQE picks broadcast when the model fits,
+  * hash join otherwise. The per-doc regroup is one shuffle keyed by
+  * doc id carrying (pos, p) pairs, never text.
+  */
+object LangModel {
+
+  /** Unigram counts (token, cnt) — no prune: the unigram table is
+    * vocabulary-sized, already bounded. */
+  def unigrams(ref: DataFrame, toks: Column): DataFrame =
+    ref.select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+
+  /** Bigram counts (w1, w2, cnt) with cnt >= minCount. */
+  def bigrams(ref: DataFrame, toks: Column, minCount: Int = 2): DataFrame =
+    ref.select(explode(transitionPairs(toks)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /** (w1, w2) transition structs for positions 1..n-1; empty for
+    * docs under 2 tokens. Built by zipping the token array against
+    * itself shifted by one — a narrow expression, no join. The input
+    * is let-bound ([[graft.functions.Exprs.bind]]) because it is
+    * referenced four times (two sizes, two slices) and may be a
+    * regex split. */
+  def transitionPairs(toks: Column): Column =
+    graft.functions.Exprs.bind(toks) { t =>
+      when(size(t) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(arrays_zip(
+          slice(t, lit(1), size(t) - 1).as("w1"),
+          slice(t, lit(2), size(t) - 1).as("w2"))
+          .cast("array<struct<w1:string,w2:string>>"))
+    }
+
+  /** Score a corpus against a trained model.
+    *
+    * @param docs corpus to score
+    * @param uni  unigram counts from [[unigrams]] (train corpus)
+    * @param big  pruned bigram counts from [[bigrams]]
+    * @return (doc_id, n_trans, n_hits, mean_p): n_trans = token
+    *         transitions in the doc (0 for docs under 2 tokens, with
+    *         mean_p = 0.0), n_hits = transitions scored on the
+    *         bigram path, mean_p = mean stupid-backoff score folded
+    *         in transition order.
+    */
+  def score(docs: DataFrame, idCol: String, toks: Column,
+            uni: DataFrame, big: DataFrame, alpha: Double = 0.4)
+  : DataFrame = {
+    // 1-row scalars: total token count N and vocabulary size V of
+    // the unigram table (for the smoothed backoff)
+    val scalars = uni.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("v"))
+
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      toks.as("__t"))
+    val trans = base
+      .select(col("doc_id"),
+        posexplode(transitionPairs(col("__t"))).as(Seq("pos", "bg")))
+      .select(col("doc_id"), col("pos"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val scored = trans
+      .join(big.select(col("w1"), col("w2"), col("cnt").as("c_big")),
+        Seq("w1", "w2"), "left")
+      .join(uni.select(col("token").as("w1"), col("cnt").as("c_prev")),
+        Seq("w1"), "left")
+      .join(uni.select(col("token").as("w2"), col("cnt").as("c_cur")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"), col("pos"),
+        col("c_big").isNotNull.and(col("c_prev").isNotNull)
+          .cast("long").as("hit"),
+        when(col("c_big").isNotNull && col("c_prev").isNotNull,
+          col("c_big").cast("double") / col("c_prev").cast("double"))
+          .otherwise(lit(alpha) *
+            ((coalesce(col("c_cur"), lit(0L)) + lit(1L)).cast("double") /
+              (col("n_total") + col("v")).cast("double"))).as("p"))
+
+    val perDoc = scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"), sum(col("hit")).as("n_hits"),
+        sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .select(col("doc_id"), col("n_trans"), col("n_hits"),
+        (aggregate(transform(col("ps"), x => x.getField("p")),
+          lit(0.0), (acc, x) => acc + x) /
+          col("n_trans").cast("double")).as("mean_p"))
+    // docs under 2 tokens emit no transitions — restore them with
+    // the defined (0, 0, 0.0) row so output covers the corpus
+    base.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("mean_p"), lit(0.0)).as("mean_p"))
+  }
+}

@@ -1,0 +1,269 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trainable Naive-Bayes document classifier — the model-based
+  * filtering step of a training-data pipeline (the CCNet / DCLM /
+  * FineWeb-Edu shape: train a cheap linear classifier on a labeled
+  * seed set, score the whole corpus, keep what clears a threshold).
+  * The reference engine ships only row plumbing (qin-cdc has no
+  * analytics); this family exists because a corpus curator needs it,
+  * same rationale as the dedup/ANN operators.
+  *
+  * Everything is RELATIONAL — no driver-side class list, no collected
+  * vocabulary — so the same algebra runs on 32 cores or 1000
+  * executors and mirrors verbatim into the DuckDB oracle:
+  *  - training is one (label, token) hash aggregate (map-side partial
+  *    combine; the shuffle carries post-combine token counts, never
+  *    text bodies);
+  *  - the model tables (counts per class, class totals, vocabulary
+  *    size) are minCount-pruned and therefore bounded — they sit on
+  *    the build side of AQE-decided joins;
+  *  - prediction = explode + join + integer vote counting; the only
+  *    doubles are single IEEE divisions of exact integers (correctly
+  *    rounded, bit-identical on any engine), and ties break on label
+  *    order, so results are partitioning-invariant.
+  *
+  * Smoothing: add-one (Laplace) over the PRUNED vocabulary V, with
+  * class token totals N_c summed over the same pruned counts, so
+  * per-class probabilities stay a proper distribution:
+  * p(w|c) = (cnt_c(w) + 1) / (N_c + V).
+  */
+object NbClassifier {
+
+  /** Multinomial NB token-count model: (label, token, cnt) with
+    * cnt >= minCount. One explode + one hash aggregate; partial
+    * aggregation makes the shuffle carry per-partition combined
+    * counts. */
+  def trainCounts(docs: DataFrame, toks: Column, label: Column,
+                  minCount: Int = 2): DataFrame =
+    docs.select(label.as("label"), explode(toks).as("token"))
+      .groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /** Class doc priors: (label, n_docs). */
+  def docPriors(docs: DataFrame, label: Column): DataFrame =
+    docs.groupBy(label.as("label")).agg(count(lit(1)).as("n_docs"))
+
+  // 1-row frame (v, plus per-label totals joined where needed):
+  // vocabulary size of the pruned model
+  private def vocabSize(counts: DataFrame): DataFrame =
+    counts.select(col("token")).distinct()
+      .agg(count(lit(1)).as("v"))
+
+  private def classTotals(counts: DataFrame): DataFrame =
+    counts.groupBy(col("label")).agg(sum(col("cnt")).as("n"))
+
+  /** Multiclass prediction by per-token argmax votes.
+    *
+    * Each corpus token votes for the class maximizing the smoothed
+    * relative frequency (cnt_c + 1) / (N_c + V); the document's
+    * prediction is the majority vote. Votes and tallies are exact
+    * integers; the per-token comparison divides exact integers once
+    * (IEEE-correctly-rounded, so identical in any engine) and breaks
+    * ties on label ascending. Tokens outside the model vocabulary
+    * fall back to the all-unseen vote (argmax of 1 / (N_c + V), a
+    * 1-row frame), so every token votes and n_votes sums to n_tok.
+    *
+    * Plan shape: the (token × label) grid is |V|·|C| rows — model-
+    * sized, not corpus-sized; the corpus-proportional work is one
+    * explode + one broadcast-or-shuffle join on token + one (doc,
+    * label) count aggregate.
+    *
+    * @return (doc_id, pred, n_votes, n_tok)
+    */
+  def predictVotes(docs: DataFrame, idCol: String, toks: Column,
+                   counts: DataFrame): DataFrame = {
+    val totals = classTotals(counts)
+    val v = vocabSize(counts)
+    // full (token, label) grid: unseen-in-class pairs still get the
+    // +1 smoothing mass. The right side is the class list — bounded.
+    val grid = counts.select(col("token")).distinct()
+      .crossJoin(broadcast(totals))
+      .join(counts, Seq("token", "label"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("token"), col("label"),
+        ((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n") + col("v")).cast("double")).as("p"))
+    val voteOf = grid
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
+          .orderBy(col("p").desc, col("label"))))
+      .filter(col("rnk") === 1)
+      .select(col("token"), col("label").as("vote"))
+    // the out-of-vocabulary vote: every class offers 1/(N_c+V)
+    val oov = totals.crossJoin(broadcast(v))
+      .select(col("label"),
+        (lit(1.0) / (col("n") + col("v")).cast("double")).as("p"))
+      .orderBy(col("p").desc, col("label")).limit(1)
+      .select(col("label").as("oov_vote"))
+
+    val tally = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(toks).as("token"))
+      .join(voteOf, Seq("token"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col("doc_id"),
+        coalesce(col("vote"), col("oov_vote")).as("vote"))
+      .groupBy(col("doc_id"), col("vote"))
+      .agg(count(lit(1)).as("n_votes"))
+    // per-doc argmax + total over the tally (≤ |classes| rows per
+    // doc) in ONE window pass — no second explode of the corpus
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    tally
+      .withColumn("n_tok", sum(col("n_votes")).over(byDoc))
+      .withColumn("rnk", row_number().over(
+        byDoc.orderBy(col("n_votes").desc, col("vote"))))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("vote").as("pred"),
+        col("n_votes"), col("n_tok"))
+  }
+
+  /** Full multinomial NB in log space: per-class posterior
+    * log p(c) + Σ_i log p(w_i|c), argmax with label-ascending
+    * tiebreak — the textbook classifier, kept beside the
+    * oracle-checkable [[predictVotes]]/[[scoreBinary]] forms because
+    * `log()` is a libm transcendental whose low bits differ across
+    * ENGINES (so no DuckDB hash-check; pinned by spec instead), but
+    * within one JVM it is deterministic, and the per-(doc, class)
+    * sum folds the token log-probs IN POSITION ORDER, so results are
+    * partitioning-invariant.
+    *
+    * Plan shape: the corpus-proportional stream is exploded once and
+    * joined once against a per-token map of class log-probs
+    * (model-bounded build side); the |C|-way expansion happens on
+    * the post-join rows, and the per-(doc, class) regroup is the one
+    * doc-keyed shuffle.
+    *
+    * @return (doc_id, pred, logp): logp = winning class posterior
+    */
+  def predictLog(docs: DataFrame, idCol: String, toks: Column,
+                 counts: DataFrame, priors: DataFrame): DataFrame = {
+    val totals = classTotals(counts)
+    val v = vocabSize(counts)
+    val grid = counts.select(col("token")).distinct()
+      .crossJoin(broadcast(totals))
+      .join(counts, Seq("token", "label"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("token"), col("label"),
+        log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n") + col("v")).cast("double")).as("lp"))
+    val tokMap = grid.groupBy(col("token"))
+      .agg(map_from_entries(collect_list(struct(col("label"), col("lp"))))
+        .as("lps"))
+    // class-side constants: log prior and the all-unseen fallback
+    val classes = totals.crossJoin(broadcast(v))
+      .join(priors, Seq("label"), "left")
+      .select(col("label"),
+        log(lit(1.0) / (col("n") + col("v")).cast("double"))
+          .as("lp_oov"),
+        log(coalesce(col("n_docs"), lit(0L)).cast("double"))
+          .as("lp_prior"))
+
+    val pos = docs
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("__t"))
+      .select(col("doc_id"), posexplode(col("__t")).as(Seq("pos", "token")))
+    val perClass = pos
+      .join(tokMap, Seq("token"), "left")
+      .crossJoin(broadcast(classes))
+      .select(col("doc_id"), col("label"), col("pos"),
+        coalesce(element_at(col("lps"), col("label")), col("lp_oov"))
+          .as("lp"),
+        col("lp_prior"))
+    val post = perClass
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp"))))
+        .as("ls"),
+        first(col("lp_prior")).as("lp_prior"))
+      .select(col("doc_id"), col("label"),
+        (aggregate(transform(col("ls"), x => x.getField("lp")),
+          lit(0.0), (acc, x) => acc + x) + col("lp_prior")).as("logp"))
+    post
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("logp").desc, col("label"))))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("label").as("pred"), col("logp"))
+  }
+
+  /** Binary NB likelihood-ratio score over a token prefix.
+    *
+    * score = prior_ratio · Π_i r(w_i) over the first `prefix`
+    * tokens, where r(w) = p(w|pos) / p(w|neg) with the smoothed
+    * per-class probabilities above; pred = score >= 1. The product
+    * folds the per-position ratios IN TOKEN ORDER (sort_array on
+    * (pos, r) + left-fold from 1.0), so the double is invariant to
+    * partitioning and bit-identical in the oracle's
+    * list_reduce(list(... ORDER BY pos)). Every arithmetic op is a
+    * single correctly-rounded IEEE ÷ or × of exact integers — no
+    * transcendentals (same rationale as Bm25's rational idf: ln()
+    * low bits differ across engines).
+    *
+    * The prefix bound (fastText-style truncation) is ALSO the
+    * overflow guard: per-token ratios are bounded by
+    * (maxCnt+1)·(N_neg+V)/(N_pos+V), so 40 factors stay far inside
+    * double range where an unbounded document could overflow to inf.
+    * And it bounds per-doc score cost at 100 TB.
+    *
+    * @param counts binary model from [[trainCounts]] whose label
+    *               column holds exactly two values
+    * @param priors (label, n_docs) from [[docPriors]] on the train set
+    * @return (doc_id, n_seen, score, pred): n_seen = prefix tokens
+    *         found in the model vocabulary
+    */
+  def scoreBinary(docs: DataFrame, idCol: String, toks: Column,
+                  counts: DataFrame, priors: DataFrame, posLabel: String,
+                  prefix: Int = 40): DataFrame = {
+    val v = vocabSize(counts)
+    // 1-row scalars: N_pos, N_neg, V, prior ratio
+    val scalars = classTotals(counts)
+      .agg(sum(when(col("label") === posLabel, col("n")).otherwise(0L))
+        .as("n_pos"),
+        sum(when(col("label") =!= posLabel, col("n")).otherwise(0L))
+          .as("n_neg"))
+      .crossJoin(broadcast(v))
+      .crossJoin(broadcast(priors.agg(
+        sum(when(col("label") === posLabel, col("n_docs")).otherwise(0L))
+          .as("d_pos"),
+        sum(when(col("label") =!= posLabel, col("n_docs")).otherwise(0L))
+          .as("d_neg"))))
+    // per-token ratio table (model-sized)
+    val ratios = counts
+      .groupBy(col("token"))
+      .agg(sum(when(col("label") === posLabel, col("cnt")).otherwise(0L))
+        .as("c_pos"),
+        sum(when(col("label") =!= posLabel, col("cnt")).otherwise(0L))
+          .as("c_neg"))
+      .crossJoin(broadcast(scalars.select(col("n_pos"), col("n_neg"),
+        col("v"))))
+      .select(col("token"),
+        (((col("c_pos") + lit(1L)).cast("double") /
+          (col("n_pos") + col("v")).cast("double")) /
+          ((col("c_neg") + lit(1L)).cast("double") /
+            (col("n_neg") + col("v")).cast("double"))).as("r"))
+
+    val pos = docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(slice(toks, 1, prefix)).as(Seq("pos", "token")))
+    val perTok = pos.join(ratios, Seq("token"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"), col("pos"),
+        col("r").isNotNull.cast("long").as("seen"),
+        coalesce(col("r"),
+          (lit(1.0) / (col("n_pos") + col("v")).cast("double")) /
+            (lit(1.0) / (col("n_neg") + col("v")).cast("double"))).as("r"),
+        (col("d_pos").cast("double") / col("d_neg").cast("double"))
+          .as("prior"))
+    perTok
+      .groupBy(col("doc_id"))
+      .agg(sum(col("seen")).as("n_seen"),
+        sort_array(collect_list(struct(col("pos"), col("r")))).as("rs"),
+        first(col("prior")).as("prior"))
+      .select(col("doc_id"), col("n_seen"),
+        (aggregate(transform(col("rs"), x => x.getField("r")),
+          lit(1.0), (acc, x) => acc * x) * col("prior")).as("score"))
+      .withColumn("pred", col("score") >= 1.0)
+  }
+}

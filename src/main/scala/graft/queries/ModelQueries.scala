@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.ops.{LangModel, NbClassifier}
+
+/** Model-based corpus filtering — the trainable-classifier /
+  * count-LM scoring family (CCNet / DCLM / FineWeb-Edu shape) over
+  * `documents`. Every query's doubles are single correctly-rounded
+  * IEEE ops or ordered folds, so every entry hash-checks against
+  * DuckDB bit-for-bit (the Bm25 discipline).
+  */
+object ModelQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def toks = TextFunctions.tokens(col("text"))
+
+  // oracle-side tokenizer, mirrored from TextFunctions.tokens
+  private val sqlToks = "string_split_regex(trim(text), ' +')"
+  private val sqlStop = "('the', 'a', 'of', 'and', 'in')"
+  // oracle-side quality label, mirrored from the text_quality pair
+  private val sqlQualityLabel =
+    s"""CASE WHEN CAST(len(list_filter($sqlToks, t -> t IN $sqlStop))
+       |          AS DOUBLE) / CAST(len($sqlToks) AS DOUBLE)
+       |        + CASE WHEN len($sqlToks) BETWEEN 5 AND 500
+       |               THEN 1.0 ELSE 0.0 END >= 1.08
+       |     THEN 'pos' ELSE 'neg' END""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // NB training table: one (label, token) hash aggregate with
+    // map-side combine; minCount prune bounds the model
+    "model_nb_counts" -> ((s, dir) =>
+      NbClassifier.trainCounts(docs(s, dir), toks, col("lang"), minCount = 2)
+        .orderBy(col("label"), col("token"))),
+
+    // multiclass language prediction by exact per-token argmax votes
+    // (trained and scored on the corpus; lang is the supervision)
+    "model_nb_predict" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val counts = NbClassifier.trainCounts(d, toks, col("lang"), 2)
+      NbClassifier.predictVotes(d, "doc_id", toks, counts)
+        .orderBy(col("doc_id"))
+    }),
+
+    // binary NB likelihood-ratio score, en vs rest, over a 40-token
+    // prefix (the fastText-style truncation that also bounds the
+    // ratio product inside double range)
+    "model_nb_binary" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lab = when(col("lang") === "en", lit("pos")).otherwise(lit("neg"))
+      val counts = NbClassifier.trainCounts(d, toks, lab, 2)
+      val priors = NbClassifier.docPriors(d, lab)
+      NbClassifier.scoreBinary(d, "doc_id", toks, counts, priors,
+        posLabel = "pos", prefix = 40)
+        .orderBy(col("doc_id"))
+    }),
+
+    // SELF-TRAINED quality classifier (the DCLM shape: no external
+    // labels — the heuristic quality score labels a seed split, NB
+    // generalizes it to token evidence)
+    "model_nb_quality" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lab = when(TextFunctions.qualityScore(col("text")) >= 1.08,
+        lit("pos")).otherwise(lit("neg"))
+      val counts = NbClassifier.trainCounts(d, toks, lab, 2)
+      val priors = NbClassifier.docPriors(d, lab)
+      NbClassifier.scoreBinary(d, "doc_id", toks, counts, priors,
+        posLabel = "pos", prefix = 40)
+        .orderBy(col("doc_id"))
+    }),
+
+    // pruned bigram model table (stupid-backoff training IS
+    // counting — Brants et al. 2007)
+    "model_lm_bigrams" -> ((s, dir) =>
+      LangModel.bigrams(docs(s, dir), toks, minCount = 2)
+        .orderBy(col("w1"), col("w2"))),
+
+    // per-doc mean stupid-backoff transition score + hit counts
+    "model_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val uni = LangModel.unigrams(d, toks)
+      val big = LangModel.bigrams(d, toks, minCount = 2)
+      LangModel.score(d, "doc_id", toks, uni, big)
+        .orderBy(col("doc_id"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "model_nb_counts" ->
+      s"""SELECT lang AS label, token, COUNT(*) AS cnt
+         |FROM (SELECT lang, unnest($sqlToks) AS token FROM documents)
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY label, token""".stripMargin,
+
+    // mirrors NbClassifier.predictVotes: same smoothed-p expression
+    // tree, same (p DESC, label) / (n_votes DESC, vote) tiebreaks
+    "model_nb_predict" ->
+      s"""WITH tok AS (SELECT lang AS label, unnest($sqlToks) AS token
+         |             FROM documents),
+         |cnts AS (SELECT label, token, COUNT(*) AS cnt FROM tok
+         |         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |tot AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS n FROM cnts
+         |        GROUP BY 1),
+         |vv AS (SELECT COUNT(DISTINCT token) AS v FROM cnts),
+         |grid AS (SELECT t.token, l.label,
+         |    CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE)
+         |      / CAST(l.n + vv.v AS DOUBLE) AS p
+         |  FROM (SELECT DISTINCT token FROM cnts) t
+         |  CROSS JOIN tot l
+         |  LEFT JOIN cnts c ON c.token = t.token AND c.label = l.label,
+         |  vv),
+         |vote AS (SELECT token, label AS vote FROM (
+         |    SELECT token, label, row_number() OVER (
+         |      PARTITION BY token ORDER BY p DESC, label) AS rnk
+         |    FROM grid) WHERE rnk = 1),
+         |oov AS (SELECT label AS oov_vote FROM (
+         |    SELECT label, 1.0 / CAST(n + v AS DOUBLE) AS p
+         |    FROM tot, vv) ORDER BY p DESC, oov_vote LIMIT 1),
+         |doctok AS (SELECT doc_id, unnest($sqlToks) AS token
+         |           FROM documents),
+         |voted AS (SELECT d.doc_id,
+         |    COALESCE(vt.vote, (SELECT oov_vote FROM oov)) AS vote
+         |  FROM doctok d LEFT JOIN vote vt USING (token)),
+         |tal AS (SELECT doc_id, vote, COUNT(*) AS n_votes FROM voted
+         |        GROUP BY 1, 2),
+         |pr AS (SELECT doc_id, vote AS pred, n_votes FROM (
+         |    SELECT doc_id, vote, n_votes, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY n_votes DESC, vote) AS rnk
+         |    FROM tal) WHERE rnk = 1),
+         |nt AS (SELECT doc_id, CAST(SUM(n_votes) AS BIGINT) AS n_tok
+         |       FROM tal GROUP BY 1)
+         |SELECT pr.doc_id, pr.pred, pr.n_votes, nt.n_tok
+         |FROM pr JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // mirrors NbClassifier.scoreBinary: same smoothing, same default
+    // ratio for out-of-vocabulary tokens, same position-ordered
+    // left-fold from 1.0 then one prior multiply
+    "model_nb_binary" ->
+      s"""WITH lab AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 'pos' ELSE 'neg' END AS label,
+         |    $sqlToks AS toks FROM documents),
+         |tok AS (SELECT label, unnest(toks) AS token FROM lab),
+         |cnts AS (SELECT label, token, COUNT(*) AS cnt FROM tok
+         |         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |vv AS (SELECT COUNT(DISTINCT token) AS v FROM cnts),
+         |sc AS (SELECT
+         |    CAST(SUM(CASE WHEN label = 'pos' THEN cnt ELSE 0 END)
+         |         AS BIGINT) AS n_pos,
+         |    CAST(SUM(CASE WHEN label <> 'pos' THEN cnt ELSE 0 END)
+         |         AS BIGINT) AS n_neg
+         |  FROM cnts),
+         |pri AS (SELECT
+         |    CAST(SUM(CASE WHEN label = 'pos' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS d_pos,
+         |    CAST(SUM(CASE WHEN label <> 'pos' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS d_neg
+         |  FROM lab),
+         |rat AS (SELECT token,
+         |    (CAST(SUM(CASE WHEN label = 'pos' THEN cnt ELSE 0 END) + 1
+         |          AS DOUBLE) / CAST(sc.n_pos + vv.v AS DOUBLE))
+         |    / (CAST(SUM(CASE WHEN label <> 'pos' THEN cnt ELSE 0 END) + 1
+         |            AS DOUBLE) / CAST(sc.n_neg + vv.v AS DOUBLE)) AS r
+         |  FROM cnts, sc, vv GROUP BY token, sc.n_pos, sc.n_neg, vv.v),
+         |pos AS (SELECT doc_id, i AS pos, pt[i + 1] AS token
+         |  FROM (SELECT doc_id, list_slice(toks, 1, 40) AS pt,
+         |          unnest(range(0, len(list_slice(toks, 1, 40)))) AS i
+         |        FROM lab)),
+         |pt AS (SELECT p.doc_id, p.pos,
+         |    CASE WHEN rat.r IS NOT NULL THEN 1 ELSE 0 END AS seen,
+         |    COALESCE(rat.r,
+         |      (1.0 / CAST(sc.n_pos + vv.v AS DOUBLE))
+         |        / (1.0 / CAST(sc.n_neg + vv.v AS DOUBLE))) AS r
+         |  FROM pos p LEFT JOIN rat USING (token), sc, vv),
+         |agg AS (SELECT doc_id, CAST(SUM(seen) AS BIGINT) AS n_seen,
+         |    list_reduce(list_prepend(1.0, list(r ORDER BY pos)),
+         |                (a, b) -> a * b) AS prod
+         |  FROM pt GROUP BY 1)
+         |SELECT agg.doc_id, agg.n_seen,
+         |  agg.prod * (CAST(pri.d_pos AS DOUBLE)
+         |              / CAST(pri.d_neg AS DOUBLE)) AS score,
+         |  agg.prod * (CAST(pri.d_pos AS DOUBLE)
+         |              / CAST(pri.d_neg AS DOUBLE)) >= 1.0 AS pred
+         |FROM agg, pri ORDER BY doc_id""".stripMargin,
+
+    // same algebra as model_nb_binary with the self-computed label
+    "model_nb_quality" ->
+      s"""WITH lab AS (SELECT doc_id, $sqlQualityLabel AS label,
+         |    $sqlToks AS toks FROM documents),
+         |tok AS (SELECT label, unnest(toks) AS token FROM lab),
+         |cnts AS (SELECT label, token, COUNT(*) AS cnt FROM tok
+         |         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |vv AS (SELECT COUNT(DISTINCT token) AS v FROM cnts),
+         |sc AS (SELECT
+         |    CAST(SUM(CASE WHEN label = 'pos' THEN cnt ELSE 0 END)
+         |         AS BIGINT) AS n_pos,
+         |    CAST(SUM(CASE WHEN label <> 'pos' THEN cnt ELSE 0 END)
+         |         AS BIGINT) AS n_neg
+         |  FROM cnts),
+         |pri AS (SELECT
+         |    CAST(SUM(CASE WHEN label = 'pos' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS d_pos,
+         |    CAST(SUM(CASE WHEN label <> 'pos' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS d_neg
+         |  FROM lab),
+         |rat AS (SELECT token,
+         |    (CAST(SUM(CASE WHEN label = 'pos' THEN cnt ELSE 0 END) + 1
+         |          AS DOUBLE) / CAST(sc.n_pos + vv.v AS DOUBLE))
+         |    / (CAST(SUM(CASE WHEN label <> 'pos' THEN cnt ELSE 0 END) + 1
+         |            AS DOUBLE) / CAST(sc.n_neg + vv.v AS DOUBLE)) AS r
+         |  FROM cnts, sc, vv GROUP BY token, sc.n_pos, sc.n_neg, vv.v),
+         |pos AS (SELECT doc_id, i AS pos, pt[i + 1] AS token
+         |  FROM (SELECT doc_id, list_slice(toks, 1, 40) AS pt,
+         |          unnest(range(0, len(list_slice(toks, 1, 40)))) AS i
+         |        FROM lab)),
+         |pt AS (SELECT p.doc_id, p.pos,
+         |    CASE WHEN rat.r IS NOT NULL THEN 1 ELSE 0 END AS seen,
+         |    COALESCE(rat.r,
+         |      (1.0 / CAST(sc.n_pos + vv.v AS DOUBLE))
+         |        / (1.0 / CAST(sc.n_neg + vv.v AS DOUBLE))) AS r
+         |  FROM pos p LEFT JOIN rat USING (token), sc, vv),
+         |agg AS (SELECT doc_id, CAST(SUM(seen) AS BIGINT) AS n_seen,
+         |    list_reduce(list_prepend(1.0, list(r ORDER BY pos)),
+         |                (a, b) -> a * b) AS prod
+         |  FROM pt GROUP BY 1)
+         |SELECT agg.doc_id, agg.n_seen,
+         |  agg.prod * (CAST(pri.d_pos AS DOUBLE)
+         |              / CAST(pri.d_neg AS DOUBLE)) AS score,
+         |  agg.prod * (CAST(pri.d_pos AS DOUBLE)
+         |              / CAST(pri.d_neg AS DOUBLE)) >= 1.0 AS pred
+         |FROM agg, pri ORDER BY doc_id""".stripMargin,
+
+    "model_lm_bigrams" ->
+      s"""WITH t AS (SELECT $sqlToks AS toks FROM documents),
+         |b AS (SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+         |  FROM (SELECT toks,
+         |          unnest(range(0, greatest(len(toks) - 1, 0))) AS i
+         |        FROM t))
+         |SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+         |HAVING COUNT(*) >= 2 ORDER BY w1, w2""".stripMargin,
+
+    // mirrors LangModel.score: bigram path cnt(v w)/cnt(v), backoff
+    // 0.4·(cnt(w)+1)/(N+V), position-ordered sum fold, one division
+    // for the mean
+    "model_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |uni AS (SELECT token, COUNT(*) AS cnt
+         |  FROM (SELECT unnest(toks) AS token FROM t) GROUP BY 1),
+         |sc AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+         |              COUNT(*) AS v FROM uni),
+         |big AS (SELECT w1, w2, COUNT(*) AS cnt FROM (
+         |    SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+         |    FROM (SELECT toks,
+         |            unnest(range(0, greatest(len(toks) - 1, 0))) AS i
+         |          FROM t))
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |tr AS (SELECT doc_id, i AS pos, toks[i + 1] AS w1,
+         |              toks[i + 2] AS w2
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(0, greatest(len(toks) - 1, 0))) AS i
+         |        FROM t)),
+         |p AS (SELECT tr.doc_id, tr.pos,
+         |    CASE WHEN b.cnt IS NOT NULL AND up.cnt IS NOT NULL
+         |         THEN 1 ELSE 0 END AS hit,
+         |    CASE WHEN b.cnt IS NOT NULL AND up.cnt IS NOT NULL
+         |         THEN CAST(b.cnt AS DOUBLE) / CAST(up.cnt AS DOUBLE)
+         |         ELSE 0.4 * (CAST(COALESCE(uc.cnt, 0) + 1 AS DOUBLE)
+         |                     / CAST(sc.n_total + sc.v AS DOUBLE)) END AS p
+         |  FROM tr LEFT JOIN big b ON tr.w1 = b.w1 AND tr.w2 = b.w2
+         |       LEFT JOIN uni up ON tr.w1 = up.token
+         |       LEFT JOIN uni uc ON tr.w2 = uc.token, sc),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_trans,
+         |    CAST(SUM(hit) AS BIGINT) AS n_hits,
+         |    list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+         |                (a, b) -> a + b)
+         |      / CAST(COUNT(*) AS DOUBLE) AS mean_p
+         |  FROM p GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(pd.n_trans, 0) AS n_trans,
+         |  COALESCE(pd.n_hits, 0) AS n_hits,
+         |  COALESCE(pd.mean_p, 0.0) AS mean_p
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin)
+}

@@ -105,6 +105,79 @@ class CurationSpec extends SparkSpec {
     assert(texts(6L) == corpus.toMap.apply(6L))
   }
 
+  test("nb-filter stage keeps docs the seed-trained classifier scores " +
+    "positive; lm-filter drops disfluent docs") {
+    val dir = Files.createTempDirectory("curate-model").toString
+    // labeled seed set: 'good' docs share the clean vocabulary,
+    // 'bad' docs the spam vocabulary
+    Seq(
+      (101L, "good", "the quick brown fox jumps over the lazy dog"),
+      (102L, "good", "the sun rises in the east of a green valley"),
+      (103L, "good", "a quick green fox in the lazy sun"),
+      (104L, "bad", "buy cheap pills now click here buy now"),
+      (105L, "bad", "click buy cheap now here pills cheap click"))
+      .toDF("doc_id", "label", "text")
+      .write.parquet(s"$dir/seed.parquet")
+    val in = s"$dir/in.parquet"
+    Seq(
+      (1L, "the quick fox in the green valley of the lazy sun"),
+      (2L, "buy cheap pills click here now now now"),
+      (3L, "the sun rises over the quick brown dog"))
+      .toDF("doc_id", "text").write.parquet(in)
+    val out = Files.createTempDirectory("curate-model-out").toString + "/c"
+    val config =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "nb-filter"
+         |ref-path = "$dir/seed.parquet"
+         |pos-label = "good"
+         |min-count = 1
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val (n, funnel) = graft.CurateMain.run(spark, config)
+    assert(n == 2, s"classifier should drop the spam doc: $funnel")
+    val ids = spark.read.parquet(out).select($"doc_id").as[Long]
+      .collect().toSet
+    assert(ids == Set(1L, 3L))
+
+    // lm-filter: reference corpus = the good seed docs; the
+    // scrambled doc shares their vocabulary but no bigrams
+    val out2 = Files.createTempDirectory("curate-model-out2")
+      .toString + "/c"
+    val in2 = s"$dir/in2.parquet"
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "dog the over lazy jumps fox quick brown the"))
+      .toDF("doc_id", "text").write.parquet(in2)
+    // derive the threshold from the op itself: fluent must outscore
+    // scrambled, and the midpoint separates them
+    val seed = spark.read.parquet(s"$dir/seed.parquet")
+    val st = graft.functions.TextFunctions.tokens(col("text"))
+    val scores = LangModel.score(spark.read.parquet(in2), "doc_id", st,
+      LangModel.unigrams(seed, st), LangModel.bigrams(seed, st, 2))
+      .select($"doc_id", $"mean_p").as[(Long, Double)].collect().toMap
+    assert(scores(1L) > scores(2L),
+      s"fluent must outscore scrambled: $scores")
+    val config2 =
+      s"""[input]
+         |path = "$in2"
+         |[[stages]]
+         |type = "lm-filter"
+         |ref-path = "$dir/seed.parquet"
+         |min-count = 2
+         |min-score = ${(scores(1L) + scores(2L)) / 2.0}
+         |[output]
+         |dir = "$out2"
+         |""".stripMargin
+    val (n2, _) = graft.CurateMain.run(spark, config2)
+    assert(n2 == 1)
+    val ids2 = spark.read.parquet(out2).select($"doc_id").as[Long]
+      .collect().toSet
+    assert(ids2 == Set(1L), s"fluent doc must survive: $ids2")
+  }
+
   test("decontaminate-semantic stage drops embedding-near eval docs") {
     val dir = Files.createTempDirectory("curate-sem").toString
     val in = s"$dir/docs.parquet"

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LangModelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // "a b" appears 3× (survives minCount=2); "b c" once (pruned)
+  private def ref = Seq(
+    (1L, "a b c"),
+    (2L, "a b"),
+    (3L, "a b a")).toDF("doc_id", "text")
+
+  private def toks = split(col("text"), " ")
+
+  test("unigram and pruned bigram counts match hand counts") {
+    val uni = LangModel.unigrams(ref, toks).orderBy("token")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(uni.toSeq == Seq(("a", 4L), ("b", 3L), ("c", 1L)))
+    val big = LangModel.bigrams(ref, toks, 2).orderBy("w1", "w2")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(big.toSeq == Seq(("a", "b", 3L)))
+  }
+
+  test("score takes the bigram path on hits, smoothed backoff otherwise") {
+    val uni = LangModel.unigrams(ref, toks)
+    val big = LangModel.bigrams(ref, toks, 2)
+    // doc "a b c": transition a→b hits (3/4); b→c was pruned →
+    // backoff 0.4·(c_uni(c)+1)/(N+V) = 0.4·(1+1)/(8+3)
+    val got = LangModel.score(ref.filter(col("doc_id") === 1L),
+      "doc_id", toks, uni, big).collect().head
+    assert(got.getLong(1) == 2L) // n_trans
+    assert(got.getLong(2) == 1L) // n_hits
+    val p1 = 3L.toDouble / 4L.toDouble
+    val p2 = 0.4 * ((1L + 1L).toDouble / (8L + 3L).toDouble)
+    assert(got.getDouble(3) == ((0.0 + p1) + p2) / 2L.toDouble)
+  }
+
+  test("unseen tokens backoff with zero unigram mass; short docs score 0") {
+    val uni = LangModel.unigrams(ref, toks)
+    val big = LangModel.bigrams(ref, toks, 2)
+    val probe = Seq((7L, "zz yy"), (8L, "a")).toDF("doc_id", "text")
+    val got = LangModel.score(probe, "doc_id", toks, uni, big)
+      .orderBy("doc_id").collect()
+    val r7 = got(0)
+    assert(r7.getLong(1) == 1L && r7.getLong(2) == 0L)
+    assert(r7.getDouble(3) == 0.4 * (1L.toDouble / (8L + 3L).toDouble))
+    val r8 = got(1)
+    assert(r8.getLong(1) == 0L && r8.getLong(2) == 0L &&
+      r8.getDouble(3) == 0.0)
+  }
+
+  test("score is bit-identical under repartitioning") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    val uni = LangModel.unigrams(docs, t)
+    val big = LangModel.bigrams(docs, t, 2)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      LangModel.score(d, "doc_id", t, uni, big).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    assert(run(docs) == run(docs.repartition(11)))
+  }
+
+  test("in-domain text outscores shuffled-vocabulary gibberish") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    val uni = LangModel.unigrams(docs, t)
+    val big = LangModel.bigrams(docs, t, 2)
+    val fluent = LangModel.score(docs, "doc_id", t, uni, big)
+      .agg(avg(col("mean_p"))).head.getDouble(0)
+    // gibberish: same tokens, reversed order per doc — bigram
+    // structure destroyed, unigram mass identical
+    val shuffled = docs.select(col("doc_id"),
+      concat_ws(" ", reverse(t)).as("text"))
+    val gib = LangModel.score(shuffled, "doc_id", t, uni, big)
+      .agg(avg(col("mean_p"))).head.getDouble(0)
+    assert(fluent > gib,
+      s"LM did not separate fluent ($fluent) from reversed ($gib)")
+  }
+}
