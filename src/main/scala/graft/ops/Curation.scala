@@ -398,15 +398,26 @@ object Curation {
         val refPath = str("ref-path")
         val minScore = num("min-score", 0.0)
         val minCount = num("min-count", 2).toInt
+        val order = num("ngram", 2).toInt
+        require(order == 2 || order == 3,
+          s"lm-filter: ngram must be 2 or 3, got $order")
         val refDocs = spark.read.parquet(refPath)
         val uni = Caching.cacheOnce(LangModel.unigrams(
           refDocs, TextFunctions.tokens(col(textCol))))
         val big = Caching.cacheOnce(LangModel.bigrams(
           refDocs, TextFunctions.tokens(col(textCol)), minCount))
+        val tri = if (order == 3) Some(Caching.cacheOnce(
+          LangModel.trigrams(refDocs,
+            TextFunctions.tokens(col(textCol)), minCount)))
+        else None
         Stage("lm-filter", df => {
-          val keep = LangModel.score(df, idCol,
-            TextFunctions.tokens(t), uni, big)
-            .filter(col("mean_p") >= minScore)
+          val scored = tri match {
+            case Some(tg) => LangModel.scoreTrigram(df, idCol,
+              TextFunctions.tokens(t), uni, big, tg)
+            case None => LangModel.score(df, idCol,
+              TextFunctions.tokens(t), uni, big)
+          }
+          val keep = scored.filter(col("mean_p") >= minScore)
             .select(col("doc_id").as(idCol))
           df.join(keep, Seq(idCol), "left_semi")
         }, streamable = true)

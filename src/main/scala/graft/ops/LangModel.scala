@@ -62,6 +62,104 @@ object LangModel {
           .cast("array<struct<w1:string,w2:string>>"))
     }
 
+  /** Trigram counts (w1, w2, w3, cnt) with cnt >= minCount. */
+  def trigrams(ref: DataFrame, toks: Column, minCount: Int = 2): DataFrame =
+    ref.select(explode(windowTriples(toks)).as("tg"))
+      .select(col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /** (w1, w2, w3) window structs for positions 2..n-1; empty for
+    * docs under 3 tokens. Let-bound like [[transitionPairs]]. */
+  def windowTriples(toks: Column): Column =
+    graft.functions.Exprs.bind(toks) { t =>
+      when(size(t) < 3,
+        array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+        .otherwise(arrays_zip(
+          slice(t, lit(1), size(t) - 2).as("w1"),
+          slice(t, lit(2), size(t) - 2).as("w2"),
+          slice(t, lit(3), size(t) - 2).as("w3"))
+          .cast("array<struct<w1:string,w2:string,w3:string>>"))
+    }
+
+  /** Trigram scoring with TWO-level stupid backoff:
+    *   S(w3|w1 w2) = cnt(w1 w2 w3)/cnt(w1 w2)  when both the trigram
+    *                                            and its context
+    *                                            bigram survive the
+    *                                            prune,
+    *               = 0.4 · cnt(w2 w3)/cnt(w2)  else, when the (w2 w3)
+    *                                            bigram and w2 survive,
+    *               = 0.4² · (cnt(w3)+1)/(N+V)  else.
+    * Denominators come from the SAME pruned tables the model ships
+    * (the deployable form — a scorer has only the model, never the
+    * raw corpus). Per-doc output is the mean over trigram windows
+    * (docs under 3 tokens score 0.0 with n_win = 0); determinism
+    * discipline identical to [[score]].
+    *
+    * @return (doc_id, n_win, n_tri_hits, n_big_hits, mean_p)
+    */
+  def scoreTrigram(docs: DataFrame, idCol: String, toks: Column,
+                   uni: DataFrame, big: DataFrame, tri: DataFrame,
+                   alpha: Double = 0.4): DataFrame = {
+    val scalars = uni.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("v"))
+
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      toks.as("__t"))
+    val wins = base
+      .select(col("doc_id"),
+        posexplode(windowTriples(col("__t"))).as(Seq("pos", "tg")))
+      .select(col("doc_id"), col("pos"),
+        col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+    val scored = wins
+      .join(tri.select(col("w1"), col("w2"), col("w3"),
+        col("cnt").as("c_tri")), Seq("w1", "w2", "w3"), "left")
+      .join(big.select(col("w1"), col("w2"), col("cnt").as("c_ctx")),
+        Seq("w1", "w2"), "left")
+      .join(big.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cnt").as("c_bg")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("token").as("w2"), col("cnt").as("c_mid")),
+        Seq("w2"), "left")
+      .join(uni.select(col("token").as("w3"), col("cnt").as("c_last")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"), col("pos"),
+        (col("c_tri").isNotNull && col("c_ctx").isNotNull)
+          .cast("long").as("tri_hit"),
+        (col("c_tri").isNull || col("c_ctx").isNull)
+          .and(col("c_bg").isNotNull && col("c_mid").isNotNull)
+          .cast("long").as("big_hit"),
+        when(col("c_tri").isNotNull && col("c_ctx").isNotNull,
+          col("c_tri").cast("double") / col("c_ctx").cast("double"))
+          .when(col("c_bg").isNotNull && col("c_mid").isNotNull,
+            lit(alpha) *
+              (col("c_bg").cast("double") / col("c_mid").cast("double")))
+          .otherwise(lit(alpha) * lit(alpha) *
+            ((coalesce(col("c_last"), lit(0L)) + lit(1L)).cast("double") /
+              (col("n_total") + col("v")).cast("double"))).as("p"))
+
+    val perDoc = scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        sum(col("tri_hit")).as("n_tri_hits"),
+        sum(col("big_hit")).as("n_big_hits"),
+        sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .select(col("doc_id"), col("n_win"), col("n_tri_hits"),
+        col("n_big_hits"),
+        (aggregate(transform(col("ps"), x => x.getField("p")),
+          lit(0.0), (acc, x) => acc + x) /
+          col("n_win").cast("double")).as("mean_p"))
+    base.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_tri_hits"), lit(0L)).as("n_tri_hits"),
+        coalesce(col("n_big_hits"), lit(0L)).as("n_big_hits"),
+        coalesce(col("mean_p"), lit(0.0)).as("mean_p"))
+  }
+
   /** Score a corpus against a trained model.
     *
     * @param docs corpus to score

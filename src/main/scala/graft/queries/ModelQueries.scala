@@ -88,6 +88,17 @@ object ModelQueries {
       val big = LangModel.bigrams(d, toks, minCount = 2)
       LangModel.score(d, "doc_id", toks, uni, big)
         .orderBy(col("doc_id"))
+    }),
+
+    // trigram LM with two-level backoff (trigram → bigram → smoothed
+    // unigram), the CCNet-grade fluency signal
+    "model_lm_trigram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val uni = LangModel.unigrams(d, toks)
+      val big = LangModel.bigrams(d, toks, minCount = 2)
+      val tri = LangModel.trigrams(d, toks, minCount = 2)
+      LangModel.scoreTrigram(d, "doc_id", toks, uni, big, tri)
+        .orderBy(col("doc_id"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -282,6 +293,67 @@ object ModelQueries {
          |  FROM p GROUP BY 1)
          |SELECT d.doc_id, COALESCE(pd.n_trans, 0) AS n_trans,
          |  COALESCE(pd.n_hits, 0) AS n_hits,
+         |  COALESCE(pd.mean_p, 0.0) AS mean_p
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // mirrors LangModel.scoreTrigram: same two-level CASE, same
+    // pruned-table denominators, same ordered fold
+    "model_lm_trigram" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |uni AS (SELECT token, COUNT(*) AS cnt
+         |  FROM (SELECT unnest(toks) AS token FROM t) GROUP BY 1),
+         |sc AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+         |              COUNT(*) AS v FROM uni),
+         |big AS (SELECT w1, w2, COUNT(*) AS cnt FROM (
+         |    SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+         |    FROM (SELECT toks,
+         |            unnest(range(0, greatest(len(toks) - 1, 0))) AS i
+         |          FROM t))
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |tri AS (SELECT w1, w2, w3, COUNT(*) AS cnt FROM (
+         |    SELECT toks[i + 1] AS w1, toks[i + 2] AS w2,
+         |           toks[i + 3] AS w3
+         |    FROM (SELECT toks,
+         |            unnest(range(0, greatest(len(toks) - 2, 0))) AS i
+         |          FROM t))
+         |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+         |wins AS (SELECT doc_id, i AS pos, toks[i + 1] AS w1,
+         |                toks[i + 2] AS w2, toks[i + 3] AS w3
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(0, greatest(len(toks) - 2, 0))) AS i
+         |        FROM t)),
+         |p AS (SELECT w.doc_id, w.pos,
+         |    CASE WHEN tg.cnt IS NOT NULL AND cx.cnt IS NOT NULL
+         |         THEN 1 ELSE 0 END AS tri_hit,
+         |    CASE WHEN (tg.cnt IS NULL OR cx.cnt IS NULL)
+         |          AND bg.cnt IS NOT NULL AND um.cnt IS NOT NULL
+         |         THEN 1 ELSE 0 END AS big_hit,
+         |    CASE WHEN tg.cnt IS NOT NULL AND cx.cnt IS NOT NULL
+         |         THEN CAST(tg.cnt AS DOUBLE) / CAST(cx.cnt AS DOUBLE)
+         |         WHEN bg.cnt IS NOT NULL AND um.cnt IS NOT NULL
+         |         THEN 0.4 * (CAST(bg.cnt AS DOUBLE)
+         |                     / CAST(um.cnt AS DOUBLE))
+         |         ELSE 0.4 * 0.4 *
+         |           (CAST(COALESCE(ul.cnt, 0) + 1 AS DOUBLE)
+         |            / CAST(sc.n_total + sc.v AS DOUBLE)) END AS p
+         |  FROM wins w
+         |    LEFT JOIN tri tg ON w.w1 = tg.w1 AND w.w2 = tg.w2
+         |                    AND w.w3 = tg.w3
+         |    LEFT JOIN big cx ON w.w1 = cx.w1 AND w.w2 = cx.w2
+         |    LEFT JOIN big bg ON w.w2 = bg.w1 AND w.w3 = bg.w2
+         |    LEFT JOIN uni um ON w.w2 = um.token
+         |    LEFT JOIN uni ul ON w.w3 = ul.token, sc),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_win,
+         |    CAST(SUM(tri_hit) AS BIGINT) AS n_tri_hits,
+         |    CAST(SUM(big_hit) AS BIGINT) AS n_big_hits,
+         |    list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+         |                (a, b) -> a + b)
+         |      / CAST(COUNT(*) AS DOUBLE) AS mean_p
+         |  FROM p GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(pd.n_win, 0) AS n_win,
+         |  COALESCE(pd.n_tri_hits, 0) AS n_tri_hits,
+         |  COALESCE(pd.n_big_hits, 0) AS n_big_hits,
          |  COALESCE(pd.mean_p, 0.0) AS mean_p
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin)

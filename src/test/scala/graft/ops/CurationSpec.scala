@@ -176,6 +176,31 @@ class CurationSpec extends SparkSpec {
     val ids2 = spark.read.parquet(out2).select($"doc_id").as[Long]
       .collect().toSet
     assert(ids2 == Set(1L), s"fluent doc must survive: $ids2")
+
+    // ngram = 3 switches the stage to the trigram two-level backoff
+    val s3 = LangModel.scoreTrigram(spark.read.parquet(in2), "doc_id",
+      st, LangModel.unigrams(seed, st), LangModel.bigrams(seed, st, 2),
+      LangModel.trigrams(seed, st, 2))
+      .select($"doc_id", $"mean_p").as[(Long, Double)].collect().toMap
+    assert(s3(1L) > s3(2L), s"trigram LM must separate: $s3")
+    val out3 = Files.createTempDirectory("curate-model-out3")
+      .toString + "/c"
+    val config3 =
+      s"""[input]
+         |path = "$in2"
+         |[[stages]]
+         |type = "lm-filter"
+         |ref-path = "$dir/seed.parquet"
+         |ngram = 3
+         |min-count = 2
+         |min-score = ${(s3(1L) + s3(2L)) / 2.0}
+         |[output]
+         |dir = "$out3"
+         |""".stripMargin
+    val (n3, _) = graft.CurateMain.run(spark, config3)
+    assert(n3 == 1)
+    assert(spark.read.parquet(out3).select($"doc_id").as[Long]
+      .collect().toSet == Set(1L))
   }
 
   test("decontaminate-semantic stage drops embedding-near eval docs") {

@@ -53,6 +53,33 @@ class LangModelSpec extends SparkSpec {
       r8.getDouble(3) == 0.0)
   }
 
+  test("scoreTrigram walks the backoff ladder: trigram, bigram, unigram") {
+    // "a b c" ×2 → trigram (a,b,c) survives; "a b" adds bigram mass
+    val ref3 = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val uni = LangModel.unigrams(ref3, toks)     // a:3 b:3 c:2, N=8 V=3
+    val big = LangModel.bigrams(ref3, toks, 2)   // (a,b):3 (b,c):2
+    val tri = LangModel.trigrams(ref3, toks, 2)  // (a,b,c):2
+    val probe = Seq(
+      (10L, "a b c"),   // trigram path: 2/3
+      (11L, "x b c"),   // bigram backoff: 0.4·(c(b,c)/c(b)) = 0.4·2/3
+      (12L, "x y z"),   // unigram backoff: 0.4²·(0+1)/(8+3)
+      (13L, "a b"))     // under 3 tokens: 0 windows
+      .toDF("doc_id", "text")
+    val got = LangModel.scoreTrigram(probe, "doc_id", toks, uni, big, tri)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got(0) == ((10L, 1L, 1L, 0L,
+      (0.0 + 2L.toDouble / 3L.toDouble) / 1L.toDouble)))
+    assert(got(1) == ((11L, 1L, 0L, 1L,
+      (0.0 + 0.4 * (2L.toDouble / 3L.toDouble)) / 1L.toDouble)))
+    assert(got(2) == ((12L, 1L, 0L, 0L,
+      (0.0 + 0.4 * 0.4 * (1L.toDouble / (8L + 3L).toDouble))
+        / 1L.toDouble)))
+    assert(got(3) == ((13L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("score is bit-identical under repartitioning") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
       "documents")
