@@ -421,6 +421,30 @@ object Curation {
             .select(col("doc_id").as(idCol))
           df.join(keep, Seq(idCol), "left_semi")
         }, streamable = true)
+      case "dsir-filter" =>
+        // DSIR importance filter (Xie et al. 2023): keep docs whose
+        // hashed-n-gram likelihood ratio against a fixed target/raw
+        // model pair clears min-weight. Both models train on
+        // CONFIGURED corpora at assembly (not the batch), so the
+        // stage is streamable. The corpus-global top-k resampling
+        // variant is [[Dsir.resampleTopK]] — a threshold is the
+        // per-batch-sound form.
+        val targetPath = str("target-path")
+        val rawPath = str("raw-path")
+        val buckets = num("buckets", 1024).toInt
+        val minWeight = num("min-weight", 1.0)
+        val prefix = num("prefix", 40).toInt
+        val tc = Caching.cacheOnce(Dsir.bucketCounts(
+          spark.read.parquet(targetPath), textCol, buckets))
+        val rc = Caching.cacheOnce(Dsir.bucketCounts(
+          spark.read.parquet(rawPath), textCol, buckets))
+        Stage("dsir-filter", df => {
+          val keep = Dsir.weights(df, idCol, textCol, tc, rc, buckets,
+            prefix)
+            .filter(col("weight") >= minWeight)
+            .select(col("doc_id").as(idCol))
+          df.join(keep, Seq(idCol), "left_semi")
+        }, streamable = true)
       case "domain-cap" =>
         // at most K docs per source, deterministic hash order — the
         // C4/CCNet mega-domain guard; CappedSample bounds every

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169): select raw-corpus documents whose hashed-n-gram
+  * distribution looks like a TARGET corpus, by weighting each
+  * document with the likelihood ratio of two bag-of-hashed-n-grams
+  * models. The published recipe at a glance: features are unigrams +
+  * bigrams hashed into a fixed bucket space; both corpora fit bucket
+  * unigram-style count models; a document's importance weight is the
+  * product of per-feature probability ratios; resampling keeps the
+  * top-weighted (or Gumbel-sampled) documents.
+  *
+  * This engine's rendition keeps every arithmetic op IEEE-exact
+  * (correctly-rounded ÷ and ×, position-ordered folds — the
+  * NbClassifier/Bm25 discipline), so weights are bit-identical
+  * across partitionings and against the DuckDB oracle. The md5
+  * bucket hash is the same cross-engine construction as
+  * [[TextFunctions.hashBucket]]. Per-document cost is bounded by a
+  * feature-prefix cap (same rationale as the NB prefix: overflow
+  * guard + O(prefix) per doc at 100 TB).
+  *
+  * Scale shape: the bucket-count models are B rows each (B fixed,
+  * e.g. 2^10-2^16) — broadcast-sized by construction; the corpus
+  * explodes to (doc, feature-bucket) once and regroups by doc once.
+  */
+object Dsir {
+
+  /** md5 bucket of one feature string (cross-engine: DuckDB mirrors
+    * with CAST(concat('0x', substring(md5(f),1,15)) AS BIGINT) % B). */
+  private def bucket(f: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(f), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Hashed n-gram feature array of a document, in canonical order:
+    * unigram buckets in position order, then bigram buckets in
+    * position order. The bigram strings are space-joined
+    * ([[TextFunctions.shingles]]), so the hash input is identical in
+    * any engine. */
+  def features(text: Column, buckets: Int): Column =
+    concat(
+      transform(TextFunctions.tokens(text), t => bucket(t, buckets)),
+      transform(TextFunctions.shingles(text, 2), s => bucket(s, buckets)))
+
+  /** Bucket count model of a corpus: (bucket, cnt), one hash
+    * aggregate over at most B distinct keys. */
+  def bucketCounts(corpus: DataFrame, textCol: String, buckets: Int)
+  : DataFrame =
+    corpus.select(explode(features(col(textCol), buckets)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Importance weights against a target/raw model pair.
+    *
+    * w(doc) = Π over the first `prefix` features of
+    *   ((cT(b)+1)/(NT+B)) / ((cR(b)+1)/(NR+B))
+    * — add-one smoothing over the bucket space on both sides, folded
+    * in feature order from 1.0.
+    *
+    * @return (doc_id, n_feat, weight): n_feat = features scored
+    *         (prefix-capped)
+    */
+  def weights(docs: DataFrame, idCol: String, textCol: String,
+              target: DataFrame, raw: DataFrame, buckets: Int,
+              prefix: Int = 40): DataFrame = {
+    val scalars = target.agg(sum(col("cnt")).as("n_t"))
+      .crossJoin(broadcast(raw.agg(sum(col("cnt")).as("n_r"))))
+    val ratios = target.select(col("bucket"), col("cnt").as("c_t"))
+      .join(raw.select(col("bucket"), col("cnt").as("c_r")),
+        Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(scalars))
+      .select(col("bucket"),
+        (((coalesce(col("c_t"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_t") + lit(buckets.toLong)).cast("double")) /
+          ((coalesce(col("c_r"), lit(0L)) + lit(1L)).cast("double") /
+            (col("n_r") + lit(buckets.toLong)).cast("double"))).as("r"))
+
+    val pos = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        slice(features(col(textCol), buckets), 1, prefix).as("__f"))
+      .select(col("doc_id"),
+        posexplode(col("__f")).as(Seq("pos", "bucket")))
+    // every feature bucket exists in raw when docs ⊆ raw corpus; a
+    // foreign doc's unseen bucket still scores via the smoothed
+    // ratio with zero counts on both sides
+    val dflt = (lit(1.0) / (col("n_t") + lit(buckets.toLong))
+      .cast("double")) /
+      (lit(1.0) / (col("n_r") + lit(buckets.toLong)).cast("double"))
+    pos.join(ratios, Seq("bucket"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"), col("pos"), coalesce(col("r"), dflt).as("r"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"),
+        sort_array(collect_list(struct(col("pos"), col("r")))).as("rs"))
+      .select(col("doc_id"), col("n_feat"),
+        aggregate(transform(col("rs"), x => x.getField("r")),
+          lit(1.0), (acc, x) => acc * x).as("weight"))
+  }
+
+  /** Deterministic resampling: global top-k by (weight DESC, doc_id)
+    * — TakeOrderedAndProject, never a full sort. */
+  def resampleTopK(weighted: DataFrame, k: Int): DataFrame =
+    weighted.orderBy(col("weight").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("weight").desc, col("doc_id"))))
+      .select(col("rnk"), col("doc_id"), col("weight"))
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.ops.{LangModel, NbClassifier}
+import graft.ops.{Dsir, LangModel, NbClassifier}
 
 /** Model-based corpus filtering — the trainable-classifier /
   * count-LM scoring family (CCNet / DCLM / FineWeb-Edu shape) over
@@ -99,6 +99,28 @@ object ModelQueries {
       val tri = LangModel.trigrams(d, toks, minCount = 2)
       LangModel.scoreTrigram(d, "doc_id", toks, uni, big, tri)
         .orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance weights: target = the en split, raw = whole
+    // corpus, hashed uni+bigram features in a 1024-bucket space
+    "model_dsir_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tgt = Dsir.bucketCounts(d.filter(col("lang") === "en"),
+        "text", 1024)
+      val raw = Dsir.bucketCounts(d, "text", 1024)
+      Dsir.weights(d, "doc_id", "text", tgt, raw, 1024)
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR resampling: global top-50 by importance weight —
+    // TakeOrderedAndProject, never a corpus sort
+    "model_dsir_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tgt = Dsir.bucketCounts(d.filter(col("lang") === "en"),
+        "text", 1024)
+      val raw = Dsir.bucketCounts(d, "text", 1024)
+      Dsir.resampleTopK(
+        Dsir.weights(d, "doc_id", "text", tgt, raw, 1024), 50)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -356,5 +378,57 @@ object ModelQueries {
          |  COALESCE(pd.n_big_hits, 0) AS n_big_hits,
          |  COALESCE(pd.mean_p, 0.0) AS mean_p
          |FROM (SELECT DISTINCT doc_id FROM documents) d
-         |LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin)
+         |LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // mirrors Dsir.weights: same md5 bucket hash, same smoothing,
+    // same position-ordered ratio fold from 1.0
+    "model_dsir_weights" -> (sqlDsirWeights +
+      "\nSELECT doc_id, n_feat, weight FROM w ORDER BY doc_id"),
+
+    "model_dsir_topk" -> (sqlDsirWeights +
+      """
+        |SELECT CAST(row_number() OVER (ORDER BY weight DESC, doc_id)
+        |            AS INTEGER) AS rnk, doc_id, weight
+        |FROM w ORDER BY weight DESC, doc_id LIMIT 50""".stripMargin))
+
+  /** Shared DSIR-weight CTE chain ending in `w(doc_id, n_feat,
+    * weight)` — the weights and top-k oracles differ only in the
+    * final projection. */
+  private lazy val sqlDsirWeights: String =
+    s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+       |f AS (SELECT doc_id, lang, list_concat(
+       |    list_transform(toks, tk ->
+       |      CAST(concat('0x', substring(md5(tk), 1, 15)) AS BIGINT)
+       |        % 1024),
+       |    list_transform(range(0, greatest(len(toks) - 1, 0)), i ->
+       |      CAST(concat('0x', substring(
+       |          md5(toks[i + 1] || ' ' || toks[i + 2]), 1, 15))
+       |        AS BIGINT) % 1024)) AS feats
+       |  FROM t),
+       |tc AS (SELECT bucket, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(feats) AS bucket FROM f WHERE lang = 'en')
+       |  GROUP BY 1),
+       |rc AS (SELECT bucket, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(feats) AS bucket FROM f) GROUP BY 1),
+       |sc AS (SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM tc) AS n_t,
+       |              (SELECT CAST(SUM(cnt) AS BIGINT) FROM rc) AS n_r),
+       |rat AS (SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+       |    (CAST(COALESCE(tc.cnt, 0) + 1 AS DOUBLE)
+       |       / CAST(sc.n_t + 1024 AS DOUBLE))
+       |    / (CAST(COALESCE(rc.cnt, 0) + 1 AS DOUBLE)
+       |       / CAST(sc.n_r + 1024 AS DOUBLE)) AS r
+       |  FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket, sc),
+       |pos AS (SELECT doc_id, i AS pos, pf[i + 1] AS bucket
+       |  FROM (SELECT doc_id, list_slice(feats, 1, 40) AS pf,
+       |          unnest(range(0, len(list_slice(feats, 1, 40)))) AS i
+       |        FROM f)),
+       |pr AS (SELECT p.doc_id, p.pos,
+       |    COALESCE(rat.r,
+       |      (1.0 / CAST(sc.n_t + 1024 AS DOUBLE))
+       |        / (1.0 / CAST(sc.n_r + 1024 AS DOUBLE))) AS r
+       |  FROM pos p LEFT JOIN rat USING (bucket), sc),
+       |w AS (SELECT doc_id, COUNT(*) AS n_feat,
+       |    list_reduce(list_prepend(1.0, list(r ORDER BY pos)),
+       |                (a, b) -> a * b) AS weight
+       |  FROM pr GROUP BY 1)""".stripMargin
 }

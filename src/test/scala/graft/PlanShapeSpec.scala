@@ -552,6 +552,10 @@ class PlanShapeSpec extends SparkSpec {
     val aggs = "HashAggregate".r.findAllIn(p).size
     assert(aggs >= 2,
       s"expected partial+final (label, token) aggregate:\n$p")
+    // DSIR resampling: global head, never a corpus sort
+    val pk = plan("model_dsir_topk")
+    assert(pk.contains("TakeOrderedAndProject"), pk)
+    assert(!pk.contains("CartesianProduct"), pk)
   }
 
 }

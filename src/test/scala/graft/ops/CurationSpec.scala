@@ -203,6 +203,36 @@ class CurationSpec extends SparkSpec {
       .collect().toSet == Set(1L))
   }
 
+  test("dsir-filter stage keeps target-distribution docs") {
+    val dir = Files.createTempDirectory("curate-dsir").toString
+    Seq((101L, "alpha beta gamma alpha beta"),
+      (102L, "beta alpha gamma beta"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/target.parquet")
+    Seq((201L, "alpha beta gamma"), (202L, "delta epsilon zeta"),
+      (203L, "zeta delta epsilon"), (204L, "epsilon zeta delta"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/raw.parquet")
+    val in = s"$dir/in.parquet"
+    spark.read.parquet(s"$dir/raw.parquet").write.parquet(in)
+    val out = Files.createTempDirectory("curate-dsir-out").toString + "/c"
+    val config =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "dsir-filter"
+         |target-path = "$dir/target.parquet"
+         |raw-path = "$dir/raw.parquet"
+         |buckets = 64
+         |min-weight = 1.0
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val (n, _) = graft.CurateMain.run(spark, config)
+    val ids = spark.read.parquet(out).select($"doc_id").as[Long]
+      .collect().toSet
+    assert(ids == Set(201L), s"only the target-like doc survives: $ids")
+    assert(n == 1)
+  }
+
   test("decontaminate-semantic stage drops embedding-near eval docs") {
     val dir = Files.createTempDirectory("curate-sem").toString
     val in = s"$dir/docs.parquet"

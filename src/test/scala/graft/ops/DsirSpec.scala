@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DsirSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("bucketCounts is capped by the bucket space and conserves mass") {
+    val docs = Seq.tabulate(50)(i => (i.toLong, s"w$i x$i y$i"))
+      .toDF("doc_id", "text")
+    val counts = Dsir.bucketCounts(docs, "text", 16)
+    assert(counts.count() <= 16)
+    // 3 unigrams + 2 bigrams per doc
+    assert(counts.agg(sum($"cnt")).head.getLong(0) == 50L * 5L)
+  }
+
+  test("weights favor target-like documents; fold matches a local " +
+    "reference and is partitioning-invariant") {
+    val target = Seq((1L, "alpha beta alpha beta"),
+      (2L, "alpha beta gamma")).toDF("doc_id", "text")
+    val raw = (Seq((10L, "alpha beta alpha"), (11L, "delta epsilon zeta"),
+      (12L, "delta zeta epsilon")) ++ Seq((1L, "alpha beta alpha beta"),
+      (2L, "alpha beta gamma"))).toDF("doc_id", "text")
+    val b = 64
+    val tc = Dsir.bucketCounts(target, "text", b)
+    val rc = Dsir.bucketCounts(raw, "text", b)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dsir.weights(df, "doc_id", "text", tc, rc, b).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    val got = run(raw)
+    val byId = got.map(t => t._1 -> t._3).toMap
+    // target-vocabulary docs outweigh off-target docs
+    assert(byId(10L) > byId(11L), s"weights: $byId")
+    assert(byId(1L) > byId(12L), s"weights: $byId")
+    // local reference of the exact fold for one doc (10): features =
+    // unigram buckets then bigram buckets, same md5 hash, same
+    // smoothing, fold from 1.0
+    def bucket(s: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.substring(0, 15), 16) % b
+    }
+    val tgtToks = Seq("alpha", "beta", "alpha", "beta", "alpha", "beta",
+      "gamma")
+    val tgtBigs = Seq("alpha beta", "beta alpha", "alpha beta",
+      "alpha beta", "beta gamma")
+    val rawDocs = Seq("alpha beta alpha", "delta epsilon zeta",
+      "delta zeta epsilon", "alpha beta alpha beta", "alpha beta gamma")
+    val tMap = (tgtToks ++ tgtBigs).groupBy(bucket).map { case (k, v) =>
+      k -> v.size.toLong }
+    val rMap = rawDocs.flatMap { d =>
+      val ts = d.split(" ").toSeq
+      ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }.groupBy(bucket).map { case (k, v) => k -> v.size.toLong }
+    val (nT, nR) = (tMap.values.sum, rMap.values.sum)
+    val feats10 = {
+      val ts = Seq("alpha", "beta", "alpha")
+      (ts ++ ts.sliding(2).map(_.mkString(" "))).map(bucket)
+    }
+    val want10 = feats10.take(40).foldLeft(1.0) { (acc, f) =>
+      acc * (((tMap.getOrElse(f, 0L) + 1L).toDouble /
+        (nT + b).toDouble) /
+        ((rMap.getOrElse(f, 0L) + 1L).toDouble / (nR + b).toDouble))
+    }
+    assert(byId(10L) == want10)
+    assert(got.map(_._2) == Seq(7L, 5L, 5L, 5L, 5L)) // n_feat per doc
+    assert(run(raw.repartition(7)) == got)
+  }
+
+  test("resampleTopK is a global (weight DESC, doc_id) head with ranks") {
+    val w = Seq((3L, 2L, 0.5), (1L, 2L, 2.0), (2L, 2L, 2.0),
+      (4L, 2L, 1.0)).toDF("doc_id", "n_feat", "weight")
+    val got = Dsir.resampleTopK(w, 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1, 1L, 2.0), (2, 2L, 2.0), (3, 4L, 1.0)))
+  }
+
+  test("on the real table the en split outweighs the others under an " +
+    "en target") {
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val tc = Dsir.bucketCounts(d.filter($"lang" === "en"), "text", 1024)
+    val rc = Dsir.bucketCounts(d, "text", 1024)
+    val w = Dsir.weights(d, "doc_id", "text", tc, rc, 1024)
+      .join(d.select($"doc_id", $"lang"), "doc_id")
+    // median-free robust check: mean log-free rank — count of en docs
+    // in the top half should beat their base rate
+    val n = w.count()
+    val topHalf = Dsir.resampleTopK(w, (n / 2).toInt)
+      .join(d.select($"doc_id", $"lang"), "doc_id")
+    val enTop = topHalf.filter($"lang" === "en").count().toDouble /
+      topHalf.count()
+    val enBase = d.filter($"lang" === "en").count().toDouble / n
+    assert(enTop > enBase,
+      s"en fraction in top half $enTop must beat base rate $enBase")
+  }
+}
