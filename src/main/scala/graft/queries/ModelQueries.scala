@@ -101,6 +101,32 @@ object ModelQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style corpus bucketing: head/middle/tail by LM-score
+    // quartiles. The cutoffs come from the banded distributed
+    // selection (ops/ExactQuantiles — bit-identical to
+    // quantile_cont), NOT a global sort: at 100 TB the corpus never
+    // sorts, it aggregates a histogram and ranks two bands.
+    "model_lm_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val uni = LangModel.unigrams(d, toks)
+      val big = LangModel.bigrams(d, toks, minCount = 2)
+      val scored = LangModel.score(d, "doc_id", toks, uni, big)
+        .select(col("doc_id"), col("mean_p"))
+      val cuts = graft.ops.ExactQuantiles.percentiles(
+        scored.withColumn("__g", lit(1)), "__g",
+        Seq("mean_p" -> Seq(0.25, 0.75)))
+        .groupBy(col("__g"))
+        .agg(max(when(col("p") === 0.25, col("value"))).as("c25"),
+          max(when(col("p") === 0.75, col("value"))).as("c75"))
+        .drop("__g")
+      scored.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("mean_p"),
+          when(col("mean_p") > col("c75"), "head")
+            .when(col("mean_p") >= col("c25"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance weights: target = the en split, raw = whole
     // corpus, hashed uni+bigram features in a 1024-bucket space
     "model_dsir_weights" -> ((s, dir) => {
@@ -280,44 +306,22 @@ object ModelQueries {
     // mirrors LangModel.score: bigram path cnt(v w)/cnt(v), backoff
     // 0.4·(cnt(w)+1)/(N+V), position-ordered sum fold, one division
     // for the mean
-    "model_lm_score" ->
-      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-         |uni AS (SELECT token, COUNT(*) AS cnt
-         |  FROM (SELECT unnest(toks) AS token FROM t) GROUP BY 1),
-         |sc AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
-         |              COUNT(*) AS v FROM uni),
-         |big AS (SELECT w1, w2, COUNT(*) AS cnt FROM (
-         |    SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
-         |    FROM (SELECT toks,
-         |            unnest(range(0, greatest(len(toks) - 1, 0))) AS i
-         |          FROM t))
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         |tr AS (SELECT doc_id, i AS pos, toks[i + 1] AS w1,
-         |              toks[i + 2] AS w2
-         |  FROM (SELECT doc_id, toks,
-         |          unnest(range(0, greatest(len(toks) - 1, 0))) AS i
-         |        FROM t)),
-         |p AS (SELECT tr.doc_id, tr.pos,
-         |    CASE WHEN b.cnt IS NOT NULL AND up.cnt IS NOT NULL
-         |         THEN 1 ELSE 0 END AS hit,
-         |    CASE WHEN b.cnt IS NOT NULL AND up.cnt IS NOT NULL
-         |         THEN CAST(b.cnt AS DOUBLE) / CAST(up.cnt AS DOUBLE)
-         |         ELSE 0.4 * (CAST(COALESCE(uc.cnt, 0) + 1 AS DOUBLE)
-         |                     / CAST(sc.n_total + sc.v AS DOUBLE)) END AS p
-         |  FROM tr LEFT JOIN big b ON tr.w1 = b.w1 AND tr.w2 = b.w2
-         |       LEFT JOIN uni up ON tr.w1 = up.token
-         |       LEFT JOIN uni uc ON tr.w2 = uc.token, sc),
-         |pd AS (SELECT doc_id, COUNT(*) AS n_trans,
-         |    CAST(SUM(hit) AS BIGINT) AS n_hits,
-         |    list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
-         |                (a, b) -> a + b)
-         |      / CAST(COUNT(*) AS DOUBLE) AS mean_p
-         |  FROM p GROUP BY 1)
-         |SELECT d.doc_id, COALESCE(pd.n_trans, 0) AS n_trans,
-         |  COALESCE(pd.n_hits, 0) AS n_hits,
-         |  COALESCE(pd.mean_p, 0.0) AS mean_p
-         |FROM (SELECT DISTINCT doc_id FROM documents) d
-         |LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "model_lm_score" -> (sqlLmScore +
+      """
+        |SELECT doc_id, n_trans, n_hits, mean_p FROM w
+        |ORDER BY doc_id""".stripMargin),
+
+    // CCNet head/middle/tail by quartiles of the LM score
+    // (quantile_cont ≙ the engine's banded exact selection)
+    "model_lm_buckets" -> (sqlLmScore +
+      """,
+        |q AS (SELECT quantile_cont(mean_p, 0.25) AS c25,
+        |             quantile_cont(mean_p, 0.75) AS c75 FROM w)
+        |SELECT doc_id, mean_p,
+        |  CASE WHEN mean_p > c75 THEN 'head'
+        |       WHEN mean_p >= c25 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM w, q ORDER BY doc_id""".stripMargin),
 
     // mirrors LangModel.scoreTrigram: same two-level CASE, same
     // pruned-table denominators, same ordered fold
@@ -390,6 +394,48 @@ object ModelQueries {
         |SELECT CAST(row_number() OVER (ORDER BY weight DESC, doc_id)
         |            AS INTEGER) AS rnk, doc_id, weight
         |FROM w ORDER BY weight DESC, doc_id LIMIT 50""".stripMargin))
+
+  /** Shared LM-score CTE chain ending in `w(doc_id, n_trans,
+    * n_hits, mean_p)` — the score and bucket oracles differ only in
+    * the tail. */
+  private lazy val sqlLmScore: String =
+    s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |uni AS (SELECT token, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(toks) AS token FROM t) GROUP BY 1),
+       |sc AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+       |              COUNT(*) AS v FROM uni),
+       |big AS (SELECT w1, w2, COUNT(*) AS cnt FROM (
+       |    SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+       |    FROM (SELECT toks,
+       |            unnest(range(0, greatest(len(toks) - 1, 0))) AS i
+       |          FROM t))
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |tr AS (SELECT doc_id, i AS pos, toks[i + 1] AS w1,
+       |              toks[i + 2] AS w2
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(0, greatest(len(toks) - 1, 0))) AS i
+       |        FROM t)),
+       |p AS (SELECT tr.doc_id, tr.pos,
+       |    CASE WHEN b.cnt IS NOT NULL AND up.cnt IS NOT NULL
+       |         THEN 1 ELSE 0 END AS hit,
+       |    CASE WHEN b.cnt IS NOT NULL AND up.cnt IS NOT NULL
+       |         THEN CAST(b.cnt AS DOUBLE) / CAST(up.cnt AS DOUBLE)
+       |         ELSE 0.4 * (CAST(COALESCE(uc.cnt, 0) + 1 AS DOUBLE)
+       |                     / CAST(sc.n_total + sc.v AS DOUBLE)) END AS p
+       |  FROM tr LEFT JOIN big b ON tr.w1 = b.w1 AND tr.w2 = b.w2
+       |       LEFT JOIN uni up ON tr.w1 = up.token
+       |       LEFT JOIN uni uc ON tr.w2 = uc.token, sc),
+       |pd AS (SELECT doc_id, COUNT(*) AS n_trans,
+       |    CAST(SUM(hit) AS BIGINT) AS n_hits,
+       |    list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+       |                (a, b) -> a + b)
+       |      / CAST(COUNT(*) AS DOUBLE) AS mean_p
+       |  FROM p GROUP BY 1),
+       |w AS (SELECT d.doc_id, COALESCE(pd.n_trans, 0) AS n_trans,
+       |    COALESCE(pd.n_hits, 0) AS n_hits,
+       |    COALESCE(pd.mean_p, 0.0) AS mean_p
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  LEFT JOIN pd USING (doc_id))""".stripMargin
 
   /** Shared DSIR-weight CTE chain ending in `w(doc_id, n_feat,
     * weight)` — the weights and top-k oracles differ only in the
