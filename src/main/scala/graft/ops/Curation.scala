@@ -410,11 +410,21 @@ object Curation {
           LangModel.trigrams(refDocs,
             TextFunctions.tokens(col(textCol)), minCount)))
         else None
+        // compile ONCE at assembly when the pruned model fits the
+        // kernel gate (then every batch scores scan-stage, no joins);
+        // an oversized model falls back to the relational scorer
+        val compiled: Option[(Array[String], Array[Long])] =
+          try Some(LangModel.compileModel(uni, big, tri))
+          catch { case _: IllegalArgumentException => None }
         Stage("lm-filter", df => {
-          val scored = tri match {
-            case Some(tg) => LangModel.scoreTrigram(df, idCol,
+          val scored = (compiled, tri) match {
+            case (Some(m), Some(_)) =>
+              LangModel.scoreTrigramCompiledModel(df, idCol, textCol, m)
+            case (Some(m), None) =>
+              LangModel.scoreCompiledModel(df, idCol, textCol, m)
+            case (None, Some(tg)) => LangModel.scoreTrigram(df, idCol,
               TextFunctions.tokens(t), uni, big, tg)
-            case None => LangModel.score(df, idCol,
+            case (None, None) => LangModel.score(df, idCol,
               TextFunctions.tokens(t), uni, big)
           }
           val keep = scored.filter(col("mean_p") >= minScore)

@@ -160,6 +160,90 @@ object LangModel {
         coalesce(col("mean_p"), lit(0.0)).as("mean_p"))
   }
 
+  /** Collect a pruned model into the kernel's (keys, counts) literal
+    * pair — size-gated, because the arrays ship inside the plan to
+    * every executor (the BpeEncode rule-table contract). N-gram
+    * order is carried by each key's space count; arrays sort by key
+    * so the plan is deterministic. */
+  def compileModel(uni: DataFrame, big: DataFrame,
+      tri: Option[DataFrame] = None,
+      maxModelRows: Long = 5000000L): (Array[String], Array[Long]) = {
+    val keyed = uni.select(col("token").as("k"), col("cnt")) unionAll
+      big.select(concat_ws(" ", col("w1"), col("w2")).as("k"),
+        col("cnt")) unionAll
+      tri.map(_.select(
+        concat_ws(" ", col("w1"), col("w2"), col("w3")).as("k"),
+        col("cnt")))
+        .getOrElse(uni.sparkSession.emptyDataFrame
+          .select(lit("").as("k"), lit(0L).as("cnt")).limit(0))
+    // ONE training pass: pull at most gate+1 rows (the limit bounds
+    // driver memory BEFORE the size check — a count-then-collect
+    // would run the training aggregates twice)
+    require(maxModelRows < Int.MaxValue, s"bad gate $maxModelRows")
+    val rows = keyed.limit(maxModelRows.toInt + 1).collect()
+    require(rows.length <= maxModelRows,
+      s"lm kernel: model exceeds $maxModelRows rows — use the " +
+        "relational LangModel.score/scoreTrigram path for unbounded " +
+        "models, or raise maxModelRows")
+    val sorted = rows.sortBy(_.getString(0))
+    (sorted.map(_.getString(0)), sorted.map(_.getLong(1)))
+  }
+
+  /** Scan-stage kernel twin of [[score]] for BOUNDED models: the
+    * compiled table ships inside the expression, scoring is one
+    * native call per document — no explode, no joins, no doc-keyed
+    * shuffle. Value-identical to the relational form when that form
+    * tokenizes with [[graft.functions.TextFunctions.tokens]] — the
+    * kernel hard-codes that contract (spec-pinned bit-for-bit; same
+    * DuckDB oracle). */
+  def scoreCompiled(docs: DataFrame, idCol: String, textCol: String,
+      uni: DataFrame, big: DataFrame, alpha: Double = 0.4,
+      maxModelRows: Long = 5000000L): DataFrame = {
+    val model = compileModel(uni, big, None, maxModelRows)
+    scoreCompiledModel(docs, idCol, textCol, model, alpha)
+  }
+
+  /** Scan-stage kernel twin of [[scoreTrigram]] (see
+    * [[scoreCompiled]]). */
+  def scoreTrigramCompiled(docs: DataFrame, idCol: String,
+      textCol: String, uni: DataFrame, big: DataFrame, tri: DataFrame,
+      alpha: Double = 0.4, maxModelRows: Long = 5000000L): DataFrame = {
+    val model = compileModel(uni, big, Some(tri), maxModelRows)
+    scoreTrigramCompiledModel(docs, idCol, textCol, model, alpha)
+  }
+
+  /** Apply an already-compiled (keys, counts) model through the
+    * bigram kernel — the serve-many-batches path (the curation
+    * stage compiles once at assembly, scores every micro-batch). */
+  def scoreCompiledModel(docs: DataFrame, idCol: String, textCol: String,
+      model: (Array[String], Array[Long]), alpha: Double = 0.4)
+  : DataFrame = {
+    graft.GraftExtensions.ensure(docs.sparkSession)
+    val kernel = call_function("lm_score2", col(textCol),
+      typedLit(model._1.toSeq), typedLit(model._2.toSeq), lit(alpha))
+    docs.select(col(idCol).cast("long").as("doc_id"), kernel.as("__r"))
+      // null text scores as the relational form's restored row
+      .select(col("doc_id"),
+        coalesce(col("__r.n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("__r.n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("__r.mean_p"), lit(0.0)).as("mean_p"))
+  }
+
+  /** Trigram twin of [[scoreCompiledModel]]. */
+  def scoreTrigramCompiledModel(docs: DataFrame, idCol: String,
+      textCol: String, model: (Array[String], Array[Long]),
+      alpha: Double = 0.4): DataFrame = {
+    graft.GraftExtensions.ensure(docs.sparkSession)
+    val kernel = call_function("lm_score3", col(textCol),
+      typedLit(model._1.toSeq), typedLit(model._2.toSeq), lit(alpha))
+    docs.select(col(idCol).cast("long").as("doc_id"), kernel.as("__r"))
+      .select(col("doc_id"),
+        coalesce(col("__r.n_win"), lit(0L)).as("n_win"),
+        coalesce(col("__r.n_tri_hits"), lit(0L)).as("n_tri_hits"),
+        coalesce(col("__r.n_big_hits"), lit(0L)).as("n_big_hits"),
+        coalesce(col("__r.mean_p"), lit(0.0)).as("mean_p"))
+  }
+
   /** Score a corpus against a trained model.
     *
     * @param docs corpus to score

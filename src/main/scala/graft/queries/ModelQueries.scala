@@ -101,6 +101,16 @@ object ModelQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the compiled kernel twin of model_lm_score — same oracle, so
+    // kernel ≡ relational ≡ DuckDB is a standing three-way agreement
+    "model_lm_kernel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val uni = LangModel.unigrams(d, toks)
+      val big = LangModel.bigrams(d, toks, minCount = 2)
+      LangModel.scoreCompiled(d, "doc_id", "text", uni, big)
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style corpus bucketing: head/middle/tail by LM-score
     // quartiles. The cutoffs come from the banded distributed
     // selection (ops/ExactQuantiles — bit-identical to
@@ -307,6 +317,13 @@ object ModelQueries {
     // 0.4·(cnt(w)+1)/(N+V), position-ordered sum fold, one division
     // for the mean
     "model_lm_score" -> (sqlLmScore +
+      """
+        |SELECT doc_id, n_trans, n_hits, mean_p FROM w
+        |ORDER BY doc_id""".stripMargin),
+
+    // identical oracle to model_lm_score: the kernel must agree with
+    // the relational algebra bit-for-bit
+    "model_lm_kernel" -> (sqlLmScore +
       """
         |SELECT doc_id, n_trans, n_hits, mean_p FROM w
         |ORDER BY doc_id""".stripMargin),

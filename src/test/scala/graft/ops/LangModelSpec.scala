@@ -93,6 +93,52 @@ class LangModelSpec extends SparkSpec {
     assert(run(docs) == run(docs.repartition(11)))
   }
 
+  test("compiled kernel ≡ relational scorer bit-for-bit, both orders") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    val uni = LangModel.unigrams(docs, t)
+    val big = LangModel.bigrams(docs, t, 2)
+    val tri = LangModel.trigrams(docs, t, 2)
+    val rel2 = LangModel.score(docs, "doc_id", t, uni, big)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val ker2 = LangModel.scoreCompiled(docs, "doc_id", "text", uni, big)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(ker2 == rel2)
+    val rel3 = LangModel.scoreTrigram(docs, "doc_id", t, uni, big, tri)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val ker3 = LangModel.scoreTrigramCompiled(docs, "doc_id", "text",
+      uni, big, tri).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(ker3 == rel3)
+  }
+
+  test("kernel tokenizer edge cases match split(trim(text), ' +')") {
+    // the kernel replicates the ENGINE tokenizer
+    // (TextFunctions.tokens), so the relational reference must use it
+    val et = graft.functions.TextFunctions.tokens(col("text"))
+    val uni = LangModel.unigrams(ref, et)
+    val big = LangModel.bigrams(ref, et, 2)
+    // empty, all-space, multi-space runs, leading/trailing spaces,
+    // single token, unseen tokens
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "a  b   c"),
+      (4L, "  a b  "), (5L, "a"), (6L, "zz yy xx"))
+      .toDF("doc_id", "text")
+    val rel = LangModel.score(edge, "doc_id", et, uni, big)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val ker = LangModel.scoreCompiled(edge, "doc_id", "text", uni, big)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(ker == rel)
+  }
+
+  test("compileModel refuses a model over the row gate") {
+    val uni = LangModel.unigrams(ref, toks)
+    val big = LangModel.bigrams(ref, toks, 2)
+    val e = intercept[IllegalArgumentException] {
+      LangModel.compileModel(uni, big, None, maxModelRows = 2)
+    }
+    assert(e.getMessage.contains("relational"))
+  }
+
   test("in-domain text outscores shuffled-vocabulary gibberish") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
       "documents")
