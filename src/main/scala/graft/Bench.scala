@@ -200,7 +200,8 @@ object Bench {
       "pipe_training_prep",
       "multimodal_meta", "dedup_span_scrub", "cdc_lateness_profile",
       "emb_gram_matrix", "text_blocklist_hits", "cdc_table_checksum",
-      "text_bm25_topk", "hybrid_rrf_topk", "q_percentiles")
+      "text_bm25_topk", "hybrid_rrf_topk", "q_percentiles",
+      "model_nb_predict", "model_lm_kernel", "model_dsir_weights")
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     // contention marker: headline queries whose 3-sample spread
