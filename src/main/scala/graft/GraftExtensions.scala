@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BmpFixture, BmpStats, BpeEncode, BpeMergeStep, BpeTokenCount, ByteAtU8, ChunkHash60, DotProduct, FlacFixture, FlacMeta, GifFixture, GifStats, HtmlText, JpegFixture, JpegStats, JsonbDecode, LmScore2, LmScore3, MapChangedKeys, Mp3Fixture, Mp3Meta, Mp4Fixture, Mp4Meta, MultiMatch, MultiMatchAny, NfcNormalize, PngFixture, PngStats, PpmStats, RollingHash, ShingleHash64, ShingleUtf8, Sum128, TarEntries, TarFixture, TiffFixture, TiffStats, TokenWindowHash64, TopKLargest, TopKPairs, WarcFixture, WarcRecords, WavRms}
+import graft.functions.{BmpFixture, BmpStats, BpeEncode, BpeMergeStep, BpeTokenCount, ByteAtU8, ChunkHash60, DotProduct, FlacFixture, FlacMeta, GifFixture, GifStats, HtmlText, JpegFixture, JpegStats, JsonbDecode, LmScore2, LmScore3, Md5Hash60, MapChangedKeys, Mp3Fixture, Mp3Meta, Mp4Fixture, Mp4Meta, MultiMatch, MultiMatchAny, NfcNormalize, PngFixture, PngStats, PpmStats, RollingHash, ShingleHash64, ShingleUtf8, Sum128, TarEntries, TarFixture, TiffFixture, TiffStats, TokenWindowHash64, TopKLargest, TopKPairs, WarcFixture, WarcRecords, WavRms}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst
   * surface (SURVEY §7.4). Enable with:
@@ -147,6 +147,8 @@ object GraftExtensions {
     fn("bpe_token_count", classOf[BpeTokenCount], 3,
       "bpe_token_count(text, lefts, rights)")(
       es => BpeTokenCount(es.head, es(1), es(2))),
+    fn("md5_hash60", classOf[Md5Hash60], 1, "md5_hash60(s)")(
+      es => Md5Hash60(es.head)),
     fn("lm_score2", classOf[LmScore2], 4,
       "lm_score2(text, keys, counts, alpha)")(
       es => LmScore2(es.head, es(1), es(2), es(3))),

@@ -31,10 +31,15 @@ import graft.functions.TextFunctions
 object Dsir {
 
   /** md5 bucket of one feature string (cross-engine: DuckDB mirrors
-    * with CAST(concat('0x', substring(md5(f),1,15)) AS BIGINT) % B). */
+    * with CAST(concat('0x', substring(md5(f),1,15)) AS BIGINT) % B).
+    * Runs through the native [[graft.functions.Md5Hash60]] kernel —
+    * value-identical to the composed conv(substring(md5)) form, but
+    * without the per-call hex-string/conv churn that measured as the
+    * dominant DSIR cost (the featurizer hashes every token and
+    * bigram of the corpus). Callers must [[graft.GraftExtensions]]
+    * .ensure the session (the op entry points below do). */
   private def bucket(f: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(f), 1, 15), 16, 10).cast("long"),
-      lit(buckets.toLong))
+    pmod(call_function("md5_hash60", f), lit(buckets.toLong))
 
   /** Hashed n-gram feature array of a document, in canonical order:
     * unigram buckets in position order, then bigram buckets in
@@ -49,9 +54,40 @@ object Dsir {
   /** Bucket count model of a corpus: (bucket, cnt), one hash
     * aggregate over at most B distinct keys. */
   def bucketCounts(corpus: DataFrame, textCol: String, buckets: Int)
-  : DataFrame =
+  : DataFrame = {
+    graft.GraftExtensions.ensure(corpus.sparkSession)
     corpus.select(explode(features(col(textCol), buckets)).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Both bucket models in ONE featurize + aggregate pass, for the
+    * common case where the target is a FLAGGED SUBSET of the raw
+    * corpus (e.g. "docs in the target language/domain"): the corpus
+    * explodes once and a conditional aggregate splits the counts —
+    * half the featurization cost of two [[bucketCounts]] calls, and
+    * the ratio table needs no full-outer join.
+    *
+    * @return (bucket, c_t, c_r) — target and raw counts per bucket
+    */
+  def bucketCountsSplit(corpus: DataFrame, textCol: String,
+      isTarget: Column, buckets: Int): DataFrame = {
+    graft.GraftExtensions.ensure(corpus.sparkSession)
+    corpus.select(isTarget.as("__t"),
+      features(col(textCol), buckets).as("__f"))
+      .select(col("__t"), explode(col("__f")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("c_t"),
+        count(lit(1)).as("c_r"))
+  }
+
+  /** [[weights]] over a joint split model from [[bucketCountsSplit]]
+    * — same smoothing, same fold, identical values. */
+  def weightsSplit(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, buckets: Int, prefix: Int = 40): DataFrame =
+    weightsFrom(docs, idCol, textCol,
+      model.agg(sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r")),
+      model.select(col("bucket"), col("c_t"), col("c_r")),
+      buckets, prefix)
 
   /** Importance weights against a target/raw model pair.
     *
@@ -65,22 +101,56 @@ object Dsir {
     */
   def weights(docs: DataFrame, idCol: String, textCol: String,
               target: DataFrame, raw: DataFrame, buckets: Int,
-              prefix: Int = 40): DataFrame = {
-    val scalars = target.agg(sum(col("cnt")).as("n_t"))
-      .crossJoin(broadcast(raw.agg(sum(col("cnt")).as("n_r"))))
-    val ratios = target.select(col("bucket"), col("cnt").as("c_t"))
-      .join(raw.select(col("bucket"), col("cnt").as("c_r")),
-        Seq("bucket"), "full_outer")
+              prefix: Int = 40): DataFrame =
+    weightsFrom(docs, idCol, textCol,
+      target.agg(sum(col("cnt")).as("n_t"))
+        .crossJoin(broadcast(raw.agg(sum(col("cnt")).as("n_r")))),
+      target.select(col("bucket"), col("cnt").as("c_t"))
+        .join(raw.select(col("bucket"), col("cnt").as("c_r")),
+          Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("c_t"), lit(0L)).as("c_t"),
+          coalesce(col("c_r"), lit(0L)).as("c_r")),
+      buckets, prefix)
+
+  /** Shared scoring tail: smoothed per-bucket ratios from a joint
+    * (bucket, c_t, c_r) model, then the position-ordered fold. */
+  private def weightsFrom(docs: DataFrame, idCol: String,
+      textCol: String, scalars: DataFrame, joint: DataFrame,
+      buckets: Int, prefix: Int): DataFrame = {
+    graft.GraftExtensions.ensure(docs.sparkSession)
+    val ratios = joint
       .crossJoin(broadcast(scalars))
       .select(col("bucket"),
-        (((coalesce(col("c_t"), lit(0L)) + lit(1L)).cast("double") /
+        (((col("c_t") + lit(1L)).cast("double") /
           (col("n_t") + lit(buckets.toLong)).cast("double")) /
-          ((coalesce(col("c_r"), lit(0L)) + lit(1L)).cast("double") /
+          ((col("c_r") + lit(1L)).cast("double") /
             (col("n_r") + lit(buckets.toLong)).cast("double"))).as("r"))
 
+    // featurize only a token PREFIX on the scoring side: the first
+    // `prefix` features (unigrams first, then bigrams) can only
+    // involve the first prefix+1 tokens, and per-feature md5 is the
+    // dominant scoring cost — full-document featurization here
+    // measured ~2× the whole query at sf1
+    val prefToks = slice(TextFunctions.tokens(col(textCol)),
+      1, prefix + 1)
+    val prefFeats = graft.functions.Exprs.bind(prefToks) { ts =>
+      concat(
+        transform(slice(ts, lit(1), least(size(ts), lit(prefix))),
+          t => bucket(t, buckets)),
+        transform(
+          when(size(ts) < 2,
+            array().cast("array<struct<w1:string,w2:string>>"))
+            .otherwise(arrays_zip(
+              slice(ts, lit(1), size(ts) - 1).as("w1"),
+              slice(ts, lit(2), size(ts) - 1).as("w2"))
+              .cast("array<struct<w1:string,w2:string>>")),
+          p => bucket(concat_ws(" ", p.getField("w1"),
+            p.getField("w2")), buckets)))
+    }
     val pos = docs
       .select(col(idCol).cast("long").as("doc_id"),
-        slice(features(col(textCol), buckets), 1, prefix).as("__f"))
+        slice(prefFeats, 1, prefix).as("__f"))
       .select(col("doc_id"),
         posexplode(col("__f")).as(Seq("pos", "bucket")))
     // every feature bucket exists in raw when docs ⊆ raw corpus; a

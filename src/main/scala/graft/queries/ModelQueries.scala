@@ -120,8 +120,11 @@ object ModelQueries {
       val d = docs(s, dir)
       val uni = LangModel.unigrams(d, toks)
       val big = LangModel.bigrams(d, toks, minCount = 2)
-      val scored = LangModel.score(d, "doc_id", toks, uni, big)
-        .select(col("doc_id"), col("mean_p"))
+      // cacheOnce: the scoring subtree feeds BOTH the quantile
+      // cutoffs and the labeling pass — uncached it executes twice
+      val scored = graft.ops.Caching.cacheOnce(
+        LangModel.score(d, "doc_id", toks, uni, big)
+          .select(col("doc_id"), col("mean_p")))
       val cuts = graft.ops.ExactQuantiles.percentiles(
         scored.withColumn("__g", lit(1)), "__g",
         Seq("mean_p" -> Seq(0.25, 0.75)))
@@ -138,13 +141,13 @@ object ModelQueries {
     }),
 
     // DSIR importance weights: target = the en split, raw = whole
-    // corpus, hashed uni+bigram features in a 1024-bucket space
+    // corpus — the flagged-subset case, so BOTH bucket models come
+    // from ONE featurize + conditional aggregate pass
     "model_dsir_weights" -> ((s, dir) => {
       val d = docs(s, dir)
-      val tgt = Dsir.bucketCounts(d.filter(col("lang") === "en"),
-        "text", 1024)
-      val raw = Dsir.bucketCounts(d, "text", 1024)
-      Dsir.weights(d, "doc_id", "text", tgt, raw, 1024)
+      val model = Dsir.bucketCountsSplit(d, "text",
+        col("lang") === "en", 1024)
+      Dsir.weightsSplit(d, "doc_id", "text", model, 1024)
         .orderBy(col("doc_id"))
     }),
 
@@ -152,11 +155,10 @@ object ModelQueries {
     // TakeOrderedAndProject, never a corpus sort
     "model_dsir_topk" -> ((s, dir) => {
       val d = docs(s, dir)
-      val tgt = Dsir.bucketCounts(d.filter(col("lang") === "en"),
-        "text", 1024)
-      val raw = Dsir.bucketCounts(d, "text", 1024)
+      val model = Dsir.bucketCountsSplit(d, "text",
+        col("lang") === "en", 1024)
       Dsir.resampleTopK(
-        Dsir.weights(d, "doc_id", "text", tgt, raw, 1024), 50)
+        Dsir.weightsSplit(d, "doc_id", "text", model, 1024), 50)
     }))
 
   val oracle: Map[String, String] = Map(

@@ -71,6 +71,19 @@ class DsirSpec extends SparkSpec {
     assert(run(raw.repartition(7)) == got)
   }
 
+  test("split model (one pass) ≡ two bucketCounts frames, weights " +
+    "bit-identical") {
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val tgt = Dsir.bucketCounts(d.filter($"lang" === "en"), "text", 256)
+    val raw = Dsir.bucketCounts(d, "text", 256)
+    val twoFrame = Dsir.weights(d, "doc_id", "text", tgt, raw, 256)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val split = Dsir.weightsSplit(d, "doc_id", "text",
+      Dsir.bucketCountsSplit(d, "text", $"lang" === "en", 256), 256)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(split == twoFrame)
+  }
+
   test("resampleTopK is a global (weight DESC, doc_id) head with ranks") {
     val w = Seq((3L, 2L, 0.5), (1L, 2L, 2.0), (2L, 2L, 2.0),
       (4L, 2L, 1.0)).toDF("doc_id", "n_feat", "weight")
