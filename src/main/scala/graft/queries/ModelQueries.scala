@@ -61,6 +61,44 @@ object ModelQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // classifier EVALUATION: the confusion matrix of the vote
+    // classifier against the lang supervision — the per-class
+    // precision/recall raw material a curator reads before trusting
+    // a model filter. All integers; two model-sized aggregates on
+    // top of the prediction plan.
+    "model_nb_confusion" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val counts = NbClassifier.trainCounts(d, toks, col("lang"), 2)
+      NbClassifier.predictVotes(d, "doc_id", toks, counts)
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred"))
+    }),
+
+    // binary-classifier EVALUATION at the decision threshold:
+    // tp/fp/tn/fn of the en-vs-rest likelihood-ratio classifier —
+    // one conditional aggregate over the scored corpus
+    "model_nb_eval_binary" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lab = when(col("lang") === "en", lit("pos")).otherwise(lit("neg"))
+      val counts = NbClassifier.trainCounts(d, toks, lab, 2)
+      val priors = NbClassifier.docPriors(d, lab)
+      NbClassifier.scoreBinary(d, "doc_id", toks, counts, priors,
+        posLabel = "pos", prefix = 40)
+        .join(d.select(col("doc_id"),
+          (col("lang") === "en").as("is_pos")), Seq("doc_id"))
+        .agg(
+          sum(when(col("pred") && col("is_pos"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("pred") && !col("is_pos"), 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(!col("pred") && !col("is_pos"), 1L).otherwise(0L))
+            .as("tn"),
+          sum(when(!col("pred") && col("is_pos"), 1L).otherwise(0L))
+            .as("fn"))
+    }),
+
     // SELF-TRAINED quality classifier (the DCLM shape: no external
     // labels — the heuristic quality score labels a seed split, NB
     // generalizes it to token evidence)
@@ -171,140 +209,47 @@ object ModelQueries {
 
     // mirrors NbClassifier.predictVotes: same smoothed-p expression
     // tree, same (p DESC, label) / (n_votes DESC, vote) tiebreaks
-    "model_nb_predict" ->
-      s"""WITH tok AS (SELECT lang AS label, unnest($sqlToks) AS token
-         |             FROM documents),
-         |cnts AS (SELECT label, token, COUNT(*) AS cnt FROM tok
-         |         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         |tot AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS n FROM cnts
-         |        GROUP BY 1),
-         |vv AS (SELECT COUNT(DISTINCT token) AS v FROM cnts),
-         |grid AS (SELECT t.token, l.label,
-         |    CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE)
-         |      / CAST(l.n + vv.v AS DOUBLE) AS p
-         |  FROM (SELECT DISTINCT token FROM cnts) t
-         |  CROSS JOIN tot l
-         |  LEFT JOIN cnts c ON c.token = t.token AND c.label = l.label,
-         |  vv),
-         |vote AS (SELECT token, label AS vote FROM (
-         |    SELECT token, label, row_number() OVER (
-         |      PARTITION BY token ORDER BY p DESC, label) AS rnk
-         |    FROM grid) WHERE rnk = 1),
-         |oov AS (SELECT label AS oov_vote FROM (
-         |    SELECT label, 1.0 / CAST(n + v AS DOUBLE) AS p
-         |    FROM tot, vv) ORDER BY p DESC, oov_vote LIMIT 1),
-         |doctok AS (SELECT doc_id, unnest($sqlToks) AS token
-         |           FROM documents),
-         |voted AS (SELECT d.doc_id,
-         |    COALESCE(vt.vote, (SELECT oov_vote FROM oov)) AS vote
-         |  FROM doctok d LEFT JOIN vote vt USING (token)),
-         |tal AS (SELECT doc_id, vote, COUNT(*) AS n_votes FROM voted
-         |        GROUP BY 1, 2),
-         |pr AS (SELECT doc_id, vote AS pred, n_votes FROM (
-         |    SELECT doc_id, vote, n_votes, row_number() OVER (
-         |      PARTITION BY doc_id ORDER BY n_votes DESC, vote) AS rnk
-         |    FROM tal) WHERE rnk = 1),
-         |nt AS (SELECT doc_id, CAST(SUM(n_votes) AS BIGINT) AS n_tok
-         |       FROM tal GROUP BY 1)
-         |SELECT pr.doc_id, pr.pred, pr.n_votes, nt.n_tok
-         |FROM pr JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "model_nb_predict" -> (sqlNbPredict +
+      """
+        |SELECT pr.doc_id, pr.pred, pr.n_votes, nt.n_tok
+        |FROM pr JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    // the confusion matrix over the same prediction chain
+    "model_nb_confusion" -> (sqlNbPredict +
+      """
+        |SELECT d.lang, pr.pred, COUNT(*) AS n
+        |FROM pr JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin),
 
     // mirrors NbClassifier.scoreBinary: same smoothing, same default
     // ratio for out-of-vocabulary tokens, same position-ordered
     // left-fold from 1.0 then one prior multiply
-    "model_nb_binary" ->
-      s"""WITH lab AS (SELECT doc_id,
-         |    CASE WHEN lang = 'en' THEN 'pos' ELSE 'neg' END AS label,
-         |    $sqlToks AS toks FROM documents),
-         |tok AS (SELECT label, unnest(toks) AS token FROM lab),
-         |cnts AS (SELECT label, token, COUNT(*) AS cnt FROM tok
-         |         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         |vv AS (SELECT COUNT(DISTINCT token) AS v FROM cnts),
-         |sc AS (SELECT
-         |    CAST(SUM(CASE WHEN label = 'pos' THEN cnt ELSE 0 END)
-         |         AS BIGINT) AS n_pos,
-         |    CAST(SUM(CASE WHEN label <> 'pos' THEN cnt ELSE 0 END)
-         |         AS BIGINT) AS n_neg
-         |  FROM cnts),
-         |pri AS (SELECT
-         |    CAST(SUM(CASE WHEN label = 'pos' THEN 1 ELSE 0 END)
-         |         AS BIGINT) AS d_pos,
-         |    CAST(SUM(CASE WHEN label <> 'pos' THEN 1 ELSE 0 END)
-         |         AS BIGINT) AS d_neg
-         |  FROM lab),
-         |rat AS (SELECT token,
-         |    (CAST(SUM(CASE WHEN label = 'pos' THEN cnt ELSE 0 END) + 1
-         |          AS DOUBLE) / CAST(sc.n_pos + vv.v AS DOUBLE))
-         |    / (CAST(SUM(CASE WHEN label <> 'pos' THEN cnt ELSE 0 END) + 1
-         |            AS DOUBLE) / CAST(sc.n_neg + vv.v AS DOUBLE)) AS r
-         |  FROM cnts, sc, vv GROUP BY token, sc.n_pos, sc.n_neg, vv.v),
-         |pos AS (SELECT doc_id, i AS pos, pt[i + 1] AS token
-         |  FROM (SELECT doc_id, list_slice(toks, 1, 40) AS pt,
-         |          unnest(range(0, len(list_slice(toks, 1, 40)))) AS i
-         |        FROM lab)),
-         |pt AS (SELECT p.doc_id, p.pos,
-         |    CASE WHEN rat.r IS NOT NULL THEN 1 ELSE 0 END AS seen,
-         |    COALESCE(rat.r,
-         |      (1.0 / CAST(sc.n_pos + vv.v AS DOUBLE))
-         |        / (1.0 / CAST(sc.n_neg + vv.v AS DOUBLE))) AS r
-         |  FROM pos p LEFT JOIN rat USING (token), sc, vv),
-         |agg AS (SELECT doc_id, CAST(SUM(seen) AS BIGINT) AS n_seen,
-         |    list_reduce(list_prepend(1.0, list(r ORDER BY pos)),
-         |                (a, b) -> a * b) AS prod
-         |  FROM pt GROUP BY 1)
-         |SELECT agg.doc_id, agg.n_seen,
-         |  agg.prod * (CAST(pri.d_pos AS DOUBLE)
-         |              / CAST(pri.d_neg AS DOUBLE)) AS score,
-         |  agg.prod * (CAST(pri.d_pos AS DOUBLE)
-         |              / CAST(pri.d_neg AS DOUBLE)) >= 1.0 AS pred
-         |FROM agg, pri ORDER BY doc_id""".stripMargin,
+    "model_nb_binary" -> (sqlNbBinary("CASE WHEN lang = 'en' " +
+      "THEN 'pos' ELSE 'neg' END") +
+      """
+        |SELECT doc_id, n_seen, score, pred FROM res
+        |ORDER BY doc_id""".stripMargin),
+
+    // tp/fp/tn/fn of the same binary chain against the lang truth
+    "model_nb_eval_binary" -> (sqlNbBinary("CASE WHEN lang = 'en' " +
+      "THEN 'pos' ELSE 'neg' END") +
+      """
+        |SELECT
+        |  CAST(SUM(CASE WHEN res.pred AND d.lang = 'en'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN res.pred AND d.lang <> 'en'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(SUM(CASE WHEN NOT res.pred AND d.lang <> 'en'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |  CAST(SUM(CASE WHEN NOT res.pred AND d.lang = 'en'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |FROM res JOIN documents d USING (doc_id)""".stripMargin),
 
     // same algebra as model_nb_binary with the self-computed label
-    "model_nb_quality" ->
-      s"""WITH lab AS (SELECT doc_id, $sqlQualityLabel AS label,
-         |    $sqlToks AS toks FROM documents),
-         |tok AS (SELECT label, unnest(toks) AS token FROM lab),
-         |cnts AS (SELECT label, token, COUNT(*) AS cnt FROM tok
-         |         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         |vv AS (SELECT COUNT(DISTINCT token) AS v FROM cnts),
-         |sc AS (SELECT
-         |    CAST(SUM(CASE WHEN label = 'pos' THEN cnt ELSE 0 END)
-         |         AS BIGINT) AS n_pos,
-         |    CAST(SUM(CASE WHEN label <> 'pos' THEN cnt ELSE 0 END)
-         |         AS BIGINT) AS n_neg
-         |  FROM cnts),
-         |pri AS (SELECT
-         |    CAST(SUM(CASE WHEN label = 'pos' THEN 1 ELSE 0 END)
-         |         AS BIGINT) AS d_pos,
-         |    CAST(SUM(CASE WHEN label <> 'pos' THEN 1 ELSE 0 END)
-         |         AS BIGINT) AS d_neg
-         |  FROM lab),
-         |rat AS (SELECT token,
-         |    (CAST(SUM(CASE WHEN label = 'pos' THEN cnt ELSE 0 END) + 1
-         |          AS DOUBLE) / CAST(sc.n_pos + vv.v AS DOUBLE))
-         |    / (CAST(SUM(CASE WHEN label <> 'pos' THEN cnt ELSE 0 END) + 1
-         |            AS DOUBLE) / CAST(sc.n_neg + vv.v AS DOUBLE)) AS r
-         |  FROM cnts, sc, vv GROUP BY token, sc.n_pos, sc.n_neg, vv.v),
-         |pos AS (SELECT doc_id, i AS pos, pt[i + 1] AS token
-         |  FROM (SELECT doc_id, list_slice(toks, 1, 40) AS pt,
-         |          unnest(range(0, len(list_slice(toks, 1, 40)))) AS i
-         |        FROM lab)),
-         |pt AS (SELECT p.doc_id, p.pos,
-         |    CASE WHEN rat.r IS NOT NULL THEN 1 ELSE 0 END AS seen,
-         |    COALESCE(rat.r,
-         |      (1.0 / CAST(sc.n_pos + vv.v AS DOUBLE))
-         |        / (1.0 / CAST(sc.n_neg + vv.v AS DOUBLE))) AS r
-         |  FROM pos p LEFT JOIN rat USING (token), sc, vv),
-         |agg AS (SELECT doc_id, CAST(SUM(seen) AS BIGINT) AS n_seen,
-         |    list_reduce(list_prepend(1.0, list(r ORDER BY pos)),
-         |                (a, b) -> a * b) AS prod
-         |  FROM pt GROUP BY 1)
-         |SELECT agg.doc_id, agg.n_seen,
-         |  agg.prod * (CAST(pri.d_pos AS DOUBLE)
-         |              / CAST(pri.d_neg AS DOUBLE)) AS score,
-         |  agg.prod * (CAST(pri.d_pos AS DOUBLE)
-         |              / CAST(pri.d_neg AS DOUBLE)) >= 1.0 AS pred
-         |FROM agg, pri ORDER BY doc_id""".stripMargin,
+    "model_nb_quality" -> (sqlNbBinary(sqlQualityLabel) +
+      """
+        |SELECT doc_id, n_seen, score, pred FROM res
+        |ORDER BY doc_id""".stripMargin),
 
     "model_lm_bigrams" ->
       s"""WITH t AS (SELECT $sqlToks AS toks FROM documents),
@@ -413,6 +358,95 @@ object ModelQueries {
         |SELECT CAST(row_number() OVER (ORDER BY weight DESC, doc_id)
         |            AS INTEGER) AS rnk, doc_id, weight
         |FROM w ORDER BY weight DESC, doc_id LIMIT 50""".stripMargin))
+
+  /** Shared binary-NB CTE chain, parameterized by the label
+    * expression, ending in `res(doc_id, n_seen, score, pred)` — the
+    * binary, self-trained-quality, and eval oracles differ only in
+    * the tail. */
+  private def sqlNbBinary(labelExpr: String): String =
+    s"""WITH lab AS (SELECT doc_id, $labelExpr AS label,
+       |    $sqlToks AS toks FROM documents),
+       |tok AS (SELECT label, unnest(toks) AS token FROM lab),
+       |cnts AS (SELECT label, token, COUNT(*) AS cnt FROM tok
+       |         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |vv AS (SELECT COUNT(DISTINCT token) AS v FROM cnts),
+       |sc AS (SELECT
+       |    CAST(SUM(CASE WHEN label = 'pos' THEN cnt ELSE 0 END)
+       |         AS BIGINT) AS n_pos,
+       |    CAST(SUM(CASE WHEN label <> 'pos' THEN cnt ELSE 0 END)
+       |         AS BIGINT) AS n_neg
+       |  FROM cnts),
+       |pri AS (SELECT
+       |    CAST(SUM(CASE WHEN label = 'pos' THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS d_pos,
+       |    CAST(SUM(CASE WHEN label <> 'pos' THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS d_neg
+       |  FROM lab),
+       |rat AS (SELECT token,
+       |    (CAST(SUM(CASE WHEN label = 'pos' THEN cnt ELSE 0 END) + 1
+       |          AS DOUBLE) / CAST(sc.n_pos + vv.v AS DOUBLE))
+       |    / (CAST(SUM(CASE WHEN label <> 'pos' THEN cnt ELSE 0 END) + 1
+       |            AS DOUBLE) / CAST(sc.n_neg + vv.v AS DOUBLE)) AS r
+       |  FROM cnts, sc, vv GROUP BY token, sc.n_pos, sc.n_neg, vv.v),
+       |pos AS (SELECT doc_id, i AS pos, pt[i + 1] AS token
+       |  FROM (SELECT doc_id, list_slice(toks, 1, 40) AS pt,
+       |          unnest(range(0, len(list_slice(toks, 1, 40)))) AS i
+       |        FROM lab)),
+       |pt AS (SELECT p.doc_id, p.pos,
+       |    CASE WHEN rat.r IS NOT NULL THEN 1 ELSE 0 END AS seen,
+       |    COALESCE(rat.r,
+       |      (1.0 / CAST(sc.n_pos + vv.v AS DOUBLE))
+       |        / (1.0 / CAST(sc.n_neg + vv.v AS DOUBLE))) AS r
+       |  FROM pos p LEFT JOIN rat USING (token), sc, vv),
+       |agg AS (SELECT doc_id, CAST(SUM(seen) AS BIGINT) AS n_seen,
+       |    list_reduce(list_prepend(1.0, list(r ORDER BY pos)),
+       |                (a, b) -> a * b) AS prod
+       |  FROM pt GROUP BY 1),
+       |res AS (SELECT agg.doc_id, agg.n_seen,
+       |    agg.prod * (CAST(pri.d_pos AS DOUBLE)
+       |                / CAST(pri.d_neg AS DOUBLE)) AS score,
+       |    agg.prod * (CAST(pri.d_pos AS DOUBLE)
+       |                / CAST(pri.d_neg AS DOUBLE)) >= 1.0 AS pred
+       |  FROM agg, pri)""".stripMargin
+
+  /** Shared vote-prediction CTE chain ending in `pr(doc_id, pred,
+    * n_votes)` and `nt(doc_id, n_tok)` — the predict and confusion
+    * oracles differ only in the tail. */
+  private lazy val sqlNbPredict: String =
+    s"""WITH tok AS (SELECT lang AS label, unnest($sqlToks) AS token
+       |             FROM documents),
+       |cnts AS (SELECT label, token, COUNT(*) AS cnt FROM tok
+       |         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |tot AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS n FROM cnts
+       |        GROUP BY 1),
+       |vv AS (SELECT COUNT(DISTINCT token) AS v FROM cnts),
+       |grid AS (SELECT t.token, l.label,
+       |    CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE)
+       |      / CAST(l.n + vv.v AS DOUBLE) AS p
+       |  FROM (SELECT DISTINCT token FROM cnts) t
+       |  CROSS JOIN tot l
+       |  LEFT JOIN cnts c ON c.token = t.token AND c.label = l.label,
+       |  vv),
+       |vote AS (SELECT token, label AS vote FROM (
+       |    SELECT token, label, row_number() OVER (
+       |      PARTITION BY token ORDER BY p DESC, label) AS rnk
+       |    FROM grid) WHERE rnk = 1),
+       |oov AS (SELECT label AS oov_vote FROM (
+       |    SELECT label, 1.0 / CAST(n + v AS DOUBLE) AS p
+       |    FROM tot, vv) ORDER BY p DESC, oov_vote LIMIT 1),
+       |doctok AS (SELECT doc_id, unnest($sqlToks) AS token
+       |           FROM documents),
+       |voted AS (SELECT d.doc_id,
+       |    COALESCE(vt.vote, (SELECT oov_vote FROM oov)) AS vote
+       |  FROM doctok d LEFT JOIN vote vt USING (token)),
+       |tal AS (SELECT doc_id, vote, COUNT(*) AS n_votes FROM voted
+       |        GROUP BY 1, 2),
+       |pr AS (SELECT doc_id, vote AS pred, n_votes FROM (
+       |    SELECT doc_id, vote, n_votes, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY n_votes DESC, vote) AS rnk
+       |    FROM tal) WHERE rnk = 1),
+       |nt AS (SELECT doc_id, CAST(SUM(n_votes) AS BIGINT) AS n_tok
+       |       FROM tal GROUP BY 1)""".stripMargin
 
   /** Shared LM-score CTE chain ending in `w(doc_id, n_trans,
     * n_hits, mean_p)` — the score and bucket oracles differ only in
