@@ -381,10 +381,20 @@ object Curation {
           minCount))
         val priors = Caching.cacheOnce(
           NbClassifier.docPriors(refDocs, col(labelCol)))
+        // compile once at assembly when the pruned model fits the
+        // kernel gate; oversized models fall back to the relational
+        // scorer (same contract as lm-filter)
+        val compiledNb = try Some(
+          NbClassifier.compileBinary(counts, priors, posLabel))
+        catch { case _: IllegalArgumentException => None }
         Stage("nb-filter", df => {
-          val keep = NbClassifier.scoreBinary(df, idCol,
-            TextFunctions.tokens(t), counts, priors, posLabel, prefix)
-            .filter(col("score") >= minScore)
+          val scored = compiledNb match {
+            case Some(m) => NbClassifier.scoreBinaryCompiled(
+              df, idCol, textCol, m, prefix)
+            case None => NbClassifier.scoreBinary(df, idCol,
+              TextFunctions.tokens(t), counts, priors, posLabel, prefix)
+          }
+          val keep = scored.filter(col("score") >= minScore)
             .select(col("doc_id").as(idCol))
           df.join(keep, Seq(idCol), "left_semi")
         }, streamable = true)

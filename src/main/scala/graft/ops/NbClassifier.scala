@@ -219,24 +219,25 @@ object NbClassifier {
     * @return (doc_id, n_seen, score, pred): n_seen = prefix tokens
     *         found in the model vocabulary
     */
-  def scoreBinary(docs: DataFrame, idCol: String, toks: Column,
-                  counts: DataFrame, priors: DataFrame, posLabel: String,
-                  prefix: Int = 40): DataFrame = {
-    val v = vocabSize(counts)
-    // 1-row scalars: N_pos, N_neg, V, prior ratio
-    val scalars = classTotals(counts)
+  // 1-row scalars: N_pos, N_neg, V, doc priors
+  private def binaryScalars(counts: DataFrame, priors: DataFrame,
+      posLabel: String): DataFrame =
+    classTotals(counts)
       .agg(sum(when(col("label") === posLabel, col("n")).otherwise(0L))
         .as("n_pos"),
         sum(when(col("label") =!= posLabel, col("n")).otherwise(0L))
           .as("n_neg"))
-      .crossJoin(broadcast(v))
+      .crossJoin(broadcast(vocabSize(counts)))
       .crossJoin(broadcast(priors.agg(
         sum(when(col("label") === posLabel, col("n_docs")).otherwise(0L))
           .as("d_pos"),
         sum(when(col("label") =!= posLabel, col("n_docs")).otherwise(0L))
           .as("d_neg"))))
-    // per-token ratio table (model-sized)
-    val ratios = counts
+
+  // per-token smoothed likelihood-ratio table (model-sized)
+  private def binaryRatios(counts: DataFrame, posLabel: String,
+      scalars: DataFrame): DataFrame =
+    counts
       .groupBy(col("token"))
       .agg(sum(when(col("label") === posLabel, col("cnt")).otherwise(0L))
         .as("c_pos"),
@@ -249,6 +250,12 @@ object NbClassifier {
           (col("n_pos") + col("v")).cast("double")) /
           ((col("c_neg") + lit(1L)).cast("double") /
             (col("n_neg") + col("v")).cast("double"))).as("r"))
+
+  def scoreBinary(docs: DataFrame, idCol: String, toks: Column,
+                  counts: DataFrame, priors: DataFrame, posLabel: String,
+                  prefix: Int = 40): DataFrame = {
+    val scalars = binaryScalars(counts, priors, posLabel)
+    val ratios = binaryRatios(counts, posLabel, scalars)
 
     val pos = docs.select(col(idCol).cast("long").as("doc_id"),
       posexplode(slice(toks, 1, prefix)).as(Seq("pos", "token")))
@@ -270,5 +277,57 @@ object NbClassifier {
         (aggregate(transform(col("rs"), x => x.getField("r")),
           lit(1.0), (acc, x) => acc * x) * col("prior")).as("score"))
       .withColumn("pred", col("score") >= 1.0)
+  }
+
+  /** Collect the binary model into the kernel's literal form —
+    * size-gated; the ratios, the out-of-vocabulary default and the
+    * prior are all evaluated BY THE ENGINE from the same plan the
+    * relational scorer uses, so the doubles are the relational
+    * scorer's doubles. */
+  def compileBinary(counts: DataFrame, priors: DataFrame,
+      posLabel: String, maxModelRows: Long = 5000000L)
+  : (Array[String], Array[Double], Double, Double) = {
+    require(maxModelRows < Int.MaxValue, s"bad gate $maxModelRows")
+    // compile issues TWO driver actions (ratio rows, scalar row) —
+    // cache the training aggregate so it runs once, not per action
+    // (uncached it re-ran the full (label, token) aggregate 3×,
+    // measured as the whole kernel-query overhead)
+    val cached = Caching.cacheOnce(counts)
+    val scalars = binaryScalars(cached, priors, posLabel)
+    val rows = binaryRatios(cached, posLabel, scalars)
+      .limit(maxModelRows.toInt + 1).collect()
+    require(rows.length <= maxModelRows,
+      s"nb kernel: model exceeds $maxModelRows tokens — use the " +
+        "relational scoreBinary path for unbounded models, or raise " +
+        "maxModelRows")
+    val sorted = rows.sortBy(_.getString(0))
+    val s = scalars.select(
+      ((lit(1.0) / (col("n_pos") + col("v")).cast("double")) /
+        (lit(1.0) / (col("n_neg") + col("v")).cast("double")))
+        .as("dflt"),
+      (col("d_pos").cast("double") / col("d_neg").cast("double"))
+        .as("prior")).head()
+    (sorted.map(_.getString(0)), sorted.map(_.getDouble(1)),
+      s.getDouble(0), s.getDouble(1))
+  }
+
+  /** Scan-stage kernel twin of [[scoreBinary]] for BOUNDED models —
+    * one native call per document, no explode/join/regroup.
+    * Value-identical when the relational form tokenizes with
+    * [[graft.functions.TextFunctions.tokens]] (the kernel hard-codes
+    * that contract); docs with NULL text drop, as they do from the
+    * relational scorer's explode. */
+  def scoreBinaryCompiled(docs: DataFrame, idCol: String,
+      textCol: String,
+      model: (Array[String], Array[Double], Double, Double),
+      prefix: Int = 40): DataFrame = {
+    graft.GraftExtensions.ensure(docs.sparkSession)
+    val kernel = call_function("nb_score", col(textCol),
+      typedLit(model._1.toSeq), typedLit(model._2.toSeq),
+      typedLit(Seq(model._3, model._4, prefix.toDouble)))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), kernel.as("__r"))
+      .select(col("doc_id"), col("__r.n_seen").as("n_seen"),
+        col("__r.score").as("score"), col("__r.pred").as("pred"))
   }
 }

@@ -61,6 +61,18 @@ object ModelQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the compiled kernel twin of model_nb_binary — same oracle, so
+    // kernel ≡ relational ≡ DuckDB is a standing three-way agreement
+    "model_nb_kernel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lab = when(col("lang") === "en", lit("pos")).otherwise(lit("neg"))
+      val counts = NbClassifier.trainCounts(d, toks, lab, 2)
+      val priors = NbClassifier.docPriors(d, lab)
+      NbClassifier.scoreBinaryCompiled(d, "doc_id", "text",
+        NbClassifier.compileBinary(counts, priors, "pos"), prefix = 40)
+        .orderBy(col("doc_id"))
+    }),
+
     // classifier EVALUATION: the confusion matrix of the vote
     // classifier against the lang supervision — the per-class
     // precision/recall raw material a curator reads before trusting
@@ -225,6 +237,14 @@ object ModelQueries {
     // ratio for out-of-vocabulary tokens, same position-ordered
     // left-fold from 1.0 then one prior multiply
     "model_nb_binary" -> (sqlNbBinary("CASE WHEN lang = 'en' " +
+      "THEN 'pos' ELSE 'neg' END") +
+      """
+        |SELECT doc_id, n_seen, score, pred FROM res
+        |ORDER BY doc_id""".stripMargin),
+
+    // identical oracle to model_nb_binary: the kernel must agree
+    // with the relational algebra bit-for-bit
+    "model_nb_kernel" -> (sqlNbBinary("CASE WHEN lang = 'en' " +
       "THEN 'pos' ELSE 'neg' END") +
       """
         |SELECT doc_id, n_seen, score, pred FROM res

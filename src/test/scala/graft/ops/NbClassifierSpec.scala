@@ -103,6 +103,47 @@ class NbClassifierSpec extends SparkSpec {
     assert(got.head.getLong(1) == 2L) // ja + filler seen, unseen not
   }
 
+  test("compiled kernel ≡ relational scoreBinary bit-for-bit, incl. " +
+    "tokenizer edges") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val et = graft.functions.TextFunctions.tokens(col("text"))
+    val lab = when(col("lang") === "en", lit("pos")).otherwise(lit("neg"))
+    val counts = NbClassifier.trainCounts(docs, et, lab, 2)
+    val priors = NbClassifier.docPriors(docs, lab)
+    val rel = NbClassifier.scoreBinary(docs, "doc_id", et, counts,
+      priors, "pos").orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val model = NbClassifier.compileBinary(counts, priors, "pos")
+    val ker = NbClassifier.scoreBinaryCompiled(docs, "doc_id", "text",
+      model).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(ker == rel)
+    // edge texts: empty, all-space, runs, padding, short, unseen
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "ja  no   filler"),
+      (4L, "  ja filler  "), (5L, "x"), (6L, "zz yy xx"))
+      .toDF("doc_id", "text")
+    val cons = NbClassifier.trainCounts(corpus, toks,
+      when(col("label") === "A", lit("pos")).otherwise(lit("neg")), 1)
+    val pris = NbClassifier.docPriors(corpus,
+      when(col("label") === "A", lit("pos")).otherwise(lit("neg")))
+    val relE = NbClassifier.scoreBinary(edge, "doc_id",
+      graft.functions.TextFunctions.tokens(col("text")), cons, pris,
+      "pos").orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val kerE = NbClassifier.scoreBinaryCompiled(edge, "doc_id", "text",
+      NbClassifier.compileBinary(cons, pris, "pos"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(kerE == relE)
+  }
+
+  test("compileBinary refuses a model over the row gate") {
+    val lab = when(col("label") === "A", lit("pos")).otherwise(lit("neg"))
+    val counts = NbClassifier.trainCounts(corpus, toks, lab, 1)
+    val priors = NbClassifier.docPriors(corpus, lab)
+    val e = intercept[IllegalArgumentException] {
+      NbClassifier.compileBinary(counts, priors, "pos", maxModelRows = 1)
+    }
+    assert(e.getMessage.contains("relational"))
+  }
+
   test("predictLog matches a local log-space reference on the tiny corpus") {
     val counts = NbClassifier.trainCounts(corpus, toks, col("label"), 1)
     val got = NbClassifier.predictLog(corpus, "doc_id", toks, counts,
