@@ -201,6 +201,18 @@ object ModelQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the compiled kernel twin of model_dsir_weights — same oracle;
+    // the dense per-bucket ratio array replaces explode + join +
+    // regroup with one native call per document
+    "model_dsir_kernel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = Dsir.bucketCountsSplit(d, "text",
+        col("lang") === "en", 1024)
+      Dsir.weightsSplitCompiled(d, "doc_id", "text",
+        Dsir.compileSplit(model, 1024))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR resampling: global top-50 by importance weight —
     // TakeOrderedAndProject, never a corpus sort
     "model_dsir_topk" -> ((s, dir) => {
@@ -371,6 +383,10 @@ object ModelQueries {
     // mirrors Dsir.weights: same md5 bucket hash, same smoothing,
     // same position-ordered ratio fold from 1.0
     "model_dsir_weights" -> (sqlDsirWeights +
+      "\nSELECT doc_id, n_feat, weight FROM w ORDER BY doc_id"),
+
+    // identical oracle: the kernel must agree bit-for-bit
+    "model_dsir_kernel" -> (sqlDsirWeights +
       "\nSELECT doc_id, n_feat, weight FROM w ORDER BY doc_id"),
 
     "model_dsir_topk" -> (sqlDsirWeights +

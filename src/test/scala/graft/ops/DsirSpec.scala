@@ -84,6 +84,31 @@ class DsirSpec extends SparkSpec {
     assert(split == twoFrame)
   }
 
+  test("compiled kernel ≡ relational weightsSplit bit-for-bit, incl. " +
+    "tokenizer edges") {
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val model = Dsir.bucketCountsSplit(d, "text", $"lang" === "en", 256)
+    val rel = Dsir.weightsSplit(d, "doc_id", "text", model, 256)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val ker = Dsir.weightsSplitCompiled(d, "doc_id", "text",
+      Dsir.compileSplit(model, 256))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(ker == rel)
+    // edges: empty, all-space, runs, padding, 1 token, 50-token doc
+    // (prefix boundary: 40 unigrams, no bigrams)
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "a  b   c"),
+      (4L, "  a b  "), (5L, "x"),
+      (6L, Seq.tabulate(50)(i => s"w$i").mkString(" ")),
+      (7L, Seq.tabulate(30)(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val relE = Dsir.weightsSplit(edge, "doc_id", "text", model, 256)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val kerE = Dsir.weightsSplitCompiled(edge, "doc_id", "text",
+      Dsir.compileSplit(model, 256))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(kerE == relE)
+  }
+
   test("resampleTopK is a global (weight DESC, doc_id) head with ranks") {
     val w = Seq((3L, 2L, 0.5), (1L, 2L, 2.0), (2L, 2L, 2.0),
       (4L, 2L, 1.0)).toDF("doc_id", "n_feat", "weight")
