@@ -458,9 +458,20 @@ object Curation {
           spark.read.parquet(targetPath), textCol, buckets))
         val rc = Caching.cacheOnce(Dsir.bucketCounts(
           spark.read.parquet(rawPath), textCol, buckets))
+        // the joint (bucket, c_t, c_r) model compiles to the dense
+        // kernel array ONCE at assembly — batches then score
+        // scan-stage (the bucket space is fixed, so there is no
+        // oversized-model fallback to need)
+        val dsirModel = Dsir.compileSplit(
+          tc.select(col("bucket"), col("cnt").as("c_t"))
+            .join(rc.select(col("bucket"), col("cnt").as("c_r")),
+              Seq("bucket"), "full_outer")
+            .select(col("bucket"),
+              coalesce(col("c_t"), lit(0L)).as("c_t"),
+              coalesce(col("c_r"), lit(0L)).as("c_r")), buckets)
         Stage("dsir-filter", df => {
-          val keep = Dsir.weights(df, idCol, textCol, tc, rc, buckets,
-            prefix)
+          val keep = Dsir.weightsSplitCompiled(df, idCol, textCol,
+            dsirModel, prefix)
             .filter(col("weight") >= minWeight)
             .select(col("doc_id").as(idCol))
           df.join(keep, Seq(idCol), "left_semi")
