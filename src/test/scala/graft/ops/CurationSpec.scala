@@ -717,6 +717,54 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("not streamable"), e.getMessage)
   }
 
+  test("streaming model filters: fixed-model nb/lm/dsir stages decide " +
+    "identically per micro-batch and across runs") {
+    val dir = Files.createTempDirectory("curate-model-stream").toString
+    val (in, out) = (s"$dir/in", s"$dir/out")
+    Seq(
+      (101L, "good", "the quick brown fox jumps over the lazy dog"),
+      (102L, "good", "the sun rises in the east of a green valley"),
+      (103L, "good", "a quick green fox in the lazy sun"),
+      (104L, "bad", "buy cheap pills now click here buy now"),
+      (105L, "bad", "click buy cheap now here pills cheap click"))
+      .toDF("doc_id", "label", "text")
+      .write.parquet(s"$dir/seed.parquet")
+    def cfg() =
+      s"""[input]
+         |path = "$in"
+         |stream = "true"
+         |[[stages]]
+         |type = "nb-filter"
+         |ref-path = "$dir/seed.parquet"
+         |pos-label = "good"
+         |min-count = 1
+         |[[stages]]
+         |type = "dsir-filter"
+         |target-path = "$dir/seed.parquet"
+         |raw-path = "$dir/seed.parquet"
+         |buckets = 64
+         |min-weight = 0.0
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    // run 1: one clean doc and one spam doc
+    Seq((1L, "the quick fox in the green valley of the lazy sun"),
+      (2L, "buy cheap pills click here now now now"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val (n1, _) = graft.CurateMain.run(spark, cfg())
+    assert(n1 == 1L)
+    // run 2: the SAME texts under new ids — the fixed models must
+    // decide identically on the new micro-batch
+    Seq((3L, "the quick fox in the green valley of the lazy sun"),
+      (4L, "buy cheap pills click here now now now"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val (n2, _) = graft.CurateMain.run(spark, cfg())
+    assert(n2 == 1L)
+    val ids = spark.read.parquet(out).select($"doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L), ids.toString)
+  }
+
   test("streaming domain-cap: ledgered cap is global across runs and " +
       "matches the batch stage's per-domain counts on the concatenated input") {
     val dir = Files.createTempDirectory("curate-dcap").toString
