@@ -11,14 +11,22 @@ import org.apache.spark.storage.StorageLevel
   * `.cache()` then re-registers and logs "Asked to cache already
   * cached data" on every run. */
 private[graft] object Caching {
-  def cacheOnce(df: DataFrame): DataFrame =
+  def cacheOnce(df: DataFrame): DataFrame = cacheOnceTracked(df)._1
+
+  /** [[cacheOnce]] plus whether THIS call did the caching — so a
+    * compile step that caches a training frame for its own multiple
+    * driver actions can unpersist it afterwards without clobbering a
+    * cache its caller registered first (r11 advice: compile-scoped
+    * caches otherwise accumulate across stage assemblies in
+    * long-lived sessions). */
+  def cacheOnceTracked(df: DataFrame): (DataFrame, Boolean) =
     if (df.storageLevel == StorageLevel.NONE) {
       val cached = df.cache()
       // a frame first cached inside an open scope belongs to that
       // scope; already-cached frames no-op above and never enter it
       ledger.get().lastOption.foreach(_ += cached)
-      cached
-    } else df
+      (cached, true)
+    } else (df, false)
 
   /** Scoped release for a RESIDENT service embedding these operators
     * (r10 verdict note: cacheOnce'd shingle/pass tables accumulate

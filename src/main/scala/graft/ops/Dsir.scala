@@ -173,41 +173,65 @@ object Dsir {
   /** Collect a split model into the kernel's dense per-bucket ratio
     * array — B doubles, engine-evaluated from the same ratio plan
     * the relational scorer uses; empty buckets carry the smoothed
-    * default. The array ships inside the plan, so B is the (small,
-    * fixed) gate: 2^16 buckets is 512 KB. */
+    * default. B is fixed and small (2^16 buckets is 512 KB), so
+    * there is no oversized-model case. */
   def compileSplit(model: DataFrame, buckets: Int): Array[Double] = {
     require(buckets > 0 && buckets <= (1 << 24),
       s"dsir kernel: bucket space $buckets out of range")
     graft.GraftExtensions.ensure(model.sparkSession)
-    val cached = Caching.cacheOnce(model)
-    val scalars = cached.agg(sum(col("c_t")).as("n_t"),
-      sum(col("c_r")).as("n_r"))
-    val dflt = scalars.select(
-      ((lit(1.0) / (col("n_t") + lit(buckets.toLong)).cast("double")) /
-        (lit(1.0) / (col("n_r") + lit(buckets.toLong)).cast("double")))
-        .as("dflt")).head().getDouble(0)
-    val rows = cached.crossJoin(broadcast(scalars))
-      .select(col("bucket"),
-        (((col("c_t") + lit(1L)).cast("double") /
-          (col("n_t") + lit(buckets.toLong)).cast("double")) /
-          ((col("c_r") + lit(1L)).cast("double") /
-            (col("n_r") + lit(buckets.toLong)).cast("double"))).as("r"))
-      .collect()
-    val arr = Array.fill(buckets)(dflt)
-    rows.foreach(r => arr(r.getLong(0).toInt) = r.getDouble(1))
-    arr
+    // two driver actions (default scalar, ratio rows) — cache for
+    // the duration of the compile only; a cache THIS call created is
+    // released before returning (the dense array carries everything)
+    val (cached, fresh) = Caching.cacheOnceTracked(model)
+    try {
+      val scalars = cached.agg(sum(col("c_t")).as("n_t"),
+        sum(col("c_r")).as("n_r"))
+      val dflt = scalars.select(
+        ((lit(1.0) / (col("n_t") + lit(buckets.toLong)).cast("double")) /
+          (lit(1.0) / (col("n_r") + lit(buckets.toLong)).cast("double")))
+          .as("dflt")).head().getDouble(0)
+      val rows = cached.crossJoin(broadcast(scalars))
+        .select(col("bucket"),
+          (((col("c_t") + lit(1L)).cast("double") /
+            (col("n_t") + lit(buckets.toLong)).cast("double")) /
+            ((col("c_r") + lit(1L)).cast("double") /
+              (col("n_r") + lit(buckets.toLong)).cast("double"))).as("r"))
+        .collect()
+      val arr = Array.fill(buckets)(dflt)
+      rows.foreach(r => arr(r.getLong(0).toInt) = r.getDouble(1))
+      arr
+    } finally if (fresh) cached.unpersist(blocking = false)
   }
+
+  /** Broadcast a compiled ratio array for the serve path (prefix
+    * bakes into the broadcast kernel object). The serve-many-batches
+    * callers (the `dsir-filter` curation stage) broadcast ONCE at
+    * assembly and reuse the handle across micro-batches. */
+  def broadcastSplit(spark: org.apache.spark.sql.SparkSession,
+      ratios: Array[Double], prefix: Int = 40)
+  : org.apache.spark.broadcast.Broadcast[graft.functions.DsirRatios] =
+    spark.sparkContext.broadcast(
+      new graft.functions.DsirRatios(ratios, prefix))
 
   /** Scan-stage kernel twin of [[weightsSplit]] — one native call
     * per document over the dense compiled ratio array; no explode,
     * no join, no doc-keyed regroup. Docs with NULL text drop, as
-    * they do from the relational explode. */
+    * they do from the relational explode. Broadcasts the array once
+    * and scores through the broadcast transport
+    * ([[graft.functions.DsirScoreBc]]). */
   def weightsSplitCompiled(docs: DataFrame, idCol: String,
       textCol: String, ratios: Array[Double], prefix: Int = 40)
+  : DataFrame =
+    weightsSplitCompiled(docs, idCol, textCol,
+      broadcastSplit(docs.sparkSession, ratios, prefix))
+
+  /** [[weightsSplitCompiled]] over an already-broadcast model — the
+    * per-micro-batch form (no per-call broadcast). */
+  def weightsSplitCompiled(docs: DataFrame, idCol: String,
+      textCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.DsirRatios])
   : DataFrame = {
-    graft.GraftExtensions.ensure(docs.sparkSession)
-    val kernel = call_function("dsir_score", col(textCol),
-      typedLit(ratios.toSeq), lit(prefix))
+    val kernel = graft.functions.BroadcastScore.dsir(col(textCol), bc)
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"), kernel.as("__r"))
       .select(col("doc_id"), col("__r.n_feat").as("n_feat"),

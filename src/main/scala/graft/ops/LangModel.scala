@@ -160,34 +160,67 @@ object LangModel {
         coalesce(col("mean_p"), lit(0.0)).as("mean_p"))
   }
 
-  /** Collect a pruned model into the kernel's (keys, counts) literal
-    * pair — size-gated, because the arrays ship inside the plan to
-    * every executor (the BpeEncode rule-table contract). N-gram
-    * order is carried by each key's space count; arrays sort by key
-    * so the plan is deterministic. */
+  /** Collect a pruned model into the kernel's (keys, counts) pair —
+    * size-gated (driver memory: the collect materializes the model on
+    * the driver before it broadcasts). N-gram order is carried by
+    * each key's space count, so compile VALIDATES the tokenizer
+    * contract: a unigram containing a space (a tokenizer other than
+    * [[graft.functions.TextFunctions.tokens]]) would silently compile
+    * into the wrong order table — that fails loudly here instead.
+    * Arrays sort by key so the compiled model is deterministic.
+    *
+    * @throws ModelTooLargeException when the pruned model exceeds
+    *         `maxModelRows` — callers with a relational fallback
+    *         catch exactly this; any other failure propagates
+    */
   def compileModel(uni: DataFrame, big: DataFrame,
       tri: Option[DataFrame] = None,
       maxModelRows: Long = 5000000L): (Array[String], Array[Long]) = {
-    val keyed = uni.select(col("token").as("k"), col("cnt")) unionAll
+    val keyed = uni.select(col("token").as("k"), col("cnt"),
+      lit(1).as("ord")) unionAll
       big.select(concat_ws(" ", col("w1"), col("w2")).as("k"),
-        col("cnt")) unionAll
+        col("cnt"), lit(2).as("ord")) unionAll
       tri.map(_.select(
         concat_ws(" ", col("w1"), col("w2"), col("w3")).as("k"),
-        col("cnt")))
+        col("cnt"), lit(3).as("ord")))
         .getOrElse(uni.sparkSession.emptyDataFrame
-          .select(lit("").as("k"), lit(0L).as("cnt")).limit(0))
+          .select(lit("").as("k"), lit(0L).as("cnt"), lit(0).as("ord"))
+          .limit(0))
     // ONE training pass: pull at most gate+1 rows (the limit bounds
     // driver memory BEFORE the size check — a count-then-collect
     // would run the training aggregates twice)
     require(maxModelRows < Int.MaxValue, s"bad gate $maxModelRows")
     val rows = keyed.limit(maxModelRows.toInt + 1).collect()
-    require(rows.length <= maxModelRows,
-      s"lm kernel: model exceeds $maxModelRows rows — use the " +
-        "relational LangModel.score/scoreTrigram path for unbounded " +
-        "models, or raise maxModelRows")
+    if (rows.length > maxModelRows)
+      throw new ModelTooLargeException(
+        s"lm kernel: model exceeds $maxModelRows rows — use the " +
+          "relational LangModel.score/scoreTrigram path for unbounded " +
+          "models, or raise maxModelRows")
+    rows.foreach { r =>
+      val k = r.getString(0)
+      val spaces = k.count(_ == ' ')
+      if (spaces != r.getInt(2) - 1)
+        throw new IllegalArgumentException(
+          s"lm kernel: ${r.getInt(2)}-gram key '$k' has $spaces " +
+            "space(s) — tokens must be space-free (train with " +
+            "TextFunctions.tokens), or score through the relational " +
+            "LangModel.score/scoreTrigram path")
+    }
     val sorted = rows.sortBy(_.getString(0))
     (sorted.map(_.getString(0)), sorted.map(_.getLong(1)))
   }
+
+  /** Broadcast a compiled (keys, counts) model for the serve path:
+    * one torrent distribution per executor instead of a model-sized
+    * literal re-serialized with every task binary; alpha bakes into
+    * the broadcast kernel object. The serve-many-batches callers
+    * (the `lm-filter` curation stage) broadcast ONCE at assembly and
+    * reuse the handle across micro-batches. */
+  def broadcastModel(spark: org.apache.spark.sql.SparkSession,
+      model: (Array[String], Array[Long]), alpha: Double = 0.4)
+  : org.apache.spark.broadcast.Broadcast[graft.functions.LmModel] =
+    spark.sparkContext.broadcast(
+      new graft.functions.LmModel(model._1, model._2, alpha))
 
   /** Scan-stage kernel twin of [[score]] for BOUNDED models: the
     * compiled table ships inside the expression, scoring is one
@@ -213,14 +246,20 @@ object LangModel {
   }
 
   /** Apply an already-compiled (keys, counts) model through the
-    * bigram kernel — the serve-many-batches path (the curation
-    * stage compiles once at assembly, scores every micro-batch). */
+    * bigram kernel — broadcasts once and scores through the
+    * broadcast transport ([[graft.functions.LmScore2Bc]]). */
   def scoreCompiledModel(docs: DataFrame, idCol: String, textCol: String,
       model: (Array[String], Array[Long]), alpha: Double = 0.4)
+  : DataFrame =
+    scoreCompiledModel(docs, idCol, textCol,
+      broadcastModel(docs.sparkSession, model, alpha))
+
+  /** [[scoreCompiledModel]] over an already-broadcast model — the
+    * per-micro-batch form (no per-call broadcast). */
+  def scoreCompiledModel(docs: DataFrame, idCol: String, textCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.LmModel])
   : DataFrame = {
-    graft.GraftExtensions.ensure(docs.sparkSession)
-    val kernel = call_function("lm_score2", col(textCol),
-      typedLit(model._1.toSeq), typedLit(model._2.toSeq), lit(alpha))
+    val kernel = graft.functions.BroadcastScore.lm2(col(textCol), bc)
     docs.select(col(idCol).cast("long").as("doc_id"), kernel.as("__r"))
       // null text scores as the relational form's restored row
       .select(col("doc_id"),
@@ -232,10 +271,16 @@ object LangModel {
   /** Trigram twin of [[scoreCompiledModel]]. */
   def scoreTrigramCompiledModel(docs: DataFrame, idCol: String,
       textCol: String, model: (Array[String], Array[Long]),
-      alpha: Double = 0.4): DataFrame = {
-    graft.GraftExtensions.ensure(docs.sparkSession)
-    val kernel = call_function("lm_score3", col(textCol),
-      typedLit(model._1.toSeq), typedLit(model._2.toSeq), lit(alpha))
+      alpha: Double = 0.4): DataFrame =
+    scoreTrigramCompiledModel(docs, idCol, textCol,
+      broadcastModel(docs.sparkSession, model, alpha))
+
+  /** [[scoreTrigramCompiledModel]] over an already-broadcast model. */
+  def scoreTrigramCompiledModel(docs: DataFrame, idCol: String,
+      textCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.LmModel])
+  : DataFrame = {
+    val kernel = graft.functions.BroadcastScore.lm3(col(textCol), bc)
     docs.select(col(idCol).cast("long").as("doc_id"), kernel.as("__r"))
       .select(col("doc_id"),
         coalesce(col("__r.n_win"), lit(0L)).as("n_win"),

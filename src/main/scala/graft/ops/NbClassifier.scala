@@ -279,11 +279,17 @@ object NbClassifier {
       .withColumn("pred", col("score") >= 1.0)
   }
 
-  /** Collect the binary model into the kernel's literal form —
-    * size-gated; the ratios, the out-of-vocabulary default and the
-    * prior are all evaluated BY THE ENGINE from the same plan the
-    * relational scorer uses, so the doubles are the relational
-    * scorer's doubles. */
+  /** Collect the binary model into the kernel's compiled form —
+    * size-gated (driver memory: the collect materializes the ratio
+    * table on the driver before it broadcasts); the ratios, the
+    * out-of-vocabulary default and the prior are all evaluated BY
+    * THE ENGINE from the same plan the relational scorer uses, so
+    * the doubles are the relational scorer's doubles.
+    *
+    * @throws ModelTooLargeException when the pruned model exceeds
+    *         `maxModelRows` — callers with a relational fallback
+    *         catch exactly this; any other failure propagates
+    */
   def compileBinary(counts: DataFrame, priors: DataFrame,
       posLabel: String, maxModelRows: Long = 5000000L)
   : (Array[String], Array[Double], Double, Double) = {
@@ -291,40 +297,66 @@ object NbClassifier {
     // compile issues TWO driver actions (ratio rows, scalar row) —
     // cache the training aggregate so it runs once, not per action
     // (uncached it re-ran the full (label, token) aggregate 3×,
-    // measured as the whole kernel-query overhead)
-    val cached = Caching.cacheOnce(counts)
-    val scalars = binaryScalars(cached, priors, posLabel)
-    val rows = binaryRatios(cached, posLabel, scalars)
-      .limit(maxModelRows.toInt + 1).collect()
-    require(rows.length <= maxModelRows,
-      s"nb kernel: model exceeds $maxModelRows tokens — use the " +
-        "relational scoreBinary path for unbounded models, or raise " +
-        "maxModelRows")
-    val sorted = rows.sortBy(_.getString(0))
-    val s = scalars.select(
-      ((lit(1.0) / (col("n_pos") + col("v")).cast("double")) /
-        (lit(1.0) / (col("n_neg") + col("v")).cast("double")))
-        .as("dflt"),
-      (col("d_pos").cast("double") / col("d_neg").cast("double"))
-        .as("prior")).head()
-    (sorted.map(_.getString(0)), sorted.map(_.getDouble(1)),
-      s.getDouble(0), s.getDouble(1))
+    // measured as the whole kernel-query overhead); a cache THIS
+    // call created is released before returning — the compiled
+    // arrays carry everything the kernel needs
+    val (cached, fresh) = Caching.cacheOnceTracked(counts)
+    try {
+      val scalars = binaryScalars(cached, priors, posLabel)
+      val rows = binaryRatios(cached, posLabel, scalars)
+        .limit(maxModelRows.toInt + 1).collect()
+      if (rows.length > maxModelRows)
+        throw new ModelTooLargeException(
+          s"nb kernel: model exceeds $maxModelRows tokens — use the " +
+            "relational scoreBinary path for unbounded models, or " +
+            "raise maxModelRows")
+      val sorted = rows.sortBy(_.getString(0))
+      val s = scalars.select(
+        ((lit(1.0) / (col("n_pos") + col("v")).cast("double")) /
+          (lit(1.0) / (col("n_neg") + col("v")).cast("double")))
+          .as("dflt"),
+        (col("d_pos").cast("double") / col("d_neg").cast("double"))
+          .as("prior")).head()
+      (sorted.map(_.getString(0)), sorted.map(_.getDouble(1)),
+        s.getDouble(0), s.getDouble(1))
+    } finally if (fresh) cached.unpersist(blocking = false)
   }
+
+  /** Broadcast a compiled binary model for the serve path: one
+    * torrent distribution per executor instead of a model-sized
+    * literal re-serialized with every task binary. The
+    * serve-many-batches callers (the `nb-filter` curation stage)
+    * broadcast ONCE at assembly and reuse the handle across
+    * micro-batches. */
+  def broadcastBinary(spark: org.apache.spark.sql.SparkSession,
+      model: (Array[String], Array[Double], Double, Double),
+      prefix: Int = 40)
+  : org.apache.spark.broadcast.Broadcast[graft.functions.NbRatios] =
+    spark.sparkContext.broadcast(new graft.functions.NbRatios(
+      model._1, model._2, model._3, model._4, prefix))
 
   /** Scan-stage kernel twin of [[scoreBinary]] for BOUNDED models —
     * one native call per document, no explode/join/regroup.
     * Value-identical when the relational form tokenizes with
     * [[graft.functions.TextFunctions.tokens]] (the kernel hard-codes
     * that contract); docs with NULL text drop, as they do from the
-    * relational scorer's explode. */
+    * relational scorer's explode. Broadcasts the model once and
+    * scores through the broadcast transport
+    * ([[graft.functions.NbScoreBc]]). */
   def scoreBinaryCompiled(docs: DataFrame, idCol: String,
       textCol: String,
       model: (Array[String], Array[Double], Double, Double),
-      prefix: Int = 40): DataFrame = {
-    graft.GraftExtensions.ensure(docs.sparkSession)
-    val kernel = call_function("nb_score", col(textCol),
-      typedLit(model._1.toSeq), typedLit(model._2.toSeq),
-      typedLit(Seq(model._3, model._4, prefix.toDouble)))
+      prefix: Int = 40): DataFrame =
+    scoreBinaryCompiled(docs, idCol, textCol,
+      broadcastBinary(docs.sparkSession, model, prefix))
+
+  /** [[scoreBinaryCompiled]] over an already-broadcast model — the
+    * per-micro-batch form (no per-call broadcast). */
+  def scoreBinaryCompiled(docs: DataFrame, idCol: String,
+      textCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.NbRatios])
+  : DataFrame = {
+    val kernel = graft.functions.BroadcastScore.nb(col(textCol), bc)
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"), kernel.as("__r"))
       .select(col("doc_id"), col("__r.n_seen").as("n_seen"),
