@@ -51,7 +51,8 @@ object CurateMain {
     * indexes make "seen before" global across batches AND runs);
     * corpus-global stages are refused loudly rather than silently
     * weakened to batch-local decisions. */
-  def run(spark: SparkSession, configText: String): (Long, Seq[(String, Long)]) = {
+  def run(spark: SparkSession, configText: String,
+      retrain: Boolean = false): (Long, Seq[(String, Long)]) = {
     val tree = Toml.parseTree(configText)
     def opt(path: String): Option[String] =
       Toml.at(tree, path).map(_.toString)
@@ -70,7 +71,7 @@ object CurateMain {
     // compile with ONE shared ranking-slot registry, so retrieve
     // stages can feed fuse/hard-negatives stages downstream
     val stages = Curation.compile(
-      Toml.tablesAt(tree, "stages"), textCol, idCol, spark)
+      Toml.tablesAt(tree, "stages"), textCol, idCol, spark, retrain)
 
     if (!streaming) {
       val corpus = inFormat match {
@@ -314,7 +315,12 @@ object CurateMain {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val configText = Files.readString(Paths.get(configPath))
-      val (n, funnel) = run(spark, configText)
+      // --retrain: model-backed stages with a model-dir train from
+      // their configured corpora and COMMIT the model tables before
+      // serving; without it they serve the committed model (and
+      // refuse loudly if none exists)
+      val (n, funnel) = run(spark, configText,
+        retrain = args.contains("--retrain"))
       val stagesJson = funnel.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
       // funnel_scope: "corpus" = the whole input; "run" = only this

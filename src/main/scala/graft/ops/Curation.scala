@@ -41,11 +41,16 @@ object Curation {
 
   /** Compile a full `[[stages]]` list with ONE shared slot registry,
     * so retrieve stages can feed fuse/hard-negatives stages later in
-    * the same pipeline. This is the entry [[graft.CurateMain]] uses. */
+    * the same pipeline. This is the entry [[graft.CurateMain]] uses.
+    * `retrain = true` (the CLI's `--retrain`) makes every
+    * model-backed stage with a `model-dir` train from its configured
+    * corpora and commit the model tables ([[ModelStore]]) before
+    * serving; default runs serve the committed model. */
   def compile(confs: Seq[Map[String, Any]], textCol: String,
-      idCol: String, spark: SparkSession): Seq[Stage] = {
+      idCol: String, spark: SparkSession,
+      retrain: Boolean = false): Seq[Stage] = {
     val slots = new RankingSlots
-    confs.map(stage(_, textCol, idCol, spark, slots))
+    confs.map(stage(_, textCol, idCol, spark, slots, retrain))
   }
 
   /** `postCommit` runs AFTER the caller's output write succeeds —
@@ -85,7 +90,8 @@ object Curation {
 
   /** [[stage]] with an explicit slot registry (see [[compile]]). */
   def stage(conf: Map[String, Any], textCol: String, idCol: String,
-      spark: SparkSession, slots: RankingSlots): Stage = {
+      spark: SparkSession, slots: RankingSlots,
+      retrain: Boolean = false): Stage = {
     def str(k: String): String = conf.get(k).map(_.toString)
       .getOrElse(sys.error(s"missing option $k"))
     def num(k: String, dflt: => Double) = conf.get(k) match {
@@ -368,29 +374,57 @@ object Curation {
         // incoming batch — so the stage is streamable, same contract
         // as decontaminate's fixed eval set. Docs with NULL text
         // never reach the score table and drop (filter semantics).
-        val refPath = str("ref-path")
         val labelCol = conf.get("label-column")
           .map(_.toString).getOrElse("label")
         val posLabel = str("pos-label")
         val minScore = num("min-score", 1.0)
         val minCount = num("min-count", 2).toInt
         val prefix = num("prefix", 40).toInt
-        val refDocs = spark.read.parquet(refPath)
-        val counts = Caching.cacheOnce(NbClassifier.trainCounts(
-          refDocs, TextFunctions.tokens(col(textCol)), col(labelCol),
-          minCount))
-        val priors = Caching.cacheOnce(
-          NbClassifier.docPriors(refDocs, col(labelCol)))
-        // compile once at assembly when the pruned model fits the
-        // kernel gate; oversized models fall back to the relational
-        // scorer (same contract as lm-filter)
-        val compiledNb = try Some(
-          NbClassifier.compileBinary(counts, priors, posLabel))
-        catch { case _: IllegalArgumentException => None }
+        // model-dir = persisted train→save→load→serve lifecycle: a
+        // --retrain run trains from ref-path and commits the count
+        // tables (ModelStore marker discipline); a serve run loads
+        // them WITHOUT ref-path or the training corpus existing, and
+        // scores bit-identically (the kernel compiles from the same
+        // relational tables either way)
+        def trainNb() = {
+          val refDocs = spark.read.parquet(str("ref-path"))
+          (NbClassifier.trainCounts(refDocs,
+            TextFunctions.tokens(col(textCol)), col(labelCol), minCount),
+            NbClassifier.docPriors(refDocs, col(labelCol)))
+        }
+        val (counts, priors) = conf.get("model-dir").map(_.toString) match {
+          case Some(dir) =>
+            val mparams = Map("pos-label" -> posLabel,
+              "min-count" -> minCount.toString)
+            if (retrain) {
+              val (c, p) = trainNb()
+              ModelStore.save(spark, dir, "nb", mparams,
+                Map("counts" -> c, "priors" -> p))
+            }
+            val load = ModelStore.open(spark, dir, "nb", mparams)
+            (Caching.cacheOnce(load("counts")),
+              Caching.cacheOnce(load("priors")))
+          case None =>
+            val (c, p) = trainNb()
+            (Caching.cacheOnce(c), Caching.cacheOnce(p))
+        }
+        // compile + broadcast once at assembly when the pruned model
+        // fits the kernel gate; ONLY the size gate falls back to the
+        // relational scorer (same contract as lm-filter) — any other
+        // failure is misconfiguration and propagates. On the compiled
+        // path the training caches are released: the broadcast
+        // carries the whole model
+        val compiledNb = try Some(NbClassifier.broadcastBinary(spark,
+          NbClassifier.compileBinary(counts, priors, posLabel), prefix))
+        catch { case _: ModelTooLargeException => None }
+        if (compiledNb.isDefined) {
+          counts.unpersist(blocking = false)
+          priors.unpersist(blocking = false)
+        }
         Stage("nb-filter", df => {
           val scored = compiledNb match {
-            case Some(m) => NbClassifier.scoreBinaryCompiled(
-              df, idCol, textCol, m, prefix)
+            case Some(bc) => NbClassifier.scoreBinaryCompiled(
+              df, idCol, textCol, bc)
             case None => NbClassifier.scoreBinary(df, idCol,
               TextFunctions.tokens(t), counts, priors, posLabel, prefix)
           }
@@ -405,33 +439,61 @@ object Curation {
         // bigram tables once at assembly; docs keep when their mean
         // transition score clears min-score. Fixed model ⇒
         // streamable.
-        val refPath = str("ref-path")
         val minScore = num("min-score", 0.0)
         val minCount = num("min-count", 2).toInt
         val order = num("ngram", 2).toInt
         require(order == 2 || order == 3,
           s"lm-filter: ngram must be 2 or 3, got $order")
-        val refDocs = spark.read.parquet(refPath)
-        val uni = Caching.cacheOnce(LangModel.unigrams(
-          refDocs, TextFunctions.tokens(col(textCol))))
-        val big = Caching.cacheOnce(LangModel.bigrams(
-          refDocs, TextFunctions.tokens(col(textCol)), minCount))
-        val tri = if (order == 3) Some(Caching.cacheOnce(
-          LangModel.trigrams(refDocs,
-            TextFunctions.tokens(col(textCol)), minCount)))
-        else None
-        // compile ONCE at assembly when the pruned model fits the
-        // kernel gate (then every batch scores scan-stage, no joins);
-        // an oversized model falls back to the relational scorer
-        val compiled: Option[(Array[String], Array[Long])] =
-          try Some(LangModel.compileModel(uni, big, tri))
-          catch { case _: IllegalArgumentException => None }
+        // model-dir lifecycle: see nb-filter
+        def trainLm() = {
+          val refDocs = spark.read.parquet(str("ref-path"))
+          (LangModel.unigrams(refDocs, TextFunctions.tokens(col(textCol))),
+            LangModel.bigrams(refDocs,
+              TextFunctions.tokens(col(textCol)), minCount),
+            if (order == 3) Some(LangModel.trigrams(refDocs,
+              TextFunctions.tokens(col(textCol)), minCount))
+            else None)
+        }
+        val (uni, big, tri) = conf.get("model-dir").map(_.toString) match {
+          case Some(dir) =>
+            val mparams = Map("ngram" -> order.toString,
+              "min-count" -> minCount.toString)
+            if (retrain) {
+              val (u, b, tg) = trainLm()
+              ModelStore.save(spark, dir, "lm", mparams,
+                Map("unigrams" -> u, "bigrams" -> b) ++
+                  tg.map("trigrams" -> _))
+            }
+            val load = ModelStore.open(spark, dir, "lm", mparams)
+            (Caching.cacheOnce(load("unigrams")),
+              Caching.cacheOnce(load("bigrams")),
+              if (order == 3) Some(Caching.cacheOnce(load("trigrams")))
+              else None)
+          case None =>
+            val (u, b, tg) = trainLm()
+            (Caching.cacheOnce(u), Caching.cacheOnce(b),
+              tg.map(Caching.cacheOnce))
+        }
+        // compile + broadcast ONCE at assembly when the pruned model
+        // fits the kernel gate (then every batch scores scan-stage,
+        // no joins, no per-batch broadcast); ONLY the size gate falls
+        // back to the relational scorer — a contract violation (e.g.
+        // space-bearing tokens) propagates as misconfiguration. On
+        // the compiled path the training caches are released
+        val compiled = try Some(LangModel.broadcastModel(spark,
+          LangModel.compileModel(uni, big, tri)))
+        catch { case _: ModelTooLargeException => None }
+        if (compiled.isDefined) {
+          uni.unpersist(blocking = false)
+          big.unpersist(blocking = false)
+          tri.foreach(_.unpersist(blocking = false))
+        }
         Stage("lm-filter", df => {
           val scored = (compiled, tri) match {
-            case (Some(m), Some(_)) =>
-              LangModel.scoreTrigramCompiledModel(df, idCol, textCol, m)
-            case (Some(m), None) =>
-              LangModel.scoreCompiledModel(df, idCol, textCol, m)
+            case (Some(bc), Some(_)) =>
+              LangModel.scoreTrigramCompiledModel(df, idCol, textCol, bc)
+            case (Some(bc), None) =>
+              LangModel.scoreCompiledModel(df, idCol, textCol, bc)
             case (None, Some(tg)) => LangModel.scoreTrigram(df, idCol,
               TextFunctions.tokens(t), uni, big, tg)
             case (None, None) => LangModel.score(df, idCol,
@@ -449,29 +511,47 @@ object Curation {
         // stage is streamable. The corpus-global top-k resampling
         // variant is [[Dsir.resampleTopK]] — a threshold is the
         // per-batch-sound form.
-        val targetPath = str("target-path")
-        val rawPath = str("raw-path")
         val buckets = num("buckets", 1024).toInt
         val minWeight = num("min-weight", 1.0)
         val prefix = num("prefix", 40).toInt
-        val tc = Caching.cacheOnce(Dsir.bucketCounts(
-          spark.read.parquet(targetPath), textCol, buckets))
-        val rc = Caching.cacheOnce(Dsir.bucketCounts(
-          spark.read.parquet(rawPath), textCol, buckets))
+        // model-dir lifecycle: see nb-filter
+        def trainDsir() =
+          (Dsir.bucketCounts(
+            spark.read.parquet(str("target-path")), textCol, buckets),
+            Dsir.bucketCounts(
+              spark.read.parquet(str("raw-path")), textCol, buckets))
+        val (tc, rc) = conf.get("model-dir").map(_.toString) match {
+          case Some(dir) =>
+            val mparams = Map("buckets" -> buckets.toString)
+            if (retrain) {
+              val (tcnt, rcnt) = trainDsir()
+              ModelStore.save(spark, dir, "dsir", mparams,
+                Map("target" -> tcnt, "raw" -> rcnt))
+            }
+            val load = ModelStore.open(spark, dir, "dsir", mparams)
+            (Caching.cacheOnce(load("target")),
+              Caching.cacheOnce(load("raw")))
+          case None =>
+            val (tcnt, rcnt) = trainDsir()
+            (Caching.cacheOnce(tcnt), Caching.cacheOnce(rcnt))
+        }
         // the joint (bucket, c_t, c_r) model compiles to the dense
-        // kernel array ONCE at assembly — batches then score
-        // scan-stage (the bucket space is fixed, so there is no
-        // oversized-model fallback to need)
-        val dsirModel = Dsir.compileSplit(
+        // kernel array and broadcasts ONCE at assembly — batches then
+        // score scan-stage (the bucket space is fixed, so there is no
+        // oversized-model fallback to need); the training caches are
+        // released once the dense array exists
+        val dsirModel = Dsir.broadcastSplit(spark, Dsir.compileSplit(
           tc.select(col("bucket"), col("cnt").as("c_t"))
             .join(rc.select(col("bucket"), col("cnt").as("c_r")),
               Seq("bucket"), "full_outer")
             .select(col("bucket"),
               coalesce(col("c_t"), lit(0L)).as("c_t"),
-              coalesce(col("c_r"), lit(0L)).as("c_r")), buckets)
+              coalesce(col("c_r"), lit(0L)).as("c_r")), buckets), prefix)
+        tc.unpersist(blocking = false)
+        rc.unpersist(blocking = false)
         Stage("dsir-filter", df => {
           val keep = Dsir.weightsSplitCompiled(df, idCol, textCol,
-            dsirModel, prefix)
+            dsirModel)
             .filter(col("weight") >= minWeight)
             .select(col("doc_id").as(idCol))
           df.join(keep, Seq(idCol), "left_semi")

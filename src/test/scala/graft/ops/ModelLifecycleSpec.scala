@@ -1,0 +1,181 @@
+package graft.ops
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the persisted train→save→load→serve model lifecycle
+  * (r11 directive #2): a --retrain run commits the model tables
+  * through [[ModelStore]]'s marker discipline; a serve run scores
+  * bit-identically with the TRAINING CORPUS ABSENT; torn or
+  * mismatched stores are refused loudly. */
+class ModelLifecycleSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rmTree(p: String): Unit = {
+    val path = Paths.get(p)
+    if (Files.exists(path))
+      Files.walk(path).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => { Files.delete(f); () })
+  }
+
+  test("nb-filter model-dir: retrain commits, serve run scores " +
+    "bit-identically with the training corpus deleted") {
+    val dir = Files.createTempDirectory("model-life-nb").toString
+    val seed = s"$dir/seed.parquet"
+    Seq(
+      (101L, "good", "the quick brown fox jumps over the lazy dog"),
+      (102L, "good", "the sun rises in the east of a green valley"),
+      (103L, "good", "a quick green fox in the lazy sun"),
+      (104L, "bad", "buy cheap pills now click here buy now"),
+      (105L, "bad", "click buy cheap now here pills cheap click"))
+      .toDF("doc_id", "label", "text").write.parquet(seed)
+    val in = s"$dir/in.parquet"
+    Seq(
+      (1L, "the quick fox in the green valley of the lazy sun"),
+      (2L, "buy cheap pills click here now now now"),
+      (3L, "the sun rises over the quick brown dog"))
+      .toDF("doc_id", "text").write.parquet(in)
+    val modelDir = s"$dir/model"
+
+    def config(out: String, withRef: Boolean) =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "nb-filter"
+         |${if (withRef) s"""ref-path = "$seed"""" else ""}
+         |pos-label = "good"
+         |min-count = 1
+         |model-dir = "$modelDir"
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+
+    // 1. retrain: trains from seed, commits the model, serves
+    val out1 = s"$dir/out1"
+    val (n1, _) = graft.CurateMain.run(spark, config(out1, withRef = true),
+      retrain = true)
+    assert(n1 == 2)
+    val got1 = spark.read.parquet(out1).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    // remember the committed model's exact scores for the
+    // bit-identity comparison after the corpus is gone
+    val load = ModelStore.open(spark, modelDir, "nb",
+      Map("pos-label" -> "good", "min-count" -> "1"))
+    val scoresTrained = NbClassifier.scoreBinaryCompiled(
+      spark.read.parquet(in), "doc_id", "text",
+      NbClassifier.compileBinary(load("counts"), load("priors"), "good"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    // 2. the training corpus disappears — the deployment reality
+    rmTree(seed)
+    assert(!Files.exists(Paths.get(seed)))
+
+    // 3. serve run: no ref-path configured at all, corpus absent —
+    // same survivors, byte-for-byte
+    val out2 = s"$dir/out2"
+    val (n2, _) = graft.CurateMain.run(spark, config(out2, withRef = false))
+    assert(n2 == n1)
+    val got2 = spark.read.parquet(out2).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(got2 == got1)
+    // and the scores themselves are bit-identical
+    val load2 = ModelStore.open(spark, modelDir, "nb",
+      Map("pos-label" -> "good", "min-count" -> "1"))
+    val scoresServed = NbClassifier.scoreBinaryCompiled(
+      spark.read.parquet(in), "doc_id", "text",
+      NbClassifier.compileBinary(load2("counts"), load2("priors"), "good"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(scoresServed == scoresTrained)
+
+    // 4. parameter mismatch is refused loudly (yesterday's model in
+    // a reconfigured stage = silent corruption without this)
+    val bad = intercept[IllegalArgumentException] {
+      graft.CurateMain.run(spark, config(s"$dir/out3", withRef = false)
+        .replace("min-count = 1", "min-count = 3"))
+    }
+    assert(bad.getMessage.contains("does not match"), bad.getMessage)
+
+    // 5. torn save (marker missing) is refused loudly and names the
+    // recovery action
+    Files.delete(Paths.get(s"$modelDir/_graft_model"))
+    val torn = intercept[IllegalArgumentException] {
+      graft.CurateMain.run(spark, config(s"$dir/out4", withRef = false))
+    }
+    assert(torn.getMessage.contains("--retrain"), torn.getMessage)
+  }
+
+  test("lm-filter and dsir-filter model-dir serve runs survive " +
+    "corpus deletion with identical output") {
+    val dir = Files.createTempDirectory("model-life-lm").toString
+    val seed = s"$dir/seed.parquet"
+    Seq((101L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "the sun rises in the east of a green valley"),
+      (103L, "the quick brown fox sleeps in the green valley"))
+      .toDF("doc_id", "text").write.parquet(seed)
+    val in = s"$dir/in.parquet"
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "dog the over lazy jumps fox quick brown the"))
+      .toDF("doc_id", "text").write.parquet(in)
+
+    val lmConfig = (out: String, ref: String) =>
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "lm-filter"
+         |$ref
+         |ngram = 3
+         |min-count = 2
+         |min-score = 0.001
+         |model-dir = "$dir/lm-model"
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val (nl1, _) = graft.CurateMain.run(spark,
+      lmConfig(s"$dir/lm-out1", s"""ref-path = "$seed""""),
+      retrain = true)
+
+    // DSIR: target = fox docs, raw = the whole seed
+    val target = s"$dir/target.parquet"
+    spark.read.parquet(seed).filter($"text".contains("fox"))
+      .write.parquet(target)
+    val dsirConfig = (out: String, ref: String) =>
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "dsir-filter"
+         |$ref
+         |buckets = 64
+         |min-weight = 1.0
+         |model-dir = "$dir/dsir-model"
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val (nd1, _) = graft.CurateMain.run(spark,
+      dsirConfig(s"$dir/dsir-out1",
+        s"""target-path = "$target"
+           |raw-path = "$seed"""".stripMargin), retrain = true)
+
+    val lm1 = spark.read.parquet(s"$dir/lm-out1").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val ds1 = spark.read.parquet(s"$dir/dsir-out1").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+
+    rmTree(seed)
+    rmTree(target)
+
+    val (nl2, _) = graft.CurateMain.run(spark,
+      lmConfig(s"$dir/lm-out2", ""))
+    val (nd2, _) = graft.CurateMain.run(spark,
+      dsirConfig(s"$dir/dsir-out2", ""))
+    assert(nl2 == nl1 && nd2 == nd1)
+    assert(spark.read.parquet(s"$dir/lm-out2").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq == lm1)
+    assert(spark.read.parquet(s"$dir/dsir-out2").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq == ds1)
+  }
+}
