@@ -62,6 +62,86 @@ object LangModel {
           .cast("array<struct<w1:string,w2:string>>"))
     }
 
+  /** Per-group unigram counts (g, token, cnt) — the true-CCNet form:
+    * one model PER LANGUAGE, all trained in ONE hash aggregate keyed
+    * by (group, token). The group expression materializes below the
+    * Generate (the explode re-evaluation discipline). */
+  def unigramsBy(ref: DataFrame, g: Column, toks: Column): DataFrame =
+    ref.select(g.as("g"), toks.as("__t"))
+      .select(col("g"), explode(col("__t")).as("token"))
+      .groupBy(col("g"), col("token")).agg(count(lit(1)).as("cnt"))
+
+  /** Per-group bigram counts (g, w1, w2, cnt) with cnt >= minCount —
+    * the prune is per group, as CCNet prunes each language's model
+    * independently. */
+  def bigramsBy(ref: DataFrame, g: Column, toks: Column,
+      minCount: Int = 2): DataFrame =
+    ref.select(g.as("g"), toks.as("__t"))
+      .select(col("g"), explode(transitionPairs(col("__t"))).as("bg"))
+      .select(col("g"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("g"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /** Score each document against ITS OWN group's model (the CCNet
+    * recipe: per-language perplexity, never one global model) — the
+    * [[score]] algebra with every model join keyed by (g, ngram) and
+    * the backoff scalars (N_g, V_g) a one-row-per-group broadcast.
+    * Documents whose group has no model rows restore as the defined
+    * (0, 0, 0.0) row, like under-2-token docs.
+    *
+    * Scale shape identical to [[score]]: one corpus explode, joins
+    * against group-keyed model-bounded tables, one doc-keyed regroup
+    * carrying (pos, p) pairs — adding the group key costs nothing
+    * (it rides the same shuffle keys).
+    *
+    * @return (doc_id, g, n_trans, n_hits, mean_p)
+    */
+  def scoreBy(docs: DataFrame, idCol: String, g: Column, toks: Column,
+      uni: DataFrame, big: DataFrame, alpha: Double = 0.4): DataFrame = {
+    val scalars = uni.groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n_total"), count(lit(1)).as("v"))
+
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      g.as("g"), toks.as("__t"))
+    val trans = base
+      .select(col("doc_id"), col("g"),
+        posexplode(transitionPairs(col("__t"))).as(Seq("pos", "bg")))
+      .select(col("doc_id"), col("g"), col("pos"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val scored = trans
+      .join(big.select(col("g"), col("w1"), col("w2"),
+        col("cnt").as("c_big")), Seq("g", "w1", "w2"), "left")
+      .join(uni.select(col("g"), col("token").as("w1"),
+        col("cnt").as("c_prev")), Seq("g", "w1"), "left")
+      .join(uni.select(col("g"), col("token").as("w2"),
+        col("cnt").as("c_cur")), Seq("g", "w2"), "left")
+      .join(broadcast(scalars), Seq("g"))
+      .select(col("doc_id"), col("g"), col("pos"),
+        col("c_big").isNotNull.and(col("c_prev").isNotNull)
+          .cast("long").as("hit"),
+        when(col("c_big").isNotNull && col("c_prev").isNotNull,
+          col("c_big").cast("double") / col("c_prev").cast("double"))
+          .otherwise(lit(alpha) *
+            ((coalesce(col("c_cur"), lit(0L)) + lit(1L)).cast("double") /
+              (col("n_total") + col("v")).cast("double"))).as("p"))
+
+    val perDoc = scored
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("n_trans"), sum(col("hit")).as("n_hits"),
+        sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .select(col("doc_id"), col("g"), col("n_trans"), col("n_hits"),
+        (aggregate(transform(col("ps"), x => x.getField("p")),
+          lit(0.0), (acc, x) => acc + x) /
+          col("n_trans").cast("double")).as("mean_p"))
+    base.select(col("doc_id"), col("g"))
+      .join(perDoc, Seq("doc_id", "g"), "left")
+      .select(col("doc_id"), col("g"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("mean_p"), lit(0.0)).as("mean_p"))
+  }
+
   /** Trigram counts (w1, w2, w3, cnt) with cnt >= minCount. */
   def trigrams(ref: DataFrame, toks: Column, minCount: Int = 2): DataFrame =
     ref.select(explode(windowTriples(toks)).as("tg"))

@@ -190,6 +190,33 @@ object ModelQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the ACTUAL CCNet recipe: one LM per language (count tables
+    // keyed by (lang, ngram), trained in one pass), every document
+    // scored against ITS OWN language's model, and head/middle/tail
+    // cut WITHIN language — a fluent-but-rare-language doc is judged
+    // against its peers, not the majority language's distribution
+    "model_lm_buckets_by_lang" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val uni = LangModel.unigramsBy(d, col("lang"), toks)
+      val big = LangModel.bigramsBy(d, col("lang"), toks, minCount = 2)
+      // cacheOnce: the scoring subtree feeds BOTH the per-lang
+      // cutoffs and the labeling pass
+      val scored = graft.ops.Caching.cacheOnce(
+        LangModel.scoreBy(d, "doc_id", col("lang"), toks, uni, big)
+          .select(col("doc_id"), col("g").as("lang"), col("mean_p")))
+      val cuts = graft.ops.ExactQuantiles.percentiles(
+        scored, "lang", Seq("mean_p" -> Seq(0.25, 0.75)))
+        .groupBy(col("lang"))
+        .agg(max(when(col("p") === 0.25, col("value"))).as("c25"),
+          max(when(col("p") === 0.75, col("value"))).as("c75"))
+      scored.join(broadcast(cuts), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("mean_p"),
+          when(col("mean_p") > col("c75"), "head")
+            .when(col("mean_p") >= col("c25"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance weights: target = the en split, raw = whole
     // corpus — the flagged-subset case, so BOTH bucket models come
     // from ONE featurize + conditional aggregate pass
@@ -318,6 +345,57 @@ object ModelQueries {
         |       WHEN mean_p >= c25 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM w, q ORDER BY doc_id""".stripMargin),
+
+    // per-language twin of model_lm_buckets: the same score algebra
+    // with every model join keyed by lang, quartile cutoffs per lang
+    "model_lm_buckets_by_lang" ->
+      s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+         |uni AS (SELECT lang, token, COUNT(*) AS cnt
+         |  FROM (SELECT lang, unnest(toks) AS token FROM t)
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_total,
+         |              COUNT(*) AS v FROM uni GROUP BY 1),
+         |big AS (SELECT lang, w1, w2, COUNT(*) AS cnt FROM (
+         |    SELECT lang, toks[i + 1] AS w1, toks[i + 2] AS w2
+         |    FROM (SELECT lang, toks,
+         |            unnest(range(0, greatest(len(toks) - 1, 0))) AS i
+         |          FROM t))
+         |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+         |tr AS (SELECT doc_id, lang, i AS pos, toks[i + 1] AS w1,
+         |              toks[i + 2] AS w2
+         |  FROM (SELECT doc_id, lang, toks,
+         |          unnest(range(0, greatest(len(toks) - 1, 0))) AS i
+         |        FROM t)),
+         |p AS (SELECT tr.doc_id, tr.lang, tr.pos,
+         |    CASE WHEN b.cnt IS NOT NULL AND up.cnt IS NOT NULL
+         |         THEN 1 ELSE 0 END AS hit,
+         |    CASE WHEN b.cnt IS NOT NULL AND up.cnt IS NOT NULL
+         |         THEN CAST(b.cnt AS DOUBLE) / CAST(up.cnt AS DOUBLE)
+         |         ELSE 0.4 * (CAST(COALESCE(uc.cnt, 0) + 1 AS DOUBLE)
+         |                     / CAST(sc.n_total + sc.v AS DOUBLE)) END AS p
+         |  FROM tr
+         |    LEFT JOIN big b ON tr.lang = b.lang AND tr.w1 = b.w1
+         |                   AND tr.w2 = b.w2
+         |    LEFT JOIN uni up ON tr.lang = up.lang AND tr.w1 = up.token
+         |    LEFT JOIN uni uc ON tr.lang = uc.lang AND tr.w2 = uc.token
+         |    JOIN sc ON tr.lang = sc.lang),
+         |pd AS (SELECT doc_id, lang, COUNT(*) AS n_trans,
+         |    list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+         |                (a, b) -> a + b)
+         |      / CAST(COUNT(*) AS DOUBLE) AS mean_p
+         |  FROM p GROUP BY 1, 2),
+         |w AS (SELECT d.doc_id, d.lang,
+         |    COALESCE(pd.mean_p, 0.0) AS mean_p
+         |  FROM (SELECT DISTINCT doc_id, lang FROM documents) d
+         |  LEFT JOIN pd USING (doc_id, lang)),
+         |q AS (SELECT lang, quantile_cont(mean_p, 0.25) AS c25,
+         |             quantile_cont(mean_p, 0.75) AS c75
+         |      FROM w GROUP BY 1)
+         |SELECT w.doc_id, w.lang, w.mean_p,
+         |  CASE WHEN w.mean_p > q.c75 THEN 'head'
+         |       WHEN w.mean_p >= q.c25 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM w JOIN q USING (lang) ORDER BY w.doc_id""".stripMargin,
 
     // mirrors LangModel.scoreTrigram: same two-level CASE, same
     // pruned-table denominators, same ordered fold

@@ -130,6 +130,48 @@ class LangModelSpec extends SparkSpec {
     assert(ker == rel)
   }
 
+  test("scoreBy ≡ an independent per-language score() run for every " +
+    "language (the CCNet per-group contract)") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    val uni = LangModel.unigramsBy(docs, col("lang"), t)
+    val big = LangModel.bigramsBy(docs, col("lang"), t, 2)
+    val got = LangModel.scoreBy(docs, "doc_id", col("lang"), t, uni, big)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val langs = docs.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(langs.size > 1, "fixture needs multiple languages")
+    val expected = langs.flatMap { l =>
+      val sub = docs.filter(col("lang") === l)
+      LangModel.score(sub, "doc_id", t,
+        LangModel.unigrams(sub, t), LangModel.bigrams(sub, t, 2))
+        .collect().map(r => (r.getLong(0), l, r.getLong(1),
+          r.getLong(2), r.getDouble(3)))
+    }.sortBy(_._1)
+    assert(got == expected)
+    // and the per-group training is ONE aggregate keyed by (lang,
+    // ngram) — the count tables carry every language
+    assert(uni.select(col("g")).distinct().count() == langs.size)
+  }
+
+  test("scoreBy restores docs of an untrained group as (0, 0, 0.0)") {
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    val train = Seq((1L, "en", "a b a b"), (2L, "en", "a b c"))
+      .toDF("doc_id", "lang", "text")
+    val uni = LangModel.unigramsBy(train, col("lang"), t)
+    val big = LangModel.bigramsBy(train, col("lang"), t, 1)
+    val probe = Seq((10L, "en", "a b"), (11L, "xx", "a b"))
+      .toDF("doc_id", "lang", "text")
+    val got = LangModel.scoreBy(probe, "doc_id", col("lang"), t,
+      uni, big).orderBy("doc_id").collect()
+    assert(got(0).getLong(2) == 1L && got(0).getDouble(4) > 0.0)
+    assert(got(1).getLong(2) == 0L && got(1).getLong(3) == 0L &&
+      got(1).getDouble(4) == 0.0)
+  }
+
   test("compileModel refuses a model over the row gate") {
     val uni = LangModel.unigrams(ref, toks)
     val big = LangModel.bigrams(ref, toks, 2)
