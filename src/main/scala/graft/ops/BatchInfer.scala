@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Batched model scoring over partitions — the Scala analog of the
   * `mapInPandas` inference pattern: rows flow to the model in bounded
@@ -32,16 +32,28 @@ object BatchInfer {
     * batches. `model` receives at most `batchSize` rows and must
     * return exactly one score per input row (enforced). */
   def scoreBatches(df: DataFrame, batchSize: Int,
-                   model: Seq[Row] => Seq[Double]): DataFrame = {
+                   model: Seq[Row] => Seq[Double]): DataFrame =
+    inferBatches(df, batchSize, "score", DoubleType,
+      batch => model(batch))
+
+  /** General batched-inference transport: append `outCol` of
+    * `outType` computed by `model` over bounded row batches — the
+    * integration point any external model (vision tower, embedding
+    * encoder, toxicity head) plugs into without touching the plan
+    * shape. Same contract as [[scoreBatches]]: one output per input
+    * row (enforced), model must be row-local for partitioning
+    * invariance, batching is transport. */
+  def inferBatches(df: DataFrame, batchSize: Int, outCol: String,
+      outType: DataType, model: Seq[Row] => Seq[Any]): DataFrame = {
     require(batchSize > 0, s"batchSize must be positive: $batchSize")
-    val outSchema = df.schema.add("score", DoubleType, nullable = false)
+    val outSchema = df.schema.add(outCol, outType, nullable = true)
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        val scores = model(batch)
-        require(scores.length == batch.length,
-          s"model returned ${scores.length} scores for ${batch.length} rows")
-        batch.lazyZip(scores).map((r, s) => Row.fromSeq(r.toSeq :+ s))
+        val outs = model(batch)
+        require(outs.length == batch.length,
+          s"model returned ${outs.length} outputs for ${batch.length} rows")
+        batch.lazyZip(outs).map((r, s) => Row.fromSeq(r.toSeq :+ s))
       }
     }
   }

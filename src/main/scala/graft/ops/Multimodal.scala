@@ -280,9 +280,37 @@ object Multimodal {
     df.withColumn("frame_idx",
         explode(sequence(lit(0), col("media.n_frames") - 1, lit(every))))
 
-  /** STUB feature extraction ??? — a real pipeline would run the
-    * decoded frame through a vision tower; here a deterministic
-    * per-frame fingerprint keeps the plumbing testable. */
-  def frameFeature(blob: Column, frameIdx: Column): Column =
-    md5(concat(blob, lit(":"), frameIdx.cast(StringType)))
+  /** Per-frame feature extraction through the [[BatchInfer]] batched
+    * transport — THE external-model integration point: frame rows
+    * reach the model callback in bounded batches (the shape a real
+    * vision tower needs to amortize per-call overhead), entirely
+    * executor-side, and a deployment swaps in its model by passing
+    * its own callback — no plan change, no code change elsewhere.
+    *
+    * The default model is the deterministic md5 frame fingerprint
+    * (value-identical to `md5(concat(blob, ':', frame_idx))`, so the
+    * gate query still hash-checks against its DuckDB oracle): no
+    * vision model ships in this library — features from pixels are
+    * an external-model boundary by design, same as BM25 is not an
+    * embedding model. The callback must be row-local
+    * (partitioning-invariance contract, see [[BatchInfer]]). */
+  def withFrameFeatures(df: DataFrame, blobCol: String, idxCol: String,
+      outCol: String = "frame_fp", batchSize: Int = 64,
+      model: Option[Seq[org.apache.spark.sql.Row] => Seq[Any]] = None)
+  : DataFrame = {
+    val blobAt = df.schema.fieldIndex(blobCol)
+    val idxAt = df.schema.fieldIndex(idxCol)
+    val m = model.getOrElse { batch: Seq[org.apache.spark.sql.Row] =>
+      batch.map { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(r.getAs[Array[Byte]](blobAt))
+        md.update(':'.toByte)
+        md.update(String.valueOf(r.getInt(idxAt))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.digest().map(b => f"$b%02x").mkString
+      }
+    }
+    BatchInfer.inferBatches(df, batchSize, outCol,
+      org.apache.spark.sql.types.StringType, m)
+  }
 }

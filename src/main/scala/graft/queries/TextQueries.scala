@@ -323,13 +323,17 @@ object TextQueries {
           col("media.n_frames").as("n_frames"))
         .orderBy(col("doc_id"))),
 
-    // multimodal: frame sampling (stride 4) + per-frame STUB feature
+    // multimodal: frame sampling (stride 4) + per-frame features
+    // through the BatchInfer batched-model transport (the default
+    // deterministic fingerprint model keeps it oracle-checkable; a
+    // real vision tower slots in as a callback)
     "multimodal_framesample" -> ((s, dir) =>
-      Multimodal.sampleFrames(
-        Multimodal.withMedia(docs(s, dir).filter(col("doc_id") < 200), "text"))
-        .select(col("doc_id"), col("frame_idx"),
-          Multimodal.frameFeature(col("payload"), col("frame_idx"))
-            .as("frame_fp"))
+      Multimodal.withFrameFeatures(
+        Multimodal.sampleFrames(
+          Multimodal.withMedia(
+            docs(s, dir).filter(col("doc_id") < 200), "text")),
+        "payload", "frame_idx")
+        .select(col("doc_id"), col("frame_idx"), col("frame_fp"))
         .orderBy(col("doc_id"), col("frame_idx"))),
 
     // multimodal: REAL header decode. Each row constructs genuine

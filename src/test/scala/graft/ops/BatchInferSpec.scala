@@ -36,7 +36,18 @@ class BatchInferSpec extends SparkSpec {
     val e = intercept[org.apache.spark.SparkException] {
       broken.collect()
     }
-    assert(e.getMessage.contains("scores") ||
-      e.getCause.getMessage.contains("scores"))
+    assert(e.getMessage.contains("outputs") ||
+      e.getCause.getMessage.contains("outputs"))
+  }
+
+  test("inferBatches appends a typed column through the same " +
+    "transport (the frameFeature integration point)") {
+    val df = (1L to 100L).toDF("id").repartition(5)
+    val out = BatchInfer.inferBatches(df, 16, "tag",
+      org.apache.spark.sql.types.StringType,
+      batch => batch.map(r => s"v${r.getLong(0) % 7}"))
+    val got = out.select($"id", $"tag").as[(Long, String)]
+      .collect().toMap
+    assert(got.size == 100 && got(13L) == "v6")
   }
 }
