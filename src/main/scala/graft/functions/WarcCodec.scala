@@ -233,6 +233,59 @@ object WarcFixture {
     out
   }
 
+  /** Sized shard for soak/throughput runs ([[graft.WarcSoakMain]]):
+    * `nPages` response records of ~`payloadBytes` LOW-compressibility
+    * pseudo-text each (seeded by shard id — deterministic), one gzip
+    * member per record when `gzip` (the .warc.gz convention). The
+    * low compressibility matters: repetitive fixture text would make
+    * a "1 GB" shard dir inflate 50×, which measures the inflater,
+    * not the drain. */
+  def buildSized(id: Long, nPages: Int, payloadBytes: Int,
+      gzip: Boolean): Array[Byte] = {
+    require(nPages > 0 && payloadBytes >= 64,
+      s"buildSized: bad nPages=$nPages payloadBytes=$payloadBytes")
+    val out = new java.io.ByteArrayOutputStream(
+      nPages * (payloadBytes + 256))
+    def emit(rec: Array[Byte]): Unit =
+      if (!gzip) out.write(rec, 0, rec.length)
+      else {
+        val g = new java.util.zip.GZIPOutputStream(out)
+        g.write(rec); g.finish()
+      }
+    val rnd = new java.util.Random(id * 7919L + 17L)
+    var i = 0
+    while (i < nPages) {
+      val body = new java.lang.StringBuilder(payloadBytes + 64)
+      body.append("<html><body><p>")
+      while (body.length < payloadBytes) {
+        body.append(java.lang.Long.toHexString(rnd.nextLong()))
+        body.append(' ')
+      }
+      body.append("</p></body></html>")
+      emit(record("response", uri(id, i), "text/html",
+        body.toString.getBytes("UTF-8"), i))
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** A hostile .warc.gz member: tiny on disk, inflating past
+    * [[WarcRecords]]' 256 MB guard — the decompression-bomb shape the
+    * ingest path must DROP (null records, zero rows), never buffer. */
+  def gzipBomb(inflatedBytes: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1 << 20)
+    val g = new java.util.zip.GZIPOutputStream(out)
+    val zeros = new Array[Byte](1 << 16)
+    var left = inflatedBytes
+    while (left > 0) {
+      val n = math.min(left, zeros.length.toLong).toInt
+      g.write(zeros, 0, n)
+      left -= n
+    }
+    g.finish()
+    out.toByteArray
+  }
+
   def build(id: Long, nPages: Int): Array[Byte] = {
     if (nPages <= 0 || nPages > 10000) return null
     val gz = java.lang.Math.floorMod(id, 2L) == 1L

@@ -1118,6 +1118,50 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("batch-only"), e.getMessage)
   }
 
+  test("streaming warc drain survives ONE hostile shard: gzip bomb " +
+    "past the inflate guard + malformed bytes contribute zero rows") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("warchostile").toString
+    val (in, out) = (s"$dir/in", s"$dir/out")
+    Files.createDirectories(Paths.get(in))
+    val config =
+      s"""[input]
+         |path = "$in"
+         |format = "warc"
+         |stream = "true"
+         |max-files-per-trigger = "1"
+         |[output]
+         |dir = "$out"
+         |[[stages]]
+         |type = "length-filter"
+         |min-tokens = 1
+         |""".stripMargin
+    Files.write(Paths.get(in, "good0.warc"),
+      graft.functions.WarcFixture.build(2L, 3))
+    // the bomb: ~280 KB on disk, inflating past the 256 MB guard —
+    // records() must DROP it (null → zero rows), never buffer it
+    Files.write(Paths.get(in, "hostile.warc.gz"),
+      graft.functions.WarcFixture.gzipBomb(300L * 1024 * 1024))
+    // and plain garbage that fails the WARC/ version check
+    Files.write(Paths.get(in, "garbage.warc"),
+      "this is not a WARC shard\r\n".getBytes("UTF-8"))
+    Files.write(Paths.get(in, "good1.warc.gz"),
+      graft.functions.WarcFixture.build(3L, 2))
+    // with maxFilesPerTrigger=1 the hostile shards are their own
+    // micro-batches — the stream must complete through them
+    val (n1, _) = graft.CurateMain.run(spark, config)
+    assert(n1 == 5L, s"only the good shards' records drain: $n1")
+    assert(spark.read.parquet(out).count() == 5)
+    // the drain stays incremental afterwards: a new good shard lands
+    // and ONLY it drains (the hostile files are checkpointed as
+    // consumed, not retried forever)
+    Files.write(Paths.get(in, "good2.warc"),
+      graft.functions.WarcFixture.build(4L, 2))
+    val (n2, _) = graft.CurateMain.run(spark, config)
+    assert(n2 == 2L, s"run 2 must drain only the new shard: $n2")
+    assert(spark.read.parquet(out).count() == 7)
+  }
+
   test("html-extract stage strips markup in place") {
     val d = Seq(
       (1L, "<html><head><title>x</title></head><body><p>real &amp; text</p></body></html>"),
