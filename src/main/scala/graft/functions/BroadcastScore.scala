@@ -126,6 +126,52 @@ case class LmScore3Bc(child: Expression, bc: Broadcast[LmModel])
     copy(child = c)
 }
 
+/** Per-language LM scoring over a broadcast [[LmModelBank]] — the
+  * kernel twin of [[graft.ops.LangModel.scoreBy]]: `left` is the
+  * document text, `right` the group (language) key; each document
+  * scores against its own group's model in one call, untrained
+  * groups return the restored (0, 0, 0.0) row. Null text or group
+  * yields null (the serve wrapper coalesces to the restored row,
+  * matching the relational form's left-join restore). */
+case class LmScoreByBc(left: Expression, right: Expression,
+    bc: Broadcast[LmModelBank])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_trans", LongType, nullable = false),
+    StructField("n_hits", LongType, nullable = false),
+    StructField("mean_p", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        "lm_score_by expects (string text, string group), got " +
+          s"(${a.simpleString}, ${b.simpleString})")
+    }
+
+  @transient private lazy val bank: LmModelBank = bc.value
+
+  override def nullSafeEval(t: Any, g: Any): Any =
+    bank.score2(t.asInstanceOf[UTF8String], g.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("lmBankBc", bc,
+      classOf[Broadcast[_]].getName)
+    val cls = classOf[LmModelBank].getName
+    val m = ctx.addMutableState(cls, "lmBank",
+      v => s"$v = ($cls) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, (t, g) =>
+      s"${ev.value} = $m.score2($t, $g);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): LmScoreByBc = copy(left = l, right = r)
+}
+
 /** Broadcast twin of [[DsirScore]] (`dsir_score`); prefix is baked
   * into the broadcast [[DsirRatios]]. */
 case class DsirScoreBc(child: Expression, bc: Broadcast[DsirRatios])
@@ -163,4 +209,9 @@ object BroadcastScore {
 
   def dsir(text: Column, bc: Broadcast[DsirRatios]): Column =
     GraftColumnBridge.column(DsirScoreBc(GraftColumnBridge.expression(text), bc))
+
+  def lmBy(text: Column, group: Column, bc: Broadcast[LmModelBank]): Column =
+    GraftColumnBridge.column(LmScoreByBc(
+      GraftColumnBridge.expression(text),
+      GraftColumnBridge.expression(group), bc))
 }

@@ -150,6 +150,30 @@ final class LmModel(keys: Array[String], cnts: Array[Long],
   }
 }
 
+/** Per-language compiled LM bank — one [[LmModel]] per group key,
+  * the serve-side form of [[graft.ops.LangModel.scoreBy]] (the CCNet
+  * per-language recipe): each document scores against ITS OWN
+  * language's model in one kernel call; a document whose group has
+  * no model returns the relational form's restored (0, 0, 0.0) row.
+  * Ships as ONE broadcast value ([[LmScoreByBc]]). */
+final class LmModelBank(keys: Array[String], models: Array[LmModel])
+    extends Serializable {
+
+  require(keys.length == models.length,
+    s"lm bank: ${keys.length} keys vs ${models.length} models")
+
+  private val m = new java.util.HashMap[String, LmModel](keys.length * 2)
+  locally {
+    var i = 0
+    while (i < keys.length) { m.put(keys(i), models(i)); i += 1 }
+  }
+
+  def score2(text: UTF8String, g: UTF8String): InternalRow = {
+    val model = m.get(g.toString)
+    if (model == null) InternalRow(0L, 0L, 0.0) else model.score2(text)
+  }
+}
+
 private[functions] trait LmScoreBase extends QuaternaryExpression {
 
   def kernelName: String

@@ -444,6 +444,89 @@ object Curation {
         val order = num("ngram", 2).toInt
         require(order == 2 || order == 3,
           s"lm-filter: ngram must be 2 or 3, got $order")
+        // lang-column switches to the TRUE CCNet recipe: one model
+        // per language, every doc scored against its own language's
+        // model (compiled into one broadcast model bank when it fits
+        // the gate), and — with min-quantile — a PER-LANGUAGE score
+        // cutoff learned from the training corpus at assembly, so a
+        // fluent-but-rare-language doc is judged against its peers.
+        // Serve batches never recompute quantiles (per-batch
+        // quantiles would weaken to batch-local decisions); the
+        // cutoffs are part of the model and persist through
+        // model-dir like the count tables.
+        conf.get("lang-column").map(_.toString) match {
+          case Some(langCol) =>
+            require(order == 2,
+              "lm-filter: per-language models score the bigram ladder" +
+                " (ngram = 2)")
+            val minQ = conf.get("min-quantile").map(_.toString.toDouble)
+            minQ.foreach(q => require(q >= 0.0 && q < 1.0,
+              s"lm-filter: min-quantile must be in [0, 1), got $q"))
+            def trainLmBy() = {
+              val refDocs = spark.read.parquet(str("ref-path"))
+              val et = TextFunctions.tokens(col(textCol))
+              val u = LangModel.unigramsBy(refDocs, col(langCol), et)
+              val b = LangModel.bigramsBy(refDocs, col(langCol), et,
+                minCount)
+              val cuts = minQ.map { q =>
+                val scored = Caching.cacheOnce(LangModel.scoreBy(
+                  refDocs, idCol, col(langCol), et, u, b)
+                  .select(col("g"), col("mean_p")))
+                ExactQuantiles.percentiles(scored, "g",
+                  Seq("mean_p" -> Seq(q)))
+                  .select(col("g"), col("value").as("cut"))
+              }
+              (u, b, cuts)
+            }
+            val mparams = Map("ngram" -> "2",
+              "min-count" -> minCount.toString,
+              "lang-column" -> langCol) ++
+              minQ.map("min-quantile" -> _.toString)
+            val (uni, big, cuts) =
+              conf.get("model-dir").map(_.toString) match {
+                case Some(dir) =>
+                  if (retrain) {
+                    val (u, b, c) = trainLmBy()
+                    ModelStore.save(spark, dir, "lm-by-lang", mparams,
+                      Map("unigrams" -> u, "bigrams" -> b) ++
+                        c.map("cutoffs" -> _))
+                  }
+                  val load = ModelStore.open(spark, dir, "lm-by-lang",
+                    mparams)
+                  (Caching.cacheOnce(load("unigrams")),
+                    Caching.cacheOnce(load("bigrams")),
+                    minQ.map(_ => Caching.cacheOnce(load("cutoffs"))))
+                case None =>
+                  val (u, b, c) = trainLmBy()
+                  (Caching.cacheOnce(u), Caching.cacheOnce(b),
+                    c.map(Caching.cacheOnce))
+              }
+            val bank = try Some(LangModel.broadcastBank(spark,
+              LangModel.compileModelBy(uni, big)))
+            catch { case _: ModelTooLargeException => None }
+            if (bank.isDefined) {
+              uni.unpersist(blocking = false)
+              big.unpersist(blocking = false)
+            }
+            return Stage("lm-filter", df => {
+              val scored = bank match {
+                case Some(bk) => LangModel.scoreByCompiled(
+                  df, idCol, textCol, langCol, bk)
+                case None => LangModel.scoreBy(df, idCol, col(langCol),
+                  TextFunctions.tokens(t), uni, big)
+              }
+              val keep = cuts match {
+                // per-language learned cutoff; docs whose language
+                // has no trained cutoff cannot be assessed and drop
+                case Some(c) => scored.join(broadcast(c), Seq("g"))
+                  .filter(col("mean_p") >= col("cut"))
+                case None => scored.filter(col("mean_p") >= minScore)
+              }
+              df.join(keep.select(col("doc_id").as(idCol)),
+                Seq(idCol), "left_semi")
+            }, streamable = true)
+          case None => ()
+        }
         // model-dir lifecycle: see nb-filter
         def trainLm() = {
           val refDocs = spark.read.parquet(str("ref-path"))

@@ -142,6 +142,77 @@ object LangModel {
         coalesce(col("mean_p"), lit(0.0)).as("mean_p"))
   }
 
+  /** Collect a per-group model pair into per-group (keys, counts)
+    * arrays — [[compileModel]] keyed by group, same driver-memory
+    * gate (over ALL groups' rows together), same loud space-free
+    * tokenizer validation.
+    *
+    * @throws ModelTooLargeException over the row gate */
+  def compileModelBy(uni: DataFrame, big: DataFrame,
+      maxModelRows: Long = 5000000L)
+  : Map[String, (Array[String], Array[Long])] = {
+    val keyed = uni.select(col("g"), col("token").as("k"), col("cnt"),
+      lit(1).as("ord")) unionAll
+      big.select(col("g"), concat_ws(" ", col("w1"), col("w2")).as("k"),
+        col("cnt"), lit(2).as("ord"))
+    require(maxModelRows < Int.MaxValue, s"bad gate $maxModelRows")
+    val rows = keyed.limit(maxModelRows.toInt + 1).collect()
+    if (rows.length > maxModelRows)
+      throw new ModelTooLargeException(
+        s"lm bank: per-group models exceed $maxModelRows total rows — " +
+          "use the relational LangModel.scoreBy path for unbounded " +
+          "models, or raise maxModelRows")
+    rows.foreach { r =>
+      val k = r.getString(1)
+      val spaces = k.count(_ == ' ')
+      if (spaces != r.getInt(3) - 1)
+        throw new IllegalArgumentException(
+          s"lm bank: ${r.getInt(3)}-gram key '$k' has $spaces " +
+            "space(s) — tokens must be space-free (train with " +
+            "TextFunctions.tokens), or score through the relational " +
+            "LangModel.scoreBy path")
+    }
+    rows.groupBy(_.getString(0)).map { case (g, rs) =>
+      val sorted = rs.sortBy(_.getString(1))
+      g -> (sorted.map(_.getString(1)), sorted.map(_.getLong(2)))
+    }
+  }
+
+  /** Broadcast a compiled per-group model bank for the serve path —
+    * ONE broadcast value holding every language's [[graft.functions
+    * .LmModel]]; serve-many-batches callers broadcast once at
+    * assembly. */
+  def broadcastBank(spark: org.apache.spark.sql.SparkSession,
+      models: Map[String, (Array[String], Array[Long])],
+      alpha: Double = 0.4)
+  : org.apache.spark.broadcast.Broadcast[graft.functions.LmModelBank] = {
+    val sorted = models.toSeq.sortBy(_._1)
+    spark.sparkContext.broadcast(new graft.functions.LmModelBank(
+      sorted.map(_._1).toArray,
+      sorted.map { case (_, (ks, cs)) =>
+        new graft.functions.LmModel(ks, cs, alpha) }.toArray))
+  }
+
+  /** Scan-stage kernel twin of [[scoreBy]] over an already-broadcast
+    * model bank: one native call per document against its OWN
+    * group's model — no explode, no group-keyed model joins, no
+    * doc-keyed regroup. Untrained groups and null text/group restore
+    * as the defined (0, 0, 0.0) row, exactly like the relational
+    * form's left-join restore. */
+  def scoreByCompiled(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.LmModelBank])
+  : DataFrame = {
+    val kernel = graft.functions.BroadcastScore.lmBy(
+      col(textCol), col(groupCol), bc)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      col(groupCol).as("g"), kernel.as("__r"))
+      .select(col("doc_id"), col("g"),
+        coalesce(col("__r.n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("__r.n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("__r.mean_p"), lit(0.0)).as("mean_p"))
+  }
+
   /** Trigram counts (w1, w2, w3, cnt) with cnt >= minCount. */
   def trigrams(ref: DataFrame, toks: Column, minCount: Int = 2): DataFrame =
     ref.select(explode(windowTriples(toks)).as("tg"))

@@ -190,6 +190,33 @@ object ModelQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // per-language LM scoring (the CCNet per-group form): every
+    // document scored against ITS OWN language's model — count
+    // tables keyed by (lang, ngram), trained in one pass
+    "model_lm_score_by_lang" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val uni = LangModel.unigramsBy(d, col("lang"), toks)
+      val big = LangModel.bigramsBy(d, col("lang"), toks, minCount = 2)
+      LangModel.scoreBy(d, "doc_id", col("lang"), toks, uni, big)
+        .withColumnRenamed("g", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
+    // the compiled model-BANK kernel twin of model_lm_score_by_lang
+    // (one broadcast holding every language's model, one native call
+    // per doc against its own language) — same oracle, so
+    // kernel ≡ relational ≡ DuckDB is a standing three-way agreement
+    "model_lm_perlang_kernel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val uni = LangModel.unigramsBy(d, col("lang"), toks)
+      val big = LangModel.bigramsBy(d, col("lang"), toks, minCount = 2)
+      val bank = LangModel.broadcastBank(s,
+        LangModel.compileModelBy(uni, big))
+      LangModel.scoreByCompiled(d, "doc_id", "text", "lang", bank)
+        .withColumnRenamed("g", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
     // the ACTUAL CCNet recipe: one LM per language (count tables
     // keyed by (lang, ngram), trained in one pass), every document
     // scored against ITS OWN language's model, and head/middle/tail
@@ -346,56 +373,32 @@ object ModelQueries {
         |       ELSE 'tail' END AS bucket
         |FROM w, q ORDER BY doc_id""".stripMargin),
 
+    // mirrors LangModel.scoreBy: the score algebra with every model
+    // join keyed by lang, per-lang backoff scalars
+    "model_lm_score_by_lang" -> (sqlLmScoreByLang +
+      """
+        |SELECT doc_id, lang, n_trans, n_hits, mean_p FROM w
+        |ORDER BY doc_id""".stripMargin),
+
+    // identical oracle: the model-bank kernel must agree with the
+    // relational per-language algebra bit-for-bit
+    "model_lm_perlang_kernel" -> (sqlLmScoreByLang +
+      """
+        |SELECT doc_id, lang, n_trans, n_hits, mean_p FROM w
+        |ORDER BY doc_id""".stripMargin),
+
     // per-language twin of model_lm_buckets: the same score algebra
     // with every model join keyed by lang, quartile cutoffs per lang
-    "model_lm_buckets_by_lang" ->
-      s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents),
-         |uni AS (SELECT lang, token, COUNT(*) AS cnt
-         |  FROM (SELECT lang, unnest(toks) AS token FROM t)
-         |  GROUP BY 1, 2),
-         |sc AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_total,
-         |              COUNT(*) AS v FROM uni GROUP BY 1),
-         |big AS (SELECT lang, w1, w2, COUNT(*) AS cnt FROM (
-         |    SELECT lang, toks[i + 1] AS w1, toks[i + 2] AS w2
-         |    FROM (SELECT lang, toks,
-         |            unnest(range(0, greatest(len(toks) - 1, 0))) AS i
-         |          FROM t))
-         |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
-         |tr AS (SELECT doc_id, lang, i AS pos, toks[i + 1] AS w1,
-         |              toks[i + 2] AS w2
-         |  FROM (SELECT doc_id, lang, toks,
-         |          unnest(range(0, greatest(len(toks) - 1, 0))) AS i
-         |        FROM t)),
-         |p AS (SELECT tr.doc_id, tr.lang, tr.pos,
-         |    CASE WHEN b.cnt IS NOT NULL AND up.cnt IS NOT NULL
-         |         THEN 1 ELSE 0 END AS hit,
-         |    CASE WHEN b.cnt IS NOT NULL AND up.cnt IS NOT NULL
-         |         THEN CAST(b.cnt AS DOUBLE) / CAST(up.cnt AS DOUBLE)
-         |         ELSE 0.4 * (CAST(COALESCE(uc.cnt, 0) + 1 AS DOUBLE)
-         |                     / CAST(sc.n_total + sc.v AS DOUBLE)) END AS p
-         |  FROM tr
-         |    LEFT JOIN big b ON tr.lang = b.lang AND tr.w1 = b.w1
-         |                   AND tr.w2 = b.w2
-         |    LEFT JOIN uni up ON tr.lang = up.lang AND tr.w1 = up.token
-         |    LEFT JOIN uni uc ON tr.lang = uc.lang AND tr.w2 = uc.token
-         |    JOIN sc ON tr.lang = sc.lang),
-         |pd AS (SELECT doc_id, lang, COUNT(*) AS n_trans,
-         |    list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
-         |                (a, b) -> a + b)
-         |      / CAST(COUNT(*) AS DOUBLE) AS mean_p
-         |  FROM p GROUP BY 1, 2),
-         |w AS (SELECT d.doc_id, d.lang,
-         |    COALESCE(pd.mean_p, 0.0) AS mean_p
-         |  FROM (SELECT DISTINCT doc_id, lang FROM documents) d
-         |  LEFT JOIN pd USING (doc_id, lang)),
-         |q AS (SELECT lang, quantile_cont(mean_p, 0.25) AS c25,
-         |             quantile_cont(mean_p, 0.75) AS c75
-         |      FROM w GROUP BY 1)
-         |SELECT w.doc_id, w.lang, w.mean_p,
-         |  CASE WHEN w.mean_p > q.c75 THEN 'head'
-         |       WHEN w.mean_p >= q.c25 THEN 'middle'
-         |       ELSE 'tail' END AS bucket
-         |FROM w JOIN q USING (lang) ORDER BY w.doc_id""".stripMargin,
+    "model_lm_buckets_by_lang" -> (sqlLmScoreByLang +
+      """,
+        |q AS (SELECT lang, quantile_cont(mean_p, 0.25) AS c25,
+        |             quantile_cont(mean_p, 0.75) AS c75
+        |      FROM w GROUP BY 1)
+        |SELECT w.doc_id, w.lang, w.mean_p,
+        |  CASE WHEN w.mean_p > q.c75 THEN 'head'
+        |       WHEN w.mean_p >= q.c25 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM w JOIN q USING (lang) ORDER BY w.doc_id""".stripMargin),
 
     // mirrors LangModel.scoreTrigram: same two-level CASE, same
     // pruned-table denominators, same ordered fold
@@ -603,6 +606,53 @@ object ModelQueries {
        |    COALESCE(pd.mean_p, 0.0) AS mean_p
        |  FROM (SELECT DISTINCT doc_id FROM documents) d
        |  LEFT JOIN pd USING (doc_id))""".stripMargin
+
+  /** Shared PER-LANGUAGE LM-score CTE chain ending in `w(doc_id,
+    * lang, n_trans, n_hits, mean_p)` — the score-by-lang, perlang
+    * kernel, and per-lang bucket oracles differ only in the tail. */
+  private lazy val sqlLmScoreByLang: String =
+    s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+       |uni AS (SELECT lang, token, COUNT(*) AS cnt
+       |  FROM (SELECT lang, unnest(toks) AS token FROM t)
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_total,
+       |              COUNT(*) AS v FROM uni GROUP BY 1),
+       |big AS (SELECT lang, w1, w2, COUNT(*) AS cnt FROM (
+       |    SELECT lang, toks[i + 1] AS w1, toks[i + 2] AS w2
+       |    FROM (SELECT lang, toks,
+       |            unnest(range(0, greatest(len(toks) - 1, 0))) AS i
+       |          FROM t))
+       |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+       |tr AS (SELECT doc_id, lang, i AS pos, toks[i + 1] AS w1,
+       |              toks[i + 2] AS w2
+       |  FROM (SELECT doc_id, lang, toks,
+       |          unnest(range(0, greatest(len(toks) - 1, 0))) AS i
+       |        FROM t)),
+       |p AS (SELECT tr.doc_id, tr.lang, tr.pos,
+       |    CASE WHEN b.cnt IS NOT NULL AND up.cnt IS NOT NULL
+       |         THEN 1 ELSE 0 END AS hit,
+       |    CASE WHEN b.cnt IS NOT NULL AND up.cnt IS NOT NULL
+       |         THEN CAST(b.cnt AS DOUBLE) / CAST(up.cnt AS DOUBLE)
+       |         ELSE 0.4 * (CAST(COALESCE(uc.cnt, 0) + 1 AS DOUBLE)
+       |                     / CAST(sc.n_total + sc.v AS DOUBLE)) END AS p
+       |  FROM tr
+       |    LEFT JOIN big b ON tr.lang = b.lang AND tr.w1 = b.w1
+       |                   AND tr.w2 = b.w2
+       |    LEFT JOIN uni up ON tr.lang = up.lang AND tr.w1 = up.token
+       |    LEFT JOIN uni uc ON tr.lang = uc.lang AND tr.w2 = uc.token
+       |    JOIN sc ON tr.lang = sc.lang),
+       |pd AS (SELECT doc_id, lang, COUNT(*) AS n_trans,
+       |    CAST(SUM(hit) AS BIGINT) AS n_hits,
+       |    list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+       |                (a, b) -> a + b)
+       |      / CAST(COUNT(*) AS DOUBLE) AS mean_p
+       |  FROM p GROUP BY 1, 2),
+       |w AS (SELECT d.doc_id, d.lang,
+       |    COALESCE(pd.n_trans, 0) AS n_trans,
+       |    COALESCE(pd.n_hits, 0) AS n_hits,
+       |    COALESCE(pd.mean_p, 0.0) AS mean_p
+       |  FROM (SELECT DISTINCT doc_id, lang FROM documents) d
+       |  LEFT JOIN pd USING (doc_id, lang))""".stripMargin
 
   /** Shared DSIR-weight CTE chain ending in `w(doc_id, n_feat,
     * weight)` — the weights and top-k oracles differ only in the

@@ -157,6 +157,51 @@ class LangModelSpec extends SparkSpec {
     assert(uni.select(col("g")).distinct().count() == langs.size)
   }
 
+  test("compiled model bank ≡ relational scoreBy bit-for-bit, incl. " +
+    "untrained groups and edge texts") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    val uni = LangModel.unigramsBy(docs, col("lang"), t)
+    val big = LangModel.bigramsBy(docs, col("lang"), t, 2)
+    val rel = LangModel.scoreBy(docs, "doc_id", col("lang"), t, uni, big)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val bank = LangModel.broadcastBank(spark,
+      LangModel.compileModelBy(uni, big))
+    val ker = LangModel.scoreByCompiled(docs, "doc_id", "text", "lang",
+      bank).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(ker == rel)
+    // edges: untrained lang, empty text, null-ish spacing
+    val edge = Seq((1L, "en", ""), (2L, "xx", "a b c"),
+      (3L, "en", "  a  b "), (4L, "de", "a"))
+      .toDF("doc_id", "lang", "text")
+    val relE = LangModel.scoreBy(edge, "doc_id", col("lang"), t,
+      uni, big).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val kerE = LangModel.scoreByCompiled(edge, "doc_id", "text", "lang",
+      bank).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(kerE == relE)
+  }
+
+  test("compileModelBy refuses the row gate and space-bearing tokens " +
+    "loudly") {
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    val train = Seq((1L, "en", "a b a b"), (2L, "de", "x y x y"))
+      .toDF("doc_id", "lang", "text")
+    val uni = LangModel.unigramsBy(train, col("lang"), t)
+    val big = LangModel.bigramsBy(train, col("lang"), t, 1)
+    intercept[ModelTooLargeException] {
+      LangModel.compileModelBy(uni, big, maxModelRows = 2)
+    }
+    // a tokenizer yielding space-bearing tokens mis-buckets n-gram
+    // order — loud, not silent
+    val badUni = LangModel.unigramsBy(train, col("lang"),
+      array(col("text")))
+    val e = intercept[IllegalArgumentException] {
+      LangModel.compileModelBy(badUni, big)
+    }
+    assert(e.getMessage.contains("space"), e.getMessage)
+  }
+
   test("scoreBy restores docs of an untrained group as (0, 0, 0.0)") {
     val t = graft.functions.TextFunctions.tokens(col("text"))
     val train = Seq((1L, "en", "a b a b"), (2L, "en", "a b c"))

@@ -109,6 +109,67 @@ class ModelLifecycleSpec extends SparkSpec {
     assert(torn.getMessage.contains("--retrain"), torn.getMessage)
   }
 
+  test("lm-filter lang-column mode: per-language models + learned " +
+    "per-language cutoffs, lifecycle included") {
+    val dir = Files.createTempDirectory("model-life-lmlang").toString
+    val seed = s"$dir/seed.parquet"
+    // two languages with DIFFERENT fluency distributions: en bigrams
+    // repeat (high scores), de docs share fewer transitions — a
+    // GLOBAL cutoff would judge de against en's distribution
+    Seq(
+      (101L, "en", "the quick brown fox jumps over the lazy dog"),
+      (102L, "en", "the quick brown fox sleeps in the lazy sun"),
+      (103L, "en", "the quick brown fox runs past the lazy dog"),
+      (104L, "de", "der schnelle fuchs springt"),
+      (105L, "de", "der braune hund schlaeft"),
+      (106L, "de", "der schnelle hund springt heute"))
+      .toDF("doc_id", "lang", "text").write.parquet(seed)
+    val in = s"$dir/in.parquet"
+    Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "dog lazy the over jumps fox brown quick the"),
+      (3L, "de", "der schnelle fuchs springt"),
+      (4L, "xx", "unassessable language"))
+      .toDF("doc_id", "lang", "text").write.parquet(in)
+    val modelDir = s"$dir/model"
+    def config(out: String, withRef: Boolean) =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "lm-filter"
+         |${if (withRef) s"""ref-path = "$seed"""" else ""}
+         |lang-column = "lang"
+         |min-count = 2
+         |min-quantile = 0.0
+         |model-dir = "$modelDir"
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val (n1, _) = graft.CurateMain.run(spark, config(s"$dir/out1", true),
+      retrain = true)
+    val kept1 = spark.read.parquet(s"$dir/out1")
+      .select($"doc_id").as[Long].collect().toSet
+    // quantile 0.0 = each language's training-minimum cutoff: the
+    // fluent en doc (a training text) and the seen de doc clear
+    // their OWN language's floor; the scrambled en doc (all-backoff
+    // transitions) scores below it; the unassessable language drops
+    assert(kept1.contains(1L) && kept1.contains(3L), kept1)
+    assert(!kept1.contains(2L), s"scrambled en doc must drop: $kept1")
+    assert(!kept1.contains(4L), s"unassessable lang must drop: $kept1")
+    // serve run with the training corpus gone: identical output
+    rmTree(seed)
+    val (n2, _) = graft.CurateMain.run(spark, config(s"$dir/out2", false))
+    assert(n2 == n1)
+    assert(spark.read.parquet(s"$dir/out2").select($"doc_id")
+      .as[Long].collect().toSet == kept1)
+    // changed min-quantile invalidates the committed model loudly
+    val bad = intercept[IllegalArgumentException] {
+      graft.CurateMain.run(spark, config(s"$dir/out3", false)
+        .replace("min-quantile = 0.0", "min-quantile = 0.5"))
+    }
+    assert(bad.getMessage.contains("does not match"), bad.getMessage)
+  }
+
   test("lm-filter and dsir-filter model-dir serve runs survive " +
     "corpus deletion with identical output") {
     val dir = Files.createTempDirectory("model-life-lm").toString
