@@ -465,9 +465,14 @@ object Curation {
             def trainLmBy() = {
               val refDocs = spark.read.parquet(str("ref-path"))
               val et = TextFunctions.tokens(col(textCol))
-              val u = LangModel.unigramsBy(refDocs, col(langCol), et)
-              val b = LangModel.bigramsBy(refDocs, col(langCol), et,
-                minCount)
+              // cache the count tables HERE: they feed the cutoff
+              // quantile actions, the ModelStore save, and the kernel
+              // compile — uncached, training would re-aggregate per
+              // consumer
+              val u = Caching.cacheOnce(
+                LangModel.unigramsBy(refDocs, col(langCol), et))
+              val b = Caching.cacheOnce(
+                LangModel.bigramsBy(refDocs, col(langCol), et, minCount))
               val cuts = minQ.map { q =>
                 val scored = Caching.cacheOnce(LangModel.scoreBy(
                   refDocs, idCol, col(langCol), et, u, b)
@@ -498,8 +503,7 @@ object Curation {
                     minQ.map(_ => Caching.cacheOnce(load("cutoffs"))))
                 case None =>
                   val (u, b, c) = trainLmBy()
-                  (Caching.cacheOnce(u), Caching.cacheOnce(b),
-                    c.map(Caching.cacheOnce))
+                  (u, b, c.map(Caching.cacheOnce))
               }
             val bank = try Some(LangModel.broadcastBank(spark,
               LangModel.compileModelBy(uni, big)))
