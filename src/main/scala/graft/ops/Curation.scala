@@ -228,6 +228,55 @@ object Curation {
             df.filter(field("width") >= minW && field("height") >= minH)
           },
           streamable = true)
+      case "frame-features" =>
+        // REPLACE the flow with one row per sampled frame carrying a
+        // model feature — the multimodal feature-extraction stage.
+        // The blob decodes for n_frames (real MP4/PNG/WAV metadata),
+        // frames sample at `stride`, and features run through the
+        // BatchInfer batched-model transport. `model-class` names a
+        // deployment's [[FrameFeatureModel]] (no-arg constructor,
+        // built once at assembly, serialized to executors); without
+        // it the deterministic md5 fingerprint keeps the stage
+        // oracle-checkable. Row-local either way ⇒ streamable.
+        val blobCol = conf.get("blob-col").map(_.toString)
+          .getOrElse("payload")
+        val stride = num("stride", 4).toInt
+        require(stride > 0, s"frame-features: stride must be > 0")
+        val outCol = conf.get("output-column").map(_.toString)
+          .getOrElse("frame_fp")
+        val frameModel = conf.get("model-class").map(_.toString).map { cn =>
+          val inst =
+            try Class.forName(cn).getDeclaredConstructor().newInstance()
+            catch { case e: ReflectiveOperationException =>
+              sys.error(s"frame-features: cannot construct " +
+                s"model-class '$cn' (${e.getMessage})")
+            }
+          inst match {
+            case m: FrameFeatureModel => m
+            case other => sys.error("frame-features: model-class " +
+              s"'$cn' is not a graft.ops.FrameFeatureModel " +
+              s"(got ${other.getClass.getName})")
+          }
+        }
+        Stage("frame-features", df => {
+          graft.GraftExtensions.ensure(df.sparkSession)
+          // corpora without a blob column (text fixtures) treat the
+          // text bytes as the opaque payload, like withMedia
+          val withBlob =
+            if (df.columns.contains(blobCol)) df
+            else df.withColumn(blobCol, Multimodal.asBlob(t))
+          val media = withBlob.withColumn("media",
+            Multimodal.decode(col(blobCol)))
+          val frames = Multimodal.sampleFrames(media, stride)
+          val featured = Multimodal.withFrameFeatures(frames, blobCol,
+            "frame_idx", outCol,
+            model = frameModel.map { m => (batch: Seq[org.apache.spark.sql.Row]) =>
+              m.featureBatch(batch.map(r => (
+                r.getAs[Array[Byte]](r.fieldIndex(blobCol)),
+                r.getInt(r.fieldIndex("frame_idx")))))
+            })
+          featured.select(col(idCol), col("frame_idx"), col(outCol))
+        }, streamable = true, replacesFlow = true)
       case "audio-filter" =>
         // drop rows whose BLOB column is not decodable audio inside
         // the RMS band — the silence/clipping filter audio corpora

@@ -1162,6 +1162,47 @@ class CurationSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 7)
   }
 
+  test("frame-features stage: default fingerprint model matches the " +
+    "gate expression; a config-named model class plugs in; bogus " +
+    "classes fail loudly") {
+    val d = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    // default model = the deterministic md5 fingerprint — must equal
+    // the expression form the oracle checks
+    val st = Curation.stage(Map("type" -> "frame-features",
+      "stride" -> 2L), "text", "doc_id", spark)
+    assert(st.streamable && st.replacesFlow)
+    val got = st.apply(d).orderBy($"doc_id", $"frame_idx")
+      .as[(Long, Int, String)].collect().toSeq
+    val expected = graft.ops.Multimodal.sampleFrames(
+      graft.ops.Multimodal.withMedia(d, "text"), 2)
+      .select($"doc_id", $"frame_idx",
+        md5(concat($"payload", lit(":"), $"frame_idx".cast("string"))))
+      .orderBy($"doc_id", $"frame_idx")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(got == expected && got.nonEmpty)
+    // a deployment's model class named in config (no code changes)
+    val custom = Curation.stage(Map("type" -> "frame-features",
+      "stride" -> 2L,
+      "model-class" -> classOf[TestFrameModel].getName),
+      "text", "doc_id", spark)
+    val gotCustom = custom.apply(d).orderBy($"doc_id", $"frame_idx")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(gotCustom.map(_._3) ==
+      expected.map(e => s"len${if (e._1 == 1L) 10 else 5}:idx${e._2}"))
+    // bogus classes are config errors, not silent fallbacks
+    val e1 = intercept[RuntimeException] {
+      Curation.stage(Map("type" -> "frame-features",
+        "model-class" -> "no.such.Tower"), "text", "doc_id", spark)
+    }
+    assert(e1.getMessage.contains("cannot construct"), e1.getMessage)
+    val e2 = intercept[RuntimeException] {
+      Curation.stage(Map("type" -> "frame-features",
+        "model-class" -> "java.lang.Object"), "text", "doc_id", spark)
+    }
+    assert(e2.getMessage.contains("not a graft.ops.FrameFeatureModel"),
+      e2.getMessage)
+  }
+
   test("html-extract stage strips markup in place") {
     val d = Seq(
       (1L, "<html><head><title>x</title></head><body><p>real &amp; text</p></body></html>"),
@@ -1199,4 +1240,11 @@ class CurationSpec extends SparkSpec {
       Seq(1L))
   }
 
+}
+
+/** Config-pluggable test model for the frame-features stage (no-arg
+  * constructor, named by class in the TOML). */
+class TestFrameModel extends graft.ops.FrameFeatureModel {
+  override def featureBatch(frames: Seq[(Array[Byte], Int)]): Seq[String] =
+    frames.map { case (blob, idx) => s"len${blob.length}:idx$idx" }
 }
