@@ -558,4 +558,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pk.contains("CartesianProduct"), pk)
   }
 
+
+  test("model_lm_perlang_kernel: the model bank is ONE scan-stage " +
+    "call — no model joins, no doc regroup, no per-task model bytes") {
+    val p = plan("model_lm_perlang_kernel")
+    // the relational per-language form carries five model joins and a
+    // doc-keyed regroup; the bank kernel must carry NONE of it — the
+    // only exchange is the output sort's range partitioning
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"bank kernel plan should not shuffle beyond the output sort:\n$p")
+    // and the model travels as a broadcast handle inside the kernel
+    // expression, not a typedLit array literal in the plan text
+    assert(p.contains("lmscorebybc"), p)
+  }
 }
