@@ -1203,6 +1203,39 @@ class CurationSpec extends SparkSpec {
       e2.getMessage)
   }
 
+  test("frame-features streams: per-frame rows land incrementally " +
+    "(the streamable flow-REPLACING combination)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("framestream").toString
+    val (in, out) = (s"$dir/in", s"$dir/out")
+    Files.createDirectories(Paths.get(in))
+    val config =
+      s"""[input]
+         |path = "$in"
+         |stream = "true"
+         |[[stages]]
+         |type = "frame-features"
+         |stride = 2
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    def framesOf(texts: Seq[(Long, String)]): Long = {
+      val d = texts.toDF("doc_id", "text")
+      graft.ops.Multimodal.sampleFrames(
+        graft.ops.Multimodal.withMedia(d, "text"), 2).count()
+    }
+    val batch1 = Seq((1L, "alpha beta gamma"), (2L, "delta"))
+    batch1.toDF("doc_id", "text").write.parquet(s"$in/s0.parquet")
+    // the file-stream source globs *.parquet dirs' files — land the
+    // shard as files inside the watched dir
+    val (n1, _) = graft.CurateMain.run(spark, config.replace(
+      s""""$in"""", s""""$in/s0.parquet""""))
+    assert(n1 == framesOf(batch1), s"per-frame rows: $n1")
+    val written = spark.read.parquet(out)
+    assert(written.columns.toSet ==
+      Set("doc_id", "frame_idx", "frame_fp", "__ingest_batch"))
+  }
+
   test("html-extract stage strips markup in place") {
     val d = Seq(
       (1L, "<html><head><title>x</title></head><body><p>real &amp; text</p></body></html>"),
