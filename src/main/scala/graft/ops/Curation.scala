@@ -523,12 +523,21 @@ object Curation {
               val b = Caching.cacheOnce(
                 LangModel.bigramsBy(refDocs, col(langCol), et, minCount))
               val cuts = minQ.map { q =>
-                val scored = Caching.cacheOnce(LangModel.scoreBy(
-                  refDocs, idCol, col(langCol), et, u, b)
-                  .select(col("g"), col("mean_p")))
-                ExactQuantiles.percentiles(scored, "g",
-                  Seq("mean_p" -> Seq(q)))
-                  .select(col("g"), col("value").as("cut"))
+                // the cutoff table is ≤ one row per language —
+                // materialize it HERE (and release the scoring cache)
+                // so nothing downstream re-executes the quantile
+                // subtree
+                val (scored, fresh) = Caching.cacheOnceTracked(
+                  LangModel.scoreBy(refDocs, idCol, col(langCol), et,
+                    u, b).select(col("g"), col("mean_p")))
+                try {
+                  val proj = ExactQuantiles.percentiles(scored, "g",
+                    Seq("mean_p" -> Seq(q)))
+                    .select(col("g"), col("value").as("cut"))
+                  spark.createDataFrame(
+                    java.util.Arrays.asList(proj.collect(): _*),
+                    proj.schema)
+                } finally if (fresh) scored.unpersist(blocking = false)
               }
               (u, b, cuts)
             }
@@ -549,10 +558,8 @@ object Curation {
                     mparams)
                   (Caching.cacheOnce(load("unigrams")),
                     Caching.cacheOnce(load("bigrams")),
-                    minQ.map(_ => Caching.cacheOnce(load("cutoffs"))))
-                case None =>
-                  val (u, b, c) = trainLmBy()
-                  (u, b, c.map(Caching.cacheOnce))
+                    minQ.map(_ => load("cutoffs")))
+                case None => trainLmBy()
               }
             val bank = try Some(LangModel.broadcastBank(spark,
               LangModel.compileModelBy(uni, big)))
@@ -561,6 +568,15 @@ object Curation {
               uni.unpersist(blocking = false)
               big.unpersist(blocking = false)
             }
+            // materialize the cutoffs ONCE at assembly (≤ one row per
+            // language): left lazy, the quantile subtree — or the
+            // store read — would re-execute under every micro-batch's
+            // join
+            val cutsLocal = cuts.map { c =>
+              val rows = c.collect()
+              spark.createDataFrame(
+                java.util.Arrays.asList(rows: _*), c.schema)
+            }
             return Stage("lm-filter", df => {
               val scored = bank match {
                 case Some(bk) => LangModel.scoreByCompiled(
@@ -568,7 +584,7 @@ object Curation {
                 case None => LangModel.scoreBy(df, idCol, col(langCol),
                   TextFunctions.tokens(t), uni, big)
               }
-              val keep = cuts match {
+              val keep = cutsLocal match {
                 // per-language learned cutoff; docs whose language
                 // has no trained cutoff cannot be assessed and drop
                 case Some(c) => scored.join(broadcast(c), Seq("g"))

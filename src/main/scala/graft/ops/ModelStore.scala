@@ -45,9 +45,12 @@ object ModelStore {
 
   /** Persist model tables: marker deleted first, tables overwritten,
     * marker committed last. This IS the retrain action — on an
-    * existing store it atomically supersedes the old model (readers
-    * between the delete and the commit refuse loudly rather than mix
-    * generations). */
+    * existing store it supersedes the old model, and readers between
+    * the delete and the commit refuse loudly rather than mix
+    * generations. ONE writer at a time: retrain is a deliberate
+    * operator action (the [[IncrementalAnn.create]] contract) —
+    * two concurrent retrains could interleave table overwrites and
+    * commit a mixed-generation store. */
   def save(spark: SparkSession, dir: String, kind: String,
       params: Map[String, String],
       tables: Map[String, DataFrame]): Unit = {
