@@ -127,22 +127,20 @@ case class LmScore3Bc(child: Expression, bc: Broadcast[LmModel])
 }
 
 /** Per-language LM scoring over a broadcast [[LmModelBank]] — the
-  * kernel twin of [[graft.ops.LangModel.scoreBy]]: `left` is the
+  * kernel twins of [[graft.ops.LangModel.scoreBy]] (bigram) and
+  * [[graft.ops.LangModel.scoreTrigramBy]] (trigram): `left` is the
   * document text, `right` the group (language) key; each document
   * scores against its own group's model in one call, untrained
-  * groups return the restored (0, 0, 0.0) row. Null text or group
-  * yields null (the serve wrapper coalesces to the restored row,
-  * matching the relational form's left-join restore). */
-case class LmScoreByBc(left: Expression, right: Expression,
-    bc: Broadcast[LmModelBank])
+  * groups return the restored zero row. Null text or group yields
+  * null (the serve wrapper coalesces to the restored row, matching
+  * the relational form's left-join restore). */
+private[graft] abstract class LmByBcBase
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
-  override def nullable: Boolean = true
+  def bc: Broadcast[LmModelBank]
+  protected def scoreMethod: String
 
-  override def dataType: DataType = StructType(Seq(
-    StructField("n_trans", LongType, nullable = false),
-    StructField("n_hits", LongType, nullable = false),
-    StructField("mean_p", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -152,10 +150,7 @@ case class LmScoreByBc(left: Expression, right: Expression,
           s"(${a.simpleString}, ${b.simpleString})")
     }
 
-  @transient private lazy val bank: LmModelBank = bc.value
-
-  override def nullSafeEval(t: Any, g: Any): Any =
-    bank.score2(t.asInstanceOf[UTF8String], g.asInstanceOf[UTF8String])
+  @transient protected lazy val bank: LmModelBank = bc.value
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
@@ -165,11 +160,43 @@ case class LmScoreByBc(left: Expression, right: Expression,
     val m = ctx.addMutableState(cls, "lmBank",
       v => s"$v = ($cls) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, (t, g) =>
-      s"${ev.value} = $m.score2($t, $g);")
+      s"${ev.value} = $m.$scoreMethod($t, $g);")
   }
+}
+
+case class LmScoreByBc(left: Expression, right: Expression,
+    bc: Broadcast[LmModelBank]) extends LmByBcBase {
+
+  override protected def scoreMethod: String = "score2"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_trans", LongType, nullable = false),
+    StructField("n_hits", LongType, nullable = false),
+    StructField("mean_p", DoubleType, nullable = false)))
+
+  override def nullSafeEval(t: Any, g: Any): Any =
+    bank.score2(t.asInstanceOf[UTF8String], g.asInstanceOf[UTF8String])
 
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): LmScoreByBc = copy(left = l, right = r)
+}
+
+case class LmScore3ByBc(left: Expression, right: Expression,
+    bc: Broadcast[LmModelBank]) extends LmByBcBase {
+
+  override protected def scoreMethod: String = "score3"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_win", LongType, nullable = false),
+    StructField("n_tri_hits", LongType, nullable = false),
+    StructField("n_big_hits", LongType, nullable = false),
+    StructField("mean_p", DoubleType, nullable = false)))
+
+  override def nullSafeEval(t: Any, g: Any): Any =
+    bank.score3(t.asInstanceOf[UTF8String], g.asInstanceOf[UTF8String])
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): LmScore3ByBc = copy(left = l, right = r)
 }
 
 /** Broadcast twin of [[DsirScore]] (`dsir_score`); prefix is baked
@@ -212,6 +239,11 @@ object BroadcastScore {
 
   def lmBy(text: Column, group: Column, bc: Broadcast[LmModelBank]): Column =
     GraftColumnBridge.column(LmScoreByBc(
+      GraftColumnBridge.expression(text),
+      GraftColumnBridge.expression(group), bc))
+
+  def lm3By(text: Column, group: Column, bc: Broadcast[LmModelBank]): Column =
+    GraftColumnBridge.column(LmScore3ByBc(
       GraftColumnBridge.expression(text),
       GraftColumnBridge.expression(group), bc))
 }

@@ -172,6 +172,12 @@ final class LmModelBank(keys: Array[String], models: Array[LmModel])
     val model = m.get(g.toString)
     if (model == null) InternalRow(0L, 0L, 0.0) else model.score2(text)
   }
+
+  def score3(text: UTF8String, g: UTF8String): InternalRow = {
+    val model = m.get(g.toString)
+    if (model == null) InternalRow(0L, 0L, 0L, 0.0)
+    else model.score3(text)
+  }
 }
 
 private[functions] trait LmScoreBase extends QuaternaryExpression {

@@ -505,9 +505,6 @@ object Curation {
         // model-dir like the count tables.
         conf.get("lang-column").map(_.toString) match {
           case Some(langCol) =>
-            require(order == 2,
-              "lm-filter: per-language models score the bigram ladder" +
-                " (ngram = 2)")
             val minQ = conf.get("min-quantile").map(_.toString.toDouble)
             minQ.foreach(q => require(q >= 0.0 && q < 1.0,
               s"lm-filter: min-quantile must be in [0, 1), got $q"))
@@ -522,14 +519,22 @@ object Curation {
                 LangModel.unigramsBy(refDocs, col(langCol), et))
               val b = Caching.cacheOnce(
                 LangModel.bigramsBy(refDocs, col(langCol), et, minCount))
+              val tg = if (order == 3) Some(Caching.cacheOnce(
+                LangModel.trigramsBy(refDocs, col(langCol), et,
+                  minCount)))
+              else None
               val cuts = minQ.map { q =>
                 // the cutoff table is ≤ one row per language —
                 // materialize it HERE (and release the scoring cache)
                 // so nothing downstream re-executes the quantile
                 // subtree
                 val (scored, fresh) = Caching.cacheOnceTracked(
-                  LangModel.scoreBy(refDocs, idCol, col(langCol), et,
-                    u, b).select(col("g"), col("mean_p")))
+                  (tg match {
+                    case Some(t3) => LangModel.scoreTrigramBy(refDocs,
+                      idCol, col(langCol), et, u, b, t3)
+                    case None => LangModel.scoreBy(refDocs, idCol,
+                      col(langCol), et, u, b)
+                  }).select(col("g"), col("mean_p")))
                 try {
                   val proj = ExactQuantiles.percentiles(scored, "g",
                     Seq("mean_p" -> Seq(q)))
@@ -539,34 +544,39 @@ object Curation {
                     proj.schema)
                 } finally if (fresh) scored.unpersist(blocking = false)
               }
-              (u, b, cuts)
+              (u, b, tg, cuts)
             }
-            val mparams = Map("ngram" -> "2",
+            val mparams = Map("ngram" -> order.toString,
               "min-count" -> minCount.toString,
               "lang-column" -> langCol) ++
               minQ.map("min-quantile" -> _.toString)
-            val (uni, big, cuts) =
+            val (uni, big, triBy, cuts) =
               conf.get("model-dir").map(_.toString) match {
                 case Some(dir) =>
                   if (retrain) {
-                    val (u, b, c) = trainLmBy()
+                    val (u, b, tg, c) = trainLmBy()
                     ModelStore.save(spark, dir, "lm-by-lang", mparams,
                       Map("unigrams" -> u, "bigrams" -> b) ++
+                        tg.map("trigrams" -> _) ++
                         c.map("cutoffs" -> _))
                   }
                   val load = ModelStore.open(spark, dir, "lm-by-lang",
                     mparams)
                   (Caching.cacheOnce(load("unigrams")),
                     Caching.cacheOnce(load("bigrams")),
+                    if (order == 3)
+                      Some(Caching.cacheOnce(load("trigrams")))
+                    else None,
                     minQ.map(_ => load("cutoffs")))
                 case None => trainLmBy()
               }
             val bank = try Some(LangModel.broadcastBank(spark,
-              LangModel.compileModelBy(uni, big)))
+              LangModel.compileModelBy(uni, big, triBy)))
             catch { case _: ModelTooLargeException => None }
             if (bank.isDefined) {
               uni.unpersist(blocking = false)
               big.unpersist(blocking = false)
+              triBy.foreach(_.unpersist(blocking = false))
             }
             // materialize the cutoffs ONCE at assembly (≤ one row per
             // language): left lazy, the quantile subtree — or the
@@ -578,11 +588,16 @@ object Curation {
                 java.util.Arrays.asList(rows: _*), c.schema)
             }
             return Stage("lm-filter", df => {
-              val scored = bank match {
-                case Some(bk) => LangModel.scoreByCompiled(
+              val scored = (bank, triBy) match {
+                case (Some(bk), Some(_)) => LangModel
+                  .scoreTrigramByCompiled(df, idCol, textCol, langCol, bk)
+                case (Some(bk), None) => LangModel.scoreByCompiled(
                   df, idCol, textCol, langCol, bk)
-                case None => LangModel.scoreBy(df, idCol, col(langCol),
-                  TextFunctions.tokens(t), uni, big)
+                case (None, Some(t3)) => LangModel.scoreTrigramBy(df,
+                  idCol, col(langCol), TextFunctions.tokens(t), uni,
+                  big, t3)
+                case (None, None) => LangModel.scoreBy(df, idCol,
+                  col(langCol), TextFunctions.tokens(t), uni, big)
               }
               val keep = cutsLocal match {
                 // per-language learned cutoff; docs whose language

@@ -142,19 +142,106 @@ object LangModel {
         coalesce(col("mean_p"), lit(0.0)).as("mean_p"))
   }
 
-  /** Collect a per-group model pair into per-group (keys, counts)
-    * arrays — [[compileModel]] keyed by group, same driver-memory
-    * gate (over ALL groups' rows together), same loud space-free
-    * tokenizer validation.
+  /** Per-group trigram counts (g, w1, w2, w3, cnt) with
+    * cnt >= minCount — the per-language prune, like [[bigramsBy]]. */
+  def trigramsBy(ref: DataFrame, g: Column, toks: Column,
+      minCount: Int = 2): DataFrame =
+    ref.select(g.as("g"), toks.as("__t"))
+      .select(col("g"), explode(windowTriples(col("__t"))).as("tg"))
+      .select(col("g"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+      .groupBy(col("g"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /** Per-group trigram scoring with the two-level backoff ladder —
+    * [[scoreTrigram]] with every model join keyed by (g, ngram) and
+    * per-group backoff scalars; restore semantics as in [[scoreBy]].
+    *
+    * @return (doc_id, g, n_win, n_tri_hits, n_big_hits, mean_p)
+    */
+  def scoreTrigramBy(docs: DataFrame, idCol: String, g: Column,
+      toks: Column, uni: DataFrame, big: DataFrame, tri: DataFrame,
+      alpha: Double = 0.4): DataFrame = {
+    val scalars = uni.groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n_total"), count(lit(1)).as("v"))
+
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      g.as("g"), toks.as("__t"))
+    val wins = base
+      .select(col("doc_id"), col("g"),
+        posexplode(windowTriples(col("__t"))).as(Seq("pos", "tg")))
+      .select(col("doc_id"), col("g"), col("pos"),
+        col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+    val scored = wins
+      .join(tri.select(col("g"), col("w1"), col("w2"), col("w3"),
+        col("cnt").as("c_tri")), Seq("g", "w1", "w2", "w3"), "left")
+      .join(big.select(col("g"), col("w1"), col("w2"),
+        col("cnt").as("c_ctx")), Seq("g", "w1", "w2"), "left")
+      .join(big.select(col("g"), col("w1").as("w2"),
+        col("w2").as("w3"), col("cnt").as("c_bg")),
+        Seq("g", "w2", "w3"), "left")
+      .join(uni.select(col("g"), col("token").as("w2"),
+        col("cnt").as("c_mid")), Seq("g", "w2"), "left")
+      .join(uni.select(col("g"), col("token").as("w3"),
+        col("cnt").as("c_last")), Seq("g", "w3"), "left")
+      .join(broadcast(scalars), Seq("g"))
+      .select(col("doc_id"), col("g"), col("pos"),
+        (col("c_tri").isNotNull && col("c_ctx").isNotNull)
+          .cast("long").as("tri_hit"),
+        (col("c_tri").isNull || col("c_ctx").isNull)
+          .and(col("c_bg").isNotNull && col("c_mid").isNotNull)
+          .cast("long").as("big_hit"),
+        when(col("c_tri").isNotNull && col("c_ctx").isNotNull,
+          col("c_tri").cast("double") / col("c_ctx").cast("double"))
+          .when(col("c_bg").isNotNull && col("c_mid").isNotNull,
+            lit(alpha) *
+              (col("c_bg").cast("double") / col("c_mid").cast("double")))
+          .otherwise(lit(alpha) * lit(alpha) *
+            ((coalesce(col("c_last"), lit(0L)) + lit(1L)).cast("double") /
+              (col("n_total") + col("v")).cast("double"))).as("p"))
+
+    val perDoc = scored
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("n_win"),
+        sum(col("tri_hit")).as("n_tri_hits"),
+        sum(col("big_hit")).as("n_big_hits"),
+        sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .select(col("doc_id"), col("g"), col("n_win"),
+        col("n_tri_hits"), col("n_big_hits"),
+        (aggregate(transform(col("ps"), x => x.getField("p")),
+          lit(0.0), (acc, x) => acc + x) /
+          col("n_win").cast("double")).as("mean_p"))
+    base.select(col("doc_id"), col("g"))
+      .join(perDoc, Seq("doc_id", "g"), "left")
+      .select(col("doc_id"), col("g"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_tri_hits"), lit(0L)).as("n_tri_hits"),
+        coalesce(col("n_big_hits"), lit(0L)).as("n_big_hits"),
+        coalesce(col("mean_p"), lit(0.0)).as("mean_p"))
+  }
+
+  /** Collect a per-group model into per-group (keys, counts) arrays —
+    * [[compileModel]] keyed by group, same driver-memory gate (over
+    * ALL groups' rows together), same loud space-free tokenizer
+    * validation; trigram tables merge in when supplied.
     *
     * @throws ModelTooLargeException over the row gate */
   def compileModelBy(uni: DataFrame, big: DataFrame,
+      tri: Option[DataFrame] = None,
       maxModelRows: Long = 5000000L)
   : Map[String, (Array[String], Array[Long])] = {
     val keyed = uni.select(col("g"), col("token").as("k"), col("cnt"),
       lit(1).as("ord")) unionAll
       big.select(col("g"), concat_ws(" ", col("w1"), col("w2")).as("k"),
-        col("cnt"), lit(2).as("ord"))
+        col("cnt"), lit(2).as("ord")) unionAll
+      tri.map(_.select(col("g"),
+        concat_ws(" ", col("w1"), col("w2"), col("w3")).as("k"),
+        col("cnt"), lit(3).as("ord")))
+        .getOrElse(uni.sparkSession.emptyDataFrame
+          .select(lit("").as("g"), lit("").as("k"), lit(0L).as("cnt"),
+            lit(0).as("ord")).limit(0))
     require(maxModelRows < Int.MaxValue, s"bad gate $maxModelRows")
     val rows = keyed.limit(maxModelRows.toInt + 1).collect()
     if (rows.length > maxModelRows)
@@ -210,6 +297,23 @@ object LangModel {
       .select(col("doc_id"), col("g"),
         coalesce(col("__r.n_trans"), lit(0L)).as("n_trans"),
         coalesce(col("__r.n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("__r.mean_p"), lit(0.0)).as("mean_p"))
+  }
+
+  /** Trigram twin of [[scoreByCompiled]] — the bank kernel walking
+    * each document's OWN group's two-level backoff ladder. */
+  def scoreTrigramByCompiled(docs: DataFrame, idCol: String,
+      textCol: String, groupCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.LmModelBank])
+  : DataFrame = {
+    val kernel = graft.functions.BroadcastScore.lm3By(
+      col(textCol), col(groupCol), bc)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      col(groupCol).as("g"), kernel.as("__r"))
+      .select(col("doc_id"), col("g"),
+        coalesce(col("__r.n_win"), lit(0L)).as("n_win"),
+        coalesce(col("__r.n_tri_hits"), lit(0L)).as("n_tri_hits"),
+        coalesce(col("__r.n_big_hits"), lit(0L)).as("n_big_hits"),
         coalesce(col("__r.mean_p"), lit(0.0)).as("mean_p"))
   }
 

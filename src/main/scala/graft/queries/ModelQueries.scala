@@ -217,6 +217,33 @@ object ModelQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // per-language trigram twin: each document walks ITS OWN
+    // language's two-level backoff ladder
+    "model_lm_trigram_by_lang" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val uni = LangModel.unigramsBy(d, col("lang"), toks)
+      val big = LangModel.bigramsBy(d, col("lang"), toks, minCount = 2)
+      val tri = LangModel.trigramsBy(d, col("lang"), toks, minCount = 2)
+      LangModel.scoreTrigramBy(d, "doc_id", col("lang"), toks,
+        uni, big, tri)
+        .withColumnRenamed("g", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
+    // the model-bank kernel twin of model_lm_trigram_by_lang — same
+    // oracle (kernel ≡ relational ≡ DuckDB three-way agreement)
+    "model_lm_perlang3_kernel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val uni = LangModel.unigramsBy(d, col("lang"), toks)
+      val big = LangModel.bigramsBy(d, col("lang"), toks, minCount = 2)
+      val tri = LangModel.trigramsBy(d, col("lang"), toks, minCount = 2)
+      val bank = LangModel.broadcastBank(s,
+        LangModel.compileModelBy(uni, big, Some(tri)))
+      LangModel.scoreTrigramByCompiled(d, "doc_id", "text", "lang", bank)
+        .withColumnRenamed("g", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
     // the ACTUAL CCNet recipe: one LM per language (count tables
     // keyed by (lang, ngram), trained in one pass), every document
     // scored against ITS OWN language's model, and head/middle/tail
@@ -387,6 +414,19 @@ object ModelQueries {
         |SELECT doc_id, lang, n_trans, n_hits, mean_p FROM w
         |ORDER BY doc_id""".stripMargin),
 
+    // mirrors LangModel.scoreTrigramBy: the trigram ladder with
+    // every model join keyed by lang, per-lang backoff scalars
+    "model_lm_trigram_by_lang" -> (sqlLmScore3ByLang +
+      """
+        |SELECT doc_id, lang, n_win, n_tri_hits, n_big_hits, mean_p
+        |FROM w ORDER BY doc_id""".stripMargin),
+
+    // identical oracle: the bank kernel must agree bit-for-bit
+    "model_lm_perlang3_kernel" -> (sqlLmScore3ByLang +
+      """
+        |SELECT doc_id, lang, n_win, n_tri_hits, n_big_hits, mean_p
+        |FROM w ORDER BY doc_id""".stripMargin),
+
     // per-language twin of model_lm_buckets: the same score algebra
     // with every model join keyed by lang, quartile cutoffs per lang
     "model_lm_buckets_by_lang" -> (sqlLmScoreByLang +
@@ -437,7 +477,7 @@ object ModelQueries {
          |         WHEN bg.cnt IS NOT NULL AND um.cnt IS NOT NULL
          |         THEN 0.4 * (CAST(bg.cnt AS DOUBLE)
          |                     / CAST(um.cnt AS DOUBLE))
-         |         ELSE 0.4 * 0.4 *
+         |         ELSE (CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) *
          |           (CAST(COALESCE(ul.cnt, 0) + 1 AS DOUBLE)
          |            / CAST(sc.n_total + sc.v AS DOUBLE)) END AS p
          |  FROM wins w
@@ -650,6 +690,73 @@ object ModelQueries {
        |w AS (SELECT d.doc_id, d.lang,
        |    COALESCE(pd.n_trans, 0) AS n_trans,
        |    COALESCE(pd.n_hits, 0) AS n_hits,
+       |    COALESCE(pd.mean_p, 0.0) AS mean_p
+       |  FROM (SELECT DISTINCT doc_id, lang FROM documents) d
+       |  LEFT JOIN pd USING (doc_id, lang))""".stripMargin
+
+  /** Shared PER-LANGUAGE trigram CTE chain ending in `w(doc_id,
+    * lang, n_win, n_tri_hits, n_big_hits, mean_p)` — the relational
+    * and bank-kernel oracles differ only in the tail. */
+  private lazy val sqlLmScore3ByLang: String =
+    s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+       |uni AS (SELECT lang, token, COUNT(*) AS cnt
+       |  FROM (SELECT lang, unnest(toks) AS token FROM t)
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_total,
+       |              COUNT(*) AS v FROM uni GROUP BY 1),
+       |big AS (SELECT lang, w1, w2, COUNT(*) AS cnt FROM (
+       |    SELECT lang, toks[i + 1] AS w1, toks[i + 2] AS w2
+       |    FROM (SELECT lang, toks,
+       |            unnest(range(0, greatest(len(toks) - 1, 0))) AS i
+       |          FROM t))
+       |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+       |tri AS (SELECT lang, w1, w2, w3, COUNT(*) AS cnt FROM (
+       |    SELECT lang, toks[i + 1] AS w1, toks[i + 2] AS w2,
+       |           toks[i + 3] AS w3
+       |    FROM (SELECT lang, toks,
+       |            unnest(range(0, greatest(len(toks) - 2, 0))) AS i
+       |          FROM t))
+       |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2),
+       |wins AS (SELECT doc_id, lang, i AS pos, toks[i + 1] AS w1,
+       |                toks[i + 2] AS w2, toks[i + 3] AS w3
+       |  FROM (SELECT doc_id, lang, toks,
+       |          unnest(range(0, greatest(len(toks) - 2, 0))) AS i
+       |        FROM t)),
+       |p AS (SELECT w.doc_id, w.lang, w.pos,
+       |    CASE WHEN tg.cnt IS NOT NULL AND cx.cnt IS NOT NULL
+       |         THEN 1 ELSE 0 END AS tri_hit,
+       |    CASE WHEN (tg.cnt IS NULL OR cx.cnt IS NULL)
+       |          AND bg.cnt IS NOT NULL AND um.cnt IS NOT NULL
+       |         THEN 1 ELSE 0 END AS big_hit,
+       |    CASE WHEN tg.cnt IS NOT NULL AND cx.cnt IS NOT NULL
+       |         THEN CAST(tg.cnt AS DOUBLE) / CAST(cx.cnt AS DOUBLE)
+       |         WHEN bg.cnt IS NOT NULL AND um.cnt IS NOT NULL
+       |         THEN 0.4 * (CAST(bg.cnt AS DOUBLE)
+       |                     / CAST(um.cnt AS DOUBLE))
+       |         ELSE (CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) *
+       |           (CAST(COALESCE(ul.cnt, 0) + 1 AS DOUBLE)
+       |            / CAST(sc.n_total + sc.v AS DOUBLE)) END AS p
+       |  FROM wins w
+       |    LEFT JOIN tri tg ON w.lang = tg.lang AND w.w1 = tg.w1
+       |                    AND w.w2 = tg.w2 AND w.w3 = tg.w3
+       |    LEFT JOIN big cx ON w.lang = cx.lang AND w.w1 = cx.w1
+       |                    AND w.w2 = cx.w2
+       |    LEFT JOIN big bg ON w.lang = bg.lang AND w.w2 = bg.w1
+       |                    AND w.w3 = bg.w2
+       |    LEFT JOIN uni um ON w.lang = um.lang AND w.w2 = um.token
+       |    LEFT JOIN uni ul ON w.lang = ul.lang AND w.w3 = ul.token
+       |    JOIN sc ON w.lang = sc.lang),
+       |pd AS (SELECT doc_id, lang, COUNT(*) AS n_win,
+       |    CAST(SUM(tri_hit) AS BIGINT) AS n_tri_hits,
+       |    CAST(SUM(big_hit) AS BIGINT) AS n_big_hits,
+       |    list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+       |                (a, b) -> a + b)
+       |      / CAST(COUNT(*) AS DOUBLE) AS mean_p
+       |  FROM p GROUP BY 1, 2),
+       |w AS (SELECT d.doc_id, d.lang,
+       |    COALESCE(pd.n_win, 0) AS n_win,
+       |    COALESCE(pd.n_tri_hits, 0) AS n_tri_hits,
+       |    COALESCE(pd.n_big_hits, 0) AS n_big_hits,
        |    COALESCE(pd.mean_p, 0.0) AS mean_p
        |  FROM (SELECT DISTINCT doc_id, lang FROM documents) d
        |  LEFT JOIN pd USING (doc_id, lang))""".stripMargin

@@ -182,6 +182,34 @@ class LangModelSpec extends SparkSpec {
     assert(kerE == relE)
   }
 
+  test("trigram model bank ≡ relational scoreTrigramBy bit-for-bit") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    val uni = LangModel.unigramsBy(docs, col("lang"), t)
+    val big = LangModel.bigramsBy(docs, col("lang"), t, 2)
+    val tri = LangModel.trigramsBy(docs, col("lang"), t, 2)
+    val rel = LangModel.scoreTrigramBy(docs, "doc_id", col("lang"), t,
+      uni, big, tri).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val bank = LangModel.broadcastBank(spark,
+      LangModel.compileModelBy(uni, big, Some(tri)))
+    val ker = LangModel.scoreTrigramByCompiled(docs, "doc_id", "text",
+      "lang", bank).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(ker == rel)
+    // and against an independent per-language scoreTrigram run
+    val langs = docs.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val expected = langs.flatMap { l =>
+      val sub = docs.filter(col("lang") === l)
+      LangModel.scoreTrigram(sub, "doc_id", t,
+        LangModel.unigrams(sub, t), LangModel.bigrams(sub, t, 2),
+        LangModel.trigrams(sub, t, 2))
+        .collect().map(r => Seq(r.getLong(0), l, r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getDouble(4)))
+    }.sortBy(_.head.asInstanceOf[Long])
+    assert(rel == expected)
+  }
+
   test("compileModelBy refuses the row gate and space-bearing tokens " +
     "loudly") {
     val t = graft.functions.TextFunctions.tokens(col("text"))
