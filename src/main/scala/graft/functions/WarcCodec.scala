@@ -250,7 +250,11 @@ object WarcFixture {
       if (!gzip) out.write(rec, 0, rec.length)
       else {
         val g = new java.util.zip.GZIPOutputStream(out)
-        g.write(rec); g.finish()
+        // close, not just finish: finish alone leaves the native
+        // Deflater un-ended (one leaked native buffer PER RECORD at
+        // soak scale, reclaimed only at GC/cleaner time); close ends
+        // it and is harmless to the ByteArrayOutputStream underneath
+        g.write(rec); g.close()
       }
     val rnd = new java.util.Random(id * 7919L + 17L)
     var i = 0
@@ -282,7 +286,7 @@ object WarcFixture {
       g.write(zeros, 0, n)
       left -= n
     }
-    g.finish()
+    g.close() // end the native deflater, not just the stream
     out.toByteArray
   }
 
@@ -295,7 +299,11 @@ object WarcFixture {
       else {
         // one gzip member per record (the .warc.gz convention)
         val g = new java.util.zip.GZIPOutputStream(out)
-        g.write(rec); g.finish()
+        // close, not just finish: finish alone leaves the native
+        // Deflater un-ended (one leaked native buffer PER RECORD at
+        // soak scale, reclaimed only at GC/cleaner time); close ends
+        // it and is harmless to the ByteArrayOutputStream underneath
+        g.write(rec); g.close()
       }
     var seq = 0
     var i = 0

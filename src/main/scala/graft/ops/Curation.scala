@@ -443,8 +443,13 @@ object Curation {
         }
         val (counts, priors) = conf.get("model-dir").map(_.toString) match {
           case Some(dir) =>
+            // label-column is part of the model's training identity:
+            // retraining after the seed corpus's label column is
+            // repointed must NOT serve under a marker that matches a
+            // differently-configured stage
             val mparams = Map("pos-label" -> posLabel,
-              "min-count" -> minCount.toString)
+              "min-count" -> minCount.toString,
+              "label-column" -> labelCol)
             if (retrain) {
               val (c, p) = trainNb()
               ModelStore.save(spark, dir, "nb", mparams,
@@ -559,6 +564,13 @@ object Curation {
                       Map("unigrams" -> u, "bigrams" -> b) ++
                         tg.map("trigrams" -> _) ++
                         c.map("cutoffs" -> _))
+                    // release the training-side caches before the
+                    // store re-load below registers its own — left
+                    // resident they'd outlive the stage assembly
+                    // (the r11 cache-hygiene contract)
+                    u.unpersist(blocking = false)
+                    b.unpersist(blocking = false)
+                    tg.foreach(_.unpersist(blocking = false))
                   }
                   val load = ModelStore.open(spark, dir, "lm-by-lang",
                     mparams)

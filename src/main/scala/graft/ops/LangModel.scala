@@ -68,6 +68,11 @@ object LangModel {
     * Generate (the explode re-evaluation discipline). */
   def unigramsBy(ref: DataFrame, g: Column, toks: Column): DataFrame =
     ref.select(g.as("g"), toks.as("__t"))
+      // null-group training rows drop: they could never train a
+      // servable model (relational joins skip null keys) and a null
+      // bank key would NPE broadcastBank's sort — both scorer paths
+      // agree that a null-group DOC restores as (0, 0, 0.0)
+      .filter(col("g").isNotNull)
       .select(col("g"), explode(col("__t")).as("token"))
       .groupBy(col("g"), col("token")).agg(count(lit(1)).as("cnt"))
 
@@ -77,6 +82,7 @@ object LangModel {
   def bigramsBy(ref: DataFrame, g: Column, toks: Column,
       minCount: Int = 2): DataFrame =
     ref.select(g.as("g"), toks.as("__t"))
+      .filter(col("g").isNotNull) // see unigramsBy
       .select(col("g"), explode(transitionPairs(col("__t"))).as("bg"))
       .select(col("g"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col("g"), col("w1"), col("w2"))
@@ -147,6 +153,7 @@ object LangModel {
   def trigramsBy(ref: DataFrame, g: Column, toks: Column,
       minCount: Int = 2): DataFrame =
     ref.select(g.as("g"), toks.as("__t"))
+      .filter(col("g").isNotNull) // see unigramsBy
       .select(col("g"), explode(windowTriples(col("__t"))).as("tg"))
       .select(col("g"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
         col("tg.w3").as("w3"))
@@ -250,6 +257,12 @@ object LangModel {
           "use the relational LangModel.scoreBy path for unbounded " +
           "models, or raise maxModelRows")
     rows.foreach { r =>
+      // a null group key can't serve (bank lookup is by string; the
+      // training aggregates drop null-g rows) — reject a hand-built
+      // table loudly instead of NPE-ing in broadcastBank's sort
+      require(!r.isNullAt(0),
+        "lm bank: null group key in model tables — train with " +
+          "LangModel.unigramsBy/bigramsBy (null-group rows drop)")
       val k = r.getString(1)
       val spaces = k.count(_ == ' ')
       if (spaces != r.getInt(3) - 1)

@@ -65,7 +65,8 @@ class ModelLifecycleSpec extends SparkSpec {
     // remember the committed model's exact scores for the
     // bit-identity comparison after the corpus is gone
     val load = ModelStore.open(spark, modelDir, "nb",
-      Map("pos-label" -> "good", "min-count" -> "1"))
+      Map("pos-label" -> "good", "min-count" -> "1",
+        "label-column" -> "label"))
     val scoresTrained = NbClassifier.scoreBinaryCompiled(
       spark.read.parquet(in), "doc_id", "text",
       NbClassifier.compileBinary(load("counts"), load("priors"), "good"))
@@ -85,7 +86,8 @@ class ModelLifecycleSpec extends SparkSpec {
     assert(got2 == got1)
     // and the scores themselves are bit-identical
     val load2 = ModelStore.open(spark, modelDir, "nb",
-      Map("pos-label" -> "good", "min-count" -> "1"))
+      Map("pos-label" -> "good", "min-count" -> "1",
+        "label-column" -> "label"))
     val scoresServed = NbClassifier.scoreBinaryCompiled(
       spark.read.parquet(in), "doc_id", "text",
       NbClassifier.compileBinary(load2("counts"), load2("priors"), "good"))
@@ -238,5 +240,44 @@ class ModelLifecycleSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq == lm1)
     assert(spark.read.parquet(s"$dir/dsir-out2").orderBy("doc_id")
       .collect().map(_.toSeq).toSeq == ds1)
+  }
+
+  test("staged-generation save: a failed retrain preserves the " +
+    "previously committed model; the next good one supersedes it") {
+    val dir = Files.createTempDirectory("model-life-gen").toString
+    val store = s"$dir/model"
+    val params = Map("k" -> "1")
+    // generation 1: a good committed model
+    ModelStore.save(spark, store, "test", params,
+      Map("t" -> Seq((1L, "v1")).toDF("id", "v")))
+    assert(ModelStore.exists(spark, store))
+
+    // retrain attempt whose training plan FAILS AT EXECUTION (the
+    // bad-ref-path / OOM / job-kill shape) — previously this
+    // permanently destroyed the committed model (marker deleted
+    // before the first table write)
+    val bad = spark.range(1)
+      .select(assert_true(col("id") > 10).as("x"), col("id"))
+    intercept[Exception] {
+      ModelStore.save(spark, store, "test", params, Map("t" -> bad))
+    }
+    // the old model still serves, bit-identically
+    assert(ModelStore.exists(spark, store))
+    val load1 = ModelStore.open(spark, store, "test", params)
+    assert(load1("t").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "v1")))
+
+    // a subsequent GOOD retrain supersedes, and superseded/orphan
+    // generation dirs are GC'd (steady-state disk = one generation)
+    ModelStore.save(spark, store, "test", params,
+      Map("t" -> Seq((2L, "v2")).toDF("id", "v")))
+    val load2 = ModelStore.open(spark, store, "test", params)
+    assert(load2("t").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "v2")))
+    val children = Files.list(Paths.get(store)).iterator()
+    val names = scala.collection.mutable.Set.empty[String]
+    while (children.hasNext) names += children.next().getFileName.toString
+    assert(names.count(n => n == "tables" || n.startsWith("tables-g")) == 1,
+      s"expected exactly one generation dir, got $names")
   }
 }
