@@ -93,7 +93,12 @@ object CurateMain {
       // anything a re-run depends on
       stages.foreach(_.postCommit())
       val funnel = observations.map { case (name, ob) =>
-        name -> ob.get.apply("n").asInstanceOf[Long]
+        // AQE empty-relation propagation can PRUNE an observed
+        // subtree when a stage drains the corpus to zero rows — the
+        // CollectMetrics node then never fires and the metric map
+        // comes back empty. An absent count after a completed write
+        // IS zero, not an error.
+        name -> ob.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
       }
       (funnel.last._2, funnel)
     } else {

@@ -75,7 +75,9 @@ object TextFunctions {
   /** Language-id heuristic: marker-word lookup, first match wins.
     * A real pipeline would use character-n-gram profiles; the marker
     * chain is the deterministic, oracle-checkable core of that
-    * approach. */
+    * approach. Whitespace-token based, so BLIND to space-free
+    * scripts — [[langIdScript]] layers the CJK/Thai script detection
+    * on top. */
   def langId(text: Column): Column = letTokens(text) { ts =>
     when(array_contains(ts, "der") || array_contains(ts, "und"), "de")
       .when(array_contains(ts, "le") || array_contains(ts, "la"), "fr")
@@ -83,6 +85,78 @@ object TextFunctions {
       .when(array_contains(ts, "the") || array_contains(ts, "a"), "en")
       .otherwise("und")
   }
+
+  /** Character n-grams over space-marked text — the fastText/CCNet
+    * fallback tokenization for space-free scripts (zh/ja/th), where
+    * the whitespace [[tokens]] would return one giant "token" per
+    * sentence and every word-token operator (LM scoring, NB
+    * features, shingle dedup) silently degrades. Spaces normalize to
+    * U+2581 '▁' (the sentencepiece convention) so every gram is
+    * SPACE-FREE — the compiled-kernel key contract holds by
+    * construction and char-gram models ride the same broadcast
+    * banks as word models. A document shorter than n chars yields
+    * itself as one gram; empty text yields no grams; null stays
+    * null (explodes to zero rows, like [[tokens]] of null).
+    *
+    * Cross-engine: `length`/`substring` are codepoint-positional in
+    * both Spark (UTF8String) and DuckDB, verified on Han, kana,
+    * Hangul, and Thai-with-combining-marks samples — the oracle
+    * mirror is `list_transform(range(1, length(t)-n+2),
+    * i -> substring(t, i, n))`. Pure narrow expression: a sliding
+    * window costs one projection at any scale, like [[shingles]]. */
+  def charNgrams(text: Column, n: Int = 5): Column = {
+    require(n > 0, s"charNgrams: need n > 0, got $n")
+    Exprs.bind(regexp_replace(trim(text), " +", "▁")) { t =>
+      when(length(t) === 0, array().cast("array<string>"))
+        .when(length(t) < n, array(t))
+        .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n))))
+    }
+  }
+
+  /** The char-gram stream re-spaced into whitespace-token text:
+    * `tokens(charGramText(t, n)) == charNgrams(t, n)` (grams are
+    * space-free by the ▁ normalization), so EVERY word-token
+    * operator — the compiled LM/NB kernels, the shingle_hash64
+    * dedup kernel (n=1), BM25 — runs in char-gram mode with zero
+    * changes: char-gram mode is a projection, not an operator
+    * family fork. Null text stays null (kernels take their
+    * null-restore path, matching the relational explode-of-null). */
+  def charGramText(text: Column, n: Int = 5): Column =
+    when(text.isNotNull, concat_ws(" ", charNgrams(text, n)))
+
+  /** Characters of `text` inside a literal script range — counted by
+    * length delta under global removal, the construction that is
+    * identical in any regex engine (the class uses LITERAL range
+    * endpoints, not \\u escapes, because Java and RE2 spell escapes
+    * differently). */
+  private def scriptCount(text: Column, rangeClass: String): Column =
+    length(text) - length(regexp_replace(text, rangeClass, ""))
+
+  // literal BMP script ranges (kana = Hiragana+Katakana U+3041-30FF;
+  // Han = CJK Unified U+4E00-9FFF; Thai U+0E01-0E5B; Hangul
+  // syllables U+AC00-D7A3)
+  private val kanaClass = "[ぁ-ヿ]"
+  private val hanClass = "[一-鿿]"
+  private val thaiClass = "[ก-๛]"
+  private val hangulClass = "[가-힣]"
+
+  /** Script-aware language id — the layer the word-marker [[langId]]
+    * cannot see: space-free scripts are detected by character-block
+    * membership (the only reliable signal a heuristic has for CJK —
+    * kana appears ONLY in Japanese, so kana wins over Han; Han with
+    * no kana reads as Chinese; Hangul and Thai are unambiguous
+    * blocks). Scripts decided first, then the word-marker chain for
+    * the space-delimited rest. Deterministic and SQL-expressible
+    * (length-delta regexp counts), so oracle-checkable. */
+  def langIdScript(text: Column): Column =
+    Exprs.bind(coalesce(text, lit(""))) { t =>
+      when(scriptCount(t, kanaClass) > 0, "ja")
+        .when(scriptCount(t, hangulClass) > 0, "ko")
+        .when(scriptCount(t, thaiClass) > 0, "th")
+        .when(scriptCount(t, hanClass) > 0, "zh")
+        .otherwise(langId(t))
+    }
 
   /** Composite quality score in [0,2]: stopword ratio (fluency
     * proxy) + non-degenerate-length band bonus. Deterministic double

@@ -128,6 +128,37 @@ object Curation {
       case None => Nil
     }
     val t = col(textCol)
+    // tokenizer mode for the model-filter stages: "word" (whitespace,
+    // the default) or "char" (character n-grams — the CCNet/fastText
+    // fallback for space-free scripts; zh/ja/th have no whitespace
+    // tokens, so word mode silently degrades to one giant token per
+    // sentence). Char grams are space-free by the ▁ normalization, so
+    // they ride the SAME compiled kernels: the kernel text is the
+    // gram stream re-spaced (TextFunctions.charGramText).
+    val tokMode = conf.get("tokenizer").map(_.toString)
+      .getOrElse("word")
+    require(tokMode == "word" || tokMode == "char",
+      s"tokenizer must be 'word' or 'char', got '$tokMode'")
+    val charN = num("char-n", 5).toInt
+    require(charN > 0, s"char-n must be positive, got $charN")
+    def toksOf(c: org.apache.spark.sql.Column) =
+      if (tokMode == "char") TextFunctions.charNgrams(c, charN)
+      else TextFunctions.tokens(c)
+    // tokenizer identity params — part of every ModelStore marker a
+    // tokenized model commits (serving a word-token model in a
+    // char-gram stage is silent corruption)
+    val tokParams = Map("tokenizer" -> tokMode) ++
+      (if (tokMode == "char") Map("char-n" -> charN.toString) else Map())
+    // compiled kernels tokenize their text input by whitespace; in
+    // char mode hand them the re-spaced gram stream via a projected
+    // column (returns the frame + the column to score)
+    def kernelInput(df: DataFrame, textColName: String)
+    : (DataFrame, String) =
+      if (tokMode == "char")
+        (df.withColumn("__graft_gt",
+          TextFunctions.charGramText(col(textColName), charN)),
+          "__graft_gt")
+      else (df, textColName)
     str("type") match {
       case "quality-filter" =>
         val min = num("min-score", 0.5)
@@ -137,8 +168,15 @@ object Curation {
       case "langid-filter" =>
         val langs = cols("langs")
         require(langs.nonEmpty, "langid-filter: missing/empty langs")
+        // script = true layers character-block detection over the
+        // marker-word chain, so zh/ja/th/ko corpora are classifiable
+        // (word markers never fire on space-free scripts); default
+        // stays the word-marker heuristic for config stability
+        val useScript = conf.get("script").exists(_.toString == "true")
+        val pred = if (useScript) TextFunctions.langIdScript(t)
+          else TextFunctions.langId(t)
         Stage("langid-filter",
-          _.filter(TextFunctions.langId(t).isin(langs: _*)),
+          _.filter(pred.isin(langs: _*)),
           streamable = true)
       case "length-filter" =>
         val lo = num("min-tokens", 1).toInt
@@ -438,7 +476,7 @@ object Curation {
         def trainNb() = {
           val refDocs = spark.read.parquet(str("ref-path"))
           (NbClassifier.trainCounts(refDocs,
-            TextFunctions.tokens(col(textCol)), col(labelCol), minCount),
+            toksOf(col(textCol)), col(labelCol), minCount),
             NbClassifier.docPriors(refDocs, col(labelCol)))
         }
         val (counts, priors) = conf.get("model-dir").map(_.toString) match {
@@ -449,7 +487,7 @@ object Curation {
             // differently-configured stage
             val mparams = Map("pos-label" -> posLabel,
               "min-count" -> minCount.toString,
-              "label-column" -> labelCol)
+              "label-column" -> labelCol) ++ tokParams
             if (retrain) {
               val (c, p) = trainNb()
               ModelStore.save(spark, dir, "nb", mparams,
@@ -477,10 +515,11 @@ object Curation {
         }
         Stage("nb-filter", df => {
           val scored = compiledNb match {
-            case Some(bc) => NbClassifier.scoreBinaryCompiled(
-              df, idCol, textCol, bc)
+            case Some(bc) =>
+              val (kdf, ktc) = kernelInput(df, textCol)
+              NbClassifier.scoreBinaryCompiled(kdf, idCol, ktc, bc)
             case None => NbClassifier.scoreBinary(df, idCol,
-              TextFunctions.tokens(t), counts, priors, posLabel, prefix)
+              toksOf(t), counts, priors, posLabel, prefix)
           }
           val keep = scored.filter(col("score") >= minScore)
             .select(col("doc_id").as(idCol))
@@ -515,7 +554,7 @@ object Curation {
               s"lm-filter: min-quantile must be in [0, 1), got $q"))
             def trainLmBy() = {
               val refDocs = spark.read.parquet(str("ref-path"))
-              val et = TextFunctions.tokens(col(textCol))
+              val et = toksOf(col(textCol))
               // cache the count tables HERE: they feed the cutoff
               // quantile actions, the ModelStore save, and the kernel
               // compile — uncached, training would re-aggregate per
@@ -553,7 +592,7 @@ object Curation {
             }
             val mparams = Map("ngram" -> order.toString,
               "min-count" -> minCount.toString,
-              "lang-column" -> langCol) ++
+              "lang-column" -> langCol) ++ tokParams ++
               minQ.map("min-quantile" -> _.toString)
             val (uni, big, triBy, cuts) =
               conf.get("model-dir").map(_.toString) match {
@@ -601,15 +640,18 @@ object Curation {
             }
             return Stage("lm-filter", df => {
               val scored = (bank, triBy) match {
-                case (Some(bk), Some(_)) => LangModel
-                  .scoreTrigramByCompiled(df, idCol, textCol, langCol, bk)
-                case (Some(bk), None) => LangModel.scoreByCompiled(
-                  df, idCol, textCol, langCol, bk)
+                case (Some(bk), Some(_)) =>
+                  val (kdf, ktc) = kernelInput(df, textCol)
+                  LangModel.scoreTrigramByCompiled(
+                    kdf, idCol, ktc, langCol, bk)
+                case (Some(bk), None) =>
+                  val (kdf, ktc) = kernelInput(df, textCol)
+                  LangModel.scoreByCompiled(kdf, idCol, ktc, langCol, bk)
                 case (None, Some(t3)) => LangModel.scoreTrigramBy(df,
-                  idCol, col(langCol), TextFunctions.tokens(t), uni,
+                  idCol, col(langCol), toksOf(t), uni,
                   big, t3)
                 case (None, None) => LangModel.scoreBy(df, idCol,
-                  col(langCol), TextFunctions.tokens(t), uni, big)
+                  col(langCol), toksOf(t), uni, big)
               }
               val keep = cutsLocal match {
                 // per-language learned cutoff; docs whose language
@@ -626,17 +668,16 @@ object Curation {
         // model-dir lifecycle: see nb-filter
         def trainLm() = {
           val refDocs = spark.read.parquet(str("ref-path"))
-          (LangModel.unigrams(refDocs, TextFunctions.tokens(col(textCol))),
-            LangModel.bigrams(refDocs,
-              TextFunctions.tokens(col(textCol)), minCount),
+          (LangModel.unigrams(refDocs, toksOf(col(textCol))),
+            LangModel.bigrams(refDocs, toksOf(col(textCol)), minCount),
             if (order == 3) Some(LangModel.trigrams(refDocs,
-              TextFunctions.tokens(col(textCol)), minCount))
+              toksOf(col(textCol)), minCount))
             else None)
         }
         val (uni, big, tri) = conf.get("model-dir").map(_.toString) match {
           case Some(dir) =>
             val mparams = Map("ngram" -> order.toString,
-              "min-count" -> minCount.toString)
+              "min-count" -> minCount.toString) ++ tokParams
             if (retrain) {
               val (u, b, tg) = trainLm()
               ModelStore.save(spark, dir, "lm", mparams,
@@ -670,13 +711,15 @@ object Curation {
         Stage("lm-filter", df => {
           val scored = (compiled, tri) match {
             case (Some(bc), Some(_)) =>
-              LangModel.scoreTrigramCompiledModel(df, idCol, textCol, bc)
+              val (kdf, ktc) = kernelInput(df, textCol)
+              LangModel.scoreTrigramCompiledModel(kdf, idCol, ktc, bc)
             case (Some(bc), None) =>
-              LangModel.scoreCompiledModel(df, idCol, textCol, bc)
+              val (kdf, ktc) = kernelInput(df, textCol)
+              LangModel.scoreCompiledModel(kdf, idCol, ktc, bc)
             case (None, Some(tg)) => LangModel.scoreTrigram(df, idCol,
-              TextFunctions.tokens(t), uni, big, tg)
+              toksOf(t), uni, big, tg)
             case (None, None) => LangModel.score(df, idCol,
-              TextFunctions.tokens(t), uni, big)
+              toksOf(t), uni, big)
           }
           val keep = scored.filter(col("mean_p") >= minScore)
             .select(col("doc_id").as(idCol))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TextFunctions
 import graft.ops.{Components, Dedup}
 
 /** Deduplication queries over `documents` / `embeddings`
@@ -73,6 +74,24 @@ object DedupQueries {
       Dedup.ngramJaccardPairs(
         docs(s, dir).filter(col("doc_id") < 3000), "text", "doc_id")
         .orderBy(col("a"), col("b"))),
+
+    // CHARACTER-5-gram Jaccard — the dedup shape for space-free
+    // scripts (zh/ja/th have no word shingles to hash): charGramText
+    // re-spaces the gram stream, so the SAME shingle_hash64 inverted
+    // -index plan runs with n=1 (1-"word" shingles = the char grams).
+    // Corpus = a bounded documents slice ∪ the real-CJK fixture; the
+    // empty-text filter keeps kernel ([""]-token) and relational
+    // ([]-gram) empty-doc semantics aligned.
+    "dedup_chargram_jaccard" -> ((s, dir) => {
+      val c = MultilingualFixture.corpus(s,
+          docs(s, dir).filter(col("doc_id") < 150))
+        .select(col("doc_id"),
+          TextFunctions.charGramText(col("text"), 5).as("text"))
+        .filter(length(col("text")) > 0)
+      Dedup.ngramJaccardPairs(c, "text", "doc_id", n = 1,
+        minJaccard = 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
 
     // shingle CONTAINMENT ≥ 0.8 — the doc-inside-doc detector
     // (wire-article-in-portal-wrapper, quote-in-thread): high
@@ -582,6 +601,38 @@ object DedupQueries {
          |    toks[CAST(i AS INTEGER)+1] || ' ' || toks[CAST(i AS INTEGER)+2]
          |      || ' ' || toks[CAST(i AS INTEGER)+3] AS s
          |  FROM d, unnest(range(0, len(toks)-2)) AS t(i)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
+         |  FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, n_inter, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+         |    AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a
+         |JOIN sizes sb ON sb.doc_id = b
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+         |      >= 0.5
+         |ORDER BY a, b""".stripMargin,
+    "dedup_chargram_jaccard" ->
+      s"""WITH mx AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id, text
+         |  FROM (VALUES ${MultilingualFixture.sqlValues})
+         |       AS f(doc_id, lang, text)),
+         |ntt AS (SELECT doc_id,
+         |          regexp_replace(trim(text), ' +', '▁', 'g') AS nt
+         |        FROM mx),
+         |d AS (SELECT doc_id,
+         |        CASE WHEN length(nt) = 0 THEN []::VARCHAR[]
+         |             WHEN length(nt) < 5 THEN [nt]
+         |             ELSE list_transform(range(1, length(nt) - 3),
+         |                    i -> substring(nt, i, 5)) END AS toks
+         |      FROM ntt),
+         |sh AS (SELECT DISTINCT doc_id, s
+         |       FROM (SELECT doc_id, unnest(toks) AS s FROM d)),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter

@@ -271,6 +271,54 @@ object ModelQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // —— space-free-script (CJK/Thai) mode: the SAME LM/NB algebra
+    // over character n-grams (the fastText/CCNet fallback
+    // tokenization — whitespace tokens don't exist in zh/ja/th), on
+    // REAL zh/ja/th/ko sample text (MultilingualFixture ∪ documents,
+    // carried inline through both engines) ——
+
+    "model_lm_chargram_by_lang" -> ((s, dir) => {
+      val c = MultilingualFixture.corpus(s, docs(s, dir))
+      val ct = TextFunctions.charNgrams(col("text"), 5)
+      val uni = LangModel.unigramsBy(c, col("lang"), ct)
+      val big = LangModel.bigramsBy(c, col("lang"), ct, minCount = 2)
+      LangModel.scoreBy(c, "doc_id", col("lang"), ct, uni, big)
+        .withColumnRenamed("g", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
+    // bank-kernel twin: char-gram models ride the SAME broadcast
+    // model bank — charGramText re-spaces the gram stream (grams are
+    // space-free by the ▁ normalization), so the kernel's tokenizer
+    // recovers exactly charNgrams(text) and char-gram mode is a
+    // projection, not a kernel fork
+    "model_lm_chargram_kernel" -> ((s, dir) => {
+      val c0 = MultilingualFixture.corpus(s, docs(s, dir))
+      val ct = TextFunctions.charNgrams(col("text"), 5)
+      val uni = LangModel.unigramsBy(c0, col("lang"), ct)
+      val big = LangModel.bigramsBy(c0, col("lang"), ct, minCount = 2)
+      val bank = LangModel.broadcastBank(s,
+        LangModel.compileModelBy(uni, big))
+      val c = c0.withColumn("__gt",
+        TextFunctions.charGramText(col("text"), 5))
+      LangModel.scoreByCompiled(c, "doc_id", "__gt", "lang", bank)
+        .withColumnRenamed("g", "lang")
+        .select(col("doc_id"), col("lang"), col("n_trans"),
+          col("n_hits"), col("mean_p"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // char-trigram language ID — the fastText shape: NB argmax votes
+    // over character trigrams, the signal that survives scripts with
+    // no whitespace tokens
+    "model_nb_chargram" -> ((s, dir) => {
+      val c = MultilingualFixture.corpus(s, docs(s, dir))
+      val ct = TextFunctions.charNgrams(col("text"), 3)
+      val counts = NbClassifier.trainCounts(c, ct, col("lang"), 2)
+      NbClassifier.predictVotes(c, "doc_id", ct, counts)
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance weights: target = the en split, raw = whole
     // corpus — the flagged-subset case, so BOTH bucket models come
     // from ONE featurize + conditional aggregate pass
@@ -413,6 +461,28 @@ object ModelQueries {
       """
         |SELECT doc_id, lang, n_trans, n_hits, mean_p FROM w
         |ORDER BY doc_id""".stripMargin),
+
+    // the char-gram CCNet fallback: same per-language algebra, toks
+    // = sliding char-5-grams over ▁-marked text, corpus = documents
+    // ∪ the real-CJK fixture
+    "model_lm_chargram_by_lang" -> (sqlLmChargramByLang +
+      """
+        |SELECT doc_id, lang, n_trans, n_hits, mean_p FROM w
+        |ORDER BY doc_id""".stripMargin),
+
+    // identical oracle: the bank kernel over re-spaced gram text
+    // must agree with the relational char-gram algebra bit-for-bit
+    "model_lm_chargram_kernel" -> (sqlLmChargramByLang +
+      """
+        |SELECT doc_id, lang, n_trans, n_hits, mean_p FROM w
+        |ORDER BY doc_id""".stripMargin),
+
+    // char-trigram langid votes (mirrors model_nb_predict's chain
+    // over the char tokenizer + fixture corpus)
+    "model_nb_chargram" -> (sqlNbChargram +
+      """
+        |SELECT pr.doc_id, pr.pred, pr.n_votes, nt.n_tok
+        |FROM pr JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin),
 
     // mirrors LangModel.scoreTrigramBy: the trigram ladder with
     // every model join keyed by lang, per-lang backoff scalars
@@ -569,9 +639,12 @@ object ModelQueries {
   /** Shared vote-prediction CTE chain ending in `pr(doc_id, pred,
     * n_votes)` and `nt(doc_id, n_tok)` — the predict and confusion
     * oracles differ only in the tail. */
-  private lazy val sqlNbPredict: String =
-    s"""WITH tok AS (SELECT lang AS label, unnest($sqlToks) AS token
-       |             FROM documents),
+  /** Parametric NB vote-predict chain: `ctCtes` must end in a CTE
+    * `ct(doc_id, lang, toks)` — the word-token and char-trigram
+    * (langid) oracles differ only in this head. */
+  private def sqlNbPredictOver(ctCtes: String): String =
+    s"""WITH $ctCtes,
+       |tok AS (SELECT lang AS label, unnest(toks) AS token FROM ct),
        |cnts AS (SELECT label, token, COUNT(*) AS cnt FROM tok
        |         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
        |tot AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS n FROM cnts
@@ -591,8 +664,7 @@ object ModelQueries {
        |oov AS (SELECT label AS oov_vote FROM (
        |    SELECT label, 1.0 / CAST(n + v AS DOUBLE) AS p
        |    FROM tot, vv) ORDER BY p DESC, oov_vote LIMIT 1),
-       |doctok AS (SELECT doc_id, unnest($sqlToks) AS token
-       |           FROM documents),
+       |doctok AS (SELECT doc_id, unnest(toks) AS token FROM ct),
        |voted AS (SELECT d.doc_id,
        |    COALESCE(vt.vote, (SELECT oov_vote FROM oov)) AS vote
        |  FROM doctok d LEFT JOIN vote vt USING (token)),
@@ -604,6 +676,15 @@ object ModelQueries {
        |    FROM tal) WHERE rnk = 1),
        |nt AS (SELECT doc_id, CAST(SUM(n_votes) AS BIGINT) AS n_tok
        |       FROM tal GROUP BY 1)""".stripMargin
+
+  private lazy val sqlNbPredict: String = sqlNbPredictOver(
+    s"ct AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents)")
+
+  private lazy val sqlNbChargram: String = sqlNbPredictOver(
+    s"""mx AS (${MultilingualFixture.sqlCorpus}),
+       |ntt AS (SELECT doc_id, lang, $sqlCharNorm AS nt FROM mx),
+       |ct AS (SELECT doc_id, lang, ${sqlCharToks(3)} AS toks
+       |       FROM ntt)""".stripMargin)
 
   /** Shared LM-score CTE chain ending in `w(doc_id, n_trans,
     * n_hits, mean_p)` — the score and bucket oracles differ only in
@@ -650,8 +731,13 @@ object ModelQueries {
   /** Shared PER-LANGUAGE LM-score CTE chain ending in `w(doc_id,
     * lang, n_trans, n_hits, mean_p)` — the score-by-lang, perlang
     * kernel, and per-lang bucket oracles differ only in the tail. */
-  private lazy val sqlLmScoreByLang: String =
-    s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+  /** Parametric per-language LM chain: `tCtes` must end in a CTE
+    * `t(doc_id, lang, toks)`; `restoreFrom` names the relation whose
+    * DISTINCT (doc_id, lang) set restores unscoreable docs. The
+    * word-token and char-gram oracles differ ONLY in these heads. */
+  private def sqlLmByLangChain(tCtes: String, restoreFrom: String)
+  : String =
+    s"""WITH $tCtes,
        |uni AS (SELECT lang, token, COUNT(*) AS cnt
        |  FROM (SELECT lang, unnest(toks) AS token FROM t)
        |  GROUP BY 1, 2),
@@ -691,8 +777,32 @@ object ModelQueries {
        |    COALESCE(pd.n_trans, 0) AS n_trans,
        |    COALESCE(pd.n_hits, 0) AS n_hits,
        |    COALESCE(pd.mean_p, 0.0) AS mean_p
-       |  FROM (SELECT DISTINCT doc_id, lang FROM documents) d
+       |  FROM (SELECT DISTINCT doc_id, lang FROM $restoreFrom) d
        |  LEFT JOIN pd USING (doc_id, lang))""".stripMargin
+
+  private lazy val sqlLmScoreByLang: String = sqlLmByLangChain(
+    s"t AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents)",
+    "documents")
+
+  // char-gram oracle tokenizer, mirrored from
+  // TextFunctions.charNgrams: spaces normalize to U+2581, then
+  // sliding codepoint windows (length/substring are
+  // codepoint-positional in BOTH engines — verified on Han, kana,
+  // Hangul, and Thai-with-combining-marks samples)
+  private def sqlCharNorm =
+    "regexp_replace(trim(text), ' +', '\u2581', 'g')"
+  private def sqlCharToks(n: Int): String =
+    s"""(CASE WHEN length(nt) = 0 THEN []::VARCHAR[]
+       |      WHEN length(nt) < $n THEN [nt]
+       |      ELSE list_transform(range(1, length(nt) - ${n - 2}),
+       |             i -> substring(nt, i, $n)) END)""".stripMargin
+
+  private lazy val sqlLmChargramByLang: String = sqlLmByLangChain(
+    s"""mx AS (${MultilingualFixture.sqlCorpus}),
+       |ntt AS (SELECT doc_id, lang, $sqlCharNorm AS nt FROM mx),
+       |t AS (SELECT doc_id, lang, ${sqlCharToks(5)} AS toks
+       |      FROM ntt)""".stripMargin,
+    "mx")
 
   /** Shared PER-LANGUAGE trigram CTE chain ending in `w(doc_id,
     * lang, n_win, n_tri_hits, n_big_hits, mean_p)` — the relational

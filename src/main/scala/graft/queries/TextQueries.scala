@@ -116,6 +116,16 @@ object TextQueries {
         TextFunctions.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // script-aware language id over real zh/ja/th/ko text — the
+    // layer the marker-word heuristic cannot see (whitespace tokens
+    // don't exist in space-free scripts); corpus = documents ∪ the
+    // inline multilingual fixture, in both engines
+    "text_langid_cjk" -> ((s, dir) =>
+      MultilingualFixture.corpus(s, docs(s, dir)).select(
+        col("doc_id"), col("lang"),
+        TextFunctions.langIdScript(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
     // composite quality score
     "text_quality" -> ((s, dir) =>
       docs(s, dir).select(
@@ -1566,6 +1576,29 @@ object TextQueries {
          |  WHEN list_contains($sqlToks, 'the') OR list_contains($sqlToks, 'a') THEN 'en'
          |  ELSE 'und' END AS lang_pred
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // langIdScript mirror: length-delta script counts with LITERAL
+    // range endpoints (Java and RE2 spell \u escapes differently,
+    // literal chars are identical); kana beats Han (kana appears
+    // only in Japanese), then Hangul, Thai, Han, then the
+    // word-marker chain over the same coalesced text
+    "text_langid_cjk" ->
+      s"""WITH mx AS (${MultilingualFixture.sqlCorpus}),
+         |c AS (SELECT doc_id, lang, coalesce(text, '') AS t FROM mx),
+         |ct AS (SELECT doc_id, lang, t,
+         |         string_split_regex(trim(t), ' +') AS tk FROM c)
+         |SELECT doc_id, lang,
+         | CASE
+         |  WHEN length(t) - length(regexp_replace(t, '[ぁ-ヿ]', '', 'g')) > 0 THEN 'ja'
+         |  WHEN length(t) - length(regexp_replace(t, '[가-힣]', '', 'g')) > 0 THEN 'ko'
+         |  WHEN length(t) - length(regexp_replace(t, '[ก-๛]', '', 'g')) > 0 THEN 'th'
+         |  WHEN length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g')) > 0 THEN 'zh'
+         |  WHEN list_contains(tk, 'der') OR list_contains(tk, 'und') THEN 'de'
+         |  WHEN list_contains(tk, 'le') OR list_contains(tk, 'la') THEN 'fr'
+         |  WHEN list_contains(tk, 'el') OR list_contains(tk, 'los') THEN 'es'
+         |  WHEN list_contains(tk, 'the') OR list_contains(tk, 'a') THEN 'en'
+         |  ELSE 'und' END AS lang_pred
+         |FROM ct ORDER BY doc_id""".stripMargin,
+
     "text_quality" ->
       s"""SELECT doc_id,
          | CAST(len(list_filter($sqlToks, t -> t IN $sqlStop)) AS DOUBLE)

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.MultilingualFixture
+
+/** Character-n-gram tokenization + script-aware langid — the
+  * space-free-script (CJK/Thai) layer (r12 verdict directive #2).
+  * Pins: gram windows are codepoint-positional, spaces mark as ▁ so
+  * grams are space-free (the compiled-kernel key contract),
+  * charGramText round-trips through the whitespace tokenizer, and
+  * the script detector classifies real zh/ja/th/ko text the
+  * word-marker chain cannot see. */
+class CharNgramSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def grams(text: String, n: Int): Seq[String] =
+    Seq(Tuple1(text)).toDF("text")
+      .select(TextFunctions.charNgrams(col("text"), n).as("g"))
+      .head().getSeq[String](0)
+
+  test("charNgrams: sliding codepoint windows, space -> ▁") {
+    assert(grams("abcdef", 5) == Seq("abcde", "bcdef"))
+    // exactly n chars -> one gram
+    assert(grams("abcde", 5) == Seq("abcde"))
+    // shorter than n -> the whole (normalized) text as one gram
+    assert(grams("ab", 5) == Seq("ab"))
+    // empty / whitespace-only -> no grams
+    assert(grams("", 5) == Seq())
+    assert(grams("   ", 5) == Seq())
+    // space runs collapse to ONE ▁ (tokens() parity: "a  b" is the
+    // same token stream as "a b")
+    assert(grams("ab  cd", 3) == Seq("ab▁", "b▁c", "▁cd"))
+    // every gram is space-free — the compiled-kernel contract
+    assert(grams("the quick brown fox", 5).forall(!_.contains(" ")))
+  }
+
+  test("charNgrams: CJK text grams by codepoint") {
+    assert(grams("机器学习是分支", 5) == Seq("机器学习是", "器学习是分", "学习是分支"))
+    // Thai combining marks are codepoints of their own — included,
+    // not folded into grapheme clusters (DuckDB agrees; probed)
+    assert(grams("ภาษาไทย", 5) == Seq("ภาษาไ", "าษาไท", "ษาไทย"))
+  }
+
+  test("charNgrams: null text stays null (explodes to zero rows)") {
+    val r = Seq(Tuple1(null: String)).toDF("text")
+      .select(TextFunctions.charNgrams(col("text"), 5).as("g"))
+      .head()
+    assert(r.isNullAt(0))
+  }
+
+  test("charGramText round-trips through the whitespace tokenizer: " +
+    "tokens(charGramText(t)) == charNgrams(t) — char-gram mode rides " +
+    "every word-token kernel as a projection") {
+    val df = MultilingualFixture.df(spark)
+      .select(
+        TextFunctions.tokens(
+          TextFunctions.charGramText(col("text"), 5)).as("via"),
+        TextFunctions.charNgrams(col("text"), 5).as("direct"))
+    assert(df.filter(col("via") =!= col("direct")).count() == 0)
+  }
+
+  test("langIdScript classifies real zh/ja/th/ko; latin falls back " +
+    "to the word-marker chain") {
+    val got = MultilingualFixture.df(spark)
+      .select(col("lang"),
+        TextFunctions.langIdScript(col("text")).as("pred"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    got.foreach { case (lang, pred) =>
+      assert(pred == lang, s"expected $lang, predicted $pred") }
+    // kana beats Han: mixed ja text (kanji + kana) reads as ja
+    val ja = Seq(Tuple1("漢字とかなの混在テキスト")).toDF("text")
+      .select(TextFunctions.langIdScript(col("text"))).head().getString(0)
+    assert(ja == "ja")
+    // null text -> the word-marker fallback's "und", never a crash
+    val nl = Seq(Tuple1(null: String)).toDF("text")
+      .select(TextFunctions.langIdScript(col("text"))).head().getString(0)
+    assert(nl == "und")
+  }
+
+  test("MultilingualFixture stays oracle-embeddable: no quotes or " +
+    "control chars in texts, distinct ids above any sf's range") {
+    val ids = MultilingualFixture.rows.map(_._1)
+    assert(ids.distinct.size == ids.size && ids.forall(_ >= 1000000000L))
+    MultilingualFixture.rows.foreach { case (_, lang, text) =>
+      assert(!text.contains("'") && !text.contains("\\"),
+        s"text must embed in a SQL VALUES literal: $text")
+      assert(text.forall(c => c >= ' '), s"control char in: $text")
+      assert(lang.matches("[a-z]{2}"))
+    }
+  }
+}

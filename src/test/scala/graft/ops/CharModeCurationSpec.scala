@@ -1,0 +1,161 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** tokenizer = "char" — the space-free-script mode of the model
+  * filter stages (r12 verdict directive #2). Pins: char-gram LM
+  * separates fluent from scrambled CJK where word mode is blind
+  * (one giant token per sentence → zero transitions → everything
+  * drops), the mode rides the committed-model lifecycle with
+  * tokenizer in the model identity, nb-filter char mode classifies
+  * CJK quality, and langid-filter script mode selects CJK corpora. */
+class CharModeCurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // fluent zh sentences (repeated so char-bigram transitions clear
+  // min-count) + their character-scrambled counterparts
+  private val fluent = Seq(
+    "机器学习是人工智能的一个重要分支",
+    "深度神经网络在图像识别领域取得了成功",
+    "机器学习是人工智能的一个重要分支",
+    "深度神经网络在图像识别领域取得了成功",
+    "机器学习是人工智能的一个重要分支")
+  private val scrambled = "分机习能学工是人器智的一个重要支"
+
+  test("lm-filter tokenizer=char separates fluent from scrambled " +
+    "CJK; word mode is structurally blind (zero transitions)") {
+    val dir = Files.createTempDirectory("char-lm").toString
+    val seed = s"$dir/seed.parquet"
+    fluent.zipWithIndex.map { case (t, i) => (100L + i, t) }
+      .toDF("doc_id", "text").write.parquet(seed)
+    val in = s"$dir/in.parquet"
+    Seq((1L, fluent.head), (2L, scrambled))
+      .toDF("doc_id", "text").write.parquet(in)
+
+    def config(out: String, tok: String) =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "lm-filter"
+         |ref-path = "$seed"
+         |tokenizer = "$tok"
+         |min-count = 2
+         |min-score = 0.05
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+
+    val (nChar, _) = graft.CurateMain.run(spark, config(s"$dir/c", "char"))
+    val keptChar = spark.read.parquet(s"$dir/c")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptChar == Set(1L),
+      s"char mode must keep the fluent doc and drop the scrambled: $keptChar")
+    assert(nChar == 1)
+
+    // word mode: each zh sentence is ONE whitespace token -> zero
+    // transitions -> mean_p 0 -> everything drops. This is exactly
+    // the silent degradation char mode exists to fix.
+    val (nWord, _) = graft.CurateMain.run(spark, config(s"$dir/w", "word"))
+    assert(nWord == 0, s"word mode on CJK kept $nWord docs")
+  }
+
+  test("char-gram models ride the committed lifecycle; tokenizer is " +
+    "part of the model identity") {
+    val dir = Files.createTempDirectory("char-lm-store").toString
+    val seed = s"$dir/seed.parquet"
+    fluent.zipWithIndex.map { case (t, i) => (100L + i, t) }
+      .toDF("doc_id", "text").write.parquet(seed)
+    val in = s"$dir/in.parquet"
+    Seq((1L, fluent.head), (2L, scrambled))
+      .toDF("doc_id", "text").write.parquet(in)
+    def config(out: String, tokLine: String, ref: Boolean) =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "lm-filter"
+         |${if (ref) s"""ref-path = "$seed"""" else ""}
+         |$tokLine
+         |min-count = 2
+         |min-score = 0.05
+         |model-dir = "$dir/model"
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val (n1, _) = graft.CurateMain.run(spark,
+      config(s"$dir/out1", "tokenizer = \"char\"", ref = true),
+      retrain = true)
+    assert(n1 == 1)
+    // serve with the corpus gone, same tokenizer: identical
+    val (n2, _) = graft.CurateMain.run(spark,
+      config(s"$dir/out2", "tokenizer = \"char\"", ref = false))
+    assert(n2 == 1)
+    // a word-tokenizer stage must REFUSE the char-trained model
+    val bad = intercept[IllegalArgumentException] {
+      graft.CurateMain.run(spark,
+        config(s"$dir/out3", "", ref = false))
+    }
+    assert(bad.getMessage.contains("does not match"), bad.getMessage)
+  }
+
+  test("nb-filter tokenizer=char classifies CJK quality") {
+    val dir = Files.createTempDirectory("char-nb").toString
+    val seed = s"$dir/seed.parquet"
+    // good = the fluent corpus; bad = repetitive junk characters
+    (fluent.zipWithIndex.map { case (t, i) => (100L + i, "good", t) } ++
+      Seq((200L, "bad", "广告广告广告点击点击点击广告广告广告点击点击"),
+        (201L, "bad", "点击广告点击广告点击广告点击广告点击广告")))
+      .toDF("doc_id", "label", "text").write.parquet(seed)
+    val in = s"$dir/in.parquet"
+    Seq((1L, fluent(1)), (2L, "广告点击广告点击广告点击广告点击"))
+      .toDF("doc_id", "text").write.parquet(in)
+    val config =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "nb-filter"
+         |ref-path = "$seed"
+         |tokenizer = "char"
+         |char-n = 3
+         |pos-label = "good"
+         |min-count = 1
+         |min-score = 1.0
+         |[output]
+         |dir = "$dir/out"
+         |""".stripMargin
+    val (n, _) = graft.CurateMain.run(spark, config)
+    val kept = spark.read.parquet(s"$dir/out")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"char-NB must keep the fluent doc: $kept")
+    assert(n == 1)
+  }
+
+  test("langid-filter script=true selects space-free-script corpora") {
+    val dir = Files.createTempDirectory("char-langid").toString
+    val in = s"$dir/in.parquet"
+    Seq((1L, "日本語のテキストです"),
+      (2L, "机器学习是人工智能的分支"),
+      (3L, "the quick brown fox"),
+      (4L, "ภาษาไทยมีสระผสม"))
+      .toDF("doc_id", "text").write.parquet(in)
+    val config =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "langid-filter"
+         |langs = ["ja", "zh"]
+         |script = true
+         |[output]
+         |dir = "$dir/out"
+         |""".stripMargin
+    val (n, _) = graft.CurateMain.run(spark, config)
+    val kept = spark.read.parquet(s"$dir/out")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), kept)
+    assert(n == 2)
+  }
+}

@@ -66,7 +66,7 @@ class ModelLifecycleSpec extends SparkSpec {
     // bit-identity comparison after the corpus is gone
     val load = ModelStore.open(spark, modelDir, "nb",
       Map("pos-label" -> "good", "min-count" -> "1",
-        "label-column" -> "label"))
+        "label-column" -> "label", "tokenizer" -> "word"))
     val scoresTrained = NbClassifier.scoreBinaryCompiled(
       spark.read.parquet(in), "doc_id", "text",
       NbClassifier.compileBinary(load("counts"), load("priors"), "good"))
@@ -87,7 +87,7 @@ class ModelLifecycleSpec extends SparkSpec {
     // and the scores themselves are bit-identical
     val load2 = ModelStore.open(spark, modelDir, "nb",
       Map("pos-label" -> "good", "min-count" -> "1",
-        "label-column" -> "label"))
+        "label-column" -> "label", "tokenizer" -> "word"))
     val scoresServed = NbClassifier.scoreBinaryCompiled(
       spark.read.parquet(in), "doc_id", "text",
       NbClassifier.compileBinary(load2("counts"), load2("priors"), "good"))
