@@ -8,7 +8,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** REAL MP4 / ISO-BMFF container metadata — the VIDEO leg of the
   * multimodal path, completing what [[graft.ops.Multimodal]] round 10
-  * left as the one remaining `fakeDecode` media branch: PNG and WAV
+  * left as the one remaining synthetic media branch: PNG and WAV
   * already parse for real; video now does too. This is the
   * ffprobe-class metadata walk (ISO/IEC 14496-12's box grammar is a
   * public spec), NOT frame decoding — H.264 entropy decode stays out

@@ -298,13 +298,17 @@ object Curation {
         }
         Stage("frame-features", df => {
           graft.GraftExtensions.ensure(df.sparkSession)
-          // corpora without a blob column (text fixtures) treat the
-          // text bytes as the opaque payload, like withMedia
+          // corpora without a blob column (text fixtures) take the
+          // SYNTHETIC metadata generator (known frame counts over
+          // text bytes — the withSyntheticMedia harness); a real
+          // blob column gets the honest content-dispatch decode
+          val hasBlob = df.columns.contains(blobCol)
           val withBlob =
-            if (df.columns.contains(blobCol)) df
+            if (hasBlob) df
             else df.withColumn(blobCol, Multimodal.asBlob(t))
           val media = withBlob.withColumn("media",
-            Multimodal.decode(col(blobCol)))
+            if (hasBlob) Multimodal.decode(col(blobCol))
+            else Multimodal.syntheticMediaMeta(col(blobCol)))
           val frames = Multimodal.sampleFrames(media, stride)
           val featured = Multimodal.withFrameFeatures(frames, blobCol,
             "frame_idx", outCol,

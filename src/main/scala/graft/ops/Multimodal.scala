@@ -7,13 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column plumbing, SURVEY §7.6.
   *
   * Blobs are opaque `BinaryType` payloads with a typed metadata
-  * struct. The Spark-side plumbing — schema, batch shape, partition
-  * strategy, frame-sampling expansion — is real and tested; the
-  * actual media DECODE is a clearly-marked deterministic STUB
-  * (`fakeDecode`) because no image/audio codec libraries exist in
-  * this container. Swapping the stub for a real decoder (e.g. a
-  * mapPartitions over javax.imageio, or a Pandas UDF in PySpark)
-  * changes only the body of that one function.
+  * struct. [[decode]] is a REAL content dispatch: magic-byte
+  * detection routes every format the native codec family parses
+  * (JPEG/PNG/GIF/BMP/TIFF/PPM/MP4/FLAC/MP3/WAV) to its kernel for
+  * header metadata, and true unknowns get [[sniff]]'s exact byte
+  * statistics instead of a guess. Text-as-blob TEST corpora go
+  * through [[syntheticMediaMeta]] — an explicit fixture generator
+  * (the `png_fixture` pattern), never a decode path.
   *
   * 100 TB notes: blobs never shuffle — metadata extraction and frame
   * sampling are narrow projections; any grouping happens on the
@@ -35,11 +35,16 @@ object Multimodal {
     * documents table's text stands in for media bytes). */
   def asBlob(c: Column): Column = c.cast(BinaryType)
 
-  /** STUB decode ??? — deterministic fake for OPAQUE (non-media) test
-    * blobs: derives mime/width/height/frame-count from the byte
-    * length. Real media headers take the [[headerDecode]] path —
-    * see [[decode]]. */
-  def fakeDecode(blob: Column): Column = {
+  /** Synthetic media metadata for TEXT-AS-BLOB fixtures — the
+    * `png_fixture` pattern applied to metadata: a deterministic
+    * (mime, dims, frame count) derived from the byte length, so the
+    * frame-sampling / batched-inference harness has known frame
+    * counts over the text-only gate corpus and the DuckDB oracle
+    * reproduces them from `octet_length`. This is a test-data
+    * GENERATOR, not a decode: production blobs go through
+    * [[decode]], whose unknown branch reports honest byte
+    * statistics instead of inventing dimensions. */
+  def syntheticMediaMeta(blob: Column): Column = {
     val n = length(blob)
     struct(
       when(pmod(n, lit(3)) === 0, "image/png")
@@ -89,6 +94,85 @@ object Multimodal {
   /** MP4 / ISO-BMFF probe: an `ftyp` box first (bytes 5-8). */
   def isMp4(blob: Column): Column =
     substring(blob, 5, 4) === lit("ftyp".getBytes)
+
+  /** JPEG: SOI + marker prefix FF D8 FF. */
+  def isJpeg(blob: Column): Column =
+    substring(blob, 1, 3) ===
+      lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte))
+
+  /** GIF: "GIF8" (87a/89a). */
+  def isGif(blob: Column): Column =
+    substring(blob, 1, 4) === lit("GIF8".getBytes)
+
+  /** BMP: "BM" + a plausible 12.. header (size field nonzero). */
+  def isBmp(blob: Column): Column =
+    substring(blob, 1, 2) === lit("BM".getBytes)
+
+  /** TIFF: little-endian "II*\0" or big-endian "MM\0*". */
+  def isTiff(blob: Column): Column =
+    substring(blob, 1, 4) === lit(Array[Byte](0x49, 0x49, 0x2a, 0x00)) ||
+      substring(blob, 1, 4) === lit(Array[Byte](0x4d, 0x4d, 0x00, 0x2a))
+
+  /** FLAC: "fLaC" stream marker. */
+  def isFlac(blob: Column): Column =
+    substring(blob, 1, 4) === lit("fLaC".getBytes)
+
+  /** MP3: ID3v2 tag, or a bare MPEG frame sync (FF Ex/Fx). */
+  def isMp3(blob: Column): Column =
+    substring(blob, 1, 3) === lit("ID3".getBytes) ||
+      (u8(blob, 1) === 0xff && u8(blob, 2) >= 0xe0)
+
+  /** gzip member: 1F 8B. */
+  def isGzip(blob: Column): Column =
+    substring(blob, 1, 2) === lit(Array[Byte](0x1f, 0x8b.toByte))
+
+  /** WARC record head: "WARC/". */
+  def isWarc(blob: Column): Column =
+    substring(blob, 1, 5) === lit("WARC/".getBytes)
+
+  /** ustar tar: magic at byte offset 258 (1-based). */
+  def isTar(blob: Column): Column =
+    substring(blob, 258, 5) === lit("ustar".getBytes)
+
+  /** Content-sniffed mime over every format the codec family
+    * parses, by MAGIC BYTES — extensions and labels lie; bytes
+    * don't (the mislabeled-extension case is pinned in
+    * MultimodalSpec). Probe order is most-specific first; kana-rule
+    * analog: a JPEG's FF D8 FF would also pass the bare-MP3
+    * frame-sync probe, so image probes run before audio. */
+  def sniffMime(blob: Column): Column =
+    when(isPng(blob), "image/png")
+      .when(isJpeg(blob), "image/jpeg")
+      .when(isGif(blob), "image/gif")
+      .when(isTiff(blob), "image/tiff")
+      .when(isPpm(blob), "image/x-portable-pixmap")
+      .when(isWav(blob), "audio/wav")
+      .when(isFlac(blob), "audio/flac")
+      .when(isMp4(blob), "video/mp4")
+      .when(isGzip(blob), "application/gzip")
+      .when(isWarc(blob), "application/warc")
+      .when(isTar(blob), "application/x-tar")
+      .when(isBmp(blob), "image/bmp")
+      .when(isMp3(blob), "audio/mpeg")
+      .otherwise("application/octet-stream")
+
+  /** Content sniff: magic-byte mime + exact byte statistics
+    * ([[graft.functions.ByteStats]] — printable/zero/distinct
+    * counts; integer-exact, so oracle-checkable where a Shannon
+    * entropy's `log` is not). The triage a 100 TB crawl runs on
+    * blobs BEFORE deciding which decoder (if any) to spend cycles
+    * on; one scan-stage projection, blobs never shuffle. */
+  def sniff(blob: Column): Column = {
+    val st = call_function("byte_stats", blob)
+    struct(
+      sniffMime(blob).as("mime"),
+      st.getField("n_bytes").as("n_bytes"),
+      st.getField("n_printable").as("n_printable"),
+      st.getField("n_zero").as("n_zero"),
+      st.getField("n_distinct").as("n_distinct"),
+      (st.getField("n_printable").cast(DoubleType) /
+        st.getField("n_bytes").cast(DoubleType)).as("printable_ratio"))
+  }
 
   /** Unsigned byte at a COLUMN position (1-based). */
   private def u8c(blob: Column, pos: Column): Column =
@@ -244,34 +328,70 @@ object Multimodal {
     * requires [[graft.GraftExtensions]] functions on the session. */
   def mp4Meta(blob: Column): Column = call_function("mp4_meta", blob)
 
-  /** Production decode: REAL header parse for recognized media
-    * signatures (PNG + WAV header fields; MP4 via the box-walk
-    * kernel); the deterministic fake only for opaque (text-as-blob)
-    * fixtures. */
+  /** Production decode: REAL metadata for EVERY format the native
+    * codec family parses, routed by magic bytes to the format's
+    * kernel; unknowns report their sniffed mime with NULL
+    * dimensions — never invented ones. A VALID parse is required,
+    * not just the signature probe: a blob whose bytes 5-8 happen to
+    * read "ftyp" but isn't a box tree falls through to the honest
+    * unknown branch (codegen subexpression elimination evaluates
+    * each kernel once). */
   def decode(blob: Column): Column = {
-    val m = mp4Meta(blob)
-    // a VALID parse is required, not just the signature probe: a blob
-    // whose bytes 5-8 happen to read "ftyp" but isn't a box tree must
-    // fall through to the opaque path (codegen subexpression
-    // elimination evaluates the kernel once)
-    when(isMp4(blob) && m.isNotNull,
-      struct(lit("video/mp4").as("mime"),
-        m.getField("width").as("width"),
-        m.getField("height").as("height"),
-        m.getField("n_frames").cast(IntegerType).as("n_frames"))
-    ).when(isPng(blob) || isWav(blob), {
+    val nullI = lit(null).cast(IntegerType)
+    def meta(mime: String, w: Column, h: Column, nf: Column) =
+      struct(lit(mime).as("mime"), w.cast(IntegerType).as("width"),
+        h.cast(IntegerType).as("height"),
+        nf.cast(IntegerType).as("n_frames"))
+    val m4 = mp4Meta(blob)
+    val jp = call_function("jpeg_stats", blob)
+    val gf = call_function("gif_stats", blob)
+    val bm = call_function("bmp_stats", blob)
+    val tf = call_function("tiff_stats", blob)
+    val pp = call_function("ppm_stats", blob)
+    val fl = call_function("flac_meta", blob)
+    val m3 = call_function("mp3_meta", blob)
+    when(isPng(blob) || isWav(blob), {
       val h = headerDecode(blob)
       struct(h.getField("mime").as("mime"),
         h.getField("width").as("width"),
         h.getField("height").as("height"),
         h.getField("n_frames").as("n_frames"))
-    }).otherwise(fakeDecode(blob))
+    }).when(isJpeg(blob) && jp.isNotNull, meta("image/jpeg",
+        jp.getField("width"), jp.getField("height"), lit(1)))
+      .when(isGif(blob) && gf.isNotNull, meta("image/gif",
+        gf.getField("width"), gf.getField("height"),
+        gf.getField("n_frames")))
+      .when(isTiff(blob) && tf.isNotNull, meta("image/tiff",
+        tf.getField("width"), tf.getField("height"),
+        tf.getField("n_pages")))
+      .when(isPpm(blob) && pp.isNotNull, meta("image/x-portable-pixmap",
+        pp.getField("width"), pp.getField("height"), lit(1)))
+      .when(isMp4(blob) && m4.isNotNull, meta("video/mp4",
+        m4.getField("width"), m4.getField("height"),
+        m4.getField("n_frames")))
+      .when(isFlac(blob) && fl.isNotNull, meta("audio/flac",
+        nullI, nullI, fl.getField("n_blocks")))
+      .when(isBmp(blob) && bm.isNotNull, meta("image/bmp",
+        bm.getField("width"), bm.getField("height"), lit(1)))
+      .when(isMp3(blob) && m3.isNotNull, meta("audio/mpeg",
+        nullI, nullI, m3.getField("n_frames")))
+      .otherwise(struct(sniffMime(blob).as("mime"),
+        nullI.as("width"), nullI.as("height"), nullI.as("n_frames")))
   }
 
-  /** Attach blob + decoded metadata to a DataFrame. */
+  /** Attach blob + HONEST decoded metadata ([[decode]]). Callers
+    * must [[graft.GraftExtensions]].ensure the session (the codec
+    * kernels resolve by name). */
   def withMedia(df: DataFrame, srcCol: String): DataFrame =
     df.withColumn("payload", asBlob(col(srcCol)))
       .withColumn("media", decode(col("payload")))
+
+  /** Attach blob + SYNTHETIC metadata ([[syntheticMediaMeta]]) — the
+    * text-as-blob fixture harness for the frame-sampling gate
+    * queries; never a decode path. */
+  def withSyntheticMedia(df: DataFrame, srcCol: String): DataFrame =
+    df.withColumn("payload", asBlob(col(srcCol)))
+      .withColumn("media", syntheticMediaMeta(col("payload")))
 
   /** Frame sampling: one output row per sampled frame index, stride
     * `every`. posexplode of a bounded sequence — row expansion is

@@ -321,10 +321,57 @@ object TextQueries {
         call_function("rolling_hash", col("text")).as("rfp"))
         .orderBy(col("doc_id"))),
 
-    // multimodal: blob + decoded metadata (decode = marked STUB, the
-    // schema/plumbing is the contract under test)
+    // multimodal CONTENT SNIFF — the decide-before-decoding triage a
+    // crawl runs on arbitrary blobs: magic-byte mime over every
+    // format the codec family parses (each lane builds a REAL blob
+    // via that format's native fixture, so the probe fires on true
+    // bytes, not labels) + exact byte statistics for the raw-text
+    // lane (printable/zero/distinct counts — the integer-exact
+    // entropy proxy; a Shannon entropy's log is not oracle-stable)
+    "multimodal_sniff" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val id = col("doc_id")
+      // narrow sort below the kernels (see multimodal_ppm_stats)
+      val base = docs(s, dir).select(id, col("text"))
+        .filter(id < 400).orderBy(id)
+      val lane = pmod(id, lit(9))
+      val w = (pmod(id, lit(12)) + 7).cast("int")
+      val h = (pmod(id, lit(6)) + 5).cast("int")
+      val blob =
+        when(lane === 0, call_function("png_fixture",
+          id.cast("long"), w, h))
+        .when(lane === 1, call_function("jpeg_fixture", id.cast("long"),
+          ((pmod(id, lit(6)) + 1) * 8).cast("int"),
+          ((pmod(id, lit(4)) + 1) * 8).cast("int")))
+        .when(lane === 2, call_function("gif_fixture",
+          id.cast("long"), w, h))
+        .when(lane === 3, call_function("bmp_fixture",
+          id.cast("long"), w, h))
+        .when(lane === 4, call_function("tiff_fixture", id.cast("long"),
+          w, (pmod(id, lit(9)) + 3).cast("int")))
+        .when(lane === 5, call_function("mp4_fixture", id.cast("long"),
+          lit(320), lit(240), (pmod(id, lit(24)) + 1).cast("int")))
+        .when(lane === 6, call_function("flac_fixture", id.cast("long")))
+        .when(lane === 7, call_function("mp3_fixture", id.cast("long"),
+          (pmod(id, lit(20)) + 1).cast("int")))
+        .otherwise(Multimodal.asBlob(col("text")))
+      base.select(id, Multimodal.sniff(blob).as("sn"))
+        .select(id, col("sn.mime").as("mime"),
+          when(col("sn.mime") === "application/octet-stream",
+            col("sn.n_bytes")).as("n_bytes"),
+          when(col("sn.mime") === "application/octet-stream",
+            col("sn.n_printable")).as("n_printable"),
+          when(col("sn.mime") === "application/octet-stream",
+            col("sn.n_zero")).as("n_zero"),
+          when(col("sn.mime") === "application/octet-stream",
+            col("sn.n_distinct")).as("n_distinct"))
+    }),
+
+    // multimodal: blob + SYNTHETIC metadata over the text-as-blob
+    // fixture corpus (the schema/plumbing contract under test; the
+    // honest content-dispatch decode is gated by multimodal_sniff)
     "multimodal_meta" -> ((s, dir) =>
-      Multimodal.withMedia(docs(s, dir), "text")
+      Multimodal.withSyntheticMedia(docs(s, dir), "text")
         .select(col("doc_id"),
           length(col("payload")).as("n_bytes"),
           col("media.mime").as("mime"),
@@ -340,7 +387,7 @@ object TextQueries {
     "multimodal_framesample" -> ((s, dir) =>
       Multimodal.withFrameFeatures(
         Multimodal.sampleFrames(
-          Multimodal.withMedia(
+          Multimodal.withSyntheticMedia(
             docs(s, dir).filter(col("doc_id") < 200), "text")),
         "payload", "frame_idx")
         .select(col("doc_id"), col("frame_idx"), col("frame_fp"))
@@ -1703,6 +1750,34 @@ object TextQueries {
         |                    c -> unicode(c)::BIGINT)),
         |   (h, b) -> (h * 131 + b) % 2147483647) AS rfp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_sniff" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id < 400),
+        |b AS (SELECT doc_id,
+        |        hex(CAST(text AS BLOB)) AS hx,
+        |        octet_length(CAST(text AS BLOB)) AS n,
+        |        doc_id % 9 AS lane FROM d),
+        |st AS (SELECT doc_id, lane, n,
+        |        list_transform(range(1, n + 1),
+        |          i -> CAST(concat('0x', substring(hx,
+        |                 CAST(2*i-1 AS INTEGER), 2)) AS INTEGER))
+        |          AS bytes
+        |       FROM b)
+        |SELECT doc_id,
+        |  CASE lane WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/bmp'
+        |    WHEN 4 THEN 'image/tiff' WHEN 5 THEN 'video/mp4'
+        |    WHEN 6 THEN 'audio/flac' WHEN 7 THEN 'audio/mpeg'
+        |    ELSE 'application/octet-stream' END AS mime,
+        |  CASE WHEN lane = 8 THEN CAST(n AS BIGINT) END AS n_bytes,
+        |  CASE WHEN lane = 8 THEN CAST(len(list_filter(bytes,
+        |    v -> (v >= 32 AND v <= 126) OR v IN (9, 10, 13)))
+        |    AS BIGINT) END AS n_printable,
+        |  CASE WHEN lane = 8 THEN CAST(len(list_filter(bytes,
+        |    v -> v = 0)) AS BIGINT) END AS n_zero,
+        |  CASE WHEN lane = 8 THEN CAST(len(list_distinct(bytes))
+        |    AS INTEGER) END AS n_distinct
+        |FROM st ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         | octet_length(CAST(text AS BLOB)) AS n_bytes,

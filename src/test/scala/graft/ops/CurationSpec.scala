@@ -1174,7 +1174,7 @@ class CurationSpec extends SparkSpec {
     val got = st.apply(d).orderBy($"doc_id", $"frame_idx")
       .as[(Long, Int, String)].collect().toSeq
     val expected = graft.ops.Multimodal.sampleFrames(
-      graft.ops.Multimodal.withMedia(d, "text"), 2)
+      graft.ops.Multimodal.withSyntheticMedia(d, "text"), 2)
       .select($"doc_id", $"frame_idx",
         md5(concat($"payload", lit(":"), $"frame_idx".cast("string"))))
       .orderBy($"doc_id", $"frame_idx")
@@ -1222,7 +1222,7 @@ class CurationSpec extends SparkSpec {
     def framesOf(texts: Seq[(Long, String)]): Long = {
       val d = texts.toDF("doc_id", "text")
       graft.ops.Multimodal.sampleFrames(
-        graft.ops.Multimodal.withMedia(d, "text"), 2).count()
+        graft.ops.Multimodal.withSyntheticMedia(d, "text"), 2).count()
     }
     val batch1 = Seq((1L, "alpha beta gamma"), (2L, "delta"))
     batch1.toDF("doc_id", "text").write.parquet(s"$in/s0.parquet")

@@ -121,14 +121,23 @@ class MultimodalSpec extends SparkSpec {
     (1 to 5).foreach(i => assert(r.isNullAt(i)))
   }
 
-  test("decode routes real media to the parser, opaque blobs to the fake") {
+  test("decode routes real media to the parser, unknowns to honest " +
+    "null dims; the synthetic generator stays fixture-only") {
+    graft.GraftExtensions.ensure(spark)
     val rows = Seq(Tuple1(png1x1), Tuple1("plain text".getBytes("UTF-8")))
       .toDF("payload")
       .select(Multimodal.decode(col("payload")).as("m"))
       .select("m.mime", "m.width").collect()
     assert(rows(0).getString(0) == "image/png" && rows(0).getInt(1) == 1)
-    // fake path: mime from byte length, width in the fake's 64..639 band
-    assert(rows(1).getInt(1) >= 64)
+    // honest unknown: octet-stream mime, NULL width — dimensions are
+    // never invented (the synthetic path is withSyntheticMedia, an
+    // explicit fixture harness)
+    assert(rows(1).getString(0) == "application/octet-stream" &&
+      rows(1).isNullAt(1))
+    val synth = Seq(Tuple1("plain text")).toDF("text")
+    val sm = Multimodal.withSyntheticMedia(synth, "text")
+      .select(col("media.width")).head()
+    assert(sm.getInt(0) >= 64) // the generator's 64..639 band
   }
 
   // ---- real P6 PPM decode ----
@@ -167,6 +176,44 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Boolean)].collect().toMap
     assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true,
       5L -> true))
+  }
+
+  test("sniff: bytes beat labels — a mislabeled extension is " +
+    "classified by content, and unknowns get honest byte stats") {
+    graft.GraftExtensions.ensure(spark)
+    // a file NAMED .png whose bytes are a WAV, and vice versa — the
+    // crawl reality sniffing exists for
+    val rows = Seq(
+      ("img.png", wav(1, 8000, 4)),
+      ("clip.wav", png1x1),
+      ("notes.txt", "plain ascii text\n".getBytes("US-ASCII")),
+      ("blob.bin", Array[Byte](0, 0, 1, 2, 0, 3, 0)))
+    val df = rows.toDF("name", "blob")
+    val got = df.select($"name", Multimodal.sniff($"blob").as("s"))
+      .select($"name", $"s.mime", $"s.n_printable", $"s.n_zero",
+        $"s.n_distinct")
+      .as[(String, String, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("img.png")._2 == "audio/wav")   // extension lies
+    assert(got("clip.wav")._2 == "image/png")  // both directions
+    val txt = got("notes.txt")
+    assert(txt._2 == "application/octet-stream" && txt._3 == 17L &&
+      txt._4 == 0L)
+    val bin = got("blob.bin")
+    assert(bin._2 == "application/octet-stream" && bin._3 == 0L &&
+      bin._4 == 4L && bin._5 == 4)
+    // decode routes the same bytes to the REAL kernels: the
+    // mislabeled "png" decodes as WAV with true sample math
+    val dec = df.filter($"name" === "img.png")
+      .select(Multimodal.decode($"blob").as("m"))
+      .select($"m.mime", $"m.n_frames").as[(String, Int)].head()
+    assert(dec == ("audio/wav", 4))
+    // and a true unknown reports NULL dims — never invented ones
+    val unk = df.filter($"name" === "blob.bin")
+      .select(Multimodal.decode($"blob").as("m"))
+      .select($"m.mime", $"m.width".isNull, $"m.n_frames".isNull)
+      .as[(String, Boolean, Boolean)].head()
+    assert(unk == ("application/octet-stream", true, true))
   }
 
 }
