@@ -903,10 +903,38 @@ object Curation {
         // a training-data bug), so the stage is row-local and
         // STREAMABLE; train with BpeTrain.train as a separate
         // deliberate action, like the ANN index's create().
-        val vocabPath = str("vocab-path")
         val outCol = conf.get("output-column").map(_.toString)
           .getOrElse("n_bpe_tokens")
-        val rules = spark.read.parquet(vocabPath)
+        // model-dir = the ModelStore lifecycle (the r12 advice gap:
+        // a bare vocab-path parquet has no marker, so a torn vocab
+        // write or a merges-count mismatch would serve silently).
+        // --retrain trains BpeTrain.train(merges) from ref-path and
+        // commits; serve runs load the committed generation and
+        // refuse torn/mismatched stores. vocab-path remains the
+        // bring-your-own-table escape hatch (externally-trained
+        // vocabularies), mutually exclusive with model-dir.
+        val rulesDf = (conf.get("model-dir").map(_.toString),
+            conf.get("vocab-path").map(_.toString)) match {
+          case (Some(_), Some(_)) =>
+            sys.error("bpe-tokenize: model-dir and vocab-path are " +
+              "mutually exclusive (the store owns its tables)")
+          case (Some(dir), None) =>
+            val merges = num("merges", 200).toInt
+            val mparams = Map("merges" -> merges.toString)
+            if (retrain) {
+              val vocab = BpeTrain.train(
+                BpeTrain.wordCounts(
+                  spark.read.parquet(str("ref-path")), textCol),
+                merges)
+              ModelStore.save(spark, dir, "bpe", mparams,
+                Map("merges" -> vocab))
+            }
+            ModelStore.open(spark, dir, "bpe", mparams)("merges")
+          case (None, Some(vp)) => spark.read.parquet(vp)
+          case (None, None) =>
+            sys.error("bpe-tokenize: need model-dir or vocab-path")
+        }
+        val rules = rulesDf
           .orderBy(col("rank")).select(col("left"), col("right"))
           .collect().map(r => (r.getString(0), r.getString(1))).toSeq
         Stage("bpe-tokenize", df => {

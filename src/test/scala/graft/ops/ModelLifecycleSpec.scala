@@ -242,6 +242,87 @@ class ModelLifecycleSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq == ds1)
   }
 
+  test("bpe-tokenize model-dir: retrain commits the vocab, serve " +
+    "survives corpus deletion, torn and mismatched stores refuse") {
+    val dir = Files.createTempDirectory("model-life-bpe").toString
+    val seed = s"$dir/seed.parquet"
+    Seq.fill(6)("low lower lowest newer newest").zipWithIndex
+      .map { case (t, i) => (100L + i, t) }
+      .toDF("doc_id", "text").write.parquet(seed)
+    val in = s"$dir/in.parquet"
+    Seq((1L, "lower newest"), (2L, "low low newer"))
+      .toDF("doc_id", "text").write.parquet(in)
+    def config(out: String, withRef: Boolean, merges: Int = 20) =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "bpe-tokenize"
+         |${if (withRef) s"""ref-path = "$seed"""" else ""}
+         |model-dir = "$dir/model"
+         |merges = $merges
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val (n1, _) = graft.CurateMain.run(spark, config(s"$dir/out1", true),
+      retrain = true)
+    assert(n1 == 2)
+    val got1 = spark.read.parquet(s"$dir/out1")
+      .orderBy("doc_id").select("doc_id", "n_bpe_tokens")
+      .collect().map(_.toSeq).toSeq
+    // serve with the training corpus GONE: identical token counts
+    rmTree(seed)
+    val (n2, _) = graft.CurateMain.run(spark, config(s"$dir/out2", false))
+    assert(n2 == n1)
+    assert(spark.read.parquet(s"$dir/out2")
+      .orderBy("doc_id").select("doc_id", "n_bpe_tokens")
+      .collect().map(_.toSeq).toSeq == got1)
+    // a merges-count mismatch is a DIFFERENT vocabulary — refused
+    val bad = intercept[IllegalArgumentException] {
+      graft.CurateMain.run(spark,
+        config(s"$dir/out3", false, merges = 50))
+    }
+    assert(bad.getMessage.contains("does not match"), bad.getMessage)
+    // torn store (marker missing) refuses and names the recovery
+    Files.delete(Paths.get(s"$dir/model/_graft_model"))
+    val torn = intercept[IllegalArgumentException] {
+      graft.CurateMain.run(spark, config(s"$dir/out4", false))
+    }
+    assert(torn.getMessage.contains("--retrain"), torn.getMessage)
+  }
+
+  test("dsir-filter model-dir: torn store refuses loudly") {
+    val dir = Files.createTempDirectory("model-life-dsir-torn").toString
+    val seed = s"$dir/seed.parquet"
+    Seq((101L, "the quick brown fox"), (102L, "the lazy dog sleeps"))
+      .toDF("doc_id", "text").write.parquet(seed)
+    val target = s"$dir/target.parquet"
+    spark.read.parquet(seed).filter($"text".contains("fox"))
+      .write.parquet(target)
+    val in = s"$dir/in.parquet"
+    Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+      .write.parquet(in)
+    def config(out: String, ref: String) =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "dsir-filter"
+         |$ref
+         |buckets = 64
+         |min-weight = 0.0
+         |model-dir = "$dir/model"
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    graft.CurateMain.run(spark, config(s"$dir/out1",
+      s"""target-path = "$target"
+         |raw-path = "$seed"""".stripMargin), retrain = true)
+    Files.delete(Paths.get(s"$dir/model/_graft_model"))
+    val torn = intercept[IllegalArgumentException] {
+      graft.CurateMain.run(spark, config(s"$dir/out2", ""))
+    }
+    assert(torn.getMessage.contains("--retrain"), torn.getMessage)
+  }
+
   test("staged-generation save: a failed retrain preserves the " +
     "previously committed model; the next good one supersedes it") {
     val dir = Files.createTempDirectory("model-life-gen").toString
