@@ -137,18 +137,44 @@ object Curation {
     // gram stream re-spaced (TextFunctions.charGramText).
     val tokMode = conf.get("tokenizer").map(_.toString)
       .getOrElse("word")
-    require(tokMode == "word" || tokMode == "char",
-      s"tokenizer must be 'word' or 'char', got '$tokMode'")
+    require(tokMode == "word" || tokMode == "char" || tokMode == "auto",
+      s"tokenizer must be 'word', 'char' or 'auto', got '$tokMode'")
     val charN = num("char-n", 5).toInt
     require(charN > 0, s"char-n must be positive, got $charN")
-    def toksOf(c: org.apache.spark.sql.Column) =
+    // "auto" = per-LANGUAGE routing (the complete CCNet recipe):
+    // documents whose language is in char-langs tokenize as char
+    // n-grams, the rest as words — one training pass, one model
+    // bank, each language under its natural tokenization. Only
+    // meaningful where a language key exists (lm-filter
+    // lang-column); single-model stages reject it loudly.
+    val charLangs = cols("char-langs") match {
+      case Nil => Seq("ja", "km", "lo", "my", "th", "zh")
+      case xs => xs.sorted
+    }
+    def toksOf(c: org.apache.spark.sql.Column) = {
+      require(tokMode != "auto",
+        "tokenizer = 'auto' needs a per-document language key — " +
+          "only lm-filter with lang-column supports it")
       if (tokMode == "char") TextFunctions.charNgrams(c, charN)
       else TextFunctions.tokens(c)
+    }
+    // the per-language router (auto mode): space-free languages take
+    // char n-grams, the rest word tokens — a single conditional
+    // projection, so one training aggregate covers both regimes
+    def autoToks(text: org.apache.spark.sql.Column,
+        lang: org.apache.spark.sql.Column) =
+      when(lang.isin(charLangs: _*),
+        TextFunctions.charNgrams(text, charN))
+        .otherwise(TextFunctions.tokens(text))
     // tokenizer identity params — part of every ModelStore marker a
     // tokenized model commits (serving a word-token model in a
     // char-gram stage is silent corruption)
     val tokParams = Map("tokenizer" -> tokMode) ++
-      (if (tokMode == "char") Map("char-n" -> charN.toString) else Map())
+      (if (tokMode != "word") Map("char-n" -> charN.toString)
+       else Map()) ++
+      (if (tokMode == "auto")
+        Map("char-langs" -> charLangs.mkString(","))
+       else Map())
     // compiled kernels tokenize their text input by whitespace; in
     // char mode hand them the re-spaced gram stream via a projected
     // column (returns the frame + the column to score)
@@ -553,12 +579,29 @@ object Curation {
         // model-dir like the count tables.
         conf.get("lang-column").map(_.toString) match {
           case Some(langCol) =>
+            // per-language tokenization: auto routes each language
+            // to its natural regime; word/char apply uniformly
+            def langToks =
+              if (tokMode == "auto") autoToks(col(textCol), col(langCol))
+              else toksOf(col(textCol))
+            // bank kernels tokenize their text input by whitespace —
+            // char and auto modes hand them re-spaced gram text
+            // (per-language conditional under auto)
+            def bankInput(df: DataFrame): (DataFrame, String) =
+              tokMode match {
+                case "word" => (df, textCol)
+                case "char" => kernelInput(df, textCol)
+                case _ => (df.withColumn("__graft_gt",
+                  when(col(langCol).isin(charLangs: _*),
+                    TextFunctions.charGramText(col(textCol), charN))
+                    .otherwise(col(textCol))), "__graft_gt")
+              }
             val minQ = conf.get("min-quantile").map(_.toString.toDouble)
             minQ.foreach(q => require(q >= 0.0 && q < 1.0,
               s"lm-filter: min-quantile must be in [0, 1), got $q"))
             def trainLmBy() = {
               val refDocs = spark.read.parquet(str("ref-path"))
-              val et = toksOf(col(textCol))
+              val et = langToks
               // cache the count tables HERE: they feed the cutoff
               // quantile actions, the ModelStore save, and the kernel
               // compile — uncached, training would re-aggregate per
@@ -645,17 +688,17 @@ object Curation {
             return Stage("lm-filter", df => {
               val scored = (bank, triBy) match {
                 case (Some(bk), Some(_)) =>
-                  val (kdf, ktc) = kernelInput(df, textCol)
+                  val (kdf, ktc) = bankInput(df)
                   LangModel.scoreTrigramByCompiled(
                     kdf, idCol, ktc, langCol, bk)
                 case (Some(bk), None) =>
-                  val (kdf, ktc) = kernelInput(df, textCol)
+                  val (kdf, ktc) = bankInput(df)
                   LangModel.scoreByCompiled(kdf, idCol, ktc, langCol, bk)
                 case (None, Some(t3)) => LangModel.scoreTrigramBy(df,
-                  idCol, col(langCol), toksOf(t), uni,
+                  idCol, col(langCol), langToks, uni,
                   big, t3)
                 case (None, None) => LangModel.scoreBy(df, idCol,
-                  col(langCol), toksOf(t), uni, big)
+                  col(langCol), langToks, uni, big)
               }
               val keep = cutsLocal match {
                 // per-language learned cutoff; docs whose language

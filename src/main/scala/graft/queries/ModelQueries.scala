@@ -319,6 +319,46 @@ object ModelQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the COMPLETE CCNet recipe — per-language models AND
+    // per-language tokenization: space-free languages (ja/th/zh
+    // here) tokenize as char-5-grams, the rest as words, all
+    // trained in ONE (lang, ngram)-keyed aggregate and scored
+    // against their own language's model under its own regime
+    "model_lm_auto_by_lang" -> ((s, dir) => {
+      val c = MultilingualFixture.corpus(s, docs(s, dir))
+      val at = when(col("lang").isin("ja", "th", "zh"),
+        TextFunctions.charNgrams(col("text"), 5))
+        .otherwise(TextFunctions.tokens(col("text")))
+      val uni = LangModel.unigramsBy(c, col("lang"), at)
+      val big = LangModel.bigramsBy(c, col("lang"), at, minCount = 2)
+      LangModel.scoreBy(c, "doc_id", col("lang"), at, uni, big)
+        .withColumnRenamed("g", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
+    // bank-kernel twin: the mixed-regime bank is still ONE broadcast
+    // — the kernel text is per-language re-spaced gram text or the
+    // raw text, a conditional projection
+    "model_lm_auto_kernel" -> ((s, dir) => {
+      val c0 = MultilingualFixture.corpus(s, docs(s, dir))
+      val at = when(col("lang").isin("ja", "th", "zh"),
+        TextFunctions.charNgrams(col("text"), 5))
+        .otherwise(TextFunctions.tokens(col("text")))
+      val uni = LangModel.unigramsBy(c0, col("lang"), at)
+      val big = LangModel.bigramsBy(c0, col("lang"), at, minCount = 2)
+      val bank = LangModel.broadcastBank(s,
+        LangModel.compileModelBy(uni, big))
+      val c = c0.withColumn("__gt",
+        when(col("lang").isin("ja", "th", "zh"),
+          TextFunctions.charGramText(col("text"), 5))
+          .otherwise(col("text")))
+      LangModel.scoreByCompiled(c, "doc_id", "__gt", "lang", bank)
+        .withColumnRenamed("g", "lang")
+        .select(col("doc_id"), col("lang"), col("n_trans"),
+          col("n_hits"), col("mean_p"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance weights: target = the en split, raw = whole
     // corpus — the flagged-subset case, so BOTH bucket models come
     // from ONE featurize + conditional aggregate pass
@@ -458,6 +498,20 @@ object ModelQueries {
     // identical oracle: the model-bank kernel must agree with the
     // relational per-language algebra bit-for-bit
     "model_lm_perlang_kernel" -> (sqlLmScoreByLang +
+      """
+        |SELECT doc_id, lang, n_trans, n_hits, mean_p FROM w
+        |ORDER BY doc_id""".stripMargin),
+
+    // mixed-regime CCNet: per-language tokenizer routing — same
+    // chain, toks chosen per language
+    "model_lm_auto_by_lang" -> (sqlLmAutoByLang +
+      """
+        |SELECT doc_id, lang, n_trans, n_hits, mean_p FROM w
+        |ORDER BY doc_id""".stripMargin),
+
+    // identical oracle: the mixed-regime bank kernel must agree with
+    // the relational routed algebra bit-for-bit
+    "model_lm_auto_kernel" -> (sqlLmAutoByLang +
       """
         |SELECT doc_id, lang, n_trans, n_hits, mean_p FROM w
         |ORDER BY doc_id""".stripMargin),
@@ -796,6 +850,17 @@ object ModelQueries {
        |      WHEN length(nt) < $n THEN [nt]
        |      ELSE list_transform(range(1, length(nt) - ${n - 2}),
        |             i -> substring(nt, i, $n)) END)""".stripMargin
+
+  private lazy val sqlLmAutoByLang: String = sqlLmByLangChain(
+    s"""mx AS (${MultilingualFixture.sqlCorpus}),
+       |ntt AS (SELECT doc_id, lang, text, $sqlCharNorm AS nt FROM mx),
+       |t AS (SELECT doc_id, lang,
+       |        CASE WHEN lang IN ('ja', 'th', 'zh')
+       |             THEN ${sqlCharToks(5)}
+       |             ELSE string_split_regex(trim(text), ' +') END
+       |          AS toks
+       |      FROM ntt)""".stripMargin,
+    "mx")
 
   private lazy val sqlLmChargramByLang: String = sqlLmByLangChain(
     s"""mx AS (${MultilingualFixture.sqlCorpus}),

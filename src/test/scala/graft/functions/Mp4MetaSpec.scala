@@ -258,7 +258,7 @@ class Mp4MetaSpec extends SparkSpec {
   }
 
   test("Multimodal.decode routes valid MP4s to the real parser and " +
-    "opaque blobs to the fake") {
+    "unknowns to the honest sniff branch") {
     val df = Seq(
       (1L, Mp4Fixture.build(5L, 320, 240, 10)),
       (2L, "plain text that is definitely not a box tree".getBytes("UTF-8"))
@@ -270,9 +270,10 @@ class Mp4MetaSpec extends SparkSpec {
     assert(mp4.getString(0) == "video/mp4")
     assert(mp4.getInt(1) == 320 && mp4.getInt(2) == 240)
     assert(mp4.getInt(3) == 10)
-    val fake = rs(1).getStruct(1)
-    assert(Seq("image/png", "audio/wav", "video/mp4").contains(
-      fake.getString(0))) // deterministic stub path, never null
+    val unk = rs(1).getStruct(1)
+    // honest unknown: sniffed mime, NULL dims — never invented
+    assert(unk.getString(0) == "application/octet-stream")
+    assert(unk.isNullAt(1) && unk.isNullAt(3))
     assert(!rs(1).isNullAt(1))
   }
 }

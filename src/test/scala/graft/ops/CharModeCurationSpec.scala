@@ -134,6 +134,76 @@ class CharModeCurationSpec extends SparkSpec {
     assert(n == 1)
   }
 
+  test("lm-filter tokenizer=auto routes each LANGUAGE to its natural " +
+    "regime: zh scores char-grams, en scores words, in one model bank") {
+    val dir = Files.createTempDirectory("auto-lm").toString
+    val enFluent = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox sleeps in the lazy sun",
+      "the quick brown fox runs past the lazy dog")
+    val seed = s"$dir/seed.parquet"
+    (fluent.zipWithIndex.map { case (t, i) => (100L + i, "zh", t) } ++
+      enFluent.zipWithIndex.map { case (t, i) => (200L + i, "en", t) })
+      .toDF("doc_id", "lang", "text").write.parquet(seed)
+    val in = s"$dir/in.parquet"
+    Seq(
+      (1L, "zh", fluent.head),
+      (2L, "zh", scrambled),
+      (3L, "en", enFluent.head),
+      (4L, "en", "dog lazy the over jumps fox brown quick the"))
+      .toDF("doc_id", "lang", "text").write.parquet(in)
+    def config(out: String, tokLine: String, modelDir: String) =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "lm-filter"
+         |ref-path = "$seed"
+         |lang-column = "lang"
+         |$tokLine
+         |min-count = 2
+         |min-quantile = 0.0
+         |model-dir = "$modelDir"
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val (n, _) = graft.CurateMain.run(spark,
+      config(s"$dir/out", "tokenizer = \"auto\"", s"$dir/model-a"),
+      retrain = true)
+    val kept = spark.read.parquet(s"$dir/out")
+      .select($"doc_id").as[Long].collect().toSet
+    // fluent zh (char regime) and fluent en (word regime) survive
+    // their own languages' floors; both scrambled twins drop
+    assert(kept == Set(1L, 3L), kept)
+    assert(n == 2)
+    // word mode on the same corpus is BLIND to zh — every zh doc
+    // (training and input alike) scores the restored 0.0, so the
+    // language's learned floor is 0.0 and the SCRAMBLED doc passes:
+    // garbage-but-green, exactly the failure mode auto exists to fix
+    val (nw, _) = graft.CurateMain.run(spark,
+      config(s"$dir/out-w", "tokenizer = \"word\"", s"$dir/model-w"),
+      retrain = true)
+    val keptW = spark.read.parquet(s"$dir/out-w")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptW.contains(2L) && !kept.contains(2L),
+      s"word mode cannot reject the scrambled zh doc; auto can: $keptW")
+    // auto outside lang mode refuses loudly
+    val bad = intercept[IllegalArgumentException] {
+      graft.CurateMain.run(spark,
+        s"""[input]
+           |path = "$in"
+           |[[stages]]
+           |type = "nb-filter"
+           |ref-path = "$seed"
+           |tokenizer = "auto"
+           |label-column = "lang"
+           |pos-label = "zh"
+           |[output]
+           |dir = "$dir/out-bad"
+           |""".stripMargin)
+    }
+    assert(bad.getMessage.contains("lang-column"), bad.getMessage)
+  }
+
   test("langid-filter script=true selects space-free-script corpora") {
     val dir = Files.createTempDirectory("char-langid").toString
     val in = s"$dir/in.parquet"
