@@ -399,6 +399,18 @@ object Curation {
             })
         }
       case "dedup-near" =>
+        // tokenizer = "char": near-dup over char-gram shingles — the
+        // CJK/Thai shape (word shingles are EMPTY on a space-free
+        // script: one giant token per sentence shingles to nothing,
+        // so word-mode near-dup silently finds nothing there).
+        // charGramText is a projection, so the minhash/LSH plan and
+        // the persisted index layout are unchanged; the projected
+        // column is dropped before the flow continues.
+        def nearText(df: DataFrame): (DataFrame, String) =
+          if (tokMode == "char")
+            (df.withColumn("__graft_gt",
+              TextFunctions.charGramText(t, charN)), "__graft_gt")
+          else { toksOf(t); (df, textCol) } // toksOf validates !auto
         conf.get("index-dir") match {
           case Some(dir) =>
             // incremental mode: the persisted LSH band index decides.
@@ -409,8 +421,11 @@ object Curation {
             val pending = new java.util.concurrent.atomic
               .AtomicReference[(DataFrame, DataFrame)]()
             Stage("dedup-near-index", df => {
-              val (novelDocs, bands) = IncrementalDedup
-                .novelNearDup(spark, df, textCol, idCol, dir.toString)
+              val (ndf, ntc) = nearText(df)
+              val (novel, bands) = IncrementalDedup
+                .novelNearDup(spark, ndf, ntc, idCol, dir.toString)
+              val novelDocs =
+                if (ntc == textCol) novel else novel.drop(ntc)
               // release any frames a failed batch left behind (see
               // dedup-exact-index) before installing the new pair
               Option(pending.getAndSet((novelDocs, bands))).foreach {
@@ -429,8 +444,9 @@ object Curation {
           case None =>
             // corpus mode: LSH candidates → components → keeper-only
             Stage("dedup-near", df => {
+              val (ndf, ntc) = nearText(df)
               val groups = Components.connectedComponents(
-                Dedup.minhashCandidates(df, textCol, idCol)
+                Dedup.minhashCandidates(ndf, ntc, idCol)
                   .select(col("a"), col("b")), "a", "b")
               val drop = groups.filter(col("id") =!= col("group_id"))
                 .select(col("id").as(idCol))

@@ -278,7 +278,12 @@ object ModelQueries {
     // carried inline through both engines) ——
 
     "model_lm_chargram_by_lang" -> ((s, dir) => {
-      val c = MultilingualFixture.corpus(s, docs(s, dir))
+      // constant slice: a char-5-gram stream is ~5x the word stream,
+      // and the gate's job is correctness, not corpus-scale timing
+      // (SCALE.md carries the scale shape); < 2000 covers ALL of
+      // sf0.01, so driver-gate hashes are unchanged
+      val c = MultilingualFixture.corpus(s,
+        docs(s, dir).filter(col("doc_id") < 2000))
       val ct = TextFunctions.charNgrams(col("text"), 5)
       val uni = LangModel.unigramsBy(c, col("lang"), ct)
       val big = LangModel.bigramsBy(c, col("lang"), ct, minCount = 2)
@@ -293,7 +298,8 @@ object ModelQueries {
     // recovers exactly charNgrams(text) and char-gram mode is a
     // projection, not a kernel fork
     "model_lm_chargram_kernel" -> ((s, dir) => {
-      val c0 = MultilingualFixture.corpus(s, docs(s, dir))
+      val c0 = MultilingualFixture.corpus(s,
+        docs(s, dir).filter(col("doc_id") < 2000))
       val ct = TextFunctions.charNgrams(col("text"), 5)
       val uni = LangModel.unigramsBy(c0, col("lang"), ct)
       val big = LangModel.bigramsBy(c0, col("lang"), ct, minCount = 2)
@@ -312,7 +318,8 @@ object ModelQueries {
     // over character trigrams, the signal that survives scripts with
     // no whitespace tokens
     "model_nb_chargram" -> ((s, dir) => {
-      val c = MultilingualFixture.corpus(s, docs(s, dir))
+      val c = MultilingualFixture.corpus(s,
+        docs(s, dir).filter(col("doc_id") < 2000))
       val ct = TextFunctions.charNgrams(col("text"), 3)
       val counts = NbClassifier.trainCounts(c, ct, col("lang"), 2)
       NbClassifier.predictVotes(c, "doc_id", ct, counts)
@@ -735,7 +742,7 @@ object ModelQueries {
     s"ct AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents)")
 
   private lazy val sqlNbChargram: String = sqlNbPredictOver(
-    s"""mx AS (${MultilingualFixture.sqlCorpus}),
+    s"""mx AS (${MultilingualFixture.sqlCorpusBounded}),
        |ntt AS (SELECT doc_id, lang, $sqlCharNorm AS nt FROM mx),
        |ct AS (SELECT doc_id, lang, ${sqlCharToks(3)} AS toks
        |       FROM ntt)""".stripMargin)
@@ -863,7 +870,7 @@ object ModelQueries {
     "mx")
 
   private lazy val sqlLmChargramByLang: String = sqlLmByLangChain(
-    s"""mx AS (${MultilingualFixture.sqlCorpus}),
+    s"""mx AS (${MultilingualFixture.sqlCorpusBounded}),
        |ntt AS (SELECT doc_id, lang, $sqlCharNorm AS nt FROM mx),
        |t AS (SELECT doc_id, lang, ${sqlCharToks(5)} AS toks
        |      FROM ntt)""".stripMargin,

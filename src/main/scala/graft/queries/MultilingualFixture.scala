@@ -60,6 +60,14 @@ object MultilingualFixture {
        |UNION ALL
        |SELECT * FROM (VALUES $sqlValues) AS mx(doc_id, lang, text)""".stripMargin
 
+  /** [[sqlCorpus]] with the documents side bounded to a constant
+    * slice (covers ALL of sf0.01, so gate hashes are scale-stable) —
+    * for the char-gram queries whose token stream is ~5× word mode. */
+  lazy val sqlCorpusBounded: String =
+    s"""SELECT doc_id, lang, text FROM documents WHERE doc_id < 2000
+       |UNION ALL
+       |SELECT * FROM (VALUES $sqlValues) AS mx(doc_id, lang, text)""".stripMargin
+
   /** `documents` ∪ fixture on the Spark side — the same corpus the
     * oracle sees. */
   def corpus(spark: SparkSession, docs: DataFrame): DataFrame =

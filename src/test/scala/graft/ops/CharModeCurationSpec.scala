@@ -204,6 +204,40 @@ class CharModeCurationSpec extends SparkSpec {
     assert(bad.getMessage.contains("lang-column"), bad.getMessage)
   }
 
+  test("dedup-near tokenizer=char finds CJK near-dups that word " +
+    "mode cannot shingle at all") {
+    val dir = Files.createTempDirectory("char-near").toString
+    val base = fluent.distinct.mkString("。")
+    val in = s"$dir/in.parquet"
+    Seq(
+      (1L, base),
+      (2L, base + "了"), // one trailing char appended — a near-dup
+      (3L, "全然違う内容の文書ですから重複ではありません"))
+      .toDF("doc_id", "text").write.parquet(in)
+    def config(out: String, tokLine: String) =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "dedup-near"
+         |$tokLine
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val (nc, _) = graft.CurateMain.run(spark,
+      config(s"$dir/c", "tokenizer = \"char\""))
+    val keptC = spark.read.parquet(s"$dir/c")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptC == Set(1L, 3L),
+      s"char near-dup must collapse the pair to its keeper: $keptC")
+    assert(nc == 2)
+    // word mode: one giant token per doc -> ZERO 3-gram shingles ->
+    // no bands, no candidates — every near-dup survives unseen
+    val (nw, _) = graft.CurateMain.run(spark, config(s"$dir/w", ""))
+    assert(nw == 3, s"word mode cannot see CJK near-dups, kept $nw")
+    // the projected kernel column must not leak into the output
+    assert(!spark.read.parquet(s"$dir/c").columns.contains("__graft_gt"))
+  }
+
   test("langid-filter script=true selects space-free-script corpora") {
     val dir = Files.createTempDirectory("char-langid").toString
     val in = s"$dir/in.parquet"
