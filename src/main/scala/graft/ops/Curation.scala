@@ -464,12 +464,24 @@ object Curation {
       case "decontaminate" =>
         // eval-set n-gram overlap drop: the test-set-leakage guard;
         // the eval side broadcasts (that is the use case), the corpus
-        // is probed without a corpus-side shuffle
+        // is probed without a corpus-side shuffle.
+        // tokenizer = "char": overlap in char-gram space — a zh/ja/th
+        // eval set has NO word shingles, so word-mode decontamination
+        // is blind to CJK leakage. Both sides project through
+        // charGramText (a projection; same shingle plan), and the
+        // effective overlap window covers char-n + ngram - 1
+        // consecutive codepoints.
         val evalPath = str("eval-path")
         val n = num("ngram", 3).toInt
+        def decontSide(df: DataFrame): (DataFrame, String) =
+          if (tokMode == "char")
+            (df.withColumn("__graft_gt",
+              TextFunctions.charGramText(t, charN)), "__graft_gt")
+          else { toksOf(t); (df, textCol) } // toksOf validates !auto
         Stage("decontaminate", df => {
-          val hits = Dedup.contamination(df,
-            spark.read.parquet(evalPath), textCol, idCol, n)
+          val (cdf, ctc) = decontSide(df)
+          val (edf, _) = decontSide(spark.read.parquet(evalPath))
+          val hits = Dedup.contamination(cdf, edf, ctc, idCol, n)
             .filter(col("contaminated")).select(col("id").as(idCol))
           df.join(hits, Seq(idCol), "left_anti")
         }, streamable = true)

@@ -238,6 +238,40 @@ class CharModeCurationSpec extends SparkSpec {
     assert(!spark.read.parquet(s"$dir/c").columns.contains("__graft_gt"))
   }
 
+  test("decontaminate tokenizer=char catches CJK eval leakage that " +
+    "word mode cannot shingle") {
+    val dir = Files.createTempDirectory("char-decon").toString
+    val evalSentence = "人工知能の評価ベンチマークの質問文です"
+    val eval = s"$dir/eval.parquet"
+    Seq((900L, evalSentence)).toDF("doc_id", "text").write.parquet(eval)
+    val in = s"$dir/in.parquet"
+    Seq(
+      (1L, "本文の途中に" + evalSentence + "が混入した文書"),
+      (2L, "評価セットとは無関係の全く別の日本語文書です"))
+      .toDF("doc_id", "text").write.parquet(in)
+    def config(out: String, tokLine: String) =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "decontaminate"
+         |eval-path = "$eval"
+         |ngram = 3
+         |$tokLine
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val (nc, _) = graft.CurateMain.run(spark,
+      config(s"$dir/c", "tokenizer = \"char\""))
+    val keptC = spark.read.parquet(s"$dir/c")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptC == Set(2L),
+      s"char mode must drop the doc containing the eval sentence: $keptC")
+    assert(nc == 1)
+    // word mode: no word shingles on either side -> leakage unseen
+    val (nw, _) = graft.CurateMain.run(spark, config(s"$dir/w", ""))
+    assert(nw == 2, s"word mode cannot see CJK leakage, kept $nw")
+  }
+
   test("langid-filter script=true selects space-free-script corpora") {
     val dir = Files.createTempDirectory("char-langid").toString
     val in = s"$dir/in.parquet"
