@@ -811,15 +811,28 @@ object Curation {
         val buckets = num("buckets", 1024).toInt
         val minWeight = num("min-weight", 1.0)
         val prefix = num("prefix", 40).toInt
+        // tokenizer = "char": hashed features over char grams + gram
+        // transitions — DSIR toward a zh/ja/th target corpus (word
+        // features don't exist there). The projection trick again:
+        // weightsSplitCompiled's word walk over re-spaced gram text
+        // IS the char featurizer, so kernel and model shapes are
+        // untouched. Empty texts drop on both paths.
+        def dsirText(df: DataFrame): (DataFrame, String) =
+          if (tokMode == "char")
+            (df.withColumn("__graft_gt",
+              TextFunctions.charGramText(col(textCol), charN))
+              .filter(length(col("__graft_gt")) > 0), "__graft_gt")
+          else { toksOf(t); (df, textCol) } // toksOf validates !auto
         // model-dir lifecycle: see nb-filter
-        def trainDsir() =
-          (Dsir.bucketCounts(
-            spark.read.parquet(str("target-path")), textCol, buckets),
-            Dsir.bucketCounts(
-              spark.read.parquet(str("raw-path")), textCol, buckets))
+        def trainDsir() = {
+          val (tdf, ttc) = dsirText(spark.read.parquet(str("target-path")))
+          val (rdf, rtc) = dsirText(spark.read.parquet(str("raw-path")))
+          (Dsir.bucketCounts(tdf, ttc, buckets),
+            Dsir.bucketCounts(rdf, rtc, buckets))
+        }
         val (tc, rc) = conf.get("model-dir").map(_.toString) match {
           case Some(dir) =>
-            val mparams = Map("buckets" -> buckets.toString)
+            val mparams = Map("buckets" -> buckets.toString) ++ tokParams
             if (retrain) {
               val (tcnt, rcnt) = trainDsir()
               ModelStore.save(spark, dir, "dsir", mparams,
@@ -847,7 +860,8 @@ object Curation {
         tc.unpersist(blocking = false)
         rc.unpersist(blocking = false)
         Stage("dsir-filter", df => {
-          val keep = Dsir.weightsSplitCompiled(df, idCol, textCol,
+          val (sdf, stc) = dsirText(df)
+          val keep = Dsir.weightsSplitCompiled(sdf, idCol, stc,
             dsirModel)
             .filter(col("weight") >= minWeight)
             .select(col("doc_id").as(idCol))

@@ -366,6 +366,22 @@ object ModelQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // char-gram DSIR: importance weights toward the zh split over
+    // char-5-gram features — DSIR for a space-free-script target
+    // corpus, via the same projection trick (weightsSplit's word
+    // tokenizer over re-spaced gram text IS the char featurizer)
+    "model_dsir_chargram" -> ((s, dir) => {
+      val c = MultilingualFixture.corpus(s,
+          docs(s, dir).filter(col("doc_id") < 2000))
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.charGramText(col("text"), 5).as("text"))
+        .filter(length(col("text")) > 0)
+      val model = Dsir.bucketCountsSplit(c, "text",
+        col("lang") === "zh", 1024)
+      Dsir.weightsSplit(c, "doc_id", "text", model, 1024)
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance weights: target = the en split, raw = whole
     // corpus — the flagged-subset case, so BOTH bucket models come
     // from ONE featurize + conditional aggregate pass
@@ -544,6 +560,11 @@ object ModelQueries {
       """
         |SELECT pr.doc_id, pr.pred, pr.n_votes, nt.n_tok
         |FROM pr JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    "model_dsir_chargram" -> (sqlDsirChargram +
+      """
+        |SELECT doc_id, n_feat, weight FROM w ORDER BY doc_id"""
+        .stripMargin),
 
     // mirrors LangModel.scoreTrigramBy: the trigram ladder with
     // every model join keyed by lang, per-lang backoff scalars
@@ -946,8 +967,11 @@ object ModelQueries {
   /** Shared DSIR-weight CTE chain ending in `w(doc_id, n_feat,
     * weight)` — the weights and top-k oracles differ only in the
     * final projection. */
-  private lazy val sqlDsirWeights: String =
-    s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+  /** Parametric DSIR chain: `tCtes` must end in a CTE
+    * `t(doc_id, lang, toks)`; `targetLang` names the flagged target
+    * split. Word and char-gram oracles differ only in these. */
+  private def sqlDsirChain(tCtes: String, targetLang: String): String =
+    s"""WITH $tCtes,
        |f AS (SELECT doc_id, lang, list_concat(
        |    list_transform(toks, tk ->
        |      CAST(concat('0x', substring(md5(tk), 1, 15)) AS BIGINT)
@@ -958,7 +982,8 @@ object ModelQueries {
        |        AS BIGINT) % 1024)) AS feats
        |  FROM t),
        |tc AS (SELECT bucket, COUNT(*) AS cnt FROM (
-       |    SELECT unnest(feats) AS bucket FROM f WHERE lang = 'en')
+       |    SELECT unnest(feats) AS bucket FROM f
+       |    WHERE lang = '$targetLang')
        |  GROUP BY 1),
        |rc AS (SELECT bucket, COUNT(*) AS cnt FROM (
        |    SELECT unnest(feats) AS bucket FROM f) GROUP BY 1),
@@ -983,4 +1008,20 @@ object ModelQueries {
        |    list_reduce(list_prepend(1.0, list(r ORDER BY pos)),
        |                (a, b) -> a * b) AS weight
        |  FROM pr GROUP BY 1)""".stripMargin
+
+  private lazy val sqlDsirWeights: String = sqlDsirChain(
+    s"t AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents)",
+    "en")
+
+  // char-gram DSIR: toks = char-5-grams, so the "bigram" features
+  // are gram TRANSITIONS — the hashed feature space a zh/ja/th
+  // target corpus actually has (word features don't exist there).
+  // Empty texts yield zero grams and drop from BOTH engines (the
+  // Spark query filters length > 0 to keep tokens("") == [] parity).
+  private lazy val sqlDsirChargram: String = sqlDsirChain(
+    s"""mx AS (${MultilingualFixture.sqlCorpusBounded}),
+       |ntt AS (SELECT doc_id, lang, $sqlCharNorm AS nt FROM mx),
+       |t AS (SELECT doc_id, lang, ${sqlCharToks(5)} AS toks
+       |      FROM ntt WHERE length(nt) > 0)""".stripMargin,
+    "zh")
 }

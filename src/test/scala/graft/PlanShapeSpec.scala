@@ -573,4 +573,20 @@ class PlanShapeSpec extends SparkSpec {
     // expression, not a typedLit array literal in the plan text
     assert(p.contains("lmscorebybc"), p)
   }
+
+  test("char-gram and auto bank kernels keep the word kernel's plan " +
+    "shape: char mode is a PROJECTION, not an operator fork") {
+    // the r13 claim made structural: re-spacing the gram stream
+    // (charGramText) must not introduce joins, generates, or extra
+    // exchanges over the word-token bank-kernel plan — same scan
+    // stage, same broadcast transport, denser token stream only
+    for (q <- Seq("model_lm_chargram_kernel", "model_lm_auto_kernel")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q:\n$p")
+      assert(!p.contains("Generate"), s"$q:\n$p")
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 2, s"$q shuffles beyond the output sort:\n$p")
+      assert(p.contains("lmscorebybc"), s"$q:\n$p")
+    }
+  }
 }

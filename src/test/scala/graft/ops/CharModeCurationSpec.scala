@@ -272,6 +272,50 @@ class CharModeCurationSpec extends SparkSpec {
     assert(nw == 2, s"word mode cannot see CJK leakage, kept $nw")
   }
 
+  test("dsir-filter tokenizer=char resamples toward a CJK target " +
+    "corpus where word features don't exist") {
+    val dir = Files.createTempDirectory("char-dsir").toString
+    // target = ML-themed zh; raw = target + ad junk
+    val target = s"$dir/target.parquet"
+    fluent.distinct.zipWithIndex.map { case (t, i) => (100L + i, t) }
+      .toDF("doc_id", "text").write.parquet(target)
+    val raw = s"$dir/raw.parquet"
+    (fluent.distinct.zipWithIndex.map { case (t, i) => (100L + i, t) } ++
+      Seq((300L, "广告点击广告点击广告点击广告点击广告点击"),
+        (301L, "点击广告点击广告点击广告点击广告点击广告")))
+      .toDF("doc_id", "text").write.parquet(raw)
+    val in = s"$dir/in.parquet"
+    Seq((1L, fluent.head), (2L, "广告点击广告点击广告点击"))
+      .toDF("doc_id", "text").write.parquet(in)
+    def config(out: String, tokLine: String) =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "dsir-filter"
+         |target-path = "$target"
+         |raw-path = "$raw"
+         |buckets = 256
+         |min-weight = 1.0
+         |$tokLine
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val (nc, _) = graft.CurateMain.run(spark,
+      config(s"$dir/c", "tokenizer = \"char\""))
+    val keptC = spark.read.parquet(s"$dir/c")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptC == Set(1L),
+      s"char DSIR must keep the target-like doc, drop the junk: $keptC")
+    assert(nc == 1)
+    // word mode: each doc is ONE hashed token + zero bigrams — one
+    // feature per doc, so target-likeness is invisible (whatever it
+    // keeps, it cannot SEPARATE the two; both land on the same
+    // single-feature likelihood shape)
+    val (nw, _) = graft.CurateMain.run(spark, config(s"$dir/w", ""))
+    assert(nw == 0 || nw == 2,
+      s"word mode cannot separate CJK docs, kept $nw of 2")
+  }
+
   test("langid-filter script=true selects space-free-script corpora") {
     val dir = Files.createTempDirectory("char-langid").toString
     val in = s"$dir/in.parquet"
