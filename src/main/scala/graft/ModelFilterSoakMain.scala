@@ -14,12 +14,18 @@ import org.apache.spark.sql.functions._
   * DSIR array), no per-batch training, no per-batch broadcast.
   * Prints one JSON line (the Bench contract).
   *
-  *   sbt "runMain graft.ModelFilterSoakMain [sfDir]"   # default sf1z
+  *   sbt "runMain graft.ModelFilterSoakMain [sfDir] [word|char]"
+  *   # default sf1z, word — char measures the space-free-script
+  *   # serve shape: same kernels, ~5x denser token stream
   */
 object ModelFilterSoakMain {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/tmp/testdata/sf1z")
+    val tok = args.lift(1).getOrElse("word")
+    require(tok == "word" || tok == "char", s"bad tokenizer $tok")
+    val tokLines = if (tok == "char")
+      "tokenizer = \"char\"\nchar-n = 5\n" else ""
     val root = Files.createTempDirectory("model-serve-soak").toString
 
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -60,20 +66,20 @@ object ModelFilterSoakMain {
            |ref-path = "$root/seed"
            |pos-label = "good"
            |min-score = 0.5
-           |model-dir = "$root/m-nb"
+           |${tokLines}model-dir = "$root/m-nb"
            |[[stages]]
            |type = "lm-filter"
            |ref-path = "$root/seed"
            |lang-column = "lang"
            |min-quantile = 0.1
-           |model-dir = "$root/m-lm"
+           |${tokLines}model-dir = "$root/m-lm"
            |[[stages]]
            |type = "dsir-filter"
            |target-path = "$root/target"
            |raw-path = "$root/raw"
            |buckets = 65536
            |min-weight = 0.5
-           |model-dir = "$root/m-dsir"
+           |${tokLines}model-dir = "$root/m-dsir"
            |[output]
            |dir = "$root/out-${in.hashCode.abs}"
            |""".stripMargin
@@ -96,7 +102,7 @@ object ModelFilterSoakMain {
       val funnelJson = funnel.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
       println(
-        s"""{"docs":$nDocs,"kept":$kept,""" +
+        s"""{"docs":$nDocs,"tokenizer":"$tok","kept":$kept,""" +
           f""""train_commit_s":$trainS%.1f,"serve_drain_s":$serveS%.1f,""" +
           f""""docs_per_s":${nDocs / serveS}%.0f,""" +
           s""""funnel":$funnelJson}""")
