@@ -170,8 +170,11 @@ object Multimodal {
       st.getField("n_printable").as("n_printable"),
       st.getField("n_zero").as("n_zero"),
       st.getField("n_distinct").as("n_distinct"),
-      (st.getField("n_printable").cast(DoubleType) /
-        st.getField("n_bytes").cast(DoubleType)).as("printable_ratio"))
+      // empty blob -> NULL ratio, not 0/0 = NaN (NaN poisons every
+      // downstream comparison silently)
+      when(st.getField("n_bytes") > 0,
+        st.getField("n_printable").cast(DoubleType) /
+          st.getField("n_bytes").cast(DoubleType)).as("printable_ratio"))
   }
 
   /** Unsigned byte at a COLUMN position (1-based). */

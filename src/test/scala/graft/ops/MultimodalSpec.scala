@@ -202,6 +202,13 @@ class MultimodalSpec extends SparkSpec {
     val bin = got("blob.bin")
     assert(bin._2 == "application/octet-stream" && bin._3 == 0L &&
       bin._4 == 4L && bin._5 == 4)
+    // empty blob: zero counts and a NULL ratio (never 0/0 = NaN)
+    val empty = Seq(("e", Array.empty[Byte])).toDF("name", "blob")
+      .select(Multimodal.sniff($"blob").as("s"))
+      .select($"s.n_bytes", $"s.n_distinct", $"s.printable_ratio")
+      .head()
+    assert(empty.getLong(0) == 0L && empty.getInt(1) == 0 &&
+      empty.isNullAt(2))
     // decode routes the same bytes to the REAL kernels: the
     // mislabeled "png" decodes as WAV with true sample math
     val dec = df.filter($"name" === "img.png")
