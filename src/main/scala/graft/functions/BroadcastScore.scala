@@ -84,6 +84,30 @@ case class NbScoreBc(child: Expression, bc: Broadcast[NbRatios])
     copy(child = c)
 }
 
+/** Multiclass NB vote prediction over a broadcast [[NbVoteModel]] —
+  * the kernel twin of [[graft.ops.NbClassifier.predictVotes]] (the
+  * language-ID serve path): one tally per document, no explode, no
+  * vote-table join, no doc-keyed regroup. */
+case class NbVoteBc(child: Expression, bc: Broadcast[NbVoteModel])
+    extends BroadcastScoreExpr[NbVoteModel] {
+
+  override def kernelName: String = "nb_vote_bc"
+  override protected def modelClass: Class[NbVoteModel] =
+    classOf[NbVoteModel]
+  override protected def scoreMethod: String = "predict"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("pred", StringType, nullable = false),
+    StructField("n_votes", LongType, nullable = false),
+    StructField("n_tok", LongType, nullable = false)))
+
+  override def nullSafeEval(t: Any): Any =
+    model.predict(t.asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(c: Expression): NbVoteBc =
+    copy(child = c)
+}
+
 /** Broadcast twin of [[LmScore2]] (`lm_score2`); alpha is baked into
   * the broadcast [[LmModel]]. */
 case class LmScore2Bc(child: Expression, bc: Broadcast[LmModel])
@@ -227,6 +251,9 @@ object BroadcastScore {
 
   def nb(text: Column, bc: Broadcast[NbRatios]): Column =
     GraftColumnBridge.column(NbScoreBc(GraftColumnBridge.expression(text), bc))
+
+  def nbVote(text: Column, bc: Broadcast[NbVoteModel]): Column =
+    GraftColumnBridge.column(NbVoteBc(GraftColumnBridge.expression(text), bc))
 
   def lm2(text: Column, bc: Broadcast[LmModel]): Column =
     GraftColumnBridge.column(LmScore2Bc(GraftColumnBridge.expression(text), bc))

@@ -193,6 +193,88 @@ object Curation {
           streamable = true)
       case "langid-filter" =>
         val langs = cols("langs")
+        // mode = "model": a TRAINED language classifier (the fastText
+        // LID shape — NB argmax votes over char n-grams) replaces the
+        // marker-word/script heuristics, so a real 100-language crawl
+        // classifies every language the labeled seed covers, not just
+        // the handful someone hand-coded markers for. The predicted
+        // language can also be STAMPED (output-column) instead of or
+        // in addition to filtering — that column is what lm-filter's
+        // lang-column + tokenizer = "auto" routes on, completing the
+        // CCNet recipe (LID → per-language LM) on UNLABELED text.
+        val lidMode = conf.get("mode").map(_.toString)
+          .getOrElse("heuristic")
+        require(lidMode == "heuristic" || lidMode == "model",
+          s"langid-filter: mode must be 'heuristic' or 'model', " +
+            s"got '$lidMode'")
+        if (lidMode == "model") {
+          val outCol = conf.get("output-column").map(_.toString)
+          require(langs.nonEmpty || outCol.isDefined,
+            "langid-filter mode=model: need langs (filter) and/or " +
+              "output-column (annotate)")
+          val labelCol = conf.get("label-column")
+            .map(_.toString).getOrElse("lang")
+          // language ID is inherently char-gram (word markers don't
+          // exist in space-free scripts) — trigrams by default, the
+          // fastText LID feature shape; independent of the stage
+          // family's tokenizer option
+          val lidN = num("char-n", 3).toInt
+          require(lidN > 0, s"char-n must be positive, got $lidN")
+          val minCount = num("min-count", 2).toInt
+          def trainLid() = {
+            val seed = spark.read.parquet(str("ref-path"))
+            NbClassifier.trainCounts(seed,
+              TextFunctions.charNgrams(col(textCol), lidN),
+              col(labelCol), minCount)
+          }
+          // model-dir lifecycle: see nb-filter
+          val counts = conf.get("model-dir").map(_.toString) match {
+            case Some(dir) =>
+              val mparams = Map("char-n" -> lidN.toString,
+                "min-count" -> minCount.toString,
+                "label-column" -> labelCol)
+              if (retrain)
+                ModelStore.save(spark, dir, "langid", mparams,
+                  Map("counts" -> trainLid()))
+              val load = ModelStore.open(spark, dir, "langid", mparams)
+              Caching.cacheOnce(load("counts"))
+            case None => Caching.cacheOnce(trainLid())
+          }
+          // compile + broadcast once at assembly when the pruned
+          // vocabulary fits the kernel gate; ONLY the size gate falls
+          // back to the relational predictor (the nb-filter contract)
+          val compiledLid = try Some(NbClassifier.broadcastVotes(spark,
+            NbClassifier.compileVotes(counts)))
+          catch { case _: ModelTooLargeException => None }
+          if (compiledLid.isDefined) counts.unpersist(blocking = false)
+          return Stage("langid-filter", df => {
+            val tagged = compiledLid match {
+              case Some(bc) =>
+                // scan-stage annotation: LID over 100 TB is a pure
+                // projection — no explode, no join, no shuffle. Empty
+                // gram text predicts NULL, matching the relational
+                // explode of an empty gram array (and NULL text stays
+                // NULL through charGramText).
+                val gt = TextFunctions.charGramText(t, lidN)
+                df.withColumn("__graft_lid",
+                  when(length(gt) > 0, graft.functions.BroadcastScore
+                    .nbVote(gt, bc).getField("pred")))
+              case None =>
+                val preds = NbClassifier.predictVotes(df, idCol,
+                  TextFunctions.charNgrams(t, lidN), counts)
+                  .select(col("doc_id").as(idCol),
+                    col("pred").as("__graft_lid"))
+                df.join(preds, Seq(idCol), "left")
+            }
+            val kept = if (langs.nonEmpty)
+              tagged.filter(col("__graft_lid").isin(langs: _*))
+            else tagged
+            outCol match {
+              case Some(c) => kept.withColumnRenamed("__graft_lid", c)
+              case None => kept.drop("__graft_lid")
+            }
+          }, streamable = true)
+        }
         require(langs.nonEmpty, "langid-filter: missing/empty langs")
         // script = true layers character-block detection over the
         // marker-word chain, so zh/ja/th/ko corpora are classifiable
@@ -418,9 +500,22 @@ object Curation {
             // output write lands): appending during assembly would
             // blacklist the batch's docs permanently even when the
             // run fails before producing output.
+            //
+            // The tokenizer is PART OF THE INDEX LAYOUT (like the
+            // _graft_buckets count): word-shingle and char-gram band
+            // hashes live in different spaces, so re-running an
+            // existing index under another tokenizer/char-n would
+            // silently mix them — membership probes that never match,
+            // dedup quietly off. Stamped on first use, mismatch
+            // refuses loudly (the ModelStore identity discipline).
+            val tokIdentity = (s"tokenizer=$tokMode" +:
+              (if (tokMode == "char") Seq(s"char-n=$charN") else Nil))
+              .mkString("\n")
             val pending = new java.util.concurrent.atomic
               .AtomicReference[(DataFrame, DataFrame)]()
             Stage("dedup-near-index", df => {
+              IncrementalDedup.checkOrWriteIdentityMarker(spark,
+                dir.toString, "_graft_neartok", tokIdentity)
               val (ndf, ntc) = nearText(df)
               val (novel, bands) = IncrementalDedup
                 .novelNearDup(spark, ndf, ntc, idCol, dir.toString)
@@ -574,7 +669,16 @@ object Curation {
         Stage("nb-filter", df => {
           val scored = compiledNb match {
             case Some(bc) =>
-              val (kdf, ktc) = kernelInput(df, textCol)
+              // char mode: drop empty gram text BEFORE the kernel —
+              // relational charNgrams('') = [] explodes to zero rows
+              // so the doc drops, while the kernel would tokenize ''
+              // to [''] and score one OOV ratio; without this filter
+              // the same config keeps or drops empty docs depending
+              // on which path the model size gate chose (word mode
+              // needs no guard: tokens('') = [''] on BOTH paths)
+              val (kdf0, ktc) = kernelInput(df, textCol)
+              val kdf = if (tokMode == "char")
+                kdf0.filter(length(col(ktc)) > 0) else kdf0
               NbClassifier.scoreBinaryCompiled(kdf, idCol, ktc, bc)
             case None => NbClassifier.scoreBinary(df, idCol,
               toksOf(t), counts, priors, posLabel, prefix)
@@ -823,12 +927,21 @@ object Curation {
               TextFunctions.charGramText(col(textCol), charN))
               .filter(length(col("__graft_gt")) > 0), "__graft_gt")
           else { toksOf(t); (df, textCol) } // toksOf validates !auto
-        // model-dir lifecycle: see nb-filter
+        // model-dir lifecycle: see nb-filter. Training featurizes
+        // char mode DIRECTLY from the charNgrams array (featuresToks)
+        // — no re-spaced giant string to build and re-split; an empty
+        // text's empty gram array contributes no features, exactly
+        // what the serve path's empty filter admits
         def trainDsir() = {
-          val (tdf, ttc) = dsirText(spark.read.parquet(str("target-path")))
-          val (rdf, rtc) = dsirText(spark.read.parquet(str("raw-path")))
-          (Dsir.bucketCounts(tdf, ttc, buckets),
-            Dsir.bucketCounts(rdf, rtc, buckets))
+          def counts(path: String) =
+            if (tokMode == "char")
+              Dsir.bucketCountsToks(spark.read.parquet(path),
+                TextFunctions.charNgrams(col(textCol), charN), buckets)
+            else { toksOf(t) // validates !auto
+              Dsir.bucketCounts(spark.read.parquet(path), textCol,
+                buckets)
+            }
+          (counts(str("target-path")), counts(str("raw-path")))
         }
         val (tc, rc) = conf.get("model-dir").map(_.toString) match {
           case Some(dir) =>

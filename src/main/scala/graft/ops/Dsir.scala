@@ -51,12 +51,39 @@ object Dsir {
       transform(TextFunctions.tokens(text), t => bucket(t, buckets)),
       transform(TextFunctions.shingles(text, 2), s => bucket(s, buckets)))
 
+  /** [[features]] from an already-tokenized array — the char-gram
+    * callers hand [[TextFunctions.charNgrams]] output directly, so
+    * the ~6×-inflated re-spaced gram STRING never materializes only
+    * to be re-split (measured as the dominant cost of the relational
+    * char-gram DSIR path). Value-identical to `features(text)` when
+    * `toks = tokens(text)`: unigram buckets in position order, then
+    * space-joined adjacent-pair buckets in position order. */
+  def featuresToks(toks: Column, buckets: Int): Column =
+    graft.functions.Exprs.bind(toks) { ts =>
+      concat(
+        transform(ts, t => bucket(t, buckets)),
+        transform(
+          when(size(ts) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(ts) - 1),
+              i => concat_ws(" ", element_at(ts, i),
+                element_at(ts, i + 1)))),
+          s => bucket(s, buckets)))
+    }
+
   /** Bucket count model of a corpus: (bucket, cnt), one hash
     * aggregate over at most B distinct keys. */
   def bucketCounts(corpus: DataFrame, textCol: String, buckets: Int)
   : DataFrame = {
     graft.GraftExtensions.ensure(corpus.sparkSession)
     corpus.select(explode(features(col(textCol), buckets)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[bucketCounts]] over a token-array column. */
+  def bucketCountsToks(corpus: DataFrame, toks: Column, buckets: Int)
+  : DataFrame = {
+    graft.GraftExtensions.ensure(corpus.sparkSession)
+    corpus.select(explode(featuresToks(toks, buckets)).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
   }
 
@@ -80,11 +107,31 @@ object Dsir {
         count(lit(1)).as("c_r"))
   }
 
+  /** [[bucketCountsSplit]] over a token-array column. */
+  def bucketCountsSplitToks(corpus: DataFrame, toks: Column,
+      isTarget: Column, buckets: Int): DataFrame = {
+    graft.GraftExtensions.ensure(corpus.sparkSession)
+    corpus.select(isTarget.as("__t"),
+      featuresToks(toks, buckets).as("__f"))
+      .select(col("__t"), explode(col("__f")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("c_t"),
+        count(lit(1)).as("c_r"))
+  }
+
   /** [[weights]] over a joint split model from [[bucketCountsSplit]]
     * — same smoothing, same fold, identical values. */
   def weightsSplit(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, buckets: Int, prefix: Int = 40): DataFrame =
-    weightsFrom(docs, idCol, textCol,
+    weightsSplitToks(docs, idCol,
+      TextFunctions.tokens(col(textCol)), model, buckets, prefix)
+
+  /** [[weightsSplit]] over a token-array column — identical scoring
+    * tail (the token array IS what the text form's tokenizer
+    * produces). */
+  def weightsSplitToks(docs: DataFrame, idCol: String, toks: Column,
+      model: DataFrame, buckets: Int, prefix: Int = 40): DataFrame =
+    weightsFrom(docs, idCol, toks,
       model.agg(sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r")),
       model.select(col("bucket"), col("c_t"), col("c_r")),
       buckets, prefix)
@@ -102,7 +149,7 @@ object Dsir {
   def weights(docs: DataFrame, idCol: String, textCol: String,
               target: DataFrame, raw: DataFrame, buckets: Int,
               prefix: Int = 40): DataFrame =
-    weightsFrom(docs, idCol, textCol,
+    weightsFrom(docs, idCol, TextFunctions.tokens(col(textCol)),
       target.agg(sum(col("cnt")).as("n_t"))
         .crossJoin(broadcast(raw.agg(sum(col("cnt")).as("n_r")))),
       target.select(col("bucket"), col("cnt").as("c_t"))
@@ -116,7 +163,7 @@ object Dsir {
   /** Shared scoring tail: smoothed per-bucket ratios from a joint
     * (bucket, c_t, c_r) model, then the position-ordered fold. */
   private def weightsFrom(docs: DataFrame, idCol: String,
-      textCol: String, scalars: DataFrame, joint: DataFrame,
+      toks: Column, scalars: DataFrame, joint: DataFrame,
       buckets: Int, prefix: Int): DataFrame = {
     graft.GraftExtensions.ensure(docs.sparkSession)
     val ratios = joint
@@ -132,8 +179,7 @@ object Dsir {
     // involve the first prefix+1 tokens, and per-feature md5 is the
     // dominant scoring cost — full-document featurization here
     // measured ~2× the whole query at sf1
-    val prefToks = slice(TextFunctions.tokens(col(textCol)),
-      1, prefix + 1)
+    val prefToks = slice(toks, 1, prefix + 1)
     val prefFeats = graft.functions.Exprs.bind(prefToks) { ts =>
       concat(
         transform(slice(ts, lit(1), least(size(ts), lit(prefix))),

@@ -79,8 +79,11 @@ object NbClassifier {
     *
     * @return (doc_id, pred, n_votes, n_tok)
     */
-  def predictVotes(docs: DataFrame, idCol: String, toks: Column,
-                   counts: DataFrame): DataFrame = {
+  // per-token argmax vote table (token, vote) — model-sized; shared
+  // between the relational predictor and the kernel compile so the
+  // smoothed-probability comparison and its tie-break happen in ONE
+  // engine plan either way
+  private def voteTable(counts: DataFrame): DataFrame = {
     val totals = classTotals(counts)
     val v = vocabSize(counts)
     // full (token, label) grid: unseen-in-class pairs still get the
@@ -92,18 +95,26 @@ object NbClassifier {
       .select(col("token"), col("label"),
         ((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
           (col("n") + col("v")).cast("double")).as("p"))
-    val voteOf = grid
+    grid
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
           .orderBy(col("p").desc, col("label"))))
       .filter(col("rnk") === 1)
       .select(col("token"), col("label").as("vote"))
-    // the out-of-vocabulary vote: every class offers 1/(N_c+V)
-    val oov = totals.crossJoin(broadcast(v))
+  }
+
+  // the out-of-vocabulary vote (1 row): every class offers 1/(N_c+V)
+  private def oovVoteTable(counts: DataFrame): DataFrame =
+    classTotals(counts).crossJoin(broadcast(vocabSize(counts)))
       .select(col("label"),
         (lit(1.0) / (col("n") + col("v")).cast("double")).as("p"))
       .orderBy(col("p").desc, col("label")).limit(1)
       .select(col("label").as("oov_vote"))
+
+  def predictVotes(docs: DataFrame, idCol: String, toks: Column,
+                   counts: DataFrame): DataFrame = {
+    val voteOf = voteTable(counts)
+    val oov = oovVoteTable(counts)
 
     val tally = docs
       .select(col(idCol).cast("long").as("doc_id"),
@@ -361,5 +372,75 @@ object NbClassifier {
       .select(col(idCol).cast("long").as("doc_id"), kernel.as("__r"))
       .select(col("doc_id"), col("__r.n_seen").as("n_seen"),
         col("__r.score").as("score"), col("__r.pred").as("pred"))
+  }
+
+  /** Collect the multiclass vote model into the kernel's compiled
+    * form — (vocab tokens, per-token vote as a label index, labels
+    * in the engine's string order, out-of-vocabulary vote index).
+    * The per-token argmax, its tie-break, the OOV argmax, and the
+    * label ORDERING are all evaluated BY THE ENGINE from the same
+    * plans the relational predictor uses ([[voteTable]] /
+    * [[oovVoteTable]] / an engine `ORDER BY label`), so the kernel's
+    * lowest-index-wins tally tie-break IS the relational
+    * `row_number() ... ORDER BY n_votes DESC, vote`.
+    *
+    * @throws ModelTooLargeException when the pruned vocabulary
+    *         exceeds `maxModelRows` — callers with a relational
+    *         fallback catch exactly this; any other failure
+    *         propagates
+    */
+  def compileVotes(counts: DataFrame, maxModelRows: Long = 5000000L)
+  : (Array[String], Array[Int], Array[String], Int) = {
+    require(maxModelRows < Int.MaxValue, s"bad gate $maxModelRows")
+    // compile issues THREE driver actions (labels, vote rows, oov
+    // row) — cache the training aggregate so it runs once, not per
+    // action; a cache THIS call created is released before returning
+    val (cached, fresh) = Caching.cacheOnceTracked(counts)
+    try {
+      val labels = cached.select(col("label")).distinct()
+        .orderBy(col("label")).collect().map(_.getString(0))
+      val idx = labels.zipWithIndex.toMap
+      val rows = voteTable(cached).limit(maxModelRows.toInt + 1).collect()
+      if (rows.length > maxModelRows)
+        throw new ModelTooLargeException(
+          s"nb vote kernel: model exceeds $maxModelRows tokens — use " +
+            "the relational predictVotes path for unbounded models, " +
+            "or raise maxModelRows")
+      val sorted = rows.sortBy(_.getString(0))
+      val oov = oovVoteTable(cached).head().getString(0)
+      (sorted.map(_.getString(0)), sorted.map(r => idx(r.getString(1))),
+        labels, idx(oov))
+    } finally if (fresh) cached.unpersist(blocking = false)
+  }
+
+  /** Broadcast a compiled vote model for the serve path — one
+    * torrent distribution per executor (the [[broadcastBinary]]
+    * contract); the `langid-filter mode = "model"` curation stage
+    * broadcasts ONCE at assembly and reuses the handle across
+    * micro-batches. */
+  def broadcastVotes(spark: org.apache.spark.sql.SparkSession,
+      model: (Array[String], Array[Int], Array[String], Int))
+  : org.apache.spark.broadcast.Broadcast[graft.functions.NbVoteModel] =
+    spark.sparkContext.broadcast(new graft.functions.NbVoteModel(
+      model._1, model._2, model._3, model._4))
+
+  /** Scan-stage kernel twin of [[predictVotes]] for BOUNDED models —
+    * one native tally per document, no explode/join/regroup.
+    * Value-identical when the relational form tokenizes with
+    * [[graft.functions.TextFunctions.tokens]] (the kernel hard-codes
+    * that contract — char-gram callers hand it the re-spaced
+    * [[graft.functions.TextFunctions.charGramText]] projection and
+    * filter empty gram text, matching the relational explode of an
+    * empty gram array); docs with NULL text drop, as they do from
+    * the relational explode. */
+  def predictVotesCompiled(docs: DataFrame, idCol: String,
+      textCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.NbVoteModel])
+  : DataFrame = {
+    val kernel = graft.functions.BroadcastScore.nbVote(col(textCol), bc)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), kernel.as("__r"))
+      .select(col("doc_id"), col("__r.pred").as("pred"),
+        col("__r.n_votes").as("n_votes"), col("__r.n_tok").as("n_tok"))
   }
 }

@@ -326,6 +326,27 @@ object ModelQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the TRAINED language-ID serve path (langid-filter mode =
+    // "model"): the same NB char-trigram classifier, predicted
+    // through the compiled vote kernel — one broadcast tally per
+    // document over re-spaced gram text, no explode, no vote-table
+    // join. Same oracle as model_nb_chargram: the kernel must agree
+    // bit-for-bit (votes are exact integers; the per-token argmax
+    // and tie-breaks were decided by the engine at compile)
+    "text_langid_model" -> ((s, dir) => {
+      val c = MultilingualFixture.corpus(s,
+        docs(s, dir).filter(col("doc_id") < 2000))
+      val ct = TextFunctions.charNgrams(col("text"), 3)
+      val counts = NbClassifier.trainCounts(c, ct, col("lang"), 2)
+      val bc = NbClassifier.broadcastVotes(s,
+        NbClassifier.compileVotes(counts))
+      NbClassifier.predictVotesCompiled(
+        c.withColumn("__gt", TextFunctions.charGramText(col("text"), 3))
+          .filter(length(col("__gt")) > 0),
+        "doc_id", "__gt", bc)
+        .orderBy(col("doc_id"))
+    }),
+
     // the COMPLETE CCNet recipe — per-language models AND
     // per-language tokenization: space-free languages (ja/th/zh
     // here) tokenize as char-5-grams, the rest as words, all
@@ -368,17 +389,42 @@ object ModelQueries {
 
     // char-gram DSIR: importance weights toward the zh split over
     // char-5-gram features — DSIR for a space-free-script target
-    // corpus, via the same projection trick (weightsSplit's word
-    // tokenizer over re-spaced gram text IS the char featurizer)
+    // corpus. Featurized DIRECTLY from the charNgrams array
+    // (featuresToks): the ~6×-inflated re-spaced gram string never
+    // materializes only to be re-split — value-identical (the gram
+    // array IS what the word tokenizer recovers from that string),
+    // same oracle, roughly half the relational path's cost
     "model_dsir_chargram" -> ((s, dir) => {
       val c = MultilingualFixture.corpus(s,
           docs(s, dir).filter(col("doc_id") < 2000))
         .select(col("doc_id"), col("lang"),
-          TextFunctions.charGramText(col("text"), 5).as("text"))
-        .filter(length(col("text")) > 0)
-      val model = Dsir.bucketCountsSplit(c, "text",
+          TextFunctions.charNgrams(col("text"), 5).as("toks"))
+        .filter(size(col("toks")) > 0)
+      val model = Dsir.bucketCountsSplitToks(c, col("toks"),
         col("lang") === "zh", 1024)
-      Dsir.weightsSplit(c, "doc_id", "text", model, 1024)
+      Dsir.weightsSplitToks(c, "doc_id", col("toks"), model, 1024)
+        .orderBy(col("doc_id"))
+    }),
+
+    // compiled-kernel twin: the dense ratio array scores re-spaced
+    // gram text through the SAME dsir_score kernel word mode uses
+    // (char mode is a projection) — this gate pins the char SERVE
+    // path the way model_lm_chargram_kernel pins the LM bank.
+    // Identical oracle to model_dsir_chargram.
+    "model_dsir_chargram_kernel" -> ((s, dir) => {
+      val c0 = MultilingualFixture.corpus(s,
+        docs(s, dir).filter(col("doc_id") < 2000))
+      val train = c0
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.charNgrams(col("text"), 5).as("toks"))
+        .filter(size(col("toks")) > 0)
+      val model = Dsir.bucketCountsSplitToks(train, col("toks"),
+        col("lang") === "zh", 1024)
+      val bc = Dsir.broadcastSplit(s, Dsir.compileSplit(model, 1024))
+      val serve = c0
+        .withColumn("__gt", TextFunctions.charGramText(col("text"), 5))
+        .filter(length(col("__gt")) > 0)
+      Dsir.weightsSplitCompiled(serve, "doc_id", "__gt", bc)
         .orderBy(col("doc_id"))
     }),
 
@@ -561,7 +607,21 @@ object ModelQueries {
         |SELECT pr.doc_id, pr.pred, pr.n_votes, nt.n_tok
         |FROM pr JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin),
 
+    // identical oracle: the compiled vote kernel must agree
+    // bit-for-bit with the relational predictor
+    "text_langid_model" -> (sqlNbChargram +
+      """
+        |SELECT pr.doc_id, pr.pred, pr.n_votes, nt.n_tok
+        |FROM pr JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin),
+
     "model_dsir_chargram" -> (sqlDsirChargram +
+      """
+        |SELECT doc_id, n_feat, weight FROM w ORDER BY doc_id"""
+        .stripMargin),
+
+    // identical oracle: the compiled kernel over re-spaced gram text
+    // must agree bit-for-bit with the array-featurized relational form
+    "model_dsir_chargram_kernel" -> (sqlDsirChargram +
       """
         |SELECT doc_id, n_feat, weight FROM w ORDER BY doc_id"""
         .stripMargin),

@@ -125,6 +125,39 @@ class ModelTransportSpec extends SparkSpec {
     assert(row.getLong(0) == 2L && row.getDouble(1) == 2.0)
   }
 
+  test("nb vote broadcast kernel ≡ relational predictVotes (ties, " +
+    "OOV fallback, whitespace, null)") {
+    import graft.ops.NbClassifier
+    // labels chosen so ties exercise the label-ascending break; doc 4
+    // is all-OOV (the argmax-of-1/(N_c+V) fallback); doc 5 has messy
+    // whitespace (tokenizer contract); doc 6 is null (drops)
+    val train = Seq(
+      (10L, "de", "der und der und der hund"),
+      (11L, "de", "der hund und der fuchs"),
+      (12L, "en", "the dog and the fox"),
+      (13L, "en", "the fox and the dog the"))
+      .toDF("doc_id", "lang", "text")
+    val docs = Seq(
+      (1L, Some("der hund the dog")), // 2-2 vote tie → label asc
+      (2L, Some("der und der")),
+      (3L, Some("the fox")),
+      (4L, Some("zzz qqq www")),
+      (5L, Some("  der   hund ")),
+      (6L, None))
+      .toDF("doc_id", "text")
+    val toks = TextFunctions.tokens(col("text"))
+    val counts = NbClassifier.trainCounts(train, toks, col("lang"), 1)
+    val rel = NbClassifier.predictVotes(docs, "doc_id", toks, counts)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val bc = NbClassifier.broadcastVotes(spark,
+      NbClassifier.compileVotes(counts))
+    val got = NbClassifier.predictVotesCompiled(docs, "doc_id",
+      "text", bc).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == rel, s"\nkernel: $got\nrelational: $rel")
+    // null doc dropped by both, every other doc predicted
+    assert(got.map(_.head) == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("null text row yields null from the broadcast kernel (filter " +
     "contract)") {
     val bc = spark.sparkContext.broadcast(

@@ -238,6 +238,44 @@ class CharModeCurationSpec extends SparkSpec {
     assert(!spark.read.parquet(s"$dir/c").columns.contains("__graft_gt"))
   }
 
+  test("dedup-near index-dir stamps the tokenizer into the index " +
+    "layout and refuses a mismatch (band spaces must not mix)") {
+    val dir = Files.createTempDirectory("near-tok-id").toString
+    val in = s"$dir/in.parquet"
+    Seq((1L, fluent.distinct.mkString("。")))
+      .toDF("doc_id", "text").write.parquet(in)
+    def config(out: String, tokLine: String) =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "dedup-near"
+         |index-dir = "$dir/index"
+         |$tokLine
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val (n1, _) = graft.CurateMain.run(spark,
+      config(s"$dir/c1", "tokenizer = \"char\""))
+    assert(n1 == 1)
+    // same tokenizer: serves the same index
+    val (n2, _) = graft.CurateMain.run(spark,
+      config(s"$dir/c2", "tokenizer = \"char\""))
+    assert(n2 == 0, "replayed batch must be fully deduped")
+    // word mode against the char-built index: REFUSE — word shingles
+    // hash into a different band space, membership would silently
+    // never match again
+    val bad = intercept[IllegalArgumentException] {
+      graft.CurateMain.run(spark, config(s"$dir/c3", ""))
+    }
+    assert(bad.getMessage.contains("does not match"), bad.getMessage)
+    // a different char-n is a different gram space too
+    val bad2 = intercept[IllegalArgumentException] {
+      graft.CurateMain.run(spark,
+        config(s"$dir/c4", "tokenizer = \"char\"\nchar-n = 4"))
+    }
+    assert(bad2.getMessage.contains("does not match"), bad2.getMessage)
+  }
+
   test("decontaminate tokenizer=char catches CJK eval leakage that " +
     "word mode cannot shingle") {
     val dir = Files.createTempDirectory("char-decon").toString
@@ -314,6 +352,108 @@ class CharModeCurationSpec extends SparkSpec {
     val (nw, _) = graft.CurateMain.run(spark, config(s"$dir/w", ""))
     assert(nw == 0 || nw == 2,
       s"word mode cannot separate CJK docs, kept $nw of 2")
+  }
+
+  test("langid-filter mode=model: a TRAINED classifier tags unlabeled " +
+    "text, rides the ModelStore lifecycle, and refuses a mismatch") {
+    val dir = Files.createTempDirectory("model-langid").toString
+    val enFluent = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox sleeps in the lazy sun",
+      "the quick brown fox runs past the lazy dog")
+    val seed = s"$dir/seed.parquet"
+    (fluent.zipWithIndex.map { case (t, i) => (100L + i, "zh", t) } ++
+      enFluent.zipWithIndex.map { case (t, i) => (200L + i, "en", t) })
+      .toDF("doc_id", "lang", "text").write.parquet(seed)
+    // UNLABELED input — the case the heuristic modes cannot serve
+    // beyond their hand-coded markers
+    val in = s"$dir/in.parquet"
+    Seq((1L, fluent.head), (2L, enFluent.head))
+      .toDF("doc_id", "text").write.parquet(in)
+    def config(out: String, extra: String, ref: Boolean) =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "langid-filter"
+         |mode = "model"
+         |langs = ["zh"]
+         |${if (ref) s"""ref-path = "$seed"""" else ""}
+         |model-dir = "$dir/model"
+         |$extra
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val (n1, _) = graft.CurateMain.run(spark,
+      config(s"$dir/out1", "", ref = true), retrain = true)
+    val kept = spark.read.parquet(s"$dir/out1")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"trained LID must keep only the zh doc: $kept")
+    assert(n1 == 1)
+    // serve with the seed corpus gone: the committed model carries it
+    val (n2, _) = graft.CurateMain.run(spark,
+      config(s"$dir/out2", "", ref = false))
+    assert(n2 == 1)
+    // a differently-configured stage must REFUSE the committed model
+    val bad = intercept[IllegalArgumentException] {
+      graft.CurateMain.run(spark,
+        config(s"$dir/out3", "char-n = 4", ref = false))
+    }
+    assert(bad.getMessage.contains("does not match"), bad.getMessage)
+  }
+
+  test("the full CCNet recipe on UNLABELED text: trained LID stamps " +
+    "output-column, lm-filter tokenizer=auto routes off the PREDICTION") {
+    val dir = Files.createTempDirectory("lid-auto").toString
+    val enFluent = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox sleeps in the lazy sun",
+      "the quick brown fox runs past the lazy dog")
+    // LID seed carries the ground-truth label; the LM seed is the
+    // SAME corpus with its label column named as the stage will see
+    // it at serve time (the stamped prediction column)
+    val lidSeed = s"$dir/lid-seed.parquet"
+    (fluent.zipWithIndex.map { case (t, i) => (100L + i, "zh", t) } ++
+      enFluent.zipWithIndex.map { case (t, i) => (200L + i, "en", t) })
+      .toDF("doc_id", "lang", "text").write.parquet(lidSeed)
+    val lmSeed = s"$dir/lm-seed.parquet"
+    (fluent.zipWithIndex.map { case (t, i) => (100L + i, "zh", t) } ++
+      enFluent.zipWithIndex.map { case (t, i) => (200L + i, "en", t) })
+      .toDF("doc_id", "pred_lang", "text").write.parquet(lmSeed)
+    // UNLABELED input: fluent + scrambled in both regimes
+    val in = s"$dir/in.parquet"
+    Seq(
+      (1L, fluent.head),
+      (2L, scrambled),
+      (3L, enFluent.head),
+      (4L, "dog lazy the over jumps fox brown quick the"))
+      .toDF("doc_id", "text").write.parquet(in)
+    val config =
+      s"""[input]
+         |path = "$in"
+         |[[stages]]
+         |type = "langid-filter"
+         |mode = "model"
+         |ref-path = "$lidSeed"
+         |output-column = "pred_lang"
+         |[[stages]]
+         |type = "lm-filter"
+         |ref-path = "$lmSeed"
+         |lang-column = "pred_lang"
+         |tokenizer = "auto"
+         |min-count = 2
+         |min-quantile = 0.0
+         |[output]
+         |dir = "$dir/out"
+         |""".stripMargin
+    val (n, _) = graft.CurateMain.run(spark, config)
+    val kept = spark.read.parquet(s"$dir/out")
+      .select($"doc_id").as[Long].collect().toSet
+    // fluent zh routes to char grams off its PREDICTED language and
+    // clears zh's learned floor; fluent en routes to words; both
+    // scrambled twins drop — no pre-labeled lang column anywhere
+    assert(kept == Set(1L, 3L),
+      s"LID→auto-LM on unlabeled text must keep the fluent pair: $kept")
+    assert(n == 2)
   }
 
   test("langid-filter script=true selects space-free-script corpora") {
