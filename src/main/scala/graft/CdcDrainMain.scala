@@ -85,7 +85,12 @@ object CdcDrainMain {
     val rates = secs.map(n / _).sorted
     rates.zipWithIndex.foreach { case (r, i) =>
       println(f"drain ${i + 1}: ${r}%.0f rows/s") }
-    val med = rates(rates.size / 2)
+    // true median: even run counts average the two middle elements
+    // (rates(size/2) alone is the upper-middle — biased toward the
+    // faster rate; SCALE.md cites this number)
+    val med =
+      if (rates.size % 2 == 1) rates(rates.size / 2)
+      else (rates(rates.size / 2 - 1) + rates(rates.size / 2)) / 2.0
     println(f"""{"rows":$n,"shards":$shards,"runs":$runs,""" +
       f""""min":${rates.head}%.0f,"median":$med%.0f,""" +
       f""""max":${rates.last}%.0f,"load_start":$loadAtStart%.2f}""")

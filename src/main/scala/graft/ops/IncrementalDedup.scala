@@ -70,6 +70,36 @@ object IncrementalDedup {
     }
   }
 
+  /** The `_graft_buckets` discipline generalized to any layout
+    * identity a caller must not silently vary: stamped on first use,
+    * a later mismatch refuses loudly. The dedup-near curation stage
+    * stamps its tokenizer identity this way (`_graft_neartok`) —
+    * band hashes over word shingles and char grams live in DIFFERENT
+    * spaces, so re-running an existing index under another tokenizer
+    * would silently mix band spaces (membership probes that never
+    * match ⇒ dedup quietly off), the same corruption class
+    * [[ModelStore.open]]'s parameter check turns into a config
+    * error. */
+  def checkOrWriteIdentityMarker(spark: SparkSession, dir: String,
+      name: String, content: String): Unit = {
+    val (hfs, p) = fs(spark, dir)
+    val marker = new org.apache.hadoop.fs.Path(p, name)
+    if (hfs.exists(marker)) {
+      val in = hfs.open(marker)
+      val stored = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      require(stored == content.trim,
+        s"index at $dir does not match this stage's configuration —\n" +
+          s"stored ($name):\n$stored\nexpected:\n${content.trim}\n" +
+          "point the stage at a fresh index dir or restore the " +
+          "original options")
+    } else {
+      hfs.mkdirs(p)
+      val out = hfs.create(marker, true)
+      try out.write(content.trim.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Check `batch` against the index at `indexDir` WITHOUT mutating
     * it: returns the batch's novel docs (first-id winner per
     * fingerprint within the batch, then anti-join on the index).
@@ -297,12 +327,16 @@ object IncrementalDedup {
     idx.groupBy(keyCols.map(col): _*)
       .agg(min(col("keep_id")).as("keep_id"))
       .write.partitionBy("bucket").parquet(staging.toString)
-    // carry the layout marker into the staged copy before the swap
-    val marker = new org.apache.hadoop.fs.Path(p, "_graft_buckets")
-    if (hfs.exists(marker))
-      org.apache.hadoop.fs.FileUtil.copy(hfs, marker, hfs,
-        new org.apache.hadoop.fs.Path(staging, "_graft_buckets"),
-        false, spark.sessionState.newHadoopConf())
+    // carry the layout markers into the staged copy before the swap
+    // (_graft_buckets; _graft_neartok when the dedup-near stage
+    // stamped a tokenizer identity)
+    for (name <- Seq("_graft_buckets", "_graft_neartok")) {
+      val marker = new org.apache.hadoop.fs.Path(p, name)
+      if (hfs.exists(marker))
+        org.apache.hadoop.fs.FileUtil.copy(hfs, marker, hfs,
+          new org.apache.hadoop.fs.Path(staging, name),
+          false, spark.sessionState.newHadoopConf())
+    }
     if (hfs.exists(old)) hfs.delete(old, true)
     require(hfs.rename(p, old), s"compactIndex: could not stage out $indexDir")
     require(hfs.rename(staging, p),

@@ -26,8 +26,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * kind or parameter mismatch: scoring yesterday's 2-gram model as a
   * 3-gram stage, or a 1024-bucket DSIR model in a 4096-bucket stage,
   * is a silent corruption this check turns into a config error.
-  * Superseded generations are deleted after commit, so steady-state
-  * disk is one generation (plus the in-flight one during a retrain).
+  * GC keeps the superseded generation for ONE more save (a serving
+  * job that opened the previous commit reads its parquet lazily at
+  * action time — deleting at the commit instant would pull files out
+  * from under any in-flight job) and deletes failed-save orphans and
+  * anything older, so steady-state disk is two generations.
   */
 object ModelStore {
 
@@ -122,11 +125,17 @@ object ModelStore {
     if (hfs.exists(marker)) hfs.delete(marker, false)
     require(hfs.rename(tmp, marker),
       s"model store $dir: marker swap failed (rename $tmp -> $marker)")
-    // GC superseded generations (incl. the pre-generation `tables/`)
+    // GC: keep the NEW generation and the one it superseded (a
+    // serving job that opened the previous commit reads its parquet
+    // lazily at action time — deleting it at the commit instant
+    // would pull files out from under any in-flight job); delete
+    // orphans from failed saves and anything older. Steady-state
+    // disk is two generations.
     hfs.listStatus(p).map(_.getPath).foreach { child =>
+      val keep: Long => Boolean = n => n == gen || n == committed
       child.getName match {
-        case GenDirRe(n) if n.toLong != gen => hfs.delete(child, true)
-        case "tables" if gen != 0L => hfs.delete(child, true)
+        case GenDirRe(n) if !keep(n.toLong) => hfs.delete(child, true)
+        case "tables" if !keep(0L) => hfs.delete(child, true)
         case _ => ()
       }
     }

@@ -104,9 +104,19 @@ object Multimodal {
   def isGif(blob: Column): Column =
     substring(blob, 1, 4) === lit("GIF8".getBytes)
 
-  /** BMP: "BM" + a plausible 12.. header (size field nonzero). */
+  /** BMP: "BM" + header plausibility — the 2-byte ASCII prefix alone
+    * would sniff any "BM..."-leading TEXT blob as an image (making
+    * downstream lanes data-dependent). Cheap discriminators from the
+    * 14-byte file header: minimum length for a file header + core
+    * DIB header (26), the two reserved fields (bytes 7-10) REQUIRED
+    * zero by the format — text never contains NULs — and a nonzero
+    * little-endian size field. */
   def isBmp(blob: Column): Column =
-    substring(blob, 1, 2) === lit("BM".getBytes)
+    substring(blob, 1, 2) === lit("BM".getBytes) &&
+      length(blob) >= 26 &&
+      u8(blob, 7) === 0 && u8(blob, 8) === 0 &&
+      u8(blob, 9) === 0 && u8(blob, 10) === 0 &&
+      (u8(blob, 3) + u8(blob, 4) + u8(blob, 5) + u8(blob, 6)) > 0
 
   /** TIFF: little-endian "II*\0" or big-endian "MM\0*". */
   def isTiff(blob: Column): Column =

@@ -348,17 +348,38 @@ class ModelLifecycleSpec extends SparkSpec {
     assert(load1("t").collect().map(r =>
       (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "v1")))
 
-    // a subsequent GOOD retrain supersedes, and superseded/orphan
-    // generation dirs are GC'd (steady-state disk = one generation)
+    // a subsequent GOOD retrain supersedes; the failed save's ORPHAN
+    // dir is GC'd but the superseded COMMITTED generation survives
+    // one more save — a loader opened before this retrain still
+    // reads its parquet (Spark reads are deferred to action time)
     ModelStore.save(spark, store, "test", params,
       Map("t" -> Seq((2L, "v2")).toDF("id", "v")))
     val load2 = ModelStore.open(spark, store, "test", params)
     assert(load2("t").collect().map(r =>
       (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "v2")))
-    val children = Files.list(Paths.get(store)).iterator()
-    val names = scala.collection.mutable.Set.empty[String]
-    while (children.hasNext) names += children.next().getFileName.toString
-    assert(names.count(n => n == "tables" || n.startsWith("tables-g")) == 1,
-      s"expected exactly one generation dir, got $names")
+    // the pre-retrain loader is pinned to its generation and still
+    // serves the OLD rows (deferred-GC window)
+    assert(load1("t").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "v1")))
+    def genDirs() = {
+      val children = Files.list(Paths.get(store)).iterator()
+      val names = scala.collection.mutable.Set.empty[String]
+      while (children.hasNext)
+        names += children.next().getFileName.toString
+      names.filter(n => n == "tables" || n.startsWith("tables-g"))
+    }
+    // gen 0 = "tables" (first save), gen 1 = the failed orphan,
+    // gen 2 = this good save: the orphan dies, the superseded
+    // committed gen survives
+    val after2 = genDirs()
+    assert(after2 == Set("tables", "tables-g2"),
+      s"expected new + superseded generations, orphan GC'd: $after2")
+    // one more save: the oldest generation ages out — steady-state
+    // disk is two generations
+    ModelStore.save(spark, store, "test", params,
+      Map("t" -> Seq((3L, "v3")).toDF("id", "v")))
+    val after3 = genDirs()
+    assert(after3 == Set("tables-g2", "tables-g3"),
+      s"steady state is two generations: $after3")
   }
 }
