@@ -103,7 +103,15 @@ object TextFunctions {
     * Hangul, and Thai-with-combining-marks samples — the oracle
     * mirror is `list_transform(range(1, length(t)-n+2),
     * i -> substring(t, i, n))`. Pure narrow expression: a sliding
-    * window costs one projection at any scale, like [[shingles]]. */
+    * window costs one projection at any scale, like [[shingles]].
+    *
+    * Positions are CODEPOINTS, deliberately not grapheme clusters:
+    * Thai combining vowels and Indic matras split mid-grapheme
+    * (CharNgramSpec pins the exact windows on น้ำ). This matches
+    * fastText's char n-grams, and it is the only segmentation both
+    * engines share exactly — grapheme boundaries are ICU-version-
+    * dependent, so a grapheme mode could never be oracle-checked;
+    * it is intentionally NOT implemented. */
   def charNgrams(text: Column, n: Int = 5): Column = {
     require(n > 0, s"charNgrams: need n > 0, got $n")
     Exprs.bind(regexp_replace(trim(text), " +", "▁")) { t =>

@@ -44,6 +44,22 @@ class CharNgramSpec extends SparkSpec {
     assert(grams("ภาษาไทย", 5) == Seq("ภาษาไ", "าษาไท", "ษาไทย"))
   }
 
+  test("charNgrams is CODEPOINT-positional, never grapheme-cluster: " +
+    "Thai combining marks split mid-cluster — accepted behavior") {
+    // น้ำ ("water") is THREE codepoints rendering as one visual
+    // cluster: U+0E19 base + U+0E49 combining tone + U+0E33 SARA AM.
+    // The 2-gram windows are the exact codepoint slices — the second
+    // gram STARTS on the combining mark, i.e. mid-grapheme.
+    assert(grams("น้ำ", 2) == Seq("น้", "้ำ"))
+    // and with a following base consonant the same holds inside a
+    // longer run (ดื่ม "drink": ด + สระ อือ U+0E37 + ไม้เอก U+0E48 + ม)
+    assert(grams("ดื่ม", 2) == Seq("ดื", "ื่", "่ม"))
+    // This is deliberate: fastText's char n-grams are codepoint
+    // windows too, and codepoint length/substring semantics are the
+    // only ones DuckDB and Spark share exactly (grapheme
+    // segmentation is ICU-version-dependent — not oracle-checkable).
+  }
+
   test("charNgrams: null text stays null (explodes to zero rows)") {
     val r = Seq(Tuple1(null: String)).toDF("text")
       .select(TextFunctions.charNgrams(col("text"), 5).as("g"))
