@@ -14,16 +14,27 @@ import org.apache.spark.sql.functions._
   * DSIR array), no per-batch training, no per-batch broadcast.
   * Prints one JSON line (the Bench contract).
   *
-  *   sbt "runMain graft.ModelFilterSoakMain [sfDir] [word|char]"
-  *   # default sf1z, word — char measures the space-free-script
-  *   # serve shape: same kernels, ~5x denser token stream
+  *   sbt "runMain graft.ModelFilterSoakMain \
+  *     [sfDir] [word|char] [shards] [filesPerTrigger]"
+  *   # default sf1z, word, 16, 4 — char measures the
+  *   # space-free-script serve shape: same kernels, ~5x denser token
+  *   # stream. `shards` is the landing-dir file count,
+  *   # `filesPerTrigger` the arrival unit per micro-batch; together
+  *   # they set the batch count, letting cross-sf serve comparisons
+  *   # separate per-batch overhead from per-doc compute (shards ==
+  *   # filesPerTrigger drains in ONE batch — the batch-mode limit;
+  *   # the r14 SCALE.md char row uses both points).
   */
 object ModelFilterSoakMain {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/tmp/testdata/sf1z")
     val tok = args.lift(1).getOrElse("word")
+    val shards = args.lift(2).map(_.toInt).getOrElse(16)
+    val perTrigger = args.lift(3).map(_.toInt).getOrElse(4)
     require(tok == "word" || tok == "char", s"bad tokenizer $tok")
+    require(shards > 0, s"bad shard count $shards")
+    require(perTrigger > 0, s"bad files-per-trigger $perTrigger")
     val tokLines = if (tok == "char")
       "tokenizer = \"char\"\nchar-n = 5\n" else ""
     val root = Files.createTempDirectory("model-serve-soak").toString
@@ -50,16 +61,16 @@ object ModelFilterSoakMain {
       seed.filter(col("lang") === "en").write.parquet(s"$root/target")
       seed.write.parquet(s"$root/raw")
 
-      // landing dir: the corpus as 16 shard files (one file = one
+      // landing dir: the corpus as `shards` files (one file = one
       // unit of arrival for the stream)
-      docs.repartition(16).write.parquet(s"$root/in")
+      docs.repartition(shards).write.parquet(s"$root/in")
 
       def config(in: String) =
         s"""[input]
            |path = "$in"
            |format = "parquet"
            |stream = "true"
-           |max-files-per-trigger = "4"
+           |max-files-per-trigger = "$perTrigger"
            |checkpoint = "$root/ckpt-${in.hashCode.abs}"
            |[[stages]]
            |type = "nb-filter"
@@ -102,7 +113,8 @@ object ModelFilterSoakMain {
       val funnelJson = funnel.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
       println(
-        s"""{"docs":$nDocs,"tokenizer":"$tok","kept":$kept,""" +
+        s"""{"docs":$nDocs,"tokenizer":"$tok","shards":$shards,""" +
+          s""""per_trigger":$perTrigger,"kept":$kept,""" +
           f""""train_commit_s":$trainS%.1f,"serve_drain_s":$serveS%.1f,""" +
           f""""docs_per_s":${nDocs / serveS}%.0f,""" +
           s""""funnel":$funnelJson}""")
