@@ -148,10 +148,19 @@ object CurateMain {
       // that contract explicit.
       val perBatch = scala.collection.mutable
         .LinkedHashMap.empty[Long, Seq[(String, Long)]]
+      // one starvation probe per RUN (first batch only): .rdd
+      // re-plans the batch frame, so probing every batch would pay
+      // that planning cost per trigger for a warning that cannot
+      // change mid-run (trigger size and shard sizes are fixed)
+      val starvationProbed = new java.util.concurrent.atomic.AtomicBoolean(false)
       val q = src.writeStream
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          if (starvationProbed.compareAndSet(false, true))
+            starvedBatchWarning(batch.rdd.getNumPartitions,
+              spark.sparkContext.defaultParallelism)
+              .foreach(w => Console.err.println(s"WARN CurateMain: $w"))
           // same ordering contract as the batch path, per micro-batch:
           // stages → output write → index postCommit. The write is
           // IDEMPOTENT under replay: rows land in an
@@ -198,6 +207,30 @@ object CurateMain {
     * drift from the mode the run actually executed in. */
   private def streamingMode(tree: Map[String, Any]): Boolean =
     Toml.at(tree, "input.stream").exists(_.toString.toBoolean)
+
+  /** Micro-batch core starvation check (r14, measured in SCALE.md
+    * "Char-mode second scale point"): when `maxFilesPerTrigger`
+    * admits only a few small files per batch, the scan plans one
+    * task per file (small files never split), so the WHOLE batch
+    * runs on that many cores while the rest idle — on the measured
+    * sweep, a 4-file trigger on 32 cores made 3× the corpus cost
+    * 3.85× the wall, and the same corpus in executor-saturating
+    * batches cost 2.08× (sub-linear). The warning names the fix
+    * (raise `max-files-per-trigger`, or size shard files so a batch
+    * covers the executor) rather than silently coalescing or
+    * repartitioning: a repartition would pay a per-batch shuffle,
+    * and arrival-unit sizing is an ingest-layout decision the
+    * pipeline must not second-guess. Warn only below HALF the
+    * executor's cores — a batch at ≥cores/2 is within 2× of
+    * saturation, which ambient skew can account for. */
+  def starvedBatchWarning(batchPartitions: Int, cores: Int): Option[String] =
+    if (batchPartitions > 0 && batchPartitions * 2 < cores)
+      Some(s"micro-batches scan $batchPartitions partition(s) on " +
+        s"$cores cores — the drain runs ${cores / batchPartitions}x " +
+        "slower than the executor allows. Raise input.max-files-per-" +
+        "trigger (or use bigger shard files) so one batch covers the " +
+        "executor; see SCALE.md 'Char-mode second scale point'.")
+    else None
 
   /** binaryFile's fixed source schema (a file-STREAM source must be
     * given one up front). */

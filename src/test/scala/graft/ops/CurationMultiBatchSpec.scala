@@ -65,4 +65,21 @@ class CurationMultiBatchSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(ids == Seq(1L, 2L), ids.toString)
   }
+
+  test("starvedBatchWarning: fires below half the executor's cores, " +
+    "stays quiet at or above, and names the knob (r14 SCALE.md " +
+    "batch-geometry find)") {
+    // 4-file trigger on 32 cores — the measured sweep's trap
+    val w = graft.CurateMain.starvedBatchWarning(4, 32)
+    assert(w.isDefined)
+    assert(w.get.contains("max-files-per-trigger"), w.get)
+    assert(w.get.contains("8x"), w.get) // 32/4 — quantified, not vague
+    // at half the cores the batch is within 2x of saturation: quiet
+    assert(graft.CurateMain.starvedBatchWarning(16, 32).isEmpty)
+    assert(graft.CurateMain.starvedBatchWarning(32, 32).isEmpty)
+    assert(graft.CurateMain.starvedBatchWarning(64, 32).isEmpty)
+    // degenerate inputs never warn (an empty batch has 0 partitions)
+    assert(graft.CurateMain.starvedBatchWarning(0, 32).isEmpty)
+    assert(graft.CurateMain.starvedBatchWarning(1, 1).isEmpty)
+  }
 }
