@@ -45,8 +45,27 @@ object CoreQueries {
   // long value on both engines.
   private[queries] def cents(c: Column): Column =
     floor(c * lit(100.0) + lit(0.5)).cast("long")
+  // DOUBLE rendering is only driver-stable while the UNSCALED exact
+  // sum stays under 2^53 ≈ 9.0e15: above that, DuckDB's
+  // decimal→DOUBLE cast double-rounds (int128→double loses low bits,
+  // THEN the scale division rounds again) while Spark's
+  // BigDecimal.doubleValue rounds once, correctly — a 1-ulp lottery
+  // per group. Measured at sf3: q1's sum_charge (scale-6 units,
+  // unscaled ≈ 2.4e17) lost it on 2 of 6 groups; every remaining
+  // double-rendered caller is ≥75× under the cliff at sf3
+  // (q7 revenue ≈ 1e13 unscaled, q3/q5 revenue smaller still).
+  // Money aggregates that can cross it render via sum128Money.
   private[queries] def sum128Scaled(c: Column, scale: Long): Column =
     (call_function("sum128", c) / lit(scale)).cast("double")
+  // Exact rendering at ANY magnitude: round the exact decimal to
+  // cents and emit the STRING (compare.py doctrine: "VARCHAR for
+  // exactness, DOUBLE when the magnitude fits"). Spark round() is
+  // HALF_UP and DuckDB ROUND is half-away-from-zero — identical on
+  // every sign — and both engines render DECIMAL(·,2) strings with
+  // the full two-digit scale, so the bytes match bit-for-bit with no
+  // FP cast anywhere. Oracle twin: CAST(ROUND(SUM(...), 2) AS VARCHAR).
+  private[queries] def sum128Money(c: Column, scale: Long): Column =
+    round(call_function("sum128", c) / lit(scale), 2).cast("string")
   private def centsRevenue: Column =
     (call_function("sum128",
       cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
@@ -79,9 +98,13 @@ object CoreQueries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum128Scaled(cents(col("l_quantity")), 100L).as("sum_qty"),
-          sum128Scaled(p, 100L).as("sum_base_price"),
-          sum128Scaled(p * d, 10000L).as("sum_disc_price"),
-          sum128Scaled(p * d * t, 1000000L).as("sum_charge"),
+          // money sums as exact decimal STRINGS: at sf3 sum_charge's
+          // unscaled sum (~2.4e17) is past the 2^53 cliff where
+          // DuckDB's decimal→DOUBLE cast double-rounds (2 of 6
+          // groups came back 1 ulp off) — see sum128Money
+          sum128Money(p, 100L).as("sum_base_price"),
+          sum128Money(p * d, 10000L).as("sum_disc_price"),
+          sum128Money(p * d * t, 1000000L).as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -245,9 +268,9 @@ object CoreQueries {
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-         | CAST(SUM($sqlPrice) AS DOUBLE) AS sum_base_price,
-         | CAST(SUM($sqlPrice * $sqlDisc) AS DOUBLE) AS sum_disc_price,
-         | CAST(SUM($sqlPrice * $sqlDisc * $sqlTax) AS DOUBLE) AS sum_charge,
+         | CAST(ROUND(SUM($sqlPrice), 2) AS VARCHAR) AS sum_base_price,
+         | CAST(ROUND(SUM($sqlPrice * $sqlDisc), 2) AS VARCHAR) AS sum_disc_price,
+         | CAST(ROUND(SUM($sqlPrice * $sqlDisc * $sqlTax), 2) AS VARCHAR) AS sum_charge,
          | COUNT(*) AS count_order
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
