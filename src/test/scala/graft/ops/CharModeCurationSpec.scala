@@ -480,4 +480,46 @@ class CharModeCurationSpec extends SparkSpec {
     assert(kept == Set(1L, 2L), kept)
     assert(n == 2)
   }
+
+  test("langid-filter mode=model streams: per-micro-batch predictions " +
+    "equal the batch run (the kernel is scan-stage, so state-free)") {
+    val dir = Files.createTempDirectory("langid-stream").toString
+    val enFluent = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox sleeps in the lazy sun",
+      "the quick brown fox runs past the lazy dog")
+    val seed = s"$dir/seed.parquet"
+    (fluent.zipWithIndex.map { case (t, i) => (100L + i, "zh", t) } ++
+      enFluent.zipWithIndex.map { case (t, i) => (200L + i, "en", t) })
+      .toDF("doc_id", "lang", "text").write.parquet(seed)
+    // two arrival units -> two micro-batches, each carrying one
+    // language, so a batch-local mistake (e.g. per-batch retraining)
+    // could not hide behind a balanced batch
+    val in = s"$dir/in"
+    Seq((1L, fluent.head), (2L, scrambled))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Seq((3L, enFluent.head))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    def config(out: String, stream: Boolean) =
+      s"""[input]
+         |path = "$in"
+         |${if (stream) "stream = \"true\"\nmax-files-per-trigger = \"1\"\n" +
+             s"""checkpoint = "$dir/ckpt"""" else ""}
+         |[[stages]]
+         |type = "langid-filter"
+         |mode = "model"
+         |ref-path = "$seed"
+         |output-column = "pred_lang"
+         |[output]
+         |dir = "$out"
+         |""".stripMargin
+    val (nb, _) = graft.CurateMain.run(spark, config(s"$dir/out-b", stream = false))
+    val (ns, _) = graft.CurateMain.run(spark, config(s"$dir/out-s", stream = true))
+    assert(nb == 3 && ns == 3, s"batch $nb stream $ns")
+    def preds(out: String) = spark.read.parquet(out)
+      .select($"doc_id", $"pred_lang").as[(Long, String)].collect().toMap
+    val (pb, ps) = (preds(s"$dir/out-b"), preds(s"$dir/out-s"))
+    assert(pb == ps, s"batch $pb vs stream $ps")
+    assert(pb(1L) == "zh" && pb(3L) == "en", pb.toString)
+  }
 }
