@@ -51,10 +51,13 @@ object CoreQueries {
   // THEN the scale division rounds again) while Spark's
   // BigDecimal.doubleValue rounds once, correctly — a 1-ulp lottery
   // per group. Measured at sf3: q1's sum_charge (scale-6 units,
-  // unscaled ≈ 2.4e17) lost it on 2 of 6 groups; every remaining
-  // double-rendered caller is ≥75× under the cliff at sf3
-  // (q7 revenue ≈ 1e13 unscaled, q3/q5 revenue smaller still).
-  // Money aggregates that can cross it render via sum128Money.
+  // unscaled ≈ 2.4e17) lost it on 2 of 6 groups. Audited across
+  // every double-rendered decimal sum in the sf3 dumps (max |value|
+  // per column × 10^scale vs 2^53): after q1 and q5 moved to exact
+  // strings, the tightest remaining margins are q14's
+  // total_revenue (~1.0e14 unscaled, 86×) and q19's revenue
+  // (~7.4e13, 121×); everything else is ≥200× under. Money
+  // aggregates that can cross render via sum128Money.
   private[queries] def sum128Scaled(c: Column, scale: Long): Column =
     (call_function("sum128", c) / lit(scale)).cast("double")
   // Exact rendering at ANY magnitude: round the exact decimal to
@@ -147,12 +150,23 @@ object CoreQueries {
       // hash table to build and probe instead of two (same result,
       // one fewer broadcast stage at any scale)
       val dim = nation.join(region, col("n_regionkey") === col("r_regionkey"))
+      // q5 aggregates the UNFILTERED fact table into 25 groups, so
+      // its sums are the largest in the suite after q1's: at sf3 the
+      // exact scale-4 sum reaches ~3.7e14 unscaled — 24× under the
+      // 2^53 double cliff (see sum128Money), crossing around sf70.
+      // Render exact; ORDER on the exact decimal (the string would
+      // sort lexicographically), project the string after.
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(centsRevenue.as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        .agg((call_function("sum128",
+          cents(col("l_extendedprice"))
+            * (lit(100L) - cents(col("l_discount")))) / lit(10000L))
+          .as("__rev"))
+        .orderBy(col("__rev").desc, col("n_name"))
+        .select(col("r_name"), col("n_name"),
+          round(col("__rev"), 2).cast("string").as("revenue"))
     }),
 
     // global top-k: Spark's TakeOrderedAndProject — per-partition
@@ -285,14 +299,14 @@ object CoreQueries {
          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q5_region_nation_revenue" ->
       s"""SELECT r_name, n_name,
-         | CAST(SUM($sqlPrice * $sqlDisc) AS DOUBLE) AS revenue
+         | CAST(ROUND(SUM($sqlPrice * $sqlDisc), 2) AS VARCHAR) AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name
-         |ORDER BY revenue DESC, n_name""".stripMargin,
+         |ORDER BY SUM($sqlPrice * $sqlDisc) DESC, n_name""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
