@@ -114,12 +114,15 @@ object TextFunctions {
     * it is intentionally NOT implemented. */
   def charNgrams(text: Column, n: Int = 5): Column = {
     require(n > 0, s"charNgrams: need n > 0, got $n")
-    Exprs.bind(regexp_replace(trim(text), " +", "▁")) { t =>
-      when(length(t) === 0, array().cast("array<string>"))
-        .when(length(t) < n, array(t))
-        .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
-          i => t.substr(i, lit(n))))
-    }
+    // native one-pass kernel (CharNgramsUtf8) — value-identical to
+    // the composed trim/regexp_replace/substr form (CharNgramSpec
+    // pins the equality), but O(text bytes) instead of the O(L²)
+    // per-window substr walk, inside whole-stage codegen
+    org.apache.spark.sql.graftbridge.GraftColumnBridge.column(
+      CharNgramsUtf8(
+        org.apache.spark.sql.graftbridge.GraftColumnBridge
+          .expression(text),
+        org.apache.spark.sql.catalyst.expressions.Literal(n)))
   }
 
   /** The char-gram stream re-spaced into whitespace-token text:

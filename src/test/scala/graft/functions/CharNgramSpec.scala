@@ -67,6 +67,36 @@ class CharNgramSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("native char_ngrams_utf8 kernel ≡ the composed Catalyst form " +
+    "(trim + ' +'→▁ regexp + codepoint substr windows) on randomized " +
+    "multilingual inputs — the r14 one-pass rewrite changes cost, " +
+    "never values") {
+    // the pre-r14 composed form, verbatim
+    def composed(text: org.apache.spark.sql.Column, n: Int) =
+      Exprs.bind(regexp_replace(trim(text), " +", "▁")) { t =>
+        when(length(t) === 0, array().cast("array<string>"))
+          .when(length(t) < n, array(t))
+          .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
+            i => t.substr(i, lit(n))))
+      }
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq(
+      "ab c", "机器学习智能 ", "ภาษาไทยน้ำ", "かなカナ漢字 ",
+      "한국어 문장", "a\tb\nc  d", "x▁y", "é漢a ")
+    val texts = (1 to 400).map { _ =>
+      val alpha = alphabets(rnd.nextInt(alphabets.size))
+      val len = rnd.nextInt(30)
+      (1 to len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    } ++ Seq("", " ", "   ", "a", "ab", "abcd", " ab ", "  a  b  ")
+    for (n <- Seq(1, 2, 3, 5, 7)) {
+      val df = texts.map(Tuple1(_)).toDF("text")
+        .select(TextFunctions.charNgrams(col("text"), n).as("fast"),
+          composed(col("text"), n).as("slow"))
+      assert(df.filter(col("fast") =!= col("slow")).count() == 0,
+        s"native/composed divergence at n=$n")
+    }
+  }
+
   test("charGramText round-trips through the whitespace tokenizer: " +
     "tokens(charGramText(t)) == charNgrams(t) — char-gram mode rides " +
     "every word-token kernel as a projection") {
