@@ -92,6 +92,22 @@ object ExactQuantiles {
     *        raise it for pathological value concentration. The last
     *        level ranks whatever remains, so exactness never
     *        depends on it.
+    * @param directRowBound small-input gate (r14): when the largest
+    *        COLUMN TOTAL (non-null values summed over every group —
+    *        read from the stats aggregate the gate action already
+    *        runs) is at most this many values, the whole call
+    *        computes as ONE sorted-buffer hash aggregate instead of
+    *        the banded machinery. The direct path runs the banded
+    *        plan's own flat short-circuit and interpolation
+    *        expressions over the two order statistics, so values are
+    *        bit-identical by construction in every case (spec-pinned,
+    *        including the null-group flat asymmetry), and the gate
+    *        bounds BOTH the per-group buffer and the shuffled bytes
+    *        by what one band-sort task already accepts. The bound is
+    *        on totals, not max group, because at scale a small-group
+    *        input is still terabytes the banded histogram would
+    *        never shuffle raw. −1 (default) = follow `bandRowBound`;
+    *        0 = always banded.
     * @return (grp, vcol, p, value) — one row per group × target
     */
   def percentiles(df: DataFrame, grp: String,
@@ -99,11 +115,18 @@ object ExactQuantiles {
       bands: Int = 1024,
       maxBroadcastHistRows: Long = MaxBroadcastHistRows,
       bandRowBound: Long = BandRowBound,
-      maxDepth: Int = 1): DataFrame = {
+      maxDepth: Int = 1,
+      directRowBound: Long = -1L): DataFrame = {
     require(targets.nonEmpty, "percentiles: no targets")
     require(bands > 1, s"percentiles: need bands > 1, got $bands")
     require(maxDepth >= 1, s"percentiles: need maxDepth >= 1, got $maxDepth")
     require(bandRowBound >= 1, s"percentiles: bad bandRowBound $bandRowBound")
+    require(directRowBound >= -1L,
+      s"percentiles: bad directRowBound $directRowBound")
+    // -1 = follow bandRowBound: the direct path's per-group buffer
+    // bound IS the bound the caller already accepted for one band
+    // sort task; 0 = always banded (the spec's plan-shape pins)
+    val dBound = if (directRowBound < 0) bandRowBound else directRowBound
     targets.foreach { case (vcol, ps) =>
       require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
         s"percentiles($vcol): p must be in [0,1], got $ps")
@@ -148,12 +171,70 @@ object ExactQuantiles {
         col("__lo").as("__val"))
     val varied = tg.filter(col("__lo") < col("__hi"))
 
-    // broadcast-vs-shuffle gate: ONE count of the stats aggregate
-    // decides whether the per-group relations (stats row per group,
-    // the (group × column × band) histogram, the located-band set)
-    // fit a broadcast. Values are identical either way — only the
-    // join strategy changes (spec-pinned both sides of the gate).
-    val nGroups = stats.count()
+    // Size gate — ONE action over the stats aggregate decides TWO
+    // strategy choices (values are identical on every side of both
+    // gates; spec-pinned):
+    //  - direct-vs-banded: when the largest COLUMN TOTAL is at most
+    //    `directRowBound` values, the whole input is within what ONE
+    //    band-sort task already accepts (step 4 ranks up to
+    //    max(n/bands, bandRowBound) rows in one task) — the ~8-stage
+    //    banded machinery buys nothing, so one sorted-buffer hash
+    //    aggregate replaces it. The gate reads totals, not the max
+    //    group, because a small-group input at 100 TB is still
+    //    terabytes that the direct aggregate would shuffle raw where
+    //    the banded histogram shuffles counts. Like AQE, the
+    //    strategy comes from a runtime size, never a constant tuned
+    //    to one scale.
+    //  - broadcast-vs-shuffle on the per-group relations (stats row
+    //    per group, the (group × column × band) histogram, the
+    //    located-band set), as before.
+    val gateRow = stats.agg(count(lit(1)).as("__ng"),
+      nm.indices.map(i => sum(col(s"__n$i")))
+        .reduce((a, b) => greatest(a, b)).as("__tot")).head()
+    val nGroups = gateRow.getLong(0)
+    val maxColTotal = if (gateRow.isNullAt(1)) 0L else gateRow.getLong(1)
+    if (maxColTotal <= dBound) {
+      // direct path: ONE hash aggregate buffers each group's sorted
+      // non-null values (collect_list + sort_array), then the banded
+      // plan's OWN flat short-circuit and interpolation expressions
+      // run over the two order statistics — bit-identical by
+      // construction in every case the banded plan covers, including
+      // the null-group asymmetry (flat rows keep null groups, the
+      // keyed joins drop varied ones) and duplicate-adjacent-rank
+      // interpolation, where builtin percentile() short-circuits to
+      // the value while the banded formula interpolates (a last-ulp
+      // difference the oracle hashes would notice). get() is 0-based
+      // and null-safe, so empty (all-null) columns fall out as null
+      // values, mirroring statsLong's n > 0 filter.
+      val qcols = targets.zipWithIndex.flatMap { case ((vc, ps), i) =>
+        ps.map(p => (i, vc, p)) }
+      val aggs = nm.indices.map(i =>
+        sort_array(collect_list(col(nm(i)))).as(s"__a$i"))
+      val entries = qcols.map { case (i, vc, p) =>
+        val a = col(s"__a$i")
+        val n = size(a)
+        val pos = lit(1.0) + (n - 1).cast("double") * lit(p)
+        val li = floor(pos).cast("long")
+        val hi2 = ceil(pos).cast("long")
+        val lo = get(a, lit(0))
+        val hi = get(a, n - 1)
+        val lv = get(a, (li - 1).cast("int"))
+        val hv = get(a, (hi2 - 1).cast("int"))
+        val v = when(lo === hi, lo)
+          .when(li === hi2, lv)
+          .otherwise(lv * (hi2.cast("double") - pos) +
+            hv * (pos - li.cast("double")))
+        struct(lit(vc).as("vcol"), lit(p).as("p"),
+          when(n > 0 && (col("__g").isNotNull || lo === hi), v)
+            .as("value"))
+      }
+      return base.groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
+        .select(col("__g"),
+          posexplode(array(entries: _*)).as(Seq("__x", "__e")))
+        .filter(col("__e.value").isNotNull)
+        .select(col("__g").as(grp), col("__e.vcol").as("vcol"),
+          col("__e.p").as("p"), col("__e.value").as("value"))
+    }
     val smallHist =
       nGroups * vcols.size.toLong * bands.toLong <= maxBroadcastHistRows
     def maybeB(d: DataFrame): DataFrame = if (smallHist) broadcast(d) else d

@@ -10,9 +10,14 @@ class ExactQuantilesSpec extends SparkSpec {
     df.groupBy($"g").agg(expr(s"percentile(v, $p)").as("exp"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
+  // directRowBound = 0 forces the BANDED plan regardless of input
+  // size — the r14 small-input gate would otherwise route every
+  // test-scale input through the direct percentile() path and these
+  // pins would compare the built-in to itself
   private def banded(df: org.apache.spark.sql.DataFrame, p: Double,
       bands: Int = 16) =
-    ExactQuantiles.percentiles(df, "g", Seq("v" -> Seq(p)), bands)
+    ExactQuantiles.percentiles(df, "g", Seq("v" -> Seq(p)), bands,
+      directRowBound = 0L)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
 
   test("bit-identical to the built-in percentile() on randomized data") {
@@ -34,6 +39,60 @@ class ExactQuantilesSpec extends SparkSpec {
           s"p=$p g=$g: got ${got(g)}, percentile() says ${exp(g)}")
       }
     }
+  }
+
+  test("small-input direct path ≡ banded bit-for-bit (incl. the " +
+      "null-group flat asymmetry) and really skips the banded machinery") {
+    val rng = new scala.util.Random(19)
+    val rows = (1 to 600).map { i =>
+      (s"g${i % 4}",
+        if (i % 11 == 0) None
+        else Some(math.floor(rng.nextDouble() * 10000) / 100.0))
+    } ++ Seq((null: String, Some(1.0)),
+      (null: String, Some(2.0))) // null group VARIED → drops on both
+    val df = rows.toDF("g", "v").repartition(7)
+    for (p <- Seq(0.0, 0.25, 0.5, 0.75, 1.0)) {
+      // default gate: the whole input is far under the bound → direct
+      val direct = ExactQuantiles.percentiles(df, "g",
+        Seq("v" -> Seq(p)), bands = 16)
+      // the direct plan is one hash aggregate — no band-rank windows
+      assert(!direct.queryExecution.executedPlan.toString.contains("Window"),
+        "direct path should have no window operators")
+      val got = direct.collect()
+        .map(r => r.getString(0) -> r.getDouble(3)).toMap
+      val exp = builtin(df.filter($"g".isNotNull), p)
+      assert(got.keySet == exp.keySet, s"p=$p")
+      exp.foreach { case (g, e) =>
+        assert(java.lang.Double.doubleToLongBits(got(g)) ==
+          java.lang.Double.doubleToLongBits(e),
+          s"p=$p g=$g: direct ${got(g)}, percentile() says $e")
+      }
+      assert(got == banded(df, p), s"p=$p: direct and banded disagree")
+    }
+    // null group with CONSTANT values rides the flat short-circuit on
+    // the banded path and is KEPT — the direct path must reproduce
+    // that asymmetry, not "clean it up"
+    val flatNull = (Seq((null: String, 7.5), (null, 7.5)) ++
+      (1 to 50).map(i => ("g", i.toDouble))).toDF("g", "v")
+    for (p <- Seq(0.25, 0.5)) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => Option(r.getString(0)) -> r.getDouble(3)).toMap
+      val d = rows(ExactQuantiles.percentiles(flatNull, "g",
+        Seq("v" -> Seq(p)), bands = 16))
+      val b = rows(ExactQuantiles.percentiles(flatNull, "g",
+        Seq("v" -> Seq(p)), bands = 16, directRowBound = 0L))
+      assert(d == b, s"p=$p: direct and banded disagree on null-flat")
+      assert(d(None) == 7.5, s"p=$p: null flat group should be kept")
+    }
+    // multi-column, multi-p through the direct path
+    val multi = Seq(("a", 1.0, 10.0), ("a", 2.0, 20.0), ("a", 3.0, 30.0))
+      .toDF("g", "q", "x")
+    val rowsM = ExactQuantiles.percentiles(multi, "g",
+      Seq("q" -> Seq(0.5), "x" -> Seq(0.25, 0.75)))
+      .collect().map(r => (r.getString(1), r.getDouble(2)) -> r.getDouble(3))
+      .toMap
+    assert(rowsM == Map(("q", 0.5) -> 2.0, ("x", 0.25) -> 15.0,
+      ("x", 0.75) -> 25.0))
   }
 
   test("constant group short-circuits; singleton group works") {
@@ -62,7 +121,8 @@ class ExactQuantilesSpec extends SparkSpec {
     val df = Seq(("a", 1.0, 10.0), ("a", 2.0, 20.0), ("a", 3.0, 30.0))
       .toDF("g", "q", "x")
     val rows = ExactQuantiles.percentiles(df, "g",
-      Seq("q" -> Seq(0.5), "x" -> Seq(0.25, 0.75)))
+      Seq("q" -> Seq(0.5), "x" -> Seq(0.25, 0.75)),
+      directRowBound = 0L)
       .collect().map(r => (r.getString(1), r.getDouble(2)) -> r.getDouble(3))
       .toMap
     assert(rows(("q", 0.5)) == 2.0)
@@ -142,7 +202,8 @@ class ExactQuantilesSpec extends SparkSpec {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val shuffled = ExactQuantiles.percentiles(df, "g",
-        Seq("v" -> Seq(0.5)), bands = 16, maxBroadcastHistRows = 1000L)
+        Seq("v" -> Seq(0.5)), bands = 16, maxBroadcastHistRows = 1000L,
+        directRowBound = 0L)
       // the gated plan keeps ONLY the constant-bounded broadcasts
       // (the (cid, p) target list and the column-name table — both
       // bounded by the call signature, not the data); the three
@@ -157,7 +218,7 @@ class ExactQuantilesSpec extends SparkSpec {
       assert(nBcast(shuffled) <= 4,
         s"gate left ${nBcast(shuffled)} broadcast joins in the plan")
       val ungated = ExactQuantiles.percentiles(df, "g",
-        Seq("v" -> Seq(0.5)), bands = 16)
+        Seq("v" -> Seq(0.5)), bands = 16, directRowBound = 0L)
       assert(nBcast(ungated) > nBcast(shuffled),
         s"expected the data-shaped hinted joins in the ungated plan, " +
           s"got ${nBcast(ungated)} vs gated ${nBcast(shuffled)}")
