@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+/** Empirical per-query breakdown (optimization guide §1.1) without
+  * the UI: job/stage/task counts and where the wall-clock goes —
+  * executor task time vs scheduling/planning gaps. The fixture-scale
+  * gate queries are frequently JOB-COUNT bound (plan + codegen +
+  * schedule ~100-300 ms per stage at local[32]), which per-stage
+  * task metrics alone cannot show.
+  *
+  * usage: ProbeQ <sfDir> <query> [query...]
+  */
+object ProbeQ {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args(0)
+    val jobs = new AtomicInteger
+    val stages = new AtomicInteger
+    val tasks = new AtomicInteger
+    val taskMs = new AtomicLong
+    val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        val i = s.stageInfo
+        val ms = i.completionTime.getOrElse(0L) -
+          i.submissionTime.getOrElse(0L)
+        stageRows.add(f"$ms%6d ms  stage ${i.stageId}%4d " +
+          f"tasks=${i.numTasks}%3d  ${i.name.take(90)}")
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (t.taskMetrics != null)
+          taskMs.addAndGet(t.taskMetrics.executorRunTime)
+      }
+    })
+    for (name <- args.drop(1)) {
+      val q = SparkEntry.queries(name)
+      // warmup once (JIT + catalog), then measure
+      q(spark, dir).write.format("noop").mode("overwrite").save()
+      jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0)
+      stageRows.clear()
+      val t0 = System.nanoTime()
+      q(spark, dir).write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // settle listener delivery (the bus is async; private API, so
+      // just give it a beat)
+      Thread.sleep(300)
+      println(f"PROBE $name wall=$wall%.2fs jobs=${jobs.get} " +
+        f"stages=${stages.get} tasks=${tasks.get} " +
+        f"taskTime=${taskMs.get / 1000.0}%.2fs " +
+        f"(parallel ${taskMs.get / 1000.0 / wall}%.1fx)")
+      val rows = stageRows.toArray(Array.empty[String]).sorted.reverse
+      rows.take(12).foreach(r => println("  " + r))
+    }
+    spark.stop()
+  }
+}

@@ -61,39 +61,46 @@ object Components {
     // symmetric edge list: propagation must flow both directions
     val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
+    // Convergence probe: per-vertex labels are monotonically
+    // NON-INCREASING (min of self and neighbors), so any change
+    // strictly decreases Σ group_id — the round converged iff the sum
+    // is unchanged. The sum is ROW-LOCAL over the round's output, so
+    // it rides the SAME materialization job as the round's
+    // localCheckpoint via observe() — r14: one action per round
+    // where a separate aggregate job per round was pure scheduler
+    // overhead (ProbeQ: the loop queries are job-count-bound at gate
+    // scale). DECIMAL(38,0) keeps the sum exact at any
+    // vertex-id/corpus scale (a Long sum could wrap, and a wrapped
+    // collision would silently accept partial labels).
+    def checkpointWithSum(df: DataFrame)
+    : (DataFrame, java.math.BigDecimal) = {
+      val o = org.apache.spark.sql.Observation()
+      val ck = df.observe(o,
+        sum(col("group_id").cast(DecimalType(38, 0))).as("s"))
+        .localCheckpoint()
+      // sum over an EMPTY frame is SQL NULL — an edge-less input
+      // (no near-dups found) must converge on round 1, not NPE in
+      // compareTo. get returns as soon as the (already finished)
+      // checkpoint action reports its metrics.
+      val s = o.get("s")
+      (ck, if (s == null) java.math.BigDecimal.ZERO
+      else s.asInstanceOf[java.math.BigDecimal])
+    }
     // Initialization IS round 1: from identity labels, the first
     // propagation yields exactly min(self ∪ neighbors) — computing
     // that directly from the symmetric edge list (every vertex
     // appears as src) saves one full join+checkpoint+probe round.
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), first(col("src"))).as("group_id"))
-      .localCheckpoint()
-    // Convergence probe: per-vertex labels are monotonically
-    // NON-INCREASING (min of self and neighbors), so any change
-    // strictly decreases Σ group_id — the round converged iff the sum
-    // is unchanged. One shuffle-free aggregate over the checkpointed
-    // frame replaces the old labels⋈next diff join. DECIMAL(38,0)
-    // keeps the sum exact at any vertex-id/corpus scale (a Long sum
-    // could wrap, and a wrapped collision would silently accept
-    // partial labels).
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      // sum over an EMPTY frame is SQL NULL — an edge-less input
-      // (no near-dups found) must converge on round 1, not NPE in
-      // compareTo
-      val s = df.agg(sum(col("group_id").cast(DecimalType(38, 0))))
-        .head.getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s
-    }
-    var prevSum = labelSum(labels)
+    var (labels, prevSum) = checkpointWithSum(
+      edges.groupBy(col("src").as("id"))
+        .agg(least(min(col("dst")), first(col("src"))).as("group_id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels, edges("src") === labels("id"))
         .select(edges("dst").as("id"), col("group_id"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("id")).agg(min(col("group_id")).as("group_id"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
+      val (next, nextSum) = checkpointWithSum(
+        labels.unionByName(prop)
+          .groupBy(col("id")).agg(min(col("group_id")).as("group_id")))
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
