@@ -136,6 +136,69 @@ object Dsir {
       model.select(col("bucket"), col("c_t"), col("c_r")),
       buckets, prefix)
 
+  /** [[weightsSplitToks]] for the SELF-CORPUS case — the scored docs
+    * ARE the model corpus (every `model_dsir_*` gate and the
+    * in-query train+score shape). The backoff scalars are, by
+    * construction, total feature counts: n_r = Σ_b c_r(b) = the
+    * number of features the corpus explodes to, and n_t the same
+    * over target rows — every feature lands in exactly one bucket.
+    * So they come from a cheap tokenize-and-count pass
+    * (`size(toks) + max(size(toks)−1, 0)` per doc; no hashing, no
+    * bucket aggregate) collected at assembly and inlined as
+    * literals, and the expensive featurize+aggregate subtree under
+    * the model is evaluated exactly ONCE (the ratios join) instead
+    * of twice (r14: ProbeQ measured the second evaluation as a full
+    * ~2 s training stage of `model_dsir_chargram`). Literal scalars
+    * keep the plan STABLE across invocations — unlike a checkpoint
+    * of the model, which embeds a per-invocation RDD and defeats
+    * downstream plan-keyed caching (the reverted r14 experiment).
+    * Values are bit-identical to the two-call composition
+    * (spec-pinned, including null/empty/1-token docs where the
+    * count formula must mirror the featurizer's branches).
+    *
+    * The general [[weightsSplitToks]] stays for callers whose model
+    * corpus is NOT the scored frame (persisted ModelStore models,
+    * foreign eval sets). */
+  def weightsSplitSelfToks(corpus: DataFrame, idCol: String,
+      toks: Column, isTarget: Column, buckets: Int,
+      prefix: Int = 40): DataFrame = {
+    graft.GraftExtensions.ensure(corpus.sparkSession)
+    val model = bucketCountsSplitToks(corpus, toks, isTarget, buckets)
+    // exact feature count of one doc: size unigrams + (size-1)
+    // bigrams (0 under 2 tokens); null toks featurize to null and
+    // drop from the explode — count 0
+    val nf = graft.functions.Exprs.bind(toks) { ts =>
+      when(ts.isNull, lit(0L))
+        .otherwise(size(ts).cast("long") +
+          greatest(size(ts) - 1, lit(0)).cast("long"))
+    }
+    val row = corpus.agg(
+      sum(when(isTarget, nf).otherwise(0L)).as("n_t"),
+      sum(nf).as("n_r")).head()
+    val nT = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val nR = if (row.isNullAt(1)) 0L else row.getLong(1)
+    // literal LOCAL relation (not range(1)+project): one row by
+    // construction, visible as such to the broadcast-boundedness
+    // plan audit
+    val scalars = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(nT, nR)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_t",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_r",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    weightsFrom(corpus, idCol, toks, scalars,
+      model.select(col("bucket"), col("c_t"), col("c_r")),
+      buckets, prefix)
+  }
+
+  /** [[weightsSplitSelfToks]] over a text column (word tokens). */
+  def weightsSplitSelf(corpus: DataFrame, idCol: String,
+      textCol: String, isTarget: Column, buckets: Int,
+      prefix: Int = 40): DataFrame =
+    weightsSplitSelfToks(corpus, idCol,
+      TextFunctions.tokens(col(textCol)), isTarget, buckets, prefix)
+
   /** Importance weights against a target/raw model pair.
     *
     * w(doc) = Π over the first `prefix` features of

@@ -229,6 +229,61 @@ object LangModel {
         coalesce(col("mean_p"), lit(0.0)).as("mean_p"))
   }
 
+  /** Every n-gram key of one doc up to `maxOrd`, as (k, ord) structs
+    * in the compile key form (space-joined — the exact keys
+    * [[compileModel]]/[[compileModelBy]] build from the separate
+    * count tables). One array expression, so a combined training
+    * aggregate tokenizes the corpus ONCE where the three-table form
+    * re-tokenizes per order. */
+  private def gramKeys(toks: Column, maxOrd: Int): Column = {
+    require(maxOrd >= 1 && maxOrd <= 3, s"bad maxOrd $maxOrd")
+    graft.functions.Exprs.bind(toks) { t =>
+      val unis = transform(t, w =>
+        struct(w.as("k"), lit(1).as("ord")))
+      val bigs = transform(transitionPairs(t), p =>
+        struct(concat_ws(" ", p.getField("w1"), p.getField("w2")).as("k"),
+          lit(2).as("ord")))
+      val tris = transform(windowTriples(t), p =>
+        struct(concat_ws(" ", p.getField("w1"), p.getField("w2"),
+          p.getField("w3")).as("k"), lit(3).as("ord")))
+      maxOrd match {
+        case 1 => unis
+        case 2 => concat(unis, bigs)
+        case 3 => concat(unis, bigs, tris)
+      }
+    }
+  }
+
+  /** One-pass per-group n-gram count table (g, k, cnt, ord) —
+    * row-identical to `unigramsBy ∪ bigramsBy ∪ trigramsBy` rendered
+    * into the compile key form (unigrams unpruned, higher orders
+    * pruned at `minCount`, prune per group), but ONE corpus
+    * featurize + hash aggregate where the three-table form scans and
+    * tokenizes the corpus once per order (the kernel-compile
+    * trainer; spec-pinned equal to the three-table composition). */
+  def ngramCountsBy(ref: DataFrame, g: Column, toks: Column,
+      maxOrd: Int, minCount: Int = 2): DataFrame =
+    ref.select(g.as("g"), toks.as("__t"))
+      .filter(col("g").isNotNull) // see unigramsBy
+      .select(col("g"), explode(gramKeys(col("__t"), maxOrd)).as("e"))
+      .select(col("g"), col("e.k").as("k"), col("e.ord").as("ord"))
+      .groupBy(col("g"), col("k"), col("ord"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("ord") === 1 || col("cnt") >= minCount)
+      .select(col("g"), col("k"), col("cnt"), col("ord"))
+
+  /** [[ngramCountsBy]] without the group key: (k, cnt, ord) ≡
+    * `unigrams ∪ bigrams ∪ trigrams` in compile key form. */
+  def ngramCounts(ref: DataFrame, toks: Column, maxOrd: Int,
+      minCount: Int = 2): DataFrame =
+    ref.select(toks.as("__t"))
+      .select(explode(gramKeys(col("__t"), maxOrd)).as("e"))
+      .select(col("e.k").as("k"), col("e.ord").as("ord"))
+      .groupBy(col("k"), col("ord"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("ord") === 1 || col("cnt") >= minCount)
+      .select(col("k"), col("cnt"), col("ord"))
+
   /** Collect a per-group model into per-group (keys, counts) arrays —
     * [[compileModel]] keyed by group, same driver-memory gate (over
     * ALL groups' rows together), same loud space-free tokenizer
@@ -238,17 +293,26 @@ object LangModel {
   def compileModelBy(uni: DataFrame, big: DataFrame,
       tri: Option[DataFrame] = None,
       maxModelRows: Long = 5000000L)
+  : Map[String, (Array[String], Array[Long])] =
+    compileModelByKeyed(
+      uni.select(col("g"), col("token").as("k"), col("cnt"),
+        lit(1).as("ord")) unionAll
+        big.select(col("g"), concat_ws(" ", col("w1"), col("w2")).as("k"),
+          col("cnt"), lit(2).as("ord")) unionAll
+        tri.map(_.select(col("g"),
+          concat_ws(" ", col("w1"), col("w2"), col("w3")).as("k"),
+          col("cnt"), lit(3).as("ord")))
+          .getOrElse(uni.sparkSession.emptyDataFrame
+            .select(lit("").as("g"), lit("").as("k"), lit(0L).as("cnt"),
+              lit(0).as("ord")).limit(0)),
+      maxModelRows)
+
+  /** [[compileModelBy]] over an already-keyed (g, k, cnt, ord) count
+    * table — the [[ngramCountsBy]] one-pass form. Same gate, same
+    * validation, same deterministic per-group sort. */
+  def compileModelByKeyed(keyed: DataFrame,
+      maxModelRows: Long = 5000000L)
   : Map[String, (Array[String], Array[Long])] = {
-    val keyed = uni.select(col("g"), col("token").as("k"), col("cnt"),
-      lit(1).as("ord")) unionAll
-      big.select(col("g"), concat_ws(" ", col("w1"), col("w2")).as("k"),
-        col("cnt"), lit(2).as("ord")) unionAll
-      tri.map(_.select(col("g"),
-        concat_ws(" ", col("w1"), col("w2"), col("w3")).as("k"),
-        col("cnt"), lit(3).as("ord")))
-        .getOrElse(uni.sparkSession.emptyDataFrame
-          .select(lit("").as("g"), lit("").as("k"), lit(0L).as("cnt"),
-            lit(0).as("ord")).limit(0))
     require(maxModelRows < Int.MaxValue, s"bad gate $maxModelRows")
     val rows = keyed.limit(maxModelRows.toInt + 1).collect()
     if (rows.length > maxModelRows)
@@ -443,17 +507,25 @@ object LangModel {
     */
   def compileModel(uni: DataFrame, big: DataFrame,
       tri: Option[DataFrame] = None,
+      maxModelRows: Long = 5000000L): (Array[String], Array[Long]) =
+    compileModelKeyed(
+      uni.select(col("token").as("k"), col("cnt"),
+        lit(1).as("ord")) unionAll
+        big.select(concat_ws(" ", col("w1"), col("w2")).as("k"),
+          col("cnt"), lit(2).as("ord")) unionAll
+        tri.map(_.select(
+          concat_ws(" ", col("w1"), col("w2"), col("w3")).as("k"),
+          col("cnt"), lit(3).as("ord")))
+          .getOrElse(uni.sparkSession.emptyDataFrame
+            .select(lit("").as("k"), lit(0L).as("cnt"), lit(0).as("ord"))
+            .limit(0)),
+      maxModelRows)
+
+  /** [[compileModel]] over an already-keyed (k, cnt, ord) count
+    * table — the [[ngramCounts]] one-pass form. Same gate, same
+    * validation, same deterministic sort. */
+  def compileModelKeyed(keyed: DataFrame,
       maxModelRows: Long = 5000000L): (Array[String], Array[Long]) = {
-    val keyed = uni.select(col("token").as("k"), col("cnt"),
-      lit(1).as("ord")) unionAll
-      big.select(concat_ws(" ", col("w1"), col("w2")).as("k"),
-        col("cnt"), lit(2).as("ord")) unionAll
-      tri.map(_.select(
-        concat_ws(" ", col("w1"), col("w2"), col("w3")).as("k"),
-        col("cnt"), lit(3).as("ord")))
-        .getOrElse(uni.sparkSession.emptyDataFrame
-          .select(lit("").as("k"), lit(0L).as("cnt"), lit(0).as("ord"))
-          .limit(0))
     // ONE training pass: pull at most gate+1 rows (the limit bounds
     // driver memory BEFORE the size check — a count-then-collect
     // would run the training aggregates twice)

@@ -155,9 +155,12 @@ object ModelQueries {
     // kernel ≡ relational ≡ DuckDB is a standing three-way agreement
     "model_lm_kernel" -> ((s, dir) => {
       val d = docs(s, dir)
-      val uni = LangModel.unigrams(d, toks)
-      val big = LangModel.bigrams(d, toks, minCount = 2)
-      LangModel.scoreCompiled(d, "doc_id", "text", uni, big)
+      // one-pass keyed trainer (r14): the separate uni/big tables
+      // re-tokenized the corpus once per order; compiled model
+      // identical (spec-pinned), serve plan unchanged
+      LangModel.scoreCompiledModel(d, "doc_id", "text",
+        LangModel.compileModelKeyed(
+          LangModel.ngramCounts(d, toks, maxOrd = 2, minCount = 2)))
         .orderBy(col("doc_id"))
     }),
 
@@ -208,10 +211,11 @@ object ModelQueries {
     // kernel ≡ relational ≡ DuckDB is a standing three-way agreement
     "model_lm_perlang_kernel" -> ((s, dir) => {
       val d = docs(s, dir)
-      val uni = LangModel.unigramsBy(d, col("lang"), toks)
-      val big = LangModel.bigramsBy(d, col("lang"), toks, minCount = 2)
+      // one-pass keyed trainer (r14): identical compiled bank
       val bank = LangModel.broadcastBank(s,
-        LangModel.compileModelBy(uni, big))
+        LangModel.compileModelByKeyed(
+          LangModel.ngramCountsBy(d, col("lang"), toks,
+            maxOrd = 2, minCount = 2)))
       LangModel.scoreByCompiled(d, "doc_id", "text", "lang", bank)
         .withColumnRenamed("g", "lang")
         .orderBy(col("doc_id"))
@@ -234,11 +238,12 @@ object ModelQueries {
     // oracle (kernel ≡ relational ≡ DuckDB three-way agreement)
     "model_lm_perlang3_kernel" -> ((s, dir) => {
       val d = docs(s, dir)
-      val uni = LangModel.unigramsBy(d, col("lang"), toks)
-      val big = LangModel.bigramsBy(d, col("lang"), toks, minCount = 2)
-      val tri = LangModel.trigramsBy(d, col("lang"), toks, minCount = 2)
+      // one-pass keyed trainer (r14): three featurize+aggregate
+      // passes (uni, big, tri) fold into one; identical bank
       val bank = LangModel.broadcastBank(s,
-        LangModel.compileModelBy(uni, big, Some(tri)))
+        LangModel.compileModelByKeyed(
+          LangModel.ngramCountsBy(d, col("lang"), toks,
+            maxOrd = 3, minCount = 2)))
       LangModel.scoreTrigramByCompiled(d, "doc_id", "text", "lang", bank)
         .withColumnRenamed("g", "lang")
         .orderBy(col("doc_id"))
@@ -301,10 +306,12 @@ object ModelQueries {
       val c0 = MultilingualFixture.corpus(s,
         docs(s, dir).filter(col("doc_id") < 2000))
       val ct = TextFunctions.charNgrams(col("text"), 5)
-      val uni = LangModel.unigramsBy(c0, col("lang"), ct)
-      val big = LangModel.bigramsBy(c0, col("lang"), ct, minCount = 2)
+      // one-pass keyed trainer (r14): the gram stream is computed
+      // once, not once per order; identical bank
       val bank = LangModel.broadcastBank(s,
-        LangModel.compileModelBy(uni, big))
+        LangModel.compileModelByKeyed(
+          LangModel.ngramCountsBy(c0, col("lang"), ct,
+            maxOrd = 2, minCount = 2)))
       val c = c0.withColumn("__gt",
         TextFunctions.charGramText(col("text"), 5))
       LangModel.scoreByCompiled(c, "doc_id", "__gt", "lang", bank)
@@ -372,10 +379,12 @@ object ModelQueries {
       val at = when(col("lang").isin("ja", "th", "zh"),
         TextFunctions.charNgrams(col("text"), 5))
         .otherwise(TextFunctions.tokens(col("text")))
-      val uni = LangModel.unigramsBy(c0, col("lang"), at)
-      val big = LangModel.bigramsBy(c0, col("lang"), at, minCount = 2)
+      // one-pass keyed trainer (r14): the per-language conditional
+      // tokenization runs once, not once per order; identical bank
       val bank = LangModel.broadcastBank(s,
-        LangModel.compileModelBy(uni, big))
+        LangModel.compileModelByKeyed(
+          LangModel.ngramCountsBy(c0, col("lang"), at,
+            maxOrd = 2, minCount = 2)))
       val c = c0.withColumn("__gt",
         when(col("lang").isin("ja", "th", "zh"),
           TextFunctions.charGramText(col("text"), 5))
@@ -400,9 +409,10 @@ object ModelQueries {
         .select(col("doc_id"), col("lang"),
           TextFunctions.charNgrams(col("text"), 5).as("toks"))
         .filter(size(col("toks")) > 0)
-      val model = Dsir.bucketCountsSplitToks(c, col("toks"),
+      // self-corpus form (r14): literal backoff scalars from a
+      // tokenize-count pass — the training featurize runs ONCE
+      Dsir.weightsSplitSelfToks(c, "doc_id", col("toks"),
         col("lang") === "zh", 1024)
-      Dsir.weightsSplitToks(c, "doc_id", col("toks"), model, 1024)
         .orderBy(col("doc_id"))
     }),
 
@@ -433,9 +443,9 @@ object ModelQueries {
     // from ONE featurize + conditional aggregate pass
     "model_dsir_weights" -> ((s, dir) => {
       val d = docs(s, dir)
-      val model = Dsir.bucketCountsSplit(d, "text",
+      // self-corpus form (r14): one featurize pass, not two
+      Dsir.weightsSplitSelf(d, "doc_id", "text",
         col("lang") === "en", 1024)
-      Dsir.weightsSplit(d, "doc_id", "text", model, 1024)
         .orderBy(col("doc_id"))
     }),
 
@@ -455,10 +465,10 @@ object ModelQueries {
     // TakeOrderedAndProject, never a corpus sort
     "model_dsir_topk" -> ((s, dir) => {
       val d = docs(s, dir)
-      val model = Dsir.bucketCountsSplit(d, "text",
-        col("lang") === "en", 1024)
+      // self-corpus form (r14): one featurize pass, not two
       Dsir.resampleTopK(
-        Dsir.weightsSplit(d, "doc_id", "text", model, 1024), 50)
+        Dsir.weightsSplitSelf(d, "doc_id", "text",
+          col("lang") === "en", 1024), 50)
     }))
 
   val oracle: Map[String, String] = Map(

@@ -84,6 +84,37 @@ class DsirSpec extends SparkSpec {
     assert(split == twoFrame)
   }
 
+  test("self-corpus form (literal scalars from the tokenize-count " +
+    "pass) ≡ the two-call composition bit-for-bit, incl. the count " +
+    "formula's edge docs") {
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // edge docs the nf formula must mirror exactly: null text (drops
+    // from the explode → count 0), empty text (tokens('') = ['']: ONE
+    // unigram, zero bigrams), single token (one unigram, zero
+    // bigrams), and a target-side edge doc
+    val edges = Seq((900001L, null.asInstanceOf[String], "de"),
+      (900002L, "", "de"), (900003L, "solo", "en"),
+      (900004L, " padded  spaces ", "en"))
+      .toDF("doc_id", "text", "lang")
+    val c = d.select($"doc_id", $"text", $"lang").unionByName(edges)
+    val twoCall = Dsir.weightsSplit(c, "doc_id", "text",
+      Dsir.bucketCountsSplit(c, "text", $"lang" === "en", 256), 256)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val self = Dsir.weightsSplitSelf(c, "doc_id", "text",
+      $"lang" === "en", 256)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(self == twoCall)
+    // and the char-gram array path (the model_dsir_chargram shape)
+    val toks = graft.functions.TextFunctions.charNgrams($"text", 5)
+    val twoCallT = Dsir.weightsSplitToks(c, "doc_id", toks,
+      Dsir.bucketCountsSplitToks(c, toks, $"lang" === "en", 256), 256)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val selfT = Dsir.weightsSplitSelfToks(c, "doc_id", toks,
+      $"lang" === "en", 256)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(selfT == twoCallT)
+  }
+
   test("compiled kernel ≡ relational weightsSplit bit-for-bit, incl. " +
     "tokenizer edges") {
     val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
