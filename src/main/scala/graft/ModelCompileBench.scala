@@ -36,6 +36,16 @@ object ModelCompileBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // experiment knob (r14, default OFF): AQE replanning of cache
+      // materialization coalesces model-sized caches (helps compile-
+      // heavy queries ~0.5 s) but ALSO coalesces corpus-proportional
+      // caches at sf0.1 (dedup shingle tables, LM scored tables) and
+      // costs their downstream stages parallelism — measured net
+      // wash-to-negative (BenchOne A/B in OPTIMIZATION_r14.md), so
+      // the model-table fix is the surgical repartition(1) in the
+      // compile paths instead
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -21,6 +21,16 @@ object ProbeQ {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // experiment knob (r14, default OFF): AQE replanning of cache
+      // materialization coalesces model-sized caches (helps compile-
+      // heavy queries ~0.5 s) but ALSO coalesces corpus-proportional
+      // caches at sf0.1 (dedup shingle tables, LM scored tables) and
+      // costs their downstream stages parallelism — measured net
+      // wash-to-negative (BenchOne A/B in OPTIMIZATION_r14.md), so
+      // the model-table fix is the surgical repartition(1) in the
+      // compile paths instead
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -30,6 +40,8 @@ object ProbeQ {
     val tasks = new AtomicInteger
     val taskMs = new AtomicLong
     val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val stageTaskMs = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]
+    val stageGcMs = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
@@ -38,13 +50,26 @@ object ProbeQ {
         val i = s.stageInfo
         val ms = i.completionTime.getOrElse(0L) -
           i.submissionTime.getOrElse(0L)
+        // per-stage executor task time + GC: the wall column alone
+        // cannot split "32 concurrent heavy tasks" from "32 cheap
+        // tasks behind one straggler" (r14: needed to localize a
+        // 38 s task-time query whose stage names are all lambdas)
+        val tt: Long = Option(stageTaskMs.remove(i.stageId))
+          .fold(0L)(_.longValue)
+        val gc: Long = Option(stageGcMs.remove(i.stageId))
+          .fold(0L)(_.longValue)
         stageRows.add(f"$ms%6d ms  stage ${i.stageId}%4d " +
-          f"tasks=${i.numTasks}%3d  ${i.name.take(90)}")
+          f"tasks=${i.numTasks}%3d taskTime=$tt%6d gc=$gc%5d  " +
+          i.name.take(60))
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
-        if (t.taskMetrics != null)
+        if (t.taskMetrics != null) {
           taskMs.addAndGet(t.taskMetrics.executorRunTime)
+          stageTaskMs.merge(t.stageId,
+            t.taskMetrics.executorRunTime, _ + _)
+          stageGcMs.merge(t.stageId, t.taskMetrics.jvmGCTime, _ + _)
+        }
       }
     })
     for (name <- args.drop(1)) {

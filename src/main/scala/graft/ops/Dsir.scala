@@ -288,26 +288,35 @@ object Dsir {
     require(buckets > 0 && buckets <= (1 << 24),
       s"dsir kernel: bucket space $buckets out of range")
     graft.GraftExtensions.ensure(model.sparkSession)
-    // two driver actions (default scalar, ratio rows) — cache for
-    // the duration of the compile only; a cache THIS call created is
-    // released before returning (the dense array carries everything)
-    val (cached, fresh) = Caching.cacheOnceTracked(model)
+    // ONE driver action: ratio rows ∪ the default-scalar row (tagged
+    // by bucket = -1, outside the valid bucket space) — the
+    // two-action form paid query planning + codegen per action (the
+    // dominant fixture-scale cost, r14). Cache for the duration of
+    // the compile only; a cache THIS call created is released before
+    // returning (the dense array carries everything).
+    // repartition(1) pre-cache: the bucket model is ≤ B rows by
+    // construction; cached at the session shuffle partition count
+    // its three reads inside the one compile plan would each launch
+    // that many near-empty tasks (see NbClassifier.compileVotes)
+    val (cached, fresh) = Caching.cacheOnceTracked(model.repartition(1))
     try {
       val scalars = cached.agg(sum(col("c_t")).as("n_t"),
         sum(col("c_r")).as("n_r"))
-      val dflt = scalars.select(
-        ((lit(1.0) / (col("n_t") + lit(buckets.toLong)).cast("double")) /
-          (lit(1.0) / (col("n_r") + lit(buckets.toLong)).cast("double")))
-          .as("dflt")).head().getDouble(0)
       val rows = cached.crossJoin(broadcast(scalars))
         .select(col("bucket"),
           (((col("c_t") + lit(1L)).cast("double") /
             (col("n_t") + lit(buckets.toLong)).cast("double")) /
             ((col("c_r") + lit(1L)).cast("double") /
               (col("n_r") + lit(buckets.toLong)).cast("double"))).as("r"))
+        .unionAll(scalars.select(lit(-1L).as("bucket"),
+          ((lit(1.0) / (col("n_t") + lit(buckets.toLong)).cast("double")) /
+            (lit(1.0) / (col("n_r") + lit(buckets.toLong)).cast("double")))
+            .as("r")))
         .collect()
+      val dflt = rows.find(_.getLong(0) == -1L).get.getDouble(1)
       val arr = Array.fill(buckets)(dflt)
-      rows.foreach(r => arr(r.getLong(0).toInt) = r.getDouble(1))
+      rows.foreach(r =>
+        if (r.getLong(0) >= 0L) arr(r.getLong(0).toInt) = r.getDouble(1))
       arr
     } finally if (fresh) cached.unpersist(blocking = false)
   }

@@ -229,60 +229,14 @@ object LangModel {
         coalesce(col("mean_p"), lit(0.0)).as("mean_p"))
   }
 
-  /** Every n-gram key of one doc up to `maxOrd`, as (k, ord) structs
-    * in the compile key form (space-joined — the exact keys
-    * [[compileModel]]/[[compileModelBy]] build from the separate
-    * count tables). One array expression, so a combined training
-    * aggregate tokenizes the corpus ONCE where the three-table form
-    * re-tokenizes per order. */
-  private def gramKeys(toks: Column, maxOrd: Int): Column = {
-    require(maxOrd >= 1 && maxOrd <= 3, s"bad maxOrd $maxOrd")
-    graft.functions.Exprs.bind(toks) { t =>
-      val unis = transform(t, w =>
-        struct(w.as("k"), lit(1).as("ord")))
-      val bigs = transform(transitionPairs(t), p =>
-        struct(concat_ws(" ", p.getField("w1"), p.getField("w2")).as("k"),
-          lit(2).as("ord")))
-      val tris = transform(windowTriples(t), p =>
-        struct(concat_ws(" ", p.getField("w1"), p.getField("w2"),
-          p.getField("w3")).as("k"), lit(3).as("ord")))
-      maxOrd match {
-        case 1 => unis
-        case 2 => concat(unis, bigs)
-        case 3 => concat(unis, bigs, tris)
-      }
-    }
-  }
-
-  /** One-pass per-group n-gram count table (g, k, cnt, ord) —
-    * row-identical to `unigramsBy ∪ bigramsBy ∪ trigramsBy` rendered
-    * into the compile key form (unigrams unpruned, higher orders
-    * pruned at `minCount`, prune per group), but ONE corpus
-    * featurize + hash aggregate where the three-table form scans and
-    * tokenizes the corpus once per order (the kernel-compile
-    * trainer; spec-pinned equal to the three-table composition). */
-  def ngramCountsBy(ref: DataFrame, g: Column, toks: Column,
-      maxOrd: Int, minCount: Int = 2): DataFrame =
-    ref.select(g.as("g"), toks.as("__t"))
-      .filter(col("g").isNotNull) // see unigramsBy
-      .select(col("g"), explode(gramKeys(col("__t"), maxOrd)).as("e"))
-      .select(col("g"), col("e.k").as("k"), col("e.ord").as("ord"))
-      .groupBy(col("g"), col("k"), col("ord"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("ord") === 1 || col("cnt") >= minCount)
-      .select(col("g"), col("k"), col("cnt"), col("ord"))
-
-  /** [[ngramCountsBy]] without the group key: (k, cnt, ord) ≡
-    * `unigrams ∪ bigrams ∪ trigrams` in compile key form. */
-  def ngramCounts(ref: DataFrame, toks: Column, maxOrd: Int,
-      minCount: Int = 2): DataFrame =
-    ref.select(toks.as("__t"))
-      .select(explode(gramKeys(col("__t"), maxOrd)).as("e"))
-      .select(col("e.k").as("k"), col("e.ord").as("ord"))
-      .groupBy(col("k"), col("ord"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("ord") === 1 || col("cnt") >= minCount)
-      .select(col("k"), col("cnt"), col("ord"))
+  // NOTE (r14): a one-pass fused trainer (explode every order's keys
+  // in one aggregate) was built, spec-pinned identical, and REVERTED
+  // after a quiet-box BenchOne A/B: the three separate aggregates run
+  // as CONCURRENT stages under the one compile action, so fusing them
+  // into a single stage 3× as heavy per task LOSES wall on any box
+  // with idle cores (model_lm_chargram_kernel 2.21 → 3.87 s median,
+  // auto 1.75 → 3.19, perlang3 2.37 → 2.95). See OPTIMIZATION_r14.md
+  // entry 7 before re-deriving it.
 
   /** Collect a per-group model into per-group (keys, counts) arrays —
     * [[compileModel]] keyed by group, same driver-memory gate (over

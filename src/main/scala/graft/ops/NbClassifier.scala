@@ -305,31 +305,41 @@ object NbClassifier {
       posLabel: String, maxModelRows: Long = 5000000L)
   : (Array[String], Array[Double], Double, Double) = {
     require(maxModelRows < Int.MaxValue, s"bad gate $maxModelRows")
-    // compile issues TWO driver actions (ratio rows, scalar row) —
-    // cache the training aggregate so it runs once, not per action
-    // (uncached it re-ran the full (label, token) aggregate 3×,
-    // measured as the whole kernel-query overhead); a cache THIS
-    // call created is released before returning — the compiled
-    // arrays carry everything the kernel needs
-    val (cached, fresh) = Caching.cacheOnceTracked(counts)
+    // cache the training aggregate so its several references inside
+    // the one compile plan run once (uncached it re-ran the full
+    // (label, token) aggregate 3×, measured as the whole kernel-query
+    // overhead); a cache THIS call created is released before
+    // returning — the compiled arrays carry everything the kernel
+    // needs. repartition(1) pre-cache: see compileVotes.
+    val (cached, fresh) = Caching.cacheOnceTracked(counts.repartition(1))
     try {
       val scalars = binaryScalars(cached, priors, posLabel)
+      // ONE driver action: ratio rows ∪ the (dflt, prior) scalar row,
+      // tagged — the two-action form paid query planning + codegen
+      // per action (the dominant fixture-scale cost, r14); every
+      // double is still engine-evaluated from the same plans
       val rows = binaryRatios(cached, posLabel, scalars)
-        .limit(maxModelRows.toInt + 1).collect()
-      if (rows.length > maxModelRows)
+        .limit(maxModelRows.toInt + 1)
+        .select(lit(1).as("kind"), col("token"), col("r"),
+          lit(null).cast("double").as("prior"))
+        .unionAll(scalars.select(lit(0).as("kind"),
+          lit(null).cast("string").as("token"),
+          ((lit(1.0) / (col("n_pos") + col("v")).cast("double")) /
+            (lit(1.0) / (col("n_neg") + col("v")).cast("double")))
+            .as("r"),
+          (col("d_pos").cast("double") / col("d_neg").cast("double"))
+            .as("prior")))
+        .collect()
+      val ratios = rows.filter(_.getInt(0) == 1)
+      if (ratios.length > maxModelRows)
         throw new ModelTooLargeException(
           s"nb kernel: model exceeds $maxModelRows tokens — use the " +
             "relational scoreBinary path for unbounded models, or " +
             "raise maxModelRows")
-      val sorted = rows.sortBy(_.getString(0))
-      val s = scalars.select(
-        ((lit(1.0) / (col("n_pos") + col("v")).cast("double")) /
-          (lit(1.0) / (col("n_neg") + col("v")).cast("double")))
-          .as("dflt"),
-        (col("d_pos").cast("double") / col("d_neg").cast("double"))
-          .as("prior")).head()
-      (sorted.map(_.getString(0)), sorted.map(_.getDouble(1)),
-        s.getDouble(0), s.getDouble(1))
+      val sorted = ratios.sortBy(_.getString(1))
+      val s = rows.find(_.getInt(0) == 0).get
+      (sorted.map(_.getString(1)), sorted.map(_.getDouble(2)),
+        s.getDouble(2), s.getDouble(3))
     } finally if (fresh) cached.unpersist(blocking = false)
   }
 
@@ -392,23 +402,53 @@ object NbClassifier {
   def compileVotes(counts: DataFrame, maxModelRows: Long = 5000000L)
   : (Array[String], Array[Int], Array[String], Int) = {
     require(maxModelRows < Int.MaxValue, s"bad gate $maxModelRows")
-    // compile issues THREE driver actions (labels, vote rows, oov
-    // row) — cache the training aggregate so it runs once, not per
-    // action; a cache THIS call created is released before returning
-    val (cached, fresh) = Caching.cacheOnceTracked(counts)
+    // ONE driver action: labels ∪ vote rows ∪ oov row, tagged. The
+    // three-action form (labels, votes, oov) paid query planning +
+    // codegen per action — ~0.4-1.5 s each at fixture scale, THE
+    // dominant cost of the langid-model gate (r14 Scratch A/B); the
+    // union keeps every argmax/tie-break/ordering engine-evaluated
+    // exactly as before. The cache still dedupes the six references
+    // to the training aggregate inside the one plan.
+    // repartition(1) BEFORE caching: the pruned count table is
+    // model-bounded (the collect gate enforces it), but cached at
+    // the session shuffle partition count every one of the six
+    // reads launches that many near-empty tasks per stage — a
+    // 1-partition cache reads in one. The training aggregate itself
+    // stays parallel (the exchange moves only post-prune model rows).
+    val (cached, fresh) = Caching.cacheOnceTracked(counts.repartition(1))
     try {
-      val labels = cached.select(col("label")).distinct()
-        .orderBy(col("label")).collect().map(_.getString(0))
+      val rows = cached.select(col("label")).distinct()
+        .select(lit(0).as("kind"), lit(null).cast("string").as("token"),
+          col("label"))
+        .unionAll(voteTable(cached).limit(maxModelRows.toInt + 1)
+          .select(lit(1).as("kind"), col("token"),
+            col("vote").as("label")))
+        .unionAll(oovVoteTable(cached)
+          .select(lit(2).as("kind"), lit(null).cast("string").as("token"),
+            col("oov_vote").as("label")))
+        .collect()
+      // sort labels in UTF-8 BYTE order — exactly the engine's
+      // `ORDER BY label` (UTF8String binary) the three-action form
+      // delegated; Java String order diverges on supplementary chars
+      val labels = rows.filter(_.getInt(0) == 0).map(_.getString(2))
+        .sortWith { (a, b) =>
+          val (x, y) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val n = math.min(x.length, y.length)
+          var i = 0
+          while (i < n && x(i) == y(i)) i += 1
+          if (i < n) (x(i) & 0xff) < (y(i) & 0xff) else x.length < y.length
+        }
       val idx = labels.zipWithIndex.toMap
-      val rows = voteTable(cached).limit(maxModelRows.toInt + 1).collect()
-      if (rows.length > maxModelRows)
+      val votes = rows.filter(_.getInt(0) == 1)
+      if (votes.length > maxModelRows)
         throw new ModelTooLargeException(
           s"nb vote kernel: model exceeds $maxModelRows tokens — use " +
             "the relational predictVotes path for unbounded models, " +
             "or raise maxModelRows")
-      val sorted = rows.sortBy(_.getString(0))
-      val oov = oovVoteTable(cached).head().getString(0)
-      (sorted.map(_.getString(0)), sorted.map(r => idx(r.getString(1))),
+      val sorted = votes.sortBy(_.getString(1))
+      val oov = rows.find(_.getInt(0) == 2).get.getString(2)
+      (sorted.map(_.getString(1)), sorted.map(r => idx(r.getString(2))),
         labels, idx(oov))
     } finally if (fresh) cached.unpersist(blocking = false)
   }

@@ -155,12 +155,9 @@ object ModelQueries {
     // kernel ≡ relational ≡ DuckDB is a standing three-way agreement
     "model_lm_kernel" -> ((s, dir) => {
       val d = docs(s, dir)
-      // one-pass keyed trainer (r14): the separate uni/big tables
-      // re-tokenized the corpus once per order; compiled model
-      // identical (spec-pinned), serve plan unchanged
-      LangModel.scoreCompiledModel(d, "doc_id", "text",
-        LangModel.compileModelKeyed(
-          LangModel.ngramCounts(d, toks, maxOrd = 2, minCount = 2)))
+      val uni = LangModel.unigrams(d, toks)
+      val big = LangModel.bigrams(d, toks, minCount = 2)
+      LangModel.scoreCompiled(d, "doc_id", "text", uni, big)
         .orderBy(col("doc_id"))
     }),
 
@@ -211,11 +208,10 @@ object ModelQueries {
     // kernel ≡ relational ≡ DuckDB is a standing three-way agreement
     "model_lm_perlang_kernel" -> ((s, dir) => {
       val d = docs(s, dir)
-      // one-pass keyed trainer (r14): identical compiled bank
+      val uni = LangModel.unigramsBy(d, col("lang"), toks)
+      val big = LangModel.bigramsBy(d, col("lang"), toks, minCount = 2)
       val bank = LangModel.broadcastBank(s,
-        LangModel.compileModelByKeyed(
-          LangModel.ngramCountsBy(d, col("lang"), toks,
-            maxOrd = 2, minCount = 2)))
+        LangModel.compileModelBy(uni, big))
       LangModel.scoreByCompiled(d, "doc_id", "text", "lang", bank)
         .withColumnRenamed("g", "lang")
         .orderBy(col("doc_id"))
@@ -238,12 +234,11 @@ object ModelQueries {
     // oracle (kernel ≡ relational ≡ DuckDB three-way agreement)
     "model_lm_perlang3_kernel" -> ((s, dir) => {
       val d = docs(s, dir)
-      // one-pass keyed trainer (r14): three featurize+aggregate
-      // passes (uni, big, tri) fold into one; identical bank
+      val uni = LangModel.unigramsBy(d, col("lang"), toks)
+      val big = LangModel.bigramsBy(d, col("lang"), toks, minCount = 2)
+      val tri = LangModel.trigramsBy(d, col("lang"), toks, minCount = 2)
       val bank = LangModel.broadcastBank(s,
-        LangModel.compileModelByKeyed(
-          LangModel.ngramCountsBy(d, col("lang"), toks,
-            maxOrd = 3, minCount = 2)))
+        LangModel.compileModelBy(uni, big, Some(tri)))
       LangModel.scoreTrigramByCompiled(d, "doc_id", "text", "lang", bank)
         .withColumnRenamed("g", "lang")
         .orderBy(col("doc_id"))
@@ -306,12 +301,10 @@ object ModelQueries {
       val c0 = MultilingualFixture.corpus(s,
         docs(s, dir).filter(col("doc_id") < 2000))
       val ct = TextFunctions.charNgrams(col("text"), 5)
-      // one-pass keyed trainer (r14): the gram stream is computed
-      // once, not once per order; identical bank
+      val uni = LangModel.unigramsBy(c0, col("lang"), ct)
+      val big = LangModel.bigramsBy(c0, col("lang"), ct, minCount = 2)
       val bank = LangModel.broadcastBank(s,
-        LangModel.compileModelByKeyed(
-          LangModel.ngramCountsBy(c0, col("lang"), ct,
-            maxOrd = 2, minCount = 2)))
+        LangModel.compileModelBy(uni, big))
       val c = c0.withColumn("__gt",
         TextFunctions.charGramText(col("text"), 5))
       LangModel.scoreByCompiled(c, "doc_id", "__gt", "lang", bank)
@@ -379,12 +372,10 @@ object ModelQueries {
       val at = when(col("lang").isin("ja", "th", "zh"),
         TextFunctions.charNgrams(col("text"), 5))
         .otherwise(TextFunctions.tokens(col("text")))
-      // one-pass keyed trainer (r14): the per-language conditional
-      // tokenization runs once, not once per order; identical bank
+      val uni = LangModel.unigramsBy(c0, col("lang"), at)
+      val big = LangModel.bigramsBy(c0, col("lang"), at, minCount = 2)
       val bank = LangModel.broadcastBank(s,
-        LangModel.compileModelByKeyed(
-          LangModel.ngramCountsBy(c0, col("lang"), at,
-            maxOrd = 2, minCount = 2)))
+        LangModel.compileModelBy(uni, big))
       val c = c0.withColumn("__gt",
         when(col("lang").isin("ja", "th", "zh"),
           TextFunctions.charGramText(col("text"), 5))

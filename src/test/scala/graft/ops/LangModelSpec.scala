@@ -210,64 +210,6 @@ class LangModelSpec extends SparkSpec {
     assert(rel == expected)
   }
 
-  test("one-pass ngramCounts(By) ≡ the separate uni/big/tri tables " +
-    "and compiles to the identical model (bank)") {
-    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
-      "documents")
-    // edge docs: null text (drops from both trainers), empty text
-    // (tokens('') = [''] — one unigram, no higher grams), 1- and
-    // 2-token docs exercising the empty transition/window arrays,
-    // plus a null-lang row (drops from the by-group trainers)
-    val edges = Seq((900001L, null.asInstanceOf[String], "de"),
-      (900002L, "", "de"), (900003L, "solo", "en"),
-      (900004L, "two tok", "en"),
-      (900005L, "x y z", null.asInstanceOf[String]))
-      .toDF("doc_id", "text", "lang")
-    val c = docs.select(col("doc_id"), col("text"), col("lang"))
-      .unionByName(edges)
-    val t = graft.functions.TextFunctions.tokens(col("text"))
-    // global form, orders 2 and 3
-    for (maxOrd <- Seq(2, 3)) {
-      val tri = if (maxOrd == 3) Some(LangModel.trigrams(c, t, 2))
-      else None
-      val sep = LangModel.compileModel(LangModel.unigrams(c, t),
-        LangModel.bigrams(c, t, 2), tri)
-      val one = LangModel.compileModelKeyed(
-        LangModel.ngramCounts(c, t, maxOrd, 2))
-      assert(one._1.toSeq == sep._1.toSeq)
-      assert(one._2.toSeq == sep._2.toSeq)
-    }
-    // by-group form: per-group maps equal key-for-key
-    for (maxOrd <- Seq(2, 3)) {
-      val triBy = if (maxOrd == 3)
-        Some(LangModel.trigramsBy(c, col("lang"), t, 2))
-      else None
-      val sep = LangModel.compileModelBy(
-        LangModel.unigramsBy(c, col("lang"), t),
-        LangModel.bigramsBy(c, col("lang"), t, 2), triBy)
-      val one = LangModel.compileModelByKeyed(
-        LangModel.ngramCountsBy(c, col("lang"), t, maxOrd, 2))
-      assert(one.keySet == sep.keySet)
-      for (g <- sep.keySet) {
-        assert(one(g)._1.toSeq == sep(g)._1.toSeq, s"keys of $g")
-        assert(one(g)._2.toSeq == sep(g)._2.toSeq, s"counts of $g")
-      }
-    }
-    // and the raw keyed TABLE is row-identical to the union form
-    // (not just post-compile): the char-gram path reuses it
-    val ct = graft.functions.TextFunctions.charNgrams(col("text"), 5)
-    val oneT = LangModel.ngramCountsBy(c, col("lang"), ct, 2, 2)
-      .collect().map(_.toSeq).toSet
-    val sepT = (LangModel.unigramsBy(c, col("lang"), ct)
-      .select(col("g"), col("token").as("k"), col("cnt"),
-        lit(1).as("ord")) unionAll
-      LangModel.bigramsBy(c, col("lang"), ct, 2)
-        .select(col("g"), concat_ws(" ", col("w1"), col("w2")).as("k"),
-          col("cnt"), lit(2).as("ord")))
-      .collect().map(_.toSeq).toSet
-    assert(oneT == sepT)
-  }
-
   test("compileModelBy refuses the row gate and space-bearing tokens " +
     "loudly") {
     val t = graft.functions.TextFunctions.tokens(col("text"))
