@@ -32,6 +32,16 @@ object CdcDrainMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate + filter pushdown re-evaluates the
+      // GENERATOR expression inside the scan filter: every
+      // explode-based training featurize (char_ngrams_utf8,
+      // dsir_feature_buckets, transition pairs) ran twice per row
+      // (r14; plan excerpt in OPTIMIZATION_r14.md). The inferred
+      // size()>0 filter only saves empty-row Generate machinery
+      // here (explodes sit directly on scans), so it is a strict
+      // loss at any scale for expensive generators.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       // experiment knob (r14, default OFF): AQE replanning of cache
       // materialization coalesces model-sized caches (helps compile-
       // heavy queries ~0.5 s) but ALSO coalesces corpus-proportional

@@ -53,7 +53,30 @@ object Md5Hash60 {
   def hash60(s: UTF8String): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(s.getBytes)
+    finish(md.digest(s.getBytes))
+  }
+
+  /** [[hash60]] over raw UTF-8 bytes. */
+  def hash60Bytes(b: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    finish(md.digest(b))
+  }
+
+  /** [[hash60]] of the space-joined pair — `md5(w1 ⊕ ' ' ⊕ w2)`
+    * streamed into the digest with no joined-string allocation.
+    * Null parts follow `concat_ws` semantics (skipped; both null →
+    * the empty string's digest). */
+  def hash60Pair(a: Array[Byte], b: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    if (a != null) md.update(a)
+    if (a != null && b != null) md.update(' '.toByte)
+    if (b != null) md.update(b)
+    finish(md.digest())
+  }
+
+  private def finish(d: Array[Byte]): Long = {
     // big-endian first 8 bytes, then drop the low nibble: 60 bits
     var v = 0L
     var i = 0

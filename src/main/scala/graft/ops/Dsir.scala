@@ -30,16 +30,10 @@ import graft.functions.TextFunctions
   */
 object Dsir {
 
-  /** md5 bucket of one feature string (cross-engine: DuckDB mirrors
-    * with CAST(concat('0x', substring(md5(f),1,15)) AS BIGINT) % B).
-    * Runs through the native [[graft.functions.Md5Hash60]] kernel —
-    * value-identical to the composed conv(substring(md5)) form, but
-    * without the per-call hex-string/conv churn that measured as the
-    * dominant DSIR cost (the featurizer hashes every token and
-    * bigram of the corpus). Callers must [[graft.GraftExtensions]]
-    * .ensure the session (the op entry points below do). */
-  private def bucket(f: Column, buckets: Int): Column =
-    pmod(call_function("md5_hash60", f), lit(buckets.toLong))
+  // feature bucket = md5_hash60(feature) % B (cross-engine: DuckDB
+  // mirrors with CAST(concat('0x', substring(md5(f),1,15)) AS
+  // BIGINT) % B) — computed inside the one-pass
+  // [[graft.functions.DsirFeatureBuckets]] kernel since r14
 
   /** Hashed n-gram feature array of a document, in canonical order:
     * unigram buckets in position order, then bigram buckets in
@@ -47,9 +41,7 @@ object Dsir {
     * ([[TextFunctions.shingles]]), so the hash input is identical in
     * any engine. */
   def features(text: Column, buckets: Int): Column =
-    concat(
-      transform(TextFunctions.tokens(text), t => bucket(t, buckets)),
-      transform(TextFunctions.shingles(text, 2), s => bucket(s, buckets)))
+    featuresToks(TextFunctions.tokens(text), buckets)
 
   /** [[features]] from an already-tokenized array — the char-gram
     * callers hand [[TextFunctions.charNgrams]] output directly, so
@@ -57,18 +49,20 @@ object Dsir {
     * to be re-split (measured as the dominant cost of the relational
     * char-gram DSIR path). Value-identical to `features(text)` when
     * `toks = tokens(text)`: unigram buckets in position order, then
-    * space-joined adjacent-pair buckets in position order. */
+    * space-joined adjacent-pair buckets in position order.
+    *
+    * Native one-pass kernel ([[graft.functions.DsirFeatureBuckets]])
+    * — the composed `transform(md5…) ++ transform(concat_ws pairs,
+    * md5…)` form walked the array through two interpreted
+    * higher-order transforms and allocated a joined pair string per
+    * bigram; spec-pinned value-identical (DsirSpec), same DuckDB
+    * oracle. */
   def featuresToks(toks: Column, buckets: Int): Column =
-    graft.functions.Exprs.bind(toks) { ts =>
-      concat(
-        transform(ts, t => bucket(t, buckets)),
-        transform(
-          when(size(ts) < 2, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), size(ts) - 1),
-              i => concat_ws(" ", element_at(ts, i),
-                element_at(ts, i + 1)))),
-          s => bucket(s, buckets)))
-    }
+    org.apache.spark.sql.graftbridge.GraftColumnBridge.column(
+      graft.functions.DsirFeatureBuckets(
+        org.apache.spark.sql.graftbridge.GraftColumnBridge
+          .expression(toks),
+        org.apache.spark.sql.catalyst.expressions.Literal(buckets)))
 
   /** Bucket count model of a corpus: (bucket, cnt), one hash
     * aggregate over at most B distinct keys. */
@@ -241,22 +235,11 @@ object Dsir {
     // `prefix` features (unigrams first, then bigrams) can only
     // involve the first prefix+1 tokens, and per-feature md5 is the
     // dominant scoring cost — full-document featurization here
-    // measured ~2× the whole query at sf1
-    val prefToks = slice(toks, 1, prefix + 1)
-    val prefFeats = graft.functions.Exprs.bind(prefToks) { ts =>
-      concat(
-        transform(slice(ts, lit(1), least(size(ts), lit(prefix))),
-          t => bucket(t, buckets)),
-        transform(
-          when(size(ts) < 2,
-            array().cast("array<struct<w1:string,w2:string>>"))
-            .otherwise(arrays_zip(
-              slice(ts, lit(1), size(ts) - 1).as("w1"),
-              slice(ts, lit(2), size(ts) - 1).as("w2"))
-              .cast("array<struct<w1:string,w2:string>>")),
-          p => bucket(concat_ws(" ", p.getField("w1"),
-            p.getField("w2")), buckets)))
-    }
+    // measured ~2× the whole query at sf1. The outer slice then
+    // caps the feature list, so featurizing the prefix+1-token
+    // window with the full kernel is value-identical to the former
+    // capped-unigram composed form (unigrams come first; spec-pinned)
+    val prefFeats = featuresToks(slice(toks, 1, prefix + 1), buckets)
     val pos = docs
       .select(col(idCol).cast("long").as("doc_id"),
         slice(prefFeats, 1, prefix).as("__f"))

@@ -14,6 +14,11 @@ object TestSpark {
       .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
+    // match the mains (r14): inferred generate-filters re-evaluate
+    // expensive generator expressions in scan filters — excluded
+    // everywhere so the suite pins the same plans the bench runs
+    .config("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     // bucketed-table tests register external tables; keep catalog
     // metadata out of the repo tree
     .config("spark.sql.warehouse.dir",

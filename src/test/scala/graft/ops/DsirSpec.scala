@@ -84,6 +84,53 @@ class DsirSpec extends SparkSpec {
     assert(split == twoFrame)
   }
 
+  test("native dsir_feature_buckets ≡ the verbatim composed " +
+    "transform/concat_ws featurizer, word and char-gram, edges") {
+    import org.apache.spark.sql.Column
+    // the PRE-r14 composed form, verbatim (md5_hash60 + pmod over
+    // two higher-order transforms) — the equality oracle
+    def bucketC(f: Column, buckets: Int): Column =
+      pmod(call_function("md5_hash60", f), lit(buckets.toLong))
+    def composed(toks: Column, buckets: Int): Column =
+      graft.functions.Exprs.bind(toks) { ts =>
+        concat(
+          transform(ts, t => bucketC(t, buckets)),
+          transform(
+            when(size(ts) < 2, array().cast("array<string>"))
+              .otherwise(transform(sequence(lit(1), size(ts) - 1),
+                i => concat_ws(" ", element_at(ts, i),
+                  element_at(ts, i + 1)))),
+            s => bucketC(s, buckets)))
+      }
+    graft.GraftExtensions.ensure(spark)
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val edges = Seq((900001L, null.asInstanceOf[String]),
+      (900002L, ""), (900003L, "solo"), (900004L, "two tok"),
+      (900005L, " padded  spaces  x "))
+      .toDF("doc_id", "text")
+    val c = d.select($"doc_id", $"text").unionByName(edges)
+    for ((toks, label) <- Seq(
+      (graft.functions.TextFunctions.tokens($"text"), "word"),
+      (graft.functions.TextFunctions.charNgrams($"text", 5), "char"))) {
+      val got = c.select($"doc_id",
+        Dsir.featuresToks(toks, 1024).as("f"))
+        .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+      val want = c.select($"doc_id",
+        composed(toks, 1024).as("f"))
+        .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+      assert(got == want, label)
+    }
+    // null ELEMENT semantics: null unigram bucket, concat_ws-style
+    // pair skipping (matches the composed form on the same input)
+    val weird = Seq(Tuple1(Seq[String](null, "a", null)))
+      .toDF("toks")
+    val gotW = weird.select(Dsir.featuresToks($"toks", 64).as("f"))
+      .collect().head.toSeq
+    val wantW = weird.select(composed($"toks", 64).as("f"))
+      .collect().head.toSeq
+    assert(gotW == wantW)
+  }
+
   test("self-corpus form (literal scalars from the tokenize-count " +
     "pass) ≡ the two-call composition bit-for-bit, incl. the count " +
     "formula's edge docs") {
