@@ -15,8 +15,13 @@ import graft.ops.{Dsir, LangModel, NbClassifier}
   */
 object ModelQueries {
 
+  // scan widened to half the session slots when the parquet arrives
+  // as fewer splits (gate-scale files are ONE row-group, so every
+  // corpus featurize otherwise runs single-task; a no-op on real
+  // multi-split inputs — ops/Spread scaladoc has the r14 A/B).
+  // Filters above still push below the exchange to the scan.
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    graft.ops.Spread.auto(Tables.load(s, dir, "documents"))
 
   private def toks = TextFunctions.tokens(col("text"))
 

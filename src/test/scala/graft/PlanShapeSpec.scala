@@ -567,8 +567,14 @@ class PlanShapeSpec extends SparkSpec {
     // only exchange is the output sort's range partitioning
     assert(!p.contains("Join"), p)
     assert(!p.contains("Generate"), p)
+    // allowed exchanges: the output sort's range partitioning plus
+    // the deliberate round-robin scan widen (ops/Spread, r14); a
+    // model join or doc-keyed regroup would appear as
+    // hashpartitioning — banned outright
     val exchanges = "Exchange".r.findAllIn(p).length
-    assert(exchanges <= 2, s"bank kernel plan should not shuffle beyond the output sort:\n$p")
+    assert(exchanges <= 4, s"bank kernel plan should not shuffle beyond the output sort + scan widen:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"bank kernel plan hash-shuffles (model join / doc regroup?):\n$p")
     // and the model travels as a broadcast handle inside the kernel
     // expression, not a typedLit array literal in the plan text
     assert(p.contains("lmscorebybc"), p)
@@ -584,8 +590,12 @@ class PlanShapeSpec extends SparkSpec {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q:\n$p")
       assert(!p.contains("Generate"), s"$q:\n$p")
+      // sort range partitioning + the round-robin scan widen only
+      // (see the perlang_kernel pin above)
       val exchanges = "Exchange".r.findAllIn(p).length
-      assert(exchanges <= 2, s"$q shuffles beyond the output sort:\n$p")
+      assert(exchanges <= 4, s"$q shuffles beyond the output sort + scan widen:\n$p")
+      assert(!p.contains("hashpartitioning"),
+        s"$q hash-shuffles (model join / doc regroup?):\n$p")
       assert(p.contains("lmscorebybc"), s"$q:\n$p")
     }
   }
