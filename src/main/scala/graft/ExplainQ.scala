@@ -37,8 +37,13 @@ object ExplainQ {
       // size()>0 filter only saves empty-row Generate machinery
       // here (explodes sit directly on scans), so it is a strict
       // loss at any scale for expensive generators.
+      // A/B knob (r15 adjudication of the ann_ivfpq regression):
+      // SPARK_GRAFT_EXCLUDED_RULES overrides the exclusion list —
+      // set it to "" to dump plans WITH the rule re-enabled. Tool
+      // main only; the bench/verify mains keep the fixed exclusion.
       .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+        sys.env.getOrElse("SPARK_GRAFT_EXCLUDED_RULES",
+          "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"))
       // experiment knob (r14, default OFF): AQE replanning of cache
       // materialization coalesces model-sized caches (helps compile-
       // heavy queries ~0.5 s) but ALSO coalesces corpus-proportional
