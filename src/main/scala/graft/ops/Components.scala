@@ -202,13 +202,21 @@ object Components {
       // count + except pair AND detects convergence one round
       // earlier (the round that PRODUCES the star forest, not the
       // one that re-confirms it).
-      val chained = next.select(col("dst").as("k"))
-        .join(next.select(col("src").as("k")), Seq("k"), "left_semi")
-        .select(lit(1).as("one"))
-      val multiDst = next.groupBy(col("src"))
-        .agg(count(lit(1)).as("c")).filter(col("c") > 1L)
-        .select(lit(1).as("one"))
-      converged = chained.unionAll(multiDst).limit(1).count() == 0
+      // ONE-exchange formulation (r15): star forest ⟺ per vertex k,
+      // k is not a src twice (multi-center) and not both a src and a
+      // dst (chain). Both conditions fall out of one (k, is-src)
+      // flag aggregate — the former semi-join + dup-src aggregate
+      // pair cost two more shuffle/broadcast stages per round on the
+      // same checkpointed frame (each AQE stage is its own job, and
+      // the loop is job-count bound at gate scale).
+      val viol = next.select(explode(array(
+          struct(col("src").as("k"), lit(1L).as("f")),
+          struct(col("dst").as("k"), lit(0L).as("f")))).as("e"))
+        .groupBy(col("e.k"))
+        .agg(sum(col("e.f")).as("nsrc"), count(lit(1)).as("ntot"))
+        .filter(col("nsrc") > 1L ||
+          (col("nsrc") >= 1L && col("ntot") > col("nsrc")))
+      converged = viol.limit(1).count() == 0
       edges = next
       iter += 1
     }

@@ -298,19 +298,41 @@ object Similarity {
     * missing neighbors. The guard count is driver-side on a
     * centroid-sized frame (kmeansRefine output is checkpointed), so
     * it is cheap. */
+  /** True when `df`'s analyzed plan carries a LIMIT ≤ `bound` at the
+    * top (possibly under projections) — the shape [[kmeansRefine]] /
+    * [[trainPqCodebook]] return. Such a frame is PROVABLY within the
+    * cardinality contract, so the defensive validation count() —
+    * a whole driver action (plan + schedule, ~100-300 ms at gate
+    * scale, one more job on a cluster) per serving call — is skipped
+    * (r15). Frames without the structural bound (e.g. parquet
+    * round-trips) still pay the count and fail loudly when oversized. */
+  private def provablyAtMost(df: DataFrame, bound: Long): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.IntegerLiteral
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def walk(p: LogicalPlan): Boolean = p match {
+      case GlobalLimit(IntegerLiteral(v), _) => v <= bound
+      case Project(_, child) => walk(child)
+      case SubqueryAlias(_, child) => walk(child)
+      case _ => false
+    }
+    walk(df.queryExecution.analyzed)
+  }
+
   private def resolveCentroids(corpus: DataFrame, vecCol: String,
       idCol: String, nCells: Int, trained: Option[DataFrame]): DataFrame =
     trained.map { t =>
       val sel = t.select(col("cid"), col("cvec"),
         norm(col("cvec")).as("cn"))
-      val n = sel.count()
-      require(n <= nCells,
-        s"trained centroid frame has $n rows but nCells=$nCells — " +
-          "refusing to truncate to an arbitrary subset; pass " +
-          s"kmeansRefine(nCells = $nCells) output or raise nCells")
-      // no-op at runtime (n ≤ nCells just verified) but restores the
-      // STRUCTURAL cardinality bound after plan nodes that erase it,
-      // keeping every broadcast over centroids provably bounded
+      if (!provablyAtMost(t, nCells)) {
+        val n = sel.count()
+        require(n <= nCells,
+          s"trained centroid frame has $n rows but nCells=$nCells — " +
+            "refusing to truncate to an arbitrary subset; pass " +
+            s"kmeansRefine(nCells = $nCells) output or raise nCells")
+      }
+      // no-op at runtime (n ≤ nCells verified or proved) but restores
+      // the STRUCTURAL cardinality bound after plan nodes that erase
+      // it, keeping every broadcast over centroids provably bounded
       // (PlanShapeSpec's suite-wide hint audit)
       sel.limit(nCells)
     }.getOrElse(centroidFrame(corpus, vecCol, idCol, nCells))
@@ -556,11 +578,15 @@ object Similarity {
     trained.map { t =>
       val sel = t.select(col("j"), col("code"), col("cv").as("cv"),
         dot(col("cv"), col("cv")).as("cc"))
-      val n = sel.count()
-      require(n <= m.toLong * k,
-        s"trained PQ codebook has $n rows but m*k=${m * k} — " +
-          "refusing to truncate to an arbitrary subset; pass " +
-          s"trainPqCodebook(m = $m, k = $k) output or raise m/k")
+      // structural-limit frames (trainPqCodebook output) skip the
+      // validation action — see provablyAtMost
+      if (!provablyAtMost(t, m.toLong * k)) {
+        val n = sel.count()
+        require(n <= m.toLong * k,
+          s"trained PQ codebook has $n rows but m*k=${m * k} — " +
+            "refusing to truncate to an arbitrary subset; pass " +
+            s"trainPqCodebook(m = $m, k = $k) output or raise m/k")
+      }
       sel.limit(m * k)
     }.getOrElse(pqCodebook(corpus, vecCol, idCol, dims, m, k))
 

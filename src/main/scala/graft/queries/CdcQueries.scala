@@ -514,10 +514,18 @@ object CdcQueries {
       val inc = graft.ops.TableChecksum.incrementalChecksums(ch, col("op"),
         col("a_pk"), Seq(col("a_pk"), col("a_v")),
         col("b_pk"), Seq(col("b_pk"), col("b_v")), chunkSize = 25L)
+      // compacted state via max_by, not a second (desc-sorted) window
+      // pass (r15): `event_id` is the events table's PRIMARY KEY —
+      // globally unique, hence unique per user (QueriesSpec pins this
+      // on the testdata and the window form ≡ max_by form equality)
+      // — so "the row row_number()-desc ranks first" IS "the row with
+      // max event_id", and max_by is deterministic here. The
+      // aggregate combines map-side (one partial row per user per
+      // partition crosses the exchange) where the window form
+      // shuffled and SORTED every event row.
       val state = ev
-        .withColumn("rnd", row_number().over(
-          Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)))
-        .filter(col("rnd") === 1)
+        .groupBy(col("user_id"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
         .select(col("user_id"), rendered(col("value")).as("v"))
       val fresh = graft.ops.TableChecksum.chunkChecksums(state,
         col("user_id"), Seq(col("user_id"), col("v")), chunkSize = 25L)

@@ -26,6 +26,33 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("r15 cdc_incremental_checksum: event_id is unique per user " +
+    "(max_by gate) and the max_by state ≡ the window-desc state") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.normalizeTsNs(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("user_id"), col("event_id"), col("value"))
+    // the r15 swap of the desc window for max_by(value, event_id) is
+    // sound ONLY under (user_id, event_id) uniqueness — event_id is
+    // the table's PK; pin it so a future data regen that breaks it
+    // fails here, not as a silent nondeterministic checksum
+    val dupes = ev.groupBy(col("user_id"), col("event_id"))
+      .count().filter(col("count") > 1).count()
+    assert(dupes == 0, "event_id no longer unique per user — the " +
+      "max_by compacted state in cdc_incremental_checksum is unsound")
+    val viaWindow = ev
+      .withColumn("rnd", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("event_id").desc)))
+      .filter(col("rnd") === 1)
+      .select(col("user_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val viaMaxBy = ev.groupBy(col("user_id"))
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(viaWindow == viaMaxBy)
+  }
+
   test("q_percentiles_approx verdict: every in-engine sketch is within tolerance") {
     val rows = SparkEntry.queries("q_percentiles_approx")(spark, sfDir)
       .collect()

@@ -63,6 +63,38 @@ class ComponentsSpec extends SparkSpec {
     assert(star == minLabel)
   }
 
+  test("r15 batched star rounds ≡ min-label across seeds, densities " +
+    "and odd/even convergence counts") {
+    // the r15 loop runs TWO star rounds per checkpoint+probe; the
+    // star forest of component minima is the unique fixpoint, so
+    // batching must not change any label — pinned against min-label
+    // propagation over graph shapes that converge after odd AND even
+    // round counts (sparse chains ∪ dense blobs ∪ isolated loops)
+    for (seed <- Seq(1, 7, 13, 29); n <- Seq(17, 40)) {
+      val rnd = new scala.util.Random(seed)
+      val dense = Seq.fill(3 * n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val chain = (100L until 100L + 9L).map(i => (i, i + 1))
+      val loops = Seq((500L, 500L), (501L, 502L))
+      val pairs = (dense ++ chain ++ loops).toDF("a", "b")
+      val minLabel = Components.connectedComponents(pairs, "a", "b")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val star = Components.connectedComponentsStar(pairs, "a", "b")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(star == minLabel, s"seed=$seed n=$n")
+    }
+  }
+
+  test("r15 batched star: odd maxIter still converges (single-round " +
+    "tail batch)") {
+    // maxIter=1 forces the doTwo=false path: a 2-vertex edge is a
+    // star forest after one round, so it must converge, not throw
+    val pairs = Seq((7L, 3L)).toDF("a", "b")
+    val out = Components.connectedComponentsStar(pairs, "a", "b",
+      maxIter = 1).as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(3L -> 3L, 7L -> 3L))
+  }
+
   test("star variant converges on a chain far beyond min-label's rounds") {
     // path 0-1-…-64: diameter 64. Min-label at maxIter=20 must fail;
     // large/small-star collapses it in O(log n) rounds.
