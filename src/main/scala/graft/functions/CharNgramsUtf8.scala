@@ -45,7 +45,21 @@ case class CharNgramsUtf8(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (StringType, IntegerType) =>
+        // foldability/positivity enforced at ANALYSIS time (r15
+        // advice): a SQL caller with a non-literal or non-positive n
+        // gets a clear analysis error, not an opaque eval-time
+        // require (same discipline as DsirFeatureBuckets)
+        if (!right.foldable)
+          TypeCheckResult.TypeCheckFailure(
+            "char_ngrams_utf8: n must be a literal")
+        else right.eval() match {
+          case null => TypeCheckResult.TypeCheckFailure(
+            "char_ngrams_utf8: n must not be null")
+          case v: Integer if v <= 0 => TypeCheckResult.TypeCheckFailure(
+            s"char_ngrams_utf8: n must be positive, got $v")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"char_ngrams_utf8 expects (string, int), got " +
           s"${l.simpleString}, ${r.simpleString}")

@@ -107,7 +107,14 @@ object ExactQuantiles {
     *        on totals, not max group, because at scale a small-group
     *        input is still terabytes the banded histogram would
     *        never shuffle raw. −1 (default) = follow `bandRowBound`;
-    *        0 = always banded.
+    *        0 = always banded. MEMORY-CLASS caveat (r15 advice): a
+    *        band-SORT task can spill to disk mid-sort, but the direct
+    *        path's collect_list aggregation buffer cannot spill
+    *        MID-GROUP — at the shared default (4M values ≈ 32 MB+
+    *        per group) the two paths bound the same rows but not the
+    *        same resident memory. Callers on memory-tight executors
+    *        should pass an explicit smaller directRowBound rather
+    *        than raising bandRowBound alone.
     * @return (grp, vcol, p, value) — one row per group × target
     */
   def percentiles(df: DataFrame, grp: String,

@@ -415,6 +415,12 @@ object NbClassifier {
     // reads launches that many near-empty tasks per stage — a
     // 1-partition cache reads in one. The training aggregate itself
     // stays parallel (the exchange moves only post-prune model rows).
+    // Caveat (r15 advice): an OVER-gate model funnels through this
+    // one task while materializing, before the collect gate can
+    // throw — callers whose corpus can exceed maxModelRows tokens
+    // should use the relational predictVotes path (the documented
+    // ModelTooLargeException contract) rather than relying on the
+    // kernel compile to fail gracefully.
     val (cached, fresh) = Caching.cacheOnceTracked(counts.repartition(1))
     try {
       val rows = cached.select(col("label")).distinct()

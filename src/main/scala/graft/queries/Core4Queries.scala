@@ -254,7 +254,7 @@ object Core4Queries {
     // which is exactly the k-scan plan the operator avoids at 100 TB.
     "q_profile_table" -> ((s, dir) =>
       graft.ops.TableProfiler.profile(
-        Tables.load(s, dir, "lineitem"),
+        graft.ops.Spread.auto(Tables.load(s, dir, "lineitem")),
         Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
           "l_shipdate"))
         .orderBy(col("col_name"))),
