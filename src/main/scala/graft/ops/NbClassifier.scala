@@ -95,12 +95,18 @@ object NbClassifier {
       .select(col("token"), col("label"),
         ((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
           (col("n") + col("v")).cast("double")).as("p"))
+    // argmax as ONE hash aggregate, not a per-token window (r15):
+    // min over the (−p, label) struct key IS the row_number(p DESC,
+    // label ASC) = 1 row — identical choice including ties (−p is an
+    // exact sign flip of a positive double; the struct comparison is
+    // lexicographic) — and the aggregate partial-combines map-side
+    // where the window form shuffled and SORTED the full |V|·|C|
+    // grid.
     grid
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
-          .orderBy(col("p").desc, col("label"))))
-      .filter(col("rnk") === 1)
-      .select(col("token"), col("label").as("vote"))
+      .groupBy(col("token"))
+      .agg(min_by(col("label"),
+        struct((-col("p")).as("np"), col("label"))).as("vote"))
+      .select(col("token"), col("vote"))
   }
 
   // the out-of-vocabulary vote (1 row): every class offers 1/(N_c+V)
@@ -126,16 +132,18 @@ object NbClassifier {
       .groupBy(col("doc_id"), col("vote"))
       .agg(count(lit(1)).as("n_votes"))
     // per-doc argmax + total over the tally (≤ |classes| rows per
-    // doc) in ONE window pass — no second explode of the corpus
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
+    // doc) as ONE hash aggregate (r15): min over the
+    // (−n_votes, vote) struct key IS the row_number(n_votes DESC,
+    // vote ASC) = 1 row — identical choice including ties (−n_votes
+    // is an exact long negation; struct comparison is lexicographic)
+    // — and the aggregate partial-combines map-side where the window
+    // form shuffled and SORTED every tally row
     tally
-      .withColumn("n_tok", sum(col("n_votes")).over(byDoc))
-      .withColumn("rnk", row_number().over(
-        byDoc.orderBy(col("n_votes").desc, col("vote"))))
-      .filter(col("rnk") === 1)
-      .select(col("doc_id"), col("vote").as("pred"),
-        col("n_votes"), col("n_tok"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("n_votes")).as("nn"), col("vote"))).as("best"),
+        sum(col("n_votes")).as("n_tok"))
+      .select(col("doc_id"), col("best.vote").as("pred"),
+        (-col("best.nn")).as("n_votes"), col("n_tok"))
   }
 
   /** Full multinomial NB in log space: per-class posterior
