@@ -247,7 +247,7 @@ object CoreQueries {
     // rollup: grouping-set aggregate; NULL group markers coalesced to
     // 'ALL' so null-ordering differences can't bite the oracle.
     "q_rollup_counts" -> ((s, dir) =>
-      Tables.load(s, dir, "lineitem")
+      graft.ops.Spread.auto(Tables.load(s, dir, "lineitem"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
